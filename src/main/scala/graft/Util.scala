@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-parity helpers.
+  *
+  * The driver hash-compares Spark output against DuckDB running
+  * `SparkEntry.oracleSql` on the same parquet. Floating-point sums are
+  * order-dependent under parallel aggregation, so money-like values are
+  * reduced to exact integers *per row* (identical IEEE doubles in both
+  * engines, then floor → exact integer sum), and timestamps are emitted
+  * as formatted strings (session TZ pinned UTC).
+  */
+object Util {
+  type QFn = (SparkSession, String) => DataFrame
+
+  val TsFmt = "yyyy-MM-dd HH:mm:ss"
+
+  /** Timestamp column → deterministic string (UTC). DuckDB twin:
+    * strftime(x, '%Y-%m-%d %H:%M:%S'). */
+  def fmtTs(c: Column): Column = date_format(c, TsFmt)
+
+  /** Money double → exact integer cents. Per-row doubles are bitwise
+    * identical in Spark and DuckDB (same IEEE ops, same order), so the
+    * floor is identical; the integer sum is then order-independent.
+    * DuckDB twin: CAST(floor(x * 100.0) AS BIGINT) (sum then cast). */
+  def cents(c: Column): Column = floor(c * lit(100.0))
+
+  /** Fixed-point 1e-4 scale for ratios/similarities (same trick). */
+  def e4(c: Column): Column = floor(c * lit(10000.0))
+}

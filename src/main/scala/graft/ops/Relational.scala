@@ -1,0 +1,371 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.Util._
+
+/** Relational breadth over the TPC-H-ish tables (SURVEY.md §2.6/§7.3
+  * step 3): joins, aggregations, windows, set ops, top-k.
+  *
+  * Scale posture: fact-side tables (lineitem/orders/events) are only
+  * touched with pushdown-friendly filters and key-partitioned shuffles;
+  * dimension sides (region/nation/customer config) are broadcast. Money
+  * doubles are reduced per-row to exact cents (see [[graft.Util]]) so
+  * parallel aggregation stays order-independent and oracle-exact.
+  */
+object Relational {
+
+  private def revenueCents(priceCol: String, discCol: String) =
+    cents(col(priceCol) * (lit(1.0) - col(discCol)))
+
+  // TPC-H Q1-shaped pricing summary: single scan, partial (map-side)
+  // aggregation, one shuffle on the 2 group keys.
+  def q1Agg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).cast("long").as("sum_qty"),
+        sum(cents(col("l_extendedprice"))).as("price_cents"),
+        sum(revenueCents("l_extendedprice", "l_discount")).as("revenue_cents"),
+        avg(col("l_quantity")).as("avg_qty"),
+        max(col("l_extendedprice")).as("max_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  val q1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+       CAST(sum(floor(l_extendedprice * 100.0)) AS BIGINT) AS price_cents,
+       CAST(sum(floor((l_extendedprice * (1.0 - l_discount)) * 100.0)) AS BIGINT) AS revenue_cents,
+       avg(l_quantity) AS avg_qty,
+       max(l_extendedprice) AS max_price,
+       count(1) AS count_order
+       FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+       GROUP BY l_returnflag, l_linestatus
+       ORDER BY l_returnflag, l_linestatus"""
+
+  // TPC-H Q3-shaped: selective dim filter broadcast into a 3-way join,
+  // aggregate on the join key, top-10. At scale: customer filter is
+  // broadcast, orders⋈lineitem co-partitions on orderkey, AQE handles
+  // skew; limit is pushed through the sort (TakeOrderedAndProject).
+  def q3TopOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val l = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"),
+        revenueCents("l_extendedprice", "l_discount").as("rev_cents"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(sum(col("rev_cents")).as("revenue_cents"))
+      .select(col("o_orderkey"), fmtTs(col("o_orderdate")).as("o_orderdate"),
+        col("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("o_orderkey"))
+      .limit(10)
+  }
+  val q3Sql: String =
+    """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+       CAST(sum(floor((l_extendedprice * (1.0 - l_discount)) * 100.0)) AS BIGINT) AS revenue_cents
+       FROM lineitem
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       WHERE c_mktsegment = 'BUILDING'
+         AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+       GROUP BY o_orderkey, o_orderdate
+       ORDER BY revenue_cents DESC, o_orderkey LIMIT 10"""
+
+  // TPC-H Q5-shaped: 6-way join, small dims broadcast, revenue per
+  // nation for one region-year.
+  def q5RegionRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val r = Tables.region(spark, sfDir).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val s = Tables.supplier(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val l = Tables.lineitem(spark, sfDir)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(revenueCents("l_extendedprice", "l_discount")).as("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("n_name"))
+  }
+  val q5Sql: String =
+    """SELECT n_name,
+       CAST(sum(floor((l_extendedprice * (1.0 - l_discount)) * 100.0)) AS BIGINT) AS revenue_cents
+       FROM lineitem
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       JOIN nation ON s_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       WHERE r_name = 'ASIA'
+         AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+       GROUP BY n_name ORDER BY revenue_cents DESC, n_name"""
+
+  // Left-semi join — EXISTS (customers having a big order).
+  def joinSemi(spark: SparkSession, sfDir: String): DataFrame = {
+    val big = Tables.orders(spark, sfDir).filter(col("o_totalprice") > 400000.0)
+    Tables.customer(spark, sfDir)
+      .join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"))
+      .orderBy(col("c_custkey"))
+  }
+  val joinSemiSql: String =
+    """SELECT c_custkey FROM customer
+       WHERE EXISTS (SELECT 1 FROM orders
+                     WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+       ORDER BY c_custkey"""
+
+  // Left-anti join — NOT EXISTS.
+  def joinAnti(spark: SparkSession, sfDir: String): DataFrame = {
+    val big = Tables.orders(spark, sfDir).filter(col("o_totalprice") > 400000.0)
+    Tables.customer(spark, sfDir)
+      .join(big, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"))
+      .orderBy(col("c_custkey"))
+  }
+  val joinAntiSql: String =
+    """SELECT c_custkey FROM customer
+       WHERE NOT EXISTS (SELECT 1 FROM orders
+                         WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+       ORDER BY c_custkey"""
+
+  // Left-outer join + aggregate: order count / spend per customer,
+  // customers without orders kept at zero.
+  def joinOuterAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        coalesce(sum(cents(col("o_totalprice"))), lit(0L)).as("spend_cents"))
+      .orderBy(col("c_custkey"))
+  val joinOuterAggSql: String =
+    """SELECT c_custkey, count(o_orderkey) AS n_orders,
+       coalesce(CAST(sum(floor(o_totalprice * 100.0)) AS BIGINT), 0) AS spend_cents
+       FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+       GROUP BY c_custkey ORDER BY c_custkey"""
+
+  // Window rank: each customer's single most expensive order.
+  def windowRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_custkey"))
+  }
+  val windowRankSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+         SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey
+             ORDER BY o_totalprice DESC, o_orderkey) AS rn
+         FROM orders) WHERE rn = 1 ORDER BY o_custkey"""
+
+  // Running (cumulative) window per user over event time. Integer
+  // cumulative sum keeps the running frame order-exact.
+  def windowRunning(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"),
+        row_number().over(w).as("rn"),
+        sum(k).over(w.rowsBetween(Window.unboundedPreceding, 0)).as("cum_k"))
+      .orderBy(col("user_id"), col("rn"))
+  }
+  val windowRunningSql: String =
+    """SELECT user_id, event_id,
+       row_number() OVER w AS rn,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+         OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_k
+       FROM events
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       ORDER BY user_id, rn"""
+
+  // Sliding frame: max/count over the trailing 4 rows per user.
+  def windowSliding(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id")).rowsBetween(-3, 0)
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"),
+        max(col("value")).over(w).as("win_max"),
+        count(lit(1)).over(w).as("win_n"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+  val windowSlidingSql: String =
+    """SELECT user_id, event_id,
+       max(value) OVER w AS win_max,
+       count(1) OVER w AS win_n
+       FROM events
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+       ORDER BY user_id, event_id"""
+
+  // Top-k by sort: physical plan is TakeOrderedAndProject (no full sort).
+  def topkOrders(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+  val topkOrdersSql: String =
+    """SELECT o_orderkey, o_totalprice FROM orders
+       ORDER BY o_totalprice DESC, o_orderkey LIMIT 20"""
+
+  // Set operators over nation keys.
+  def setopUnion(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir).select(col("c_nationkey").as("nk"))
+      .union(Tables.supplier(spark, sfDir).select(col("s_nationkey").as("nk")))
+      .distinct()
+      .orderBy(col("nk"))
+  val setopUnionSql: String =
+    """SELECT c_nationkey AS nk FROM customer UNION
+       SELECT s_nationkey AS nk FROM supplier ORDER BY nk"""
+
+  def setopIntersect(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir).select(col("c_nationkey").as("nk"))
+      .intersect(Tables.supplier(spark, sfDir).select(col("s_nationkey").as("nk")))
+      .orderBy(col("nk"))
+  val setopIntersectSql: String =
+    """SELECT c_nationkey AS nk FROM customer INTERSECT
+       SELECT s_nationkey AS nk FROM supplier ORDER BY nk"""
+
+  def setopExcept(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.nation(spark, sfDir).select(col("n_nationkey").as("nk"))
+      .except(Tables.supplier(spark, sfDir).select(col("s_nationkey").as("nk")))
+      .orderBy(col("nk"))
+  val setopExceptSql: String =
+    """SELECT n_nationkey AS nk FROM nation EXCEPT
+       SELECT s_nationkey AS nk FROM supplier ORDER BY nk"""
+
+  // Rollup (hierarchical grouping sets).
+  def aggRollup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).cast("long").as("sum_qty"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+  val aggRollupSql: String =
+    """SELECT l_returnflag, l_linestatus, count(1) AS n,
+       CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+       FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+       ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""
+
+  // Exact distinct count per group (expand + two-phase agg in Spark).
+  def distinctCount(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("nd_parts"),
+        countDistinct(col("l_suppkey")).as("nd_supps"))
+      .orderBy(col("l_returnflag"))
+  val distinctCountSql: String =
+    """SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_parts,
+       count(DISTINCT l_suppkey) AS nd_supps
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  // HLL++ approximate distinct — the 100 TB-scale path for distinct
+  // counts. Sketch internals differ engine-to-engine, so no SQL oracle
+  // (driver records the weaker rows-only check).
+  def approxDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+      .orderBy(col("l_returnflag"))
+
+  // F1 — pipe-delimited config list → rows (dags/DNS_Requests.py:138).
+  def pipeSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Seq("iowa|chicago|racknerd|backup-server").toDF("cfg")
+      .select(explode(split(col("cfg"), "\\|")).as("client"))
+      .orderBy(col("client"))
+  }
+  val pipeSplitSql: String =
+    """SELECT unnest(string_split('iowa|chicago|racknerd|backup-server', '|')) AS client
+       ORDER BY client"""
+
+  // F11 — JSON field extraction + predicate over events.props.
+  def jsonFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), k.as("k"))
+      .filter(col("k") >= 90)
+      .orderBy(col("event_id"))
+  }
+  val jsonFilterSql: String =
+    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+       FROM events
+       WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 90
+       ORDER BY event_id"""
+
+  // Tumbling event-time window aggregation — the batch twin of the
+  // Structured Streaming query in graft.streaming (same window() call).
+  def tumblingWindowAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(k).as("k_sum"))
+      .select(fmtTs(col("w.start")).as("window_start"), col("event_type"),
+        col("n"), col("k_sum"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+  val tumblingWindowAggSql: String =
+    """SELECT strftime(make_timestamp(CAST(floor(epoch(ts) / 21600) * 21600000000 AS BIGINT)),
+                       '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, count(1) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
+       FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"""
+
+  val queries: Map[String, QFn] = Map(
+    "q1_agg" -> q1Agg,
+    "q3_top_orders" -> q3TopOrders,
+    "q5_region_revenue" -> q5RegionRevenue,
+    "join_semi" -> joinSemi,
+    "join_anti" -> joinAnti,
+    "join_outer_agg" -> joinOuterAgg,
+    "window_rank" -> windowRank,
+    "window_running" -> windowRunning,
+    "window_sliding" -> windowSliding,
+    "topk_orders" -> topkOrders,
+    "setop_union" -> setopUnion,
+    "setop_intersect" -> setopIntersect,
+    "setop_except" -> setopExcept,
+    "agg_rollup" -> aggRollup,
+    "distinct_count" -> distinctCount,
+    "approx_distinct" -> approxDistinct,
+    "f1_pipe_split" -> pipeSplit,
+    "f11_json_filter" -> jsonFilter,
+    "tumbling_window_agg" -> tumblingWindowAgg)
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" -> q1Sql,
+    "q3_top_orders" -> q3Sql,
+    "q5_region_revenue" -> q5Sql,
+    "join_semi" -> joinSemiSql,
+    "join_anti" -> joinAntiSql,
+    "join_outer_agg" -> joinOuterAggSql,
+    "window_rank" -> windowRankSql,
+    "window_running" -> windowRunningSql,
+    "window_sliding" -> windowSlidingSql,
+    "topk_orders" -> topkOrdersSql,
+    "setop_union" -> setopUnionSql,
+    "setop_intersect" -> setopIntersectSql,
+    "setop_except" -> setopExceptSql,
+    "agg_rollup" -> aggRollupSql,
+    "distinct_count" -> distinctCountSql,
+    "f1_pipe_split" -> pipeSplitSql,
+    "f11_json_filter" -> jsonFilterSql,
+    "tumbling_window_agg" -> tumblingWindowAggSql)
+}

@@ -1,0 +1,230 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.Util._
+import graft.sources.Sources
+
+/** Threshold / temporal / assertion operators (SURVEY.md §2.3 V1–V10).
+  *
+  * Each reference "query" is an assert that turns a predicate into a
+  * task failure. Here each becomes a declarative violation query: the
+  * predicate is evaluated per row/group fully inside the plan (no
+  * collect, no driver loop), so at 100 TB it is one scan + one shuffle
+  * on the group key. `require(violations == 0)` semantics live in
+  * [[assertEmpty]].
+  */
+object Validate {
+
+  /** Engine-level assert: fail the job when a violation query is
+    * non-empty (the reference's `raise AirflowException` lift —
+    * dags/Speedtest.py:91-96). Uses isEmpty (limit-1 scan), not count. */
+  def assertEmpty(df: DataFrame, msg: String): Unit =
+    if (!df.isEmpty) throw new IllegalStateException(s"validation failed: $msg")
+
+  /** Fixed "now" for oracle determinism — the reference's
+    * `datetime.now()` (dags/DNS_Requests.py:103) becomes a parameter.
+    * Data spans 2024-01-01 .. 2024-01-30 (TESTDATA.md). */
+  val Now = "2024-01-31 00:00:00"
+
+  // V1 — freshness: last event per user vs now − interval
+  // (dags/DNS_Requests.py:97-136). Flagship query (SURVEY §7.2).
+  def v1Freshness(spark: SparkSession, sfDir: String): DataFrame = {
+    val bound = "2024-01-30 18:00:00" // Now − 6h
+    Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(max(col("ts")).as("last_ts"))
+      .select(
+        col("user_id"),
+        fmtTs(col("last_ts")).as("last_seen"),
+        (col("last_ts") < lit(bound).cast("timestamp")).as("stale"))
+      .orderBy(col("user_id"))
+  }
+  val v1Sql: String =
+    """SELECT user_id,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_seen,
+       max(ts) < TIMESTAMP '2024-01-30 18:00:00' AS stale
+       FROM events GROUP BY user_id ORDER BY user_id"""
+
+  // V2 — folder-sync freshness: per (device=user, folder=event_type)
+  // last scan; device stale iff its *oldest* folder scan is stale
+  // (dags/Backups.py:104-139).
+  def v2FolderFreshness(spark: SparkSession, sfDir: String): DataFrame = {
+    val bound = "2024-01-30 12:00:00"
+    Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(max(col("ts")).as("folder_last"))
+      .groupBy(col("user_id"))
+      .agg(min(col("folder_last")).as("oldest_scan"))
+      .select(
+        col("user_id"),
+        fmtTs(col("oldest_scan")).as("oldest_scan"),
+        (col("oldest_scan") < lit(bound).cast("timestamp")).as("any_stale"))
+      .orderBy(col("user_id"))
+  }
+  val v2Sql: String =
+    """SELECT user_id,
+       strftime(min(folder_last), '%Y-%m-%d %H:%M:%S') AS oldest_scan,
+       min(folder_last) < TIMESTAMP '2024-01-30 12:00:00' AS any_stale
+       FROM (SELECT user_id, event_type, max(ts) AS folder_last
+             FROM events GROUP BY user_id, event_type)
+       GROUP BY user_id ORDER BY user_id"""
+
+  // V3 — numeric lower-bound threshold against a per-device limit table
+  // (dags/Speedtest.py:52-57,91-96). The limit table is a tiny config
+  // dim → broadcast join (never a shuffle at scale).
+  def v3Threshold(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val limits = spark.range(0, 200)
+      .select(col("id").as("user_id"),
+        ((col("id") % 5) * lit(25)).cast("double").as("min_limit"))
+    val measured = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(min(col("value")).as("min_value"))
+    measured.join(broadcast(limits), "user_id")
+      .select(col("user_id"), col("min_value"), col("min_limit"),
+        (col("min_value") < col("min_limit")).as("violation"))
+      .orderBy(col("user_id"))
+  }
+  val v3Sql: String =
+    """SELECT m.user_id, m.min_value, l.min_limit,
+       m.min_value < l.min_limit AS violation
+       FROM (SELECT user_id, min(value) AS min_value FROM events
+             WHERE event_type = 'purchase' GROUP BY user_id) m
+       JOIN (SELECT range AS user_id,
+                    CAST((range % 5) * 25 AS DOUBLE) AS min_limit
+             FROM range(0, 200)) l USING (user_id)
+       ORDER BY m.user_id"""
+
+  // V4 — boolean-state check (dags/DNS_Requests.py:85-95): fail when not
+  // running, or when protection disabled with no re-enable timer.
+  def v4BoolState(spark: SparkSession, sfDir: String): DataFrame =
+    Sources.adguardStatusSrc(spark)
+      .filter(!col("running") ||
+        (!col("protection_enabled") && col("protection_disabled_duration") === 0))
+      .select(col("endpoint"))
+      .orderBy(col("endpoint"))
+  val v4Sql: String =
+    """SELECT endpoint FROM (VALUES
+        ('adguard-1', true,  true,  0),
+        ('adguard-2', true,  false, 300),
+        ('adguard-3', false, true,  0),
+        ('adguard-4', true,  false, 0))
+       AS t(endpoint, running, protection_enabled, protection_disabled_duration)
+       WHERE NOT running OR (NOT protection_enabled
+             AND protection_disabled_duration = 0)
+       ORDER BY endpoint"""
+
+  // V5 — paused-state check (dags/Backups.py:93-101).
+  def v5Paused(spark: SparkSession, sfDir: String): DataFrame =
+    Sources.foldersSrc(spark)
+      .filter(col("paused"))
+      .select(col("device"), col("label"))
+      .orderBy(col("device"), col("label"))
+  val v5Sql: String =
+    """SELECT device, label FROM (VALUES
+        ('iowa', 'Documents', false), ('iowa', 'Photos', true),
+        ('chicago', 'Documents', false), ('backup-server', 'Media', false))
+       AS t(device, label, paused)
+       WHERE paused ORDER BY device, label"""
+
+  // V6 — age-based retention predicate (dags/Airflow_Cleanup.py:50-54):
+  // rows older than now − 7 days form the delete set.
+  def v6Retention(spark: SparkSession, sfDir: String): DataFrame = {
+    val cutoff = "2024-01-24 00:00:00" // Now − 7 days
+    Tables.events(spark, sfDir)
+      .filter(col("ts") < lit(cutoff).cast("timestamp"))
+      .select(format_string("/data/log_%d.log", col("event_id")).as("path"))
+      .orderBy(col("path"))
+  }
+  val v6Sql: String =
+    """SELECT '/data/log_' || CAST(event_id AS VARCHAR) || '.log' AS path
+       FROM events WHERE ts < TIMESTAMP '2024-01-24 00:00:00'
+       ORDER BY path"""
+
+  // V7 — ratio threshold (dags/Airflow_Cleanup.py:63-72): share of total
+  // volume per user > 0.9%. Total via an empty-frame window aggregate —
+  // no second scan, no collect.
+  def v7Ratio(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy()
+    Tables.events(spark, sfDir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .withColumn("total", sum(col("n")).over(w))
+      .select(col("user_id"), col("n"),
+        e4(lit(1.0) * col("n") / col("total")).as("share_e4"),
+        (lit(1.0) * col("n") / col("total") > 0.009).as("over_threshold"))
+      .orderBy(col("user_id"))
+  }
+  val v7Sql: String =
+    """SELECT user_id, n,
+       CAST(floor((1.0 * n / total) * 10000.0) AS BIGINT) AS share_e4,
+       1.0 * n / total > 0.009 AS over_threshold
+       FROM (SELECT user_id, count(1) AS n,
+                    sum(count(1)) OVER () AS total
+             FROM events GROUP BY user_id)
+       ORDER BY user_id"""
+
+  // V8 — HTTP status-code guard (cloudflare_api.py:16-19 and every
+  // fetch): non-200 staged fetches are the violation set.
+  def v8StatusGuard(spark: SparkSession, sfDir: String): DataFrame =
+    Sources.httpStatusSrc(spark)
+      .filter(col("status_code") =!= 200)
+      .orderBy(col("endpoint"))
+  val v8Sql: String =
+    """SELECT endpoint, status_code FROM (VALUES
+        ('adguard-1/status', 200), ('adguard-2/status', 200),
+        ('syncthing-1/health', 503), ('ha-1/api/states', 200),
+        ('cf/zones', 429)) AS t(endpoint, status_code)
+       WHERE status_code <> 200 ORDER BY endpoint"""
+
+  // V9 — write-ack check (cloudflare_api.py:112-115).
+  def v9AckCheck(spark: SparkSession, sfDir: String): DataFrame =
+    Sources.ackSrc(spark)
+      .filter(!col("success"))
+      .select(col("record"))
+      .orderBy(col("record"))
+  val v9Sql: String =
+    """SELECT record FROM (VALUES ('rec-01', true), ('rec-03', false),
+        ('rec-05', true)) AS t(record, success)
+       WHERE NOT success ORDER BY record"""
+
+  // V10 — non-empty input guard (dags/Speedtest.py:43-44).
+  def v10NonEmpty(spark: SparkSession, sfDir: String): DataFrame =
+    Sources.foldersSrc(spark)
+      .agg(countDistinct(col("device")).as("n_devices"))
+      .select(col("n_devices"), (col("n_devices") > 0).as("ok"))
+  val v10Sql: String =
+    """SELECT count(DISTINCT device) AS n_devices,
+       count(DISTINCT device) > 0 AS ok
+       FROM (VALUES ('iowa', 'Documents', false), ('iowa', 'Photos', true),
+        ('chicago', 'Documents', false), ('backup-server', 'Media', false))
+       AS t(device, label, paused)"""
+
+  val queries: Map[String, QFn] = Map(
+    "v1_freshness" -> v1Freshness,
+    "v2_folder_freshness" -> v2FolderFreshness,
+    "v3_threshold" -> v3Threshold,
+    "v4_bool_state" -> v4BoolState,
+    "v5_paused" -> v5Paused,
+    "v6_retention" -> v6Retention,
+    "v7_ratio" -> v7Ratio,
+    "v8_status_guard" -> v8StatusGuard,
+    "v9_ack_check" -> v9AckCheck,
+    "v10_nonempty" -> v10NonEmpty)
+
+  val oracles: Map[String, String] = Map(
+    "v1_freshness" -> v1Sql,
+    "v2_folder_freshness" -> v2Sql,
+    "v3_threshold" -> v3Sql,
+    "v4_bool_state" -> v4Sql,
+    "v5_paused" -> v5Sql,
+    "v6_retention" -> v6Sql,
+    "v7_ratio" -> v7Sql,
+    "v8_status_guard" -> v8Sql,
+    "v9_ack_check" -> v9Sql,
+    "v10_nonempty" -> v10Sql)
+}
