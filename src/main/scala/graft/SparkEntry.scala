@@ -20,11 +20,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, QFn] =
     ops.Validate.queries ++
-    ops.Relational.queries
+    ops.Relational.queries ++
+    ops.Semi.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ops.Validate.oracles ++
-    ops.Relational.oracles
+    ops.Relational.oracles ++
+    ops.Semi.oracles
 }

@@ -1,0 +1,320 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Util._
+import graft.sources.Sources
+
+/** Semi-structured operators over declared-schema JSON payloads
+  * (SURVEY.md §2.2 P1–P10, §2.1 S1–S5 read shapes).
+  *
+  * Oracles are DuckDB VALUES literals of the same staged fixture rows
+  * (under the fixtures dir) with the same transformation applied — the
+  * transformation logic is what's being cross-checked; JSON decoding
+  * itself is covered by the declared-schema read path.
+  */
+object Semi {
+
+  /** VALUES clause for fixtures/a7_ips.json. */
+  private val a7Values =
+    """(VALUES
+        ('racknerd', '203.0.113.7', CAST(NULL AS VARCHAR)),
+        ('iowa', '198.51.100.22', '2001:db8::22'),
+        ('chicago', '192.0.2.40', '2001:db8::40'),
+        ('unknown', '192.0.2.9', CAST(NULL AS VARCHAR)))
+       AS t(id, ipv4_address, ipv6_address)"""
+
+  // P1 — equality filter → scalar extract with try_cast default
+  // (dags/Speedtest.py:73-89): "unavailable" state falls back to 0.0.
+  def p1TrycastExtract(spark: SparkSession, sfDir: String): DataFrame =
+    Sources.haStatesSrc(spark)
+      .filter(col("entity_id").isin(
+        "sensor.speedtest_upload", "sensor.speedtest_download"))
+      .select(col("entity_id"),
+        coalesce(expr("try_cast(state AS DOUBLE)"), lit(0.0)).as("mbps"))
+      .orderBy(col("entity_id"))
+  val p1Sql: String =
+    """SELECT entity_id, coalesce(TRY_CAST(state AS DOUBLE), 0.0) AS mbps
+       FROM (VALUES
+         ('sensor.speedtest_upload', '42.3'),
+         ('sensor.speedtest_download', 'unavailable'),
+         ('sensor.other', 'on'),
+         ('sensor.speedtest_ping', '17.95')) AS t(entity_id, state)
+       WHERE entity_id IN ('sensor.speedtest_upload', 'sensor.speedtest_download')
+       ORDER BY entity_id"""
+
+  // P2 — equality filter → id lookup (cloudflare_api.py:22-26); empty
+  // result is the V-side error (assertEmpty on the negation).
+  def p2IdLookup(spark: SparkSession, sfDir: String): DataFrame =
+    Sources.zonesSrc(spark)
+      .filter(col("name") === "example.com")
+      .select(col("id"))
+  val p2Sql: String =
+    """SELECT id FROM (VALUES
+        ('example.com', 'zone-001'), ('example.org', 'zone-002'),
+        ('example.net', 'zone-003')) AS t(name, id)
+       WHERE name = 'example.com'"""
+
+  // P3 — type filter → projection (cloudflare_api.py:45-55).
+  def p3TypeFilter(spark: SparkSession, sfDir: String): DataFrame =
+    Sources.dnsRecordsSrc(spark)
+      .filter(col("type") === "A")
+      .select(col("content"))
+      .orderBy(col("content"))
+  val p3Sql: String =
+    """SELECT content FROM (VALUES
+        ('vpn.example.com', 'A', '203.0.113.7'),
+        ('vpn.example.com', 'AAAA', '2001:db8::7'),
+        ('home.example.com', 'A', '198.51.100.22'),
+        ('cdn.example.com', 'CNAME', 'edge.example.net'),
+        ('mail.example.com', 'A', '192.0.2.40')) AS t(name, type, content)
+       WHERE type = 'A' ORDER BY content"""
+
+  // P4 — compound predicate: equi + flag-dependent type
+  // (cloudflare_api.py:69-77), here with ipv6 = true.
+  def p4CompoundFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val ipv6 = true
+    Sources.dnsRecordsSrc(spark)
+      .filter(col("name") === "vpn.example.com" &&
+        col("type") === lit(if (ipv6) "AAAA" else "A"))
+      .select(col("id"))
+  }
+  val p4Sql: String =
+    """SELECT id FROM (VALUES
+        ('vpn.example.com', 'A', 'rec-01'), ('vpn.example.com', 'AAAA', 'rec-02'),
+        ('home.example.com', 'A', 'rec-03'), ('cdn.example.com', 'CNAME', 'rec-04'),
+        ('mail.example.com', 'A', 'rec-05')) AS t(name, type, id)
+       WHERE name = 'vpn.example.com' AND type = 'AAAA'"""
+
+  // P5 — case-insensitive substring filter → first match
+  // (cloudflare_api.py:131-137). limit(1) after a total-order sort.
+  def p5CiSubstring(spark: SparkSession, sfDir: String): DataFrame =
+    Sources.policiesSrc(spark)
+      .filter(lower(col("name")).contains(lower(lit("ALLOW"))))
+      .select(col("id"), col("name"))
+      .orderBy(col("id"))
+      .limit(1)
+  val p5Sql: String =
+    """SELECT id, name FROM (VALUES
+        ('Allow Home IPs', 'pol-01'), ('Deny All', 'pol-02'),
+        ('allow office ips', 'pol-03')) AS t(name, id)
+       WHERE contains(lower(name), lower('ALLOW')) ORDER BY id LIMIT 1"""
+
+  // P6 — existence/non-null projections → union
+  // (dags/Cloudflare_Apps.py:134-136).
+  def p6UnionNonnull(spark: SparkSession, sfDir: String): DataFrame = {
+    val ips = Sources.ipInventorySrc(spark)
+    ips.filter(col("ipv4_address").isNotNull)
+      .select(col("ipv4_address").as("ip"))
+      .unionByName(ips.filter(col("ipv6_address").isNotNull)
+        .select(col("ipv6_address").as("ip")))
+      .orderBy(col("ip"))
+  }
+  val p6Sql: String =
+    s"""SELECT ipv4_address AS ip FROM $a7Values WHERE ipv4_address IS NOT NULL
+       UNION ALL
+       SELECT ipv6_address AS ip FROM $a7Values WHERE ipv6_address IS NOT NULL
+       ORDER BY ip"""
+
+  // P7 — switch/case value mapping (dags/Cloudflare_Apps.py:79-87).
+  def p7CaseMap(spark: SparkSession, sfDir: String): DataFrame =
+    Sources.ipInventorySrc(spark)
+      .select(col("id"),
+        when(col("id") === "racknerd", "vpn.example.com")
+          .when(col("id") === "iowa", "home.example.com")
+          .when(col("id") === "chicago", "office.example.com")
+          .otherwise(lit(null)).as("hostname"))
+      .orderBy(col("id"))
+  val p7Sql: String =
+    s"""SELECT id, CASE id WHEN 'racknerd' THEN 'vpn.example.com'
+         WHEN 'iowa' THEN 'home.example.com'
+         WHEN 'chicago' THEN 'office.example.com'
+         ELSE NULL END AS hostname
+       FROM $a7Values ORDER BY id"""
+
+  // P8 — key-presence / schema-validation predicate
+  // (dags/DNS_Requests.py:63-75): per declared required field, the
+  // count of rows missing it ("version" is absent from the payload,
+  // exercising the violation path).
+  def p8ShapeCheck(spark: SparkSession, sfDir: String): DataFrame = {
+    val schemaPlus = graft.sources.Sources.adguardStatus
+      .add("version", org.apache.spark.sql.types.StringType)
+    val src = spark.read.schema(schemaPlus)
+      .json(s"${graft.Tables.FixturesDir}/a1_status.jsonl")
+    val fields = Seq("endpoint", "running", "protection_enabled",
+      "protection_disabled_duration", "version")
+    val counts = src.agg(
+      count(lit(1)).as("_n"),
+      fields.map(f => count(col(f)).as(f)): _*)
+    val stackExpr = fields.map(f => s"'$f', _n - $f").mkString(", ")
+    counts.select(expr(
+      s"stack(${fields.size}, $stackExpr) AS (field, n_missing)"))
+      .orderBy(col("field"))
+  }
+  val p8Sql: String =
+    """WITH src AS (SELECT *, CAST(NULL AS VARCHAR) AS version FROM (VALUES
+        ('adguard-1', true, true, 0), ('adguard-2', true, false, 300),
+        ('adguard-3', false, true, 0), ('adguard-4', true, false, 0))
+       AS t(endpoint, running, protection_enabled, protection_disabled_duration))
+       SELECT field, n_missing FROM (
+         SELECT 'endpoint' AS field, count(1) - count(endpoint) AS n_missing FROM src
+         UNION ALL SELECT 'running', count(1) - count(running) FROM src
+         UNION ALL SELECT 'protection_enabled', count(1) - count(protection_enabled) FROM src
+         UNION ALL SELECT 'protection_disabled_duration', count(1) - count(protection_disabled_duration) FROM src
+         UNION ALL SELECT 'version', count(1) - count(version) FROM src)
+       ORDER BY field"""
+
+  // P9 — exact-document equality predicate (dags/Backups.py:63).
+  def p9DocEquality(spark: SparkSession, sfDir: String): DataFrame =
+    Sources.healthSrc(spark)
+      .filter(col("status") =!= "OK")
+      .orderBy(col("device"))
+  val p9Sql: String =
+    """SELECT device, status FROM (VALUES
+        ('iowa', 'OK'), ('chicago', 'OK'), ('backup-server', 'DEGRADED'))
+       AS t(device, status) WHERE status <> 'OK' ORDER BY device"""
+
+  // P10 — map explode → per-entry temporal predicate
+  // (dags/Backups.py:132-139): folder stats keyed by folder id; stale
+  // when lastScan < now − 2h (now = 2024-01-31 00:00:00).
+  def p10MapExplode(spark: SparkSession, sfDir: String): DataFrame =
+    Sources.folderStatsSrc(spark)
+      .select(col("device"), explode(col("folders")).as(Seq("folder_id", "stats")))
+      .select(col("device"), col("folder_id"),
+        col("stats.lastScan").as("last_scan"),
+        (col("stats.lastScan").cast("timestamp") <
+          lit("2024-01-30 22:00:00").cast("timestamp")).as("stale"))
+      .orderBy(col("device"), col("folder_id"))
+  // NOTE: DuckDB 1.0.0 unsafely rewrites `CAST(varchar AS TIMESTAMP) <
+  // TIMESTAMP '...'` into a raw VARCHAR compare (breaks on the 'T'
+  // separator); going through epoch() blocks that rewrite.
+  val p10Sql: String =
+    """SELECT device, folder_id, last_scan,
+       epoch(CAST(last_scan AS TIMESTAMP)) < epoch(TIMESTAMP '2024-01-30 22:00:00') AS stale
+       FROM (VALUES
+        ('iowa', 'abcd-1234', '2024-01-30T23:00:00+00:00'),
+        ('iowa', 'efgh-5678', '2024-01-30T21:30:00+00:00'),
+        ('chicago', 'abcd-1234', '2024-01-28T00:00:00+00:00'),
+        ('backup-server', 'mnop-9999', '2024-01-30T22:59:59+00:00'),
+        ('backup-server', 'qrst-0000', '2024-01-15T12:00:00+00:00'))
+       AS t(device, folder_id, last_scan)
+       ORDER BY device, folder_id"""
+
+  // F3 — URL/key construction by string interpolation
+  // (dags/Backups.py:55-58).
+  def f3Concat(spark: SparkSession, sfDir: String): DataFrame =
+    Sources.foldersSrc(spark)
+      .select(col("device")).distinct()
+      .select(col("device"),
+        format_string("https://%s.example.com:8443/rest", col("device"))
+          .as("url"),
+        concat(lit("BACKUP_"), upper(col("device")), lit("_HOST")).as("var_key"))
+      .orderBy(col("device"))
+  val f3Sql: String =
+    """SELECT device,
+       'https://' || device || '.example.com:8443/rest' AS url,
+       'BACKUP_' || upper(device) || '_HOST' AS var_key
+       FROM (SELECT DISTINCT device FROM (VALUES
+        ('iowa'), ('iowa'), ('chicago'), ('backup-server')) AS t(device))
+       ORDER BY device"""
+
+  // F5 — ISO-8601 parse → epoch seconds (dags/DNS_Requests.py:129).
+  def f5IsoParse(spark: SparkSession, sfDir: String): DataFrame =
+    Sources.querylogSrc(spark)
+      .select(col("client"),
+        unix_timestamp(to_timestamp(col("oldest"))).as("oldest_epoch"))
+      .orderBy(col("client"))
+  val f5Sql: String =
+    """SELECT client,
+       CAST(epoch(CAST(oldest AS TIMESTAMPTZ)) AS BIGINT) AS oldest_epoch
+       FROM (VALUES
+        ('iowa', '2024-01-30T22:45:00.000000+00:00'),
+        ('chicago', '2024-01-30T20:10:00.000000+00:00'),
+        ('racknerd', '2024-01-30T23:05:30.500000+00:00'),
+        ('backup-server', '2024-01-29T04:00:00.000000+00:00'))
+       AS t(client, oldest) ORDER BY client"""
+
+  // S1 — declared-schema staged read, Basic auth config (full rows).
+  def s1StagedRead(spark: SparkSession, sfDir: String): DataFrame =
+    Sources.adguardStatusSrc(spark).orderBy(col("endpoint"))
+  val s1Sql: String =
+    """SELECT endpoint, running, protection_enabled, protection_disabled_duration
+       FROM (VALUES
+        ('adguard-1', true, true, 0), ('adguard-2', true, false, 300),
+        ('adguard-3', false, true, 0), ('adguard-4', true, false, 0))
+       AS t(endpoint, running, protection_enabled, protection_disabled_duration)
+       ORDER BY endpoint"""
+
+  // S4 — permissive soft-fail read of an unparseable payload
+  // (dags/Cloudflare_DDNS.py:41-49): one row, fields null, fetch_ok
+  // false — the `return None` lift.
+  def s4SoftFail(spark: SparkSession, sfDir: String): DataFrame =
+    Sources.ipifyPermissiveSrc(spark)
+      .select(col("ip"), col("fetch_ok"))
+  val s4Sql: String =
+    """SELECT CAST(NULL AS VARCHAR) AS ip, false AS fetch_ok"""
+
+  // S5 — paginated envelope explode (cloudflare_api.py:21-26).
+  def s5Paginated(spark: SparkSession, sfDir: String): DataFrame =
+    Sources.zonesSrc(spark)
+      .select(col("page"), col("success"), col("name"), col("id"))
+      .orderBy(col("id"))
+  val s5Sql: String =
+    """SELECT page, success, name, id FROM (VALUES
+        (1, true, 'example.com', 'zone-001'),
+        (1, true, 'example.org', 'zone-002'),
+        (2, true, 'example.net', 'zone-003'))
+       AS t(page, success, name, id) ORDER BY id"""
+
+  // S6 — filesystem scan over the staged-fixture dir. Lengths/mtimes
+  // are environment state, so no SQL oracle (rows-only check).
+  def s6FsScan(spark: SparkSession, sfDir: String): DataFrame =
+    Sources.fsScan(spark, graft.Tables.FixturesDir)
+      .select(regexp_extract(col("path"), "[^/]+$", 0).as("file"),
+        col("length"))
+      .orderBy(col("file"))
+
+  // S7 — disk-usage probe (scalar; environment state, no oracle).
+  def s7DiskProbe(spark: SparkSession, sfDir: String): DataFrame =
+    Sources.diskUsage(spark, "/root/repo")
+      .select(col("dir"), col("total"), col("used"),
+        e4(lit(1.0) * col("used") / col("total")).as("used_e4"),
+        (lit(1.0) * col("used") / col("total") > 0.75).as("over_75pct"))
+
+  val queries: Map[String, QFn] = Map(
+    "p1_trycast_extract" -> p1TrycastExtract,
+    "p2_id_lookup" -> p2IdLookup,
+    "p3_type_filter" -> p3TypeFilter,
+    "p4_compound_filter" -> p4CompoundFilter,
+    "p5_ci_substring" -> p5CiSubstring,
+    "p6_union_nonnull" -> p6UnionNonnull,
+    "p7_case_map" -> p7CaseMap,
+    "p8_shape_check" -> p8ShapeCheck,
+    "p9_doc_equality" -> p9DocEquality,
+    "p10_map_explode" -> p10MapExplode,
+    "f3_concat" -> f3Concat,
+    "f5_iso_parse" -> f5IsoParse,
+    "s1_staged_read" -> s1StagedRead,
+    "s4_soft_fail" -> s4SoftFail,
+    "s5_paginated" -> s5Paginated,
+    "s6_fs_scan" -> s6FsScan,
+    "s7_disk_probe" -> s7DiskProbe)
+
+  val oracles: Map[String, String] = Map(
+    "p1_trycast_extract" -> p1Sql,
+    "p2_id_lookup" -> p2Sql,
+    "p3_type_filter" -> p3Sql,
+    "p4_compound_filter" -> p4Sql,
+    "p5_ci_substring" -> p5Sql,
+    "p6_union_nonnull" -> p6Sql,
+    "p7_case_map" -> p7Sql,
+    "p8_shape_check" -> p8Sql,
+    "p9_doc_equality" -> p9Sql,
+    "p10_map_explode" -> p10Sql,
+    "f3_concat" -> f3Sql,
+    "f5_iso_parse" -> f5Sql,
+    "s1_staged_read" -> s1Sql,
+    "s4_soft_fail" -> s4Sql,
+    "s5_paginated" -> s5Sql)
+}
