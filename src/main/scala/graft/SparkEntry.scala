@@ -21,12 +21,16 @@ object SparkEntry {
   def queries: Map[String, QFn] =
     ops.Validate.queries ++
     ops.Relational.queries ++
-    ops.Semi.queries
+    ops.Semi.queries ++
+    ops.Text.queries ++
+    ops.Dedup.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ops.Validate.oracles ++
     ops.Relational.oracles ++
-    ops.Semi.oracles
+    ops.Semi.oracles ++
+    ops.Text.oracles ++
+    ops.Dedup.oracles
 }

@@ -1,0 +1,169 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.Util._
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (builder brief / SURVEY.md §2.6): token stats, language ID,
+  * quality scoring, fingerprinting.
+  *
+  * All of these are single-pass, per-row expression pipelines — no
+  * shuffle except the final presentation sort, so they scale linearly
+  * with input splits. The shared tokenization (split on space over
+  * lowered text) is mirrored verbatim in the DuckDB oracles.
+  */
+object Text {
+
+  /** Tokenize: lowered, space-split. DuckDB: string_split(lower(text),' '). */
+  def tokens: Column = split(lower(col("text")), " ")
+
+  /** Distinct 3-word shingles of `ws`. DuckDB twin in [[shingleCte]]. */
+  val shinglesExpr: String =
+    """array_distinct(CASE WHEN size(ws) >= 3
+       THEN transform(sequence(0, size(ws) - 3),
+                      i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))
+       ELSE CAST(array() AS ARRAY<STRING>) END)"""
+
+  /** DuckDB CTE producing (doc_id, s) distinct 3-word shingles — the
+    * exact mirror of [[shinglesExpr]] over the documents table. */
+  val shingleCte: String =
+    """toks AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w,
+               generate_subscripts(string_split(lower(text), ' '), 1) AS i
+        FROM documents),
+      arr AS (SELECT doc_id, list(w ORDER BY i) AS ws FROM toks GROUP BY 1),
+      sh AS (
+        SELECT DISTINCT doc_id,
+               list_extract(ws, i) || ' ' || list_extract(ws, i+1) || ' ' ||
+               list_extract(ws, i+2) AS s
+        FROM arr, LATERAL unnest(range(1, len(ws) - 1)) AS t(i))"""
+
+  // Token statistics: counts + distinct counts per document.
+  def tokenStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("ws", tokens)
+      .select(col("doc_id"),
+        length(col("text")).as("n_chars"),
+        size(col("ws")).as("n_tokens"),
+        size(array_distinct(col("ws"))).as("n_distinct"))
+      .orderBy(col("doc_id"))
+  val tokenStatsSql: String =
+    """SELECT doc_id, CAST(length(text) AS INT) AS n_chars,
+       CAST(len(string_split(lower(text), ' ')) AS INT) AS n_tokens,
+       CAST(len(list_distinct(string_split(lower(text), ' '))) AS INT) AS n_distinct
+       FROM documents ORDER BY doc_id"""
+
+  // BPE-ish token counting: whitespace tokens, regex word/punct tokens,
+  // and the chars/4 transformer-budget heuristic.
+  def tokenCount(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(split(lower(col("text")), " ")).as("ws_tokens"),
+        size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 ]', 0)"))
+          .as("re_tokens"),
+        floor((length(col("text")) + lit(3)) / lit(4)).as("est_bpe"))
+      .orderBy(col("doc_id"))
+  val tokenCountSql: String =
+    """SELECT doc_id,
+       CAST(len(string_split(lower(text), ' ')) AS INT) AS ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 ]')) AS INT) AS re_tokens,
+       CAST(floor((length(text) + 3) / 4) AS BIGINT) AS est_bpe
+       FROM documents ORDER BY doc_id"""
+
+  private val langLists: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "es" -> Seq("el", "los", "las", "y", "es"))
+
+  // Language ID: stopword-hit argmax heuristic (n-gram-free variant;
+  // deterministic and oracle-expressible).
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.documents(spark, sfDir).withColumn("ws", tokens)
+    val withCounts = langLists.foldLeft(base) { case (df, (lang, words)) =>
+      val arr = words.map(w => s"'$w'").mkString(", ")
+      df.withColumn(s"c_$lang",
+        expr(s"size(filter(ws, w -> array_contains(array($arr), w)))"))
+    }
+    withCounts.select(col("doc_id"), col("lang").as("labeled_lang"),
+      expr("""CASE
+          WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es AND c_en > 0 THEN 'en'
+          WHEN c_de >= c_fr AND c_de >= c_es AND c_de > 0 THEN 'de'
+          WHEN c_fr >= c_es AND c_fr > 0 THEN 'fr'
+          WHEN c_es > 0 THEN 'es'
+          ELSE 'und' END""").as("pred_lang"))
+      .orderBy(col("doc_id"))
+  }
+  val langIdSql: String = {
+    val counts = langLists.map { case (lang, words) =>
+      val arr = words.map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_filter(string_split(lower(text), ' '), w -> list_contains([$arr], w))) AS INT) AS c_$lang"
+    }.mkString(", ")
+    s"""SELECT doc_id, labeled_lang, CASE
+          WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es AND c_en > 0 THEN 'en'
+          WHEN c_de >= c_fr AND c_de >= c_es AND c_de > 0 THEN 'de'
+          WHEN c_fr >= c_es AND c_fr > 0 THEN 'fr'
+          WHEN c_es > 0 THEN 'es'
+          ELSE 'und' END AS pred_lang
+        FROM (SELECT doc_id, lang AS labeled_lang, $counts FROM documents)
+        ORDER BY doc_id"""
+  }
+
+  // Quality scoring: length / stopword-ratio gates (the "does this text
+  // look like prose" pre-filter of a training-data pipeline).
+  def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "is", "to", "in")
+      .map(w => s"'$w'").mkString(", ")
+    Tables.documents(spark, sfDir)
+      .withColumn("ws", tokens)
+      .withColumn("n_tokens", size(col("ws")))
+      .withColumn("n_stop",
+        expr(s"size(filter(ws, w -> array_contains(array($stop), w)))"))
+      .select(col("doc_id"), col("n_tokens"), col("n_stop"),
+        e4(lit(1.0) * col("n_stop") / col("n_tokens")).as("stop_ratio_e4"),
+        (length(col("text")) >= 100 && col("n_tokens") >= 20 &&
+          (lit(1.0) * col("n_stop") / col("n_tokens") >= 0.02)).as("quality_ok"))
+      .orderBy(col("doc_id"))
+  }
+  val qualityScoreSql: String =
+    """SELECT doc_id, n_tokens, n_stop,
+       CAST(floor((1.0 * n_stop / n_tokens) * 10000.0) AS BIGINT) AS stop_ratio_e4,
+       (n_chars >= 100 AND n_tokens >= 20 AND 1.0 * n_stop / n_tokens >= 0.02) AS quality_ok
+       FROM (SELECT doc_id, length(text) AS n_chars,
+               CAST(len(string_split(lower(text), ' ')) AS INT) AS n_tokens,
+               CAST(len(list_filter(string_split(lower(text), ' '),
+                 w -> list_contains(['the','a','of','and','is','to','in'], w))) AS INT) AS n_stop
+             FROM documents)
+       ORDER BY doc_id"""
+
+  // Document fingerprinting: md5 of normalized text + same-fingerprint
+  // group size (rolling-hash family; md5 keeps both engines bit-equal).
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), md5(lower(col("text"))).as("fp"))
+      .withColumn("n_same", count(lit(1)).over(w))
+      .orderBy(col("doc_id"))
+  }
+  val fingerprintSql: String =
+    """SELECT doc_id, fp, count(1) OVER (PARTITION BY fp) AS n_same
+       FROM (SELECT doc_id, md5(lower(text)) AS fp FROM documents)
+       ORDER BY doc_id"""
+
+  val queries: Map[String, QFn] = Map(
+    "t_token_stats" -> tokenStats,
+    "t_token_count" -> tokenCount,
+    "t_lang_id" -> langId,
+    "t_quality_score" -> qualityScore,
+    "t_fingerprint" -> fingerprint)
+
+  val oracles: Map[String, String] = Map(
+    "t_token_stats" -> tokenStatsSql,
+    "t_token_count" -> tokenCountSql,
+    "t_lang_id" -> langIdSql,
+    "t_quality_score" -> qualityScoreSql,
+    "t_fingerprint" -> fingerprintSql)
+}
