@@ -23,7 +23,11 @@ object SparkEntry {
     ops.Relational.queries ++
     ops.Semi.queries ++
     ops.Text.queries ++
-    ops.Dedup.queries
+    ops.Dedup.queries ++
+    ops.Vector.queries ++
+    ops.Multimodal.queries ++
+    ops.Sinks.queries ++
+    ops.Flow.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
@@ -32,5 +36,9 @@ object SparkEntry {
     ops.Relational.oracles ++
     ops.Semi.oracles ++
     ops.Text.oracles ++
-    ops.Dedup.oracles
+    ops.Dedup.oracles ++
+    ops.Vector.oracles ++
+    ops.Multimodal.oracles ++
+    ops.Sinks.oracles ++
+    ops.Flow.oracles
 }

@@ -1,0 +1,198 @@
+package graft.ops
+
+import scala.collection.concurrent.TrieMap
+import scala.concurrent.{Await, Future}
+import scala.concurrent.duration.Duration
+import scala.concurrent.ExecutionContext.Implicits.global
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.Util._
+
+/** Work item for dynamic fan-out (D1). */
+case class WorkItem(client: String)
+
+/** Per-item outcome: failures isolate to their own row instead of
+  * failing the job (the reference's per-mapped-task-instance retry
+  * boundary, dags/DNS_Requests.py:139). */
+case class WorkResult(client: String, status: String, result: String)
+
+/** Dataflow / orchestration operators (SURVEY.md §2.4 D1–D8).
+  *
+  * The reference's only parallelism primitive is `.expand()` — a task
+  * instance per list element. In Spark the list IS a Dataset and
+  * per-item isolation is a row-level try/catch producing a status
+  * column; retries/timeouts wrap driver-side actions.
+  */
+object Flow {
+
+  /** Per-item processing with error isolation — a poison item yields an
+    * error row, never a job failure. */
+  def processClient(w: WorkItem): WorkResult =
+    try {
+      if (w.client.startsWith("bad"))
+        throw new IllegalStateException("unreachable")
+      WorkResult(w.client, "ok", s"https://${w.client}.example.com/status")
+    } catch {
+      case e: Exception => WorkResult(w.client, "error", e.getMessage)
+    }
+
+  // D1 — dynamic fan-out over a runtime list with per-item isolation.
+  def d1FanoutIsolation(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Seq("iowa|chicago|bad-host|racknerd").toDF("cfg")
+      .select(explode(split(col("cfg"), "\\|")).as("client"))
+      .as[WorkItem]
+      .map(processClient)
+      .toDF()
+      .orderBy(col("client"))
+  }
+  val d1Sql: String =
+    """SELECT client, status, result FROM (VALUES
+        ('iowa', 'ok', 'https://iowa.example.com/status'),
+        ('chicago', 'ok', 'https://chicago.example.com/status'),
+        ('bad-host', 'error', 'unreachable'),
+        ('racknerd', 'ok', 'https://racknerd.example.com/status'))
+       AS t(client, status, result) ORDER BY client"""
+
+  // D2 — sequential dependency: downstream rows flow only if the
+  // upstream guard holds (check_protection() >> check_requests).
+  def d2SequentialGate(spark: SparkSession, sfDir: String): DataFrame = {
+    val guard = Tables.events(spark, sfDir)
+      .agg(count(lit(1)).as("n"))
+      .select((col("n") > 0).as("ok"))
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .crossJoin(guard)
+      .filter(col("ok"))
+      .select(col("event_type"), col("n"), col("ok"))
+      .orderBy(col("event_type"))
+  }
+  val d2Sql: String =
+    """SELECT event_type, n, ok
+       FROM (SELECT event_type, count(1) AS n FROM events GROUP BY 1)
+       CROSS JOIN (SELECT count(1) > 0 AS ok FROM events)
+       WHERE ok ORDER BY event_type"""
+
+  /** D3 — persist-once registry: one shared upstream scan feeds many
+    * downstream branches without re-reading (dags/Backups.py:142-153).
+    * Catalyst does not cache across actions; this does. */
+  private val shared = TrieMap.empty[String, DataFrame]
+  def sharedScan(key: String)(mk: => DataFrame): DataFrame =
+    shared.getOrElseUpdate(key, mk.persist())
+  def clearShared(): Unit = {
+    shared.values.foreach(_.unpersist())
+    shared.clear()
+  }
+
+  // D3 — two branches over one persisted upstream.
+  def d3SharedReuse(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = sharedScan(s"events:$sfDir")(
+      Tables.events(spark, sfDir)
+        .select(col("user_id"), col("event_type"), col("ts")))
+    val errs = base.filter(col("event_type") === "error")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_errors"))
+    val last = base.groupBy(col("user_id")).agg(max(col("ts")).as("last_ts"))
+    last.join(errs, Seq("user_id"), "left")
+      .select(col("user_id"),
+        coalesce(col("n_errors"), lit(0L)).as("n_errors"),
+        fmtTs(col("last_ts")).as("last_seen"))
+      .orderBy(col("user_id"))
+  }
+  val d3Sql: String =
+    """WITH base AS (SELECT user_id, event_type, ts FROM events),
+       errs AS (SELECT user_id, count(1) AS n_errors FROM base
+                WHERE event_type = 'error' GROUP BY 1),
+       last AS (SELECT user_id, max(ts) AS last_ts FROM base GROUP BY 1)
+       SELECT user_id, coalesce(n_errors, 0) AS n_errors,
+         strftime(last_ts, '%Y-%m-%d %H:%M:%S') AS last_seen
+       FROM last LEFT JOIN errs USING (user_id) ORDER BY user_id"""
+
+  /** D5 — retry policy around a driver-side action (the reference's
+    * `retries: 2, retry_delay: 300s` — dags/DNS_Requests.py:13-17). */
+  def withRetry[T](retries: Int, delayMs: Long = 0)(f: => T): T = {
+    var attempt = 0
+    while (true) {
+      try return f
+      catch {
+        case e: Exception =>
+          attempt += 1
+          if (attempt > retries) throw e
+          if (delayMs > 0) Thread.sleep(delayMs)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** D6 — run timeout around a driver-side action
+    * (dagrun_timeout=60s — dags/DNS_Requests.py:33). */
+  def withTimeout[T](ms: Long)(f: => T): T =
+    Await.result(Future(f), Duration(ms, "ms"))
+
+  // D7 — env-conditional registration (dags/Airflow_Cleanup.py:75-76):
+  // feature gates derived from the deployment env.
+  def d7EnvGate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val env = sys.env.getOrElse("GRAFT_ENV", "prod")
+    Seq((env, env == "prod", env != "dev"))
+      .toDF("env", "alerts_enabled", "retention_enabled")
+  }
+  val d7Sql: String =
+    """SELECT 'prod' AS env, true AS alerts_enabled, true AS retention_enabled"""
+
+  // Sessionization — batch twin of the streaming
+  // mapGroupsWithState sessionizer (graft.streaming): 30-minute
+  // inactivity gap splits sessions.
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val cum = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables.events(spark, sfDir)
+      .withColumn("prev_s", unix_timestamp(lag(col("ts"), 1).over(w)))
+      .withColumn("new_sess",
+        when(col("prev_s").isNull ||
+          unix_timestamp(col("ts")) - col("prev_s") > 1800, 1L).otherwise(0L))
+      .withColumn("sess_idx", sum(col("new_sess")).over(cum))
+      .groupBy(col("user_id"), col("sess_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        fmtTs(min(col("ts"))).as("session_start"),
+        fmtTs(max(col("ts"))).as("session_end"))
+      .orderBy(col("user_id"), col("sess_idx"))
+  }
+  val sessionizeSql: String =
+    """SELECT user_id, sess_idx, count(1) AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+       FROM (
+         SELECT user_id, ts,
+           sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_idx
+         FROM (
+           SELECT user_id, event_id, ts,
+             CASE WHEN prev_s IS NULL
+                  OR CAST(floor(epoch(ts)) AS BIGINT) - prev_s > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+           FROM (
+             SELECT user_id, event_id, ts,
+               CAST(floor(epoch(lag(ts, 1) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id))) AS BIGINT) AS prev_s
+             FROM events)))
+       GROUP BY user_id, sess_idx ORDER BY user_id, sess_idx"""
+
+  val queries: Map[String, QFn] = Map(
+    "d1_fanout_isolation" -> d1FanoutIsolation,
+    "d2_sequential_gate" -> d2SequentialGate,
+    "d3_shared_reuse" -> d3SharedReuse,
+    "d7_env_gate" -> d7EnvGate,
+    "sessionize" -> sessionize)
+
+  val oracles: Map[String, String] = Map(
+    "d1_fanout_isolation" -> d1Sql,
+    "d2_sequential_gate" -> d2Sql,
+    "d3_shared_reuse" -> d3Sql,
+    "d7_env_gate" -> d7Sql,
+    "sessionize" -> sessionizeSql)
+}

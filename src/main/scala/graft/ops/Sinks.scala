@@ -1,0 +1,189 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.Util._
+import graft.sources.Sources
+
+/** Sink-side operators (SURVEY.md §2.1 K1–K6): HTTP payload
+  * construction, retention delete, alert rendering, and the
+  * foreachPartition writer shape.
+  *
+  * Payload *construction* is pure plan logic (struct/to_json/
+  * collect_list) and oracle-checked; payload *delivery* is
+  * [[HttpSink]]/[[RetentionSink]] — side-effecting, exercised by unit
+  * tests (zero-egress environment; delivery functions are injected).
+  */
+object Sinks {
+
+  // K1 — HTTP POST query-param construction (dags/Cloudflare_DDNS.py:63-74).
+  def k1PostParams(spark: SparkSession, sfDir: String): DataFrame =
+    Sources.ipInventorySrc(spark)
+      .select(col("id"),
+        when(col("id") === "racknerd", "vpn.example.com")
+          .when(col("id") === "iowa", "home.example.com")
+          .when(col("id") === "chicago", "office.example.com")
+          .otherwise(lit(null)).as("hostname"),
+        col("ipv4_address"))
+      .filter(col("hostname").isNotNull)
+      .select(format_string("ip=%s&hostname=%s", col("ipv4_address"),
+        col("hostname")).as("params"))
+      .orderBy(col("params"))
+  val k1Sql: String =
+    """SELECT 'ip=' || ipv4_address || '&hostname=' || hostname AS params
+       FROM (SELECT CASE id WHEN 'racknerd' THEN 'vpn.example.com'
+               WHEN 'iowa' THEN 'home.example.com'
+               WHEN 'chicago' THEN 'office.example.com' ELSE NULL END AS hostname,
+               ipv4_address
+             FROM (VALUES
+               ('racknerd', '203.0.113.7'), ('iowa', '198.51.100.22'),
+               ('chicago', '192.0.2.40'), ('unknown', '192.0.2.9'))
+             AS t(id, ipv4_address))
+       WHERE hostname IS NOT NULL ORDER BY params"""
+
+  // K2 — HTTP PATCH JSON body (cloudflare_api.py:96-103): one update
+  // payload per A record.
+  def k2PatchPayload(spark: SparkSession, sfDir: String): DataFrame =
+    Sources.dnsRecordsSrc(spark)
+      .filter(col("type") === "A")
+      .select(col("id"),
+        to_json(expr(
+          """named_struct('content', content, 'name', name,
+             'proxied', true, 'type', type,
+             'comment', 'DDNS update', 'ttl', 300)""")).as("body"))
+      .orderBy(col("id"))
+  val k2Sql: String =
+    """SELECT id, CAST(json_object('content', content, 'name', name,
+         'proxied', true, 'type', type,
+         'comment', 'DDNS update', 'ttl', 300) AS VARCHAR) AS body
+       FROM (VALUES
+         ('vpn.example.com', 'A', '203.0.113.7', 'rec-01'),
+         ('vpn.example.com', 'AAAA', '2001:db8::7', 'rec-02'),
+         ('home.example.com', 'A', '198.51.100.22', 'rec-03'),
+         ('cdn.example.com', 'CNAME', 'edge.example.net', 'rec-04'),
+         ('mail.example.com', 'A', '192.0.2.40', 'rec-05'))
+       AS t(name, type, content, id)
+       WHERE type = 'A' ORDER BY id"""
+
+  // K3 — HTTP PUT list-of-structs body (cloudflare_api.py:146-156):
+  // {"include":[{"ip":{"ip":x}},...],"decision":"bypass"}. collect_list
+  // is bounded by policy size; sort_array makes the payload
+  // deterministic under parallel collection.
+  def k3PutPayload(spark: SparkSession, sfDir: String): DataFrame = {
+    val ips = Sources.ipInventorySrc(spark)
+    val allIps = ips.filter(col("ipv4_address").isNotNull)
+      .select(col("ipv4_address").as("ip"))
+      .unionByName(ips.filter(col("ipv6_address").isNotNull)
+        .select(col("ipv6_address").as("ip")))
+    allIps
+      .agg(sort_array(collect_list(expr(
+        "named_struct('ip', named_struct('ip', ip))"))).as("include"),
+        count(lit(1)).as("n_ips"))
+      .select(to_json(expr(
+        "named_struct('include', include, 'decision', 'bypass')")).as("body"),
+        col("n_ips"))
+  }
+  val k3Sql: String =
+    """WITH ips AS (
+         SELECT ipv4_address AS ip FROM (VALUES
+           ('racknerd', '203.0.113.7', CAST(NULL AS VARCHAR)),
+           ('iowa', '198.51.100.22', '2001:db8::22'),
+           ('chicago', '192.0.2.40', '2001:db8::40'),
+           ('unknown', '192.0.2.9', CAST(NULL AS VARCHAR)))
+           AS t(id, ipv4_address, ipv6_address) WHERE ipv4_address IS NOT NULL
+         UNION ALL
+         SELECT ipv6_address FROM (VALUES
+           ('racknerd', '203.0.113.7', CAST(NULL AS VARCHAR)),
+           ('iowa', '198.51.100.22', '2001:db8::22'),
+           ('chicago', '192.0.2.40', '2001:db8::40'),
+           ('unknown', '192.0.2.9', CAST(NULL AS VARCHAR)))
+           AS t(id, ipv4_address, ipv6_address) WHERE ipv6_address IS NOT NULL)
+       SELECT '{"include":[' ||
+         string_agg(CAST(json_object('ip', json_object('ip', ip)) AS VARCHAR),
+                    ',' ORDER BY ip) ||
+         '],"decision":"bypass"}' AS body,
+         count(1) AS n_ips
+       FROM ips"""
+
+  // K4 — retention-delete planning with dry-run gate
+  // (dags/Airflow_Cleanup.py:56-59): eligible set + what would actually
+  // be removed given the env gate.
+  def k4RetentionPlan(spark: SparkSession, sfDir: String): DataFrame = {
+    val dryRun = true // env != "dev" guard, fixed for determinism
+    Tables.events(spark, sfDir)
+      .select(format_string("/data/log_%d.log", col("event_id")).as("path"),
+        (col("ts") < lit("2024-01-24 00:00:00").cast("timestamp")).as("eligible"))
+      .withColumn("dry_run", lit(dryRun))
+      .withColumn("will_delete", col("eligible") && !col("dry_run"))
+      .orderBy(col("path"))
+  }
+  val k4Sql: String =
+    """SELECT '/data/log_' || CAST(event_id AS VARCHAR) || '.log' AS path,
+       ts < TIMESTAMP '2024-01-24 00:00:00' AS eligible,
+       true AS dry_run,
+       (ts < TIMESTAMP '2024-01-24 00:00:00') AND NOT true AS will_delete
+       FROM events ORDER BY path"""
+
+  // K5/D8 — templated alert rendering over the failure set
+  // (dags/DNS_Requests.py:34-40): "The dag {{ dag.dag_id }} failed".
+  def k5AlertRender(spark: SparkSession, sfDir: String): DataFrame =
+    Sources.adguardStatusSrc(spark)
+      .filter(!col("running") ||
+        (!col("protection_enabled") && col("protection_disabled_duration") === 0))
+      .select(format_string("The dag dns_%s failed", col("endpoint"))
+        .as("alert_body"))
+      .orderBy(col("alert_body"))
+  val k5Sql: String =
+    """SELECT 'The dag dns_' || endpoint || ' failed' AS alert_body
+       FROM (VALUES
+        ('adguard-1', true, true, 0), ('adguard-2', true, false, 300),
+        ('adguard-3', false, true, 0), ('adguard-4', true, false, 0))
+       AS t(endpoint, running, protection_enabled, protection_disabled_duration)
+       WHERE NOT running OR (NOT protection_enabled
+             AND protection_disabled_duration = 0)
+       ORDER BY alert_body"""
+
+  val queries: Map[String, QFn] = Map(
+    "k1_post_params" -> k1PostParams,
+    "k2_patch_payload" -> k2PatchPayload,
+    "k3_put_payload" -> k3PutPayload,
+    "k4_retention_plan" -> k4RetentionPlan,
+    "k5_alert_render" -> k5AlertRender)
+
+  val oracles: Map[String, String] = Map(
+    "k1_post_params" -> k1Sql,
+    "k2_patch_payload" -> k2Sql,
+    "k3_put_payload" -> k3Sql,
+    "k4_retention_plan" -> k4Sql,
+    "k5_alert_render" -> k5Sql)
+}
+
+/** Distributed HTTP writer shape (K1–K3 delivery): payloads are sent
+  * per partition by executors — the driver never materializes the
+  * result set. The transport is injected so the shape is unit-testable
+  * in a zero-egress environment. */
+object HttpSink {
+  def send(df: DataFrame, payloadCol: String)(post: String => Unit): Unit =
+    df.select(payloadCol).foreachPartition { it: Iterator[Row] =>
+      it.foreach(r => post(r.getString(0)))
+    }
+}
+
+/** File-delete retention sink (K4, dags/Airflow_Cleanup.py:56-59) with
+  * the dev-env dry-run guard. Paths are deleted on executors. */
+object RetentionSink {
+  def delete(eligible: DataFrame, pathCol: String, dryRun: Boolean): Long = {
+    if (dryRun) eligible.count()
+    else {
+      val deleted = eligible.sparkSession.sparkContext.longAccumulator("deleted")
+      eligible.select(pathCol).foreachPartition { it: Iterator[Row] =>
+        it.foreach { r =>
+          if (new java.io.File(r.getString(0)).delete()) deleted.add(1)
+        }
+      }
+      deleted.value
+    }
+  }
+}

@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.Util._
+
+/** Similarity search over the embeddings table (builder brief /
+  * SURVEY.md §2.6): brute-force cosine top-k as the exactness baseline,
+  * label-partitioned IVF search as the scale path.
+  *
+  * Float-parity note: both engines evaluate the SAME explicit 64-term
+  * left-associative sum with per-element double casts, so dot products
+  * and norms are IEEE-bitwise identical — ranking and the e4-floored
+  * similarity match exactly, no tolerance needed.
+  */
+object Vector {
+
+  val Dim = 64
+  val QueryIds: Seq[Int] = Seq(0, 1, 2)
+
+  /** 64-term left-assoc dot product, Spark dialect (1-based element_at). */
+  def dotSpark(a: String, b: String): String =
+    (1 to Dim).map(i =>
+      s"(CAST(element_at($a, $i) AS DOUBLE) * CAST(element_at($b, $i) AS DOUBLE))")
+      .mkString(" + ")
+
+  /** Same expression, DuckDB dialect (1-based list indexing). */
+  def dotDuck(a: String, b: String): String =
+    (1 to Dim).map(i => s"(CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE))")
+      .mkString(" + ")
+
+  private def scored(spark: SparkSession, sfDir: String,
+      sameLabelOnly: Boolean): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val qs = emb.filter(col("vec_id").isin(QueryIds.map(Int.box): _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("label").as("qlabel"))
+    // Query side is k rows — broadcast; the big side streams through
+    // with zero shuffle until the per-query top-k window.
+    val pairs = emb.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("qid"))
+    val restricted =
+      if (sameLabelOnly) pairs.filter(col("label") === col("qlabel")) else pairs
+    restricted
+      .withColumn("dot", expr(dotSpark("qv", "embedding")))
+      .withColumn("na", expr(dotSpark("qv", "qv")))
+      .withColumn("nb", expr(dotSpark("embedding", "embedding")))
+      .withColumn("sim", col("dot") / (sqrt(col("na")) * sqrt(col("nb"))))
+  }
+
+  private def topk(df: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"),
+        e4(col("sim")).as("sim_e4"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Exact brute-force cosine top-10 for the fixed query vectors. */
+  def annBruteTopk(spark: SparkSession, sfDir: String): DataFrame =
+    topk(scored(spark, sfDir, sameLabelOnly = false), 10)
+
+  /** IVF-style search: the label column acts as the precomputed coarse
+    * cluster assignment; each query probes only its own cell. At scale
+    * the table is partitioned by the cell id, so a probe is a partition-
+    * pruned scan instead of a full sweep. */
+  def annIvfTopk(spark: SparkSession, sfDir: String): DataFrame =
+    topk(scored(spark, sfDir, sameLabelOnly = true), 5)
+
+  private def oracleSql(k: Int, sameLabelOnly: Boolean): String = {
+    val ids = QueryIds.mkString(", ")
+    val labelPred = if (sameLabelOnly) " AND e.label = q.qlabel" else ""
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+           FROM embeddings WHERE vec_id IN ($ids)),
+       p AS (SELECT q.qid, e.vec_id,
+               ${dotDuck("qv", "embedding")} AS dot,
+               ${dotDuck("qv", "qv")} AS na,
+               ${dotDuck("embedding", "embedding")} AS nb
+             FROM embeddings e, q
+             WHERE e.vec_id <> q.qid$labelPred),
+       s AS (SELECT qid, vec_id, dot / (sqrt(na) * sqrt(nb)) AS sim FROM p),
+       r AS (SELECT qid, vec_id, sim,
+               row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+             FROM s)
+       SELECT qid, CAST(rank AS INT) AS rank, vec_id,
+         CAST(floor(sim * 10000.0) AS BIGINT) AS sim_e4
+       FROM r WHERE rank <= $k ORDER BY qid, rank"""
+  }
+
+  /** Per-label embedding norm statistics (vector-column aggregation). */
+  def embNormStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .withColumn("nrm", sqrt(expr(dotSpark("embedding", "embedding"))))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        e4(min(col("nrm"))).as("min_norm_e4"),
+        e4(max(col("nrm"))).as("max_norm_e4"))
+      .orderBy(col("label"))
+  val embNormStatsSql: String =
+    s"""SELECT label, count(1) AS n,
+       CAST(floor(min(nrm) * 10000.0) AS BIGINT) AS min_norm_e4,
+       CAST(floor(max(nrm) * 10000.0) AS BIGINT) AS max_norm_e4
+       FROM (SELECT label, sqrt(${dotDuck("embedding", "embedding")}) AS nrm
+             FROM embeddings)
+       GROUP BY label ORDER BY label"""
+
+  val queries: Map[String, QFn] = Map(
+    "ann_brute_topk" -> annBruteTopk,
+    "ann_ivf_topk" -> annIvfTopk,
+    "emb_norm_stats" -> embNormStats)
+
+  val oracles: Map[String, String] = Map(
+    "ann_brute_topk" -> oracleSql(10, sameLabelOnly = false),
+    "ann_ivf_topk" -> oracleSql(5, sameLabelOnly = true),
+    "emb_norm_stats" -> embNormStatsSql)
+}
