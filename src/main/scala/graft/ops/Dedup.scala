@@ -21,34 +21,35 @@ import graft.Util._
   */
 object Dedup {
 
-  // -- shared hashing ------------------------------------------------------
-
-  /** Stable 32-bit token hash both engines can compute: first 8 hex
-    * chars of md5 as an integer. DuckDB: ('0x'||substr(md5(s),1,8))::UBIGINT. */
-  private val h32 = "CAST(conv(substr(md5(s), 1, 8), 16, 10) AS BIGINT)"
-
-  /** MinHash universal-hash constants: (a*h + b) mod p with p prime >
-    * 2^32, a < 2^31 (keeps a*h < 2^63 — no Long overflow), generated by
-    * a fixed-seed LCG so signatures are reproducible run-to-run. */
-  private val P = 4294967311L
-  private val hashParams: IndexedSeq[(Long, Long)] = {
-    var x = 42L
-    def next(): Long = { x = x * 6364136223846793005L + 1442695040888963407L; x }
-    (0 until 128).map { _ =>
-      val a = (math.abs(next()) % (Int.MaxValue.toLong - 1)) + 1
-      val b = math.abs(next()) % P
-      (a, b)
-    }
-  }
+  // -- shared shingle stage ------------------------------------------------
 
   /** docs → (doc_id, shingles[], hs[]) with distinct 3-word shingles and
-    * their 32-bit hashes. Pure per-row projection — no shuffle. */
-  private def shingled(spark: SparkSession, sfDir: String): DataFrame =
+    * their 32-bit hashes, computed in a TYPED map stage
+    * (graft.functions.TextHash).
+    *
+    * Two deliberate choices, both measured at sf0.1:
+    *  - repartition BEFORE the map spreads per-doc work across all
+    *    cores (document files often arrive as one fat split);
+    *  - the typed map is a SerializeFromObject boundary: Catalyst
+    *    cannot collapse it into downstream Generates or infer scan-level
+    *    filters that re-evaluate the text pipeline per output row (the
+    *    SQL-expression formulation of this stage was inlined 4× into a
+    *    Filter by InferFiltersFromGenerate — minutes instead of
+    *    seconds).
+    */
+  private def shingled(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val parallelism = spark.sparkContext.defaultParallelism
     Tables.documents(spark, sfDir)
-      .withColumn("ws", Text.tokens)
-      .withColumn("shingles", expr(Text.shinglesExpr))
-      .withColumn("hs", expr(s"transform(shingles, s -> $h32)"))
-      .select(col("doc_id"), col("shingles"), col("hs"))
+      .select(col("doc_id"), col("text"))
+      .repartition(parallelism)
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val sh = graft.functions.TextHash.shingles(text)
+        (id, sh, sh.map(graft.functions.TextHash.h32))
+      }
+      .toDF("doc_id", "shingles", "hs")
+  }
 
   // -- exact dedup ---------------------------------------------------------
 
@@ -91,19 +92,18 @@ object Dedup {
     * recall holds (≥ 1 − 1e-15 at J ≥ 0.7 with 32×4).
     */
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = shingled(spark, sfDir).filter(size(col("shingles")) > 0)
+    import spark.implicits._
+    val base = shingled(spark, sfDir)
 
-    val sigCols: Seq[Column] = hashParams.zipWithIndex.map { case ((a, b), i) =>
-      expr(s"array_min(transform(hs, h -> (${a}L * h + ${b}L) % ${P}L))")
-        .as(s"sig$i")
-    }
-    val sigs = base.select((col("doc_id") +: sigCols): _*)
-
-    val bandCols: Seq[Column] = (0 until 32).map { bd =>
-      concat_ws("-", (lit(bd) +: (0 until 4).map(j => col(s"sig${4 * bd + j}"))): _*)
-    }
-    val buckets = sigs
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bucket"))
+    // Signature + banding in the same typed stage: one tight JVM loop
+    // per doc emits its 32 bucket keys directly.
+    val buckets = base.select(col("doc_id"), col("hs"))
+      .as[(Long, Array[Long])]
+      .flatMap { case (id, hs) =>
+        if (hs.isEmpty) Nil
+        else graft.functions.TextHash.minhashBands(hs).map(b => (id, b))
+      }
+      .toDF("doc_id", "bucket")
 
     val cand = buckets.as("x")
       .join(buckets.as("y"),
@@ -111,7 +111,7 @@ object Dedup {
       .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
       .distinct()
 
-    val sets = base.select(col("doc_id"), col("shingles"))
+    val sets = shingled(spark, sfDir).select(col("doc_id"), col("shingles"))
     cand
       .join(sets.select(col("doc_id").as("da"), col("shingles").as("sa")), "da")
       .join(sets.select(col("doc_id").as("db"), col("shingles").as("sb")), "db")
@@ -142,20 +142,23 @@ object Dedup {
     * Candidates via 4 byte-bands (pigeonhole ⇒ exact recall for
     * Hamming ≤ 3), verified with bit_count(xor). */
   def simhash(spark: SparkSession, sfDir: String): DataFrame = {
-    val bitTerms = (0 until 32).map { b =>
-      s"(CASE WHEN aggregate(hs, 0L, (acc, x) -> acc + " +
-        s"(CASE WHEN (shiftright(x, $b) & 1) = 1 THEN 1L ELSE -1L END)) > 0 " +
-        s"THEN ${1L << b}L ELSE 0L END)"
-    }.mkString(" + ")
+    import spark.implicits._
+    // Majority-vote bit packing in the typed stage (see shingled()).
     val sigs = shingled(spark, sfDir)
-      .filter(size(col("shingles")) > 0)
-      .select(col("doc_id"), expr(bitTerms).as("sh32"))
+      .select(col("doc_id"), col("hs"))
+      .as[(Long, Array[Long])]
+      .flatMap { case (id, hs) =>
+        if (hs.isEmpty) None
+        else Some((id, graft.functions.TextHash.simhash32(hs)))
+      }
+      .toDF("doc_id", "sh32")
 
     val bandCols = (0 until 4).map { k =>
       concat_ws("-", lit(k), expr(s"(shiftright(sh32, ${8 * k}) & 255)"))
     }
-    val buckets = sigs.select(col("doc_id"), col("sh32"),
-      explode(array(bandCols: _*)).as("bucket"))
+    val buckets = sigs
+      .select(col("doc_id"), col("sh32"),
+        explode(array(bandCols: _*)).as("bucket"))
 
     buckets.as("x")
       .join(buckets.as("y"),

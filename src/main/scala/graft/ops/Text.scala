@@ -20,15 +20,9 @@ object Text {
   /** Tokenize: lowered, space-split. DuckDB: string_split(lower(text),' '). */
   def tokens: Column = split(lower(col("text")), " ")
 
-  /** Distinct 3-word shingles of `ws`. DuckDB twin in [[shingleCte]]. */
-  val shinglesExpr: String =
-    """array_distinct(CASE WHEN size(ws) >= 3
-       THEN transform(sequence(0, size(ws) - 3),
-                      i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))
-       ELSE CAST(array() AS ARRAY<STRING>) END)"""
-
   /** DuckDB CTE producing (doc_id, s) distinct 3-word shingles — the
-    * exact mirror of [[shinglesExpr]] over the documents table. */
+    * exact mirror of [[graft.functions.TextHash.shingles]] over the
+    * documents table. */
   val shingleCte: String =
     """toks AS (
         SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w,
