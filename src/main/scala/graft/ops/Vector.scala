@@ -109,13 +109,83 @@ object Vector {
              FROM embeddings)
        GROUP BY label ORDER BY label"""
 
+  // -- embedding-cosine near-dup -------------------------------------------
+
+  /** Deterministic random hyperplanes for sign-LSH (fixed-seed LCG →
+    * components in [-1, 1)). 64 planes = 16 bands × 4 bits gives
+    * ~1 − 4e-6 recall at cos ≥ 0.9. */
+  private val planes: Array[Array[Double]] = {
+    var x = 1234567L
+    def next(): Double = {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      (x >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
+    }
+    Array.fill(64, Dim)(next())
+  }
+
+  /** Sign-LSH band keys for one embedding. */
+  def cosineBands(v: Array[Float]): Seq[String] = {
+    val bits = planes.map { p =>
+      var s = 0.0
+      var i = 0
+      while (i < Dim) { s += p(i) * v(i); i += 1 }
+      if (s >= 0) 1 else 0
+    }
+    (0 until 16).map { bd =>
+      val k = (bits(4 * bd) << 3) | (bits(4 * bd + 1) << 2) |
+        (bits(4 * bd + 2) << 1) | bits(4 * bd + 3)
+      s"$bd-$k"
+    }
+  }
+
+  /** Embedding-cosine near-dup pairs (cos ≥ 0.9): sign-LSH bucket
+    * candidates (typed stage — see graft.functions.TextHash scaladoc
+    * for why typed), then exact cosine verification with the same
+    * bitwise-identical formula as the oracle. Never an all-pairs
+    * cross-join. */
+  def dedupEmbeddingCosine(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val buckets = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) => cosineBands(v).map(b => (id, b)) }
+      .toDF("vec_id", "bucket")
+    val cand = buckets.as("x")
+      .join(buckets.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("da"), col("y.vec_id").as("db"))
+      .distinct()
+    cand
+      .join(emb.select(col("vec_id").as("da"), col("embedding").as("ea")), "da")
+      .join(emb.select(col("vec_id").as("db"), col("embedding").as("eb")), "db")
+      .withColumn("dot", expr(dotSpark("ea", "eb")))
+      .withColumn("na", expr(dotSpark("ea", "ea")))
+      .withColumn("nb", expr(dotSpark("eb", "eb")))
+      .withColumn("cos", col("dot") / (sqrt(col("na")) * sqrt(col("nb"))))
+      .filter(col("cos") >= 0.9)
+      .select(col("da"), col("db"), e4(col("cos")).as("cos_e4"))
+      .orderBy(col("da"), col("db"))
+  }
+  val dedupEmbeddingCosineSql: String =
+    s"""SELECT a.vec_id AS da, b.vec_id AS db,
+         CAST(floor((${dotDuck("a.embedding", "b.embedding")}) /
+           (sqrt(${dotDuck("a.embedding", "a.embedding")}) *
+            sqrt(${dotDuck("b.embedding", "b.embedding")})) * 10000.0) AS BIGINT) AS cos_e4
+       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       WHERE (${dotDuck("a.embedding", "b.embedding")}) /
+             (sqrt(${dotDuck("a.embedding", "a.embedding")}) *
+              sqrt(${dotDuck("b.embedding", "b.embedding")})) >= 0.9
+       ORDER BY da, db"""
+
   val queries: Map[String, QFn] = Map(
     "ann_brute_topk" -> annBruteTopk,
     "ann_ivf_topk" -> annIvfTopk,
-    "emb_norm_stats" -> embNormStats)
+    "emb_norm_stats" -> embNormStats,
+    "dedup_embedding_cosine" -> dedupEmbeddingCosine)
 
   val oracles: Map[String, String] = Map(
     "ann_brute_topk" -> oracleSql(10, sameLabelOnly = false),
     "ann_ivf_topk" -> oracleSql(5, sameLabelOnly = true),
-    "emb_norm_stats" -> embNormStatsSql)
+    "emb_norm_stats" -> embNormStatsSql,
+    "dedup_embedding_cosine" -> dedupEmbeddingCosineSql)
 }

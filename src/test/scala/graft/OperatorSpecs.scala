@@ -101,6 +101,20 @@ class VectorSpec extends SparkSuite {
     assert(sims.sameElements(sims.sortBy(-_.toDouble)), "ranks ordered by sim")
   }
 
+  test("embedding-cosine near-dup finds synthetic twins via sign-LSH") {
+    import spark.implicits._
+    val base = Array.tabulate(64)(i => (i + 1).toFloat)
+    val twin = base.clone(); twin(0) = twin(0) + 0.01f
+    val far = Array.tabulate(64)(i => if (i % 2 == 0) 5f else -3f)
+    Seq((0L, base.toSeq, 0), (1L, twin.toSeq, 0), (2L, far.toSeq, 1))
+      .toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"), col("embedding").cast("array<float>"), col("label"))
+      .write.mode("overwrite").parquet("/tmp/graft_test_emb/embeddings.parquet")
+    val pairs = Vector.dedupEmbeddingCosine(spark, "/tmp/graft_test_emb").collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((0L, 1L)))
+    assert(pairs(0).getAs[Long]("cos_e4") >= 9999L)
+  }
+
   test("IVF probe returns only same-cell neighbors") {
     val emb = Tables.embeddings(spark, sf)
     val labelOf = emb.select("vec_id", "label").collect()
