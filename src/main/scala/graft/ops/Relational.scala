@@ -310,6 +310,37 @@ object Relational {
        WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 90
        ORDER BY event_id"""
 
+  // Skew-aware join: the 5 event_type keys are pathologically hot for a
+  // shuffle join, so the fact side salts its key (deterministically,
+  // event_id % S — never rand() in an oracle-checked query) and the dim
+  // side explodes ×S. Result is salt-invariant, so the oracle is the
+  // plain join. AQE's skew handling covers sort-merge cases; explicit
+  // salting is the pattern for aggregates-after-join at 100 TB.
+  def skewSaltedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val S = 8
+    val dim = Seq(("click", 1), ("view", 2), ("purchase", 5),
+      ("signup", 3), ("error", 0))
+      .toDF("event_type", "weight")
+    val saltedDim = dim.withColumn("salt",
+      explode(sequence(lit(0), lit(S - 1))))
+    Tables.events(spark, sfDir)
+      .withColumn("salt", (col("event_id") % S).cast("int"))
+      .join(saltedDim.hint("shuffle_hash"), Seq("event_type", "salt"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(cents(col("value") * col("weight"))).as("weighted_cents"))
+      .orderBy(col("event_type"))
+  }
+  val skewSaltedJoinSql: String =
+    """SELECT event_type, count(1) AS n,
+       CAST(sum(floor((value * weight) * 100.0)) AS BIGINT) AS weighted_cents
+       FROM events
+       JOIN (VALUES ('click', 1), ('view', 2), ('purchase', 5),
+             ('signup', 3), ('error', 0)) AS d(event_type, weight)
+       USING (event_type)
+       GROUP BY event_type ORDER BY event_type"""
+
   // Tumbling event-time window aggregation — the batch twin of the
   // Structured Streaming query in graft.streaming (same window() call).
   def tumblingWindowAgg(spark: SparkSession, sfDir: String): DataFrame = {
@@ -347,6 +378,7 @@ object Relational {
     "approx_distinct" -> approxDistinct,
     "f1_pipe_split" -> pipeSplit,
     "f11_json_filter" -> jsonFilter,
+    "skew_salted_join" -> skewSaltedJoin,
     "tumbling_window_agg" -> tumblingWindowAgg)
 
   val oracles: Map[String, String] = Map(
@@ -367,5 +399,6 @@ object Relational {
     "distinct_count" -> distinctCountSql,
     "f1_pipe_split" -> pipeSplitSql,
     "f11_json_filter" -> jsonFilterSql,
+    "skew_salted_join" -> skewSaltedJoinSql,
     "tumbling_window_agg" -> tumblingWindowAggSql)
 }

@@ -21,13 +21,15 @@ object Vector {
   val Dim = 64
   val QueryIds: Seq[Int] = Seq(0, 1, 2)
 
-  /** 64-term left-assoc dot product, Spark dialect (1-based element_at). */
-  def dotSpark(a: String, b: String): String =
-    (1 to Dim).map(i =>
-      s"(CAST(element_at($a, $i) AS DOUBLE) * CAST(element_at($b, $i) AS DOUBLE))")
-      .mkString(" + ")
+  /** Spark side: graft.functions.VectorExpr.dot_f32 — a codegen'd
+    * Catalyst expression with the same ascending left-assoc double
+    * accumulation as [[dotDuck]], so both engines produce bitwise-
+    * identical doubles. */
+  private def dot(a: String, b: String) =
+    graft.functions.VectorExpr.dot_f32(col(a), col(b))
 
-  /** Same expression, DuckDB dialect (1-based list indexing). */
+  /** 64-term left-assoc dot product, DuckDB dialect (1-based list
+    * indexing) — the oracle twin of dot_f32. */
   def dotDuck(a: String, b: String): String =
     (1 to Dim).map(i => s"(CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE))")
       .mkString(" + ")
@@ -36,7 +38,7 @@ object Vector {
     * per-pair plans then carry one dot product instead of three). */
   private def withNorm2(spark: SparkSession, sfDir: String): DataFrame =
     Tables.embeddings(spark, sfDir)
-      .withColumn("nrm2", expr(dotSpark("embedding", "embedding")))
+      .withColumn("nrm2", dot("embedding", "embedding"))
 
   private def scored(spark: SparkSession, sfDir: String,
       sameLabelOnly: Boolean): DataFrame = {
@@ -51,7 +53,7 @@ object Vector {
     val restricted =
       if (sameLabelOnly) pairs.filter(col("label") === col("qlabel")) else pairs
     restricted
-      .withColumn("dot", expr(dotSpark("qv", "embedding")))
+      .withColumn("dot", dot("qv", "embedding"))
       .withColumn("sim", col("dot") / (sqrt(col("na")) * sqrt(col("nrm2"))))
   }
 
@@ -99,7 +101,7 @@ object Vector {
   /** Per-label embedding norm statistics (vector-column aggregation). */
   def embNormStats(spark: SparkSession, sfDir: String): DataFrame =
     Tables.embeddings(spark, sfDir)
-      .withColumn("nrm", sqrt(expr(dotSpark("embedding", "embedding"))))
+      .withColumn("nrm", sqrt(dot("embedding", "embedding")))
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n"),
         e4(min(col("nrm"))).as("min_norm_e4"),

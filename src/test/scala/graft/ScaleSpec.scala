@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventsStream
+
+/** Scale-posture checks: plan shapes that must hold for the 100 TB
+  * story (bucketed co-located joins, streaming dedup, skew salting). */
+class ScaleSpec extends SparkSuite {
+
+  test("bucketed tables join without a shuffle exchange") {
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    Tables.orders(spark, sf).write.bucketBy(4, "o_custkey")
+      .sortBy("o_custkey").mode("overwrite").saveAsTable("b_orders")
+    Tables.customer(spark, sf).write.bucketBy(4, "c_custkey")
+      .sortBy("c_custkey").mode("overwrite").saveAsTable("b_customer")
+    val joined = spark.table("b_orders")
+      .join(spark.table("b_customer"),
+        col("o_custkey") === col("c_custkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join should not shuffle:\n$plan")
+    assert(joined.count() > 0)
+  }
+
+  test("salted skew join equals the plain join result") {
+    val salted = graft.ops.Relational.skewSaltedJoin(spark, sf).collect()
+    val evDim = {
+      import spark.implicits._
+      Seq(("click", 1), ("view", 2), ("purchase", 5), ("signup", 3),
+        ("error", 0)).toDF("event_type", "weight")
+    }
+    val plain = Tables.events(spark, sf)
+      .join(evDim, "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(graft.Util.cents(col("value") * col("weight"))).as("weighted_cents"))
+      .orderBy(col("event_type")).collect()
+    assert(salted.toSeq == plain.toSeq)
+  }
+
+  test("streaming dedup drops duplicate event ids under a watermark") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_stream")
+    // stage the same file twice => every event id duplicated
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"), dir.resolve("a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"), dir.resolve("b.parquet"))
+    val deduped = EventsStream.readEvents(spark, dir.toString)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+      .groupBy().count()
+    val got = EventsStream.runToMemory(spark, deduped, "dedup_counts")
+      .collect()(0).getLong(0)
+    val want = Tables.events(spark, sf).count()
+    assert(got == want, s"streaming dedup got $got want $want")
+  }
+
+  test("fact scans prune columns and push predicates (plan audit)") {
+    val q3 = graft.ops.Relational.q3TopOrders(spark, sf)
+    val plan = q3.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)")
+      || plan.contains("EqualTo(c_mktsegment,BUILDING)"), "dim filter pushed to scan")
+    assert(!plan.contains("l_quantity"), "unused lineitem columns pruned")
+  }
+}
