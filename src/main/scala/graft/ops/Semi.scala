@@ -255,6 +255,24 @@ object Semi {
   val s4Sql: String =
     """SELECT CAST(NULL AS VARCHAR) AS ip, false AS fetch_ok"""
 
+  // S2 — DataSource V2 staged-HTTP read with filter pushdown: the
+  // equality predicate reaches the source itself (the Spark lift of
+  // `querylog?search={client}` — dags/DNS_Requests.py:108).
+  def s2Dsv2Pushdown(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.format("graft.sources.v2.StagedHttpSource")
+      .option("path", s"${graft.Tables.FixturesDir}/a2_querylog.jsonl")
+      .option("schemaDDL", "client STRING, oldest STRING")
+      .load()
+      .filter(col("client") === "iowa")
+      .select(col("client"), col("oldest"))
+  val s2Sql: String =
+    """SELECT client, oldest FROM (VALUES
+        ('iowa', '2024-01-30T22:45:00.000000+00:00'),
+        ('chicago', '2024-01-30T20:10:00.000000+00:00'),
+        ('racknerd', '2024-01-30T23:05:30.500000+00:00'),
+        ('backup-server', '2024-01-29T04:00:00.000000+00:00'))
+       AS t(client, oldest) WHERE client = 'iowa'"""
+
   // S5 — paginated envelope explode (cloudflare_api.py:21-26).
   def s5Paginated(spark: SparkSession, sfDir: String): DataFrame =
     Sources.zonesSrc(spark)
@@ -296,6 +314,7 @@ object Semi {
     "f3_concat" -> f3Concat,
     "f5_iso_parse" -> f5IsoParse,
     "s1_staged_read" -> s1StagedRead,
+    "s2_dsv2_pushdown" -> s2Dsv2Pushdown,
     "s4_soft_fail" -> s4SoftFail,
     "s5_paginated" -> s5Paginated,
     "s6_fs_scan" -> s6FsScan,
@@ -315,6 +334,7 @@ object Semi {
     "f3_concat" -> f3Sql,
     "f5_iso_parse" -> f5Sql,
     "s1_staged_read" -> s1Sql,
+    "s2_dsv2_pushdown" -> s2Sql,
     "s4_soft_fail" -> s4Sql,
     "s5_paginated" -> s5Sql)
 }

@@ -11,6 +11,13 @@ class ScaleSpec extends SparkSuite {
   test("bucketed tables join without a shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_customer")
+    // a fresh catalog does not know about last run's managed dirs
+    Seq("b_orders", "b_customer").foreach { t =>
+      val d = new java.io.File(s"/tmp/graft_warehouse/$t")
+      if (d.exists()) {
+        d.listFiles().foreach(_.delete()); d.delete()
+      }
+    }
     Tables.orders(spark, sf).write.bucketBy(4, "o_custkey")
       .sortBy("o_custkey").mode("overwrite").saveAsTable("b_orders")
     Tables.customer(spark, sf).write.bucketBy(4, "c_custkey")
@@ -55,6 +62,22 @@ class ScaleSpec extends SparkSuite {
       .collect()(0).getLong(0)
     val want = Tables.events(spark, sf).count()
     assert(got == want, s"streaming dedup got $got want $want")
+  }
+
+  test("DSv2 staged-HTTP source pushes equality filters and limit") {
+    val df = spark.read.format("graft.sources.v2.StagedHttpSource")
+      .option("path", s"${Tables.FixturesDir}/a2_querylog.jsonl")
+      .option("schemaDDL", "client STRING, oldest STRING")
+      .load()
+    val filtered = df.filter(col("client") === "iowa")
+    assert(filtered.count() == 1)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("pushedFilters=EqualTo(client,iowa)"),
+      s"filter should reach the source:\n$plan")
+    val limited = df.limit(2)
+    val lplan = limited.queryExecution.executedPlan.toString
+    assert(lplan.contains("pushedLimit=2"), s"limit should reach the source:\n$lplan")
+    assert(limited.count() == 2)
   }
 
   test("fact scans prune columns and push predicates (plan audit)") {
