@@ -310,6 +310,55 @@ object Relational {
        WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 90
        ORDER BY event_id"""
 
+  // Pivot: one column per event_type (explicit value list keeps the
+  // output schema static — required at scale and for the oracle).
+  def pivotCounts(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("user_id"))
+  val pivotCountsSql: String =
+    """SELECT user_id,
+       count(1) FILTER (WHERE event_type = 'click') AS click,
+       count(1) FILTER (WHERE event_type = 'view') AS view,
+       count(1) FILTER (WHERE event_type = 'purchase') AS purchase,
+       count(1) FILTER (WHERE event_type = 'signup') AS signup,
+       count(1) FILTER (WHERE event_type = 'error') AS error
+       FROM events GROUP BY user_id ORDER BY user_id"""
+
+  // Calendar extraction + aggregation (event-time profile by hour).
+  def aggByHour(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(hour(col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("nd_users"))
+      .orderBy(col("hr"))
+  val aggByHourSql: String =
+    """SELECT CAST(hour(ts) AS INT) AS hr, count(1) AS n,
+       count(DISTINCT user_id) AS nd_users
+       FROM events GROUP BY 1 ORDER BY hr"""
+
+  // Exact median over an integer-valued column (interpolation on ints
+  // yields exact .0/.5 doubles — deterministic in both engines).
+  def aggMedian(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    Tables.events(spark, sfDir)
+      .withColumn("k", k)
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(k, 0.5)").as("median_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+  }
+  val aggMedianSql: String =
+    """SELECT event_type, quantile_cont(k, 0.5) AS median_k,
+       min(k) AS min_k, max(k) AS max_k
+       FROM (SELECT event_type,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+             FROM events)
+       GROUP BY event_type ORDER BY event_type"""
+
   // Skew-aware join: the 5 event_type keys are pathologically hot for a
   // shuffle join, so the fact side salts its key (deterministically,
   // event_id % S — never rand() in an oracle-checked query) and the dim
@@ -379,6 +428,9 @@ object Relational {
     "f1_pipe_split" -> pipeSplit,
     "f11_json_filter" -> jsonFilter,
     "skew_salted_join" -> skewSaltedJoin,
+    "pivot_counts" -> pivotCounts,
+    "agg_by_hour" -> aggByHour,
+    "agg_median" -> aggMedian,
     "tumbling_window_agg" -> tumblingWindowAgg)
 
   val oracles: Map[String, String] = Map(
@@ -400,5 +452,8 @@ object Relational {
     "f1_pipe_split" -> pipeSplitSql,
     "f11_json_filter" -> jsonFilterSql,
     "skew_salted_join" -> skewSaltedJoinSql,
+    "pivot_counts" -> pivotCountsSql,
+    "agg_by_hour" -> aggByHourSql,
+    "agg_median" -> aggMedianSql,
     "tumbling_window_agg" -> tumblingWindowAggSql)
 }
