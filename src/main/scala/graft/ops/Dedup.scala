@@ -229,17 +229,80 @@ object Dedup {
        WHERE 1.0 * i / (ca.n + cb.n - i) >= 0.5
        ORDER BY da, db"""
 
+  // -- near-dup cluster formation ------------------------------------------
+
+  /** Connected components over the verified near-dup pair graph:
+    * every document gets the minimum doc_id of its component as
+    * cluster representative (keep rep, drop the rest — the final step
+    * of a near-dedup pipeline).
+    *
+    * Implementation is iterative min-label propagation: each round
+    * joins labels across edges and keeps the smaller label, until a
+    * fixpoint (the driver loop runs log(diameter) rounds; each round
+    * is one shuffle join — the standard scalable CC shape). The DuckDB
+    * oracle computes the same fixpoint with a recursive CTE. */
+  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = minhashLsh(spark, sfDir).select(col("da"), col("db"))
+    val edges = pairs
+      .union(pairs.select(col("db").as("da"), col("da").as("db")))
+      .persist()
+    var labels = edges.select(col("da").as("id")).distinct()
+      .withColumn("rep", col("id"))
+      .persist()
+    var changed = 1L
+    while (changed > 0) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("db"), col("rep").as("nrep")), "db")
+        .groupBy(col("da")).agg(min(col("nrep")).as("min_nrep"))
+      val updated = labels
+        .join(neighborMin.select(col("da").as("id"), col("min_nrep")),
+          Seq("id"), "left")
+        .select(col("id"),
+          least(col("rep"), coalesce(col("min_nrep"), col("rep"))).as("rep"),
+          col("rep").as("old_rep"))
+        .persist()
+      changed = updated.filter(col("rep") =!= col("old_rep")).count()
+      labels.unpersist()
+      labels = updated.select(col("id"), col("rep")).persist()
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("rep").as("cluster_rep"))
+      .orderBy(col("doc_id"))
+  }
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE ${Text.shingleCte},
+       cnt AS (SELECT doc_id, count(1) AS n FROM sh GROUP BY 1),
+       inter AS (
+         SELECT a.doc_id AS da, b.doc_id AS db, count(1) AS i
+         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       pairs AS (
+         SELECT da, db FROM inter
+         JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+         WHERE 1.0 * i / (ca.n + cb.n - i) >= 0.7),
+       edges AS (SELECT da, db FROM pairs
+                 UNION ALL SELECT db, da FROM pairs),
+       nodes AS (SELECT DISTINCT da AS id FROM edges),
+       walk(id, r) AS (
+         SELECT id, id FROM nodes
+         UNION
+         SELECT e.db, w.r FROM walk w JOIN edges e ON e.da = w.id)
+       SELECT id AS doc_id, min(r) AS cluster_rep
+       FROM walk GROUP BY id ORDER BY doc_id"""
+
   val queries: Map[String, QFn] = Map(
     "dedup_exact" -> exactDedup,
     "dedup_exact_hash" -> exactHashDedup,
     "dedup_minhash_lsh" -> minhashLsh,
     "dedup_simhash" -> simhash,
-    "dedup_ngram_jaccard" -> ngramJaccard)
+    "dedup_ngram_jaccard" -> ngramJaccard,
+    "dedup_clusters" -> dedupClusters)
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> exactDedupSql,
     "dedup_exact_hash" -> exactHashDedupSql,
     "dedup_minhash_lsh" -> minhashLshSql,
     "dedup_simhash" -> simhashSql,
-    "dedup_ngram_jaccard" -> ngramJaccardSql)
+    "dedup_ngram_jaccard" -> ngramJaccardSql,
+    "dedup_clusters" -> dedupClustersSql)
 }
