@@ -46,4 +46,13 @@ class StreamingSpec extends SparkSuite {
       assert(SparkEntry.queries.contains(k), s"oracle without query: $k")
     }
   }
+
+  test("query registry has no cross-module name collisions") {
+    import graft.ops._
+    val perModule = Seq(Validate.queries, Relational.queries, Semi.queries,
+      Text.queries, Dedup.queries, Vector.queries, Multimodal.queries,
+      Sinks.queries, Flow.queries)
+    assert(SparkEntry.queries.size == perModule.map(_.size).sum,
+      "a module query name shadows another module's")
+  }
 }
