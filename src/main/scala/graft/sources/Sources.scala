@@ -42,6 +42,40 @@ object Auth {
   }
 }
 
+/** Collector-side fetch: lands an HTTP JSON body in the staging area
+  * Spark reads from. This is the boundary piece of S1–S5 — one fetch
+  * per endpoint/page, fanned out by the collector, each producing one
+  * staged file = one Spark input split. Timeout and status handling
+  * mirror the reference (`requests.get(..., timeout=10)` +
+  * `status_code != 200 ⇒ ConnectionError` — dags/Cloudflare_DDNS.py:44,
+  * cloudflare_api.py:16-19). */
+object HttpFetch {
+  import java.net.URI
+  import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+  import java.time.Duration
+
+  def fetchToStaging(url: String, auth: Auth.Mode, dest: java.nio.file.Path,
+      timeoutMs: Long = 10000, permissive: Boolean = false): Boolean = {
+    try {
+      val client = HttpClient.newBuilder()
+        .connectTimeout(Duration.ofMillis(timeoutMs)).build()
+      var b = HttpRequest.newBuilder(URI.create(url))
+        .timeout(Duration.ofMillis(timeoutMs)).GET()
+      auth match {
+        case Auth.NoAuth => ()
+        case m => val (k, v) = m.header; b = b.header(k, v)
+      }
+      val resp = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() != 200)
+        throw new java.io.IOException(s"HTTP ${resp.statusCode()} from $url")
+      java.nio.file.Files.writeString(dest, resp.body())
+      true
+    } catch {
+      case e: Exception if permissive => false // S4 soft-fail: no staged file
+    }
+  }
+}
+
 /** A declared-schema JSON endpoint read from its staged payload. */
 final case class HttpJsonSource(
     name: String,

@@ -1,0 +1,98 @@
+package graft
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{HttpSink, Sinks}
+import graft.sources.{Auth, HttpFetch, HttpJsonSource, Sources}
+
+/** End-to-end HTTP coverage against an in-process server: the full
+  * fetch → stage → declared-schema read path (S1/S4/V8) and the
+  * per-partition POST delivery path (K1–K3). */
+class HttpSpec extends SparkSuite {
+
+  private def withServer(routes: Map[String, HttpExchange => Unit])(
+      body: String => Unit): Unit = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    routes.foreach { case (path, handler) =>
+      server.createContext(path, (ex: HttpExchange) => handler(ex))
+    }
+    server.start()
+    try body(s"http://127.0.0.1:${server.getAddress.getPort}")
+    finally server.stop(0)
+  }
+
+  private def respond(ex: HttpExchange, code: Int, payload: String): Unit = {
+    val bytes = payload.getBytes(StandardCharsets.UTF_8)
+    ex.sendResponseHeaders(code, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  test("fetch -> stage -> declared-schema read, Basic auth header sent") {
+    val seenAuth = new java.util.concurrent.atomic.AtomicReference[String]
+    val payload =
+      """{"endpoint": "adguard-live", "running": true, "protection_enabled": true, "protection_disabled_duration": 0}"""
+    withServer(Map("/status" -> { ex =>
+      seenAuth.set(ex.getRequestHeaders.getFirst("Authorization"))
+      respond(ex, 200, payload)
+    })) { base =>
+      val staged = java.nio.file.Files.createTempFile("graft_live", ".jsonl")
+      val ok = HttpFetch.fetchToStaging(s"$base/status",
+        Auth.Basic("admin", "secret"), staged)
+      assert(ok)
+      assert(seenAuth.get() == "Basic YWRtaW46c2VjcmV0")
+      val df = HttpJsonSource("live", Sources.adguardStatus,
+        staged.toString).read(spark)
+      val row = df.collect()(0)
+      assert(row.getAs[String]("endpoint") == "adguard-live")
+      assert(row.getAs[Boolean]("running"))
+    }
+  }
+
+  test("non-200 fails strict fetch, soft-fails permissive (V8/S4)") {
+    withServer(Map("/flaky" -> { ex => respond(ex, 503, "down") })) { base =>
+      val staged = java.nio.file.Files.createTempFile("graft_flaky", ".jsonl")
+      intercept[java.io.IOException](
+        HttpFetch.fetchToStaging(s"$base/flaky", Auth.NoAuth, staged))
+      assert(!HttpFetch.fetchToStaging(s"$base/flaky", Auth.NoAuth, staged,
+        permissive = true))
+    }
+  }
+
+  test("HttpSink posts one payload per row to a live endpoint (K2)") {
+    val received = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    withServer(Map("/patch" -> { ex =>
+      val body = new String(ex.getRequestBody.readAllBytes(),
+        StandardCharsets.UTF_8)
+      received.add(body)
+      respond(ex, 200, """{"success": true}""")
+    })) { base =>
+      val url = s"$base/patch"
+      HttpSink.send(Sinks.k2PatchPayload(spark, sf), "body") { payload =>
+        // executor-side delivery through the same JDK client
+        val client = java.net.http.HttpClient.newHttpClient()
+        val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(payload))
+          .build()
+        val resp = client.send(req,
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        assert(resp.statusCode() == 200)
+      }
+      assert(received.size() == 3)
+      assert(received.asScala.forall(_.contains("\"comment\":\"DDNS update\"")))
+    }
+  }
+
+  private implicit class SetOps[T](s: java.util.Set[T]) {
+    def asScala: Iterator[T] = {
+      val it = s.iterator(); new Iterator[T] {
+        def hasNext: Boolean = it.hasNext
+        def next(): T = it.next()
+      }
+    }
+  }
+}
