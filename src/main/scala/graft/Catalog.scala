@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** SQL API surface: temp views over the engine tables plus the custom
+  * function, so users can drive everything through `spark.sql(...)`
+  * (the third entry point alongside the DataFrame ops and the typed
+  * Dataset stages). */
+object Catalog {
+
+  /** Register `graft_<table>` temp views for one scale dir. The events
+    * table must go through its nanos-safe reader. */
+  def registerViews(spark: SparkSession, sfDir: String): Unit =
+    Tables.Names.foreach { t =>
+      val df = if (t == "events") Tables.events(spark, sfDir)
+               else Tables.table(spark, sfDir, t)
+      df.createOrReplaceTempView(s"graft_$t")
+    }
+
+  /** Register dot_f32 for SQL call sites. Idempotent. */
+  def registerFunctions(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_f32",
+      exprs => graft.functions.DotF32(exprs.head, exprs(1)),
+      "scala_udf")
+}

@@ -310,6 +310,30 @@ object Relational {
        WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 90
        ORDER BY event_id"""
 
+  // TPC-H Q6-shaped, driven through the spark.sql entry point over the
+  // registered views — SQL and DataFrame users hit the same engine.
+  def q6SqlRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.Catalog.registerViews(spark, sfDir)
+    spark.sql(
+      """SELECT CAST(sum(floor((l_extendedprice * l_discount) * 100.0)) AS BIGINT)
+           AS revenue_cents,
+         count(1) AS n
+         FROM graft_lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+           AND l_discount BETWEEN 0.05 AND 0.07
+           AND l_quantity < 24""")
+  }
+  val q6SqlRevenueSql: String =
+    """SELECT CAST(sum(floor((l_extendedprice * l_discount) * 100.0)) AS BIGINT)
+         AS revenue_cents,
+       count(1) AS n
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+         AND l_discount BETWEEN 0.05 AND 0.07
+         AND l_quantity < 24"""
+
   // Pivot: one column per event_type (explicit value list keeps the
   // output schema static — required at scale and for the oracle).
   def pivotCounts(spark: SparkSession, sfDir: String): DataFrame =
@@ -428,6 +452,7 @@ object Relational {
     "f1_pipe_split" -> pipeSplit,
     "f11_json_filter" -> jsonFilter,
     "skew_salted_join" -> skewSaltedJoin,
+    "q6_sql_revenue" -> q6SqlRevenue,
     "pivot_counts" -> pivotCounts,
     "agg_by_hour" -> aggByHour,
     "agg_median" -> aggMedian,
@@ -452,6 +477,7 @@ object Relational {
     "f1_pipe_split" -> pipeSplitSql,
     "f11_json_filter" -> jsonFilterSql,
     "skew_salted_join" -> skewSaltedJoinSql,
+    "q6_sql_revenue" -> q6SqlRevenueSql,
     "pivot_counts" -> pivotCountsSql,
     "agg_by_hour" -> aggByHourSql,
     "agg_median" -> aggMedianSql,

@@ -47,6 +47,15 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("dot_f32 is callable from spark.sql over registered views") {
+    Catalog.registerFunctions(spark)
+    Catalog.registerViews(spark, sf)
+    val row = spark.sql(
+      """SELECT vec_id, dot_f32(embedding, embedding) AS n2
+         FROM graft_embeddings ORDER BY vec_id LIMIT 1""").collect()(0)
+    assert(row.getDouble(1) > 0.0)
+  }
+
   test("query registry has no cross-module name collisions") {
     import graft.ops._
     val perModule = Seq(Validate.queries, Relational.queries, Semi.queries,
