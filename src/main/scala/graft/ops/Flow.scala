@@ -132,6 +132,22 @@ object Flow {
   def withTimeout[T](ms: Long)(f: => T): T =
     Await.result(Future(f), Duration(ms, "ms"))
 
+  /** D6, engine-grade: like [[withTimeout]] but actually cancels the
+    * in-flight Spark jobs on expiry (an abandoned Future would keep
+    * burning executor slots — the difference matters at cluster
+    * scale). Uses a job group + cancelJobGroup. */
+  def withQueryTimeout[T](spark: SparkSession, ms: Long)(f: => T): T = {
+    val group = s"graft-timeout-${System.nanoTime()}"
+    spark.sparkContext.setJobGroup(group, "graft query with timeout",
+      interruptOnCancel = true)
+    try Await.result(Future(f), Duration(ms, "ms"))
+    catch {
+      case e: java.util.concurrent.TimeoutException =>
+        spark.sparkContext.cancelJobGroup(group)
+        throw e
+    } finally spark.sparkContext.clearJobGroup()
+  }
+
   // D7 — env-conditional registration (dags/Airflow_Cleanup.py:75-76):
   // feature gates derived from the deployment env.
   def d7EnvGate(spark: SparkSession, sfDir: String): DataFrame = {

@@ -189,6 +189,29 @@ class FlowSpec extends SparkSuite {
     assert(Flow.withTimeout(5000)(7) == 7)
   }
 
+  test("withQueryTimeout cancels the in-flight Spark jobs") {
+    import spark.implicits._
+    val slow = spark.range(0, 500000000L).map { i =>
+      if (i % 100000 == 0) Thread.sleep(1); i
+    }
+    intercept[java.util.concurrent.TimeoutException](
+      Flow.withQueryTimeout(spark, 500)(slow.count()))
+    // engine still usable after cancellation
+    assert(spark.range(10).count() == 10)
+  }
+
+  test("operators tolerate empty input tables") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_empty").toString
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      graft.streaming.EventsStream.rawSchema)
+      .write.parquet(s"$dir/events.parquet")
+    // freshness over an empty log: no rows, no crash
+    assert(Validate.v1Freshness(spark, dir)
+      .count() == 0)
+  }
+
   test("sessionize splits on >30min gaps") {
     val sess = Flow.sessionize(spark, sf)
     // session bounds are consistent: start <= end, n_events >= 1
