@@ -37,6 +37,30 @@ class StreamingSpec extends SparkSuite {
       s"stream ${sessions.length} vs batch ${batch.length}")
   }
 
+  test("streaming parquet sink tracks progress via checkpoint (exactly-once files)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val in = java.nio.file.Files.createTempDirectory("graft_sink_in")
+    val out = java.nio.file.Files.createTempDirectory("graft_sink_out").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_sink_cp").toString
+    def runOnce(): Unit = {
+      val q = EventsStream.readEvents(spark, in.toString)
+        .select(col("event_id"), col("ts"), col("event_type"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    val src = java.nio.file.Paths.get(s"$sf/events.parquet")
+    val n = Tables.events(spark, sf).count()
+    java.nio.file.Files.copy(src, in.resolve("a.parquet"))
+    runOnce()
+    assert(spark.read.parquet(out).count() == n)
+    // second batch: only the NEW file is processed on restart
+    java.nio.file.Files.copy(src, in.resolve("b.parquet"))
+    runOnce()
+    assert(spark.read.parquet(out).count() == 2 * n)
+  }
+
   test("entry returns rows on sf0.001 (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
