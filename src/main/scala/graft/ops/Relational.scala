@@ -310,6 +310,41 @@ object Relational {
        WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 90
        ORDER BY event_id"""
 
+  // As-of join (attribution): for every purchase, the latest preceding
+  // click of the same user. Formulated as ONE window pass — max over an
+  // unbounded-preceding frame of click timestamps — instead of a range
+  // self-join, so it shuffles once on user_id and never builds the
+  // O(n²) intermediate a naive inequality join would.
+  def asofAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables.events(spark, sfDir)
+      .withColumn("last_click_ts",
+        max(when(col("event_type") === "click", col("ts"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        fmtTs(col("ts")).as("purchase_ts"),
+        fmtTs(col("last_click_ts")).as("last_click_ts"),
+        (unix_timestamp(col("ts")) -
+          unix_timestamp(col("last_click_ts"))).as("gap_s"))
+      .orderBy(col("event_id"))
+  }
+  val asofAttributionSql: String =
+    """SELECT event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       strftime(last_click_ts, '%Y-%m-%d %H:%M:%S') AS last_click_ts,
+       CAST(floor(epoch(ts)) AS BIGINT) -
+         CAST(floor(epoch(last_click_ts)) AS BIGINT) AS gap_s
+       FROM (
+         SELECT event_id, user_id, ts, event_type,
+           max(CASE WHEN event_type = 'click' THEN ts END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS last_click_ts
+         FROM events)
+       WHERE event_type = 'purchase' ORDER BY event_id"""
+
   // TPC-H Q6-shaped, driven through the spark.sql entry point over the
   // registered views — SQL and DataFrame users hit the same engine.
   def q6SqlRevenue(spark: SparkSession, sfDir: String): DataFrame = {
@@ -453,6 +488,7 @@ object Relational {
     "f11_json_filter" -> jsonFilter,
     "skew_salted_join" -> skewSaltedJoin,
     "q6_sql_revenue" -> q6SqlRevenue,
+    "asof_attribution" -> asofAttribution,
     "pivot_counts" -> pivotCounts,
     "agg_by_hour" -> aggByHour,
     "agg_median" -> aggMedian,
@@ -478,6 +514,7 @@ object Relational {
     "f11_json_filter" -> jsonFilterSql,
     "skew_salted_join" -> skewSaltedJoinSql,
     "q6_sql_revenue" -> q6SqlRevenueSql,
+    "asof_attribution" -> asofAttributionSql,
     "pivot_counts" -> pivotCountsSql,
     "agg_by_hour" -> aggByHourSql,
     "agg_median" -> aggMedianSql,
