@@ -147,7 +147,29 @@ object Text {
        FROM (SELECT doc_id, md5(lower(text)) AS fp FROM documents)
        ORDER BY doc_id"""
 
+  // Canonicalization: the normalize-before-dedup step (lowercase,
+  // strip non-alphanumerics, collapse runs of spaces, trim) plus the
+  // canonical-form fingerprint.
+  def normalize(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        trim(regexp_replace(regexp_replace(lower(col("text")),
+          "[^a-z0-9 ]", ""), " +", " ")).as("canon"))
+      .select(col("doc_id"), col("canon"),
+        md5(col("canon")).as("canon_fp"),
+        length(col("canon")).as("canon_len"))
+      .orderBy(col("doc_id"))
+  val normalizeSql: String =
+    """SELECT doc_id, canon, md5(canon) AS canon_fp,
+       CAST(length(canon) AS INT) AS canon_len
+       FROM (SELECT doc_id,
+               trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS canon
+             FROM documents)
+       ORDER BY doc_id"""
+
   val queries: Map[String, QFn] = Map(
+    "t_normalize" -> normalize,
     "t_token_stats" -> tokenStats,
     "t_token_count" -> tokenCount,
     "t_lang_id" -> langId,
@@ -155,6 +177,7 @@ object Text {
     "t_fingerprint" -> fingerprint)
 
   val oracles: Map[String, String] = Map(
+    "t_normalize" -> normalizeSql,
     "t_token_stats" -> tokenStatsSql,
     "t_token_count" -> tokenCountSql,
     "t_lang_id" -> langIdSql,
