@@ -242,7 +242,43 @@ object Dedup {
     * is one shuffle join — the standard scalable CC shape). The DuckDB
     * oracle computes the same fixpoint with a recursive CTE. */
   def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
     val pairs = minhashLsh(spark, sfDir).select(col("da"), col("db"))
+
+    // Near-dup pair graphs are tiny relative to the corpus (they are
+    // the OUTPUT of dedup, bounded by true duplicate volume). Up to a
+    // hard cap we run union-find on the driver — one job instead of
+    // log(diameter) shuffle rounds; past the cap, fall back to the
+    // distributed min-label loop below. Both produce the component-min
+    // representative, so the oracle is unchanged.
+    val MaxDriverPairs = 1 << 20
+    val collected = pairs.limit(MaxDriverPairs + 1).collect()
+    if (collected.length <= MaxDriverPairs) {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) {
+          val n = parent(c); parent(c) = r; c = n
+        }
+        r
+      }
+      collected.foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) {
+          val (lo, hi) = if (ra < rb) (ra, rb) else (rb, ra)
+          parent(hi) = lo
+        }
+      }
+      return parent.keys.toSeq.sorted
+        .map(id => (id, find(id)))
+        .toDF("doc_id", "cluster_rep")
+        .orderBy(col("doc_id"))
+    }
+
     val edges = pairs
       .union(pairs.select(col("db").as("da"), col("da").as("db")))
       .persist()
