@@ -285,13 +285,23 @@ object Semi {
         (2, true, 'example.net', 'zone-003'))
        AS t(page, success, name, id) ORDER BY id"""
 
-  // S6 — filesystem scan over the staged-fixture dir. Lengths/mtimes
-  // are environment state, so no SQL oracle (rows-only check).
+  // S6 — filesystem scan over the staged-fixture dir. The oracle is
+  // generated from the same directory listing at dump time (the
+  // collector's staging manifest), so binaryFile's (path, length)
+  // metadata is fully checked; mtimes are environment state and
+  // excluded.
   def s6FsScan(spark: SparkSession, sfDir: String): DataFrame =
     Sources.fsScan(spark, graft.Tables.FixturesDir)
       .select(regexp_extract(col("path"), "[^/]+$", 0).as("file"),
         col("length"))
       .orderBy(col("file"))
+  def s6Sql: String = {
+    val rows = new java.io.File(graft.Tables.FixturesDir)
+      .listFiles().filter(_.isFile).sortBy(_.getName)
+      .map(f => s"('${f.getName}', CAST(${f.length()} AS BIGINT))")
+      .mkString(", ")
+    s"SELECT file, length FROM (VALUES $rows) AS t(file, length) ORDER BY file"
+  }
 
   // S7 — disk-usage probe (scalar; environment state, no oracle).
   def s7DiskProbe(spark: SparkSession, sfDir: String): DataFrame =
@@ -336,5 +346,6 @@ object Semi {
     "s1_staged_read" -> s1Sql,
     "s2_dsv2_pushdown" -> s2Sql,
     "s4_soft_fail" -> s4Sql,
-    "s5_paginated" -> s5Sql)
+    "s5_paginated" -> s5Sql,
+    "s6_fs_scan" -> s6Sql)
 }
