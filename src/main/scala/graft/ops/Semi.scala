@@ -285,6 +285,23 @@ object Semi {
         (2, true, 'example.net', 'zone-003'))
        AS t(page, success, name, id) ORDER BY id"""
 
+  // S8 — CSV config source with declared schema + header handling
+  // (config exports land as CSV as often as JSON).
+  def s8CsvRead(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read
+      .schema("device STRING, host STRING, port INT, enabled BOOLEAN")
+      .option("header", "true").option("mode", "FAILFAST")
+      .csv(s"${graft.Tables.FixturesDir}/devices.csv")
+      .filter(col("enabled"))
+      .orderBy(col("device"))
+  val s8Sql: String =
+    """SELECT device, host, port, enabled FROM (VALUES
+        ('iowa', 'iowa.example.com', 8443, true),
+        ('chicago', 'chicago.example.com', 8443, true),
+        ('backup-server', 'backup.example.com', 9443, false))
+       AS t(device, host, port, enabled)
+       WHERE enabled ORDER BY device"""
+
   // S6 — filesystem scan over the staged-fixture dir. The oracle is
   // generated from the same directory listing at dump time (the
   // collector's staging manifest), so binaryFile's (path, length)
@@ -328,6 +345,7 @@ object Semi {
     "s4_soft_fail" -> s4SoftFail,
     "s5_paginated" -> s5Paginated,
     "s6_fs_scan" -> s6FsScan,
+    "s8_csv_read" -> s8CsvRead,
     "s7_disk_probe" -> s7DiskProbe)
 
   val oracles: Map[String, String] = Map(
@@ -347,5 +365,6 @@ object Semi {
     "s2_dsv2_pushdown" -> s2Sql,
     "s4_soft_fail" -> s4Sql,
     "s5_paginated" -> s5Sql,
-    "s6_fs_scan" -> s6Sql)
+    "s6_fs_scan" -> s6Sql,
+    "s8_csv_read" -> s8Sql)
 }

@@ -50,6 +50,14 @@ class SourcesSpec extends SparkSuite {
     assert(Sources.dnsRecordsSrc(spark).count() == 5)
   }
 
+  test("orc round-trips a table with identical contents") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val src = Tables.nation(spark, sf)
+    src.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.collect().toSet == src.collect().toSet)
+  }
+
   test("fs scan lists the staged fixtures with length metadata") {
     val files = Sources.fsScan(spark, Tables.FixturesDir)
     assert(files.count() >= 13)
