@@ -66,6 +66,27 @@ class SourcesSpec extends SparkSuite {
 }
 
 class DedupSpec extends SparkSuite {
+  test("TextHash.h32 matches the SQL md5 formula incl. non-ASCII") {
+    import spark.implicits._
+    val samples = Seq("hello", "héllo wörld", "中文 text", "a|b\"c",
+      "  spaces  ", "")
+    val viaSql = samples.toDF("s")
+      .selectExpr("CAST(conv(substr(md5(s), 1, 8), 16, 10) AS BIGINT)")
+      .collect().map(_.getLong(0))
+    val viaKernel = samples.map(graft.functions.TextHash.h32)
+    assert(viaSql.toSeq == viaKernel)
+  }
+
+  test("TextHash.tokens matches split(lower, ' ') on edge cases") {
+    import spark.implicits._
+    val samples = Seq("a  b", " lead", "trail ", "", "one", "A B\tC")
+    val viaSql = samples.toDF("s")
+      .selectExpr("split(lower(s), ' ')").collect()
+      .map(_.getSeq[String](0).toList)
+    val viaKernel = samples.map(graft.functions.TextHash.tokens(_).toList)
+    assert(viaSql.toSeq == viaKernel)
+  }
+
   test("minhash LSH output equals exact all-pairs Jaccard at 0.7") {
     // Exact reference: inverted-index all-pairs (ngramJaccard uses the
     // same exact scoring at threshold 0.5; re-filter to 0.7).
