@@ -87,6 +87,30 @@ class HttpSpec extends SparkSuite {
     }
   }
 
+  test("full monitoring pipeline: fetch -> validate -> alert webhook (D8/K5)") {
+    val received = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    withServer(Map("/notify" -> { ex =>
+      received.add(new String(ex.getRequestBody.readAllBytes(),
+        StandardCharsets.UTF_8))
+      respond(ex, 200, "ok")
+    })) { base =>
+      val url = s"$base/notify"
+      def webhook(body: String): Unit = {
+        val client = java.net.http.HttpClient.newHttpClient()
+        client.send(java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+      }
+      // soft mode: alerts delivered, no throw
+      val n = graft.ops.Monitor.dnsPipeline(spark, strict = false)(webhook)
+      assert(n == 2 && received.size() == 2)
+      assert(received.asScala.exists(_.contains("dns_adguard-3")))
+      // strict mode: alerts delivered AND the run fails
+      intercept[IllegalStateException](
+        graft.ops.Monitor.dnsPipeline(spark, strict = true)(webhook))
+    }
+  }
+
   private implicit class SetOps[T](s: java.util.Set[T]) {
     def asScala: Iterator[T] = {
       val it = s.iterator(); new Iterator[T] {
