@@ -115,6 +115,76 @@ object Vector {
              FROM embeddings)
        GROUP BY label ORDER BY label"""
 
+  // -- k-means IVF (trained coarse quantizer) ------------------------------
+
+  /** DataFrame-native Lloyd's k-means over the embedding column:
+    * deterministic init (lowest vec_ids as seeds), `iters` rounds of
+    * assign (broadcast centroids, typed stage) + recompute (groupBy
+    * mean). Returns (vec_id, cell). This is the trained-coarse-
+    * quantizer variant of [[annIvfTopk]]'s precomputed cells; at scale
+    * you persist the assignment and partition the table by cell. */
+  def kmeansAssign(spark: SparkSession, sfDir: String, k: Int,
+      iters: Int): DataFrame = {
+    import spark.implicits._
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+    var centroids: Array[(Int, Array[Double])] = vecs
+      .filter(_._1 < k).collect().sortBy(_._1)
+      .map { case (id, v) => (id.toInt, v.map(_.toDouble)) }
+
+    def nearest(cs: Array[(Int, Array[Double])])(v: Array[Float]): Int = {
+      var best = -1; var bestD = Double.MaxValue
+      cs.foreach { case (cid, c) =>
+        var d = 0.0; var i = 0
+        while (i < c.length) {
+          val t = c(i) - v(i); d += t * t; i += 1
+        }
+        if (d < bestD) { bestD = d; best = cid }
+      }
+      best
+    }
+
+    for (_ <- 0 until iters) {
+      val cs = centroids
+      val assigned = vecs.map { case (id, v) => (id, nearest(cs)(v), v) }
+        .toDF("vec_id", "cell", "embedding")
+      val sums = assigned
+        .select(col("cell"), col("embedding"))
+        .as[(Int, Array[Float])]
+        .groupByKey(_._1)
+        .mapGroups { (cell, rows) =>
+          val acc = new Array[Double](Dim); var n = 0L
+          rows.foreach { case (_, v) =>
+            var i = 0
+            while (i < Dim) { acc(i) += v(i); i += 1 }
+            n += 1
+          }
+          (cell, acc.map(_ / n))
+        }
+        .collect()
+      centroids = sums.map { case (c, m) => (c, m) }.sortBy(_._1)
+    }
+    val cs = centroids
+    vecs.map { case (id, v) => (id, nearest(cs)(v)) }.toDF("vec_id", "cell")
+  }
+
+  /** ANN through the trained quantizer: query probes only its own cell.
+    * Implementation-specific float iteration makes this rows-only (no
+    * SQL oracle); recall vs. brute force is asserted in VectorSpec. */
+  def annIvfKmeans(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = kmeansAssign(spark, sfDir, k = 8, iters = 3)
+    val emb = withNorm2(spark, sfDir).join(cells, "vec_id")
+    val qs = emb.filter(col("vec_id").isin(QueryIds.map(Int.box): _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("cell").as("qcell"), col("nrm2").as("na"))
+    val pairs = emb.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("qid") && col("cell") === col("qcell"))
+      .withColumn("dot", dot("qv", "embedding"))
+      .withColumn("sim", col("dot") / (sqrt(col("na")) * sqrt(col("nrm2"))))
+    topk(pairs, 10)
+  }
+
   // -- embedding-cosine near-dup -------------------------------------------
 
   /** Deterministic random hyperplanes for sign-LSH (fixed-seed LCG →
@@ -206,6 +276,7 @@ object Vector {
     "ann_brute_topk" -> annBruteTopk,
     "ann_ivf_topk" -> annIvfTopk,
     "emb_norm_stats" -> embNormStats,
+    "ann_ivf_kmeans" -> annIvfKmeans,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine)
 
   val oracles: Map[String, String] = Map(

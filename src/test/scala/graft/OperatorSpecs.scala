@@ -144,6 +144,15 @@ class VectorSpec extends SparkSuite {
     assert(pairs(0).getAs[Long]("cos_e4") >= 9999L)
   }
 
+  test("kmeans IVF probe has reasonable recall vs brute force") {
+    val brute = Vector.annBruteTopk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Vector.annIvfKmeans(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"kmeans-IVF recall@10 too low: $recall")
+  }
+
   test("IVF probe returns only same-cell neighbors") {
     val emb = Tables.embeddings(spark, sf)
     val labelOf = emb.select("vec_id", "label").collect()
