@@ -111,7 +111,7 @@ object Dedup {
       .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
       .distinct()
 
-    val sets = shingled(spark, sfDir).select(col("doc_id"), col("shingles"))
+    val sets = base.select(col("doc_id"), col("shingles"))
     cand
       .join(sets.select(col("doc_id").as("da"), col("shingles").as("sa")), "da")
       .join(sets.select(col("doc_id").as("db"), col("shingles").as("sb")), "db")
@@ -300,6 +300,8 @@ object Dedup {
       changed = updated.filter(col("rep") =!= col("old_rep")).count()
       labels.unpersist()
       labels = updated.select(col("id"), col("rep")).persist()
+      labels.count() // materialize before dropping the parent cache
+      updated.unpersist()
     }
     edges.unpersist()
     labels.select(col("id").as("doc_id"), col("rep").as("cluster_rep"))

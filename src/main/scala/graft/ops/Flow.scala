@@ -81,16 +81,21 @@ object Flow {
     * downstream branches without re-reading (dags/Backups.py:142-153).
     * Catalyst does not cache across actions; this does. */
   private val shared = TrieMap.empty[String, DataFrame]
-  def sharedScan(key: String)(mk: => DataFrame): DataFrame =
-    shared.getOrElseUpdate(key, mk.persist())
+  /** Keyed per session so a cached frame from a stopped session is
+    * never handed to a new one. */
+  def sharedScan(spark: SparkSession, key: String)(
+      mk: => DataFrame): DataFrame =
+    shared.getOrElseUpdate(
+      s"${System.identityHashCode(spark)}:$key", mk.persist())
   def clearShared(): Unit = {
-    shared.values.foreach(_.unpersist())
+    shared.values.foreach(df =>
+      try df.unpersist() catch { case _: IllegalStateException => () })
     shared.clear()
   }
 
   // D3 — two branches over one persisted upstream.
   def d3SharedReuse(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = sharedScan(s"events:$sfDir")(
+    val base = sharedScan(spark, s"events:$sfDir")(
       Tables.events(spark, sfDir)
         .select(col("user_id"), col("event_type"), col("ts")))
     val errs = base.filter(col("event_type") === "error")
@@ -138,14 +143,19 @@ object Flow {
     * scale). Uses a job group + cancelJobGroup. */
   def withQueryTimeout[T](spark: SparkSession, ms: Long)(f: => T): T = {
     val group = s"graft-timeout-${System.nanoTime()}"
-    spark.sparkContext.setJobGroup(group, "graft query with timeout",
-      interruptOnCancel = true)
-    try Await.result(Future(f), Duration(ms, "ms"))
+    // setJobGroup is a thread-local: it must run on the SAME thread
+    // that submits the jobs (the Future's), not the caller's.
+    val fut = Future {
+      spark.sparkContext.setJobGroup(group, "graft query with timeout",
+        interruptOnCancel = true)
+      try f finally spark.sparkContext.clearJobGroup()
+    }
+    try Await.result(fut, Duration(ms, "ms"))
     catch {
       case e: java.util.concurrent.TimeoutException =>
         spark.sparkContext.cancelJobGroup(group)
         throw e
-    } finally spark.sparkContext.clearJobGroup()
+    }
   }
 
   // D7 — env-conditional registration (dags/Airflow_Cleanup.py:75-76):
@@ -156,8 +166,13 @@ object Flow {
     Seq((env, env == "prod", env != "dev"))
       .toDF("env", "alerts_enabled", "retention_enabled")
   }
-  val d7Sql: String =
-    """SELECT 'prod' AS env, true AS alerts_enabled, true AS retention_enabled"""
+  /** Oracle derives from the same env read (computed at dump time), so
+    * query and oracle agree under any GRAFT_ENV. */
+  def d7Sql: String = {
+    val env = sys.env.getOrElse("GRAFT_ENV", "prod")
+    s"""SELECT '$env' AS env, ${env == "prod"} AS alerts_enabled,
+        ${env != "dev"} AS retention_enabled"""
+  }
 
   // Sessionization — batch twin of the streaming
   // mapGroupsWithState sessionizer (graft.streaming): 30-minute

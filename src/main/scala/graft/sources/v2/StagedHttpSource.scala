@@ -117,7 +117,8 @@ class StagedHttpReader(schema: StructType, filters: Array[Filter],
   private val mapper = new ObjectMapper()
   private val eqFilters: Map[String, String] =
     filters.collect { case EqualTo(a, v: String) => a -> v }.toMap
-  private val lines = scala.io.Source.fromFile(file, "UTF-8").getLines()
+  private val source = scala.io.Source.fromFile(file, "UTF-8")
+  private val lines = source.getLines()
   private var emitted = 0
   private var current: InternalRow = _
 
@@ -156,5 +157,5 @@ class StagedHttpReader(schema: StructType, filters: Array[Filter],
     false
   }
   override def get(): InternalRow = current
-  override def close(): Unit = ()
+  override def close(): Unit = source.close()
 }
