@@ -285,6 +285,24 @@ object Relational {
       .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
       .orderBy(col("l_returnflag"))
 
+  // Accuracy gate for the sketch: |approx − exact| must stay within 5%
+  // (HLL++ at rsd 0.01 — generous margin). The sketch value itself is
+  // engine-specific, but the tolerance verdict is oracle-checkable.
+  def approxDistinctCheck(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .select(col("l_returnflag"),
+        col("exact_parts"),
+        (abs(col("approx_parts") - col("exact_parts")) <=
+          col("exact_parts") * 0.05).as("within_5pct"))
+      .orderBy(col("l_returnflag"))
+  val approxDistinctCheckSql: String =
+    """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+       true AS within_5pct
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
   // F1 — pipe-delimited config list → rows (dags/DNS_Requests.py:138).
   def pipeSplit(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -484,6 +502,7 @@ object Relational {
     "agg_rollup" -> aggRollup,
     "distinct_count" -> distinctCount,
     "approx_distinct" -> approxDistinct,
+    "approx_distinct_check" -> approxDistinctCheck,
     "f1_pipe_split" -> pipeSplit,
     "f11_json_filter" -> jsonFilter,
     "skew_salted_join" -> skewSaltedJoin,
@@ -510,6 +529,7 @@ object Relational {
     "setop_except" -> setopExceptSql,
     "agg_rollup" -> aggRollupSql,
     "distinct_count" -> distinctCountSql,
+    "approx_distinct_check" -> approxDistinctCheckSql,
     "f1_pipe_split" -> pipeSplitSql,
     "f11_json_filter" -> jsonFilterSql,
     "skew_salted_join" -> skewSaltedJoinSql,
