@@ -168,7 +168,32 @@ object Text {
              FROM documents)
        ORDER BY doc_id"""
 
+  // Chunking: fixed-size token windows (32 tokens, stride 24 → 8-token
+  // overlap) — the unit-of-embedding splitter of a training pipeline.
+  // Cheap per-row arrays, so the explode-inline hazard (see
+  // graft.functions.TextHash) is immaterial here.
+  def chunk(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("ws", tokens)
+      .select(col("doc_id"), col("ws"),
+        explode(expr("sequence(0, greatest(size(ws) - 1, 0), 24)")).as("s"))
+      .select(col("doc_id"),
+        (col("s") / 24).cast("int").as("chunk_idx"),
+        expr("array_join(slice(ws, s + 1, 32), ' ')").as("chunk_text"),
+        least(lit(32), size(col("ws")) - col("s")).as("n_tokens"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  val chunkSql: String =
+    """SELECT doc_id, CAST(s / 24 AS INT) AS chunk_idx,
+       array_to_string(list_slice(ws, s + 1, s + 32), ' ') AS chunk_text,
+       CAST(least(32, len(ws) - s) AS INT) AS n_tokens
+       FROM (
+         SELECT doc_id, string_split(lower(text), ' ') AS ws,
+           unnest(range(0, greatest(len(string_split(lower(text), ' ')), 1), 24)) AS s
+         FROM documents)
+       ORDER BY doc_id, chunk_idx"""
+
   val queries: Map[String, QFn] = Map(
+    "t_chunk" -> chunk,
     "t_normalize" -> normalize,
     "t_token_stats" -> tokenStats,
     "t_token_count" -> tokenCount,
@@ -177,6 +202,7 @@ object Text {
     "t_fingerprint" -> fingerprint)
 
   val oracles: Map[String, String] = Map(
+    "t_chunk" -> chunkSql,
     "t_normalize" -> normalizeSql,
     "t_token_stats" -> tokenStatsSql,
     "t_token_count" -> tokenCountSql,
