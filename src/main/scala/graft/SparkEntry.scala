@@ -27,7 +27,8 @@ object SparkEntry {
     ops.Vector.queries ++
     ops.Multimodal.queries ++
     ops.Sinks.queries ++
-    ops.Flow.queries
+    ops.Flow.queries ++
+    plans.Plans.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
@@ -40,5 +41,6 @@ object SparkEntry {
     ops.Vector.oracles ++
     ops.Multimodal.oracles ++
     ops.Sinks.oracles ++
-    ops.Flow.oracles
+    ops.Flow.oracles ++
+    plans.Plans.oracles
 }

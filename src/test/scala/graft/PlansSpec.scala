@@ -1,0 +1,135 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.plans.{Plans, RangeJoinBinning}
+
+/** RangeJoinBinning rule: exact-semantics rewrite of range joins into
+  * binned equi-joins, plus the SparkSessionExtensions install point. */
+class PlansSpec extends SparkSuite {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  /** points × intervals with nasty rows: null points, null bounds,
+    * inverted intervals, bounds exactly on bin edges. */
+  private def fixtures() = {
+    import spark.implicits._
+    val points = Seq(
+      (1L, ts("2024-01-01 00:00:00")), (2L, ts("2024-01-01 00:59:59")),
+      (3L, ts("2024-01-01 01:00:00")), (4L, ts("2024-01-01 06:30:00")),
+      (5L, ts("2024-01-02 23:00:00")), (6L, null.asInstanceOf[Timestamp]),
+      (7L, ts("2024-01-03 12:00:00"))
+    ).toDF("pid", "pt")
+    val intervals = Seq(
+      (10L, ts("2024-01-01 00:00:00"), ts("2024-01-01 01:00:00")),
+      (11L, ts("2024-01-01 00:30:00"), ts("2024-01-01 08:00:00")),
+      (12L, ts("2024-01-02 22:00:00"), ts("2024-01-02 22:30:00")),
+      (13L, ts("2024-01-03 00:00:00"), ts("2024-01-02 00:00:00")), // inverted
+      (14L, null.asInstanceOf[Timestamp], ts("2024-01-03 00:00:00")), // null lo
+      (15L, ts("2024-01-02 20:00:00"), ts("2024-01-03 23:59:59"))
+    ).toDF("iid", "lo", "hi")
+    (points, intervals)
+  }
+
+  test("binned range join matches the nested-loop result exactly") {
+    Plans.install(spark)
+    val (points, intervals) = fixtures()
+    val cond = col("pt") >= col("lo") && col("pt") < col("hi")
+    val got = points.join(intervals, cond)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ground truth computed without the rule: same condition evaluated
+    // per pair on the driver
+    val ps = points.collect().map(r => (r.getLong(0), Option(r.getTimestamp(1))))
+    val ivs = intervals.collect().map(r =>
+      (r.getLong(0), Option(r.getTimestamp(1)), Option(r.getTimestamp(2))))
+    val want = (for {
+      (pid, Some(p)) <- ps
+      (iid, Some(lo), Some(hi)) <- ivs
+      if !p.before(lo) && p.before(hi)
+    } yield (pid, iid)).toSet
+    assert(got == want, s"got $got want $want")
+    assert(want.nonEmpty && want.contains((1L, 10L)) && !want.contains((3L, 10L)))
+  }
+
+  test("rule turns the nested-loop join into a hash join on bins") {
+    Plans.install(spark)
+    val (points, intervals) = fixtures()
+    val joined = points.join(intervals,
+      col("pt") >= col("lo") && col("pt") < col("hi"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"range join should be binned into an equi join:\n$plan")
+    assert(plan.contains("graft_bin"), s"bin key missing:\n$plan")
+  }
+
+  test("rule leaves equi joins and non-inner joins alone") {
+    Plans.install(spark)
+    val (points, intervals) = fixtures()
+    // equi conjunct present → normal hash join path, no bin column
+    val equi = points.join(intervals,
+      col("pid") === col("iid") && col("pt") >= col("lo"))
+    assert(!equi.queryExecution.optimizedPlan.toString.contains("graft_bin"))
+    // left join with range condition → untouched (rule is Inner-only)
+    val lj = points.join(intervals,
+      col("pt") >= col("lo") && col("pt") < col("hi"), "left")
+    assert(!lj.queryExecution.optimizedPlan.toString.contains("graft_bin"))
+    assert(lj.count() >= points.count())
+  }
+
+  test("binned range join works on integral domains too") {
+    Plans.install(spark)
+    import spark.implicits._
+    val pts = (0L until 200L).map(i => (i, i * 37L % 1000L)).toDF("pid", "x")
+    val ivs = Seq((1L, 0L, 100L), (2L, 50L, 60L), (3L, 900L, 10000L))
+      .toDF("iid", "lo", "hi")
+    val got = pts.join(ivs, col("x") >= col("lo") && col("x") <= col("hi"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for {
+      (pid, x) <- (0L until 200L).map(i => (i, i * 37L % 1000L))
+      (iid, lo, hi) <- Seq((1L, 0L, 100L), (2L, 50L, 60L), (3L, 900L, 10000L))
+      if x >= lo && x <= hi
+    } yield (pid, iid)).toSet
+    assert(got == want)
+  }
+
+  test("range_join_binned query matches a rule-free run") {
+    val withRule = Plans.rangeJoinBinned(spark, sf).collect().toSeq
+    // same logical query, no install, evaluated via the BNLJ plan on a
+    // session clone without the extra optimization
+    val clean = spark.newSession()
+    val noRule = Plans.rangeJoinBinned(clean, sf)
+    clean.experimental.extraOptimizations = Nil
+    assert(noRule.collect().toSeq == withRule)
+    assert(withRule.nonEmpty)
+  }
+
+  test("GraftExtensions wires rule + dot_f32 into a session built from config") {
+    import org.apache.spark.sql.SparkSession
+    // builder.create() gives a NEW session on the shared SparkContext,
+    // with the extensions applied — the spark.sql.extensions path.
+    val s2 = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .withExtensions(new graft.plans.GraftExtensions()).create()
+    try {
+      val d = s2.sql(
+        """SELECT dot_f32(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+                          array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d""")
+        .collect()(0).getDouble(0)
+      assert(d == 11.0)
+      import s2.implicits._
+      val pts = Seq((1L, 5L), (2L, 50L)).toDF("pid", "x")
+      val ivs = Seq((1L, 0L, 10L)).toDF("iid", "lo", "hi")
+      val j = pts.join(ivs, col("x") >= col("lo") && col("x") <= col("hi"))
+      assert(j.queryExecution.optimizedPlan.toString.contains("graft_bin"),
+        "injected optimizer rule should fire without Plans.install")
+      assert(j.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    } finally {
+      // do NOT s2.stop() — that stops the shared SparkContext.
+      SparkSession.setActiveSession(spark)
+      SparkSession.setDefaultSession(spark)
+    }
+  }
+}
