@@ -485,6 +485,76 @@ object Relational {
        CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
        FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"""
 
+  // Lag/lead navigation per user: gap to the previous event and the
+  // neighbouring event types. Gap in exact integer microseconds (both
+  // engines store µs/ns epochs exactly — no float seconds).
+  def windowLagLead(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"),
+        (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+          .as("gap_us"),
+        lag(col("event_type"), 1).over(w).as("prev_type"),
+        lead(col("event_type"), 1).over(w).as("next_type"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+  val windowLagLeadSql: String =
+    """SELECT user_id, event_id,
+       epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) AS gap_us,
+       lag(event_type, 1) OVER w AS prev_type,
+       lead(event_type, 1) OVER w AS next_type
+       FROM events
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       ORDER BY user_id, event_id"""
+
+  // Cube: all 4 grouping-set combinations in one pass.
+  def aggCube(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).cast("long").as("sum_qty"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+  val aggCubeSql: String =
+    """SELECT l_returnflag, l_linestatus, count(1) AS n,
+       CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+       FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+       ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""
+
+  // Accuracy gate for approx_percentile (same pattern as
+  // approx_distinct_check): the sketch value is engine-specific, the
+  // tolerance verdict is oracle-checkable.
+  def approxPercentileCheck(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("ap50"),
+        expr("percentile(l_extendedprice, 0.5)").as("ep50"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("n"),
+        (abs(col("ap50") - col("ep50")) <= col("ep50") * 0.02).as("within_2pct"))
+      .orderBy(col("l_returnflag"))
+  val approxPercentileCheckSql: String =
+    """SELECT l_returnflag, count(1) AS n, true AS within_2pct
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  // Correlated scalar subquery (Catalyst decorrelates it into an agg +
+  // join): customers above their own nation's mean balance. Exact-cents
+  // average: bigint sum / count is one double division with identical
+  // operands in both engines.
+  def scalarSubquery(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.Catalog.registerViews(spark, sfDir)
+    spark.sql(
+      """SELECT c_custkey FROM graft_customer c
+         WHERE CAST(floor(c_acctbal * 100.0) AS BIGINT) >
+           (SELECT avg(CAST(floor(c2.c_acctbal * 100.0) AS BIGINT))
+            FROM graft_customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+         ORDER BY c_custkey""")
+  }
+  val scalarSubquerySql: String =
+    """SELECT c_custkey FROM customer c
+       WHERE CAST(floor(c_acctbal * 100.0) AS BIGINT) >
+         (SELECT avg(CAST(floor(c2.c_acctbal * 100.0) AS BIGINT))
+          FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+       ORDER BY c_custkey"""
+
   val queries: Map[String, QFn] = Map(
     "q1_agg" -> q1Agg,
     "q3_top_orders" -> q3TopOrders,
@@ -511,7 +581,11 @@ object Relational {
     "pivot_counts" -> pivotCounts,
     "agg_by_hour" -> aggByHour,
     "agg_median" -> aggMedian,
-    "tumbling_window_agg" -> tumblingWindowAgg)
+    "tumbling_window_agg" -> tumblingWindowAgg,
+    "window_lag_lead" -> windowLagLead,
+    "agg_cube" -> aggCube,
+    "approx_percentile_check" -> approxPercentileCheck,
+    "scalar_subquery" -> scalarSubquery)
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -538,5 +612,9 @@ object Relational {
     "pivot_counts" -> pivotCountsSql,
     "agg_by_hour" -> aggByHourSql,
     "agg_median" -> aggMedianSql,
-    "tumbling_window_agg" -> tumblingWindowAggSql)
+    "tumbling_window_agg" -> tumblingWindowAggSql,
+    "window_lag_lead" -> windowLagLeadSql,
+    "agg_cube" -> aggCubeSql,
+    "approx_percentile_check" -> approxPercentileCheckSql,
+    "scalar_subquery" -> scalarSubquerySql)
 }

@@ -61,6 +61,60 @@ class StreamingSpec extends SparkSuite {
     assert(spark.read.parquet(out).count() == 2 * n)
   }
 
+  test("watermark drops late rows; windows finalize exactly once (Append)") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val in = java.nio.file.Files.createTempDirectory("graft_wm_in")
+    val out = java.nio.file.Files.createTempDirectory("graft_wm_out").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_wm_cp").toString
+    def stage(name: String, ts: Seq[String]): Unit =
+      ts.map(Timestamp.valueOf).toDF("ts").coalesce(1)
+        .write.parquet(s"$in/$name")
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .schema("ts TIMESTAMP").parquet(s"$in/*")
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour").as("w")).agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("ws"), col("n"))
+        .writeStream.format("parquet").outputMode("append")
+        .option("path", out).option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // run 1: watermark ends at 13:10-1h=12:10 → only the 10:00 window
+    // (2 rows) finalizes.
+    stage("a", Seq("2024-03-01 10:05:00", "2024-03-01 10:20:00",
+      "2024-03-01 12:59:00", "2024-03-01 13:10:00"))
+    runOnce()
+    // run 2: 10:45 is LATE (behind the 12:10 watermark) and must be
+    // dropped; 14:30 advances the watermark to 13:30, finalizing the
+    // 12:00 window with n=1 — NOT 2.
+    stage("b", Seq("2024-03-01 10:45:00", "2024-03-01 14:30:00"))
+    runOnce()
+    val got = spark.read.parquet(out)
+      .select(date_format(col("ws"), "HH:mm").as("ws"), col("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == Map("10:00" -> 2L, "12:00" -> 1L), s"got $got")
+  }
+
+  test("dropDuplicatesWithinWatermark dedups with bounded state") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("graft_ddww")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"), dir.resolve("a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"), dir.resolve("b.parquet"))
+    val deduped = EventsStream.readEvents(spark, dir.toString)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = deduped.writeStream.format("memory").queryName("ddww")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("ddww").count()
+    assert(got == Tables.events(spark, sf).count(), s"got $got")
+  }
+
   test("entry returns rows on sf0.001 (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
@@ -84,7 +138,7 @@ class StreamingSpec extends SparkSuite {
     import graft.ops._
     val perModule = Seq(Validate.queries, Relational.queries, Semi.queries,
       Text.queries, Dedup.queries, Vector.queries, Multimodal.queries,
-      Sinks.queries, Flow.queries)
+      Sinks.queries, Flow.queries, graft.plans.Plans.queries)
     assert(SparkEntry.queries.size == perModule.map(_.size).sum,
       "a module query name shadows another module's")
   }
