@@ -179,6 +179,35 @@ class MultimodalSpec extends SparkSuite {
     assert(counts.filter(col("count") > 7).isEmpty)
     assert(df.filter(col("frame_idx") >= col("n_frames")).isEmpty)
   }
+
+  test("per-partition decode equals per-row decode (decoder reuse is sound)") {
+    val docs = (1L to 50L).map(i =>
+      DocBin(i, s"payload number $i with some variable tail ${"x" * (i % 13).toInt}"
+        .getBytes("UTF-8")))
+    val batch = Multimodal.decodePartition(docs.iterator).toSeq
+    val single = docs.map(Multimodal.decodeStub)
+    assert(batch == single)
+  }
+
+  test("resize plan fits the 224 box and keeps dims positive") {
+    val df = Multimodal.mmResizePlan(spark, sf)
+    assert(df.filter(col("out_w") > 224 || col("out_h") > 224 ||
+      col("out_w") < 1 || col("out_h") < 1).isEmpty)
+    // the binding dimension lands on 224 (floor may shave one pixel)
+    assert(df.filter(greatest(col("out_w"), col("out_h")) < 223).isEmpty)
+  }
+
+  test("feature extract slices match JVM reference on a known doc") {
+    val row = Multimodal.mmFeatureExtract(spark, sf)
+      .filter(col("doc_id") === 1L).collect()(0)
+    val text = Tables.documents(spark, sf)
+      .filter(col("doc_id") === 1L).collect()(0).getAs[String]("text")
+    val b = text.getBytes("UTF-8")
+    def hx(a: Array[Byte]) = a.map("%02x".format(_)).mkString
+    assert(row.getAs[Int]("n_bytes") == b.length)
+    assert(row.getAs[String]("head_hex") == hx(b.take(8)))
+    assert(row.getAs[String]("tail_hex") == hx(b.takeRight(4)))
+  }
 }
 
 class SinksSpec extends SparkSuite {
