@@ -555,6 +555,25 @@ object Relational {
           FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
        ORDER BY c_custkey"""
 
+  // Recursive CTE (Spark 4 + DuckDB both speak WITH RECURSIVE): build
+  // the 24-hour spine recursively, left-join the event profile onto it
+  // so empty hours survive with n=0.
+  def recursiveCte(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.Catalog.registerViews(spark, sfDir)
+    spark.sql(
+      """WITH RECURSIVE hours(hr) AS (
+           SELECT 0 UNION ALL SELECT hr + 1 FROM hours WHERE hr < 23)
+         SELECT h.hr, count(e.event_id) AS n
+         FROM hours h LEFT JOIN graft_events e ON CAST(hour(e.ts) AS INT) = h.hr
+         GROUP BY h.hr ORDER BY h.hr""")
+  }
+  val recursiveCteSql: String =
+    """WITH RECURSIVE hours(hr) AS (
+         SELECT 0 UNION ALL SELECT hr + 1 FROM hours WHERE hr < 23)
+       SELECT h.hr, count(e.event_id) AS n
+       FROM hours h LEFT JOIN events e ON CAST(hour(e.ts) AS INT) = h.hr
+       GROUP BY h.hr ORDER BY h.hr"""
+
   val queries: Map[String, QFn] = Map(
     "q1_agg" -> q1Agg,
     "q3_top_orders" -> q3TopOrders,
@@ -585,7 +604,8 @@ object Relational {
     "window_lag_lead" -> windowLagLead,
     "agg_cube" -> aggCube,
     "approx_percentile_check" -> approxPercentileCheck,
-    "scalar_subquery" -> scalarSubquery)
+    "scalar_subquery" -> scalarSubquery,
+    "recursive_cte" -> recursiveCte)
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -616,5 +636,6 @@ object Relational {
     "window_lag_lead" -> windowLagLeadSql,
     "agg_cube" -> aggCubeSql,
     "approx_percentile_check" -> approxPercentileCheckSql,
-    "scalar_subquery" -> scalarSubquerySql)
+    "scalar_subquery" -> scalarSubquerySql,
+    "recursive_cte" -> recursiveCteSql)
 }

@@ -192,7 +192,25 @@ object Text {
          FROM documents)
        ORDER BY doc_id, chunk_idx"""
 
+  // Deterministic corpus sampling: keep a doc iff the md5 of its id
+  // falls under a hex threshold ('0d' → 13/256 ≈ 5.1%). Reproducible
+  // across engines, runs, and partitionings — the way a training
+  // pipeline pins a sample at 100 TB (never rand()/TABLESAMPLE, which
+  // are partition-order-dependent).
+  def sampleHash(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("key", md5(encode(col("doc_id").cast("string"), "utf-8")))
+      .filter(col("key") < "0d")
+      .select(col("doc_id"), col("key"))
+      .orderBy(col("doc_id"))
+  val sampleHashSql: String =
+    """SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS key
+       FROM documents
+       WHERE md5(CAST(doc_id AS VARCHAR)) < '0d'
+       ORDER BY doc_id"""
+
   val queries: Map[String, QFn] = Map(
+    "sample_hash" -> sampleHash,
     "t_chunk" -> chunk,
     "t_normalize" -> normalize,
     "t_token_stats" -> tokenStats,
@@ -202,6 +220,7 @@ object Text {
     "t_fingerprint" -> fingerprint)
 
   val oracles: Map[String, String] = Map(
+    "sample_hash" -> sampleHashSql,
     "t_chunk" -> chunkSql,
     "t_normalize" -> normalizeSql,
     "t_token_stats" -> tokenStatsSql,

@@ -80,6 +80,18 @@ class ScaleSpec extends SparkSuite {
     assert(limited.count() == 2)
   }
 
+  test("date-partitioned write → scans prune to one partition") {
+    val out = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val events = Tables.events(spark, sf).withColumn("day", to_date(col("ts")))
+    events.write.partitionBy("day").mode("overwrite").parquet(out)
+    val day = events.selectExpr("CAST(min(day) AS STRING)").collect()(0).getString(0)
+    val pruned = spark.read.parquet(out).filter(col("day") === lit(day))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains(day),
+      s"day filter should prune partitions, not scan+filter:\n$plan")
+    assert(pruned.count() == events.filter(col("day") === lit(day)).count())
+  }
+
   test("fact scans prune columns and push predicates (plan audit)") {
     val q3 = graft.ops.Relational.q3TopOrders(spark, sf)
     val plan = q3.queryExecution.executedPlan.toString

@@ -115,6 +115,38 @@ class StreamingSpec extends SparkSuite {
     assert(got == Tables.events(spark, sf).count(), s"got $got")
   }
 
+  test("stream-stream interval join matches the batch range join") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("graft_ssj")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"), dir.resolve("a.parquet"))
+    def side(t: String, pfx: String) =
+      EventsStream.readEvents(spark, dir.toString)
+        .filter(col("event_type") === t)
+        .select(col("event_id").as(s"${pfx}_id"), col("user_id").as(s"${pfx}_uid"),
+          col("ts").as(s"${pfx}_ts"))
+        .withWatermark(s"${pfx}_ts", "1 hour")
+    // purchases attributed to clicks of the same user within 30 min —
+    // both sides watermarked so state is bounded (the join evicts rows
+    // older than watermark + interval).
+    val joined = side("click", "c").join(side("purchase", "p"),
+      expr("""c_uid = p_uid AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 30 MINUTES"""))
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("ssj").count()
+    val e = Tables.events(spark, sf)
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_uid"), col("ts").as("c_ts"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_uid"), col("ts").as("p_ts"))
+    val want = c.join(p, expr(
+      "c_uid = p_uid AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 30 MINUTES"))
+      .count()
+    assert(got == want, s"stream $got vs batch $want")
+    assert(want > 0)
+  }
+
   test("entry returns rows on sf0.001 (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
