@@ -574,6 +574,74 @@ object Relational {
        FROM hours h LEFT JOIN events e ON CAST(hour(e.ts) AS INT) = h.hr
        GROUP BY h.hr ORDER BY h.hr"""
 
+  // Funnel: users who clicked → first view AFTER that click → first
+  // purchase AFTER that view. Each stage is an agg + equi-join on
+  // user_id (one shuffle key throughout — co-partitioned at scale),
+  // never a self-cross-join.
+  def funnelStages(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir).select("user_id", "event_type", "ts")
+    def firstAfter(evType: String, prev: DataFrame, prevTs: String, outTs: String) =
+      e.filter(col("event_type") === evType)
+        .join(prev, "user_id")
+        .filter(col("ts") > col(prevTs))
+        .groupBy(col("user_id")).agg(min(col("ts")).as(outTs))
+    val clicked = e.filter(col("event_type") === "click")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+    val viewed = firstAfter("view", clicked, "t_click", "t_view")
+    val purchased = firstAfter("purchase", viewed, "t_view", "t_purchase")
+    def stage(name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_users")).select(lit(name).as("stage"), col("n_users"))
+    stage("1_click", clicked)
+      .unionByName(stage("2_view_after_click", viewed))
+      .unionByName(stage("3_purchase_after_view", purchased))
+      .orderBy(col("stage"))
+  }
+  val funnelStagesSql: String =
+    """WITH clicked AS (
+         SELECT user_id, min(ts) AS t_click FROM events
+         WHERE event_type = 'click' GROUP BY user_id),
+       viewed AS (
+         SELECT e.user_id, min(e.ts) AS t_view
+         FROM events e JOIN clicked USING (user_id)
+         WHERE e.event_type = 'view' AND e.ts > t_click GROUP BY e.user_id),
+       purchased AS (
+         SELECT e.user_id, min(e.ts) AS t_purchase
+         FROM events e JOIN viewed USING (user_id)
+         WHERE e.event_type = 'purchase' AND e.ts > t_view GROUP BY e.user_id)
+       SELECT '1_click' AS stage, count(1) AS n_users FROM clicked
+       UNION ALL SELECT '2_view_after_click', count(1) FROM viewed
+       UNION ALL SELECT '3_purchase_after_view', count(1) FROM purchased
+       ORDER BY stage"""
+
+  // Cohort retention: users grouped by first-seen day, distinct actives
+  // per day-offset. The fact table joins a per-user dim keyed on the
+  // same user_id shuffle key; week horizon keeps output bounded.
+  def cohortRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    val firstDay = e.groupBy(col("user_id"))
+      .agg(to_date(min(col("ts"))).as("cohort"))
+    e.select(col("user_id"), to_date(col("ts")).as("day"))
+      .join(firstDay, "user_id")
+      .withColumn("day_offset", datediff(col("day"), col("cohort")))
+      .filter(col("day_offset") <= 7)
+      .groupBy(col("cohort"), col("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .select(col("cohort").cast("string").as("cohort"),
+        col("day_offset"), col("n_active"))
+      .orderBy(col("cohort"), col("day_offset"))
+  }
+  val cohortRetentionSql: String =
+    """SELECT CAST(cohort AS VARCHAR) AS cohort, day_offset,
+       count(DISTINCT user_id) AS n_active
+       FROM (
+         SELECT e.user_id, f.cohort,
+           date_diff('day', f.cohort, CAST(e.ts AS DATE)) AS day_offset
+         FROM events e
+         JOIN (SELECT user_id, CAST(min(ts) AS DATE) AS cohort
+               FROM events GROUP BY user_id) f USING (user_id))
+       WHERE day_offset <= 7
+       GROUP BY cohort, day_offset ORDER BY cohort, day_offset"""
+
   val queries: Map[String, QFn] = Map(
     "q1_agg" -> q1Agg,
     "q3_top_orders" -> q3TopOrders,
@@ -605,7 +673,9 @@ object Relational {
     "agg_cube" -> aggCube,
     "approx_percentile_check" -> approxPercentileCheck,
     "scalar_subquery" -> scalarSubquery,
-    "recursive_cte" -> recursiveCte)
+    "recursive_cte" -> recursiveCte,
+    "funnel_stages" -> funnelStages,
+    "cohort_retention" -> cohortRetention)
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -637,5 +707,7 @@ object Relational {
     "agg_cube" -> aggCubeSql,
     "approx_percentile_check" -> approxPercentileCheckSql,
     "scalar_subquery" -> scalarSubquerySql,
-    "recursive_cte" -> recursiveCteSql)
+    "recursive_cte" -> recursiveCteSql,
+    "funnel_stages" -> funnelStagesSql,
+    "cohort_retention" -> cohortRetentionSql)
 }
