@@ -28,6 +28,7 @@ object SparkEntry {
     ops.Multimodal.queries ++
     ops.Sinks.queries ++
     ops.Flow.queries ++
+    streaming.EventsStream.queries ++
     plans.Plans.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -42,5 +43,6 @@ object SparkEntry {
     ops.Multimodal.oracles ++
     ops.Sinks.oracles ++
     ops.Flow.oracles ++
+    streaming.EventsStream.oracles ++
     plans.Plans.oracles
 }

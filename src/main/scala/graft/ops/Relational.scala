@@ -642,8 +642,34 @@ object Relational {
        WHERE day_offset <= 7
        GROUP BY cohort, day_offset ORDER BY cohort, day_offset"""
 
+  // Distribution windows: quartile bucket + percentile position per
+  // order within its priority class. Ordering key includes o_orderkey
+  // so ntile's row order is total (ties on price don't make the
+  // bucketing engine-dependent); percent_rank is an exact rational
+  // (rank-1)/(n-1), identical IEEE division in both engines.
+  def windowNtile(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(cents(col("o_totalprice")), col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        cents(col("o_totalprice")).as("price_cents"),
+        ntile(4).over(w).as("quartile"),
+        e4(percent_rank().over(w)).as("pct_rank_e4"))
+      .orderBy(col("o_orderkey"))
+  }
+  val windowNtileSql: String =
+    """SELECT o_orderkey, o_orderpriority,
+       CAST(floor(o_totalprice * 100.0) AS BIGINT) AS price_cents,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       CAST(floor(percent_rank() OVER w * 10000.0) AS BIGINT) AS pct_rank_e4
+       FROM orders
+       WINDOW w AS (PARTITION BY o_orderpriority
+                    ORDER BY floor(o_totalprice * 100.0), o_orderkey)
+       ORDER BY o_orderkey"""
+
   val queries: Map[String, QFn] = Map(
     "q1_agg" -> q1Agg,
+    "window_ntile" -> windowNtile,
     "q3_top_orders" -> q3TopOrders,
     "q5_region_revenue" -> q5RegionRevenue,
     "join_semi" -> joinSemi,
@@ -679,6 +705,7 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
+    "window_ntile" -> windowNtileSql,
     "q3_top_orders" -> q3Sql,
     "q5_region_revenue" -> q5Sql,
     "join_semi" -> joinSemiSql,

@@ -209,8 +209,81 @@ object Text {
        WHERE md5(CAST(doc_id AS VARCHAR)) < '0d'
        ORDER BY doc_id"""
 
+  // TF-IDF: top-3 terms per document. Two shuffles, both on bounded
+  // keys — (doc_id, term) for tf, term for df; the corpus size N joins
+  // in as a broadcast scalar. Ranking uses the e4 fixed-point score
+  // (identical per-row arithmetic in both engines) with a term
+  // tiebreak, so the top-k set is engine-independent.
+  def tfidfTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val terms = docs
+      .select(col("doc_id"), explode(tokens).as("term"))
+      .filter(col("term") =!= "")
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = terms.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, "term").crossJoin(broadcast(n))
+      .withColumn("tfidf_e4",
+        e4(col("tf") * log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))))
+          .cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("tfidf_e4").desc, col("term"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("term"), col("tf"),
+        col("df"), col("tfidf_e4"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+  val tfidfTopkSql: String =
+    """WITH terms AS (
+         SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+         FROM documents),
+       tf AS (SELECT doc_id, term, count(1) AS tf FROM terms
+              WHERE term <> '' GROUP BY doc_id, term),
+       df AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms
+              WHERE term <> '' GROUP BY term),
+       n AS (SELECT count(1) AS n_docs FROM documents),
+       scored AS (
+         SELECT tf.doc_id, tf.term, tf.tf, df.df,
+           CAST(floor(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)) * 10000.0)
+             AS BIGINT) AS tfidf_e4
+         FROM tf JOIN df USING (term) CROSS JOIN n)
+       SELECT doc_id, rk, term, tf, df, tfidf_e4 FROM (
+         SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+           ORDER BY tfidf_e4 DESC, term) AS INT) AS rk
+         FROM scored)
+       WHERE rk <= 3 ORDER BY doc_id, rk"""
+
+  // Stratified sampling: per-language hash thresholds (downsample the
+  // majority class, keep all of the rarest) — the class-rebalancing
+  // step of a corpus build. Same md5-threshold determinism as
+  // [[sampleHash]]; rates are data-independent so the filter pushes to
+  // the scan and no shuffle happens at all.
+  def sampleStratified(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("key", md5(encode(col("doc_id").cast("string"), "utf-8")))
+      .withColumn("thresh",
+        when(col("lang") === "en", lit("20"))
+          .when(col("lang") === "de", lit("80"))
+          .otherwise(lit("ff")))
+      .filter(col("key") < col("thresh"))
+      .select(col("doc_id"), col("lang"), col("key"))
+      .orderBy(col("doc_id"))
+  val sampleStratifiedSql: String =
+    """SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS key
+       FROM documents
+       WHERE md5(CAST(doc_id AS VARCHAR)) <
+         CASE WHEN lang = 'en' THEN '20' WHEN lang = 'de' THEN '80'
+              ELSE 'ff' END
+       ORDER BY doc_id"""
+
   val queries: Map[String, QFn] = Map(
     "sample_hash" -> sampleHash,
+    "sample_stratified" -> sampleStratified,
+    "t_tfidf_topk" -> tfidfTopk,
     "t_chunk" -> chunk,
     "t_normalize" -> normalize,
     "t_token_stats" -> tokenStats,
@@ -221,6 +294,8 @@ object Text {
 
   val oracles: Map[String, String] = Map(
     "sample_hash" -> sampleHashSql,
+    "sample_stratified" -> sampleStratifiedSql,
+    "t_tfidf_topk" -> tfidfTopkSql,
     "t_chunk" -> chunkSql,
     "t_normalize" -> normalizeSql,
     "t_token_stats" -> tokenStatsSql,

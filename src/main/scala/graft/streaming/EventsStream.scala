@@ -48,6 +48,42 @@ object EventsStream {
     spark.table(name)
   }
 
+  // -- driver-contract entry: streaming run, batch-equivalent result ------
+
+  private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** `stream_windowed_counts`: the full streaming path — readStream →
+    * watermark → windowed agg → AvailableNow → memory sink — over the
+    * staged events, returned as a batch DataFrame. With AvailableNow +
+    * Complete mode the result equals the batch tumbling aggregation,
+    * so it oracle-checks against plain SQL; at scale the same code
+    * runs incrementally per micro-batch with watermarked state.  */
+  def streamWindowedCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    // The file-stream source wants a directory; scope it to the events
+    // table with a glob (works for both a file and a directory layout).
+    val src = spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val counts = windowedCounts(src)
+    val out = runToMemory(spark, counts,
+      s"graft_stream_wc_${runSeq.incrementAndGet()}")
+    out.select(graft.Util.fmtTs(col("window_start")).as("window_start"),
+        col("event_type"), col("n"), col("k_sum"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+  val streamWindowedCountsSql: String =
+    """SELECT strftime(make_timestamp(CAST(floor(epoch(ts) / 21600) * 21600000000 AS BIGINT)),
+                       '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, count(1) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
+       FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"""
+
+  val queries: Map[String, graft.Util.QFn] = Map(
+    "stream_windowed_counts" -> streamWindowedCounts)
+  val oracles: Map[String, String] = Map(
+    "stream_windowed_counts" -> streamWindowedCountsSql)
+
   // -- custom state: session windows via mapGroupsWithState --------------
 
   case class Ev(user_id: Long, tsMicros: Long)

@@ -170,7 +170,8 @@ class StreamingSpec extends SparkSuite {
     import graft.ops._
     val perModule = Seq(Validate.queries, Relational.queries, Semi.queries,
       Text.queries, Dedup.queries, Vector.queries, Multimodal.queries,
-      Sinks.queries, Flow.queries, graft.plans.Plans.queries)
+      Sinks.queries, Flow.queries,
+      graft.streaming.EventsStream.queries, graft.plans.Plans.queries)
     assert(SparkEntry.queries.size == perModule.map(_.size).sum,
       "a module query name shadows another module's")
   }
