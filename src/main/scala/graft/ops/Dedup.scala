@@ -328,7 +328,46 @@ object Dedup {
        SELECT id AS doc_id, min(r) AS cluster_rep
        FROM walk GROUP BY id ORDER BY doc_id"""
 
+  // -- representative selection ---------------------------------------------
+
+  /** Keep-best selection: within each canonical-duplicate group (md5 of
+    * the normalized text, same canon as Text.normalize) keep the
+    * highest-quality copy — longest raw text, then lowest doc_id. One
+    * shuffle on the 16-byte group key; the verdict row carries the
+    * dropped count so the downstream filter is a broadcast-able keeper
+    * list, not a second pass over the corpus. */
+  def keepBest(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp"))
+      .orderBy(length(col("text")).desc, col("doc_id"))
+    Tables.documents(spark, sfDir)
+      .withColumn("fp", md5(trim(regexp_replace(regexp_replace(
+        lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_copies", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+      .filter(col("rk") === 1)
+      .select(col("fp"), col("doc_id").as("keeper"),
+        length(col("text")).as("keeper_len"),
+        (col("n_copies") - 1).as("n_dropped"))
+      .orderBy(col("fp"))
+  }
+  val keepBestSql: String =
+    """SELECT fp, doc_id AS keeper, CAST(length(text) AS INT) AS keeper_len,
+       n_copies - 1 AS n_dropped
+       FROM (
+         SELECT fp, doc_id, text,
+           CAST(row_number() OVER (PARTITION BY fp
+             ORDER BY length(text) DESC, doc_id) AS INT) AS rk,
+           count(1) OVER (PARTITION BY fp) AS n_copies
+         FROM (SELECT doc_id, text,
+                 md5(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+               FROM documents))
+       WHERE rk = 1 ORDER BY fp"""
+
   val queries: Map[String, QFn] = Map(
+    "dedup_keep_best" -> keepBest,
     "dedup_exact" -> exactDedup,
     "dedup_exact_hash" -> exactHashDedup,
     "dedup_minhash_lsh" -> minhashLsh,
@@ -337,6 +376,7 @@ object Dedup {
     "dedup_clusters" -> dedupClusters)
 
   val oracles: Map[String, String] = Map(
+    "dedup_keep_best" -> keepBestSql,
     "dedup_exact" -> exactDedupSql,
     "dedup_exact_hash" -> exactHashDedupSql,
     "dedup_minhash_lsh" -> minhashLshSql,

@@ -280,7 +280,105 @@ object Text {
               ELSE 'ff' END
        ORDER BY doc_id"""
 
+  // PMI bigram collocations: corpus-level association mining (the
+  // phrase-vocabulary step of a tokenizer/corpus build). Three bounded
+  // shuffles — bigram counts, unigram counts, and the final top-k — and
+  // the corpus totals join in as broadcast scalars, so the plan is the
+  // same shape at 100 TB. PMI is computed with one identically-ordered
+  // double expression in both engines (single ln, products only), so
+  // the e4 fixed-point ranking is bit-equal.
+  def pmiBigrams(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val toks = docs.withColumn("ws", expr(
+      "filter(split(lower(text), ' '), w -> w <> '')"))
+    val uni = toks.select(explode(col("ws")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    val bi = toks.select(explode(expr(
+        """transform(slice(ws, 1, greatest(size(ws) - 1, 0)),
+           (w, i) -> struct(w AS w1, element_at(ws, i + 2) AS w2))"""))
+        .as("bg"))
+      .select(col("bg.w1"), col("bg.w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n12"))
+    val totals = uni.agg(sum(col("n")).as("t"))
+      .crossJoin(bi.agg(sum(col("n12")).as("b")))
+    val scored = bi
+      .join(uni.select(col("w").as("w1"), col("n").as("n1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("n").as("n2")), "w2")
+      .crossJoin(broadcast(totals))
+      .filter(col("n12") >= 3)
+      .withColumn("pmi_e4", e4(log(
+        (col("n12").cast("double") * col("t") * col("t")) /
+          (col("b").cast("double") * col("n1") * col("n2")))).cast("long"))
+    scored
+      .select(col("w1"), col("w2"), col("n12"), col("n1"), col("n2"),
+        col("pmi_e4"))
+      .orderBy(col("pmi_e4").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+  val pmiBigramsSql: String =
+    """WITH toks AS (
+         SELECT doc_id, list_filter(string_split(lower(text), ' '),
+           w -> w <> '') AS ws
+         FROM documents),
+       uni AS (
+         SELECT w, count(1) AS n
+         FROM (SELECT unnest(ws) AS w FROM toks) GROUP BY w),
+       bi AS (
+         SELECT w1, w2, count(1) AS n12 FROM (
+           SELECT list_extract(ws, i) AS w1, list_extract(ws, i + 1) AS w2
+           FROM toks, LATERAL unnest(range(1, len(ws))) AS t(i))
+         GROUP BY w1, w2),
+       totals AS (
+         SELECT (SELECT sum(n) FROM uni) AS t, (SELECT sum(n12) FROM bi) AS b),
+       scored AS (
+         SELECT w1, w2, n12, n1, n2,
+           CAST(floor(ln((CAST(n12 AS DOUBLE) * t * t) /
+             (CAST(b AS DOUBLE) * n1 * n2)) * 10000.0) AS BIGINT) AS pmi_e4
+         FROM bi
+         JOIN (SELECT w AS w1, n AS n1 FROM uni) USING (w1)
+         JOIN (SELECT w AS w2, n AS n2 FROM uni) USING (w2)
+         CROSS JOIN totals
+         WHERE n12 >= 3)
+       SELECT w1, w2, n12, n1, n2, pmi_e4 FROM scored
+       ORDER BY pmi_e4 DESC, w1, w2 LIMIT 20"""
+
+  // Inverted index: term → df + capped posting head (first 10 doc_ids).
+  // One shuffle on the term key; the rank window streams per group, so
+  // no head-term posting list is ever materialized as an array — only
+  // the ≤10 surviving rows per term are collected. At corpus scale the
+  // remaining postings live in doc_id-ordered shards with the same
+  // plan on a (term, shard) key.
+  def invertedIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    val wTerm = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
+    val pairs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(tokens).as("term"))
+      .filter(col("term") =!= "")
+      .distinct()
+      .withColumn("rk", row_number().over(wTerm.orderBy(col("doc_id"))))
+      .withColumn("df", count(lit(1)).over(wTerm))
+    pairs.filter(col("rk") <= 10)
+      .groupBy(col("term"))
+      .agg(max(col("df")).cast("int").as("df"),
+        sort_array(collect_list(col("doc_id"))).as("postings_head"))
+      .orderBy(col("term"))
+  }
+  val invertedIndexSql: String =
+    """WITH pairs AS (
+         SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS term
+         FROM documents),
+       ranked AS (
+         SELECT term, doc_id,
+           row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rk,
+           count(1) OVER (PARTITION BY term) AS df
+         FROM pairs WHERE term <> '')
+       SELECT term, CAST(max(df) AS INT) AS df,
+         list(doc_id ORDER BY doc_id) AS postings_head
+       FROM ranked WHERE rk <= 10
+       GROUP BY term ORDER BY term"""
+
   val queries: Map[String, QFn] = Map(
+    "t_inverted_index" -> invertedIndex,
+    "t_pmi_bigrams" -> pmiBigrams,
     "sample_hash" -> sampleHash,
     "sample_stratified" -> sampleStratified,
     "t_tfidf_topk" -> tfidfTopk,
@@ -293,6 +391,8 @@ object Text {
     "t_fingerprint" -> fingerprint)
 
   val oracles: Map[String, String] = Map(
+    "t_inverted_index" -> invertedIndexSql,
+    "t_pmi_bigrams" -> pmiBigramsSql,
     "sample_hash" -> sampleHashSql,
     "sample_stratified" -> sampleStratifiedSql,
     "t_tfidf_topk" -> tfidfTopkSql,

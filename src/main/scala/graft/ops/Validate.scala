@@ -204,7 +204,63 @@ object Validate {
         ('chicago', 'Documents', false), ('backup-server', 'Media', false))
        AS t(device, label, paused)"""
 
+  // V11 — data-driven threshold: z-score outliers per event_type (the
+  // V3 lower-bound check with the bound learned from the data itself —
+  // what the reference's speedtest limits become once there is enough
+  // history to fit them). One groupBy shuffle for the per-type moments,
+  // broadcast back onto the stream. Exactness: values are floored to
+  // integer cents and the sums accumulate in decimal(38,0), so n, s,
+  // s2 are exact integers in both engines; mean/stddev/z then come from
+  // ONE identically-ordered double expression → the e4 verdict is
+  // bit-equal, no tolerance needed.
+  def v11ZscoreOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, sfDir)
+      .withColumn("vc", cents(col("value")).cast("decimal(38,0)"))
+    val moments = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("vc")).as("s"),
+        sum(col("vc") * col("vc")).as("s2"))
+      .filter(col("n") >= 2)
+    val withZ = ev.join(broadcast(moments), "event_type")
+      .withColumn("mean_d", col("s").cast("double") / col("n").cast("double"))
+      .withColumn("var_d",
+        (col("n").cast("double") * col("s2").cast("double") -
+          col("s").cast("double") * col("s").cast("double")) /
+          (col("n").cast("double") * (col("n").cast("double") - lit(1.0))))
+      .filter(col("var_d") > 0.0)
+      .withColumn("z",
+        (col("vc").cast("double") - col("mean_d")) / sqrt(col("var_d")))
+    withZ.filter(abs(col("z")) > 3.0)
+      .select(col("event_id"), col("event_type"),
+        col("vc").cast("long").as("value_cents"),
+        e4(col("z")).cast("long").as("z_e4"))
+      .orderBy(col("event_id"))
+  }
+  val v11Sql: String =
+    """WITH ev AS (
+         SELECT event_id, event_type,
+           CAST(floor(value * 100.0) AS HUGEINT) AS vc
+         FROM events),
+       m AS (
+         SELECT event_type, count(1) AS n, sum(vc) AS s, sum(vc * vc) AS s2
+         FROM ev GROUP BY event_type HAVING count(1) >= 2),
+       v AS (
+         SELECT ev.event_id, ev.event_type, ev.vc,
+           CAST(m.s AS DOUBLE) / CAST(m.n AS DOUBLE) AS mean_d,
+           (CAST(m.n AS DOUBLE) * CAST(m.s2 AS DOUBLE) -
+             CAST(m.s AS DOUBLE) * CAST(m.s AS DOUBLE)) /
+             (CAST(m.n AS DOUBLE) * (CAST(m.n AS DOUBLE) - 1.0)) AS var_d
+         FROM ev JOIN m USING (event_type)),
+       z AS (
+         SELECT event_id, event_type, vc,
+           (CAST(vc AS DOUBLE) - mean_d) / sqrt(var_d) AS z
+         FROM v WHERE var_d > 0.0)
+       SELECT event_id, event_type, CAST(vc AS BIGINT) AS value_cents,
+         CAST(floor(z * 10000.0) AS BIGINT) AS z_e4
+       FROM z WHERE abs(z) > 3.0 ORDER BY event_id"""
+
   val queries: Map[String, QFn] = Map(
+    "v11_zscore_outliers" -> v11ZscoreOutliers,
     "v1_freshness" -> v1Freshness,
     "v2_folder_freshness" -> v2FolderFreshness,
     "v3_threshold" -> v3Threshold,
@@ -217,6 +273,7 @@ object Validate {
     "v10_nonempty" -> v10NonEmpty)
 
   val oracles: Map[String, String] = Map(
+    "v11_zscore_outliers" -> v11Sql,
     "v1_freshness" -> v1Sql,
     "v2_folder_freshness" -> v2Sql,
     "v3_threshold" -> v3Sql,

@@ -23,6 +23,13 @@ class ValidateSpec extends SparkSuite {
     val df = Validate.v3Threshold(spark, sf)
     assert(df.filter(col("min_limit").isNull).isEmpty)
   }
+
+  test("v11 z-score flags only genuine outliers, symmetric in sign") {
+    val rows = Validate.v11ZscoreOutliers(spark, sf).collect()
+    assert(rows.nonEmpty, "sf0.001 events should contain |z|>3 outliers")
+    rows.foreach(r => assert(math.abs(r.getAs[Long]("z_e4")) >= 30000L,
+      s"|z| > 3 must imply |z_e4| >= 30000: ${r.getAs[Long]("z_e4")}"))
+  }
 }
 
 class SourcesSpec extends SparkSuite {
@@ -113,6 +120,18 @@ class DedupSpec extends SparkSuite {
       Set((1L, 2L, 0)))
   }
 
+  test("keep-best picks the longest copy, lowest doc_id on ties") {
+    import spark.implicits._
+    Seq((1L, "the cat sat!"), (2L, "the cat sat"), (3L, "THE CAT SAT"),
+      (4L, "another doc entirely"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet("/tmp/graft_test_kb/documents.parquet")
+    val kept = Dedup.keepBest(spark, "/tmp/graft_test_kb").collect()
+      .map(r => (r.getAs[Long]("keeper"), r.getAs[Long]("n_dropped"))).toSet
+    // docs 1-3 share the canonical form "the cat sat"; doc 1 is longest raw
+    assert(kept == Set((1L, 2L), (4L, 0L)))
+  }
+
   test("exact dedup keeps one keeper per distinct text") {
     val df = Dedup.exactDedup(spark, sf)
     val distinctTexts = Tables.documents(spark, sf)
@@ -151,6 +170,27 @@ class VectorSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = (brute & ivf).size.toDouble / brute.size
     assert(recall >= 0.5, s"kmeans-IVF recall@10 too low: $recall")
+  }
+
+  test("PQ ADC + exact re-rank has high recall vs exact L2 top-10") {
+    val pq = Vector.annPqTopk(spark, sf).collect()
+    assert(pq.length == Vector.QueryIds.size * 10)
+    val gate = Vector.annPqRecallGate(spark, sf).collect()
+    assert(gate.length == Vector.QueryIds.size)
+    gate.foreach(r => assert(r.getAs[Boolean]("recall_ok"),
+      s"PQ recall below gate for qid ${r.getLong(0)}"))
+  }
+
+  test("PQ codebooks are deterministic and codes cover all subspaces") {
+    val b1 = Vector.pqTrain(spark, sf, iters = 2)
+    val b2 = Vector.pqTrain(spark, sf, iters = 2)
+    for (m <- 0 until Vector.PqM; k <- 0 until Vector.PqK)
+      assert(b1(m)(k).sameElements(b2(m)(k)), s"codebook ($m,$k) differs")
+    val codes = Vector.pqCodes(spark, sf, b1).collect()
+    codes.foreach { r =>
+      val cs = r.getAs[scala.collection.Seq[Int]]("codes")
+      assert(cs.length == Vector.PqM && cs.forall(c => c >= 0 && c < Vector.PqK))
+    }
   }
 
   test("IVF probe returns only same-cell neighbors") {
