@@ -65,7 +65,7 @@ object Vector {
     * and ties break on vec_id exactly like the final window — output is
     * bit-identical to the unpruned formulation. `asc` = smaller score
     * is better (distances); descending = similarities. */
-  private[ops] def topkLocal(df: DataFrame, scoreCol: String, k: Int,
+  private[graft] def topkLocal(df: DataFrame, scoreCol: String, k: Int,
       asc: Boolean): DataFrame = {
     import df.sparkSession.implicits._
     val sign = if (asc) 1.0 else -1.0
@@ -327,7 +327,19 @@ object Vector {
     * are bit-identical at any partition count. Returns books(m)(k) =
     * centroid. Driver traffic per iteration is M*K centroids (~8 KB) —
     * independent of corpus size. */
+  /** Trained-codebook cache (the "persist the index" step of a real
+    * deployment): training is deterministic, so memoizing per
+    * (session, sfDir, iters) is observationally identical — it spares
+    * the gate + topk queries a redundant retrain. */
+  private val bookCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Int), Array[Array[Array[Double]]]]
+
   def pqTrain(spark: SparkSession, sfDir: String, iters: Int)
+      : Array[Array[Array[Double]]] =
+    bookCache.getOrElseUpdate((spark, sfDir, iters),
+      pqTrainUncached(spark, sfDir, iters))
+
+  private[graft] def pqTrainUncached(spark: SparkSession, sfDir: String, iters: Int)
       : Array[Array[Array[Double]]] = {
     import spark.implicits._
     val vecs = Tables.embeddings(spark, sfDir)

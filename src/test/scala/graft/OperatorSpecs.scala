@@ -182,8 +182,8 @@ class VectorSpec extends SparkSuite {
   }
 
   test("PQ codebooks are deterministic and codes cover all subspaces") {
-    val b1 = Vector.pqTrain(spark, sf, iters = 2)
-    val b2 = Vector.pqTrain(spark, sf, iters = 2)
+    val b1 = Vector.pqTrainUncached(spark, sf, iters = 2)
+    val b2 = Vector.pqTrainUncached(spark, sf, iters = 2)
     for (m <- 0 until Vector.PqM; k <- 0 until Vector.PqK)
       assert(b1(m)(k).sameElements(b2(m)(k)), s"codebook ($m,$k) differs")
     val codes = Vector.pqCodes(spark, sf, b1).collect()

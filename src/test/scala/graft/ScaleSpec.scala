@@ -92,6 +92,25 @@ class ScaleSpec extends SparkSuite {
     assert(pruned.count() == events.filter(col("day") === lit(day)).count())
   }
 
+  test("top-k heap pruning equals the unpruned window result") {
+    import spark.implicits._
+    // Adversarial scores: heavy ties (s % 7) so tie-breaking on vec_id
+    // is actually exercised, spread over many partitions.
+    val scored = spark.range(0, 5000)
+      .select((col("id") % 3).as("qid"), col("id").as("vec_id"),
+        (col("id") % 7).cast("double").as("sim"))
+      .repartition(16)
+    val pruned = graft.ops.Vector.topkLocal(scored.toDF(), "sim", 10, asc = false)
+    assert(pruned.count() <= 16L * 3 * 10, "per-partition heaps bound survivors")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    def top(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+        .select("qid", "rk", "vec_id", "sim")
+        .orderBy("qid", "rk").collect().toSeq
+    assert(top(pruned) == top(scored.toDF()), "pruned top-k must be exact")
+  }
+
   test("fact scans prune columns and push predicates (plan audit)") {
     val q3 = graft.ops.Relational.q3TopOrders(spark, sf)
     val plan = q3.queryExecution.executedPlan.toString
