@@ -376,7 +376,172 @@ object Text {
        FROM ranked WHERE rk <= 10
        GROUP BY term ORDER BY term"""
 
+  // Repetition / duplication quality stats (the Gopher-style "is this
+  // text degenerate" filters): fraction of tokens taken by the single
+  // most frequent token, duplicate-token fraction, and the most
+  // frequent bigram's share. Explode + (doc_id, token) groupBy keeps
+  // the mode computation fully distributed — no per-row mode() over an
+  // array, no driver loop — and both shuffles are on bounded composite
+  // keys, so the plan shape is unchanged at corpus scale.
+  def repetition(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).withColumn("ws", tokens)
+    val tokStats = docs.select(col("doc_id"), explode(col("ws")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_c"))
+    // guard size >= 2: sequence(1, 0) would be DESCENDING in Spark
+    val bgStats = docs.filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 1), i -> concat(ws[i - 1], ' ', ws[i]))"))
+        .as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top_bg_c"))
+    tokStats.join(bgStats, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        e4(lit(1.0) * col("top_c") / col("n_tokens")).cast("long")
+          .as("top_token_frac_e4"),
+        e4(lit(1.0) - lit(1.0) * col("n_distinct") / col("n_tokens"))
+          .cast("long").as("dup_frac_e4"),
+        coalesce(e4(lit(1.0) * col("top_bg_c") / col("n_bigrams"))
+          .cast("long"), lit(0L)).as("top_bigram_frac_e4"))
+      .withColumn("repetitive",
+        col("top_token_frac_e4") > 2000 || col("dup_frac_e4") > 9000 ||
+          col("top_bigram_frac_e4") > 1800)
+      .orderBy(col("doc_id"))
+  }
+  val repetitionSql: String =
+    """WITH toks AS (
+         SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+       tc AS (
+         SELECT doc_id, w, count(1) AS c
+         FROM (SELECT doc_id, unnest(ws) AS w FROM toks) GROUP BY 1, 2),
+       ts AS (
+         SELECT doc_id, sum(c) AS n_tokens, count(1) AS n_distinct,
+                max(c) AS top_c
+         FROM tc GROUP BY 1),
+       bc AS (
+         SELECT doc_id, b, count(1) AS c FROM (
+           SELECT doc_id,
+                  list_extract(ws, i) || ' ' || list_extract(ws, i + 1) AS b
+           FROM toks, LATERAL unnest(range(1, len(ws))) AS t(i)
+           WHERE len(ws) >= 2)
+         GROUP BY 1, 2),
+       bs AS (
+         SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bg_c
+         FROM bc GROUP BY 1),
+       joined AS (
+         SELECT ts.doc_id, ts.n_tokens, ts.n_distinct,
+           CAST(floor((1.0 * top_c / n_tokens) * 10000.0) AS BIGINT)
+             AS top_token_frac_e4,
+           CAST(floor((1.0 - 1.0 * n_distinct / n_tokens) * 10000.0) AS BIGINT)
+             AS dup_frac_e4,
+           coalesce(CAST(floor((1.0 * top_bg_c / n_bigrams) * 10000.0)
+             AS BIGINT), 0) AS top_bigram_frac_e4
+         FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id)
+       SELECT *, (top_token_frac_e4 > 2000 OR dup_frac_e4 > 9000 OR
+                  top_bigram_frac_e4 > 1800) AS repetitive
+       FROM joined ORDER BY doc_id"""
+
+  // Benchmark decontamination: flag corpus docs sharing 3-word shingles
+  // with a held-out "benchmark" set (docs with doc_id % 97 == 0 stand
+  // in for the eval suite). The benchmark shingle set is tiny relative
+  // to the corpus, so it broadcasts — the corpus side is scanned once
+  // with a map-side semi join and never shuffles for the match itself;
+  // only the per-doc count aggregation shuffles, on doc_id. Shingling
+  // runs in the typed TextHash stage (see its scaladoc for why not a
+  // SQL expression pipeline).
+  def decontam(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val shingled = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        graft.functions.TextHash.shingles(text).map(s => (id, s)) }
+      .toDF("doc_id", "s")
+    val bench = shingled.filter(col("doc_id") % 97 === 0)
+      .select(col("s")).distinct()
+    val scan = shingled.filter(col("doc_id") % 97 =!= 0)
+    val per = scan.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val matched = scan.join(broadcast(bench), Seq("s"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_matched"))
+    per.join(matched, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"))
+      .withColumn("contam_frac_e4",
+        e4(lit(1.0) * col("n_matched") / col("n_shingles")).cast("long"))
+      .withColumn("contaminated", col("n_matched") >= 1)
+      .orderBy(col("doc_id"))
+  }
+  val decontamSql: String =
+    s"""WITH $shingleCte,
+       bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+       scan AS (SELECT doc_id, s FROM sh WHERE doc_id % 97 <> 0),
+       per AS (SELECT doc_id, count(1) AS n_shingles FROM scan GROUP BY 1),
+       m AS (SELECT doc_id, count(1) AS n_matched FROM scan
+             WHERE s IN (SELECT s FROM bench) GROUP BY 1)
+       SELECT per.doc_id, per.n_shingles,
+         coalesce(m.n_matched, 0) AS n_matched,
+         CAST(floor((1.0 * coalesce(m.n_matched, 0) / per.n_shingles)
+           * 10000.0) AS BIGINT) AS contam_frac_e4,
+         coalesce(m.n_matched, 0) >= 1 AS contaminated
+       FROM per LEFT JOIN m ON per.doc_id = m.doc_id
+       ORDER BY per.doc_id"""
+
+  // PII detect + redact: the regex scrub pass of a corpus build
+  // (emails, URLs, phone-shaped digit runs → typed placeholders, plus
+  // per-doc hit counts for the removal report). The synthetic corpus
+  // contains no PII, so the query first augments each doc with a
+  // deterministic contact trailer — the OPERATOR under test is the
+  // detect/redact expression pipeline, which is pure per-row codegen'd
+  // work (no shuffle but the presentation sort; linear at 100 TB).
+  // Patterns stay in the common Java-regex ∩ RE2 dialect so Spark and
+  // DuckDB match identically.
+  def piiRedact(spark: SparkSession, sfDir: String): DataFrame = {
+    val email = "[a-z0-9.]+@[a-z0-9.]+[a-z]"
+    val url = "https?://[a-z0-9./]+[a-z0-9/]"
+    val phone = "[0-9]{3}-[0-9]{4}"
+    Tables.documents(spark, sfDir)
+      .withColumn("raw", concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example via http://site"),
+        (col("doc_id") % 7).cast("string"),
+        lit(".org/ref call 555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+      .select(col("doc_id"),
+        size(expr(s"regexp_extract_all(raw, '$email', 0)")).as("n_emails"),
+        size(expr(s"regexp_extract_all(raw, '$url', 0)")).as("n_urls"),
+        size(expr(s"regexp_extract_all(raw, '$phone', 0)")).as("n_phones"),
+        regexp_replace(regexp_replace(regexp_replace(col("raw"),
+          email, "<EMAIL>"), url, "<URL>"), phone, "<PHONE>")
+          .as("redacted"))
+      .orderBy(col("doc_id"))
+  }
+  val piiRedactSql: String =
+    """SELECT doc_id,
+       CAST(len(regexp_extract_all(raw, '[a-z0-9.]+@[a-z0-9.]+[a-z]')) AS INT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(raw, 'https?://[a-z0-9./]+[a-z0-9/]')) AS INT)
+         AS n_urls,
+       CAST(len(regexp_extract_all(raw, '[0-9]{3}-[0-9]{4}')) AS INT)
+         AS n_phones,
+       regexp_replace(regexp_replace(regexp_replace(raw,
+         '[a-z0-9.]+@[a-z0-9.]+[a-z]', '<EMAIL>', 'g'),
+         'https?://[a-z0-9./]+[a-z0-9/]', '<URL>', 'g'),
+         '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
+       FROM (SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)
+               || '@mail.example via http://site'
+               || CAST(doc_id % 7 AS VARCHAR) || '.org/ref call 555-'
+               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+             FROM documents)
+       ORDER BY doc_id"""
+
   val queries: Map[String, QFn] = Map(
+    "t_repetition" -> repetition,
+    "t_decontam" -> decontam,
+    "t_pii_redact" -> piiRedact,
     "t_inverted_index" -> invertedIndex,
     "t_pmi_bigrams" -> pmiBigrams,
     "sample_hash" -> sampleHash,
@@ -391,6 +556,9 @@ object Text {
     "t_fingerprint" -> fingerprint)
 
   val oracles: Map[String, String] = Map(
+    "t_repetition" -> repetitionSql,
+    "t_decontam" -> decontamSql,
+    "t_pii_redact" -> piiRedactSql,
     "t_inverted_index" -> invertedIndexSql,
     "t_pmi_bigrams" -> pmiBigramsSql,
     "sample_hash" -> sampleHashSql,

@@ -140,6 +140,54 @@ class DedupSpec extends SparkSuite {
   }
 }
 
+class TextOpsSpec extends SparkSuite {
+  test("repetition: degenerate doc flags, varied doc passes") {
+    import spark.implicits._
+    Seq((1L, "spam spam spam spam spam spam"),
+      (2L, "one two three four five six seven eight"),
+      (3L, "solo"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet("/tmp/graft_test_rep/documents.parquet")
+    val rows = ops.Text.repetition(spark, "/tmp/graft_test_rep").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows(1L).getAs[Long]("top_token_frac_e4") == 10000L)
+    assert(rows(1L).getAs[Boolean]("repetitive"))
+    assert(!rows(2L).getAs[Boolean]("repetitive"))
+    // single-token doc: no bigrams, left-join null → 0, not repetitive flag crash
+    assert(rows(3L).getAs[Long]("top_bigram_frac_e4") == 0L)
+  }
+
+  test("decontam: doc sharing a shingle with the benchmark is flagged") {
+    import spark.implicits._
+    // doc 0 (0 % 97 == 0) is the benchmark; doc 5 copies its opening
+    // shingle, doc 6 is clean. Docs with <3 tokens drop out entirely.
+    Seq((0L, "alpha beta gamma delta"),
+      (5L, "alpha beta gamma epsilon"),
+      (6L, "zeta eta theta iota"),
+      (7L, "too short"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet("/tmp/graft_test_dc/documents.parquet")
+    val rows = ops.Text.decontam(spark, "/tmp/graft_test_dc").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows.keySet == Set(5L, 6L))
+    assert(rows(5L).getAs[Boolean]("contaminated"))
+    assert(rows(5L).getAs[Long]("n_matched") == 1L)
+    assert(!rows(6L).getAs[Boolean]("contaminated"))
+  }
+
+  test("pii redact: trailer is scrubbed, counts match, text is preserved") {
+    val row = ops.Text.piiRedact(spark, sf)
+      .filter(col("doc_id") === 3).collect()(0)
+    assert(row.getAs[Int]("n_emails") == 1)
+    assert(row.getAs[Int]("n_urls") == 1)
+    assert(row.getAs[Int]("n_phones") == 1)
+    val red = row.getAs[String]("redacted")
+    assert(red.contains("<EMAIL>") && red.contains("<URL>") &&
+      red.contains("<PHONE>"))
+    assert(!red.contains("@") && !red.contains("http"))
+  }
+}
+
 class VectorSpec extends SparkSuite {
   test("brute-force top-k ranks by true cosine (spot-check qid 0 rank 1)") {
     val rows = Vector.annBruteTopk(spark, sf)
