@@ -667,7 +667,83 @@ object Relational {
                     ORDER BY floor(o_totalprice * 100.0), o_orderkey)
        ORDER BY o_orderkey"""
 
+  // GROUPING SETS: detail, per-flag subtotal, and grand total in one
+  // pass — Spark expands to a single Expand + hash-agg (one shuffle,
+  // partial aggregation preserved), not three scans. grouping() markers
+  // disambiguate real NULL keys from subtotal rows.
+  def aggGroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.Catalog.registerViews(spark, sfDir)
+    spark.sql(
+      """SELECT coalesce(l_returnflag, '<all>') AS rflag,
+           coalesce(l_linestatus, '<all>') AS lstatus,
+           CAST(grouping(l_returnflag) AS INT) AS g_rflag,
+           CAST(grouping(l_linestatus) AS INT) AS g_lstatus,
+           count(1) AS n,
+           CAST(sum(floor(l_extendedprice * 100.0)) AS BIGINT) AS price_cents
+         FROM graft_lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                 (l_returnflag), ())
+         ORDER BY g_rflag, g_lstatus, rflag, lstatus""")
+  }
+  val aggGroupingSetsSql: String =
+    """SELECT coalesce(l_returnflag, '<all>') AS rflag,
+       coalesce(l_linestatus, '<all>') AS lstatus,
+       CAST(grouping(l_returnflag) AS INT) AS g_rflag,
+       CAST(grouping(l_linestatus) AS INT) AS g_lstatus,
+       count(1) AS n,
+       CAST(sum(floor(l_extendedprice * 100.0)) AS BIGINT) AS price_cents
+       FROM lineitem
+       GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                               (l_returnflag), ())
+       ORDER BY g_rflag, g_lstatus, rflag, lstatus"""
+
+  // Correlated EXISTS through the SQL entry point. Catalyst rewrites
+  // the subquery to a left-semi hash join on o_custkey with the price
+  // predicate pushed below the join — same physical plan as join_semi,
+  // but exercising the subquery-decorrelation path.
+  def existsSubquery(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.Catalog.registerViews(spark, sfDir)
+    spark.sql(
+      """SELECT c_custkey, c_name FROM graft_customer c
+         WHERE EXISTS (SELECT 1 FROM graft_orders o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND o.o_totalprice > 400000.0)
+         ORDER BY c_custkey""")
+  }
+  val existsSubquerySql: String =
+    """SELECT c_custkey, c_name FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o
+                     WHERE o.o_custkey = c.c_custkey
+                       AND o.o_totalprice > 400000.0)
+       ORDER BY c_custkey"""
+
+  // Explicit broadcast dimension join: the filtered part dim ships to
+  // every executor, so the lineitem fact NEVER shuffles — the join is
+  // map-side and the only exchange is the final small groupBy on
+  // p_brand. PlansSpec asserts BroadcastHashJoin (no SortMergeJoin)
+  // in the physical plan.
+  def broadcastJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables.part(spark, sfDir).filter(col("p_size") <= 10)
+      .select(col("p_partkey"), col("p_brand"))
+    Tables.lineitem(spark, sfDir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(revenueCents("l_extendedprice", "l_discount")).as("revenue_cents"))
+      .orderBy(col("p_brand"))
+  }
+  val broadcastJoinSql: String =
+    """SELECT p_brand, count(1) AS n_items,
+       CAST(sum(floor((l_extendedprice * (1.0 - l_discount)) * 100.0))
+         AS BIGINT) AS revenue_cents
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       WHERE p_size <= 10
+       GROUP BY p_brand ORDER BY p_brand"""
+
   val queries: Map[String, QFn] = Map(
+    "agg_grouping_sets" -> aggGroupingSets,
+    "exists_subquery" -> existsSubquery,
+    "broadcast_join" -> broadcastJoin,
     "q1_agg" -> q1Agg,
     "window_ntile" -> windowNtile,
     "q3_top_orders" -> q3TopOrders,
@@ -704,6 +780,9 @@ object Relational {
     "cohort_retention" -> cohortRetention)
 
   val oracles: Map[String, String] = Map(
+    "agg_grouping_sets" -> aggGroupingSetsSql,
+    "exists_subquery" -> existsSubquerySql,
+    "broadcast_join" -> broadcastJoinSql,
     "q1_agg" -> q1Sql,
     "window_ntile" -> windowNtileSql,
     "q3_top_orders" -> q3Sql,

@@ -111,6 +111,17 @@ class ScaleSpec extends SparkSuite {
     assert(top(pruned) == top(scored.toDF()), "pruned top-k must be exact")
   }
 
+  test("broadcast dim join never shuffles the fact side") {
+    val df = graft.ops.Relational.broadcastJoin(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"fact side must not sort-merge:\n$plan")
+    // the only hash exchange is the final tiny groupBy(p_brand)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"fact scan must feed the join shuffle-free:\n$plan")
+    assert(df.count() > 0)
+  }
+
   test("fact scans prune columns and push predicates (plan audit)") {
     val q3 = graft.ops.Relational.q3TopOrders(spark, sf)
     val plan = q3.queryExecution.executedPlan.toString
