@@ -740,7 +740,121 @@ object Relational {
        WHERE p_size <= 10
        GROUP BY p_brand ORDER BY p_brand"""
 
+  // SCD2 build: collapse each user's event stream to state-change rows,
+  // then emit [valid_from, valid_to) validity intervals with an
+  // is_current flag — the slowly-changing-dimension compaction of a
+  // warehouse load. Two window passes over the SAME (user_id) partition
+  // key and (ts, event_id) total order, so Spark plans ONE sort + ONE
+  // shuffle and both windows run in the same stage.
+  def scd2Intervals(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val changes = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNull || col("event_type") =!= col("prev_type"))
+    changes
+      .withColumn("vt", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("event_type"),
+        fmtTs(col("ts")).as("valid_from"),
+        coalesce(fmtTs(col("vt")), lit("9999-12-31 00:00:00")).as("valid_to"),
+        col("vt").isNull.as("is_current"))
+      .orderBy(col("user_id"), col("valid_from"), col("event_type"))
+  }
+  val scd2IntervalsSql: String =
+    """WITH ordered AS (
+         SELECT user_id, event_id, ts, event_type,
+           lag(event_type) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id) AS prev_type
+         FROM events),
+       changes AS (
+         SELECT user_id, event_id, ts, event_type FROM ordered
+         WHERE prev_type IS NULL OR event_type <> prev_type),
+       iv AS (
+         SELECT user_id, event_type, ts AS vf,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vt
+         FROM changes)
+       SELECT user_id, event_type,
+         strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
+         coalesce(strftime(vt, '%Y-%m-%d %H:%M:%S'),
+           '9999-12-31 00:00:00') AS valid_to,
+         vt IS NULL AS is_current
+       FROM iv ORDER BY user_id, valid_from, event_type"""
+
+  // Table profiler: null counts, exact distinct counts, min/max per
+  // column in ONE scan — Spark plans the six count(DISTINCT)s as a
+  // single Expand over the scan, not six passes, which is the only
+  // shape that works when the table is 100 TB. Values are projected to
+  // parity-safe strings (cents for money, fmtTs for timestamps).
+  def profileOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    def nn(c: String) = sum(when(col(c).isNull, 1L).otherwise(0L))
+    val a = o.agg(
+      count(lit(1)).as("n_rows"),
+      nn("o_orderkey").as("nn_key"), countDistinct(col("o_orderkey")).as("nd_key"),
+      min(col("o_orderkey")).cast("string").as("mn_key"),
+      max(col("o_orderkey")).cast("string").as("mx_key"),
+      nn("o_custkey").as("nn_cust"), countDistinct(col("o_custkey")).as("nd_cust"),
+      min(col("o_custkey")).cast("string").as("mn_cust"),
+      max(col("o_custkey")).cast("string").as("mx_cust"),
+      nn("o_orderstatus").as("nn_st"), countDistinct(col("o_orderstatus")).as("nd_st"),
+      min(col("o_orderstatus")).as("mn_st"), max(col("o_orderstatus")).as("mx_st"),
+      nn("o_totalprice").as("nn_pr"), countDistinct(cents(col("o_totalprice"))).as("nd_pr"),
+      min(cents(col("o_totalprice"))).cast("string").as("mn_pr"),
+      max(cents(col("o_totalprice"))).cast("string").as("mx_pr"),
+      nn("o_orderdate").as("nn_dt"), countDistinct(col("o_orderdate")).as("nd_dt"),
+      fmtTs(min(col("o_orderdate"))).as("mn_dt"), fmtTs(max(col("o_orderdate"))).as("mx_dt"),
+      nn("o_orderpriority").as("nn_pri"), countDistinct(col("o_orderpriority")).as("nd_pri"),
+      min(col("o_orderpriority")).as("mn_pri"), max(col("o_orderpriority")).as("mx_pri"))
+    a.select(col("n_rows"), expr(
+      """stack(6,
+         'o_orderkey', nn_key, nd_key, mn_key, mx_key,
+         'o_custkey', nn_cust, nd_cust, mn_cust, mx_cust,
+         'o_orderstatus', nn_st, nd_st, mn_st, mx_st,
+         'o_totalprice', nn_pr, nd_pr, mn_pr, mx_pr,
+         'o_orderdate', nn_dt, nd_dt, mn_dt, mx_dt,
+         'o_orderpriority', nn_pri, nd_pri, mn_pri, mx_pri)
+         AS (column_name, n_null, n_distinct, min_s, max_s)"""))
+      .orderBy(col("column_name"))
+  }
+  val profileOrdersSql: String =
+    """WITH a AS (SELECT
+         count(1) AS n_rows,
+         CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_key,
+         count(DISTINCT o_orderkey) AS nd_key,
+         CAST(min(o_orderkey) AS VARCHAR) AS mn_key,
+         CAST(max(o_orderkey) AS VARCHAR) AS mx_key,
+         CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_cust,
+         count(DISTINCT o_custkey) AS nd_cust,
+         CAST(min(o_custkey) AS VARCHAR) AS mn_cust,
+         CAST(max(o_custkey) AS VARCHAR) AS mx_cust,
+         CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_st,
+         count(DISTINCT o_orderstatus) AS nd_st,
+         min(o_orderstatus) AS mn_st, max(o_orderstatus) AS mx_st,
+         CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_pr,
+         count(DISTINCT CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS nd_pr,
+         CAST(CAST(min(floor(o_totalprice * 100.0)) AS BIGINT) AS VARCHAR) AS mn_pr,
+         CAST(CAST(max(floor(o_totalprice * 100.0)) AS BIGINT) AS VARCHAR) AS mx_pr,
+         CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_dt,
+         count(DISTINCT o_orderdate) AS nd_dt,
+         strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S') AS mn_dt,
+         strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') AS mx_dt,
+         CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_pri,
+         count(DISTINCT o_orderpriority) AS nd_pri,
+         min(o_orderpriority) AS mn_pri, max(o_orderpriority) AS mx_pri
+       FROM orders)
+       SELECT n_rows, column_name, n_null, n_distinct, min_s, max_s FROM (
+         SELECT n_rows, 'o_orderkey' AS column_name, nn_key AS n_null,
+                nd_key AS n_distinct, mn_key AS min_s, mx_key AS max_s FROM a
+         UNION ALL SELECT n_rows, 'o_custkey', nn_cust, nd_cust, mn_cust, mx_cust FROM a
+         UNION ALL SELECT n_rows, 'o_orderstatus', nn_st, nd_st, mn_st, mx_st FROM a
+         UNION ALL SELECT n_rows, 'o_totalprice', nn_pr, nd_pr, mn_pr, mx_pr FROM a
+         UNION ALL SELECT n_rows, 'o_orderdate', nn_dt, nd_dt, mn_dt, mx_dt FROM a
+         UNION ALL SELECT n_rows, 'o_orderpriority', nn_pri, nd_pri, mn_pri, mx_pri FROM a)
+       ORDER BY column_name"""
+
   val queries: Map[String, QFn] = Map(
+    "scd2_intervals" -> scd2Intervals,
+    "profile_orders" -> profileOrders,
     "agg_grouping_sets" -> aggGroupingSets,
     "exists_subquery" -> existsSubquery,
     "broadcast_join" -> broadcastJoin,
@@ -780,6 +894,8 @@ object Relational {
     "cohort_retention" -> cohortRetention)
 
   val oracles: Map[String, String] = Map(
+    "scd2_intervals" -> scd2IntervalsSql,
+    "profile_orders" -> profileOrdersSql,
     "agg_grouping_sets" -> aggGroupingSetsSql,
     "exists_subquery" -> existsSubquerySql,
     "broadcast_join" -> broadcastJoinSql,

@@ -140,6 +140,44 @@ class DedupSpec extends SparkSuite {
   }
 }
 
+class RelationalOpsSpec extends SparkSuite {
+  test("scd2 intervals tile each user's timeline with one open row") {
+    import org.apache.spark.sql.expressions.Window
+    val iv = ops.Relational.scd2Intervals(spark, sf)
+    // exactly one current row per user, and it carries the sentinel end
+    val cur = iv.filter(col("is_current"))
+    assert(cur.groupBy("user_id").count().filter(col("count") =!= 1).isEmpty)
+    assert(cur.filter(col("valid_to") =!= "9999-12-31 00:00:00").isEmpty)
+    // intervals are half-open, ordered, and adjacent (prev end = next start)
+    assert(iv.filter(col("valid_from") >= col("valid_to")).isEmpty)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("valid_from"))
+    val gaps = iv.withColumn("next_from", lead(col("valid_from"), 1).over(w))
+      .filter(col("next_from").isNotNull && col("valid_to") =!= col("next_from"))
+    assert(gaps.isEmpty, "validity intervals must tile without gaps")
+    // consecutive rows never repeat a state
+    val rep = iv.withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("event_type") === col("next_type"))
+    assert(rep.isEmpty, "consecutive intervals must change state")
+  }
+
+  test("profiler agrees with directly computed column facts") {
+    val p = ops.Relational.profileOrders(spark, sf).collect()
+      .map(r => r.getAs[String]("column_name") -> r).toMap
+    val o = Tables.orders(spark, sf)
+    val n = o.count()
+    assert(p("o_orderkey").getAs[Long]("n_rows") == n)
+    assert(p("o_orderkey").getAs[Long]("n_distinct") == n, "pk is unique")
+    assert(p("o_orderkey").getAs[Long]("n_null") == 0L)
+    val statuses = o.select("o_orderstatus").distinct().count()
+    assert(p("o_orderstatus").getAs[Long]("n_distinct") == statuses)
+    // one-pass shape: a single scan of orders feeds the whole profile
+    val plan = ops.Relational.profileOrders(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(plan).length == 1,
+      s"profiler must scan the table exactly once:\n$plan")
+  }
+}
+
 class TextOpsSpec extends SparkSuite {
   test("repetition: degenerate doc flags, varied doc passes") {
     import spark.implicits._
