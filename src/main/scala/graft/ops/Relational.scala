@@ -852,7 +852,34 @@ object Relational {
          UNION ALL SELECT n_rows, 'o_orderpriority', nn_pri, nd_pri, mn_pri, mx_pri FROM a)
        ORDER BY column_name"""
 
+  // Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys pair
+  // up instead of vanishing — the semantics a dimension join needs when
+  // "unknown" is itself a category. Catalyst plans EqualNullSafe as a
+  // hash join key, so this broadcasts exactly like the plain equi-join.
+  def nullsafeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dim = Seq(("click", 1), ("view", 2), ("purchase", 5), ("signup", 3))
+      .toDF("k", "weight")
+      .unionByName(Seq((null.asInstanceOf[String], 0)).toDF("k", "weight"))
+    val e = Tables.events(spark, sfDir)
+      .withColumn("et_key", nullif(col("event_type"), lit("error")))
+    e.join(broadcast(dim), col("et_key") <=> col("k"))
+      .groupBy(col("weight"))
+      .agg(coalesce(first(col("k")), lit("<null>")).as("key"),
+        count(lit(1)).as("n"))
+      .select(col("key"), col("weight"), col("n"))
+      .orderBy(col("weight"))
+  }
+  val nullsafeJoinSql: String =
+    """SELECT coalesce(k, '<null>') AS key, weight, count(1) AS n
+       FROM (SELECT nullif(event_type, 'error') AS et_key FROM events) e
+       JOIN (VALUES ('click', 1), ('view', 2), ('purchase', 5),
+             ('signup', 3), (NULL, 0)) d(k, weight)
+         ON e.et_key IS NOT DISTINCT FROM d.k
+       GROUP BY k, weight ORDER BY weight"""
+
   val queries: Map[String, QFn] = Map(
+    "nullsafe_join" -> nullsafeJoin,
     "scd2_intervals" -> scd2Intervals,
     "profile_orders" -> profileOrders,
     "agg_grouping_sets" -> aggGroupingSets,
@@ -894,6 +921,7 @@ object Relational {
     "cohort_retention" -> cohortRetention)
 
   val oracles: Map[String, String] = Map(
+    "nullsafe_join" -> nullsafeJoinSql,
     "scd2_intervals" -> scd2IntervalsSql,
     "profile_orders" -> profileOrdersSql,
     "agg_grouping_sets" -> aggGroupingSetsSql,

@@ -538,7 +538,90 @@ object Text {
              FROM documents)
        ORDER BY doc_id"""
 
+  // Unigram-LM surprisal scoring: the perplexity-filter analog of a
+  // KenLM quality gate, with the corpus itself as the LM. Token
+  // surprisal -ln(n_w / T) is floored to e4 fixed point PER TOKEN, so
+  // the per-doc sum is an exact integer — deterministic under any
+  // partitioning (a raw double sum would be order-dependent). Two
+  // bounded shuffles (vocab count, per-doc sum); the corpus total joins
+  // as a broadcast scalar.
+  def unigramLogprob(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(tokens).as("w"))
+      .filter(col("w") =!= "")
+    val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("n"))
+    val total = vocab.agg(sum(col("n")).as("t"))
+    toks.join(vocab, "w").crossJoin(broadcast(total))
+      .withColumn("surprisal_e4",
+        floor(-log(lit(1.0) * col("n") / col("t")) * lit(10000.0)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("surprisal_e4")).as("sum_surprisal_e4"))
+      .withColumn("avg_surprisal_e4",
+        floor(lit(1.0) * col("sum_surprisal_e4") / col("n_tokens")))
+      .orderBy(col("doc_id"))
+  }
+  val unigramLogprobSql: String =
+    """WITH toks AS (
+         SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+         FROM documents),
+       ft AS (SELECT doc_id, w FROM toks WHERE w <> ''),
+       vocab AS (SELECT w, count(1) AS n FROM ft GROUP BY w),
+       total AS (SELECT sum(n) AS t FROM vocab)
+       SELECT doc_id, count(1) AS n_tokens,
+         CAST(sum(CAST(floor(-ln(1.0 * n / t) * 10000.0) AS BIGINT))
+           AS BIGINT) AS sum_surprisal_e4,
+         CAST(floor(1.0 * sum(CAST(floor(-ln(1.0 * n / t) * 10000.0)
+           AS BIGINT)) / count(1)) AS BIGINT) AS avg_surprisal_e4
+       FROM ft JOIN vocab USING (w) CROSS JOIN total
+       GROUP BY doc_id ORDER BY doc_id"""
+
+  // Per-source KL divergence: how far each shard's unigram distribution
+  // drifts from the corpus distribution — the shard-skew / contamination
+  // detector of a corpus build. Each (source, word) term
+  // p·ln(p/q) is floored to e8 fixed point before the per-source sum,
+  // so the result is an exact integer under any partitioning. Shuffles
+  // on (source, w) and w only; corpus totals broadcast.
+  def sourceKl(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("source"), explode(tokens).as("w"))
+      .filter(col("w") =!= "")
+    val srcCounts = toks.groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("n_sw"))
+    val srcTotals = srcCounts.groupBy(col("source")).agg(sum(col("n_sw")).as("n_s"))
+    val corpus = srcCounts.groupBy(col("w")).agg(sum(col("n_sw")).as("n_w"))
+    val total = corpus.agg(sum(col("n_w")).as("t"))
+    srcCounts
+      .join(srcTotals, "source")
+      .join(corpus, "w")
+      .crossJoin(broadcast(total))
+      .withColumn("term_e8", floor(
+        (lit(1.0) * col("n_sw") / col("n_s")) *
+          log((lit(1.0) * col("n_sw") / col("n_s")) /
+              (lit(1.0) * col("n_w") / col("t"))) * lit(1e8)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("term_e8")).as("kl_e8"))
+      .orderBy(col("source"))
+  }
+  val sourceKlSql: String =
+    """WITH toks AS (
+         SELECT source, unnest(string_split(lower(text), ' ')) AS w
+         FROM documents),
+       ft AS (SELECT source, w FROM toks WHERE w <> ''),
+       sc AS (SELECT source, w, count(1) AS n_sw FROM ft GROUP BY 1, 2),
+       st AS (SELECT source, sum(n_sw) AS n_s FROM sc GROUP BY 1),
+       cw AS (SELECT w, sum(n_sw) AS n_w FROM sc GROUP BY 1),
+       tot AS (SELECT sum(n_w) AS t FROM cw)
+       SELECT source, count(1) AS n_terms,
+         CAST(sum(CAST(floor((1.0 * n_sw / n_s) *
+           ln((1.0 * n_sw / n_s) / (1.0 * n_w / t)) * 1e8) AS BIGINT))
+           AS BIGINT) AS kl_e8
+       FROM sc JOIN st USING (source) JOIN cw USING (w) CROSS JOIN tot
+       GROUP BY source ORDER BY source"""
+
   val queries: Map[String, QFn] = Map(
+    "t_unigram_logprob" -> unigramLogprob,
+    "t_source_kl" -> sourceKl,
     "t_repetition" -> repetition,
     "t_decontam" -> decontam,
     "t_pii_redact" -> piiRedact,
@@ -556,6 +639,8 @@ object Text {
     "t_fingerprint" -> fingerprint)
 
   val oracles: Map[String, String] = Map(
+    "t_unigram_logprob" -> unigramLogprobSql,
+    "t_source_kl" -> sourceKlSql,
     "t_repetition" -> repetitionSql,
     "t_decontam" -> decontamSql,
     "t_pii_redact" -> piiRedactSql,

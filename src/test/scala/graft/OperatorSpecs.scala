@@ -213,6 +213,33 @@ class TextOpsSpec extends SparkSuite {
     assert(!rows(6L).getAs[Boolean]("contaminated"))
   }
 
+  test("unigram surprisal matches hand computation on a 2-word corpus") {
+    import spark.implicits._
+    // corpus: "a a a b" → p(a)=3/4, p(b)=1/4
+    Seq((1L, "a a a"), (2L, "b"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet("/tmp/graft_test_ug/documents.parquet")
+    val rows = ops.Text.unigramLogprob(spark, "/tmp/graft_test_ug").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val sA = math.floor(-math.log(3.0 / 4.0) * 10000.0).toLong
+    val sB = math.floor(-math.log(1.0 / 4.0) * 10000.0).toLong
+    assert(rows(1L).getAs[Long]("sum_surprisal_e4") == 3 * sA)
+    assert(rows(2L).getAs[Long]("sum_surprisal_e4") == sB)
+    assert(rows(1L).getAs[Long]("avg_surprisal_e4") == sA)
+  }
+
+  test("source KL is ~zero for identical shards, positive for skewed") {
+    import spark.implicits._
+    Seq((1L, "x y z", "same1"), (2L, "x y z", "same2"),
+      (3L, "x x x x x x", "skewed"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet("/tmp/graft_test_kl/documents.parquet")
+    val rows = ops.Text.sourceKl(spark, "/tmp/graft_test_kl").collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("kl_e8")).toMap
+    assert(rows("skewed") > rows("same1"), "skewed shard diverges most")
+    assert(rows("same1") == rows("same2"), "identical shards score identically")
+  }
+
   test("pii redact: trailer is scrubbed, counts match, text is preserved") {
     val row = ops.Text.piiRedact(spark, sf)
       .filter(col("doc_id") === 3).collect()(0)
