@@ -79,10 +79,55 @@ object EventsStream {
        CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
        FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"""
 
+  /** `stream_sessionize`: the stateful-streaming path —
+    * flatMapGroupsWithState over a file stream, Append mode,
+    * AvailableNow — flushed to a batch result. The whole history
+    * arrives in one micro-batch here, so every session closes and the
+    * result equals the batch window-gap sessionization (Flow.sessionize
+    * minus the session index); in production the same operator emits
+    * closed sessions incrementally per batch. */
+  def streamSessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val src = spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .select(col("user_id"), expr("ts div 1000").as("tsMicros"))
+      .as[Ev]
+    val out = runToMemory(spark, sessionize(src).toDF(),
+      s"graft_stream_sess_${runSeq.incrementAndGet()}", OutputMode.Append())
+    out.select(col("user_id"),
+        graft.Util.fmtTs(expr("timestamp_micros(session_start)")).as("session_start"),
+        graft.Util.fmtTs(expr("timestamp_micros(session_end)")).as("session_end"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+  val streamSessionizeSql: String =
+    """SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       count(1) AS n_events
+       FROM (
+         SELECT user_id, ts,
+           sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_idx
+         FROM (
+           SELECT user_id, event_id, ts,
+             CASE WHEN prev_s IS NULL
+                  OR CAST(floor(epoch(ts)) AS BIGINT) - prev_s > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+           FROM (
+             SELECT user_id, event_id, ts,
+               CAST(floor(epoch(lag(ts, 1) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id))) AS BIGINT) AS prev_s
+             FROM events)))
+       GROUP BY user_id, sess_idx ORDER BY user_id, session_start"""
+
   val queries: Map[String, graft.Util.QFn] = Map(
-    "stream_windowed_counts" -> streamWindowedCounts)
+    "stream_windowed_counts" -> streamWindowedCounts,
+    "stream_sessionize" -> streamSessionize)
   val oracles: Map[String, String] = Map(
-    "stream_windowed_counts" -> streamWindowedCountsSql)
+    "stream_windowed_counts" -> streamWindowedCountsSql,
+    "stream_sessionize" -> streamSessionizeSql)
 
   // -- custom state: session windows via mapGroupsWithState --------------
 
@@ -96,7 +141,12 @@ object EventsStream {
     * AvailableNow run drains; the batch twin is Flow.sessionize. */
   def sessionize(events: Dataset[Ev]): Dataset[Session] = {
     import events.sparkSession.implicits._
-    val gapMicros = 1800L * 1000000L
+    // Gap compares FLOORED SECONDS, exactly like the batch twin's
+    // unix_timestamp() arithmetic — a micros-precision compare would
+    // split sessions the batch query keeps when a gap lands inside
+    // (1800 s, 1801 s) across a second boundary.
+    val gapSeconds = 1800L
+    def secs(micros: Long): Long = micros / 1000000L
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[List[SessState], Session](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
@@ -109,7 +159,7 @@ object EventsStream {
           var cur = state.getOption.flatMap(_.headOption)
           sorted.foreach { t =>
             cur match {
-              case Some(s) if t - s.last <= gapMicros =>
+              case Some(s) if secs(t) - secs(s.last) <= gapSeconds =>
                 cur = Some(s.copy(last = t, n = s.n + 1))
               case Some(s) =>
                 sessions ::= Session(uid, s.start, s.last, s.n)
