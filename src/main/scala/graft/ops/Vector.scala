@@ -515,7 +515,65 @@ object Vector {
     s"""SELECT vec_id AS qid, true AS recall_ok FROM embeddings
        WHERE vec_id IN (${QueryIds.mkString(", ")}) ORDER BY qid"""
 
+  // Per-label centroid statistics: exact integer per-dimension sums
+  // (e4 fixed point per ELEMENT, then integer sum — deterministic under
+  // any partitioning, unlike a raw float mean). posexplode → one
+  // shuffle on the bounded (label, dim) key; at 100 TB the same plan
+  // computes class centroids for rebalancing or probing-list training.
+  def embCentroids(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("x").cast("double") * lit(10000.0))).as("sum_e4"))
+      .withColumn("mean_e4", floor(lit(1.0) * col("sum_e4") / col("n")))
+      .orderBy(col("label"), col("dim"))
+  val embCentroidsSql: String =
+    """SELECT label, CAST(i - 1 AS INT) AS dim, count(1) AS n,
+       CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 10000.0) AS BIGINT))
+         AS BIGINT) AS sum_e4,
+       CAST(floor(1.0 * sum(CAST(floor(CAST(x AS DOUBLE) * 10000.0)
+         AS BIGINT)) / count(1)) AS BIGINT) AS mean_e4
+       FROM (SELECT label, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS i
+             FROM embeddings)
+       GROUP BY label, i ORDER BY label, dim"""
+
+  // Int8 symmetric quantization audit: per-vector scale (max |x|) and
+  // a deterministic checksum of the quantized codes — the storage-
+  // compression step of a 100 TB embedding store, verified without
+  // shipping the codes themselves. floor(v + 0.5) is explicit
+  // round-half-up, identical in both engines (a bare round() would
+  // hit banker's-rounding differences). Pure per-row work; no shuffle.
+  def embQuantizeInt8(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .withColumn("scale", expr(
+        "aggregate(embedding, CAST(0.0 AS DOUBLE), (m, x) -> greatest(m, abs(CAST(x AS DOUBLE))))"))
+      .filter(col("scale") > 0)
+      .select(col("vec_id"), e4(col("scale")).as("scale_e4"),
+        expr("""aggregate(embedding, (CAST(0 AS BIGINT), 1),
+                 (acc, x) -> (acc.col1 +
+                   CAST(floor(CAST(x AS DOUBLE) / scale * 127.0 + 0.5) AS BIGINT)
+                     * acc.col2,
+                   acc.col2 + 1),
+                 acc -> acc.col1)""").as("code_checksum"))
+      .orderBy(col("vec_id"))
+  val embQuantizeInt8Sql: String =
+    """SELECT vec_id,
+       CAST(floor(scale * 10000.0) AS BIGINT) AS scale_e4,
+       CAST(sum(CAST(floor(CAST(x AS DOUBLE) / scale * 127.0 + 0.5)
+         AS BIGINT) * i) AS BIGINT) AS code_checksum
+       FROM (SELECT vec_id, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS i,
+               list_aggregate(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE))), 'max') AS scale
+             FROM embeddings)
+       WHERE scale > 0
+       GROUP BY vec_id, scale ORDER BY vec_id"""
+
   val queries: Map[String, QFn] = Map(
+    "emb_centroids" -> embCentroids,
+    "emb_quantize_int8" -> embQuantizeInt8,
     "ann_brute_topk" -> annBruteTopk,
     "ann_ivf_topk" -> annIvfTopk,
     "emb_norm_stats" -> embNormStats,
@@ -525,6 +583,8 @@ object Vector {
     "dedup_embedding_cosine" -> dedupEmbeddingCosine)
 
   val oracles: Map[String, String] = Map(
+    "emb_centroids" -> embCentroidsSql,
+    "emb_quantize_int8" -> embQuantizeInt8Sql,
     "ann_brute_topk" -> oracleSql(10, sameLabelOnly = false),
     "ann_ivf_topk" -> oracleSql(5, sameLabelOnly = true),
     "emb_norm_stats" -> embNormStatsSql,

@@ -262,6 +262,32 @@ class VectorSpec extends SparkSuite {
     assert(sims.sameElements(sims.sortBy(-_.toDouble)), "ranks ordered by sim")
   }
 
+  test("centroid sums are exact integers matching a JVM computation") {
+    val rows = ops.Vector.embCentroids(spark, sf)
+      .filter(col("label") === 0 && col("dim") === 0).collect()
+    assert(rows.length == 1)
+    val want = Tables.embeddings(spark, sf).filter(col("label") === 0)
+      .collect().map(r =>
+        math.floor(r.getAs[Seq[Float]]("embedding").head.toDouble * 10000.0).toLong)
+      .sum
+    assert(rows(0).getAs[Long]("sum_e4") == want)
+  }
+
+  test("int8 quantization: known vector yields the hand-computed checksum") {
+    import spark.implicits._
+    val v = Array(1.0f, -0.5f, 0.25f)
+    Seq((0L, v.toSeq, 0))
+      .toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"), col("embedding").cast("array<float>"), col("label"))
+      .write.mode("overwrite").parquet("/tmp/graft_test_q8/embeddings.parquet")
+    val row = ops.Vector.embQuantizeInt8(spark, "/tmp/graft_test_q8").collect()(0)
+    // scale = 1.0; codes = [127, -63, 32]; checksum = 127*1 - 63*2 + 32*3
+    val codes = v.map(x => math.floor(x / 1.0 * 127.0 + 0.5).toLong)
+    val want = codes.zipWithIndex.map { case (c, i) => c * (i + 1) }.sum
+    assert(row.getAs[Long]("scale_e4") == 10000L)
+    assert(row.getAs[Long]("code_checksum") == want)
+  }
+
   test("embedding-cosine near-dup finds synthetic twins via sign-LSH") {
     import spark.implicits._
     val base = Array.tabulate(64)(i => (i + 1).toFloat)
