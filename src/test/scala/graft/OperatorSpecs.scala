@@ -170,11 +170,14 @@ class RelationalOpsSpec extends SparkSuite {
     assert(p("o_orderkey").getAs[Long]("n_null") == 0L)
     val statuses = o.select("o_orderstatus").distinct().count()
     assert(p("o_orderstatus").getAs[Long]("n_distinct") == statuses)
-    // one-pass shape: a single scan of orders feeds the whole profile
+    // scale shape: one branch per column, each scan pruned to exactly
+    // one field (total bytes read = one full-table scan), no Expand
     val plan = ops.Relational.profileOrders(spark, sf)
       .queryExecution.executedPlan.toString
-    assert("Scan parquet".r.findAllIn(plan).length == 1,
-      s"profiler must scan the table exactly once:\n$plan")
+    assert(!plan.contains("Expand"), "no multi-distinct row multiplication")
+    val schemas = "ReadSchema: struct<[^>]*>".r.findAllIn(plan).toSeq
+    assert(schemas.size == 6 && schemas.forall(!_.contains(",")),
+      s"each branch must scan exactly its own column:\n$plan")
   }
 }
 
