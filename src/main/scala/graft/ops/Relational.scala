@@ -870,7 +870,118 @@ object Relational {
          ON e.et_key IS NOT DISTINCT FROM d.k
        GROUP BY k, weight ORDER BY weight"""
 
+  // Referential-integrity audit: orphan counts for each FK edge of the
+  // schema, each a left-anti join that Spark executes as a broadcast
+  // or shuffled hash anti join — never a full materialized join. The
+  // three branches scan only their key columns.
+  def fkCheck(spark: SparkSession, sfDir: String): DataFrame = {
+    def orphans(name: String, fact: DataFrame, fk: String,
+        dim: DataFrame, pk: String): DataFrame =
+      fact.select(col(fk)).join(dim.select(col(pk)),
+          col(fk) === col(pk), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+        .select(lit(name).as("fk"), col("n_orphans"))
+    orphans("lineitem->orders", Tables.lineitem(spark, sfDir), "l_orderkey",
+        Tables.orders(spark, sfDir), "o_orderkey")
+      .unionByName(orphans("lineitem->part", Tables.lineitem(spark, sfDir),
+        "l_partkey", Tables.part(spark, sfDir), "p_partkey"))
+      .unionByName(orphans("orders->customer", Tables.orders(spark, sfDir),
+        "o_custkey", Tables.customer(spark, sfDir), "c_custkey"))
+      .orderBy(col("fk"))
+  }
+  val fkCheckSql: String =
+    """SELECT 'lineitem->orders' AS fk,
+         (SELECT count(1) FROM lineitem l WHERE NOT EXISTS
+           (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+       UNION ALL SELECT 'lineitem->part',
+         (SELECT count(1) FROM lineitem l WHERE NOT EXISTS
+           (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+       UNION ALL SELECT 'orders->customer',
+         (SELECT count(1) FROM orders o WHERE NOT EXISTS
+           (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+       ORDER BY fk"""
+
+  // CDC latest-wins merge: compact an event log into final entity
+  // state — the MERGE/upsert of a warehouse load, expressed as one
+  // window pass (row_number over the per-key change order) instead of
+  // a row-at-a-time merge. signup=insert, click/view/purchase=update,
+  // error=tombstone; a key whose LATEST change is a tombstone drops
+  // out of the final state entirely.
+  def cdcMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("event_type") =!= "error")
+      .select(col("user_id"), col("event_type").as("last_op"),
+        fmtTs(col("ts")).as("updated_at"),
+        cents(col("value")).as("value_cents"))
+      .orderBy(col("user_id"))
+  }
+  val cdcMergeSql: String =
+    """SELECT user_id, event_type AS last_op,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS updated_at,
+       CAST(floor(value * 100.0) AS BIGINT) AS value_cents
+       FROM (
+         SELECT user_id, event_type, ts, value,
+           row_number() OVER (PARTITION BY user_id
+             ORDER BY ts DESC, event_id DESC) AS rn
+         FROM events)
+       WHERE rn = 1 AND event_type <> 'error'
+       ORDER BY user_id"""
+
+  // Time-series resample + forward fill: hourly spine per user
+  // (bounded cohort), last observation carried forward across empty
+  // hours — the gap-filling step before any train/serve feature join.
+  // The spine explodes from per-user min/max (no calendar cross-join);
+  // fill is one IGNORE NULLS window over the (user, hour) order.
+  def resampleFfill(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir).filter(col("user_id") < 40)
+    val perHour = e.groupBy(col("user_id"),
+        date_trunc("hour", col("ts")).as("hr"))
+      .agg(max_by(cents(col("value")),
+        struct(col("ts"), col("event_id"))).as("obs_cents"))
+    val spine = e.groupBy(col("user_id"))
+      .agg(date_trunc("hour", min(col("ts"))).as("h0"),
+        date_trunc("hour", max(col("ts"))).as("h1"))
+      .select(col("user_id"),
+        explode(expr("sequence(h0, h1, interval 1 hour)")).as("hr"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("hr"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    spine.join(perHour, Seq("user_id", "hr"), "left")
+      .withColumn("filled_cents", last(col("obs_cents"), ignoreNulls = true).over(w))
+      .select(col("user_id"), fmtTs(col("hr")).as("hr"),
+        col("obs_cents"), col("filled_cents"))
+      .orderBy(col("user_id"), col("hr"))
+  }
+  val resampleFfillSql: String =
+    """WITH e AS (SELECT * FROM events WHERE user_id < 40),
+       per_hour AS (
+         SELECT user_id, hr, obs_cents FROM (
+           SELECT user_id, date_trunc('hour', ts) AS hr,
+             CAST(floor(value * 100.0) AS BIGINT) AS obs_cents,
+             row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+               ORDER BY ts DESC, event_id DESC) AS rn
+           FROM e) WHERE rn = 1),
+       spine AS (
+         SELECT user_id, unnest(generate_series(
+           date_trunc('hour', mn), date_trunc('hour', mx),
+           INTERVAL 1 HOUR)) AS hr
+         FROM (SELECT user_id, min(ts) AS mn, max(ts) AS mx
+               FROM e GROUP BY user_id))
+       SELECT s.user_id, strftime(s.hr, '%Y-%m-%d %H:%M:%S') AS hr,
+         p.obs_cents,
+         last_value(p.obs_cents IGNORE NULLS) OVER (
+           PARTITION BY s.user_id ORDER BY s.hr
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_cents
+       FROM spine s LEFT JOIN per_hour p
+         ON s.user_id = p.user_id AND s.hr = p.hr
+       ORDER BY s.user_id, hr"""
+
   val queries: Map[String, QFn] = Map(
+    "fk_check" -> fkCheck,
+    "cdc_merge" -> cdcMerge,
+    "resample_ffill" -> resampleFfill,
     "nullsafe_join" -> nullsafeJoin,
     "scd2_intervals" -> scd2Intervals,
     "profile_orders" -> profileOrders,
@@ -913,6 +1024,9 @@ object Relational {
     "cohort_retention" -> cohortRetention)
 
   val oracles: Map[String, String] = Map(
+    "fk_check" -> fkCheckSql,
+    "cdc_merge" -> cdcMergeSql,
+    "resample_ffill" -> resampleFfillSql,
     "nullsafe_join" -> nullsafeJoinSql,
     "scd2_intervals" -> scd2IntervalsSql,
     "profile_orders" -> profileOrdersSql,

@@ -160,6 +160,23 @@ class RelationalOpsSpec extends SparkSuite {
     assert(rep.isEmpty, "consecutive intervals must change state")
   }
 
+  test("cdc merge: tombstoned keys drop out, latest update wins") {
+    import spark.implicits._
+    val h = 3600L * 1000000000L // one hour in nanos
+    Seq(
+      (1L, 1 * h, 10L, "signup", 1.0, "{}"),
+      (2L, 2 * h, 10L, "click", 2.0, "{}"),   // user 10: latest = update
+      (3L, 1 * h, 11L, "signup", 3.0, "{}"),
+      (4L, 2 * h, 11L, "error", 0.0, "{}"),   // user 11: latest = tombstone
+      (5L, 1 * h, 12L, "error", 0.0, "{}"),
+      (6L, 2 * h, 12L, "view", 4.0, "{}"))    // user 12: resurrected after delete
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet("/tmp/graft_test_cdc/events.parquet")
+    val rows = ops.Relational.cdcMerge(spark, "/tmp/graft_test_cdc").collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[String]("last_op")).toMap
+    assert(rows == Map(10L -> "click", 12L -> "view"))
+  }
+
   test("profiler agrees with directly computed column facts") {
     val p = ops.Relational.profileOrders(spark, sf).collect()
       .map(r => r.getAs[String]("column_name") -> r).toMap
