@@ -259,7 +259,58 @@ object Validate {
          CAST(floor(z * 10000.0) AS BIGINT) AS z_e4
        FROM z WHERE abs(z) > 3.0 ORDER BY event_id"""
 
+  /** V12 — PSI drift monitor: population-stability index of the event
+    * value distribution, reference window (Jan 2024) vs the rest.
+    * Laplace-smoothed per-bin terms are floored to e8 fixed point, so
+    * the verdict is an exact integer at any partitioning (same pattern
+    * as v11's exact moments). One scan, one 10-key shuffle; the two
+    * window totals ride along via a broadcast scalar join. */
+  def v12PsiDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val binned = graft.Tables.events(spark, sfDir)
+      .withColumn("bin",
+        least(greatest(floor(col("value") / 10.0).cast("int"), lit(0)), lit(9)))
+      .withColumn("in_ref",
+        col("ts") < lit("2024-02-01 00:00:00").cast("timestamp"))
+    val counts = binned.groupBy(col("bin"))
+      .agg(sum(when(col("in_ref"), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(!col("in_ref"), 1L).otherwise(0L)).as("n_cur"))
+    val totals = counts.agg(sum(col("n_ref")).as("t_ref"),
+      sum(col("n_cur")).as("t_cur"))
+    counts.crossJoin(broadcast(totals))
+      .withColumn("p", (col("n_ref") + lit(1.0)) / (col("t_ref") + lit(10.0)))
+      .withColumn("q", (col("n_cur") + lit(1.0)) / (col("t_cur") + lit(10.0)))
+      .withColumn("term_e8",
+        floor((col("p") - col("q")) * log(col("p") / col("q")) * lit(1e8)))
+      .select(col("bin"), col("n_ref"), col("n_cur"), col("term_e8"),
+        (col("term_e8") > lit(2000000L)).as("bin_drifted"))
+      .orderBy(col("bin"))
+  }
+  val v12Sql: String =
+    """WITH b AS (
+         SELECT least(greatest(CAST(floor(value / 10.0) AS INT), 0), 9) AS bin,
+           ts < TIMESTAMP '2024-02-01 00:00:00' AS in_ref
+         FROM events),
+       c AS (
+         SELECT bin,
+           CAST(sum(CASE WHEN in_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+           CAST(sum(CASE WHEN NOT in_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+         FROM b GROUP BY bin),
+       t AS (SELECT CAST(sum(n_ref) AS BIGINT) AS t_ref,
+                    CAST(sum(n_cur) AS BIGINT) AS t_cur FROM c)
+       SELECT bin, n_ref, n_cur,
+         CAST(floor(((n_ref + 1.0) / (t_ref + 10.0) -
+                     (n_cur + 1.0) / (t_cur + 10.0)) *
+           ln(((n_ref + 1.0) / (t_ref + 10.0)) /
+              ((n_cur + 1.0) / (t_cur + 10.0))) * 1e8) AS BIGINT) AS term_e8,
+         CAST(floor(((n_ref + 1.0) / (t_ref + 10.0) -
+                     (n_cur + 1.0) / (t_cur + 10.0)) *
+           ln(((n_ref + 1.0) / (t_ref + 10.0)) /
+              ((n_cur + 1.0) / (t_cur + 10.0))) * 1e8) AS BIGINT) > 2000000
+           AS bin_drifted
+       FROM c CROSS JOIN t ORDER BY bin"""
+
   val queries: Map[String, QFn] = Map(
+    "v12_psi_drift" -> v12PsiDrift,
     "v11_zscore_outliers" -> v11ZscoreOutliers,
     "v1_freshness" -> v1Freshness,
     "v2_folder_freshness" -> v2FolderFreshness,
@@ -273,6 +324,7 @@ object Validate {
     "v10_nonempty" -> v10NonEmpty)
 
   val oracles: Map[String, String] = Map(
+    "v12_psi_drift" -> v12Sql,
     "v11_zscore_outliers" -> v11Sql,
     "v1_freshness" -> v1Sql,
     "v2_folder_freshness" -> v2Sql,

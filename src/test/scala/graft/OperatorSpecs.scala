@@ -24,6 +24,27 @@ class ValidateSpec extends SparkSuite {
     assert(df.filter(col("min_limit").isNull).isEmpty)
   }
 
+  test("v12 PSI flags a shifted distribution and clears a stable one") {
+    import spark.implicits._
+    val jan = 1704067200L * 1000000000L // 2024-01-01 in nanos
+    val mar = 1709251200L * 1000000000L // 2024-03-01 in nanos
+    // ref window: values around bin 1; current: all mass moved to bin 8
+    val shifted = (1L to 200L).map(i => (i, jan + i, i, "click", 15.0, "{}")) ++
+      (201L to 400L).map(i => (i, mar + i, i, "click", 85.0, "{}"))
+    shifted.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet("/tmp/graft_test_psi/events.parquet")
+    val drift = Validate.v12PsiDrift(spark, "/tmp/graft_test_psi")
+      .filter(col("bin_drifted")).collect().map(_.getAs[Int]("bin")).toSet
+    assert(drift == Set(1, 8), "mass moved from bin 1 to bin 8; both flag")
+    // stable corpus: same value mix in both windows → no drifted bin
+    val stable = (1L to 200L).map(i => (i, jan + i, i, "click", (i % 100).toDouble, "{}")) ++
+      (201L to 400L).map(i => (i, mar + i, i, "click", (i % 100).toDouble, "{}"))
+    stable.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet("/tmp/graft_test_psi2/events.parquet")
+    assert(Validate.v12PsiDrift(spark, "/tmp/graft_test_psi2")
+      .filter(col("bin_drifted")).isEmpty)
+  }
+
   test("v11 z-score flags only genuine outliers, symmetric in sign") {
     val rows = Validate.v11ZscoreOutliers(spark, sf).collect()
     assert(rows.nonEmpty, "sf0.001 events should contain |z|>3 outliers")
