@@ -18,12 +18,22 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JIT/codegen warmup on the tiny smoke table so the first measured
-    // query doesn't absorb one-time JVM cost.
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // SPARK_GRAFT_ONLY=q1,q2 restricts the run for local iteration.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    // JIT/codegen warmup: run the measured set once at the smallest
+    // scale so per-query sf0.1 numbers measure steady-state operator
+    // throughput (the 100 TB-relevant quantity), not one-time janino
+    // compilation — which was 60–85 % of small-query wall time.
+    // Disable with SPARK_GRAFT_NOWARMUP=1 to see cold numbers.
+    if (!sys.env.contains("SPARK_GRAFT_NOWARMUP")) {
+      val warmDir = "/root/testdata/sf0.001"
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.isEmpty || only(name) }
+        .foreach { case (_, fn) =>
+          try fn(spark, warmDir).count() catch { case _: Throwable => () }
+        }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
