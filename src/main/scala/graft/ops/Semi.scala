@@ -320,6 +320,43 @@ object Semi {
     s"SELECT file, length FROM (VALUES $rows) AS t(file, length) ORDER BY file"
   }
 
+  // Compaction planner: assign small files to merge bins by target
+  // output size — the "rewrite 10M tiny files into 128 MB objects"
+  // maintenance pass of a 100 TB table. Bin id = floor(preceding
+  // cumulative size / target) via ONE ordered window over the
+  // manifest; no pairwise packing search, so the plan is a single sort
+  // at any file count. Oracle = the same arithmetic over the dump-time
+  // staging manifest (s6 pattern).
+  def compactionPlan(spark: SparkSession, sfDir: String): DataFrame = {
+    val target = 512L
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("file"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Sources.fsScan(spark, graft.Tables.FixturesDir)
+      .select(regexp_extract(col("path"), "[^/]+$", 0).as("file"),
+        col("length"))
+      .withColumn("bin",
+        floor(coalesce(sum(col("length")).over(w), lit(0L)) / lit(target)))
+      .withColumn("bin_bytes",
+        sum(col("length")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("bin"))))
+      .orderBy(col("file"))
+  }
+  def compactionPlanSql: String = {
+    val rows = new java.io.File(graft.Tables.FixturesDir)
+      .listFiles().filter(_.isFile).sortBy(_.getName)
+      .map(f => s"('${f.getName}', CAST(${f.length()} AS BIGINT))")
+      .mkString(", ")
+    s"""SELECT file, length, bin,
+        sum(length) OVER (PARTITION BY bin) AS bin_bytes
+        FROM (
+          SELECT file, length,
+            CAST(floor(coalesce(sum(length) OVER (ORDER BY file
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512)
+              AS BIGINT) AS bin
+          FROM (VALUES $rows) AS t(file, length))
+        ORDER BY file"""
+  }
+
   // S7 — disk-usage probe (scalar; environment state, no oracle).
   def s7DiskProbe(spark: SparkSession, sfDir: String): DataFrame =
     Sources.diskUsage(spark, "/root/repo")
@@ -346,7 +383,8 @@ object Semi {
     "s5_paginated" -> s5Paginated,
     "s6_fs_scan" -> s6FsScan,
     "s8_csv_read" -> s8CsvRead,
-    "s7_disk_probe" -> s7DiskProbe)
+    "s7_disk_probe" -> s7DiskProbe,
+    "compaction_plan" -> compactionPlan)
 
   val oracles: Map[String, String] = Map(
     "p1_trycast_extract" -> p1Sql,
@@ -366,5 +404,6 @@ object Semi {
     "s4_soft_fail" -> s4Sql,
     "s5_paginated" -> s5Sql,
     "s6_fs_scan" -> s6Sql,
-    "s8_csv_read" -> s8Sql)
+    "s8_csv_read" -> s8Sql,
+    "compaction_plan" -> compactionPlanSql)
 }
