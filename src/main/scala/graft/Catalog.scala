@@ -17,10 +17,14 @@ object Catalog {
       df.createOrReplaceTempView(s"graft_$t")
     }
 
-  /** Register dot_f32 for SQL call sites. Idempotent. */
-  def registerFunctions(spark: SparkSession): Unit =
+  /** Register dot_f32 + the geomean_e2 UDAF for SQL call sites.
+    * Idempotent. */
+  def registerFunctions(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_f32",
       exprs => graft.functions.DotF32(exprs.head, exprs(1)),
       "scala_udf")
+    spark.udf.register("geomean_e2",
+      org.apache.spark.sql.functions.udaf(graft.functions.GeoMeanE2))
+  }
 }

@@ -978,7 +978,27 @@ object Relational {
          ON s.user_id = p.user_id AND s.hr = p.hr
        ORDER BY s.user_id, hr"""
 
+  // Custom typed-Aggregator UDAF through the SQL entry point: exact
+  // log-space accumulation (see functions.GeoMeanE2) makes a
+  // floating-point aggregate hash-match DuckDB with no tolerance.
+  def udafGeomean(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.Catalog.registerViews(spark, sfDir)
+    graft.Catalog.registerFunctions(spark)
+    spark.sql(
+      """SELECT o_orderpriority, count(1) AS n,
+           geomean_e2(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS geomean_e2
+         FROM graft_orders
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+  }
+  val udafGeomeanSql: String =
+    """SELECT o_orderpriority, count(1) AS n,
+       CAST(floor(exp((CAST(sum(CAST(floor(ln(CAST(floor(o_totalprice * 100.0)
+         AS BIGINT)) * 1e6) AS BIGINT)) AS DOUBLE) / 1e6) / count(1)) * 100.0)
+         AS BIGINT) AS geomean_e2
+       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
   val queries: Map[String, QFn] = Map(
+    "udaf_geomean" -> udafGeomean,
     "fk_check" -> fkCheck,
     "cdc_merge" -> cdcMerge,
     "resample_ffill" -> resampleFfill,
@@ -1024,6 +1044,7 @@ object Relational {
     "cohort_retention" -> cohortRetention)
 
   val oracles: Map[String, String] = Map(
+    "udaf_geomean" -> udafGeomeanSql,
     "fk_check" -> fkCheckSql,
     "cdc_merge" -> cdcMergeSql,
     "resample_ffill" -> resampleFfillSql,

@@ -181,6 +181,17 @@ class RelationalOpsSpec extends SparkSuite {
     assert(rep.isEmpty, "consecutive intervals must change state")
   }
 
+  test("geomean UDAF is partition-count invariant (exact log-space sums)") {
+    import spark.implicits._
+    val udaf = org.apache.spark.sql.functions.udaf(functions.GeoMeanE2)
+    def run(parts: Int) = spark.range(1, 10001).select((col("id") * 37 % 9973 + 1).as("v"))
+      .repartition(parts).agg(udaf(col("v"))).collect()(0).getLong(0)
+    assert(run(1) == run(13) && run(13) == run(64))
+    // spot value: geomean of {100} = 100 → e2 fixed point 10000
+    val one = Seq(100L).toDF("v").agg(udaf(col("v"))).collect()(0).getLong(0)
+    assert(math.abs(one - 10000L) <= 1L)
+  }
+
   test("cdc merge: tombstoned keys drop out, latest update wins") {
     import spark.implicits._
     val h = 3600L * 1000000000L // one hour in nanos
