@@ -144,13 +144,44 @@ object Multimodal {
        md5(text) AS digest
        FROM documents ORDER BY doc_id"""
 
+  /** Binary-asset dedup by content fingerprint: per-partition decode →
+    * 64-bit fingerprint (here the sha256 head; a real pipeline slots a
+    * perceptual hash into the same decode stage) → one groupBy on the
+    * 8-byte key. Only (doc_id, fingerprint) ever shuffles — the binary
+    * payload stays in the scan stage, which is what makes this viable
+    * when the assets are 100 TB. */
+  def mmPhashDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // canonicalize before hashing (lower/strip/collapse — the same
+    // normalize-then-fingerprint shape as Text.normalize): byte-exact
+    // duplicates are rare, canonical duplicates are the real target
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), encode(trim(regexp_replace(regexp_replace(
+        lower(col("text")), "[^a-z0-9 ]", ""), " +", " ")), "utf-8").as("bytes"))
+      .as[DocBin]
+      .mapPartitions(decodePartition)
+      .toDF()
+      .select(col("doc_id"), substring(col("sha256"), 1, 16).as("phash"))
+      .groupBy(col("phash"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper"))
+      .filter(col("n_copies") > 1)
+      .orderBy(col("phash"))
+  }
+  val mmPhashDedupSql: String =
+    """SELECT substr(sha256(trim(regexp_replace(regexp_replace(lower(text),
+         '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))), 1, 16) AS phash,
+       count(1) AS n_copies, min(doc_id) AS keeper
+       FROM documents GROUP BY 1 HAVING count(1) > 1 ORDER BY phash"""
+
   val queries: Map[String, QFn] = Map(
+    "mm_phash_dedup" -> mmPhashDedup,
     "mm_metadata" -> mmMetadata,
     "mm_frame_sample" -> mmFrameSample,
     "mm_resize_plan" -> mmResizePlan,
     "mm_feature_extract" -> mmFeatureExtract)
 
   val oracles: Map[String, String] = Map(
+    "mm_phash_dedup" -> mmPhashDedupSql,
     "mm_metadata" -> mmMetadataSql,
     "mm_frame_sample" -> mmFrameSampleSql,
     "mm_resize_plan" -> mmResizePlanSql,

@@ -395,6 +395,19 @@ class VectorSpec extends SparkSuite {
 }
 
 class MultimodalSpec extends SparkSuite {
+  test("phash dedup groups canonical duplicates, keeper is min doc_id") {
+    import spark.implicits._
+    Seq((1L, "The Cat Sat!"), (2L, "the cat sat"), (7L, "the; cat; sat"),
+      (3L, "something else"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet("/tmp/graft_test_ph/documents.parquet")
+    val rows = ops.Multimodal.mmPhashDedup(spark, "/tmp/graft_test_ph").collect()
+    assert(rows.length == 1, "one duplicate group")
+    assert(rows(0).getAs[Long]("n_copies") == 3L)
+    assert(rows(0).getAs[Long]("keeper") == 1L)
+    assert(rows(0).getAs[String]("phash").length == 16)
+  }
+
   test("decode stub is deterministic and matches JVM sha256") {
     val bytes = "hello multimodal".getBytes("UTF-8")
     val m1 = Multimodal.decodeStub(DocBin(7L, bytes))
