@@ -997,7 +997,45 @@ object Relational {
          AS BIGINT) AS geomean_e2
        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
+  // Winsorization: clip each event's value to its type's [p05, p95]
+  // band — the outlier-capping pass before feature aggregation. The
+  // per-type bounds are a 5-row aggregate broadcast back onto the fact
+  // scan, so the clip itself adds NO shuffle at any scale; only rows
+  // that actually clipped are emitted (bounded output). Exact integer
+  // cents in, interpolated percentile doubles out — the interpolation
+  // arithmetic is bit-equal across engines (same formula, same IEEE
+  // ops; already relied on by agg_median).
+  def winsorizeValues(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"),
+        cents(col("value")).as("vc"))
+    val bounds = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(vc, 0.05)").as("p05"),
+        expr("percentile(vc, 0.95)").as("p95"))
+    ev.join(broadcast(bounds), "event_type")
+      .filter(col("vc") < col("p05") || col("vc") > col("p95"))
+      .select(col("event_id"), col("event_type"), col("vc"),
+        least(greatest(col("vc").cast("double"), col("p05")), col("p95"))
+          .as("clipped"))
+      .orderBy(col("event_id"))
+  }
+  val winsorizeValuesSql: String =
+    """WITH ev AS (
+         SELECT event_id, event_type,
+           CAST(floor(value * 100.0) AS BIGINT) AS vc
+         FROM events),
+       b AS (
+         SELECT event_type, quantile_cont(vc, 0.05) AS p05,
+           quantile_cont(vc, 0.95) AS p95
+         FROM ev GROUP BY event_type)
+       SELECT event_id, ev.event_type, vc,
+         least(greatest(CAST(vc AS DOUBLE), p05), p95) AS clipped
+       FROM ev JOIN b ON ev.event_type = b.event_type
+       WHERE vc < p05 OR vc > p95
+       ORDER BY event_id"""
+
   val queries: Map[String, QFn] = Map(
+    "winsorize_values" -> winsorizeValues,
     "udaf_geomean" -> udafGeomean,
     "fk_check" -> fkCheck,
     "cdc_merge" -> cdcMerge,
@@ -1044,6 +1082,7 @@ object Relational {
     "cohort_retention" -> cohortRetention)
 
   val oracles: Map[String, String] = Map(
+    "winsorize_values" -> winsorizeValuesSql,
     "udaf_geomean" -> udafGeomeanSql,
     "fk_check" -> fkCheckSql,
     "cdc_merge" -> cdcMergeSql,
