@@ -619,7 +619,41 @@ object Text {
        FROM sc JOIN st USING (source) JOIN cw USING (w) CROSS JOIN tot
        GROUP BY source ORDER BY source"""
 
+  // K-gram fingerprint sampling (Manber-style 0 mod p): keep the
+  // k-gram hashes with h ≡ 0 (mod 8) as the document's fingerprint
+  // set — the rolling-hash fingerprinting scheme of plagiarism/overlap
+  // detectors, at a fixed ~1/8 sampling rate that is position- and
+  // partition-independent (two docs sharing a k-gram always sample it
+  // identically, unlike winnowing's window-local minima). Hashing runs
+  // in the typed TextHash stage; one shuffle on doc_id.
+  def kgramSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        graft.functions.TextHash.shingles(text)
+          .map(s => (id, graft.functions.TextHash.h32(s))) }
+      .toDF("doc_id", "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kgrams"),
+        sum(when(col("h") % 8 === 0, 1L).otherwise(0L)).as("n_selected"),
+        coalesce(sum(when(col("h") % 8 === 0, col("h"))), lit(0L))
+          .as("sel_checksum"))
+      .orderBy(col("doc_id"))
+  }
+  val kgramSampleSql: String =
+    s"""WITH $shingleCte,
+       h AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::UBIGINT AS h FROM sh)
+       SELECT doc_id, count(1) AS n_kgrams,
+         CAST(sum(CASE WHEN h % 8 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+         CAST(coalesce(sum(CASE WHEN h % 8 = 0 THEN h END), 0) AS BIGINT)
+           AS sel_checksum
+       FROM h GROUP BY doc_id ORDER BY doc_id"""
+
   val queries: Map[String, QFn] = Map(
+    "t_kgram_sample" -> kgramSample,
     "t_unigram_logprob" -> unigramLogprob,
     "t_source_kl" -> sourceKl,
     "t_repetition" -> repetition,
@@ -639,6 +673,7 @@ object Text {
     "t_fingerprint" -> fingerprint)
 
   val oracles: Map[String, String] = Map(
+    "t_kgram_sample" -> kgramSampleSql,
     "t_unigram_logprob" -> unigramLogprobSql,
     "t_source_kl" -> sourceKlSql,
     "t_repetition" -> repetitionSql,
