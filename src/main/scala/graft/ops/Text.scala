@@ -652,7 +652,65 @@ object Text {
            AS sel_checksum
        FROM h GROUP BY doc_id ORDER BY doc_id"""
 
+  // Document-overlap estimation from the sampled fingerprints (the
+  // MOSS shape): docs sharing ≥2 selected k-gram hashes, scored by
+  // estimated Jaccard over the samples. Pairs come from a self-join on
+  // the fingerprint value — candidate volume is bounded by dropping
+  // "stop fingerprints" shared by > 50 docs (standard practice; also
+  // what caps the m² bucket blowup at corpus scale). The 1/8 sampling
+  // is what makes this affordable: the pair join touches ~1.5 % of the
+  // shingle mass that dedup_ngram_jaccard's exact join processes.
+  def docOverlapPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sel = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        graft.functions.TextHash.shingles(text)
+          .map(s => (id, graft.functions.TextHash.h32(s))) }
+      .toDF("doc_id", "h")
+      .filter(col("h") % 8 === 0)
+    val rare = sel.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 50).select(col("h"))
+    val s2 = sel.join(rare, "h")
+    val sizes = s2.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val pairs = s2.as("a")
+      .join(s2.as("b"), col("a.h") === col("b.h") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+    pairs
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .withColumn("est_jaccard_e4", e4(lit(1.0) * col("n_shared") /
+        (col("n_a") + col("n_b") - col("n_shared"))).cast("long"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"), col("n_a"),
+        col("n_b"), col("est_jaccard_e4"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+  val docOverlapPairsSql: String =
+    s"""WITH $shingleCte,
+       hh AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::UBIGINT AS h FROM sh),
+       sel AS (SELECT doc_id, h FROM hh WHERE h % 8 = 0),
+       rare AS (SELECT h FROM sel GROUP BY h HAVING count(1) <= 50),
+       s2 AS (SELECT doc_id, sel.h FROM sel JOIN rare USING (h)),
+       sizes AS (SELECT doc_id, count(1) AS n FROM s2 GROUP BY doc_id),
+       pairs AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(1) AS n_shared
+         FROM s2 a JOIN s2 b ON a.h = b.h AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 HAVING count(1) >= 2)
+       SELECT doc_a, doc_b, n_shared, sa.n AS n_a, sb.n AS n_b,
+         CAST(floor((1.0 * n_shared / (sa.n + sb.n - n_shared)) * 10000.0)
+           AS BIGINT) AS est_jaccard_e4
+       FROM pairs
+       JOIN sizes sa ON sa.doc_id = doc_a
+       JOIN sizes sb ON sb.doc_id = doc_b
+       ORDER BY doc_a, doc_b"""
+
   val queries: Map[String, QFn] = Map(
+    "t_doc_overlap_pairs" -> docOverlapPairs,
     "t_kgram_sample" -> kgramSample,
     "t_unigram_logprob" -> unigramLogprob,
     "t_source_kl" -> sourceKl,
@@ -673,6 +731,7 @@ object Text {
     "t_fingerprint" -> fingerprint)
 
   val oracles: Map[String, String] = Map(
+    "t_doc_overlap_pairs" -> docOverlapPairsSql,
     "t_kgram_sample" -> kgramSampleSql,
     "t_unigram_logprob" -> unigramLogprobSql,
     "t_source_kl" -> sourceKlSql,
