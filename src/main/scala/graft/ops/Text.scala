@@ -709,7 +709,46 @@ object Text {
        JOIN sizes sb ON sb.doc_id = doc_b
        ORDER BY doc_a, doc_b"""
 
+  // Temperature sampling by source (corpus mixing): keep fraction
+  // f_s = (n_s / n_min)^(α−1) with α = 0.7, so the smallest shard is
+  // kept whole and big shards are downweighted toward n^0.7 — the
+  // multinomial-temperature rebalancing of an LLM data mix. Membership
+  // is decided by a 32-bit doc hash against rate·2³², so the sample is
+  // reproducible at any partitioning; the per-source rates are a tiny
+  // broadcast. One aggregate + one map-side join: no fact shuffle.
+  def sampleTemperature(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    val minN = counts.agg(min(col("n_s")).as("n_min"))
+    val rates = counts.crossJoin(broadcast(minN))
+      .withColumn("rate",
+        pow(lit(1.0) * col("n_s") / col("n_min"), lit(-0.3)))
+    docs
+      .withColumn("h", expr(
+        "CAST(conv(substr(md5(encode(CAST(doc_id AS STRING), 'utf-8')), 1, 8), 16, 10) AS BIGINT)"))
+      .join(broadcast(rates), "source")
+      .filter(col("h").cast("double") < col("rate") * lit(4294967296.0))
+      .select(col("doc_id"), col("source"), col("n_s"),
+        e4(col("rate")).cast("long").as("rate_e4"), col("h"))
+      .orderBy(col("doc_id"))
+  }
+  val sampleTemperatureSql: String =
+    """WITH c AS (SELECT source, count(1) AS n_s FROM documents GROUP BY source),
+       m AS (SELECT min(n_s) AS n_min FROM c),
+       r AS (SELECT source, n_s,
+               pow(1.0 * n_s / n_min, -0.3) AS rate
+             FROM c CROSS JOIN m)
+       SELECT doc_id, d.source, n_s,
+         CAST(floor(rate * 10000.0) AS BIGINT) AS rate_e4,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+           AS BIGINT) AS h
+       FROM documents d JOIN r ON d.source = r.source
+       WHERE CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+         AS BIGINT) AS DOUBLE) < rate * 4294967296.0
+       ORDER BY doc_id"""
+
   val queries: Map[String, QFn] = Map(
+    "sample_temperature" -> sampleTemperature,
     "t_doc_overlap_pairs" -> docOverlapPairs,
     "t_kgram_sample" -> kgramSample,
     "t_unigram_logprob" -> unigramLogprob,
@@ -731,6 +770,7 @@ object Text {
     "t_fingerprint" -> fingerprint)
 
   val oracles: Map[String, String] = Map(
+    "sample_temperature" -> sampleTemperatureSql,
     "t_doc_overlap_pairs" -> docOverlapPairsSql,
     "t_kgram_sample" -> kgramSampleSql,
     "t_unigram_logprob" -> unigramLogprobSql,
