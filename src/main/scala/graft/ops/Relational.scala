@@ -1034,7 +1034,36 @@ object Relational {
        WHERE vc < p05 OR vc > p95
        ORDER BY event_id"""
 
+  // Time-based RANGE frame: events in the trailing hour per user —
+  // a true value-range window (rowsBetween cannot express it when
+  // event spacing is irregular). Ordering on integer epoch seconds
+  // keeps the frame bounds exact in both engines; ties at the same
+  // second all enter the frame together (RANGE semantics), so the
+  // result is partitioning- and tie-order-independent.
+  def windowRangeFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("epoch_s"))
+      .rangeBetween(-3600L, 0L)
+    Tables.events(spark, sfDir)
+      .withColumn("epoch_s", unix_timestamp(col("ts")))
+      .select(col("user_id"), col("event_id"), col("epoch_s"),
+        count(lit(1)).over(w).as("n_trailing_1h"),
+        sum(cents(col("value"))).over(w).as("trailing_cents"))
+      .orderBy(col("event_id"))
+  }
+  val windowRangeFrameSql: String =
+    """SELECT user_id, event_id, epoch_s,
+       count(1) OVER w AS n_trailing_1h,
+       CAST(sum(vc) OVER w AS BIGINT) AS trailing_cents
+       FROM (SELECT user_id, event_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+               CAST(floor(value * 100.0) AS BIGINT) AS vc
+             FROM events)
+       WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s
+                    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+       ORDER BY event_id"""
+
   val queries: Map[String, QFn] = Map(
+    "window_range_frame" -> windowRangeFrame,
     "winsorize_values" -> winsorizeValues,
     "udaf_geomean" -> udafGeomean,
     "fk_check" -> fkCheck,
@@ -1082,6 +1111,7 @@ object Relational {
     "cohort_retention" -> cohortRetention)
 
   val oracles: Map[String, String] = Map(
+    "window_range_frame" -> windowRangeFrameSql,
     "winsorize_values" -> winsorizeValuesSql,
     "udaf_geomean" -> udafGeomeanSql,
     "fk_check" -> fkCheckSql,
