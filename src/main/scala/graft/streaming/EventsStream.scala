@@ -129,6 +129,50 @@ object EventsStream {
     "stream_windowed_counts" -> streamWindowedCountsSql,
     "stream_sessionize" -> streamSessionizeSql)
 
+  // -- foreachBatch CDC upsert sink ---------------------------------------
+
+  /** Streaming MERGE-into-state: each micro-batch folds into a keyed
+    * state table by latest-wins upsert (the foreachBatch pattern a
+    * warehouse uses when the sink has no native MERGE). Batch b writes
+    * its merged state to `stateDir/v<b>`, reading its predecessor —
+    * versioned states make every batch's write atomic-by-rename-free
+    * and the whole run replayable. Within and across batches the
+    * winner per user_id is max (ts, event_id), identical to the batch
+    * `cdc_merge` semantics (minus the tombstone filter, applied by the
+    * reader). */
+  def runUpsert(spark: SparkSession, srcPath: String, stateDir: String): Long = {
+    import org.apache.spark.sql.expressions.Window
+    val keep = Seq("user_id", "event_id", "ts", "event_type", "value")
+    var lastVersion = -1L
+    val src = spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", "1") // source option: one file per micro-batch
+      .parquet(srcPath)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = src
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        def latestWins(df: DataFrame): DataFrame =
+          df.withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1).drop("rn")
+        val incoming = latestWins(batch.toDF().select(keep.map(col): _*))
+        val prevDir = new java.io.File(s"$stateDir/v$lastVersion")
+        val merged =
+          if (lastVersion >= 0 && prevDir.exists())
+            latestWins(spark.read.parquet(prevDir.getPath)
+              .unionByName(incoming))
+          else incoming
+        merged.write.mode("overwrite").parquet(s"$stateDir/v$id")
+        lastVersion = id
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    lastVersion
+  }
+
   // -- custom state: session windows via mapGroupsWithState --------------
 
   case class Ev(user_id: Long, tsMicros: Long)

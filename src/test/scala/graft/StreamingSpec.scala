@@ -22,6 +22,30 @@ class StreamingSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("foreachBatch upsert: incremental state equals batch latest-wins") {
+    val src = java.nio.file.Files.createTempDirectory("graft_upsert_src")
+    val state = java.nio.file.Files.createTempDirectory("graft_upsert_state")
+    // two staged files => two micro-batches (maxFilesPerTrigger=1)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"), src.resolve("a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"), src.resolve("b.parquet"))
+    val last = EventsStream.runUpsert(spark, src.toString, state.toString)
+    assert(last >= 1L, "expected at least two micro-batches")
+    val got = spark.read.parquet(s"$state/v$last")
+      .select("user_id", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch twin: latest (ts, event_id) per user over the same events
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val want = Tables.events(spark, sf)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("user_id", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, "incremental upsert state must equal batch compaction")
+  }
+
   test("mapGroupsWithState sessionizer matches batch sessionize counts") {
     import spark.implicits._
     val evs = Tables.events(spark, sf)
