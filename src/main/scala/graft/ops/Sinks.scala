@@ -145,7 +145,36 @@ object Sinks {
              AND protection_disabled_duration = 0)
        ORDER BY alert_body"""
 
+  // K7 — partitioned table write, verified through the metadata it
+  // leaves behind: events land day-partitioned with all of a day's
+  // rows repartitioned into one task (so exactly one file per day —
+  // the small-file-free layout a 100 TB table needs), then the query
+  // reads back the directory and reports the per-day manifest.
+  // Exercises the actual writer path inside the oracle gate.
+  def k7PartitionedWrite(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_part_sink"
+    graft.Tables.events(spark, sfDir)
+      .withColumn("day", to_date(col("ts")).cast("string"))
+      .repartition(col("day"))
+      .write.partitionBy("day").mode("overwrite").parquet(out)
+    val files = spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true").load(out)
+      .filter(col("path").endsWith(".parquet"))
+      .select(regexp_extract(col("path"), "day=([^/]+)", 1).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n_files"))
+    spark.read.parquet(out)
+      .groupBy(col("day").cast("string").as("day"))
+      .agg(count(lit(1)).as("n_rows"))
+      .join(files, "day")
+      .orderBy(col("day"))
+  }
+  val k7Sql: String =
+    """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+       count(1) AS n_rows, CAST(1 AS BIGINT) AS n_files
+       FROM events GROUP BY 1 ORDER BY day"""
+
   val queries: Map[String, QFn] = Map(
+    "k7_partitioned_write" -> k7PartitionedWrite,
     "k1_post_params" -> k1PostParams,
     "k2_patch_payload" -> k2PatchPayload,
     "k3_put_payload" -> k3PutPayload,
@@ -153,6 +182,7 @@ object Sinks {
     "k5_alert_render" -> k5AlertRender)
 
   val oracles: Map[String, String] = Map(
+    "k7_partitioned_write" -> k7Sql,
     "k1_post_params" -> k1Sql,
     "k2_patch_payload" -> k2Sql,
     "k3_put_payload" -> k3Sql,
