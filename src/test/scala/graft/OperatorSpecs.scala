@@ -521,6 +521,26 @@ class FlowSpec extends SparkSuite {
     // freshness over an empty log: no rows, no crash
     assert(Validate.v1Freshness(spark, dir)
       .count() == 0)
+    // empty-log resilience for the newer event operators
+    assert(ops.Relational.scd2Intervals(spark, dir).count() == 0)
+    assert(ops.Relational.cdcMerge(spark, dir).count() == 0)
+    assert(ops.Relational.resampleFfill(spark, dir).count() == 0)
+    assert(ops.Relational.winsorizeValues(spark, dir).count() == 0)
+    assert(Validate.v12PsiDrift(spark, dir).count() == 0)
+    // empty corpus for the text/dedup side
+    val docs = java.nio.file.Files.createTempDirectory("graft_empty_docs").toString
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      new StructType().add("doc_id", LongType).add("text", StringType)
+        .add("lang", StringType).add("source", StringType))
+      .write.parquet(s"$docs/documents.parquet")
+    assert(ops.Text.repetition(spark, docs).count() == 0)
+    assert(ops.Text.decontam(spark, docs).count() == 0)
+    assert(ops.Text.unigramLogprob(spark, docs).count() == 0)
+    assert(ops.Text.sampleTemperature(spark, docs).count() == 0)
+    assert(ops.Dedup.keepBest(spark, docs).count() == 0)
+    assert(ops.Multimodal.mmPhashDedup(spark, docs).count() == 0)
   }
 
   test("sessionize splits on >30min gaps") {
