@@ -290,18 +290,20 @@ object Dedup {
       val neighborMin = edges
         .join(labels.select(col("id").as("db"), col("rep").as("nrep")), "db")
         .groupBy(col("da")).agg(min(col("nrep")).as("min_nrep"))
+      // localCheckpoint truncates the logical plan each round — with
+      // persist alone the unrolled lineage re-analyzes per iteration
+      // and driver planning time grows superlinearly with diameter
+      // (same fix as Relational.graphPagerank)
       val updated = labels
         .join(neighborMin.select(col("da").as("id"), col("min_nrep")),
           Seq("id"), "left")
         .select(col("id"),
           least(col("rep"), coalesce(col("min_nrep"), col("rep"))).as("rep"),
           col("rep").as("old_rep"))
-        .persist()
+        .localCheckpoint(true)
       changed = updated.filter(col("rep") =!= col("old_rep")).count()
       labels.unpersist()
-      labels = updated.select(col("id"), col("rep")).persist()
-      labels.count() // materialize before dropping the parent cache
-      updated.unpersist()
+      labels = updated.select(col("id"), col("rep"))
     }
     edges.unpersist()
     labels.select(col("id").as("doc_id"), col("rep").as("cluster_rep"))
