@@ -747,7 +747,89 @@ object Text {
          AS BIGINT) AS DOUBLE) < rate * 4294967296.0
        ORDER BY doc_id"""
 
+  // The end-to-end corpus filter funnel: every doc gets a keep/drop
+  // verdict with its FIRST failing gate (fixed precedence — the order
+  // every production corpus filter documents), aggregated to per-reason
+  // counts. Composes the length, stopword, repetition, and unigram-
+  // surprisal components; all thresholds compare exact e4 integers, so
+  // the verdict is bit-stable. Three doc_id-keyed shuffles total — the
+  // components share the (doc_id, token) explode where possible.
+  def corpusFilterFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "is", "to", "in")
+      .map(w => s"'$w'").mkString(", ")
+    val base = Tables.documents(spark, sfDir)
+      .withColumn("ws", tokens)
+      .select(col("doc_id"), length(col("text")).as("n_chars"),
+        size(col("ws")).as("n_tokens"),
+        expr(s"size(filter(ws, w -> array_contains(array($stop), w)))")
+          .as("n_stop"))
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(tokens).as("w"))
+      .filter(col("w") =!= "")
+    val rep = toks.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("nt"), count(lit(1)).as("nd"), max(col("c")).as("tc"))
+      .select(col("doc_id"),
+        e4(lit(1.0) * col("tc") / col("nt")).cast("long").as("top_frac_e4"),
+        e4(lit(1.0) - lit(1.0) * col("nd") / col("nt")).cast("long")
+          .as("dup_frac_e4"))
+    val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("n"))
+    val total = vocab.agg(sum(col("n")).as("t"))
+    val surp = toks.join(vocab, "w").crossJoin(broadcast(total))
+      .withColumn("s_e4", floor(-log(lit(1.0) * col("n") / col("t")) * lit(10000.0)))
+      .groupBy(col("doc_id"))
+      .agg(floor(lit(1.0) * sum(col("s_e4")) / count(lit(1))).as("avg_surprisal_e4"))
+    base.join(rep, Seq("doc_id"), "left").join(surp, Seq("doc_id"), "left")
+      .withColumn("verdict",
+        when(col("n_chars") < 100 || col("n_tokens") < 20, "1_too_short")
+          .when(lit(1.0) * col("n_stop") / col("n_tokens") < 0.02, "2_low_stopword")
+          .when(col("top_frac_e4") > 2000 || col("dup_frac_e4") > 9000,
+            "3_repetitive")
+          .when(col("avg_surprisal_e4") > 52000, "4_high_surprisal")
+          .otherwise("5_keep"))
+      .groupBy(col("verdict")).agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("verdict"))
+  }
+  val corpusFilterFunnelSql: String =
+    """WITH base AS (
+         SELECT doc_id, CAST(length(text) AS INT) AS n_chars,
+           CAST(len(string_split(lower(text), ' ')) AS INT) AS n_tokens,
+           CAST(len(list_filter(string_split(lower(text), ' '),
+             w -> list_contains(['the','a','of','and','is','to','in'], w)))
+             AS INT) AS n_stop
+         FROM documents),
+       toks AS (
+         SELECT doc_id, w FROM (
+           SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+           FROM documents) WHERE w <> ''),
+       tc AS (SELECT doc_id, w, count(1) AS c FROM toks GROUP BY 1, 2),
+       rep AS (
+         SELECT doc_id,
+           CAST(floor((1.0 * max(c) / sum(c)) * 10000.0) AS BIGINT)
+             AS top_frac_e4,
+           CAST(floor((1.0 - 1.0 * count(1) / sum(c)) * 10000.0) AS BIGINT)
+             AS dup_frac_e4
+         FROM tc GROUP BY doc_id),
+       vocab AS (SELECT w, count(1) AS n FROM toks GROUP BY w),
+       total AS (SELECT sum(n) AS t FROM vocab),
+       surp AS (
+         SELECT doc_id,
+           CAST(floor(1.0 * sum(CAST(floor(-ln(1.0 * n / t) * 10000.0)
+             AS BIGINT)) / count(1)) AS BIGINT) AS avg_surprisal_e4
+         FROM toks JOIN vocab USING (w) CROSS JOIN total
+         GROUP BY doc_id)
+       SELECT verdict, count(1) AS n_docs FROM (
+         SELECT CASE
+           WHEN n_chars < 100 OR n_tokens < 20 THEN '1_too_short'
+           WHEN 1.0 * n_stop / n_tokens < 0.02 THEN '2_low_stopword'
+           WHEN top_frac_e4 > 2000 OR dup_frac_e4 > 9000 THEN '3_repetitive'
+           WHEN avg_surprisal_e4 > 52000 THEN '4_high_surprisal'
+           ELSE '5_keep' END AS verdict
+         FROM base LEFT JOIN rep USING (doc_id) LEFT JOIN surp USING (doc_id))
+       GROUP BY verdict ORDER BY verdict"""
+
   val queries: Map[String, QFn] = Map(
+    "corpus_filter_funnel" -> corpusFilterFunnel,
     "sample_temperature" -> sampleTemperature,
     "t_doc_overlap_pairs" -> docOverlapPairs,
     "t_kgram_sample" -> kgramSample,
@@ -770,6 +852,7 @@ object Text {
     "t_fingerprint" -> fingerprint)
 
   val oracles: Map[String, String] = Map(
+    "corpus_filter_funnel" -> corpusFilterFunnelSql,
     "sample_temperature" -> sampleTemperatureSql,
     "t_doc_overlap_pairs" -> docOverlapPairsSql,
     "t_kgram_sample" -> kgramSampleSql,
