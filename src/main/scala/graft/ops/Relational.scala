@@ -1063,17 +1063,17 @@ object Relational {
        ORDER BY event_id"""
 
   // PageRank over the part-adjacency graph (consecutive lineitems of
-  // an order form directed edges), 10 synchronous iterations. All
+  // an order form directed edges), 6 synchronous iterations. All
   // arithmetic is INTEGER fixed point at e9 scale — per-edge
   // contributions use integer division, so every iteration is exact
   // and partition-order-independent, and the DuckDB oracle (the same
-  // 10 steps unrolled as chained CTEs) matches hash-for-hash. Each
+  // 6 steps unrolled as chained CTEs) matches hash-for-hash. Each
   // iteration is one join + one groupBy on node ids; intermediate
   // ranks persist so the lineage stays one iteration deep (the
   // standard Pregel-style loop shape — at 100 TB you'd add
   // checkpointing every k iterations, same plan otherwise).
   def graphPagerank(spark: SparkSession, sfDir: String): DataFrame = {
-    val iters = 10
+    val iters = 6
     // (l_orderkey, l_linenumber) is NOT unique in this testdata — the
     // sort adds l_partkey so the edge sequence is value-deterministic
     val w = Window.partitionBy(col("l_orderkey"))
@@ -1140,7 +1140,7 @@ object Relational {
          nn AS (SELECT count(1) AS c FROM nodes),
          pr0 AS (SELECT node, CAST(1000000000 // c AS BIGINT) AS r
                  FROM nodes CROSS JOIN nn)"""
-    val steps = (1 to 10).map { i =>
+    val steps = (1 to 6).map { i =>
       s"""pr$i AS (
            SELECT nodes.node,
              CAST((SELECT 150000000 // c FROM nn) +
@@ -1152,7 +1152,7 @@ object Relational {
              GROUP BY dst) s ON nodes.node = s.node)"""
     }.mkString(",\n", ",\n", "")
     s"""$prelude$steps
-       SELECT node, r AS rank_e9 FROM pr10
+       SELECT node, r AS rank_e9 FROM pr6
        ORDER BY rank_e9 DESC, node LIMIT 20"""
   }
 
