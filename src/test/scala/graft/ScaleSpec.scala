@@ -111,6 +111,24 @@ class ScaleSpec extends SparkSuite {
     assert(top(pruned) == top(scored.toDF()), "pruned top-k must be exact")
   }
 
+  test("concurrent queries on one session return correct independent results") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // a session is shared by many users at once on a real cluster —
+    // four structurally different queries race on local[4] here
+    val futures = Seq(
+      Future(graft.ops.Relational.q1Agg(spark, sf).count()),
+      Future(graft.ops.Text.tokenStats(spark, sf).count()),
+      Future(graft.ops.Validate.v1Freshness(spark, sf).count()),
+      Future(graft.ops.Relational.joinSemi(spark, sf).count()))
+    val Seq(a, b, c, d) = Await.result(Future.sequence(futures), 120.seconds)
+    assert(a == graft.ops.Relational.q1Agg(spark, sf).count())
+    assert(b == graft.ops.Text.tokenStats(spark, sf).count())
+    assert(c == graft.ops.Validate.v1Freshness(spark, sf).count())
+    assert(d == graft.ops.Relational.joinSemi(spark, sf).count())
+  }
+
   test("broadcast dim join never shuffles the fact side") {
     val df = graft.ops.Relational.broadcastJoin(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
