@@ -163,24 +163,41 @@ object Vector {
   def kmeansAssign(spark: SparkSession, sfDir: String, k: Int,
       iters: Int): DataFrame = {
     import spark.implicits._
+    val cs = kmeansCentroids(spark, sfDir, k, iters)
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (id, nearest(cs)(v)) }.toDF("vec_id", "cell")
+  }
+
+  private[graft] def nearest(cs: Array[(Int, Array[Double])])(
+      v: Array[Float]): Int = {
+    var best = -1; var bestD = Double.MaxValue
+    cs.foreach { case (cid, c) =>
+      var d = 0.0; var i = 0
+      while (i < c.length) {
+        val t = c(i) - v(i); d += t * t; i += 1
+      }
+      if (d < bestD) { bestD = d; best = cid }
+    }
+    best
+  }
+
+  /** Trained coarse-quantizer centroids, memoized per (session, sfDir,
+    * k, iters) like the PQ codebooks — the persisted half of the index. */
+  private val centCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Int, Int), Array[(Int, Array[Double])]]
+
+  def kmeansCentroids(spark: SparkSession, sfDir: String, k: Int,
+      iters: Int): Array[(Int, Array[Double])] =
+    centCache.getOrElseUpdate((spark, sfDir, k, iters), {
+    import spark.implicits._
     val vecs = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
     var centroids: Array[(Int, Array[Double])] = vecs
       .filter(_._1 < k).collect().sortBy(_._1)
       .map { case (id, v) => (id.toInt, v.map(_.toDouble)) }
-
-    def nearest(cs: Array[(Int, Array[Double])])(v: Array[Float]): Int = {
-      var best = -1; var bestD = Double.MaxValue
-      cs.foreach { case (cid, c) =>
-        var d = 0.0; var i = 0
-        while (i < c.length) {
-          val t = c(i) - v(i); d += t * t; i += 1
-        }
-        if (d < bestD) { bestD = d; best = cid }
-      }
-      best
-    }
 
     for (_ <- 0 until iters) {
       val cs = centroids
@@ -202,9 +219,8 @@ object Vector {
         .collect()
       centroids = sums.map { case (c, m) => (c, m) }.sortBy(_._1)
     }
-    val cs = centroids
-    vecs.map { case (id, v) => (id, nearest(cs)(v)) }.toDF("vec_id", "cell")
-  }
+    centroids
+  })
 
   /** ANN through the trained quantizer: query probes only its own cell.
     * Implementation-specific float iteration makes this rows-only (no
@@ -571,7 +587,82 @@ object Vector {
        WHERE scale > 0
        GROUP BY vec_id, scale ORDER BY vec_id"""
 
+  /** IVF-PQ (FAISS IndexIVFPQ shape, shared codebook / by_residual =
+    * false): the index is (cell, codes) per vector — one int + M codes,
+    * the layout where each coarse cell is a table partition at 100 TB.
+    * A query ranks the 8 trained centroids, probes its nProbe nearest
+    * cells, ADC-scans ONLY those cells' codes (partition pruning on the
+    * cell column at scale), and exact-re-ranks the bounded candidate
+    * set. Rows-only (codebook floats); recall vs brute force asserted
+    * in VectorSpec. */
+  def annIvfPqTopk(spark: SparkSession, sfDir: String, nProbe: Int = 3,
+      candC: Int = 150, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val cents = kmeansCentroids(spark, sfDir, k = 8, iters = 3)
+    val books = pqTrain(spark, sfDir, iters = 3)
+    val index = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        (id, nearest(cents)(v),
+          Array.tabulate(PqM)(m => pqNearest(books(m), v, m * PqSub)))
+      }
+      .toDF("vec_id", "cell", "codes")
+    val qs = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id").isin(QueryIds.map(Int.box): _*))
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    // per query: ADC LUT + the nProbe coarse cells it probes
+    val plans: Array[(Long, Set[Int], Array[Double])] = qs.map { case (qid, qv) =>
+      val probed = cents.map { case (cid, c) =>
+        var d = 0.0; var i = 0
+        while (i < c.length) { val t = c(i) - qv(i); d += t * t; i += 1 }
+        (cid, d)
+      }.sortBy(_._2).take(nProbe).map(_._1).toSet
+      val lut = new Array[Double](PqM * PqK)
+      for (m <- 0 until PqM; c <- 0 until PqK) {
+        val cent = books(m)(c); var d = 0.0; var i = 0
+        while (i < PqSub) {
+          val t = cent(i) - qv(m * PqSub + i); d += t * t; i += 1
+        }
+        lut(m * PqK + c) = d
+      }
+      (qid, probed, lut)
+    }
+    val approx = index.as[(Long, Int, Array[Int])]
+      .flatMap { case (id, cell, codes) =>
+        plans.iterator.collect {
+          case (qid, probed, lut) if qid != id && probed.contains(cell) =>
+            var d = 0.0; var m = 0
+            while (m < PqM) { d += lut(m * PqK + codes(m)); m += 1 }
+            (qid, id, d)
+        }
+      }
+      .toDF("qid", "vec_id", "adc")
+    val wC = Window.partitionBy(col("qid")).orderBy(col("adc"), col("vec_id"))
+    val cand = topkLocal(approx, "adc", candC, asc = true)
+      .withColumn("crank", row_number().over(wC))
+      .filter(col("crank") <= candC)
+      .select(col("qid"), col("vec_id"))
+    val emb = Tables.embeddings(spark, sfDir)
+    val qv = emb.filter(col("vec_id").isin(QueryIds.map(Int.box): _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val exact = cand
+      .join(broadcast(qv), "qid")
+      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+      .as[(Long, Long, Array[Float], Array[Float])]
+      .map { case (id, qid, q, v) => (qid, id, l2(q, v)) }
+      .toDF("qid", "vec_id", "dist")
+    val wK = Window.partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))
+    topkLocal(exact, "dist", k, asc = true)
+      .withColumn("rank", row_number().over(wK))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   val queries: Map[String, QFn] = Map(
+    "ann_ivfpq_topk" -> ((s, d) => annIvfPqTopk(s, d)),
     "emb_centroids" -> embCentroids,
     "emb_quantize_int8" -> embQuantizeInt8,
     "ann_brute_topk" -> annBruteTopk,

@@ -354,6 +354,17 @@ class VectorSpec extends SparkSuite {
     assert(pairs(0).getAs[Long]("cos_e4") >= 9999L)
   }
 
+  test("IVF-PQ probe recall vs full-scan PQ top-10 is acceptable") {
+    // ground truth proxy: the full-scan PQ (no cell pruning) result —
+    // probing 3/8 cells should retain most of it
+    val full = Vector.annPqTopk(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    val ivfpq = Vector.annIvfPqTopk(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    val recall = (full & ivfpq).size.toDouble / full.size
+    assert(recall >= 0.5, s"IVF-PQ recall@10 vs full PQ too low: $recall")
+  }
+
   test("kmeans IVF probe has reasonable recall vs brute force") {
     val brute = Vector.annBruteTopk(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
