@@ -34,10 +34,25 @@ object Bench {
           try fn(spark, warmDir).count() catch { case _: Throwable => () }
         }
     }
+    // Shuffle-volume meter: tasks run sequentially per query here, so
+    // the delta of this listener's counter around each query is that
+    // query's total shuffle write — the scale-design quantity the
+    // per-query seconds can't show.
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null)
+            shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      })
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
       val t0 = System.nanoTime()
+      val s0 = shuffleBytes.get()
       val sec =
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
         catch {
@@ -45,14 +60,23 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             -1.0
         }
-      name -> sec
+      // listener events are async and the bus has no public flush:
+      // poll until the counter stabilizes (attribution error bounded
+      // by one 20 ms window)
+      var prev = -1L; var cur = shuffleBytes.get(); var spins = 0
+      while (prev != cur && spins < 20) {
+        prev = cur; Thread.sleep(20); cur = shuffleBytes.get(); spins += 1
+      }
+      (name, sec, cur - s0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val sh = results.map { case (k, _, b) => "\"" + k + "\":" + b }
       .mkString("{", ",", "}")
     val ok = results.filter(_._2 >= 0)
     val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0
     val nFail = results.count(_._2 < 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFail,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFail,"shuffle_bytes":$sh,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
