@@ -64,6 +64,30 @@ class ScaleSpec extends SparkSuite {
     assert(got == want, s"streaming dedup got $got want $want")
   }
 
+  test("DSv2 JSON sink: two-phase commit, atomic visibility, round-trip") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_dsv2_sink").toString
+    val df = Seq((1L, "alpha \"quoted\"", 1.5, true),
+      (2L, "beta\nnewline", -0.25, false), (3L, null.asInstanceOf[String], 0.0, true))
+      .toDF("id", "name", "score", "ok").repartition(3)
+    df.write.format("graft.sources.v2.JsonDirSink")
+      .option("path", out).mode("append").save()
+    val dir = new java.io.File(out)
+    assert(new java.io.File(dir, "_SUCCESS").exists(), "driver commit marker")
+    // staging fully promoted — no leftover attempt files
+    val staging = new java.io.File(dir, "_staging")
+    assert(!staging.exists() || staging.listFiles().isEmpty)
+    val back = spark.read
+      .schema("id LONG, name STRING, score DOUBLE, ok BOOLEAN")
+      .json(s"$out/*.jsonl")
+    assert(back.count() == 3)
+    val got = back.collect().map(r =>
+      (r.getLong(0), Option(r.getString(1)), r.getDouble(2), r.getBoolean(3))).toSet
+    val want = df.collect().map(r =>
+      (r.getLong(0), Option(r.getString(1)), r.getDouble(2), r.getBoolean(3))).toSet
+    assert(got == want, "escaped round-trip must be lossless")
+  }
+
   test("DSv2 staged-HTTP source pushes equality filters and limit") {
     val df = spark.read.format("graft.sources.v2.StagedHttpSource")
       .option("path", s"${Tables.FixturesDir}/a2_querylog.jsonl")
