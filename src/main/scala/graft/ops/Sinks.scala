@@ -173,7 +173,43 @@ object Sinks {
        count(1) AS n_rows, CAST(1 AS BIGINT) AS n_files
        FROM events GROUP BY 1 ORDER BY day"""
 
+  // K8 — DSv2 write connector in the gate: push a projected event set
+  // through JsonDirSink's two-phase commit, read the committed output
+  // back, and aggregate it. The oracle aggregates the same projection
+  // straight from the table — any loss, duplication, or mangling in
+  // the writer protocol breaks the hash match.
+  def k8Dsv2Roundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_dsv2_gate"
+    def wipe(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(wipe)
+      f.delete(); ()
+    }
+    val dir = new java.io.File(out)
+    if (dir.exists()) wipe(dir)
+    dir.mkdirs()
+    Tables.events(spark, sfDir)
+      .filter(col("event_id") % 10 === 0)
+      .select(col("event_id"), col("event_type"),
+        cents(col("value")).as("vc"))
+      .write.format("graft.sources.v2.JsonDirSink")
+      .option("path", out).mode("append").save()
+    spark.read
+      .schema("event_id LONG, event_type STRING, vc LONG")
+      .json(s"$out/part-*.jsonl")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("vc")).as("sum_vc"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+      .orderBy(col("event_type"))
+  }
+  val k8Sql: String =
+    """SELECT event_type, count(1) AS n,
+       CAST(sum(CAST(floor(value * 100.0) AS BIGINT)) AS BIGINT) AS sum_vc,
+       min(event_id) AS min_id, max(event_id) AS max_id
+       FROM events WHERE event_id % 10 = 0
+       GROUP BY event_type ORDER BY event_type"""
+
   val queries: Map[String, QFn] = Map(
+    "k8_dsv2_roundtrip" -> k8Dsv2Roundtrip,
     "k7_partitioned_write" -> k7PartitionedWrite,
     "k1_post_params" -> k1PostParams,
     "k2_patch_payload" -> k2PatchPayload,
@@ -182,6 +218,7 @@ object Sinks {
     "k5_alert_render" -> k5AlertRender)
 
   val oracles: Map[String, String] = Map(
+    "k8_dsv2_roundtrip" -> k8Sql,
     "k7_partitioned_write" -> k7Sql,
     "k1_post_params" -> k1Sql,
     "k2_patch_payload" -> k2Sql,
