@@ -118,6 +118,42 @@ object Flow {
 
   /** D5 — retry policy around a driver-side action (the reference's
     * `retries: 2, retry_delay: 300s` — dags/DNS_Requests.py:13-17). */
+  /** Inline data-quality metrics via Dataset.observe: the monitoring
+    * counters ride ALONG the query (collected by the executors as the
+    * plan runs — no second scan), and surface through the returned
+    * thunk after any action on the df. The zero-extra-pass way to get
+    * "rows seen / nulls / max event time" from a 100 TB load job.
+    * Returns (observed df, () => metrics row). */
+  def withObservedMetrics(df: DataFrame, name: String)
+      : (DataFrame, () => org.apache.spark.sql.Row) = {
+    val holder =
+      new java.util.concurrent.atomic.AtomicReference[org.apache.spark.sql.Row]()
+    df.sparkSession.listenerManager.register(
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit =
+          qe.observedMetrics.get(name).foreach(holder.set)
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      })
+    val observed = df.observe(name,
+      count(lit(1)).as("n_rows"),
+      sum(when(col("event_type").isNull, 1L).otherwise(0L)).as("n_null_type"),
+      max(col("ts")).as("max_ts"))
+    // listener delivery is async: poll briefly after the action
+    val fetch = () => {
+      var spins = 0
+      while (holder.get() == null && spins < 100) {
+        Thread.sleep(50); spins += 1
+      }
+      require(holder.get() != null, s"observed metrics '$name' never arrived")
+      holder.get()
+    }
+    (observed, fetch)
+  }
+
   def withRetry[T](retries: Int, delayMs: Long = 0)(f: => T): T = {
     var attempt = 0
     while (true) {

@@ -1156,7 +1156,45 @@ object Relational {
        ORDER BY rank_e9 DESC, node LIMIT 20"""
   }
 
+  // Native session windows: Spark's session_window() (gap-merged
+  // event-time sessions as a first-class grouping — the same operator
+  // the streaming engine uses for stateful session aggregation).
+  // Semantics differ from the hand-rolled sessionize on purpose:
+  // window_end = last event + gap. The oracle reproduces exactly that
+  // with the same window-gap SQL.
+  def sessionizeNative(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        fmtTs(col("session_window.start")).as("session_start"),
+        fmtTs(col("session_window.end")).as("session_end"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+  val sessionizeNativeSql: String =
+    """SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+         AS session_end,
+       count(1) AS n_events
+       FROM (
+         SELECT user_id, ts,
+           sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_idx
+         FROM (
+           SELECT user_id, event_id, ts,
+             CASE WHEN prev_ts IS NULL
+                  OR ts - prev_ts >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+           FROM (
+             SELECT user_id, event_id, ts,
+               lag(ts, 1) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS prev_ts
+             FROM events)))
+       GROUP BY user_id, sess_idx ORDER BY user_id, session_start"""
+
   val queries: Map[String, QFn] = Map(
+    "sessionize_native" -> sessionizeNative,
     "graph_pagerank" -> graphPagerank,
     "window_range_frame" -> windowRangeFrame,
     "winsorize_values" -> winsorizeValues,
@@ -1206,6 +1244,7 @@ object Relational {
     "cohort_retention" -> cohortRetention)
 
   val oracles: Map[String, String] = Map(
+    "sessionize_native" -> sessionizeNativeSql,
     "graph_pagerank" -> graphPagerankSql,
     "window_range_frame" -> windowRangeFrameSql,
     "winsorize_values" -> winsorizeValuesSql,

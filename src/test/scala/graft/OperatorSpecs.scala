@@ -498,6 +498,16 @@ class FlowSpec extends SparkSuite {
     assert(rows.count(_.getString(1) == "ok") == 3)
   }
 
+  test("observe() metrics ride along the query without a second scan") {
+    val ev = Tables.events(spark, sf)
+    val (observed, fetch) = Flow.withObservedMetrics(ev, "load_metrics")
+    val n = observed.count() // one action; metrics collected inline
+    val m = fetch()
+    assert(m.getAs[Long]("n_rows") == n)
+    assert(m.getAs[Long]("n_null_type") == 0L)
+    assert(m.getAs[java.sql.Timestamp]("max_ts") != null)
+  }
+
   test("withRetry retries then succeeds; exhausts then throws") {
     var n = 0
     val got = Flow.withRetry(2) { n += 1; if (n < 3) sys.error("flaky"); 42 }
