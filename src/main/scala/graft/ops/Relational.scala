@@ -1193,7 +1193,34 @@ object Relational {
              FROM events)))
        GROUP BY user_id, sess_idx ORDER BY user_id, session_start"""
 
+  // Exact DECIMAL money arithmetic: cents → DECIMAL(38,0) → sum →
+  // DECIMAL(38,2) display string. Spark decimal aggregation is exact
+  // integer arithmetic internally (no double drift at any scale or
+  // partitioning); emitted as strings so the two engines' decimal
+  // formatting is compared verbatim.
+  def aggDecimalExact(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .withColumn("pc", cents(col("o_totalprice")).cast("decimal(38,0)"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("pc")).as("sum_cents"),
+        (sum(col("pc")) / lit(100)).cast("decimal(38,2)").as("total"))
+      .select(col("o_orderstatus"), col("n"),
+        col("sum_cents").cast("string").as("sum_cents"),
+        col("total").cast("string").as("total"))
+      .orderBy(col("o_orderstatus"))
+  val aggDecimalExactSql: String =
+    """SELECT o_orderstatus, count(1) AS n,
+       CAST(sum(pc) AS VARCHAR) AS sum_cents,
+       CAST(CAST(sum(pc) / 100 AS DECIMAL(38,2)) AS VARCHAR) AS total
+       FROM (SELECT o_orderstatus,
+               CAST(CAST(floor(o_totalprice * 100.0) AS BIGINT)
+                 AS DECIMAL(38,0)) AS pc
+             FROM orders)
+       GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
   val queries: Map[String, QFn] = Map(
+    "agg_decimal_exact" -> aggDecimalExact,
     "sessionize_native" -> sessionizeNative,
     "graph_pagerank" -> graphPagerank,
     "window_range_frame" -> windowRangeFrame,
@@ -1244,6 +1271,7 @@ object Relational {
     "cohort_retention" -> cohortRetention)
 
   val oracles: Map[String, String] = Map(
+    "agg_decimal_exact" -> aggDecimalExactSql,
     "sessionize_native" -> sessionizeNativeSql,
     "graph_pagerank" -> graphPagerankSql,
     "window_range_frame" -> windowRangeFrameSql,
