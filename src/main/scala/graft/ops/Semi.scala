@@ -357,6 +357,29 @@ object Semi {
         ORDER BY file"""
   }
 
+  // VARIANT semi-structured path (Spark 4): parse the JSON props column
+  // ONCE into a variant value, then cheap typed field extractions —
+  // the open-schema ingestion shape that replaces per-field
+  // get_json_object reparsing. The oracle mirrors with DuckDB's JSON
+  // extraction (no variant type there; the VALUES are what's checked).
+  def variantExtract(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Tables.events(spark, sfDir)
+      .withColumn("v", expr("parse_json(props)"))
+      .select(col("event_id"),
+        expr("variant_get(v, '$.k', 'long')").as("k"),
+        expr("variant_get(v, '$.k', 'string')").as("k_str"),
+        expr("variant_get(v, '$.missing', 'string')").as("absent"))
+      .filter(col("k") % 7 === 0)
+      .orderBy(col("event_id"))
+  val variantExtractSql: String =
+    """SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+       json_extract_string(props, '$.k') AS k_str,
+       json_extract_string(props, '$.missing') AS absent
+       FROM events
+       WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 = 0
+       ORDER BY event_id"""
+
   // S7 — disk-usage probe (scalar; environment state, no oracle).
   def s7DiskProbe(spark: SparkSession, sfDir: String): DataFrame =
     Sources.diskUsage(spark, "/root/repo")
@@ -384,6 +407,7 @@ object Semi {
     "s6_fs_scan" -> s6FsScan,
     "s8_csv_read" -> s8CsvRead,
     "s7_disk_probe" -> s7DiskProbe,
+    "variant_extract" -> variantExtract,
     "compaction_plan" -> compactionPlan)
 
   val oracles: Map[String, String] = Map(
@@ -405,5 +429,6 @@ object Semi {
     "s5_paginated" -> s5Sql,
     "s6_fs_scan" -> s6Sql,
     "s8_csv_read" -> s8Sql,
-    "compaction_plan" -> compactionPlanSql)
+    "compaction_plan" -> compactionPlanSql,
+    "variant_extract" -> variantExtractSql)
 }
