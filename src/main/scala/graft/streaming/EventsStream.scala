@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming surface (SURVEY.md §3/§2.4 D4): the reference's
@@ -128,6 +128,43 @@ object EventsStream {
   val oracles: Map[String, String] = Map(
     "stream_windowed_counts" -> streamWindowedCountsSql,
     "stream_sessionize" -> streamSessionizeSql)
+
+  // -- transformWithState (Spark 4 arbitrary-state API) --------------------
+
+  /** Per-user running event counter on the new StatefulProcessor API —
+    * typed ValueState in the RocksDB store, one updated (user, total)
+    * row emitted per key per micro-batch. The successor API to
+    * flatMapGroupsWithState (the sessionizer below): state declaration
+    * is explicit and store-backed, so at scale it spills/compacts in
+    * RocksDB instead of living on the JVM heap. */
+  class RunningCountProcessor
+      extends StatefulProcessor[Long, Ev, (Long, Long)] {
+    @transient private var count: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      count = getHandle.getValueState[Long]("count",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        timers: TimerValues): Iterator[(Long, Long)] = {
+      val n = (if (count.exists()) count.get() else 0L) + rows.size
+      count.update(n)
+      Iterator.single((key, n))
+    }
+  }
+
+  /** Run the RunningCountProcessor over the staged events (AvailableNow,
+    * RocksDB state store) and return (user_id, n_events) totals. */
+  def runningCounts(spark: SparkSession, srcPath: String): DataFrame = {
+    import spark.implicits._
+    val src = spark.readStream.schema(rawSchema).parquet(srcPath)
+      .select(col("user_id"), expr("ts div 1000").as("tsMicros"))
+      .as[Ev]
+    val counted = src.groupByKey(_.user_id)
+      .transformWithState(new RunningCountProcessor,
+        TimeMode.None(), OutputMode.Update())
+      .toDF("user_id", "n_events")
+    runToMemory(spark, counted,
+      s"graft_tws_${runSeq.incrementAndGet()}", OutputMode.Update())
+  }
 
   // -- foreachBatch CDC upsert sink ---------------------------------------
 

@@ -22,6 +22,26 @@ class StreamingSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("transformWithState running counts equal batch groupBy (RocksDB store)") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val got = EventsStream.runningCounts(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      val want = Tables.events(spark, sf).groupBy(col("user_id")).count()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == want, "stateful totals must equal the batch aggregation")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("foreachBatch upsert: incremental state equals batch latest-wins") {
     val src = java.nio.file.Files.createTempDirectory("graft_upsert_src")
     val state = java.nio.file.Files.createTempDirectory("graft_upsert_state")
