@@ -229,14 +229,19 @@ object Flow {
         fmtTs(max(col("ts"))).as("session_end"))
       .orderBy(col("user_id"), col("sess_idx"))
   }
+  // sess_idx CAST: DuckDB sum(int) is HUGEINT → pandas float64, which
+  // the driver hashes differently from Spark's int64. The inner ts is
+  // µs-truncated so both engines order on byte-identical keys (Spark's
+  // events.ts is already µs via Tables.events).
   val sessionizeSql: String =
     """SELECT user_id, sess_idx, count(1) AS n_events,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
        strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
        FROM (
          SELECT user_id, ts,
-           sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_idx
+           CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS sess_idx
          FROM (
            SELECT user_id, event_id, ts,
              CASE WHEN prev_s IS NULL
@@ -246,7 +251,8 @@ object Flow {
              SELECT user_id, event_id, ts,
                CAST(floor(epoch(lag(ts, 1) OVER (PARTITION BY user_id
                  ORDER BY ts, event_id))) AS BIGINT) AS prev_s
-             FROM events)))
+             FROM (SELECT user_id, event_id,
+                     date_trunc('microseconds', ts) AS ts FROM events))))
        GROUP BY user_id, sess_idx ORDER BY user_id, sess_idx"""
 
   val queries: Map[String, QFn] = Map(

@@ -188,13 +188,19 @@ object Relational {
         sum(k).over(w.rowsBetween(Window.unboundedPreceding, 0)).as("cum_k"))
       .orderBy(col("user_id"), col("rn"))
   }
+  // CAST on cum_k: DuckDB sum(BIGINT) is HUGEINT → pandas float64 —
+  // driver-hash divergence from Spark's int64 even at equal values.
+  // date_trunc to µs makes the window order key byte-identical to the
+  // Spark side (events.ts is ns in parquet, µs after Tables.events).
   val windowRunningSql: String =
     """SELECT user_id, event_id,
        row_number() OVER w AS rn,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
-         OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_k
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+         OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS cum_k
        FROM events
-       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       WINDOW w AS (PARTITION BY user_id
+                    ORDER BY date_trunc('microseconds', ts), event_id)
        ORDER BY user_id, rn"""
 
   // Sliding frame: max/count over the trailing 4 rows per user.

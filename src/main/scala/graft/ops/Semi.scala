@@ -347,7 +347,9 @@ object Semi {
       .map(f => s"('${f.getName}', CAST(${f.length()} AS BIGINT))")
       .mkString(", ")
     s"""SELECT file, length, bin,
-        sum(length) OVER (PARTITION BY bin) AS bin_bytes
+        -- CAST: DuckDB sum(BIGINT) is HUGEINT → pandas float64; the driver
+        -- hash then diverges from Spark's int64 at equal values.
+        CAST(sum(length) OVER (PARTITION BY bin) AS BIGINT) AS bin_bytes
         FROM (
           SELECT file, length,
             CAST(floor(coalesce(sum(length) OVER (ORDER BY file

@@ -359,7 +359,11 @@ object Text {
     pairs.filter(col("rk") <= 10)
       .groupBy(col("term"))
       .agg(max(col("df")).cast("int").as("df"),
-        sort_array(collect_list(col("doc_id"))).as("postings_head"))
+        // Scalar-only contract output: the driver's hasher can't take
+        // array columns, so the capped posting head ships as a CSV
+        // string (still one shuffle; the join cost is O(10) per term).
+        array_join(sort_array(collect_list(col("doc_id"))), ",")
+          .as("postings_head"))
       .orderBy(col("term"))
   }
   val invertedIndexSql: String =
@@ -372,7 +376,7 @@ object Text {
            count(1) OVER (PARTITION BY term) AS df
          FROM pairs WHERE term <> '')
        SELECT term, CAST(max(df) AS INT) AS df,
-         list(doc_id ORDER BY doc_id) AS postings_head
+         array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings_head
        FROM ranked WHERE rk <= 10
        GROUP BY term ORDER BY term"""
 
@@ -418,8 +422,10 @@ object Text {
          SELECT doc_id, w, count(1) AS c
          FROM (SELECT doc_id, unnest(ws) AS w FROM toks) GROUP BY 1, 2),
        ts AS (
-         SELECT doc_id, sum(c) AS n_tokens, count(1) AS n_distinct,
-                max(c) AS top_c
+         -- CAST: DuckDB sum(BIGINT) is HUGEINT, which pandas widens to
+         -- float64 — the driver's hash then sees 3.0 vs Spark's 3.
+         SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                count(1) AS n_distinct, max(c) AS top_c
          FROM tc GROUP BY 1),
        bc AS (
          SELECT doc_id, b, count(1) AS c FROM (
