@@ -155,7 +155,12 @@ object EventsStream {
     * RocksDB state store) and return (user_id, n_events) totals. */
   def runningCounts(spark: SparkSession, srcPath: String): DataFrame = {
     import spark.implicits._
-    val src = spark.readStream.schema(rawSchema).parquet(srcPath)
+    // pathGlobFilter scopes the file stream to the events table: srcPath
+    // is the whole sf dir, and reading sibling tables under the events
+    // schema yields null user_id rows that fail the Ev deserializer.
+    val src = spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(srcPath)
       .select(col("user_id"), expr("ts div 1000").as("tsMicros"))
       .as[Ev]
     val counted = src.groupByKey(_.user_id)
