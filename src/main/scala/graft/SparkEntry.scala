@@ -22,6 +22,7 @@ object SparkEntry {
     ops.Validate.queries ++
     ops.Relational.queries ++
     ops.Semi.queries ++
+    ops.Config.queries ++
     ops.Text.queries ++
     ops.Dedup.queries ++
     ops.Vector.queries ++
@@ -37,6 +38,7 @@ object SparkEntry {
     ops.Validate.oracles ++
     ops.Relational.oracles ++
     ops.Semi.oracles ++
+    ops.Config.oracles ++
     ops.Text.oracles ++
     ops.Dedup.oracles ++
     ops.Vector.oracles ++

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Config
+import graft.ops.Config.Param
+
+class ConfigSpec extends SparkSuite {
+
+  test("store reads the KV fixture with the declared schema") {
+    val rows = Config.store(spark).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getString(0)).contains("freshness_interval_hours"))
+  }
+
+  test("Variable.get surface: typed values and defaults") {
+    assert(Config.getLong(spark, "freshness_interval_hours", 99L) == 6L)
+    assert(Config.getLong(spark, "no_such_key", 42L) == 42L)
+    assert(Config.getDouble(spark, "ratio_threshold_pct", 0.0) == 0.9)
+    assert(Config.getBool(spark, "alerts_enabled", default = false))
+    assert(Config.getString(spark, "BACKUP_iowa_HOST", "?") ==
+      "iowa.example.com")
+  }
+
+  test("Variable.get surface: malformed value fails loudly, naming the key") {
+    val e = intercept[IllegalArgumentException] {
+      Config.getLong(spark, "BACKUP_iowa_HOST", 0L)
+    }
+    assert(e.getMessage.contains("BACKUP_iowa_HOST"))
+    assert(e.getMessage.contains("expected integer"))
+  }
+
+  test("dynamic key column builds f-string style keys per row") {
+    import spark.implicits._
+    val got = Seq("iowa", "chicago").toDF("device")
+      .select(Config.dynamicKey("BACKUP_%s_HOST", col("device")).as("k"))
+      .as[String].collect().toSet
+    assert(got == Set("BACKUP_iowa_HOST", "BACKUP_chicago_HOST"))
+  }
+
+  test("param validation: defaults, range, enum, type — failure paths name the param") {
+    val params = Seq(
+      Param("record_type", "string", default = Some("A"),
+        enum = Seq("A", "AAAA", "CNAME")),
+      Param("ttl", "integer", default = Some("300"), min = Some(60),
+        max = Some(86400)),
+      Param("proxied", "boolean", default = Some("false")))
+
+    // defaults apply
+    val resolved = Config.resolveParams(params, Map.empty)
+    assert(resolved == Map("record_type" -> "A", "ttl" -> "300",
+      "proxied" -> "false"))
+
+    // overrides validate
+    assert(Config.resolveParams(params, Map("ttl" -> "600"))("ttl") == "600")
+
+    // enum violation
+    val e1 = intercept[IllegalArgumentException] {
+      Config.resolveParams(params, Map("record_type" -> "MX"))
+    }
+    assert(e1.getMessage.contains("record_type") && e1.getMessage.contains("MX"))
+
+    // range violation
+    val e2 = intercept[IllegalArgumentException] {
+      Config.resolveParams(params, Map("ttl" -> "10"))
+    }
+    assert(e2.getMessage.contains("ttl") && e2.getMessage.contains("minimum"))
+
+    // type violation
+    val e3 = intercept[IllegalArgumentException] {
+      Config.resolveParams(params, Map("ttl" -> "soon"))
+    }
+    assert(e3.getMessage.contains("expected integer"))
+
+    // required param missing (no default)
+    val e4 = intercept[IllegalArgumentException] {
+      Config.resolveParams(Seq(Param("zone", "string")), Map.empty)
+    }
+    assert(e4.getMessage.contains("zone") && e4.getMessage.contains("required"))
+  }
+
+  test("config_driven_freshness derives its window from the store") {
+    val df = Config.configDrivenFreshness(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // every row carries the configured 6h interval
+    assert(rows.forall(_.getLong(2) == 6L))
+    // matches v1 (whose bound is the compiled-in Now - 6h) on the stale flag
+    val v1 = graft.ops.Validate.v1Freshness(spark, sf)
+      .select("user_id", "stale").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(rows.forall(r => v1(r.getLong(0)) == r.getBoolean(3)))
+  }
+}
