@@ -1,0 +1,73 @@
+package graft.ops
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** Failure-callback alerting (reference: every DAG wires
+  * `on_failure_callback=AppriseNotifier(body=f"The dag {dag.dag_id}
+  * failed")` — dags/DNS_Requests.py:34-40).
+  *
+  * Spark-native shape: a [[QueryExecutionListener]] on the session. Any
+  * failing DataFrame action fires [[FailureAlertListener.onFailure]],
+  * which renders the templated body with per-run params and delivers it
+  * through the injected transport (production: HTTP POST via
+  * [[HttpSink]]'s `post`; tests: an in-process HTTP server). The
+  * listener is the session-wide analogue of per-DAG callbacks — one
+  * registration covers every query the session runs.
+  */
+object Alerts {
+
+  /** `{{ key }}` template interpolation — the Jinja subset the
+    * reference's alert bodies use ("The dag {{ dag.dag_id }} failed"),
+    * plus per-run params (missing-param renders as `{{ key }}` verbatim
+    * so a bad template is visible in the alert, never a silent blank). */
+  def render(template: String, params: Map[String, String]): String =
+    params.foldLeft(template) { case (acc, (k, v)) =>
+      acc.replace(s"{{ $k }}", v).replace(s"{{$k}}", v)
+    }
+
+  /** Session listener delivering a rendered alert per failed query.
+    * `name`/`error` params are bound per failure; `staticParams` are
+    * the run-scoped bindings (dag id, env, run date). */
+  final class FailureAlertListener(
+      template: String,
+      staticParams: Map[String, String],
+      post: String => Unit)
+      extends QueryExecutionListener {
+
+    /** Delivered bodies (visible for tests / the driver loop). */
+    val delivered = new ConcurrentLinkedQueue[String]()
+
+    override def onSuccess(funcName: String, qe: QueryExecution,
+        durationNs: Long): Unit = ()
+
+    override def onFailure(funcName: String, qe: QueryExecution,
+        exception: Exception): Unit = {
+      val body = render(template, staticParams ++ Map(
+        "name" -> funcName,
+        "error" -> String.valueOf(exception.getMessage).linesIterator
+          .take(1).mkString))
+      delivered.add(body)
+      // Alert delivery must never mask the original failure.
+      try post(body) catch { case _: Throwable => () }
+    }
+  }
+
+  /** Register a failure-alert listener on the session; returns it for
+    * [[uninstall]]. Listener callbacks run on the listener bus, off the
+    * failing action's thread — delivery is asynchronous, like the
+    * reference's notifier. */
+  def install(spark: SparkSession, template: String,
+      staticParams: Map[String, String] = Map.empty)(
+      post: String => Unit): FailureAlertListener = {
+    val l = new FailureAlertListener(template, staticParams, post)
+    spark.listenerManager.register(l)
+    l
+  }
+
+  def uninstall(spark: SparkSession, l: FailureAlertListener): Unit =
+    spark.listenerManager.unregister(l)
+}

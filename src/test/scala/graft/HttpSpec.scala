@@ -111,6 +111,43 @@ class HttpSpec extends SparkSuite {
     }
   }
 
+  test("failure-callback listener: failing action fires a rendered webhook alert (K5)") {
+    val received = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    withServer(Map("/notify" -> { ex =>
+      received.add(new String(ex.getRequestBody.readAllBytes(),
+        StandardCharsets.UTF_8))
+      respond(ex, 200, "ok")
+    })) { base =>
+      val url = s"$base/notify"
+      def webhook(body: String): Unit = {
+        val client = java.net.http.HttpClient.newHttpClient()
+        client.send(java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+      }
+      val listener = graft.ops.Alerts.install(spark,
+        "The dag {{ dag_id }} failed ({{ name }}): {{ error }}",
+        Map("dag_id" -> "dns_monitoring"))(webhook)
+      try {
+        import spark.implicits._
+        val boom = org.apache.spark.sql.functions.udf((i: Long) =>
+          if (i >= 0) throw new IllegalStateException("protection disabled")
+          else i)
+        intercept[Exception] {
+          spark.range(4).select(boom($"id")).collect()
+        }
+        // listener bus delivery is asynchronous — poll for the alert
+        val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+        while (received.isEmpty && System.nanoTime() < deadline)
+          Thread.sleep(50)
+        assert(received.size() >= 1, "expected a delivered failure alert")
+        val body = received.asScala.next()
+        assert(body.startsWith("The dag dns_monitoring failed"))
+        assert(!body.contains("{{")) // every placeholder bound
+      } finally graft.ops.Alerts.uninstall(spark, listener)
+    }
+  }
+
   private implicit class SetOps[T](s: java.util.Set[T]) {
     def asScala: Iterator[T] = {
       val it = s.iterator(); new Iterator[T] {
