@@ -191,21 +191,32 @@ object Dedup {
 
   // -- n-gram Jaccard (direct, low-threshold variant) ----------------------
 
-  /** Shingle-inverted-index Jaccard: pairs sharing ≥ 1 shingle scored
-    * exactly, threshold 0.5. Same shuffle shape as a groupBy (inverted
-    * index on shingle), still no cross-join; for high thresholds prefer
-    * [[minhashLsh]] which prunes candidates before scoring. */
+  /** Shingle-inverted-index Jaccard: pairs sharing ≥ 1 *rare* shingle
+    * scored over the rare-shingle sets, threshold 0.5. Same shuffle
+    * shape as a groupBy (inverted index on shingle), still no
+    * cross-join; for high thresholds prefer [[minhashLsh]] which
+    * prunes candidates before scoring.
+    *
+    * Stop-shingle cap (the [[graft.ops.Text.docOverlapPairs]]
+    * mechanism): shingles appearing in > `MaxShingleDf` docs are
+    * dropped before the self-join — one boilerplate shingle shared by
+    * m docs would otherwise make its bucket m², and near-dup pairs by
+    * definition share many rare shingles, so the cap bounds candidate
+    * volume without losing true pairs. Jaccard is computed over kept
+    * shingles on both sides (per-doc sizes count kept shingles only),
+    * keeping the score a true Jaccard of the capped sets. */
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = shingled(spark, sfDir)
-      .select(col("doc_id"), col("shingles"),
-        explode(col("shingles")).as("s"))
-    val pairs = sh.select(col("doc_id").as("da"), col("s"))
-      .join(sh.select(col("doc_id").as("db"), col("s")), "s")
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
+    val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxShingleDf).select(col("s"))
+    val kept = sh.join(rare, "s")
+    val cnt = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val pairs = kept.select(col("doc_id").as("da"), col("s"))
+      .join(kept.select(col("doc_id").as("db"), col("s")), "s")
       .filter(col("da") < col("db"))
       .groupBy(col("da"), col("db"))
       .agg(count(lit(1)).as("i"))
-    val cnt = shingled(spark, sfDir)
-      .select(col("doc_id"), size(col("shingles")).as("n"))
     pairs
       .join(cnt.select(col("doc_id").as("da"), col("n").as("na")), "da")
       .join(cnt.select(col("doc_id").as("db"), col("n").as("nb")), "db")
@@ -215,12 +226,16 @@ object Dedup {
         e4(lit(1.0) * col("i") / col("u")).as("j_e4"))
       .orderBy(col("da"), col("db"))
   }
+  /** Document-frequency cap for [[ngramJaccard]]'s inverted index. */
+  val MaxShingleDf = 50
   val ngramJaccardSql: String =
     s"""WITH ${Text.shingleCte},
-       cnt AS (SELECT doc_id, count(1) AS n FROM sh GROUP BY 1),
+       rare AS (SELECT s FROM sh GROUP BY s HAVING count(1) <= $MaxShingleDf),
+       kept AS (SELECT doc_id, sh.s FROM sh JOIN rare USING (s)),
+       cnt AS (SELECT doc_id, count(1) AS n FROM kept GROUP BY 1),
        inter AS (
          SELECT a.doc_id AS da, b.doc_id AS db, count(1) AS i
-         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
          GROUP BY 1, 2)
        SELECT da, db,
          CAST(floor((1.0 * i / (ca.n + cb.n - i)) * 10000.0) AS BIGINT) AS j_e4

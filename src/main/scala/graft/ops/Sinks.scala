@@ -146,16 +146,20 @@ object Sinks {
        ORDER BY alert_body"""
 
   // K7 — partitioned table write, verified through the metadata it
-  // leaves behind: events land day-partitioned with all of a day's
-  // rows repartitioned into one task (so exactly one file per day —
-  // the small-file-free layout a 100 TB table needs), then the query
-  // reads back the directory and reports the per-day manifest.
-  // Exercises the actual writer path inside the oracle gate.
+  // leaves behind: events land day-partitioned and salted —
+  // repartition(day, salt) spreads each day over up to `Salt` writer
+  // tasks, so one hot day cannot become a single straggler task
+  // writing the whole partition (the skew cliff of repartition(day)
+  // alone), while files-per-day stays bounded (no small-file spray).
+  // The read-back manifest checks per-day row counts exactly and
+  // files-per-day ∈ [1, Salt]. Exercises the actual writer path
+  // inside the oracle gate.
   def k7PartitionedWrite(spark: SparkSession, sfDir: String): DataFrame = {
+    val salt = 4
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_part_sink"
     graft.Tables.events(spark, sfDir)
       .withColumn("day", to_date(col("ts")).cast("string"))
-      .repartition(col("day"))
+      .repartition(col("day"), pmod(hash(col("event_id")), lit(salt)))
       .write.partitionBy("day").mode("overwrite").parquet(out)
     val files = spark.read.format("binaryFile")
       .option("recursiveFileLookup", "true").load(out)
@@ -166,11 +170,13 @@ object Sinks {
       .groupBy(col("day").cast("string").as("day"))
       .agg(count(lit(1)).as("n_rows"))
       .join(files, "day")
+      .select(col("day"), col("n_rows"),
+        (col("n_files") >= 1 && col("n_files") <= salt).as("files_bounded"))
       .orderBy(col("day"))
   }
   val k7Sql: String =
     """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
-       count(1) AS n_rows, CAST(1 AS BIGINT) AS n_files
+       count(1) AS n_rows, true AS files_bounded
        FROM events GROUP BY 1 ORDER BY day"""
 
   // K8 — DSv2 write connector in the gate: push a projected event set

@@ -164,6 +164,29 @@ class ScaleSpec extends SparkSuite {
     assert(df.count() > 0)
   }
 
+  test("ngram-jaccard stop-shingle cap bounds hot-key candidate volume") {
+    import spark.implicits._
+    // Adversarial corpus: 200 docs share one boilerplate sentence (its
+    // shingles have df=200 > MaxShingleDf — without the cap the
+    // inverted-index self-join would emit C(200,2)=19900 candidate
+    // pairs from that bucket alone), each with unique filler so no two
+    // are true near-dups. Plus one genuine near-dup pair whose shared
+    // shingles are rare and must survive the cap.
+    val boiler = "this document is provided as is without any warranty of fitness"
+    val hot = (0 until 200).map(i =>
+      (i.toLong, s"$boiler unique filler alpha$i beta$i gamma$i delta$i epsilon$i"))
+    val dup = Seq(
+      (900L, "the migration runbook copies every shard twice before cutover checks"),
+      (901L, "the migration runbook copies every shard twice before cutover passes"))
+    val dir = "/tmp/graft_hotshingle"
+    (hot ++ dup).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = graft.ops.Dedup.ngramJaccard(spark, dir)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((900L, 901L)),
+      s"boilerplate-only overlap must yield no pairs, rare-shingle dup must survive: $pairs")
+  }
+
   test("fact scans prune columns and push predicates (plan audit)") {
     val q3 = graft.ops.Relational.q3TopOrders(spark, sf)
     val plan = q3.queryExecution.executedPlan.toString
