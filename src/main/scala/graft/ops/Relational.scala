@@ -1257,7 +1257,9 @@ object Relational {
     "setop_except" -> setopExcept,
     "agg_rollup" -> aggRollup,
     "distinct_count" -> distinctCount,
-    "approx_distinct" -> approxDistinct,
+    // approx_distinct enters the contract through its _check gate (the
+    // raw HLL estimate is engine-specific, so a bare row can only ever
+    // be no_oracle; the gate asserts the tolerance verdict instead).
     "approx_distinct_check" -> approxDistinctCheck,
     "f1_pipe_split" -> pipeSplit,
     "f11_json_filter" -> jsonFilter,

@@ -531,6 +531,35 @@ object Vector {
     s"""SELECT vec_id AS qid, true AS recall_ok FROM embeddings
        WHERE vec_id IN (${QueryIds.mkString(", ")}) ORDER BY qid"""
 
+  /** Oracle gate for IVF-PQ: probing 3/8 trained cells plus exact
+    * re-rank must recover ≥ 6 of the true L2 top-10 per query
+    * (measured 9–10 at sf0.001 and sf0.01 — wide margin). Same
+    * constant-true-oracle pattern as [[annPqRecallGate]]. */
+  def annIvfPqRecallGate(spark: SparkSession, sfDir: String): DataFrame = {
+    val ivfpq = annIvfPqTopk(spark, sfDir).select(col("qid"), col("vec_id"))
+    val exact = l2BruteTopk(spark, sfDir, 10)
+    ivfpq.join(exact, Seq("qid", "vec_id"))
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("hits"))
+      .select(col("qid"), (col("hits") >= 6L).as("recall_ok"))
+      .orderBy(col("qid"))
+  }
+
+  /** Oracle gate for the trained-quantizer IVF: probing the query's
+    * own cell must recover ≥ 5 of the true cosine top-10 per query
+    * (measured 7–10 at sf0.001 and sf0.01; single-cell probing is the
+    * recall/cost knob, so the floor is intentionally lower than the
+    * multi-probe gates). */
+  def annIvfKmeansRecallGate(spark: SparkSession, sfDir: String): DataFrame = {
+    val ivf = annIvfKmeans(spark, sfDir).select(col("qid"), col("vec_id"))
+    val brute = annBruteTopk(spark, sfDir).select(col("qid"), col("vec_id"))
+    ivf.join(brute, Seq("qid", "vec_id"))
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("hits"))
+      .select(col("qid"), (col("hits") >= 5L).as("recall_ok"))
+      .orderBy(col("qid"))
+  }
+
   // Per-label centroid statistics: exact integer per-dimension sums
   // (e4 fixed point per ELEMENT, then integer sum — deterministic under
   // any partitioning, unlike a raw float mean). posexplode → one
@@ -661,16 +690,19 @@ object Vector {
       .orderBy(col("qid"), col("rank"))
   }
 
+  // The PQ / IVF-PQ / kmeans-IVF searches enter the contract through
+  // their recall gates (engine-specific codes make the raw rows
+  // rows-only; the gates assert the quality verdict against exact
+  // search, so every ANN row in CORRECTNESS is oracle-checked).
   val queries: Map[String, QFn] = Map(
-    "ann_ivfpq_topk" -> ((s, d) => annIvfPqTopk(s, d)),
     "emb_centroids" -> embCentroids,
     "emb_quantize_int8" -> embQuantizeInt8,
     "ann_brute_topk" -> annBruteTopk,
     "ann_ivf_topk" -> annIvfTopk,
     "emb_norm_stats" -> embNormStats,
-    "ann_ivf_kmeans" -> annIvfKmeans,
-    "ann_pq_topk" -> ((s, d) => annPqTopk(s, d)),
     "ann_pq_recall_gate" -> annPqRecallGate,
+    "ann_ivfpq_recall_gate" -> annIvfPqRecallGate,
+    "ann_ivf_kmeans_recall_gate" -> annIvfKmeansRecallGate,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine)
 
   val oracles: Map[String, String] = Map(
@@ -680,5 +712,7 @@ object Vector {
     "ann_ivf_topk" -> oracleSql(5, sameLabelOnly = true),
     "emb_norm_stats" -> embNormStatsSql,
     "ann_pq_recall_gate" -> annPqRecallGateSql,
+    "ann_ivfpq_recall_gate" -> annPqRecallGateSql,
+    "ann_ivf_kmeans_recall_gate" -> annPqRecallGateSql,
     "dedup_embedding_cosine" -> dedupEmbeddingCosineSql)
 }
