@@ -76,7 +76,12 @@ object Bench {
     val ok = results.filter(_._2 >= 0)
     val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0
     val nFail = results.count(_._2 < 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFail,"shuffle_bytes":$sh,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFail,"shuffle_bytes":$sh,"sf":"$sfDir"}"""
+    println(json)
+    // The driver captures a bounded stdout tail; the full line also
+    // lands on disk so per-query numbers survive truncation.
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/BENCH_LAST.json"), json + "\n")
     spark.stop()
   }
 }

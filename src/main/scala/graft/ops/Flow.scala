@@ -194,6 +194,30 @@ object Flow {
     }
   }
 
+  /** D4 — recurring-run driver: the thin scheduler loop that
+    * re-executes a job set on a fixed cadence — the engine-external
+    * half of the reference's cron schedules (`"0 *\/6 * * *"` —
+    * dags/DNS_Requests.py:23, dags/Cloudflare_Apps.py:54). Ticks are
+    * fixed-rate (tick i due at start + i·period — cron semantics, no
+    * drift accumulation; an overrunning tick starts its successor
+    * immediately). Each tick composes [[withRetry]] + [[withTimeout]]
+    * exactly as a DAG run carries `retries` + `dagrun_timeout`
+    * (dags/DNS_Requests.py:13-17,33), and failures isolate per tick.
+    * On a cluster this loop lives in the orchestrator process; the
+    * engine underneath is unchanged. */
+  def runRecurring[T](ticks: Int, periodMs: Long, retries: Int = 2,
+      retryDelayMs: Long = 0, timeoutMs: Long = 60000)(
+      job: Int => T): Seq[scala.util.Try[T]] = {
+    val start = System.nanoTime()
+    (0 until ticks).map { i =>
+      val waitMs = (start + i * periodMs * 1000000L - System.nanoTime()) /
+        1000000L
+      if (waitMs > 0) Thread.sleep(waitMs)
+      scala.util.Try(withRetry(retries, retryDelayMs)(
+        withTimeout(timeoutMs)(job(i))))
+    }
+  }
+
   // D7 — env-conditional registration (dags/Airflow_Cleanup.py:75-76):
   // feature gates derived from the deployment env.
   def d7EnvGate(spark: SparkSession, sfDir: String): DataFrame = {

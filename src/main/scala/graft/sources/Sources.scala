@@ -52,13 +52,32 @@ object Auth {
 object HttpFetch {
   import java.net.URI
   import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+  import java.security.cert.X509Certificate
   import java.time.Duration
+  import javax.net.ssl.{SSLContext, TrustManager, X509TrustManager}
+
+  /** Trust-all context for `insecure = true` — the reference's
+    * `requests.get(..., verify=False)` (dags/Backups.py:61,80,117:
+    * self-signed certs on LAN appliances). Scoped to the one client;
+    * never a JVM-wide default. */
+  private lazy val trustAllContext: SSLContext = {
+    val ctx = SSLContext.getInstance("TLS")
+    ctx.init(null, Array[TrustManager](new X509TrustManager {
+      def checkClientTrusted(cs: Array[X509Certificate], a: String): Unit = ()
+      def checkServerTrusted(cs: Array[X509Certificate], a: String): Unit = ()
+      def getAcceptedIssuers: Array[X509Certificate] = Array.empty
+    }), new java.security.SecureRandom())
+    ctx
+  }
 
   def fetchToStaging(url: String, auth: Auth.Mode, dest: java.nio.file.Path,
-      timeoutMs: Long = 10000, permissive: Boolean = false): Boolean = {
+      timeoutMs: Long = 10000, permissive: Boolean = false,
+      insecure: Boolean = false): Boolean = {
     try {
-      val client = HttpClient.newBuilder()
-        .connectTimeout(Duration.ofMillis(timeoutMs)).build()
+      val builder = HttpClient.newBuilder()
+        .connectTimeout(Duration.ofMillis(timeoutMs))
+      if (insecure) builder.sslContext(trustAllContext)
+      val client = builder.build()
       var b = HttpRequest.newBuilder(URI.create(url))
         .timeout(Duration.ofMillis(timeoutMs)).GET()
       auth match {

@@ -111,6 +111,64 @@ class HttpSpec extends SparkSuite {
     }
   }
 
+  test("insecure fetch trusts a self-signed server; strict fetch refuses it") {
+    // Self-signed cert with SAN=IP:127.0.0.1 (hostname verification must
+    // pass — only the trust chain is under test, like verify=False).
+    val ksDir = java.nio.file.Files.createTempDirectory("graft_tls")
+    val ks = ksDir.resolve("ks.p12")
+    val keytool = new ProcessBuilder(
+      s"${System.getProperty("java.home")}/bin/keytool",
+      "-genkeypair", "-alias", "graft", "-keyalg", "RSA", "-keysize", "2048",
+      "-validity", "1", "-dname", "CN=127.0.0.1",
+      "-ext", "SAN=IP:127.0.0.1",
+      "-keystore", ks.toString, "-storetype", "PKCS12",
+      "-storepass", "graftpass").inheritIO().start()
+    assert(keytool.waitFor() == 0, "keytool must generate the keystore")
+
+    val kms = javax.net.ssl.KeyManagerFactory.getInstance("SunX509")
+    val store = java.security.KeyStore.getInstance("PKCS12")
+    val in = java.nio.file.Files.newInputStream(ks)
+    try store.load(in, "graftpass".toCharArray) finally in.close()
+    kms.init(store, "graftpass".toCharArray)
+    val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+    ctx.init(kms.getKeyManagers, null, null)
+
+    val server = com.sun.net.httpserver.HttpsServer.create(
+      new InetSocketAddress("127.0.0.1", 0), 0)
+    server.setHttpsConfigurator(new com.sun.net.httpserver.HttpsConfigurator(ctx))
+    server.createContext("/status", (ex: HttpExchange) =>
+      respond(ex, 200, """{"running": true}"""))
+    server.start()
+    try {
+      val url = s"https://127.0.0.1:${server.getAddress.getPort}/status"
+      val dest = ksDir.resolve("staged.json")
+      // strict client: self-signed chain is refused (soft-fail observes it)
+      assert(!graft.sources.HttpFetch.fetchToStaging(url, Auth.NoAuth, dest,
+        permissive = true))
+      assert(!java.nio.file.Files.exists(dest))
+      // insecure client: verify=False semantics — fetch lands the payload
+      assert(graft.sources.HttpFetch.fetchToStaging(url, Auth.NoAuth, dest,
+        insecure = true))
+      assert(java.nio.file.Files.readString(dest).contains("running"))
+    } finally server.stop(0)
+  }
+
+  test("recurring-run driver: fixed-rate ticks compose retry + timeout (D4)") {
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val t0 = System.nanoTime()
+    val outcomes = graft.ops.Flow.runRecurring(
+      ticks = 3, periodMs = 120, retries = 2) { tick =>
+      // first attempt of every tick fails → withRetry must absorb it
+      if (attempts.incrementAndGet() % 2 == 1)
+        throw new IllegalStateException(s"transient failure on tick $tick")
+      tick
+    }
+    val elapsedMs = (System.nanoTime() - t0) / 1000000L
+    assert(outcomes.map(_.get) == Seq(0, 1, 2), "every tick must succeed")
+    assert(attempts.get() == 6, "each tick retries exactly once")
+    assert(elapsedMs >= 240, s"3 fixed-rate ticks at 120ms span >= 240ms: $elapsedMs")
+  }
+
   test("failure-callback listener: failing action fires a rendered webhook alert (K5)") {
     val received = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     withServer(Map("/notify" -> { ex =>
