@@ -29,4 +29,15 @@ object Util {
 
   /** Fixed-point 1e-4 scale for ratios/similarities (same trick). */
   def e4(c: Column): Column = floor(c * lit(10000.0))
+
+  /** The materialized RDD behind a `localCheckpoint(true)`'d Dataset.
+    * `Dataset.unpersist()` does NOT release checkpointed blocks, so
+    * iterative loops (PageRank, connected components) must free each
+    * iteration's state through this handle once the next iteration is
+    * materialized — otherwise every round's blocks linger until GC in
+    * a long-lived session. */
+  def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
 }

@@ -301,6 +301,10 @@ object Dedup {
       .withColumn("rep", col("id"))
       .persist()
     var changed = 1L
+    // previous round's checkpointed blocks — Dataset.unpersist() cannot
+    // free them (graft.Util.checkpointRdd); the final round's blocks
+    // stay live because the returned plan reads them.
+    var prevCk: Option[org.apache.spark.rdd.RDD[_]] = None
     while (changed > 0) {
       val neighborMin = edges
         .join(labels.select(col("id").as("db"), col("rep").as("nrep")), "db")
@@ -318,6 +322,8 @@ object Dedup {
         .localCheckpoint(true)
       changed = updated.filter(col("rep") =!= col("old_rep")).count()
       labels.unpersist()
+      prevCk.foreach(_.unpersist(false))
+      prevCk = graft.Util.checkpointRdd(updated)
       labels = updated.select(col("id"), col("rep"))
     }
     edges.unpersist()

@@ -128,26 +128,30 @@ object Flow {
       : (DataFrame, () => org.apache.spark.sql.Row) = {
     val holder =
       new java.util.concurrent.atomic.AtomicReference[org.apache.spark.sql.Row]()
-    df.sparkSession.listenerManager.register(
-      new org.apache.spark.sql.util.QueryExecutionListener {
-        override def onSuccess(funcName: String,
-            qe: org.apache.spark.sql.execution.QueryExecution,
-            durationNs: Long): Unit =
-          qe.observedMetrics.get(name).foreach(holder.set)
-        override def onFailure(funcName: String,
-            qe: org.apache.spark.sql.execution.QueryExecution,
-            exception: Exception): Unit = ()
-      })
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        qe.observedMetrics.get(name).foreach(holder.set)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    df.sparkSession.listenerManager.register(listener)
     val observed = df.observe(name,
       count(lit(1)).as("n_rows"),
       sum(when(col("event_type").isNull, 1L).otherwise(0L)).as("n_null_type"),
       max(col("ts")).as("max_ts"))
-    // listener delivery is async: poll briefly after the action
+    // listener delivery is async: poll briefly after the action. fetch
+    // is one-shot — it unregisters the listener once the row arrives,
+    // so repeated calls in a long-lived session don't accumulate
+    // listeners or cross-talk between same-named observations.
     val fetch = () => {
       var spins = 0
       while (holder.get() == null && spins < 100) {
         Thread.sleep(50); spins += 1
       }
+      df.sparkSession.listenerManager.unregister(listener)
       require(holder.get() != null, s"observed metrics '$name' never arrived")
       holder.get()
     }

@@ -1103,6 +1103,9 @@ object Relational {
     val base = 1000000000L / n // floor(1e9 / N), exact in both engines
     val teleport = 150000000L / n // floor(0.15e9 / N)
     var ranks = nodes.withColumn("r", lit(base)).persist()
+    // handle to the previous iteration's checkpointed blocks —
+    // Dataset.unpersist() cannot free them (graft.Util.checkpointRdd)
+    var prevCk: Option[org.apache.spark.rdd.RDD[_]] = None
     for (_ <- 1 to iters) {
       val contribs = edgesDeg
         .join(broadcast(ranks.withColumnRenamed("node", "src")), "src")
@@ -1120,6 +1123,8 @@ object Relational {
           (lit(teleport) + coalesce(col("in_r"), lit(0L))).as("r"))
         .localCheckpoint(true)
       ranks.unpersist()
+      prevCk.foreach(_.unpersist(false)) // next is materialized; free prior
+      prevCk = graft.Util.checkpointRdd(next)
       ranks = next
     }
     // top-20 is bounded by construction: collect it so every cached
@@ -1129,6 +1134,7 @@ object Relational {
     val top = ranks.orderBy(col("r").desc, col("node")).limit(20)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     edges.unpersist(); edgesDeg.unpersist(); nodes.unpersist(); ranks.unpersist()
+    prevCk.foreach(_.unpersist(false)) // result collected; free the last round
     top.toDF("node", "rank_e9").orderBy(col("rank_e9").desc, col("node"))
   }
   val graphPagerankSql: String = {

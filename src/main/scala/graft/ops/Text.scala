@@ -726,31 +726,39 @@ object Text {
     val docs = Tables.documents(spark, sfDir)
     val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
     val minN = counts.agg(min(col("n_s")).as("n_min"))
+    // pow is not correctly rounded, so the raw double rate is snapped
+    // to fixed point ONCE (floor(rate·2³²) as BIGINT) and everything
+    // downstream — the membership compare AND the rate_e4 output — is
+    // exact integer arithmetic on that one snapped value. The only
+    // cross-engine exposure left is the single floor(pow) landing
+    // within 1 ulp of an integer, ~2⁻²⁰ per source instead of per-doc.
     val rates = counts.crossJoin(broadcast(minN))
-      .withColumn("rate",
-        pow(lit(1.0) * col("n_s") / col("n_min"), lit(-0.3)))
+      .withColumn("rate_fp",
+        floor(pow(lit(1.0) * col("n_s") / col("n_min"), lit(-0.3)) *
+          lit(4294967296.0)).cast("long"))
     docs
       .withColumn("h", expr(
         "CAST(conv(substr(md5(encode(CAST(doc_id AS STRING), 'utf-8')), 1, 8), 16, 10) AS BIGINT)"))
       .join(broadcast(rates), "source")
-      .filter(col("h").cast("double") < col("rate") * lit(4294967296.0))
+      .filter(col("h") < col("rate_fp"))
       .select(col("doc_id"), col("source"), col("n_s"),
-        e4(col("rate")).cast("long").as("rate_e4"), col("h"))
+        expr("(rate_fp * 10000) DIV 4294967296").as("rate_e4"), col("h"))
       .orderBy(col("doc_id"))
   }
   val sampleTemperatureSql: String =
     """WITH c AS (SELECT source, count(1) AS n_s FROM documents GROUP BY source),
        m AS (SELECT min(n_s) AS n_min FROM c),
        r AS (SELECT source, n_s,
-               pow(1.0 * n_s / n_min, -0.3) AS rate
+               CAST(floor(pow(1.0 * n_s / n_min, -0.3) * 4294967296.0)
+                 AS BIGINT) AS rate_fp
              FROM c CROSS JOIN m)
        SELECT doc_id, d.source, n_s,
-         CAST(floor(rate * 10000.0) AS BIGINT) AS rate_e4,
+         CAST((rate_fp * 10000) // 4294967296 AS BIGINT) AS rate_e4,
          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
            AS BIGINT) AS h
        FROM documents d JOIN r ON d.source = r.source
-       WHERE CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
-         AS BIGINT) AS DOUBLE) < rate * 4294967296.0
+       WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+         AS BIGINT) < rate_fp
        ORDER BY doc_id"""
 
   // The end-to-end corpus filter funnel: every doc gets a keep/drop

@@ -48,33 +48,51 @@ class JsonDirTable(schema: StructType, path: String)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new JsonDirWriteBuilder(info.schema(), path)
+    new JsonDirWriteBuilder(info.schema(), path, info.queryId())
 }
 
-class JsonDirWriteBuilder(schema: StructType, path: String)
-    extends WriteBuilder {
+/** SupportsTruncate backs `mode("overwrite")`: the truncate happens on
+  * the driver at commit time, right before promotion — existing final
+  * files vanish and the new ones appear at the same visibility point,
+  * so a concurrent reader never sees the directory half-truncated with
+  * the new data missing. */
+class JsonDirWriteBuilder(schema: StructType, path: String, queryId: String,
+    truncate: Boolean = false) extends WriteBuilder with SupportsTruncate {
+  override def truncate(): WriteBuilder =
+    new JsonDirWriteBuilder(schema, path, queryId, truncate = true)
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new JsonDirBatchWrite(schema, path)
+    override def toBatch: BatchWrite =
+      new JsonDirBatchWrite(schema, path, queryId, truncate)
   }
 }
 
 case class JsonDirCommit(staged: String, finalName: String)
     extends WriterCommitMessage
 
-class JsonDirBatchWrite(schema: StructType, path: String) extends BatchWrite {
+class JsonDirBatchWrite(schema: StructType, path: String, queryId: String,
+    truncate: Boolean) extends BatchWrite {
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    new JsonDirWriterFactory(schema, path)
+    new JsonDirWriterFactory(schema, path, queryId)
 
   /** Driver-side commit: promote every committed task's staging file.
     * Nothing under `path/` (except `_staging/`) exists before this
-    * runs — the all-or-nothing visibility point. */
+    * runs — the all-or-nothing visibility point. Final names carry the
+    * job's queryId, so successive appends coexist instead of a later
+    * job silently replacing an earlier one's part files. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    if (truncate) {
+      val dir = Paths.get(path).toFile
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile &&
+          (f.getName.endsWith(".jsonl") || f.getName == "_SUCCESS"))
+        .foreach(_.delete())
+    }
     messages.foreach { case JsonDirCommit(staged, finalName) =>
       val src = Paths.get(staged)
       if (Files.exists(src))
         Files.move(src, Paths.get(path, finalName),
-          StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+          StandardCopyOption.ATOMIC_MOVE)
     }
     Files.write(Paths.get(path, "_SUCCESS"), Array.empty[Byte])
   }
@@ -87,15 +105,15 @@ class JsonDirBatchWrite(schema: StructType, path: String) extends BatchWrite {
     }
 }
 
-class JsonDirWriterFactory(schema: StructType, path: String)
+class JsonDirWriterFactory(schema: StructType, path: String, queryId: String)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
-    new JsonDirWriter(schema, path, partitionId, taskId)
+    new JsonDirWriter(schema, path, partitionId, taskId, queryId)
 }
 
 class JsonDirWriter(schema: StructType, path: String, partitionId: Int,
-    taskId: Long) extends DataWriter[InternalRow] {
+    taskId: Long, queryId: String) extends DataWriter[InternalRow] {
   private val stagingDir = Paths.get(path, "_staging")
   Files.createDirectories(stagingDir)
   private val staged =
@@ -133,7 +151,7 @@ class JsonDirWriter(schema: StructType, path: String, partitionId: Int,
 
   override def commit(): WriterCommitMessage = {
     out.close()
-    JsonDirCommit(staged.toString, f"part-$partitionId%05d.jsonl")
+    JsonDirCommit(staged.toString, f"part-$queryId-$partitionId%05d.jsonl")
   }
 
   override def abort(): Unit = {

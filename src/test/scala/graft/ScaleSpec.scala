@@ -86,6 +86,19 @@ class ScaleSpec extends SparkSuite {
     val want = df.collect().map(r =>
       (r.getLong(0), Option(r.getString(1)), r.getDouble(2), r.getBoolean(3))).toSet
     assert(got == want, "escaped round-trip must be lossless")
+
+    // second append coexists (queryId-scoped file names — no silent
+    // replacement of the first job's part files)
+    df.write.format("graft.sources.v2.JsonDirSink")
+      .option("path", out).mode("append").save()
+    assert(spark.read.schema("id LONG, name STRING, score DOUBLE, ok BOOLEAN")
+      .json(s"$out/*.jsonl").count() == 6, "append must add, not replace")
+
+    // overwrite truncates atomically at the commit point
+    df.limit(1).coalesce(1).write.format("graft.sources.v2.JsonDirSink")
+      .option("path", out).mode("overwrite").save()
+    assert(spark.read.schema("id LONG, name STRING, score DOUBLE, ok BOOLEAN")
+      .json(s"$out/*.jsonl").count() == 1, "overwrite must truncate priors")
   }
 
   test("DSv2 staged-HTTP source pushes equality filters and limit") {
