@@ -53,12 +53,16 @@ object Dedup {
 
   // -- exact dedup ---------------------------------------------------------
 
-  /** Exact dedup: keep min doc_id per distinct text (hash-groupBy — one
-    * shuffle on the text; see [[exactHashDedup]] for the wide-row-safe
-    * variant). */
+  /** Exact dedup: keep min doc_id per distinct text. The groupBy key is
+    * sha256(text), NOT the text — the shuffle moves 32-byte digests
+    * instead of document bodies, which is the difference between a
+    * metadata-sized exchange and re-shuffling the corpus at 100 TB.
+    * Semantics are by-text (collision odds 2⁻¹²⁸); the oracle groups by
+    * the raw text, so the digest grouping itself is cross-checked. */
   def exactDedup(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
-      .groupBy(col("text"))
+      .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+      .groupBy(col("h"))
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
       .select(col("keeper"), col("n_copies"))
       .orderBy(col("keeper"))
@@ -208,9 +212,14 @@ object Dedup {
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = shingled(spark, sfDir)
       .select(col("doc_id"), explode(col("shingles")).as("s"))
-    val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= MaxShingleDf).select(col("s"))
-    val kept = sh.join(rare, "s")
+    // df via a count window, not groupBy + join-back: ONE exchange on s
+    // yields the capped table, and the self-join below reuses that same
+    // exchange on both sides (ReusedExchange in the plan) instead of
+    // re-shuffling the shingle table three times.
+    val wS = org.apache.spark.sql.expressions.Window.partitionBy(col("s"))
+    val kept = sh.withColumn("df", count(lit(1)).over(wS))
+      .filter(col("df") <= MaxShingleDf)
+      .select(col("doc_id"), col("s"))
     val cnt = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val pairs = kept.select(col("doc_id").as("da"), col("s"))
       .join(kept.select(col("doc_id").as("db"), col("s")), "s")
