@@ -494,24 +494,36 @@ object Vector {
     d
   }
 
-  /** Exact L2 top-k per query (ground truth for the PQ recall gate). */
+  /** Exact L2 top-k per query (ground truth for the PQ/IVF-PQ recall
+    * gates). The collected result is k rows per query id — an index-
+    * build artifact like the codebooks — so it is memoized per
+    * (session, sfDir, k) and the gates that share it (`ann_pq_` and
+    * `ann_ivfpq_recall_gate`) pay for one corpus sweep, not one each. */
+  private val bruteCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Int), Seq[(Long, Long)]]
+  private val cosineBruteCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Seq[(Long, Long)]]
   private def l2BruteTopk(spark: SparkSession, sfDir: String, k: Int)
       : DataFrame = {
     import spark.implicits._
-    val emb = Tables.embeddings(spark, sfDir)
-    val qs = emb.filter(col("vec_id").isin(QueryIds.map(Int.box): _*))
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    val pairs = emb.crossJoin(broadcast(qs))
-      .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"), col("qv"), col("embedding"))
-      .as[(Long, Long, Array[Float], Array[Float])]
-      .map { case (qid, id, q, v) => (qid, id, l2(q, v)) }
-      .toDF("qid", "vec_id", "dist")
-    val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))
-    topkLocal(pairs, "dist", k, asc = true)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("vec_id"))
+    val rows = bruteCache.getOrElseUpdate((spark, sfDir, k), {
+      val emb = Tables.embeddings(spark, sfDir)
+      val qs = emb.filter(col("vec_id").isin(QueryIds.map(Int.box): _*))
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val pairs = emb.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"), col("qv"), col("embedding"))
+        .as[(Long, Long, Array[Float], Array[Float])]
+        .map { case (qid, id, q, v) => (qid, id, l2(q, v)) }
+        .toDF("qid", "vec_id", "dist")
+      val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))
+      topkLocal(pairs, "dist", k, asc = true)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("qid"), col("vec_id"))
+        .as[(Long, Long)].collect().toSeq
+    })
+    rows.toDF("qid", "vec_id")
   }
 
   /** Oracle gate for PQ (same pattern as approx_distinct_check): the
@@ -551,8 +563,15 @@ object Vector {
     * recall/cost knob, so the floor is intentionally lower than the
     * multi-probe gates). */
   def annIvfKmeansRecallGate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
     val ivf = annIvfKmeans(spark, sfDir).select(col("qid"), col("vec_id"))
-    val brute = annBruteTopk(spark, sfDir).select(col("qid"), col("vec_id"))
+    // ground truth memoized like l2BruteTopk's (3 queries × 10 rows);
+    // the registered ann_brute_topk query itself stays uncached so its
+    // bench row keeps measuring the real sweep.
+    val brute = cosineBruteCache.getOrElseUpdate((spark, sfDir),
+      annBruteTopk(spark, sfDir).select(col("qid"), col("vec_id"))
+        .as[(Long, Long)].collect().toSeq)
+      .toDF("qid", "vec_id")
     ivf.join(brute, Seq("qid", "vec_id"))
       .groupBy(col("qid"))
       .agg(count(lit(1)).as("hits"))

@@ -79,6 +79,16 @@ class ConfigSpec extends SparkSuite {
     assert(e4.getMessage.contains("zone") && e4.getMessage.contains("required"))
   }
 
+  test("config lookups enter the plan as broadcasts, never a fact shuffle") {
+    val plan = graft.ops.Config.configDrivenFreshness(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), s"config row must broadcast:\n$plan")
+    // the only hash exchanges are the user_id aggregate + final sort
+    assert(!plan.contains("SortMergeJoin"),
+      s"one-row config join must not sort-merge:\n$plan")
+  }
+
   test("config_driven_freshness derives its window from the store") {
     val df = Config.configDrivenFreshness(spark, sf)
     val rows = df.collect()

@@ -169,6 +169,34 @@ class HttpSpec extends SparkSuite {
     assert(elapsedMs >= 240, s"3 fixed-rate ticks at 120ms span >= 240ms: $elapsedMs")
   }
 
+  test("recurring-run driver executes the monitoring query set per tick") {
+    // the reference's cron'd DNS monitoring DAG: each tick runs the
+    // fetch -> validate -> alert pipeline; alerts land per tick. The
+    // webhook is the observation channel because delivery happens on
+    // executors (a driver-side collection would only see a serialized
+    // copy of itself).
+    val received = new java.util.concurrent.atomic.AtomicInteger(0)
+    withServer(Map("/notify" -> { ex =>
+      received.incrementAndGet()
+      respond(ex, 200, "ok")
+    })) { base =>
+      val url = s"$base/notify"
+      def webhook(body: String): Unit = {
+        val client = java.net.http.HttpClient.newHttpClient()
+        client.send(java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+      }
+      val outcomes = graft.ops.Flow.runRecurring(
+        ticks = 2, periodMs = 50, retries = 0, timeoutMs = 120000) { _ =>
+        graft.ops.Monitor.dnsPipeline(spark, strict = false)(webhook)
+      }
+      assert(outcomes.forall(_.isSuccess))
+      assert(outcomes.map(_.get) == Seq(2L, 2L), "2 violations per tick")
+      assert(received.get() == 4, "one alert per violation per tick")
+    }
+  }
+
   test("failure-callback listener: failing action fires a rendered webhook alert (K5)") {
     val received = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     withServer(Map("/notify" -> { ex =>
