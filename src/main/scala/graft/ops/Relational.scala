@@ -1102,11 +1102,12 @@ object Relational {
     val n = nodes.count()
     val base = 1000000000L / n // floor(1e9 / N), exact in both engines
     val teleport = 150000000L / n // floor(0.15e9 / N)
-    var ranks = nodes.withColumn("r", lit(base)).persist()
+    val ranks0 = nodes.withColumn("r", lit(base)).persist()
+    var ranks = ranks0
     // handle to the previous iteration's checkpointed blocks —
     // Dataset.unpersist() cannot free them (graft.Util.checkpointRdd)
     var prevCk: Option[org.apache.spark.rdd.RDD[_]] = None
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contribs = edgesDeg
         .join(broadcast(ranks.withColumnRenamed("node", "src")), "src")
         .select(col("dst").as("node"),
@@ -1115,16 +1116,24 @@ object Relational {
       // localCheckpoint TRUNCATES the logical plan (persist alone does
       // not): without it each iteration re-analyzes the whole unrolled
       // lineage and driver-side planning time grows superlinearly —
-      // measured 10 iterations at 90 s vs 6 s with the checkpoint. On a
-      // cluster this becomes checkpoint() to reliable storage every few
-      // iterations, same shape.
-      val next = nodes.join(broadcast(contribs), Seq("node"), "left")
+      // measured 10 iterations at 90 s vs 6 s with the checkpoint. Every
+      // SECOND iteration is the sweet spot: two unrolled rounds plan in
+      // milliseconds and each eager checkpoint is one extra job, so
+      // halving the checkpoints saves ~1 s of job overhead at sf0.1 (on
+      // a cluster this becomes checkpoint() to reliable storage every
+      // few iterations, same shape). The final iteration always
+      // checkpoints so the returned plan stays truncated.
+      val step = nodes.join(broadcast(contribs), Seq("node"), "left")
         .select(col("node"),
           (lit(teleport) + coalesce(col("in_r"), lit(0L))).as("r"))
-        .localCheckpoint(true)
-      ranks.unpersist()
-      prevCk.foreach(_.unpersist(false)) // next is materialized; free prior
-      prevCk = graft.Util.checkpointRdd(next)
+      val next =
+        if (i % 2 == 0 || i == iters) {
+          val ck = step.localCheckpoint(true)
+          ranks0.unpersist()
+          prevCk.foreach(_.unpersist(false)) // ck materialized; free prior
+          prevCk = graft.Util.checkpointRdd(ck)
+          ck
+        } else step
       ranks = next
     }
     // top-20 is bounded by construction: collect it so every cached
@@ -1133,7 +1142,7 @@ object Relational {
     import spark.implicits._
     val top = ranks.orderBy(col("r").desc, col("node")).limit(20)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-    edges.unpersist(); edgesDeg.unpersist(); nodes.unpersist(); ranks.unpersist()
+    edges.unpersist(); edgesDeg.unpersist(); nodes.unpersist(); ranks0.unpersist()
     prevCk.foreach(_.unpersist(false)) // result collected; free the last round
     top.toDF("node", "rank_e9").orderBy(col("rank_e9").desc, col("node"))
   }
