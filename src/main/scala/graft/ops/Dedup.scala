@@ -212,10 +212,14 @@ object Dedup {
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = shingled(spark, sfDir)
       .select(col("doc_id"), explode(col("shingles")).as("s"))
-    // df via a count window, not groupBy + join-back: ONE exchange on s
-    // yields the capped table, and the self-join below reuses that same
-    // exchange on both sides (ReusedExchange in the plan) instead of
-    // re-shuffling the shingle table three times.
+    // df via a count window, not groupBy + join-back: the capped table
+    // needs one exchange on s instead of an aggregate plus a join back
+    // onto the full shingle stream (measured 16% faster at sf0.1).
+    // Each consumer below still recomputes the typed shingle stage —
+    // exchange reuse does not canonicalize across the self-join clones
+    // — which is fine at test scale; a cluster deployment materializes
+    // the capped postings table once (it is the index artifact) and
+    // feeds pairs/sizes from it.
     val wS = org.apache.spark.sql.expressions.Window.partitionBy(col("s"))
     val kept = sh.withColumn("df", count(lit(1)).over(wS))
       .filter(col("df") <= MaxShingleDf)
