@@ -122,12 +122,27 @@ object EventsStream {
              FROM events)))
        GROUP BY user_id, sess_idx ORDER BY user_id, session_start"""
 
+  /** `stream_running_counts`: the transformWithState path in the
+    * oracle gate — per-user ValueState counters over the staged events
+    * (AvailableNow = one micro-batch), whose final Update-mode rows
+    * equal the batch groupBy count. At scale the same processor runs
+    * incrementally with RocksDB-backed state per key. */
+  def streamRunningCounts(spark: SparkSession, sfDir: String): DataFrame =
+    runningCounts(spark, sfDir)
+      .groupBy(col("user_id")).agg(max(col("n_events")).as("n_events"))
+      .orderBy(col("user_id"))
+  val streamRunningCountsSql: String =
+    """SELECT user_id, count(1) AS n_events
+       FROM events GROUP BY user_id ORDER BY user_id"""
+
   val queries: Map[String, graft.Util.QFn] = Map(
     "stream_windowed_counts" -> streamWindowedCounts,
-    "stream_sessionize" -> streamSessionize)
+    "stream_sessionize" -> streamSessionize,
+    "stream_running_counts" -> streamRunningCounts)
   val oracles: Map[String, String] = Map(
     "stream_windowed_counts" -> streamWindowedCountsSql,
-    "stream_sessionize" -> streamSessionizeSql)
+    "stream_sessionize" -> streamSessionizeSql,
+    "stream_running_counts" -> streamRunningCountsSql)
 
   // -- transformWithState (Spark 4 arbitrary-state API) --------------------
 
@@ -152,8 +167,25 @@ object EventsStream {
   }
 
   /** Run the RunningCountProcessor over the staged events (AvailableNow,
-    * RocksDB state store) and return (user_id, n_events) totals. */
+    * RocksDB state store) and return (user_id, n_events) totals.
+    * transformWithState needs the RocksDB provider (multiple column
+    * families); scoped here and restored so other queries keep the
+    * session default. */
   def runningCounts(spark: SparkSession, srcPath: String): DataFrame = {
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try runningCountsInner(spark, srcPath)
+    finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  private def runningCountsInner(spark: SparkSession,
+      srcPath: String): DataFrame = {
     import spark.implicits._
     // pathGlobFilter scopes the file stream to the events table: srcPath
     // is the whole sf dir, and reading sibling tables under the events
