@@ -135,14 +135,55 @@ object EventsStream {
     """SELECT user_id, count(1) AS n_events
        FROM events GROUP BY user_id ORDER BY user_id"""
 
+  /** `stream_interval_join`: watermarked stream-stream interval join —
+    * purchases attributed to same-user clicks within 30 minutes, both
+    * sides watermarked so join state is bounded (rows evict past
+    * watermark + interval). AvailableNow over the staged history equals
+    * the batch interval join, so the per-user attribution counts
+    * oracle-check; in production the same plan runs incrementally with
+    * bounded state. */
+  def streamIntervalJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    def side(t: String, pfx: String) =
+      spark.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .filter(col("event_type") === t)
+        .select(col("event_id").as(s"${pfx}_id"),
+          col("user_id").as(s"${pfx}_uid"), col("ts").as(s"${pfx}_ts"))
+        .withWatermark(s"${pfx}_ts", "1 hour")
+    val joined = side("click", "c").join(side("purchase", "p"),
+      expr("c_uid = p_uid AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 30 MINUTES"))
+    val out = runToMemory(spark, joined,
+      s"graft_stream_ij_${runSeq.incrementAndGet()}", OutputMode.Append())
+    out.groupBy(col("c_uid").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("p_id")).as("n_purchases"))
+      .orderBy(col("user_id"))
+  }
+  /** µs-truncated ts on the DuckDB side: the Spark stream reads µs. */
+  val streamIntervalJoinSql: String =
+    """WITH e AS (SELECT event_id, user_id, event_type,
+                    date_trunc('microseconds', ts) AS ts FROM events),
+       c AS (SELECT event_id AS c_id, user_id AS c_uid, ts AS c_ts
+             FROM e WHERE event_type = 'click'),
+       p AS (SELECT event_id AS p_id, user_id AS p_uid, ts AS p_ts
+             FROM e WHERE event_type = 'purchase')
+       SELECT c_uid AS user_id, count(1) AS n_pairs,
+         count(DISTINCT p_id) AS n_purchases
+       FROM c JOIN p ON c_uid = p_uid
+         AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 30 MINUTE
+       GROUP BY c_uid ORDER BY user_id"""
+
   val queries: Map[String, graft.Util.QFn] = Map(
     "stream_windowed_counts" -> streamWindowedCounts,
     "stream_sessionize" -> streamSessionize,
-    "stream_running_counts" -> streamRunningCounts)
+    "stream_running_counts" -> streamRunningCounts,
+    "stream_interval_join" -> streamIntervalJoin)
   val oracles: Map[String, String] = Map(
     "stream_windowed_counts" -> streamWindowedCountsSql,
     "stream_sessionize" -> streamSessionizeSql,
-    "stream_running_counts" -> streamRunningCountsSql)
+    "stream_running_counts" -> streamRunningCountsSql,
+    "stream_interval_join" -> streamIntervalJoinSql)
 
   // -- transformWithState (Spark 4 arbitrary-state API) --------------------
 
