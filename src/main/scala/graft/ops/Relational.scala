@@ -1079,6 +1079,23 @@ object Relational {
   // standard Pregel-style loop shape — at 100 TB you'd add
   // checkpointing every k iterations, same plan otherwise).
   def graphPagerank(spark: SparkSession, sfDir: String): DataFrame = {
+    // AQE re-plans every micro-stage of the 6 unrolled iterations and
+    // measurably doubles the wall (A/B at sf0.1, local[32]: 2.3-2.5 s
+    // off vs 3.7-5.1 s on). The plan shapes here are fixed and tiny, so
+    // adaptive re-optimization buys nothing; scope it off and restore.
+    // All Spark work (iterations + top-20 collect) happens eagerly
+    // inside this method, so the scope covers exactly this query.
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prevAqe = spark.conf.getOption(aqeKey)
+    spark.conf.set(aqeKey, "false")
+    try graphPagerankInner(spark, sfDir)
+    finally prevAqe match {
+      case Some(v) => spark.conf.set(aqeKey, v)
+      case None => spark.conf.unset(aqeKey)
+    }
+  }
+
+  private def graphPagerankInner(spark: SparkSession, sfDir: String): DataFrame = {
     val iters = 6
     // (l_orderkey, l_linenumber) is NOT unique in this testdata — the
     // sort adds l_partkey so the edge sequence is value-deterministic
@@ -1094,11 +1111,18 @@ object Relational {
     // degree folds into the edge table ONCE; every iteration then needs
     // only a broadcast of the 20k-node rank vector against the cached
     // edge scan plus one tiny contribution shuffle
+    // The iteration data is small (600k edges, 20k nodes at sf0.1), so
+    // it lives in 8 partitions: per-iteration jobs are scheduling-bound
+    // and 32-way task overhead measurably dominates the arithmetic. On
+    // a real cluster this constant sizes tasks to tens of MB each.
+    val iterParts = 8
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val edgesDeg = edges.join(deg, "src")
-      .select(col("src"), col("dst"), col("deg")).persist()
+      .select(col("src"), col("dst"), col("deg"))
+      .repartition(iterParts).persist()
     val nodes = edgesDeg.select(col("src").as("node"))
-      .union(edgesDeg.select(col("dst").as("node"))).distinct().persist()
+      .union(edgesDeg.select(col("dst").as("node"))).distinct()
+      .coalesce(iterParts).persist()
     val n = nodes.count()
     val base = 1000000000L / n // floor(1e9 / N), exact in both engines
     val teleport = 150000000L / n // floor(0.15e9 / N)
