@@ -52,26 +52,40 @@ object EventsStream {
 
   private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Stateful-operator cost in a one-shot AvailableNow run is per
+    * state-store instance (one per shuffle partition per operator),
+    * not per row — 8 partitions quarter the store open/commit overhead
+    * vs the session's 32. Scoped and restored; production sizes this
+    * to keep per-partition state in memory, exactly like batch shuffle
+    * partitions. */
+  private def withStreamingParts[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** `stream_windowed_counts`: the full streaming path — readStream →
     * watermark → windowed agg → AvailableNow → memory sink — over the
     * staged events, returned as a batch DataFrame. With AvailableNow +
     * Complete mode the result equals the batch tumbling aggregation,
     * so it oracle-checks against plain SQL; at scale the same code
     * runs incrementally per micro-batch with watermarked state.  */
-  def streamWindowedCounts(spark: SparkSession, sfDir: String): DataFrame = {
-    // The file-stream source wants a directory; scope it to the events
-    // table with a glob (works for both a file and a directory layout).
-    val src = spark.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    val counts = windowedCounts(src)
-    val out = runToMemory(spark, counts,
-      s"graft_stream_wc_${runSeq.incrementAndGet()}")
-    out.select(graft.Util.fmtTs(col("window_start")).as("window_start"),
-        col("event_type"), col("n"), col("k_sum"))
-      .orderBy(col("window_start"), col("event_type"))
-  }
+  def streamWindowedCounts(spark: SparkSession, sfDir: String): DataFrame =
+    withStreamingParts(spark, 8) {
+      // The file-stream source wants a directory; scope it to the events
+      // table with a glob (works for both a file and a directory layout).
+      val src = spark.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val counts = windowedCounts(src)
+      val out = runToMemory(spark, counts,
+        s"graft_stream_wc_${runSeq.incrementAndGet()}")
+      out.select(graft.Util.fmtTs(col("window_start")).as("window_start"),
+          col("event_type"), col("n"), col("k_sum"))
+        .orderBy(col("window_start"), col("event_type"))
+    }
   val streamWindowedCountsSql: String =
     """SELECT strftime(make_timestamp(CAST(floor(epoch(ts) / 21600) * 21600000000 AS BIGINT)),
                        '%Y-%m-%d %H:%M:%S') AS window_start,
@@ -86,21 +100,22 @@ object EventsStream {
     * result equals the batch window-gap sessionization (Flow.sessionize
     * minus the session index); in production the same operator emits
     * closed sessions incrementally per batch. */
-  def streamSessionize(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val src = spark.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .select(col("user_id"), expr("ts div 1000").as("tsMicros"))
-      .as[Ev]
-    val out = runToMemory(spark, sessionize(src).toDF(),
-      s"graft_stream_sess_${runSeq.incrementAndGet()}", OutputMode.Append())
-    out.select(col("user_id"),
-        graft.Util.fmtTs(expr("timestamp_micros(session_start)")).as("session_start"),
-        graft.Util.fmtTs(expr("timestamp_micros(session_end)")).as("session_end"),
-        col("n_events"))
-      .orderBy(col("user_id"), col("session_start"))
-  }
+  def streamSessionize(spark: SparkSession, sfDir: String): DataFrame =
+    withStreamingParts(spark, 8) {
+      import spark.implicits._
+      val src = spark.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir)
+        .select(col("user_id"), expr("ts div 1000").as("tsMicros"))
+        .as[Ev]
+      val out = runToMemory(spark, sessionize(src).toDF(),
+        s"graft_stream_sess_${runSeq.incrementAndGet()}", OutputMode.Append())
+      out.select(col("user_id"),
+          graft.Util.fmtTs(expr("timestamp_micros(session_start)")).as("session_start"),
+          graft.Util.fmtTs(expr("timestamp_micros(session_end)")).as("session_end"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("session_start"))
+    }
   val streamSessionizeSql: String =
     """SELECT user_id,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
@@ -142,7 +157,11 @@ object EventsStream {
     * the batch interval join, so the per-user attribution counts
     * oracle-check; in production the same plan runs incrementally with
     * bounded state. */
-  def streamIntervalJoin(spark: SparkSession, sfDir: String): DataFrame = {
+  def streamIntervalJoin(spark: SparkSession, sfDir: String): DataFrame =
+    withStreamingParts(spark, 8) { streamIntervalJoinInner(spark, sfDir) }
+
+  private def streamIntervalJoinInner(spark: SparkSession,
+      sfDir: String): DataFrame = {
     def side(t: String, pfx: String) =
       spark.readStream.schema(rawSchema)
         .option("pathGlobFilter", "events.parquet").parquet(sfDir)
@@ -218,7 +237,7 @@ object EventsStream {
     val prev = spark.conf.getOption(key)
     spark.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try runningCountsInner(spark, srcPath)
+    try withStreamingParts(spark, 8) { runningCountsInner(spark, srcPath) }
     finally prev match {
       case Some(p) => spark.conf.set(key, p)
       case None => spark.conf.unset(key)
