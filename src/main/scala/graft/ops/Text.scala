@@ -192,6 +192,42 @@ object Text {
          FROM documents)
        ORDER BY doc_id, chunk_idx"""
 
+  // Sequence packing: assign documents to fixed token-budget bins
+  // (2048-token context windows) — the "pack the corpus into training
+  // sequences" stage. Bin id = floor(preceding cumulative token count /
+  // budget) via ONE ordered window over (doc_id) — the same single-sort
+  // plan as the compaction planner, no pairwise bin-packing search. A
+  // doc longer than the budget gets its own bin(s) by construction. At
+  // 100 TB the order key becomes (shard, doc_id) and packing runs
+  // per-shard — embarrassingly parallel, same plan per shard.
+  def packSequences(spark: SparkSession, sfDir: String): DataFrame = {
+    val budget = 2048L
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(tokens).cast("long").as("n_tokens"))
+      .withColumn("bin",
+        floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / lit(budget)))
+      .withColumn("bin_tokens",
+        sum(col("n_tokens")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("bin"))))
+      .select(col("doc_id"), col("n_tokens"), col("bin"),
+        col("bin_tokens").cast("long").as("bin_tokens"))
+      .orderBy(col("doc_id"))
+  }
+  val packSequencesSql: String =
+    """SELECT doc_id, n_tokens, bin,
+       CAST(sum(n_tokens) OVER (PARTITION BY bin) AS BIGINT) AS bin_tokens
+       FROM (
+         SELECT doc_id, n_tokens,
+           CAST(floor(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048)
+             AS BIGINT) AS bin
+         FROM (SELECT doc_id,
+                 CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+               FROM documents))
+       ORDER BY doc_id"""
+
   // Deterministic corpus sampling: keep a doc iff the md5 of its id
   // falls under a hex threshold ('0d' → 13/256 ≈ 5.1%). Reproducible
   // across engines, runs, and partitionings — the way a training
@@ -858,6 +894,7 @@ object Text {
     "sample_stratified" -> sampleStratified,
     "t_tfidf_topk" -> tfidfTopk,
     "t_chunk" -> chunk,
+    "t_pack_sequences" -> packSequences,
     "t_normalize" -> normalize,
     "t_token_stats" -> tokenStats,
     "t_token_count" -> tokenCount,
@@ -881,6 +918,7 @@ object Text {
     "sample_stratified" -> sampleStratifiedSql,
     "t_tfidf_topk" -> tfidfTopkSql,
     "t_chunk" -> chunkSql,
+    "t_pack_sequences" -> packSequencesSql,
     "t_normalize" -> normalizeSql,
     "t_token_stats" -> tokenStatsSql,
     "t_token_count" -> tokenCountSql,
