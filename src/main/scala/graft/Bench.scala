@@ -79,9 +79,12 @@ object Bench {
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFail,"shuffle_bytes":$sh,"sf":"$sfDir"}"""
     println(json)
     // The driver captures a bounded stdout tail; the full line also
-    // lands on disk so per-query numbers survive truncation.
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/BENCH_LAST.json"), json + "\n")
+    // lands on disk so per-query numbers survive truncation. Best
+    // effort — a read-only checkout must not turn a green bench red.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_LAST.json"), json + "\n")
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write BENCH_LAST.json: $e") }
     spark.stop()
   }
 }

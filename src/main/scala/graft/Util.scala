@@ -30,6 +30,20 @@ object Util {
   /** Fixed-point 1e-4 scale for ratios/similarities (same trick). */
   def e4(c: Column): Column = floor(c * lit(10000.0))
 
+  /** Run `body` with a runtime SQL conf set, restoring the previous
+    * value (or unsetting, if the key had none) afterwards — the scoped
+    * form every per-query tuning override must use so a throwing query
+    * can never leak its conf into the long-lived session. */
+  def withConf[T](spark: SparkSession, key: String, value: String)(body: => T): T = {
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, value)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** The materialized RDD behind a `localCheckpoint(true)`'d Dataset.
     * `Dataset.unpersist()` does NOT release checkpointed blocks, so
     * iterative loops (PageRank, connected components) must free each

@@ -49,10 +49,13 @@ object Config {
 
   // -- driver-side Variable.get surface -----------------------------------
 
-  /** `Variable.get(key, default)`. */
+  /** `Variable.get(key, default)`. A key present with a null value
+    * (fixture line missing the field) falls back to the default too —
+    * matching [[valueRow]]'s coalesce, so the two surfaces agree. */
   def getString(spark: SparkSession, key: String, default: String): String =
     store(spark).filter(col("key") === key).select(col("value"))
-      .collect().headOption.map(_.getString(0)).getOrElse(default)
+      .collect().headOption.flatMap(r => Option(r.getString(0)))
+      .getOrElse(default)
 
   def getLong(spark: SparkSession, key: String, default: Long): Long = {
     val raw = getString(spark, key, default.toString)

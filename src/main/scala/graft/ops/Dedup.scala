@@ -60,24 +60,24 @@ object Dedup {
     * Semantics are by-text (collision odds 2⁻¹²⁸); the oracle groups by
     * the raw text, so the digest grouping itself is cross-checked. */
   def exactDedup(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"), sha2(col("text"), 256).as("h"))
-      .groupBy(col("h"))
-      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+    digestGroups(spark, sfDir)
       .select(col("keeper"), col("n_copies"))
       .orderBy(col("keeper"))
   val exactDedupSql: String =
     """SELECT CAST(min(doc_id) AS BIGINT) AS keeper, count(1) AS n_copies
        FROM documents GROUP BY text ORDER BY keeper"""
 
-  /** Exact dedup keyed on sha256(text): at 100 TB you shuffle 32-byte
-    * digests, not document bodies. */
-  def exactHashDedup(spark: SparkSession, sfDir: String): DataFrame =
+  /** The shared digest-keyed aggregate behind both exact-dedup views. */
+  private def digestGroups(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), sha2(col("text"), 256).as("h"))
       .groupBy(col("h"))
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
-      .orderBy(col("h"))
+
+  /** Exact dedup keyed on sha256(text), digest exposed: at 100 TB you
+    * shuffle 32-byte digests, not document bodies. */
+  def exactHashDedup(spark: SparkSession, sfDir: String): DataFrame =
+    digestGroups(spark, sfDir).orderBy(col("h"))
   val exactHashDedupSql: String =
     """SELECT sha256(text) AS h, CAST(min(doc_id) AS BIGINT) AS keeper,
        count(1) AS n_copies

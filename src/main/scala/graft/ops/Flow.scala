@@ -218,7 +218,36 @@ object Flow {
         1000000L
       if (waitMs > 0) Thread.sleep(waitMs)
       scala.util.Try(withRetry(retries, retryDelayMs)(
-        withTimeout(timeoutMs)(job(i))))
+        withInterruptingTimeout(timeoutMs)(job(i))))
+    }
+  }
+
+  /** Timeout that INTERRUPTS the job thread on expiry. [[withTimeout]]'s
+    * Await abandons its Future, which keeps running — composed with
+    * retry, a timed-out tick would overlap its own retry (and the next
+    * tick), duplicating side effects. Spark driver-side actions abort
+    * on interrupt; a job that swallows interrupts can still linger,
+    * which [[withQueryTimeout]]'s job-group cancel handles for full
+    * queries. */
+  def withInterruptingTimeout[T](ms: Long)(f: => T): T = {
+    val result =
+      new java.util.concurrent.atomic.AtomicReference[Either[Throwable, T]]()
+    val t = new Thread(() => {
+      try result.set(Right(f))
+      catch { case e: Throwable => result.set(Left(e)) }
+    }, s"graft-timeout-${System.nanoTime()}")
+    t.setDaemon(true)
+    t.start()
+    t.join(ms)
+    if (t.isAlive) {
+      t.interrupt()
+      throw new java.util.concurrent.TimeoutException(
+        s"job exceeded $ms ms (thread interrupted)")
+    }
+    result.get() match {
+      case Right(v) => v
+      case Left(e) => throw e
+      case null => throw new IllegalStateException("job thread died silently")
     }
   }
 

@@ -1085,13 +1085,8 @@ object Relational {
     // adaptive re-optimization buys nothing; scope it off and restore.
     // All Spark work (iterations + top-20 collect) happens eagerly
     // inside this method, so the scope covers exactly this query.
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val prevAqe = spark.conf.getOption(aqeKey)
-    spark.conf.set(aqeKey, "false")
-    try graphPagerankInner(spark, sfDir)
-    finally prevAqe match {
-      case Some(v) => spark.conf.set(aqeKey, v)
-      case None => spark.conf.unset(aqeKey)
+    graft.Util.withConf(spark, "spark.sql.adaptive.enabled", "false") {
+      graphPagerankInner(spark, sfDir)
     }
   }
 

@@ -183,14 +183,16 @@ object Vector {
     best
   }
 
-  /** Trained coarse-quantizer centroids, memoized per (session, sfDir,
-    * k, iters) like the PQ codebooks — the persisted half of the index. */
+  /** Trained coarse-quantizer centroids, memoized per (application,
+    * sfDir, k, iters) like the PQ codebooks — the persisted half of the
+    * index. Keys are the applicationId string, not the SparkSession, so
+    * stopped sessions are not retained by the cache. */
   private val centCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, Int, Int), Array[(Int, Array[Double])]]
+    .empty[(String, String, Int, Int), Array[(Int, Array[Double])]]
 
   def kmeansCentroids(spark: SparkSession, sfDir: String, k: Int,
       iters: Int): Array[(Int, Array[Double])] =
-    centCache.getOrElseUpdate((spark, sfDir, k, iters), {
+    centCache.getOrElseUpdate((spark.sparkContext.applicationId, sfDir, k, iters), {
     import spark.implicits._
     val vecs = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"))
@@ -348,11 +350,11 @@ object Vector {
     * (session, sfDir, iters) is observationally identical — it spares
     * the gate + topk queries a redundant retrain. */
   private val bookCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, Int), Array[Array[Array[Double]]]]
+    .empty[(String, String, Int), Array[Array[Array[Double]]]]
 
   def pqTrain(spark: SparkSession, sfDir: String, iters: Int)
       : Array[Array[Array[Double]]] =
-    bookCache.getOrElseUpdate((spark, sfDir, iters),
+    bookCache.getOrElseUpdate((spark.sparkContext.applicationId, sfDir, iters),
       pqTrainUncached(spark, sfDir, iters))
 
   private[graft] def pqTrainUncached(spark: SparkSession, sfDir: String, iters: Int)
@@ -500,13 +502,14 @@ object Vector {
     * (session, sfDir, k) and the gates that share it (`ann_pq_` and
     * `ann_ivfpq_recall_gate`) pay for one corpus sweep, not one each. */
   private val bruteCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, Int), Seq[(Long, Long)]]
+    .empty[(String, String, Int), Seq[(Long, Long)]]
   private val cosineBruteCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), Seq[(Long, Long)]]
+    .empty[(String, String), Seq[(Long, Long)]]
   private def l2BruteTopk(spark: SparkSession, sfDir: String, k: Int)
       : DataFrame = {
     import spark.implicits._
-    val rows = bruteCache.getOrElseUpdate((spark, sfDir, k), {
+    val rows = bruteCache.getOrElseUpdate(
+      (spark.sparkContext.applicationId, sfDir, k), {
       val emb = Tables.embeddings(spark, sfDir)
       val qs = emb.filter(col("vec_id").isin(QueryIds.map(Int.box): _*))
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
@@ -568,7 +571,8 @@ object Vector {
     // ground truth memoized like l2BruteTopk's (3 queries × 10 rows);
     // the registered ann_brute_topk query itself stays uncached so its
     // bench row keeps measuring the real sweep.
-    val brute = cosineBruteCache.getOrElseUpdate((spark, sfDir),
+    val brute = cosineBruteCache.getOrElseUpdate(
+      (spark.sparkContext.applicationId, sfDir),
       annBruteTopk(spark, sfDir).select(col("qid"), col("vec_id"))
         .as[(Long, Long)].collect().toSeq)
       .toDF("qid", "vec_id")

@@ -58,8 +58,8 @@ object HttpFetch {
 
   /** Trust-all context for `insecure = true` — the reference's
     * `requests.get(..., verify=False)` (dags/Backups.py:61,80,117:
-    * self-signed certs on LAN appliances). Scoped to the one client;
-    * never a JVM-wide default. */
+    * self-signed certs on LAN appliances). Scoped to the one
+    * connection; never a JVM-wide default. */
   private lazy val trustAllContext: SSLContext = {
     val ctx = SSLContext.getInstance("TLS")
     ctx.init(null, Array[TrustManager](new X509TrustManager {
@@ -74,24 +74,60 @@ object HttpFetch {
       timeoutMs: Long = 10000, permissive: Boolean = false,
       insecure: Boolean = false): Boolean = {
     try {
-      val builder = HttpClient.newBuilder()
-        .connectTimeout(Duration.ofMillis(timeoutMs))
-      if (insecure) builder.sslContext(trustAllContext)
-      val client = builder.build()
-      var b = HttpRequest.newBuilder(URI.create(url))
-        .timeout(Duration.ofMillis(timeoutMs)).GET()
-      auth match {
-        case Auth.NoAuth => ()
-        case m => val (k, v) = m.header; b = b.header(k, v)
-      }
-      val resp = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
-      if (resp.statusCode() != 200)
-        throw new java.io.IOException(s"HTTP ${resp.statusCode()} from $url")
-      java.nio.file.Files.writeString(dest, resp.body())
+      val body =
+        if (insecure) fetchInsecure(url, auth, timeoutMs)
+        else fetchStrict(url, auth, timeoutMs)
+      java.nio.file.Files.writeString(dest, body)
       true
     } catch {
       case e: Exception if permissive => false // S4 soft-fail: no staged file
     }
+  }
+
+  private def fetchStrict(url: String, auth: Auth.Mode,
+      timeoutMs: Long): String = {
+    val client = HttpClient.newBuilder()
+      .connectTimeout(Duration.ofMillis(timeoutMs)).build()
+    var b = HttpRequest.newBuilder(URI.create(url))
+      .timeout(Duration.ofMillis(timeoutMs)).GET()
+    auth match {
+      case Auth.NoAuth => ()
+      case m => val (k, v) = m.header; b = b.header(k, v)
+    }
+    val resp = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() != 200)
+      throw new java.io.IOException(s"HTTP ${resp.statusCode()} from $url")
+    resp.body()
+  }
+
+  /** `verify=False` means BOTH halves of server authentication are
+    * off: the trust chain AND hostname verification (a self-signed
+    * appliance cert rarely carries the right SAN either). The JDK
+    * HttpClient can only drop hostname verification via a JVM-global
+    * system property, so the insecure path uses HttpsURLConnection,
+    * where both are per-connection settings. */
+  private def fetchInsecure(url: String, auth: Auth.Mode,
+      timeoutMs: Long): String = {
+    val conn = URI.create(url).toURL.openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    conn match {
+      case https: javax.net.ssl.HttpsURLConnection =>
+        https.setSSLSocketFactory(trustAllContext.getSocketFactory)
+        https.setHostnameVerifier((_, _) => true)
+      case _ => ()
+    }
+    conn.setConnectTimeout(timeoutMs.toInt)
+    conn.setReadTimeout(timeoutMs.toInt)
+    auth match {
+      case Auth.NoAuth => ()
+      case m => val (k, v) = m.header; conn.setRequestProperty(k, v)
+    }
+    try {
+      if (conn.getResponseCode != 200)
+        throw new java.io.IOException(s"HTTP ${conn.getResponseCode} from $url")
+      new String(conn.getInputStream.readAllBytes(),
+        StandardCharsets.UTF_8)
+    } finally conn.disconnect()
   }
 }
 

@@ -52,10 +52,15 @@ class JsonDirTable(schema: StructType, path: String)
 }
 
 /** SupportsTruncate backs `mode("overwrite")`: the truncate happens on
-  * the driver at commit time, right before promotion — existing final
-  * files vanish and the new ones appear at the same visibility point,
-  * so a concurrent reader never sees the directory half-truncated with
-  * the new data missing. */
+  * the driver at commit time, immediately before promotion — the write
+  * itself never destroys committed data (staging is fully written and
+  * task-committed first), and no torn individual file is ever visible.
+  * The delete-then-move pair is NOT atomic as a unit: a reader listing
+  * the directory mid-commit can see it briefly empty, and a driver
+  * crash between the two loses the prior output while the replacement
+  * sits in `_staging/` — the same guarantee Spark's own built-in
+  * overwrite-to-directory provides. Readers needing stronger isolation
+  * gate on `_SUCCESS`, which is written only after promotion. */
 class JsonDirWriteBuilder(schema: StructType, path: String, queryId: String,
     truncate: Boolean = false) extends WriteBuilder with SupportsTruncate {
   override def truncate(): WriteBuilder =

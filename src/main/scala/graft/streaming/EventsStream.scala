@@ -58,12 +58,8 @@ object EventsStream {
     * vs the session's 32. Scoped and restored; production sizes this
     * to keep per-partition state in memory, exactly like batch shuffle
     * partitions. */
-  private def withStreamingParts[T](spark: SparkSession, n: Int)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, n.toString)
-    try body finally spark.conf.set(key, prev)
-  }
+  private def withStreamingParts[T](spark: SparkSession, n: Int)(body: => T): T =
+    graft.Util.withConf(spark, "spark.sql.shuffle.partitions", n.toString)(body)
 
   /** `stream_windowed_counts`: the full streaming path — readStream →
     * watermark → windowed agg → AvailableNow → memory sink — over the
@@ -231,18 +227,11 @@ object EventsStream {
     * transformWithState needs the RocksDB provider (multiple column
     * families); scoped here and restored so other queries keep the
     * session default. */
-  def runningCounts(spark: SparkSession, srcPath: String): DataFrame = {
-    import spark.implicits._
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try withStreamingParts(spark, 8) { runningCountsInner(spark, srcPath) }
-    finally prev match {
-      case Some(p) => spark.conf.set(key, p)
-      case None => spark.conf.unset(key)
+  def runningCounts(spark: SparkSession, srcPath: String): DataFrame =
+    graft.Util.withConf(spark, "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+      withStreamingParts(spark, 8) { runningCountsInner(spark, srcPath) }
     }
-  }
 
   private def runningCountsInner(spark: SparkSession,
       srcPath: String): DataFrame = {

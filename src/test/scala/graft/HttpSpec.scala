@@ -112,15 +112,18 @@ class HttpSpec extends SparkSuite {
   }
 
   test("insecure fetch trusts a self-signed server; strict fetch refuses it") {
-    // Self-signed cert with SAN=IP:127.0.0.1 (hostname verification must
-    // pass — only the trust chain is under test, like verify=False).
+    // Self-signed cert minted for 'localhost' but fetched via
+    // 127.0.0.1, so BOTH halves of verify=False are exercised: the
+    // untrusted chain AND the hostname mismatch (typical of LAN
+    // appliance certs). The strict client must refuse; the insecure
+    // client must land the payload anyway.
     val ksDir = java.nio.file.Files.createTempDirectory("graft_tls")
     val ks = ksDir.resolve("ks.p12")
     val keytool = new ProcessBuilder(
       s"${System.getProperty("java.home")}/bin/keytool",
       "-genkeypair", "-alias", "graft", "-keyalg", "RSA", "-keysize", "2048",
-      "-validity", "1", "-dname", "CN=127.0.0.1",
-      "-ext", "SAN=IP:127.0.0.1",
+      "-validity", "1", "-dname", "CN=localhost",
+      "-ext", "SAN=DNS:localhost",
       "-keystore", ks.toString, "-storetype", "PKCS12",
       "-storepass", "graftpass").inheritIO().start()
     assert(keytool.waitFor() == 0, "keytool must generate the keystore")

@@ -116,6 +116,22 @@ class DedupSpec extends SparkSuite {
   }
 
   test("minhash LSH output equals exact all-pairs Jaccard at 0.7") {
+    // Precondition: ngramJaccard is only an EXACT all-pairs reference
+    // while no shingle exceeds its MaxShingleDf cap — the cap drops hot
+    // shingles from both the intersection and the per-doc sizes, while
+    // minhashLsh scores full sets. Guard it so a fixture regeneration
+    // fails here with the real reason, not a baffling LSH mismatch.
+    import org.apache.spark.sql.functions._
+    val maxDf = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        """transform(sequence(1, greatest(size(split(lower(text), ' ')) - 2, 0)),
+           i -> concat_ws(' ', element_at(split(lower(text), ' '), i),
+                element_at(split(lower(text), ' '), i + 1),
+                element_at(split(lower(text), ' '), i + 2)))"""))).as("s"))
+      .groupBy(col("s")).count().agg(max(col("count"))).collect()(0).getLong(0)
+    assume(maxDf <= Dedup.MaxShingleDf,
+      s"fixture has a shingle in $maxDf docs > cap ${Dedup.MaxShingleDf}; " +
+        "ngramJaccard is no longer an exact reference for this corpus")
     // Exact reference: inverted-index all-pairs (ngramJaccard uses the
     // same exact scoring at threshold 0.5; re-filter to 0.7).
     val exact = Dedup.ngramJaccard(spark, sf)
