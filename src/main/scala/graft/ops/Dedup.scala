@@ -140,6 +140,58 @@ object Dedup {
        WHERE 1.0 * i / (ca.n + cb.n - i) >= 0.7
        ORDER BY da, db"""
 
+  /** Incremental near-dedup: a NEW batch checked against the existing
+    * INDEX — the production shape once a corpus is deduped once. The
+    * batch's banded signatures join the (persisted, at scale) index
+    * band table instead of self-joining the whole corpus, so the work
+    * is O(batch) per ingest, not O(corpus²): re-deduplicating 100 TB
+    * for every incoming shard is exactly what this avoids. Docs with
+    * doc_id % 10 == 0 stand in for the incoming batch; candidates are
+    * exact-verified like [[minhashLsh]], so the output hash-matches
+    * the batch-vs-index all-pairs oracle. */
+  def incrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = shingled(spark, sfDir)
+    val buckets = base.select(col("doc_id"), col("hs"))
+      .as[(Long, Array[Long])]
+      .flatMap { case (id, hs) =>
+        if (hs.isEmpty) Nil
+        else graft.functions.TextHash.minhashBands(hs).map(b => (id, b))
+      }
+      .toDF("doc_id", "bucket")
+    val isNew = col("doc_id") % 10 === 0
+    val cand = buckets.filter(isNew).as("x")
+      .join(buckets.filter(!isNew).as("y"), col("x.bucket") === col("y.bucket"))
+      .select(col("x.doc_id").as("new_id"), col("y.doc_id").as("index_id"))
+      .distinct()
+    val sets = base.select(col("doc_id"), col("shingles"))
+    cand
+      .join(sets.select(col("doc_id").as("new_id"), col("shingles").as("sa")),
+        "new_id")
+      .join(sets.select(col("doc_id").as("index_id"), col("shingles").as("sb")),
+        "index_id")
+      .withColumn("i", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("u", size(col("sa")) + size(col("sb")) - col("i"))
+      .filter(lit(1.0) * col("i") / col("u") >= 0.7)
+      .select(col("new_id"), col("index_id"),
+        e4(lit(1.0) * col("i") / col("u")).as("j_e4"))
+      .orderBy(col("new_id"), col("index_id"))
+  }
+  val incrementalDedupSql: String =
+    s"""WITH ${Text.shingleCte},
+       cnt AS (SELECT doc_id, count(1) AS n FROM sh GROUP BY 1),
+       inter AS (
+         SELECT a.doc_id AS new_id, b.doc_id AS index_id, count(1) AS i
+         FROM sh a JOIN sh b ON a.s = b.s
+         WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+         GROUP BY 1, 2)
+       SELECT new_id, index_id,
+         CAST(floor((1.0 * i / (ca.n + cb.n - i)) * 10000.0) AS BIGINT) AS j_e4
+       FROM inter
+       JOIN cnt ca ON ca.doc_id = new_id JOIN cnt cb ON cb.doc_id = index_id
+       WHERE 1.0 * i / (ca.n + cb.n - i) >= 0.7
+       ORDER BY new_id, index_id"""
+
   // -- SimHash near-dup ----------------------------------------------------
 
   /** 32-bit SimHash over shingle hashes; near-dup = Hamming ≤ 3.
@@ -412,6 +464,7 @@ object Dedup {
     "dedup_exact" -> exactDedup,
     "dedup_exact_hash" -> exactHashDedup,
     "dedup_minhash_lsh" -> minhashLsh,
+    "dedup_incremental" -> incrementalDedup,
     "dedup_simhash" -> simhash,
     "dedup_ngram_jaccard" -> ngramJaccard,
     "dedup_clusters" -> dedupClusters)
@@ -421,6 +474,7 @@ object Dedup {
     "dedup_exact" -> exactDedupSql,
     "dedup_exact_hash" -> exactHashDedupSql,
     "dedup_minhash_lsh" -> minhashLshSql,
+    "dedup_incremental" -> incrementalDedupSql,
     "dedup_simhash" -> simhashSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_clusters" -> dedupClustersSql)
