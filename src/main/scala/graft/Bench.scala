@@ -48,35 +48,49 @@ object Bench {
             shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
         }
       })
+    // Median-of-N recording: single-run walls on a shared box swing
+    // ±40% with load (observed 41–80 s for identical code), which can
+    // false-breach the driver's 2× gate. Each query runs N times
+    // (default 3, SPARK_GRAFT_RUNS to override) and the RECORDED
+    // per-query number is the median; min/max ride along so a noisy
+    // box is visible in the dump instead of distorting it.
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt.max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
-      val t0 = System.nanoTime()
       val s0 = shuffleBytes.get()
-      val sec =
+      val walls = (0 until nRuns).map { _ =>
+        val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
         catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             -1.0
         }
+      }
       // listener events are async and the bus has no public flush:
       // poll until the counter stabilizes (attribution error bounded
-      // by one 20 ms window)
+      // by one 20 ms window). Shuffle volume is deterministic per run,
+      // so the per-run average attributes the N-run total correctly.
       var prev = -1L; var cur = shuffleBytes.get(); var spins = 0
       while (prev != cur && spins < 20) {
         prev = cur; Thread.sleep(20); cur = shuffleBytes.get(); spins += 1
       }
-      (name, sec, cur - s0)
+      val med =
+        if (walls.exists(_ < 0)) -1.0
+        else walls.sorted.apply(walls.size / 2)
+      (name, med, walls.min, walls.max, (cur - s0) / nRuns)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val sh = results.map { case (k, _, b) => "\"" + k + "\":" + b }
-      .mkString("{", ",", "}")
+    def jmap(f: ((String, Double, Double, Double, Long)) => String): String =
+      results.map(r => "\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
+    val qs = jmap(_._2.toString)
+    val qmin = jmap(_._3.toString)
+    val qmax = jmap(_._4.toString)
+    val sh = jmap(_._5.toString)
     val ok = results.filter(_._2 >= 0)
     val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0
     val nFail = results.count(_._2 < 0)
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFail,"shuffle_bytes":$sh,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$nRuns,"queries":$qs,"queries_min":$qmin,"queries_max":$qmax,"failed":$nFail,"shuffle_bytes":$sh,"sf":"$sfDir"}"""
     println(json)
     // The driver captures a bounded stdout tail; the full line also
     // lands on disk so per-query numbers survive truncation. Best

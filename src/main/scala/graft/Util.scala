@@ -33,7 +33,16 @@ object Util {
   /** Run `body` with a runtime SQL conf set, restoring the previous
     * value (or unsetting, if the key had none) afterwards — the scoped
     * form every per-query tuning override must use so a throwing query
-    * can never leak its conf into the long-lived session. */
+    * can never leak its conf into the long-lived session.
+    *
+    * SEQUENTIAL-EXECUTION ASSUMPTION: runtime conf is session-global, so
+    * a concurrent query on the same SparkSession would observe the
+    * override mid-scope, and nested/concurrent withConf on the same key
+    * can restore stale values. The driver contract runs queries one at a
+    * time per session (Verify/Bench both do); if a parallel query runner
+    * is ever added, overrides must move to per-query `SparkSession
+    * .newSession()` clones (separate runtime conf, shared catalog/state)
+    * instead of this helper. */
   def withConf[T](spark: SparkSession, key: String, value: String)(body: => T): T = {
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, value)

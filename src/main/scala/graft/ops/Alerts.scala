@@ -31,15 +31,33 @@ object Alerts {
 
   /** Session listener delivering a rendered alert per failed query.
     * `name`/`error` params are bound per failure; `staticParams` are
-    * the run-scoped bindings (dag id, env, run date). */
+    * the run-scoped bindings (dag id, env, run date).
+    *
+    * Delivery is retried `deliveryRetries` times with `retryDelayMs`
+    * between attempts — the reference's notifier rides the task's
+    * `retries: 2, retry_delay` policy (dags/DNS_Requests.py:13-17) —
+    * and a body that exhausts its retries lands in [[deadLetters]]
+    * instead of vanishing: the operator's redrive surface. Delivery
+    * failures never mask the original query failure. */
   final class FailureAlertListener(
       template: String,
       staticParams: Map[String, String],
-      post: String => Unit)
+      post: String => Unit,
+      deliveryRetries: Int = 2,
+      retryDelayMs: Long = 0)
       extends QueryExecutionListener {
 
-    /** Delivered bodies (visible for tests / the driver loop). */
+    /** Most recent rendered bodies (visible for tests / the driver
+      * loop). Bounded: a long-lived session with a flaky downstream
+      * must not accumulate every alert body ever rendered. */
     val delivered = new ConcurrentLinkedQueue[String]()
+    /** Bodies whose delivery failed every attempt — the dead-letter
+      * queue a redelivery job (or a test) drains. Same bound. */
+    val deadLetters = new ConcurrentLinkedQueue[String]()
+    private val maxRetained = 256
+    private def bound(q: ConcurrentLinkedQueue[String]): Unit = {
+      while (q.size > maxRetained) q.poll()
+    }
 
     override def onSuccess(funcName: String, qe: QueryExecution,
         durationNs: Long): Unit = ()
@@ -50,9 +68,9 @@ object Alerts {
         "name" -> funcName,
         "error" -> String.valueOf(exception.getMessage).linesIterator
           .take(1).mkString))
-      delivered.add(body)
-      // Alert delivery must never mask the original failure.
-      try post(body) catch { case _: Throwable => () }
+      delivered.add(body); bound(delivered)
+      try Flow.withRetry(deliveryRetries, retryDelayMs)(post(body))
+      catch { case _: Throwable => deadLetters.add(body); bound(deadLetters) }
     }
   }
 
@@ -61,9 +79,11 @@ object Alerts {
     * failing action's thread — delivery is asynchronous, like the
     * reference's notifier. */
   def install(spark: SparkSession, template: String,
-      staticParams: Map[String, String] = Map.empty)(
+      staticParams: Map[String, String] = Map.empty,
+      deliveryRetries: Int = 2, retryDelayMs: Long = 0)(
       post: String => Unit): FailureAlertListener = {
-    val l = new FailureAlertListener(template, staticParams, post)
+    val l = new FailureAlertListener(template, staticParams, post,
+      deliveryRetries, retryDelayMs)
     spark.listenerManager.register(l)
     l
   }

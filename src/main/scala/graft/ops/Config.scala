@@ -41,21 +41,32 @@ object Config {
 
   /** One-row frame `(value)` for `key`, falling back to `default` when
     * absent — broadcast-join this onto data instead of collecting.
-    * The aggregate keeps it one row even if the key is missing. */
+    * The aggregate keeps it one row even if the key is missing.
+    * `max` (not `first`) so a duplicated key resolves identically here,
+    * in [[getString]], and in the DuckDB oracles' `max(CASE...)` —
+    * never nondeterministically. */
   def valueRow(spark: SparkSession, key: String, default: String): DataFrame =
     store(spark)
       .filter(col("key") === key)
-      .agg(coalesce(first(col("value")), lit(default)).as("value"))
+      .agg(coalesce(max(col("value")), lit(default)).as("value"))
 
   // -- driver-side Variable.get surface -----------------------------------
 
   /** `Variable.get(key, default)`. A key present with a null value
     * (fixture line missing the field) falls back to the default too —
-    * matching [[valueRow]]'s coalesce, so the two surfaces agree. */
-  def getString(spark: SparkSession, key: String, default: String): String =
-    store(spark).filter(col("key") === key).select(col("value"))
-      .collect().headOption.flatMap(r => Option(r.getString(0)))
-      .getOrElse(default)
+    * matching [[valueRow]]'s coalesce, so the two surfaces agree. A key
+    * present more than once with CONFLICTING values fails loudly: the
+    * three lookup surfaces (this, [[valueRow]], the oracle) could
+    * otherwise silently disagree on which copy wins. */
+  def getString(spark: SparkSession, key: String, default: String): String = {
+    val vals = store(spark).filter(col("key") === key).select(col("value"))
+      .collect().map(r => Option(r.getString(0))).toSeq
+    if (vals.flatten.distinct.size > 1)
+      throw new IllegalStateException(
+        s"config key '$key' has ${vals.size} conflicting entries: " +
+          vals.flatten.distinct.mkString("'", "', '", "'"))
+    vals.flatten.headOption.getOrElse(default)
+  }
 
   def getLong(spark: SparkSession, key: String, default: Long): Long = {
     val raw = getString(spark, key, default.toString)
@@ -85,10 +96,13 @@ object Config {
     * as a Column so per-row keys resolve via a JOIN on the store, not a
     * per-row driver lookup (dags/Backups.py:55 does this in a Python
     * loop; at scale it is one broadcast hash join). */
-  def dynamicKey(template: String, part: Column): Column = {
-    val Array(pre, post) = template.split("%s", -1)
-    concat(lit(pre), part, lit(post))
-  }
+  def dynamicKey(template: String, part: Column): Column =
+    template.split("%s", -1) match {
+      case Array(pre, post) => concat(lit(pre), part, lit(post))
+      case parts => throw new IllegalArgumentException(
+        s"dynamicKey template '$template': expected exactly one %s " +
+          s"placeholder, found ${parts.length - 1}")
+    }
 
   // -- validated params (Airflow Param) ------------------------------------
 

@@ -262,20 +262,24 @@ object Dedup {
     * shingles on both sides (per-doc sizes count kept shingles only),
     * keeping the score a true Jaccard of the capped sets. */
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = shingled(spark, sfDir)
-      .select(col("doc_id"), explode(col("shingles")).as("s"))
-    // df via a count window, not groupBy + join-back: the capped table
-    // needs one exchange on s instead of an aggregate plus a join back
-    // onto the full shingle stream (measured 16% faster at sf0.1).
-    // Each consumer below still recomputes the typed shingle stage —
-    // exchange reuse does not canonicalize across the self-join clones
-    // — which is fine at test scale; a cluster deployment materializes
-    // the capped postings table once (it is the index artifact) and
-    // feeds pairs/sizes from it.
-    val wS = org.apache.spark.sql.expressions.Window.partitionBy(col("s"))
-    val kept = sh.withColumn("df", count(lit(1)).over(wS))
-      .filter(col("df") <= MaxShingleDf)
-      .select(col("doc_id"), col("s"))
+    // The capped postings table is the index artifact: materialized
+    // ONCE (persist via the D3 registry) and fed to all three
+    // consumers — the per-doc size aggregate and both sides of the
+    // pair self-join. Without it each consumer re-runs the typed
+    // shingle stage (exchange reuse does not canonicalize across the
+    // self-join clones): three corpus-wide shingle scans at 100 TB
+    // where one suffices. df via a count window, not groupBy +
+    // join-back: the capped table needs one exchange on s instead of
+    // an aggregate plus a join back onto the full shingle stream
+    // (measured 16% faster at sf0.1).
+    val kept = Flow.sharedScan(spark, s"ngram_kept:$sfDir") {
+      val sh = shingled(spark, sfDir)
+        .select(col("doc_id"), explode(col("shingles")).as("s"))
+      val wS = org.apache.spark.sql.expressions.Window.partitionBy(col("s"))
+      sh.withColumn("df", count(lit(1)).over(wS))
+        .filter(col("df") <= MaxShingleDf)
+        .select(col("doc_id"), col("s"))
+    }
     val cnt = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val pairs = kept.select(col("doc_id").as("da"), col("s"))
       .join(kept.select(col("doc_id").as("db"), col("s")), "s")

@@ -222,6 +222,31 @@ object Flow {
     }
   }
 
+  /** D4 with real cron semantics: ticks fire at the schedule's
+    * next-fire times (`"0 * * * *"` = at minute 0, `"@daily"` =
+    * midnight UTC — the reference's exact strings,
+    * dags/DNS_Requests.py:23, dags/Airflow_Cleanup.py:29) instead of
+    * [[runRecurring]]'s fixed rate. Overrun ticks do NOT backfill:
+    * fire times already in the past when a tick finishes are skipped
+    * and the loop waits for the next future one — the reference's
+    * `catchup=False` (dags/DNS_Requests.py:26). `now`/`sleep` are
+    * injectable so schedule arithmetic is unit-testable without
+    * wall-clock waits. */
+  def runRecurringCron[T](cronExpr: String, ticks: Int, retries: Int = 2,
+      retryDelayMs: Long = 0, timeoutMs: Long = 60000,
+      now: () => java.time.Instant = () => java.time.Instant.now(),
+      sleep: Long => Unit = Thread.sleep)(
+      job: java.time.Instant => T): Seq[scala.util.Try[T]] = {
+    val cron = Cron.parse(cronExpr)
+    (0 until ticks).map { _ =>
+      val fireAt = cron.nextFire(now()) // skips past-due fires: no catchup
+      val waitMs = java.time.Duration.between(now(), fireAt).toMillis
+      if (waitMs > 0) sleep(waitMs)
+      scala.util.Try(withRetry(retries, retryDelayMs)(
+        withInterruptingTimeout(timeoutMs)(job(fireAt))))
+    }
+  }
+
   /** Timeout that INTERRUPTS the job thread on expiry. [[withTimeout]]'s
     * Await abandons its Future, which keeps running — composed with
     * retry, a timed-out tick would overlap its own retry (and the next

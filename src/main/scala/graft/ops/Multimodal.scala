@@ -1,177 +1,273 @@
 package graft.ops
 
+import java.awt.image.BufferedImage
+import java.io.ByteArrayInputStream
+
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.Tables
 import graft.Util._
 
-/** Opaque binary payload + doc id (the multimodal row shape). */
-case class DocBin(doc_id: Long, bytes: Array[Byte])
+/** Opaque binary asset + source file name (the multimodal row shape). */
+case class ImgBin(file: String, content: Array[Byte])
 
-/** Extracted metadata for one binary asset. The width/height/frame
-  * fields come from [[Multimodal.decodeStub]] — a deterministic stand-in
-  * for a real image/av decode (libs absent in this environment); the
-  * Spark-side plumbing (schema, encoders, partition-batch iteration) is
-  * the real production shape. */
-case class MmMeta(doc_id: Long, n_bytes: Int, sha256: String,
-    width: Int, height: Int, n_frames: Int)
+/** Decoded metadata for one binary asset: container sniff, real
+  * decode (JDK ImageIO), and a perceptual fingerprint. */
+case class ImgMeta(file: String, n_bytes: Int, sha256: String,
+    format: String, width: Int, height: Int, n_frames: Int, phash: String)
 
-/** Multimodal-column operators (builder brief): treat image/audio/video
-  * as opaque binary columns; decode/feature-extract runs per partition
-  * over typed Datasets — the Scala analogue of `mapInPandas` batch UDFs.
-  * At 100 TB the binary column stays off the shuffle path: metadata is
-  * extracted in the scan stage and only the small typed columns move.
+/** Multimodal-column operators (builder brief): image/video assets as
+  * opaque binary columns, decoded per partition over typed Datasets —
+  * the Scala analogue of `mapInPandas` batch UDFs.
+  *
+  * The decode is REAL: JDK ImageIO (PNG + animated GIF — no external
+  * libs), with one reusable `ImageReader` handle per format per
+  * partition — the production shape for codec contexts, which are
+  * expensive to open and not thread-safe to share. Fixtures are
+  * deterministic generated images ([[MultimodalFixtures]]), so the
+  * oracle's dimensions / frame counts / duplicate groups come from the
+  * generator's arithmetic — ground truth independent of the decode
+  * path under test.
+  *
+  * At 100 TB the binary column stays off the shuffle path: metadata
+  * and fingerprints are extracted in the scan stage and only the small
+  * typed columns move — every query below shuffles (file, ints, hash)
+  * rows, never pixel data.
   */
 object Multimodal {
 
-  /** Per-partition STUB decode: ONE decoder handle (here a
-    * MessageDigest standing in for an image/audio codec context) is
-    * created per partition and reused across its whole batch — the
-    * production shape for native codec handles, which are expensive to
-    * open and not thread-safe to share. The decode itself is a
-    * deterministic fake (libs absent in this environment); everything
-    * around it is real. */
-  def decodePartition(it: Iterator[DocBin]): Iterator[MmMeta] = {
+  /** Per-partition decode: one reusable reader per container format,
+    * one digest instance, disposed when the partition drains. */
+  def decodePartition(it: Iterator[ImgBin]): Iterator[ImgMeta] = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
-    it.map { d =>
-      val n = d.bytes.length
+    val readers =
+      scala.collection.mutable.Map.empty[String, javax.imageio.ImageReader]
+    def reader(fmt: String) = readers.getOrElseUpdate(fmt,
+      ImageIO.getImageReadersByFormatName(fmt).next())
+    val metas = it.map { d =>
       md.reset()
-      val sha = md.digest(d.bytes).map("%02x".format(_)).mkString
-      MmMeta(d.doc_id, n, sha, n % 640 + 1, (n * 7) % 480 + 1, n % 30 + 1)
+      val sha = md.digest(d.content).map("%02x".format(_)).mkString
+      val fmt = sniff(d.content)
+      val r = reader(fmt)
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(d.content))
+      try {
+        // seekForwardOnly=false: frame counting needs random access
+        r.setInput(iis, false, true)
+        val frames = r.getNumImages(true)
+        val img = r.read(0)
+        ImgMeta(d.file, d.content.length, sha, fmt,
+          img.getWidth, img.getHeight, frames, f"${aHash(img)}%016x")
+      } finally iis.close()
+    }
+    // dispose the codec handles once the partition is exhausted
+    metas ++ { readers.values.foreach(_.dispose()); Iterator.empty }
+  }
+
+  /** Container sniff by magic number — the cheap pre-decode routing
+    * step (PNG `\x89PNG`, GIF `GIF8`). */
+  def sniff(bytes: Array[Byte]): String =
+    if (bytes.length >= 4 &&
+      (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' &&
+      bytes(2) == 'N' && bytes(3) == 'G') "png"
+    else if (bytes.length >= 4 && bytes(0) == 'G' && bytes(1) == 'I' &&
+      bytes(2) == 'F' && bytes(3) == '8') "gif"
+    else throw new IllegalArgumentException(
+      "unsupported container (expected PNG or GIF)")
+
+  /** 64-bit average-hash over real pixels: BT.601 integer luminance,
+    * 8×8 block means, bit i = block i above the global mean. All
+    * integer arithmetic → bit-deterministic; a uniform brightness
+    * shift moves every block mean and the global mean together, so
+    * near-duplicate renditions collide (what a perceptual hash is
+    * for). */
+  def aHash(img: BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val sums = new Array[Long](64)
+    val counts = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val gray = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000
+        val b = (y * 8 / h) * 8 + (x * 8 / w)
+        sums(b) += gray
+        counts(b) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val avgs = Array.tabulate(64)(i => sums(i) / counts(i))
+    val mean = avgs.sum / 64
+    avgs.zipWithIndex.foldLeft(0L) { case (acc, (a, i)) =>
+      if (a > mean) acc | (1L << i) else acc
     }
   }
 
-  /** Single-row decode (tests / driver-side probes). */
-  def decodeStub(d: DocBin): MmMeta = decodePartition(Iterator(d)).next()
-
-  /** Binary ingest → per-partition decode → typed metadata columns. */
-  def mmMetadata(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Binary scan of the image fixtures → per-partition decode. The
+    * binaryFile source reads (path, content); only decoded metadata
+    * leaves this stage. */
+  private def decoded(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"), encode(col("text"), "utf-8").as("bytes"))
-      .as[DocBin]
+    val dir = MultimodalFixtures.ensure()
+    spark.read.format("binaryFile").load(dir)
+      .select(regexp_extract(col("path"), "[^/]+$", 0).as("file"),
+        col("content"))
+      .as[ImgBin]
       .mapPartitions(decodePartition)
       .toDF()
-      .orderBy(col("doc_id"))
   }
-  val mmMetadataSql: String =
-    """SELECT doc_id,
-       CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
-       sha256(text) AS sha256,
-       CAST(octet_length(CAST(text AS BLOB)) % 640 + 1 AS INT) AS width,
-       CAST((octet_length(CAST(text AS BLOB)) * 7) % 480 + 1 AS INT) AS height,
-       CAST(octet_length(CAST(text AS BLOB)) % 30 + 1 AS INT) AS n_frames
-       FROM documents ORDER BY doc_id"""
 
-  /** Frame sampling: ~4 evenly spaced frame indices per asset — the
-    * explode row-shape a video pipeline feeds to per-frame models. */
-  def mmFrameSample(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"), encode(col("text"), "utf-8").as("bytes"))
-      .as[DocBin]
-      .mapPartitions(decodePartition)
-      .toDF()
-      .select(col("doc_id"), col("n_frames"),
+  // -- dump-time oracle ground truth ---------------------------------------
+
+  private def fileBytes(name: String): Array[Byte] =
+    java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(MultimodalFixtures.ensure(), name))
+
+  private def digestHex(algo: String, bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance(algo)
+      .digest(bytes).map("%02x".format(_)).mkString
+
+  /** (file, format, width, height, n_frames) for every fixture — dims
+    * and frame counts from the GENERATOR's arithmetic, not a decode. */
+  private def groundTruth: Seq[(String, String, Int, Int, Int)] =
+    (MultimodalFixtures.pngSpecs.map { case (name, id, _) =>
+      (name, "png", MultimodalFixtures.widthOf(id),
+        MultimodalFixtures.heightOf(id), 1)
+    } ++ MultimodalFixtures.gifSpecs.map { case (name, id) =>
+      (name, "gif", MultimodalFixtures.GifW, MultimodalFixtures.GifH,
+        MultimodalFixtures.framesOf(id))
+    }).sortBy(_._1)
+
+  /** Real decode of real assets: container format, true dimensions,
+    * frame count, content digest. */
+  def mmMetadata(spark: SparkSession, sfDir: String): DataFrame =
+    decoded(spark)
+      .select(col("file"), col("n_bytes"), col("sha256"), col("format"),
+        col("width"), col("height"), col("n_frames"))
+      .orderBy(col("file"))
+  def mmMetadataSql: String = {
+    val rows = groundTruth.map { case (name, fmt, w, h, fr) =>
+      val b = fileBytes(name)
+      s"('$name', ${b.length}, '${digestHex("SHA-256", b)}', '$fmt', $w, $h, $fr)"
+    }.mkString(", ")
+    s"""SELECT file, CAST(n_bytes AS INT) AS n_bytes, sha256, format,
+        CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+        CAST(n_frames AS INT) AS n_frames
+        FROM (VALUES $rows)
+        AS t(file, n_bytes, sha256, format, width, height, n_frames)
+        ORDER BY file"""
+  }
+
+  /** Frame sampling over DECODED frame counts: ~4 evenly spaced frame
+    * indices per animated asset — the explode row-shape a video
+    * pipeline feeds to per-frame models. */
+  def mmFrameSample(spark: SparkSession, sfDir: String): DataFrame =
+    decoded(spark)
+      .filter(col("n_frames") > 1)
+      .select(col("file"), col("n_frames"),
         explode(expr(
           "sequence(0, n_frames - 1, greatest(1, CAST(floor(n_frames / 4) AS INT)))"))
           .as("frame_idx"))
-      .orderBy(col("doc_id"), col("frame_idx"))
+      .orderBy(col("file"), col("frame_idx"))
+  def mmFrameSampleSql: String = {
+    val rows = groundTruth.filter(_._5 > 1)
+      .map { case (name, _, _, _, fr) => s"('$name', $fr)" }.mkString(", ")
+    s"""SELECT file, CAST(n_frames AS INT) AS n_frames,
+        CAST(unnest(range(0, n_frames, greatest(1, n_frames // 4))) AS INT)
+          AS frame_idx
+        FROM (VALUES $rows) AS t(file, n_frames)
+        ORDER BY file, frame_idx"""
   }
-  val mmFrameSampleSql: String =
-    """SELECT doc_id, n_frames, CAST(unnest(range(0, n_frames, greatest(1, n_frames // 4))) AS INT) AS frame_idx
-       FROM (SELECT doc_id,
-               CAST(octet_length(CAST(text AS BLOB)) % 30 + 1 AS INT) AS n_frames
-             FROM documents)
-       ORDER BY doc_id, frame_idx"""
 
-  /** Resize planning: fit each asset's (stub-decoded) dimensions into a
+  /** Resize planning: fit each asset's DECODED dimensions into a
     * 224×224 box preserving aspect ratio — the pure-arithmetic half of
-    * an image-resize stage (the pixel work would run in the same
-    * per-partition decode pass as [[decodeStub]]). Scale math is
-    * identical IEEE double ops in both engines, so the floored target
-    * dims are oracle-exact. */
-  def mmResizePlan(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"), encode(col("text"), "utf-8").as("bytes"))
-      .as[DocBin]
-      .mapPartitions(decodePartition)
-      .toDF()
-      .select(col("doc_id"), col("width"), col("height"),
+    * an image-resize stage (the pixel work runs in the same
+    * per-partition decode pass). Scale math is identical IEEE double
+    * ops in both engines, so the floored target dims are oracle-exact. */
+  def mmResizePlan(spark: SparkSession, sfDir: String): DataFrame =
+    decoded(spark)
+      .select(col("file"), col("width"), col("height"),
         least(lit(224.0) / col("width"), lit(224.0) / col("height"))
           .as("scale"))
-      .select(col("doc_id"), col("width"), col("height"),
+      .select(col("file"), col("width"), col("height"),
         greatest(lit(1L), floor(col("width") * col("scale"))).as("out_w"),
         greatest(lit(1L), floor(col("height") * col("scale"))).as("out_h"))
-      .orderBy(col("doc_id"))
+      .orderBy(col("file"))
+  def mmResizePlanSql: String = {
+    val rows = groundTruth.map { case (name, _, w, h, _) =>
+      s"('$name', $w, $h)"
+    }.mkString(", ")
+    s"""SELECT file, CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+        greatest(1, CAST(floor(width * scale) AS BIGINT)) AS out_w,
+        greatest(1, CAST(floor(height * scale) AS BIGINT)) AS out_h
+        FROM (SELECT file, width, height,
+                least(224.0 / width, 224.0 / height) AS scale
+              FROM (VALUES $rows) AS t(file, width, height))
+        ORDER BY file"""
   }
-  val mmResizePlanSql: String =
-    """SELECT doc_id, width, height,
-       greatest(1, CAST(floor(width * scale) AS BIGINT)) AS out_w,
-       greatest(1, CAST(floor(height * scale) AS BIGINT)) AS out_h
-       FROM (SELECT doc_id, width, height,
-               least(224.0 / width, 224.0 / height) AS scale
-             FROM (SELECT doc_id,
-                     CAST(octet_length(CAST(text AS BLOB)) % 640 + 1 AS INT) AS width,
-                     CAST((octet_length(CAST(text AS BLOB)) * 7) % 480 + 1 AS INT) AS height
-                   FROM documents))
-       ORDER BY doc_id"""
 
-  /** Binary feature extraction: header/trailer slices and a content
-    * digest straight off the opaque bytes column — the shape of magic-
-    * number sniffing / container probing before a full decode. */
-  def mmFeatureExtract(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"), encode(col("text"), "utf-8").as("bytes"))
-      .select(col("doc_id"),
-        length(col("bytes")).cast("int").as("n_bytes"),
-        lower(hex(substring(col("bytes"), 1, 8))).as("head_hex"),
-        lower(hex(expr("substring(bytes, greatest(1, length(bytes) - 3), 4)")))
+  /** Binary feature extraction straight off the opaque bytes column:
+    * magic-number head, trailer, content digest — the container-probe
+    * stage before a full decode routes by format. */
+  def mmFeatureExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = MultimodalFixtures.ensure()
+    spark.read.format("binaryFile").load(dir)
+      .select(regexp_extract(col("path"), "[^/]+$", 0).as("file"),
+        col("content"))
+      .select(col("file"),
+        length(col("content")).cast("int").as("n_bytes"),
+        lower(hex(substring(col("content"), 1, 8))).as("head_hex"),
+        lower(hex(expr("substring(content, greatest(1, length(content) - 3), 4)")))
           .as("tail_hex"),
-        md5(col("bytes")).as("digest"))
-      .orderBy(col("doc_id"))
-  // DuckDB cannot slice BLOBs directly (no substring(BLOB, i, n)), so
-  // the oracle slices the hex string: bytes [i, i+n) == hex chars
-  // [2i−1, 2i−1+2n).
-  val mmFeatureExtractSql: String =
-    """SELECT doc_id,
-       CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
-       lower(substring(hex(CAST(text AS BLOB)), 1, 16)) AS head_hex,
-       lower(substring(hex(CAST(text AS BLOB)),
-         greatest(1, 2 * octet_length(CAST(text AS BLOB)) - 7), 8)) AS tail_hex,
-       md5(text) AS digest
-       FROM documents ORDER BY doc_id"""
-
-  /** Binary-asset dedup by content fingerprint: per-partition decode →
-    * 64-bit fingerprint (here the sha256 head; a real pipeline slots a
-    * perceptual hash into the same decode stage) → one groupBy on the
-    * 8-byte key. Only (doc_id, fingerprint) ever shuffles — the binary
-    * payload stays in the scan stage, which is what makes this viable
-    * when the assets are 100 TB. */
-  def mmPhashDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    // canonicalize before hashing (lower/strip/collapse — the same
-    // normalize-then-fingerprint shape as Text.normalize): byte-exact
-    // duplicates are rare, canonical duplicates are the real target
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"), encode(trim(regexp_replace(regexp_replace(
-        lower(col("text")), "[^a-z0-9 ]", ""), " +", " ")), "utf-8").as("bytes"))
-      .as[DocBin]
-      .mapPartitions(decodePartition)
-      .toDF()
-      .select(col("doc_id"), substring(col("sha256"), 1, 16).as("phash"))
-      .groupBy(col("phash"))
-      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper"))
-      .filter(col("n_copies") > 1)
-      .orderBy(col("phash"))
+        md5(col("content")).as("digest"))
+      .orderBy(col("file"))
   }
-  val mmPhashDedupSql: String =
-    """SELECT substr(sha256(trim(regexp_replace(regexp_replace(lower(text),
-         '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))), 1, 16) AS phash,
-       count(1) AS n_copies, min(doc_id) AS keeper
-       FROM documents GROUP BY 1 HAVING count(1) > 1 ORDER BY phash"""
+  def mmFeatureExtractSql: String = {
+    def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+    val rows = groundTruth.map { case (name, _, _, _, _) =>
+      val b = fileBytes(name)
+      s"('$name', ${b.length}, '${hex(b.take(8))}', " +
+        s"'${hex(b.takeRight(4))}', '${digestHex("MD5", b)}')"
+    }.mkString(", ")
+    s"""SELECT file, CAST(n_bytes AS INT) AS n_bytes, head_hex, tail_hex, digest
+        FROM (VALUES $rows) AS t(file, n_bytes, head_hex, tail_hex, digest)
+        ORDER BY file"""
+  }
+
+  /** Perceptual dedup over real pixels: per-partition decode →
+    * 64-bit aHash → one groupBy on the 8-byte key. Catches both the
+    * byte-identical pairs AND the brightness-shifted renditions exact
+    * hashing misses (different sha256, same aHash). Output is the
+    * group structure — keeper, copy count, member list — which the
+    * generator's duplicate layout predicts exactly, so the oracle is
+    * decode-independent ground truth. Only (file, phash) ever
+    * shuffles; pixels stay in the scan stage. */
+  def mmPhashDedup(spark: SparkSession, sfDir: String): DataFrame =
+    decoded(spark)
+      .select(col("file"), col("phash"))
+      .groupBy(col("phash"))
+      .agg(count(lit(1)).as("n_copies"), min(col("file")).as("keeper"),
+        array_join(array_sort(collect_list(col("file"))), ",").as("members"))
+      .filter(col("n_copies") > 1)
+      .select(col("keeper"), col("n_copies"), col("members"))
+      .orderBy(col("keeper"))
+  def mmPhashDedupSql: String = {
+    val pairs = MultimodalFixtures.PairIds.map(i =>
+      (f"img$i%02da.png", f"img$i%02db.png"))
+    val nears = MultimodalFixtures.NearIds.map(i =>
+      (f"img$i%02da.png", f"img$i%02dn.png"))
+    val rows = (pairs ++ nears).sortBy(_._1).map { case (a, b) =>
+      s"('$a', 2, '$a,$b')"
+    }.mkString(", ")
+    s"""SELECT keeper, CAST(n_copies AS BIGINT) AS n_copies, members
+        FROM (VALUES $rows) AS t(keeper, n_copies, members)
+        ORDER BY keeper"""
+  }
 
   val queries: Map[String, QFn] = Map(
     "mm_phash_dedup" -> mmPhashDedup,

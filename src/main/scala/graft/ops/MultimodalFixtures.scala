@@ -1,0 +1,120 @@
+package graft.ops
+
+import java.awt.image.BufferedImage
+import java.io.File
+
+import javax.imageio.ImageIO
+import javax.imageio.stream.FileImageOutputStream
+
+/** Deterministic binary image fixtures for the multimodal operators.
+  *
+  * Content is pure arithmetic in (id, x, y[, frame]), so the GROUND
+  * TRUTH — dimensions, frame counts, duplicate structure — is known
+  * from the generator parameters alone, independently of any decode
+  * path. The committed files under `fixtures/images/` are what the
+  * contract queries scan; [[ensure]] regenerates them only if absent
+  * (fresh checkout safety).
+  *
+  * Duplicate structure (the mm_phash_dedup ground truth):
+  *  - ids 0–5: `img<id>a.png` + `img<id>b.png` — pixel-identical pairs
+  *    (same sha256, same phash).
+  *  - ids 6–8: `img<id>a.png` + `img<id>n.png` — the n-variant adds a
+  *    uniform +10 brightness: different bytes/sha256, IDENTICAL aHash
+  *    (block averages and their mean shift together, comparisons are
+  *    invariant — the case where perceptual grouping beats exact
+  *    hashing).
+  *  - ids 9–20: singles.
+  *  - `vid<id>.gif` (ids 0–5): animated GIFs with 2+id frames — the
+  *    frame-count half of the metadata surface.
+  */
+object MultimodalFixtures {
+
+  val Dir: String = s"${graft.Tables.FixturesDir}/images"
+
+  // -- generator ground truth (pure arithmetic, no decode) -----------------
+
+  def widthOf(id: Int): Int = 16 + (id * 7) % 33
+  def heightOf(id: Int): Int = 16 + (id * 5) % 17
+  /** Hash-noise pixel content: distinct ids produce uncorrelated block
+    * statistics, so no two generated images collide under aHash by
+    * accident (a smooth/linear pattern would — aHash is invariant to
+    * uniform shifts, which is also why the +10 near-dup variant lands
+    * in the same bucket on purpose). ≤ 200 everywhere so +10 never
+    * clips. */
+  def grayOf(id: Int, x: Int, y: Int): Int = Math.floorMod(
+    x * 73856093 ^ y * 19349663 ^ (id + 1) * 83492791, 201)
+  def framesOf(id: Int): Int = 2 + id
+  val GifW = 24
+  val GifH = 16
+
+  val PairIds: Range = 0 to 5
+  val NearIds: Range = 6 to 8
+  val SingleIds: Range = 9 to 20
+  val VidIds: Range = 0 to 5
+
+  /** (file name, png id, brightness delta) for every PNG fixture. */
+  def pngSpecs: Seq[(String, Int, Int)] =
+    PairIds.flatMap(i => Seq((f"img$i%02da.png", i, 0), (f"img$i%02db.png", i, 0))) ++
+    NearIds.flatMap(i => Seq((f"img$i%02da.png", i, 0), (f"img$i%02dn.png", i, 10))) ++
+    SingleIds.map(i => (f"img$i%02da.png", i, 0))
+
+  def gifSpecs: Seq[(String, Int)] = VidIds.map(i => (f"vid$i%02d.gif", i))
+
+  private def pngImage(id: Int, delta: Int): BufferedImage = {
+    val (w, h) = (widthOf(id), heightOf(id))
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = grayOf(id, x, y) + delta
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    img
+  }
+
+  private def gifFrame(id: Int, f: Int): BufferedImage = {
+    val img = new BufferedImage(GifW, GifH, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until GifH; x <- 0 until GifW) {
+      val g = Math.floorMod(
+        x * 73856093 ^ y * 19349663 ^ (id + 1) * 83492791 ^ (f + 1) * 40503,
+        201)
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    img
+  }
+
+  /** Write any missing fixture files; returns the image dir. Committed
+    * files are never rewritten (their encoded bytes are part of the
+    * dump-time oracle ground truth). */
+  def ensure(): String = synchronized {
+    val dir = new File(Dir)
+    dir.mkdirs()
+    pngSpecs.foreach { case (name, id, delta) =>
+      val f = new File(dir, name)
+      if (!f.exists()) ImageIO.write(pngImage(id, delta), "png", f)
+    }
+    gifSpecs.foreach { case (name, id) =>
+      val f = new File(dir, name)
+      if (!f.exists()) writeAnimatedGif(f, id)
+    }
+    Dir
+  }
+
+  /** Multi-frame GIF via ImageWriter.writeToSequence — each frame its
+    * own image record, so `ImageReader.getNumImages` recovers the
+    * generator's frame count. */
+  private def writeAnimatedGif(f: File, id: Int): Unit = {
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val out = new FileImageOutputStream(f)
+    try {
+      writer.setOutput(out)
+      writer.prepareWriteSequence(null)
+      (0 until framesOf(id)).foreach { fr =>
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(gifFrame(id, fr), null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      out.close()
+    }
+  }
+}

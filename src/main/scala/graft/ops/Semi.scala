@@ -273,6 +273,32 @@ object Semi {
         ('backup-server', '2024-01-29T04:00:00.000000+00:00'))
        AS t(client, oldest) WHERE client = 'iowa'"""
 
+  // S9 — LIVE-fetch DataSource V2 read: one input partition per
+  // client, each executing a real HTTP GET (executor-side, JDK
+  // transport) against the in-process fixture endpoint, with the
+  // client rendered as the `search` query param — the reference's
+  // `.expand(client=clients)` fan-out over `querylog?search={client}`
+  // (dags/DNS_Requests.py:108,139) as a Spark scan. The server prunes
+  // on the param, so each partition transfers exactly its client's
+  // rows.
+  def s9LiveFetch(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.format("graft.sources.v2.LiveHttpSource")
+      .option("url", s"${graft.sources.FixtureServer.base}/querylog")
+      .option("clients", "iowa|chicago|racknerd|backup-server")
+      .option("clientParam", "search")
+      .option("schemaDDL", "client STRING, oldest STRING")
+      .option("authMode", "basic")
+      .option("user", "admin").option("secret", "secret")
+      .load()
+      .orderBy(col("client"))
+  val s9Sql: String =
+    """SELECT client, oldest FROM (VALUES
+        ('iowa', '2024-01-30T22:45:00.000000+00:00'),
+        ('chicago', '2024-01-30T20:10:00.000000+00:00'),
+        ('racknerd', '2024-01-30T23:05:30.500000+00:00'),
+        ('backup-server', '2024-01-29T04:00:00.000000+00:00'))
+       AS t(client, oldest) ORDER BY client"""
+
   // S5 — paginated envelope explode (cloudflare_api.py:21-26).
   def s5Paginated(spark: SparkSession, sfDir: String): DataFrame =
     Sources.zonesSrc(spark)
@@ -307,14 +333,26 @@ object Semi {
   // collector's staging manifest), so binaryFile's (path, length)
   // metadata is fully checked; mtimes are environment state and
   // excluded.
+
+  /** Dump-time staging manifest: recursive file walk of the fixtures
+    * dir, name-sorted — the oracle-side twin of
+    * `Sources.fsScan(recursiveFileLookup=true)`. Basenames are unique
+    * across the staging tree by construction. */
+  private def manifest: Seq[java.io.File] = {
+    def walk(d: java.io.File): Seq[java.io.File] = {
+      val kids = Option(d.listFiles()).map(_.toSeq).getOrElse(Nil)
+      kids.filter(_.isFile) ++ kids.filter(_.isDirectory).flatMap(walk)
+    }
+    walk(new java.io.File(graft.Tables.FixturesDir)).sortBy(_.getName)
+  }
+
   def s6FsScan(spark: SparkSession, sfDir: String): DataFrame =
     Sources.fsScan(spark, graft.Tables.FixturesDir)
       .select(regexp_extract(col("path"), "[^/]+$", 0).as("file"),
         col("length"))
       .orderBy(col("file"))
   def s6Sql: String = {
-    val rows = new java.io.File(graft.Tables.FixturesDir)
-      .listFiles().filter(_.isFile).sortBy(_.getName)
+    val rows = manifest
       .map(f => s"('${f.getName}', CAST(${f.length()} AS BIGINT))")
       .mkString(", ")
     s"SELECT file, length FROM (VALUES $rows) AS t(file, length) ORDER BY file"
@@ -342,8 +380,7 @@ object Semi {
       .orderBy(col("file"))
   }
   def compactionPlanSql: String = {
-    val rows = new java.io.File(graft.Tables.FixturesDir)
-      .listFiles().filter(_.isFile).sortBy(_.getName)
+    val rows = manifest
       .map(f => s"('${f.getName}', CAST(${f.length()} AS BIGINT))")
       .mkString(", ")
     s"""SELECT file, length, bin,
@@ -382,12 +419,39 @@ object Semi {
        WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 = 0
        ORDER BY event_id"""
 
-  // S7 — disk-usage probe (scalar; environment state, no oracle).
-  def s7DiskProbe(spark: SparkSession, sfDir: String): DataFrame =
-    Sources.diskUsage(spark, "/root/repo")
-      .select(col("dir"), col("total"), col("used"),
-        e4(lit(1.0) * col("used") / col("total")).as("used_e4"),
-        (lit(1.0) * col("used") / col("total") > 0.75).as("over_75pct"))
+  // S7 — disk-usage probe (dags/Airflow_Cleanup.py:62-72: used/total
+  // ratio vs a 75 % ceiling). The live `shutil.disk_usage` analogue
+  // (`Sources.diskUsage`) stays as a driver-side utility, but the
+  // CONTRACT query probes the staged table dir's manifest — sum of
+  // binaryFile lengths vs a config-store capacity — so the V7-shape
+  // ratio is deterministic and fully oracle-checked instead of live
+  // environment state. Integer compare (used*100 > cap*75) keeps the
+  // verdict float-free; the pct is e4 fixed point.
+  def s7UsageRatio(spark: SparkSession, sfDir: String): DataFrame = {
+    val cap = Config.valueRow(spark, "staging_capacity_bytes", "32768")
+      .select(col("value").cast("long").as("capacity_bytes"))
+    Sources.fsScan(spark, graft.Tables.FixturesDir)
+      .agg(sum(col("length")).as("used_bytes"))
+      .crossJoin(broadcast(cap))
+      .select(col("used_bytes"), col("capacity_bytes"),
+        e4(lit(100.0) * col("used_bytes") / col("capacity_bytes"))
+          .as("used_pct_e4"),
+        (col("used_bytes") * lit(100L) > col("capacity_bytes") * lit(75L))
+          .as("over_75pct"))
+  }
+  def s7Sql: String = {
+    val used = manifest.map(_.length()).sum
+    s"""SELECT CAST($used AS BIGINT) AS used_bytes, cfg.capacity_bytes,
+        CAST(floor(100.0 * $used / cfg.capacity_bytes * 10000.0) AS BIGINT)
+          AS used_pct_e4,
+        $used * 100 > cfg.capacity_bytes * 75 AS over_75pct
+        FROM (
+          SELECT coalesce(CAST(max(CASE WHEN key = 'staging_capacity_bytes'
+                   THEN value END) AS BIGINT), 32768) AS capacity_bytes
+          FROM read_json_auto('${graft.Tables.FixturesDir}/graft_config.jsonl',
+                              format='newline_delimited')
+        ) cfg"""
+  }
 
   val queries: Map[String, QFn] = Map(
     "p1_trycast_extract" -> p1TrycastExtract,
@@ -406,9 +470,10 @@ object Semi {
     "s2_dsv2_pushdown" -> s2Dsv2Pushdown,
     "s4_soft_fail" -> s4SoftFail,
     "s5_paginated" -> s5Paginated,
+    "s9_live_fetch" -> s9LiveFetch,
     "s6_fs_scan" -> s6FsScan,
     "s8_csv_read" -> s8CsvRead,
-    "s7_disk_probe" -> s7DiskProbe,
+    "s7_usage_ratio" -> s7UsageRatio,
     "variant_extract" -> variantExtract,
     "compaction_plan" -> compactionPlan)
 
@@ -429,8 +494,10 @@ object Semi {
     "s2_dsv2_pushdown" -> s2Sql,
     "s4_soft_fail" -> s4Sql,
     "s5_paginated" -> s5Sql,
+    "s9_live_fetch" -> s9Sql,
     "s6_fs_scan" -> s6Sql,
     "s8_csv_read" -> s8Sql,
+    "s7_usage_ratio" -> s7Sql,
     "compaction_plan" -> compactionPlanSql,
     "variant_extract" -> variantExtractSql)
 }

@@ -190,9 +190,27 @@ object Vector {
   private val centCache = scala.collection.concurrent.TrieMap
     .empty[(String, String, Int, Int), Array[(Int, Array[Double])]]
 
+  /** Cache-key component for the per-session index artifacts (trained
+    * codebooks, centroids, exact-search ground truths): sfDir plus a
+    * cheap fingerprint of the embeddings table's files (name, size,
+    * mtime). If data at sfDir is regenerated within the same
+    * application, the fingerprint changes and the artifact retrains
+    * instead of silently validating against stale ground truth. */
+  private[graft] def dataKey(sfDir: String): String = {
+    def walk(d: java.io.File): Seq[java.io.File] = {
+      val kids = Option(d.listFiles()).map(_.toSeq).getOrElse(Nil)
+      kids.filter(_.isFile) ++ kids.filter(_.isDirectory).flatMap(walk)
+    }
+    val fp = walk(new java.io.File(s"$sfDir/embeddings.parquet"))
+      .sortBy(_.getPath)
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString("|").hashCode
+    s"$sfDir#$fp"
+  }
+
   def kmeansCentroids(spark: SparkSession, sfDir: String, k: Int,
       iters: Int): Array[(Int, Array[Double])] =
-    centCache.getOrElseUpdate((spark.sparkContext.applicationId, sfDir, k, iters), {
+    centCache.getOrElseUpdate((spark.sparkContext.applicationId, dataKey(sfDir), k, iters), {
     import spark.implicits._
     val vecs = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"))
@@ -354,7 +372,8 @@ object Vector {
 
   def pqTrain(spark: SparkSession, sfDir: String, iters: Int)
       : Array[Array[Array[Double]]] =
-    bookCache.getOrElseUpdate((spark.sparkContext.applicationId, sfDir, iters),
+    bookCache.getOrElseUpdate(
+      (spark.sparkContext.applicationId, dataKey(sfDir), iters),
       pqTrainUncached(spark, sfDir, iters))
 
   private[graft] def pqTrainUncached(spark: SparkSession, sfDir: String, iters: Int)
@@ -509,7 +528,7 @@ object Vector {
       : DataFrame = {
     import spark.implicits._
     val rows = bruteCache.getOrElseUpdate(
-      (spark.sparkContext.applicationId, sfDir, k), {
+      (spark.sparkContext.applicationId, dataKey(sfDir), k), {
       val emb = Tables.embeddings(spark, sfDir)
       val qs = emb.filter(col("vec_id").isin(QueryIds.map(Int.box): _*))
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
@@ -572,7 +591,7 @@ object Vector {
     // the registered ann_brute_topk query itself stays uncached so its
     // bench row keeps measuring the real sweep.
     val brute = cosineBruteCache.getOrElseUpdate(
-      (spark.sparkContext.applicationId, sfDir),
+      (spark.sparkContext.applicationId, dataKey(sfDir)),
       annBruteTopk(spark, sfDir).select(col("qid"), col("vec_id"))
         .as[(Long, Long)].collect().toSeq)
       .toDF("qid", "vec_id")

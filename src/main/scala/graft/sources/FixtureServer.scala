@@ -1,0 +1,91 @@
+package graft.sources
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+/** In-process HTTP endpoint serving the staged fixture payloads — the
+  * live half of the contract's S-family coverage. The zero-egress
+  * environment has no external APIs, so the LIVE-fetch connector
+  * ([[graft.sources.v2.LiveHttpSource]]) exercises a real HTTP
+  * round-trip against this server: real sockets, real auth headers,
+  * real query-param pruning (`search`/`limit` are honored server-side,
+  * mirroring the reference's `querylog?search={client}&limit=1` —
+  * dags/DNS_Requests.py:108).
+  *
+  * Lifecycle: started lazily on first use, bound to 127.0.0.1:ephemeral,
+  * daemon threads only — a JVM running Verify/Bench exits cleanly
+  * without explicit shutdown.
+  */
+object FixtureServer {
+
+  /** Base URL (e.g. `http://127.0.0.1:41234`), starting the server on
+    * first access. */
+  lazy val base: String = {
+    // Thread daemon-ness is inherited: creating the server from a
+    // daemon thread makes its internal dispatcher daemon too, so the
+    // server never pins the JVM open.
+    val holder = new java.util.concurrent.atomic.AtomicReference[String]()
+    val starter = new Thread(() => holder.set(start()), "graft-fixture-server-start")
+    starter.setDaemon(true)
+    starter.start()
+    starter.join(10000)
+    val b = holder.get()
+    require(b != null, "fixture server failed to start within 10 s")
+    b
+  }
+
+  private def start(): String = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4, r => {
+      val t = new Thread(r, "graft-fixture-server")
+      t.setDaemon(true)
+      t
+    })
+    server.setExecutor(pool)
+    server.createContext("/querylog", (ex: HttpExchange) =>
+      serveJsonl(ex, s"${graft.Tables.FixturesDir}/a2_querylog.jsonl",
+        searchField = "client"))
+    server.createContext("/status", (ex: HttpExchange) =>
+      serveJsonl(ex, s"${graft.Tables.FixturesDir}/a1_status.jsonl",
+        searchField = "endpoint"))
+    server.start()
+    s"http://127.0.0.1:${server.getAddress.getPort}"
+  }
+
+  /** Serve a fixture JSONL file, honoring `search` (substring match on
+    * `searchField`, like AdGuard's querylog search) and `limit` query
+    * params — the server-side pruning the connector's pushdown renders. */
+  private def serveJsonl(ex: HttpExchange, path: String,
+      searchField: String): Unit = {
+    try {
+      val params = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+        .split("&").filter(_.contains("=")).map { kv =>
+          val Array(k, v) = kv.split("=", 2)
+          java.net.URLDecoder.decode(k, "UTF-8") ->
+            java.net.URLDecoder.decode(v, "UTF-8")
+        }.toMap
+      val search = params.get("search")
+      val limit = params.get("limit").map(_.toInt).getOrElse(Int.MaxValue)
+      val needle = search.map(s => s""""$searchField": "$s"""")
+      val lines = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path))
+      val body = new StringBuilder
+      var n = 0
+      lines.forEach { line =>
+        if (n < limit && needle.forall(line.contains)) {
+          body.append(line).append('\n')
+          n += 1
+        }
+      }
+      val bytes = body.toString.getBytes(StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(200, bytes.length)
+      ex.getResponseBody.write(bytes)
+    } catch {
+      case e: Exception =>
+        val msg = String.valueOf(e.getMessage).getBytes(StandardCharsets.UTF_8)
+        ex.sendResponseHeaders(500, msg.length)
+        ex.getResponseBody.write(msg)
+    } finally ex.close()
+  }
+}

@@ -1,0 +1,101 @@
+package graft
+
+import java.time.Instant
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Cron, Flow}
+
+/** Cron schedule semantics (D4) — known timetables in UTC, including
+  * the reference's exact expressions (dags/DNS_Requests.py:23,
+  * dags/Cloudflare_Apps.py:54, dags/Airflow_Cleanup.py:29). */
+class CronSpec extends AnyFunSuite {
+
+  private def t(s: String): Instant = Instant.parse(s)
+  private def fires(expr: String, after: String, n: Int): Seq[String] =
+    Cron.parse(expr).fireTimes(t(after)).take(n).map(_.toString).toSeq
+
+  test("'0 * * * *' (hourly, DNS_Requests) fires at minute 0") {
+    assert(fires("0 * * * *", "2024-01-30T22:45:10Z", 3) == Seq(
+      "2024-01-30T23:00:00Z", "2024-01-31T00:00:00Z", "2024-01-31T01:00:00Z"))
+  }
+
+  test("'*/5 * * * *' (Cloudflare_Apps) fires every 5 minutes") {
+    assert(fires("*/5 * * * *", "2024-01-30T22:02:00Z", 3) == Seq(
+      "2024-01-30T22:05:00Z", "2024-01-30T22:10:00Z", "2024-01-30T22:15:00Z"))
+  }
+
+  test("'0 */6 * * *' (Speedtest) fires at 0/6/12/18 across midnight") {
+    assert(fires("0 */6 * * *", "2024-01-30T13:00:00Z", 3) == Seq(
+      "2024-01-30T18:00:00Z", "2024-01-31T00:00:00Z", "2024-01-31T06:00:00Z"))
+  }
+
+  test("'@daily' (Airflow_Cleanup) is midnight UTC, incl. month rollover") {
+    assert(fires("@daily", "2024-01-31T00:00:00Z", 2) == Seq(
+      "2024-02-01T00:00:00Z", "2024-02-02T00:00:00Z"))
+    // a fire time exactly AT a matching instant is excluded (strictly after)
+    assert(fires("@daily", "2024-02-01T00:00:00Z", 1) ==
+      Seq("2024-02-02T00:00:00Z"))
+  }
+
+  test("day-of-week ranges: weekdays at 09:00") {
+    // 2024-02-02 is a Friday; next fires Fri, Mon, Tue
+    assert(fires("0 9 * * 1-5", "2024-02-02T09:00:00Z", 3) == Seq(
+      "2024-02-05T09:00:00Z", "2024-02-06T09:00:00Z", "2024-02-07T09:00:00Z"))
+    // 7 == 0 == Sunday
+    assert(fires("30 6 * * 7", "2024-02-02T00:00:00Z", 1) ==
+      Seq("2024-02-04T06:30:00Z"))
+  }
+
+  test("Vixie either-match: dom AND dow both restricted fires on either") {
+    // "0 0 13 * 5": midnight on the 13th OR any Friday
+    assert(fires("0 0 13 * 5", "2024-09-10T00:00:00Z", 3) == Seq(
+      "2024-09-13T00:00:00Z", // Friday the 13th (both match)
+      "2024-09-20T00:00:00Z", // Friday
+      "2024-09-27T00:00:00Z"))
+    // only dom restricted: dow field * does not gate
+    assert(fires("0 0 13 9 *", "2024-09-01T00:00:00Z", 1) ==
+      Seq("2024-09-13T00:00:00Z"))
+  }
+
+  test("Feb 29 resolves to the next leap year") {
+    assert(fires("0 0 29 2 *", "2023-03-01T00:00:00Z", 2) == Seq(
+      "2024-02-29T00:00:00Z", "2028-02-29T00:00:00Z"))
+  }
+
+  test("lists, ranges with steps, and bare-value steps parse") {
+    assert(fires("0,30 8-10 * * *", "2024-01-30T08:31:00Z", 3) == Seq(
+      "2024-01-30T09:00:00Z", "2024-01-30T09:30:00Z", "2024-01-30T10:00:00Z"))
+    // "20/15" = from 20 to max by 15 → minutes 20, 35, 50
+    assert(fires("20/15 * * * *", "2024-01-30T08:36:00Z", 3) == Seq(
+      "2024-01-30T08:50:00Z", "2024-01-30T09:20:00Z", "2024-01-30T09:35:00Z"))
+  }
+
+  test("malformed expressions fail loudly, naming the expression") {
+    val bad = Seq("0 * * *", "61 * * * *", "* 24 * * *", "* * 0 * *",
+      "a * * * *", "*/0 * * * *", "5-1 * * * *")
+    bad.foreach { e =>
+      val ex = intercept[IllegalArgumentException](Cron.parse(e))
+      assert(ex.getMessage.contains("cron"), s"for '$e': ${ex.getMessage}")
+    }
+  }
+
+  test("runRecurringCron ticks at schedule fire times with no catchup") {
+    // virtual clock: starts 22:58:30, each sleep advances it; the job
+    // on the first tick "runs long" past the 23:30 fire, which must be
+    // SKIPPED (catchup=False) — next fire is 00:00.
+    var now = t("2024-01-30T22:58:30Z")
+    val slept = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val fired = scala.collection.mutable.ArrayBuffer.empty[String]
+    val out = Flow.runRecurringCron("0,30 * * * *", ticks = 2, retries = 0,
+      now = () => now,
+      sleep = { ms => slept += ms; now = now.plusMillis(ms) }) { fireAt =>
+      fired += fireAt.toString
+      if (fired.size == 1) now = now.plusSeconds(45 * 60) // overrun 45 min
+      fireAt
+    }
+    assert(out.forall(_.isSuccess))
+    assert(fired.toSeq == Seq("2024-01-30T23:00:00Z", "2024-01-31T00:00:00Z"))
+    assert(slept.head == 90 * 1000L, "first wait: 22:58:30 -> 23:00:00")
+  }
+}

@@ -237,6 +237,145 @@ class HttpSpec extends SparkSuite {
     }
   }
 
+  test("live-fetch DSv2: partition-per-client fetch, auth + pushdown as query params") {
+    // Multi-endpoint live scan: each of the 3 clients must arrive as
+    // its own request with the Basic auth header and its search param;
+    // a Spark-side filter + limit must be rendered into the URLs.
+    val requests = java.util.concurrent.ConcurrentHashMap
+      .newKeySet[(String, String)]() // (query string, auth header)
+    val rows = Map(
+      "iowa" -> """{"client": "iowa", "oldest": "2024-01-30T22:45:00+00:00"}""",
+      "chicago" -> """{"client": "chicago", "oldest": "2024-01-30T20:10:00+00:00"}""",
+      "racknerd" -> """{"client": "racknerd", "oldest": "2024-01-30T23:05:30+00:00"}""")
+    withServer(Map("/querylog" -> { ex =>
+      val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+      requests.add((q, ex.getRequestHeaders.getFirst("Authorization")))
+      val client = q.split("&").collectFirst {
+        case kv if kv.startsWith("search=") => kv.stripPrefix("search=")
+      }
+      respond(ex, 200, client.flatMap(rows.get).getOrElse(""))
+    })) { base =>
+      val df = spark.read.format("graft.sources.v2.LiveHttpSource")
+        .option("url", s"$base/querylog")
+        .option("clients", "iowa|chicago|racknerd")
+        .option("schemaDDL", "client STRING, oldest STRING")
+        .option("authMode", "basic")
+        .option("user", "admin").option("secret", "secret")
+        .load()
+      // full fan-out: 3 partitions, 3 live requests, all authed
+      assert(df.rdd.getNumPartitions == 3, "one partition per client")
+      assert(df.count() == 3)
+      assert(requests.asScala.toSeq.forall(_._2 == "Basic YWRtaW46c2VjcmV0"))
+      assert(requests.asScala.toSeq.map(_._1).toSet ==
+        Set("search=iowa", "search=chicago", "search=racknerd"))
+
+      // pushdown: EqualTo renders into every endpoint URL
+      requests.clear()
+      val filtered = df.filter(col("client") === "iowa")
+      val plan = filtered.queryExecution.executedPlan.toString
+      assert(plan.contains("pushedFilters=EqualTo(client,iowa)"),
+        s"equality must reach the source:\n$plan")
+      assert(filtered.collect().map(_.getString(0)).toSeq == Seq("iowa"))
+      assert(requests.asScala.toSeq.map(_._1).forall(_.contains("client=iowa")),
+        s"params must carry the pushed filter: ${requests.asScala.toSeq}")
+
+      // pushdown: LIMIT renders as the limit= param (a residual Filter
+      // node blocks limit pushdown, so it is asserted unfiltered —
+      // same contract as the staged connector)
+      requests.clear()
+      val limited = df.limit(1)
+      val lplan = limited.queryExecution.executedPlan.toString
+      assert(lplan.contains("pushedLimit=1"), s"limit must reach the source:\n$lplan")
+      assert(limited.count() == 1)
+      assert(requests.asScala.toSeq.map(_._1).forall(_.contains("limit=1")),
+        s"params must carry the pushed limit: ${requests.asScala.toSeq}")
+    }
+  }
+
+  test("live-fetch DSv2 permissive mode isolates a failed endpoint (S4)") {
+    withServer(Map("/querylog" -> { ex =>
+      val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+      if (q.contains("search=down")) respond(ex, 503, "down")
+      else respond(ex, 200, """{"client": "up", "oldest": "2024-01-30T22:45:00+00:00"}""")
+    })) { base =>
+      def read(permissive: Boolean) = spark.read
+        .format("graft.sources.v2.LiveHttpSource")
+        .option("url", s"$base/querylog")
+        .option("clients", "up|down")
+        .option("schemaDDL", "client STRING, oldest STRING")
+        .option("permissive", permissive.toString)
+        .load()
+      // strict: the failing endpoint fails the scan
+      intercept[org.apache.spark.SparkException](read(permissive = false).count())
+      // permissive: the failing endpoint contributes zero rows
+      val got = read(permissive = true).collect().map(_.getString(0)).toSeq
+      assert(got == Seq("up"))
+    }
+  }
+
+  test("contract query s9_live_fetch round-trips the fixture endpoint") {
+    val out = graft.ops.Semi.s9LiveFetch(spark, sf).collect()
+    assert(out.length == 4)
+    assert(out.map(_.getString(0)).toSeq ==
+      Seq("backup-server", "chicago", "iowa", "racknerd"))
+  }
+
+  test("alert delivery retries a flaky webhook; exhausted retries dead-letter") {
+    // server fails the first 2 attempts per body then succeeds — one
+    // redelivery cycle inside the listener's retry budget (the
+    // reference's `retries: 2` notifier policy). A second listener
+    // posting to an always-down route must land its body in the DLQ.
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val deliveredBodies = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    withServer(Map(
+      "/flaky" -> { ex =>
+        val n = attempts.incrementAndGet()
+        if (n <= 2) respond(ex, 503, "down")
+        else {
+          deliveredBodies.add(new String(ex.getRequestBody.readAllBytes(),
+            StandardCharsets.UTF_8))
+          respond(ex, 200, "ok")
+        }
+      },
+      "/dead" -> { ex => respond(ex, 503, "permanently down") })) { base =>
+      def webhook(route: String)(body: String): Unit = {
+        val client = java.net.http.HttpClient.newHttpClient()
+        val resp = client.send(
+          java.net.http.HttpRequest.newBuilder(java.net.URI.create(s"$base$route"))
+            .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        if (resp.statusCode() != 200)
+          throw new java.io.IOException(s"HTTP ${resp.statusCode()}")
+      }
+      val flaky = graft.ops.Alerts.install(spark,
+        "alert: {{ name }}", deliveryRetries = 2)(webhook("/flaky"))
+      val dead = graft.ops.Alerts.install(spark,
+        "dead: {{ name }}", deliveryRetries = 1)(webhook("/dead"))
+      try {
+        import spark.implicits._
+        val boom = org.apache.spark.sql.functions.udf((i: Long) =>
+          if (i >= 0) throw new IllegalStateException("boom") else i)
+        intercept[Exception] {
+          spark.range(4).select(boom($"id")).collect()
+        }
+        val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+        while ((deliveredBodies.isEmpty || dead.deadLetters.isEmpty) &&
+            System.nanoTime() < deadline)
+          Thread.sleep(50)
+        assert(attempts.get() == 3, "2 refused attempts + 1 delivered")
+        assert(deliveredBodies.asScala.toSeq.exists(_.startsWith("alert:")),
+          "flaky route delivers after redelivery")
+        assert(flaky.deadLetters.isEmpty, "delivered bodies never dead-letter")
+        assert(dead.deadLetters.size() == 1 &&
+          dead.deadLetters.peek().startsWith("dead:"),
+          "always-down route dead-letters the body after exhausting retries")
+      } finally {
+        graft.ops.Alerts.uninstall(spark, flaky)
+        graft.ops.Alerts.uninstall(spark, dead)
+      }
+    }
+  }
+
   private implicit class SetOps[T](s: java.util.Set[T]) {
     def asScala: Iterator[T] = {
       val it = s.iterator(); new Iterator[T] {

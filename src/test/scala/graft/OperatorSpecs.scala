@@ -422,42 +422,69 @@ class VectorSpec extends SparkSuite {
 }
 
 class MultimodalSpec extends SparkSuite {
-  test("phash dedup groups canonical duplicates, keeper is min doc_id") {
-    import spark.implicits._
-    Seq((1L, "The Cat Sat!"), (2L, "the cat sat"), (7L, "the; cat; sat"),
-      (3L, "something else"))
-      .toDF("doc_id", "text")
-      .write.mode("overwrite").parquet("/tmp/graft_test_ph/documents.parquet")
-    val rows = ops.Multimodal.mmPhashDedup(spark, "/tmp/graft_test_ph").collect()
-    assert(rows.length == 1, "one duplicate group")
-    assert(rows(0).getAs[Long]("n_copies") == 3L)
-    assert(rows(0).getAs[Long]("keeper") == 1L)
-    assert(rows(0).getAs[String]("phash").length == 16)
+  import graft.ops.MultimodalFixtures
+
+  test("decoded metadata recovers the GENERATOR's dimensions and frame counts") {
+    // ground truth from the generator's arithmetic — fully independent
+    // of the ImageIO decode under test
+    val got = Multimodal.mmMetadata(spark, sf).collect()
+      .map(r => r.getAs[String]("file") ->
+        ((r.getAs[String]("format"), r.getAs[Int]("width"),
+          r.getAs[Int]("height"), r.getAs[Int]("n_frames")))).toMap
+    MultimodalFixtures.pngSpecs.foreach { case (name, id, _) =>
+      assert(got(name) == (("png", MultimodalFixtures.widthOf(id),
+        MultimodalFixtures.heightOf(id), 1)), s"png $name")
+    }
+    MultimodalFixtures.gifSpecs.foreach { case (name, id) =>
+      assert(got(name) == (("gif", MultimodalFixtures.GifW,
+        MultimodalFixtures.GifH, MultimodalFixtures.framesOf(id))),
+        s"gif $name must decode ${MultimodalFixtures.framesOf(id)} frames")
+    }
   }
 
-  test("decode stub is deterministic and matches JVM sha256") {
-    val bytes = "hello multimodal".getBytes("UTF-8")
-    val m1 = Multimodal.decodeStub(DocBin(7L, bytes))
-    val m2 = Multimodal.decodeStub(DocBin(7L, bytes))
-    assert(m1 == m2 && m1.n_bytes == bytes.length && m1.sha256.length == 64)
+  test("phash dedup recovers the generator's duplicate structure") {
+    val rows = Multimodal.mmPhashDedup(spark, sf).collect()
+    val expected = (MultimodalFixtures.PairIds.map(i =>
+      f"img$i%02da.png" -> f"img$i%02da.png,img$i%02db.png") ++
+      MultimodalFixtures.NearIds.map(i =>
+        f"img$i%02da.png" -> f"img$i%02da.png,img$i%02dn.png")).toMap
+    assert(rows.length == expected.size, "exactly the generated groups")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_copies") == 2L)
+      assert(expected(r.getAs[String]("keeper")) == r.getAs[String]("members"))
+    }
   }
 
-  test("frame sample emits evenly spaced frames per asset") {
+  test("brightness near-dups: different sha256, identical phash") {
+    val metas = Multimodal.mmMetadata(spark, sf).collect()
+      .map(r => r.getAs[String]("file") -> r.getAs[String]("sha256")).toMap
+    val dec = Multimodal.mmPhashDedup(spark, sf).collect()
+      .map(_.getAs[String]("members"))
+    MultimodalFixtures.NearIds.foreach { i =>
+      val (a, n) = (f"img$i%02da.png", f"img$i%02dn.png")
+      assert(metas(a) != metas(n), "near-dup bytes differ")
+      assert(dec.contains(s"$a,$n"), "but the perceptual hash groups them")
+    }
+  }
+
+  test("per-partition decode equals per-item decode (reader reuse is sound)") {
+    val files = MultimodalFixtures.pngSpecs.take(6).map(_._1) ++
+      MultimodalFixtures.gifSpecs.map(_._1)
+    val bins = files.map { n =>
+      ImgBin(n, java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(MultimodalFixtures.ensure(), n)))
+    }
+    val batch = Multimodal.decodePartition(bins.iterator).toSeq
+    val single = bins.map(b => Multimodal.decodePartition(Iterator(b)).next())
+    assert(batch == single)
+  }
+
+  test("frame sample emits evenly spaced frames per animated asset") {
     val df = Multimodal.mmFrameSample(spark, sf)
-    // step = max(1, n/4): assets with n < 8 frames keep them all (≤ 7),
-    // larger assets sample 4-5.
-    val counts = df.groupBy("doc_id").count()
+    val counts = df.groupBy("file").count()
     assert(counts.filter(col("count") > 7).isEmpty)
     assert(df.filter(col("frame_idx") >= col("n_frames")).isEmpty)
-  }
-
-  test("per-partition decode equals per-row decode (decoder reuse is sound)") {
-    val docs = (1L to 50L).map(i =>
-      DocBin(i, s"payload number $i with some variable tail ${"x" * (i % 13).toInt}"
-        .getBytes("UTF-8")))
-    val batch = Multimodal.decodePartition(docs.iterator).toSeq
-    val single = docs.map(Multimodal.decodeStub)
-    assert(batch == single)
+    assert(df.filter(col("n_frames") <= 1).isEmpty, "stills are excluded")
   }
 
   test("resize plan fits the 224 box and keeps dims positive") {
@@ -468,16 +495,11 @@ class MultimodalSpec extends SparkSuite {
     assert(df.filter(greatest(col("out_w"), col("out_h")) < 223).isEmpty)
   }
 
-  test("feature extract slices match JVM reference on a known doc") {
-    val row = Multimodal.mmFeatureExtract(spark, sf)
-      .filter(col("doc_id") === 1L).collect()(0)
-    val text = Tables.documents(spark, sf)
-      .filter(col("doc_id") === 1L).collect()(0).getAs[String]("text")
-    val b = text.getBytes("UTF-8")
-    def hx(a: Array[Byte]) = a.map("%02x".format(_)).mkString
-    assert(row.getAs[Int]("n_bytes") == b.length)
-    assert(row.getAs[String]("head_hex") == hx(b.take(8)))
-    assert(row.getAs[String]("tail_hex") == hx(b.takeRight(4)))
+  test("feature extract surfaces real container magic numbers") {
+    val rows = Multimodal.mmFeatureExtract(spark, sf).collect()
+      .map(r => r.getAs[String]("file") -> r.getAs[String]("head_hex")).toMap
+    assert(rows("img00a.png").startsWith("89504e47"), "PNG magic")
+    assert(rows("vid00.gif").startsWith("47494638"), "GIF8 magic")
   }
 }
 
@@ -577,7 +599,6 @@ class FlowSpec extends SparkSuite {
     assert(ops.Text.unigramLogprob(spark, docs).count() == 0)
     assert(ops.Text.sampleTemperature(spark, docs).count() == 0)
     assert(ops.Dedup.keepBest(spark, docs).count() == 0)
-    assert(ops.Multimodal.mmPhashDedup(spark, docs).count() == 0)
   }
 
   test("sessionize splits on >30min gaps") {

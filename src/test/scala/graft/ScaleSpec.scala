@@ -200,6 +200,120 @@ class ScaleSpec extends SparkSuite {
       s"boilerplate-only overlap must yield no pairs, rare-shingle dup must survive: $pairs")
   }
 
+  test("transformWithState at 100k keys: state rows = keys, not events") {
+    // Adversarial many-key run through the RocksDB-backed processor:
+    // 100k distinct users x 5 events each. The store must hold exactly
+    // one ValueState row per KEY — state scales with key cardinality,
+    // never with event volume (the property that keeps a 100 TB stream
+    // runnable).
+    import spark.implicits._
+    val nUsers = 100000L
+    val dir = java.nio.file.Files.createTempDirectory("graft_tws_scale").toString
+    val base = 1704067200L * 1000000000L // 2024-01-01 nanos
+    spark.range(nUsers * 5)
+      .select((col("id") % nUsers).as("user_id"),
+        (lit(base) + col("id") * 1000000000L).as("ts"),
+        col("id").as("event_id"), lit("click").as("event_type"),
+        lit(1.0).as("value"), lit("{}").as("props"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    graft.Util.withConf(spark, "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+      graft.Util.withConf(spark, "spark.sql.shuffle.partitions", "8") {
+        val src = spark.readStream.schema(EventsStream.rawSchema)
+          .parquet(s"$dir/events.parquet")
+          .select(col("user_id"), expr("ts div 1000").as("tsMicros"))
+          .as[EventsStream.Ev]
+        val counted = src.groupByKey(_.user_id)
+          .transformWithState(new EventsStream.RunningCountProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Update())
+          .toDF("user_id", "n_events")
+        val q = counted.writeStream.format("memory")
+          .queryName("graft_tws_scale")
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val out = spark.table("graft_tws_scale")
+          .groupBy("user_id").agg(max("n_events").as("n_events"))
+        assert(out.count() == nUsers)
+        assert(out.filter(col("n_events") =!= 5L).isEmpty,
+          "every user counts exactly its 5 events")
+        val stateRows = q.recentProgress.flatMap(_.stateOperators)
+          .map(_.numRowsTotal).max
+        assert(stateRows == nUsers,
+          s"state must hold one row per key (got $stateRows for $nUsers keys)")
+      }
+    }
+  }
+
+  test("stream-stream interval join: watermark eviction bounds state across batches") {
+    // Three 2-hour-apart time slices arriving as separate micro-batches
+    // (maxFilesPerTrigger=1). Both sides watermark 1h and the join
+    // interval is 30min, so by the time slice N lands, slice N-1's
+    // rows are past watermark+interval and MUST be evicted — the final
+    // batch's state is one slice's worth, not the whole history. This
+    // is the difference between bounded memory and OOM on an unbounded
+    // stream.
+    import spark.implicits._
+    val usersPerBatch = 30000L
+    val dir = java.nio.file.Files.createTempDirectory("graft_ij_scale").toString
+    val stage = java.nio.file.Files.createTempDirectory("graft_ij_stage")
+    val base = 1704067200L * 1000000000L
+    (0 until 3).foreach { b =>
+      val t0 = base + b.toLong * 7200L * 1000000000L // slices 2h apart
+      val clicks = spark.range(usersPerBatch).select(
+        (col("id") + b * 1000000).as("event_id"),
+        (lit(t0) + col("id") * 1000L).as("ts"),
+        col("id").as("user_id"), lit("click").as("event_type"),
+        lit(1.0).as("value"), lit("{}").as("props"))
+      val purchases = spark.range(usersPerBatch).select(
+        (col("id") + b * 1000000 + 500000).as("event_id"),
+        (lit(t0) + lit(300L * 1000000000L) + col("id") * 1000L).as("ts"),
+        col("id").as("user_id"), lit("purchase").as("event_type"),
+        lit(1.0).as("value"), lit("{}").as("props"))
+      val batchDir = stage.resolve(s"b$b")
+      clicks.unionByName(purchases)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(batchDir.toString)
+      val part = new java.io.File(batchDir.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(dir, f"slice$b%02d.parquet"))
+    }
+    graft.Util.withConf(spark, "spark.sql.shuffle.partitions", "8") {
+      def side(t: String, pfx: String) =
+        spark.readStream.schema(EventsStream.rawSchema)
+          .option("maxFilesPerTrigger", "1").parquet(dir)
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          .filter(col("event_type") === t)
+          .select(col("event_id").as(s"${pfx}_id"),
+            col("user_id").as(s"${pfx}_uid"), col("ts").as(s"${pfx}_ts"))
+          .withWatermark(s"${pfx}_ts", "1 hour")
+      val joined = side("click", "c").join(side("purchase", "p"),
+        expr("c_uid = p_uid AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 30 MINUTES"))
+      val q = joined.writeStream.format("memory")
+        .queryName("graft_ij_scale")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      assert(spark.table("graft_ij_scale").count() == 3 * usersPerBatch,
+        "every click attributes its same-slice purchase")
+      val perBatchState = q.recentProgress.toSeq
+        .filter(_.stateOperators.nonEmpty)
+        .map(p => p.batchId -> p.stateOperators.map(_.numRowsTotal).sum)
+      val maxState = perBatchState.map(_._2).max
+      val lastState = perBatchState.maxBy(_._1)._2
+      val sliceRows = 2 * usersPerBatch // clicks + purchases of one slice
+      assert(maxState <= 2 * sliceRows,
+        s"state never accumulates the full history: $perBatchState")
+      assert(lastState <= sliceRows,
+        s"final batch holds ~one slice after eviction, got $perBatchState")
+    }
+  }
+
   test("fact scans prune columns and push predicates (plan audit)") {
     val q3 = graft.ops.Relational.q3TopOrders(spark, sf)
     val plan = q3.queryExecution.executedPlan.toString
