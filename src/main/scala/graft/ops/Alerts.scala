@@ -29,6 +29,42 @@ object Alerts {
       acc.replace(s"{{ $k }}", v).replace(s"{{$k}}", v)
     }
 
+  /** Airflow-style date macros for a run at `logicalDate` (UTC):
+    * `{{ ds }}` = YYYY-MM-DD, `{{ ds_nodash }}`, `{{ ts }}` = ISO-8601
+    * instant, `{{ prev_ds }}` / `{{ next_ds }}` (one schedule interval
+    * back/forward when a cron is given, else one day). Merge these
+    * under the caller's params so explicit bindings win. */
+  def dateMacros(logicalDate: java.time.Instant,
+      cronExpr: Option[String] = None): Map[String, String] = {
+    val utc = java.time.ZoneOffset.UTC
+    def ds(i: java.time.Instant): String =
+      java.time.LocalDate.ofInstant(i, utc).toString
+    val (prev, next) = cronExpr match {
+      case Some(expr) =>
+        val cron = Cron.parse(expr)
+        // prev fire: step back in day-sized jumps until a fire lands
+        // before logicalDate, then walk fires forward to the LAST one
+        // before it (cron gaps are <= 4 years; bounded by nextFire's
+        // own 5-year guard)
+        var back = logicalDate.minus(java.time.Duration.ofDays(1))
+        while (cron.nextFire(back).compareTo(logicalDate) >= 0)
+          back = back.minus(java.time.Duration.ofDays(1))
+        var p = cron.nextFire(back)
+        var n = cron.nextFire(p)
+        while (n.isBefore(logicalDate)) { p = n; n = cron.nextFire(n) }
+        (p, cron.nextFire(logicalDate))
+      case None =>
+        (logicalDate.minus(java.time.Duration.ofDays(1)),
+          logicalDate.plus(java.time.Duration.ofDays(1)))
+    }
+    Map(
+      "ds" -> ds(logicalDate),
+      "ds_nodash" -> ds(logicalDate).replace("-", ""),
+      "ts" -> logicalDate.toString,
+      "prev_ds" -> ds(prev),
+      "next_ds" -> ds(next))
+  }
+
   /** Session listener delivering a rendered alert per failed query.
     * `name`/`error` params are bound per failure; `staticParams` are
     * the run-scoped bindings (dag id, env, run date).

@@ -138,6 +138,9 @@ object Multimodal {
     (MultimodalFixtures.pngSpecs.map { case (name, id, _) =>
       (name, "png", MultimodalFixtures.widthOf(id),
         MultimodalFixtures.heightOf(id), 1)
+    } ++ MultimodalFixtures.variantSpecs.map { case (name, id) =>
+      (name, "png", MultimodalFixtures.widthOf(id),
+        MultimodalFixtures.heightOf(id), 1)
     } ++ MultimodalFixtures.gifSpecs.map { case (name, id) =>
       (name, "gif", MultimodalFixtures.GifW, MultimodalFixtures.GifH,
         MultimodalFixtures.framesOf(id))
@@ -247,15 +250,26 @@ object Multimodal {
     * generator's duplicate layout predicts exactly, so the oracle is
     * decode-independent ground truth. Only (file, phash) ever
     * shuffles; pixels stay in the scan stage. */
-  def mmPhashDedup(spark: SparkSession, sfDir: String): DataFrame =
+  def mmPhashDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    // member lists are rank-capped BEFORE collection (first 8 files
+    // per group): a boilerplate asset duplicated millions of times
+    // must never materialize an unbounded list — n_copies carries the
+    // true count. The window and the groupBy share the phash
+    // partitioning, so the cap costs no extra exchange.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("phash")).orderBy(col("file"))
     decoded(spark)
       .select(col("file"), col("phash"))
+      .withColumn("rn", row_number().over(w))
       .groupBy(col("phash"))
       .agg(count(lit(1)).as("n_copies"), min(col("file")).as("keeper"),
-        array_join(array_sort(collect_list(col("file"))), ",").as("members"))
+        array_join(array_sort(
+          collect_list(when(col("rn") <= 8, col("file")))), ",")
+          .as("members"))
       .filter(col("n_copies") > 1)
       .select(col("keeper"), col("n_copies"), col("members"))
       .orderBy(col("keeper"))
+  }
   def mmPhashDedupSql: String = {
     val pairs = MultimodalFixtures.PairIds.map(i =>
       (f"img$i%02da.png", f"img$i%02db.png"))
@@ -269,8 +283,73 @@ object Multimodal {
         ORDER BY keeper"""
   }
 
+  /** Near-duplicate IMAGE pairs at scale: 64-bit phash split into 4
+    * 16-bit bands (hex substrings), pairs sharing ≥ 1 band bucket-join
+    * (pigeonhole: any pair within Hamming ≤ 3 must agree on a whole
+    * band), then exact Hamming ≤ 3 verify on the 4 banded 16-bit ints.
+    * Same shape as the SimHash text path — candidate volume is
+    * O(assets × 4), never O(assets²); the verify is 4 XOR+popcounts
+    * per candidate inside codegen. Catches the corner-perturbed
+    * renditions whose phash is close but NOT equal (where
+    * [[mmPhashDedup]]'s exact grouping stops). */
+  def mmPhashNear(spark: SparkSession, sfDir: String): DataFrame = {
+    // fingerprint table materialized once (D3 registry): both sides of
+    // the band self-join and any later consumer read the persisted
+    // (file, phash) projection — the decode stage must never re-run
+    // per join side (at scale that is re-decoding the corpus)
+    val ph = Flow.sharedScan(spark, s"mm_phash:${MultimodalFixtures.Dir}")(
+      decoded(spark).select(col("file"), col("phash")))
+    val bands = ph.select(col("file"), col("phash"),
+      posexplode(array((0 until 4).map(i =>
+        substring(col("phash"), i * 4 + 1, 4)): _*))
+        .as(Seq("band_idx", "band")))
+    val cand = bands.alias("a")
+      .join(bands.alias("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band") === col("b.band") &&
+          col("a.file") < col("b.file"))
+      .select(col("a.file").as("fa"), col("b.file").as("fb"),
+        col("a.phash").as("pa"), col("b.phash").as("pb"))
+      .distinct()
+    val hamming = (0 until 4).map { i =>
+      bit_count(
+        conv(substring(col("pa"), i * 4 + 1, 4), 16, 10).cast("int")
+          .bitwiseXOR(
+            conv(substring(col("pb"), i * 4 + 1, 4), 16, 10).cast("int")))
+    }.reduce(_ + _)
+    cand
+      .withColumn("hamming", hamming.cast("int"))
+      .filter(col("hamming") <= 3)
+      .select(col("fa"), col("fb"), col("hamming"))
+      .orderBy(col("fa"), col("fb"))
+  }
+  /** Dump-time twin: same band/verify rule over phashes computed from
+    * the committed fixture bytes. */
+  def mmPhashNearSql: String = {
+    val ph = groundTruth.map { case (name, _, _, _, _) =>
+      val img = ImageIO.read(new ByteArrayInputStream(fileBytes(name)))
+      name -> aHash(img)
+    }
+    def bands(h: Long): Seq[Int] =
+      (0 until 4).map(i => ((h >>> (48 - 16 * i)) & 0xffff).toInt)
+    val pairs = for {
+      (fa, ha) <- ph; (fb, hb) <- ph
+      if fa < fb
+      if bands(ha).zip(bands(hb)).exists { case (x, y) => x == y }
+      d = java.lang.Long.bitCount(ha ^ hb)
+      if d <= 3
+    } yield s"('$fa', '$fb', $d)"
+    if (pairs.isEmpty)
+      "SELECT '' AS fa, '' AS fb, 0 AS hamming WHERE false"
+    else
+      s"""SELECT fa, fb, CAST(hamming AS INT) AS hamming
+          FROM (VALUES ${pairs.mkString(", ")}) AS t(fa, fb, hamming)
+          ORDER BY fa, fb"""
+  }
+
   val queries: Map[String, QFn] = Map(
     "mm_phash_dedup" -> mmPhashDedup,
+    "mm_phash_near" -> mmPhashNear,
     "mm_metadata" -> mmMetadata,
     "mm_frame_sample" -> mmFrameSample,
     "mm_resize_plan" -> mmResizePlan,
@@ -278,6 +357,7 @@ object Multimodal {
 
   val oracles: Map[String, String] = Map(
     "mm_phash_dedup" -> mmPhashDedupSql,
+    "mm_phash_near" -> mmPhashNearSql,
     "mm_metadata" -> mmMetadataSql,
     "mm_frame_sample" -> mmFrameSampleSql,
     "mm_resize_plan" -> mmResizePlanSql,

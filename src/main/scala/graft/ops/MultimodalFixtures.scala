@@ -50,6 +50,9 @@ object MultimodalFixtures {
   val PairIds: Range = 0 to 5
   val NearIds: Range = 6 to 8
   val SingleIds: Range = 9 to 20
+  /** ids whose `v` variant perturbs one corner block (+40): small but
+    * NONZERO phash distance — the banded-Hamming near-dup target. */
+  val VariantIds: Range = 9 to 11
   val VidIds: Range = 0 to 5
 
   /** (file name, png id, brightness delta) for every PNG fixture. */
@@ -58,14 +61,40 @@ object MultimodalFixtures {
     NearIds.flatMap(i => Seq((f"img$i%02da.png", i, 0), (f"img$i%02dn.png", i, 10))) ++
     SingleIds.map(i => (f"img$i%02da.png", i, 0))
 
+  /** (file name, png id) for the corner-perturbed variants. */
+  def variantSpecs: Seq[(String, Int)] =
+    VariantIds.map(i => (f"img$i%02dv.png", i))
+
   def gifSpecs: Seq[(String, Int)] = VidIds.map(i => (f"vid$i%02d.gif", i))
 
-  private def pngImage(id: Int, delta: Int): BufferedImage = {
+  private def pngImage(id: Int, delta: Int,
+      perturbCorner: Boolean = false): BufferedImage = {
     val (w, h) = (widthOf(id), heightOf(id))
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
     for (y <- 0 until h; x <- 0 until w) {
       val g = grayOf(id, x, y) + delta
       img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    if (perturbCorner) {
+      // Pin the top-left aHash block to the OPPOSITE side of the base
+      // image's own bit 0, walking a damping ladder (strong → mild
+      // pins) and accepting the first rendition whose phash distance
+      // lands in [1, 3]: the bit-0 flip is guaranteed by construction,
+      // the ladder bounds the global-mean ripple on the other 63
+      // blocks — a deterministic small-but-nonzero distance.
+      val base = Multimodal.aHash(img)
+      val tlAbove = (base & 1L) != 0L
+      def withPin(pin: Int): Unit =
+        for (y <- 0 until h; x <- 0 until w
+             if x * 8 / w == 0 && y * 8 / h == 0)
+          img.setRGB(x, y, (pin << 16) | (pin << 8) | pin)
+      val accepted = Seq(70, 40, 25, 10).map(d => if (tlAbove) 100 - d else 100 + d)
+        .exists { pin =>
+          withPin(pin)
+          val dist = java.lang.Long.bitCount(base ^ Multimodal.aHash(img))
+          dist >= 1 && dist <= 3
+        }
+      require(accepted, s"no pin yields hamming 1..3 for id $id")
     }
     img
   }
@@ -90,6 +119,11 @@ object MultimodalFixtures {
     pngSpecs.foreach { case (name, id, delta) =>
       val f = new File(dir, name)
       if (!f.exists()) ImageIO.write(pngImage(id, delta), "png", f)
+    }
+    variantSpecs.foreach { case (name, id) =>
+      val f = new File(dir, name)
+      if (!f.exists())
+        ImageIO.write(pngImage(id, 0, perturbCorner = true), "png", f)
     }
     gifSpecs.foreach { case (name, id) =>
       val f = new File(dir, name)

@@ -100,7 +100,8 @@ class LiveHttpTable(schema: StructType, options: java.util.Map[String, String])
   override def name(): String = s"live_http(${options.get("url")})"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new LiveHttpScanBuilder(schema, options)
 }
@@ -189,6 +190,68 @@ class LiveHttpScan(schema: StructType, options: java.util.Map[String, String],
       opt("transport", "jdk"), opt("timeoutMs", "10000").toLong,
       opt("permissive", "false").toBoolean)
   }
+
+  /** Streaming facet: each micro-batch is one POLL ROUND over the
+    * endpoint fan-out — the reference's cron-scheduled fetch DAG as a
+    * Structured Streaming source (trigger interval = the schedule).
+    * Offsets count poll rounds; batch (start, end] re-plans the same
+    * per-client partitions once per round and the readers fetch LIVE
+    * at execution time. Downstream watermarks/dedup handle re-observed
+    * rows exactly as they do for any at-least-once source. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new LiveHttpMicroBatchStream(this)
+}
+
+case class PollOffset(poll: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = s"""{"poll":$poll}"""
+}
+
+class LiveHttpMicroBatchStream(scan: LiveHttpScan)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  private val polled = new java.util.concurrent.atomic.AtomicLong(0L)
+  /** Trigger.AvailableNow contract: stop after exactly one more poll. */
+  @volatile private var availableNowCap: Long = Long.MaxValue
+
+  override def initialOffset(): org.apache.spark.sql.connector.read.streaming.Offset =
+    PollOffset(0L)
+  override def latestOffset(): org.apache.spark.sql.connector.read.streaming.Offset =
+    PollOffset(math.min(polled.incrementAndGet(), availableNowCap))
+  /** Admission-control variant (SupportsTriggerAvailableNow extends
+    * SupportsAdmissionControl): a poll round is atomic — limits don't
+    * subdivide it. */
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    latestOffset()
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = polled.get() + 1
+  override def reportLatestOffset(): org.apache.spark.sql.connector.read.streaming.Offset =
+    PollOffset(polled.get())
+  override def deserializeOffset(json: String)
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    PollOffset(""""poll"\s*:\s*(\d+)""".r.findFirstMatchIn(json)
+      .map(_.group(1).toLong)
+      .getOrElse(throw new IllegalArgumentException(s"bad offset: $json")))
+
+  /** One fetch round per poll in (start, end] — normally exactly one. */
+  override def planInputPartitions(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      end: org.apache.spark.sql.connector.read.streaming.Offset)
+      : Array[InputPartition] = {
+    val s = start.asInstanceOf[PollOffset].poll
+    val e = end.asInstanceOf[PollOffset].poll
+    val perRound = scan.planInputPartitions()
+    (s until e).toArray.flatMap(_ => perRound)
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    scan.createReaderFactory()
+  override def commit(
+      end: org.apache.spark.sql.connector.read.streaming.Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 case class LiveEndpointPartition(url: String) extends InputPartition

@@ -80,6 +80,27 @@ class CronSpec extends AnyFunSuite {
     }
   }
 
+  test("date macros render Airflow-style {{ ds }} family, schedule-aware") {
+    import graft.ops.Alerts
+    val run = t("2024-03-01T00:00:00Z")
+    // schedule-aware: prev/next are one cron interval away
+    val m = Alerts.dateMacros(run, Some("0 0 * * *"))
+    assert(m("ds") == "2024-03-01" && m("ds_nodash") == "20240301")
+    assert(m("ts") == "2024-03-01T00:00:00Z")
+    assert(m("prev_ds") == "2024-02-29", "leap-year prev interval")
+    assert(m("next_ds") == "2024-03-02")
+    // 6-hourly: prev fire is the same calendar day
+    val m6 = Alerts.dateMacros(t("2024-03-01T12:00:00Z"), Some("0 */6 * * *"))
+    assert(m6("prev_ds") == "2024-03-01" && m6("next_ds") == "2024-03-01")
+    // no schedule: one-day fallback
+    val md = Alerts.dateMacros(run)
+    assert(md("prev_ds") == "2024-02-29" && md("next_ds") == "2024-03-02")
+    // macros compose with render; explicit params win over macros
+    val body = Alerts.render("run {{ dag_id }} for {{ ds }} (prev {{ prev_ds }})",
+      m ++ Map("dag_id" -> "cleanup"))
+    assert(body == "run cleanup for 2024-03-01 (prev 2024-02-29)")
+  }
+
   test("runRecurringCron ticks at schedule fire times with no catchup") {
     // virtual clock: starts 22:58:30, each sleep advances it; the job
     // on the first tick "runs long" past the 23:30 fire, which must be

@@ -313,6 +313,65 @@ class HttpSpec extends SparkSuite {
     }
   }
 
+  test("live-fetch DSv2 streams: each micro-batch is one poll round per client") {
+    // server payload advances per request: distinct polls observe
+    // distinct readings — the cron'd monitoring fetch as a stream
+    val seq = new java.util.concurrent.atomic.AtomicInteger(0)
+    withServer(Map("/reading" -> { ex =>
+      val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+      val client = q.split("&").collectFirst {
+        case kv if kv.startsWith("search=") => kv.stripPrefix("search=")
+      }.getOrElse("?")
+      respond(ex, 200,
+        s"""{"client": "$client", "reading": ${seq.incrementAndGet()}}""")
+    })) { base =>
+      val stream = spark.readStream.format("graft.sources.v2.LiveHttpSource")
+        .option("url", s"$base/reading")
+        .option("clients", "iowa|chicago")
+        .option("schemaDDL", "client STRING, reading BIGINT")
+        .load()
+      val q = stream.writeStream.format("memory").queryName("graft_live_poll")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(50))
+        .start()
+      try {
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        while (spark.table("graft_live_poll").count() < 6 &&
+            System.nanoTime() < deadline)
+          Thread.sleep(100)
+      } finally q.stop()
+      val rows = spark.table("graft_live_poll").collect()
+        .map(r => (r.getAs[String]("client"), r.getAs[Long]("reading")))
+      assert(rows.length >= 6, s"at least 3 poll rounds x 2 clients: ${rows.toSeq}")
+      // every poll hits BOTH clients; readings strictly advance across polls
+      assert(rows.map(_._1).count(_ == "iowa") == rows.length / 2)
+      assert(rows.map(_._2).distinct.length == rows.length,
+        "each fetch observed a fresh server-side reading")
+    }
+  }
+
+  test("live-fetch stream under Trigger.AvailableNow: exactly one poll round") {
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    withServer(Map("/reading" -> { ex =>
+      hits.incrementAndGet()
+      respond(ex, 200, """{"client": "solo", "reading": 1}""")
+    })) { base =>
+      val stream = spark.readStream.format("graft.sources.v2.LiveHttpSource")
+        .option("url", s"$base/reading")
+        .option("clients", "iowa|chicago|racknerd")
+        .option("schemaDDL", "client STRING, reading BIGINT")
+        .load()
+      val q = stream.writeStream.format("memory").queryName("graft_live_now")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      assert(spark.table("graft_live_now").count() == 3,
+        "one poll round: one row per client")
+      assert(hits.get() == 3, "exactly one fetch per client, then terminate")
+    }
+  }
+
   test("contract query s9_live_fetch round-trips the fixture endpoint") {
     val out = graft.ops.Semi.s9LiveFetch(spark, sf).collect()
     assert(out.length == 4)

@@ -479,6 +479,27 @@ class MultimodalSpec extends SparkSuite {
     assert(batch == single)
   }
 
+  test("banded phash near-dup finds perturbed renditions at NONZERO distance") {
+    val pairs = Multimodal.mmPhashNear(spark, sf).collect()
+      .map(r => (r.getAs[String]("fa"), r.getAs[String]("fb"),
+        r.getAs[Int]("hamming")))
+    val byPair = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    // exact duplicates and brightness shifts sit at distance 0
+    MultimodalFixtures.PairIds.foreach { i =>
+      assert(byPair((f"img$i%02da.png", f"img$i%02db.png")) == 0)
+    }
+    MultimodalFixtures.NearIds.foreach { i =>
+      assert(byPair((f"img$i%02da.png", f"img$i%02dn.png")) == 0)
+    }
+    // corner-perturbed variants: CLOSE but not equal — the case exact
+    // phash grouping misses and banding must still recover
+    MultimodalFixtures.VariantIds.foreach { i =>
+      val d = byPair.get((f"img$i%02da.png", f"img$i%02dv.png"))
+      assert(d.exists(h => h >= 1 && h <= 3),
+        s"variant $i must land at hamming 1..3, got $d (pairs: ${pairs.toSeq})")
+    }
+  }
+
   test("frame sample emits evenly spaced frames per animated asset") {
     val df = Multimodal.mmFrameSample(spark, sf)
     val counts = df.groupBy("file").count()
