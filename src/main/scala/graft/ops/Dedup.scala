@@ -37,19 +37,36 @@ object Dedup {
     *    Filter by InferFiltersFromGenerate — minutes instead of
     *    seconds).
     */
-  private def shingled(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val parallelism = spark.sparkContext.defaultParallelism
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("text"))
-      .repartition(parallelism)
-      .as[(Long, String)]
-      .map { case (id, text) =>
-        val sh = graft.functions.TextHash.shingles(text)
-        (id, sh, sh.map(graft.functions.TextHash.h32))
-      }
-      .toDF("doc_id", "shingles", "hs")
-  }
+  private def shingled(spark: SparkSession, sfDir: String): DataFrame =
+    Flow.sharedScan(spark, s"shingled:$sfDir") {
+      import spark.implicits._
+      val parallelism = spark.sparkContext.defaultParallelism
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"))
+        .repartition(parallelism)
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val sh = graft.functions.TextHash.shingles(text)
+          (id, sh, sh.map(graft.functions.TextHash.h32))
+        }
+        .toDF("doc_id", "shingles", "hs")
+    }
+
+  /** Banded minhash bucket keys, shared (persist-once) between the
+    * batch LSH dedup and the incremental batch-vs-index variant — the
+    * signature computation is the index artifact; neither consumer
+    * re-runs the shingle stage. */
+  private def minhashBuckets(spark: SparkSession, sfDir: String): DataFrame =
+    Flow.sharedScan(spark, s"minhash_buckets:$sfDir") {
+      import spark.implicits._
+      shingled(spark, sfDir).select(col("doc_id"), col("hs"))
+        .as[(Long, Array[Long])]
+        .flatMap { case (id, hs) =>
+          if (hs.isEmpty) Nil
+          else graft.functions.TextHash.minhashBands(hs).map(b => (id, b))
+        }
+        .toDF("doc_id", "bucket")
+    }
 
   // -- exact dedup ---------------------------------------------------------
 
@@ -96,18 +113,11 @@ object Dedup {
     * recall holds (≥ 1 − 1e-15 at J ≥ 0.7 with 32×4).
     */
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
     val base = shingled(spark, sfDir)
 
-    // Signature + banding in the same typed stage: one tight JVM loop
-    // per doc emits its 32 bucket keys directly.
-    val buckets = base.select(col("doc_id"), col("hs"))
-      .as[(Long, Array[Long])]
-      .flatMap { case (id, hs) =>
-        if (hs.isEmpty) Nil
-        else graft.functions.TextHash.minhashBands(hs).map(b => (id, b))
-      }
-      .toDF("doc_id", "bucket")
+    // Signature + banding in one tight typed-stage JVM loop per doc,
+    // shared with the incremental variant (see [[minhashBuckets]]).
+    val buckets = minhashBuckets(spark, sfDir)
 
     val cand = buckets.as("x")
       .join(buckets.as("y"),
@@ -150,15 +160,8 @@ object Dedup {
     * exact-verified like [[minhashLsh]], so the output hash-matches
     * the batch-vs-index all-pairs oracle. */
   def incrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
     val base = shingled(spark, sfDir)
-    val buckets = base.select(col("doc_id"), col("hs"))
-      .as[(Long, Array[Long])]
-      .flatMap { case (id, hs) =>
-        if (hs.isEmpty) Nil
-        else graft.functions.TextHash.minhashBands(hs).map(b => (id, b))
-      }
-      .toDF("doc_id", "bucket")
+    val buckets = minhashBuckets(spark, sfDir)
     val isNew = col("doc_id") % 10 === 0
     val cand = buckets.filter(isNew).as("x")
       .join(buckets.filter(!isNew).as("y"), col("x.bucket") === col("y.bucket"))

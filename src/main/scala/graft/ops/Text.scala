@@ -192,6 +192,60 @@ object Text {
          FROM documents)
        ORDER BY doc_id, chunk_idx"""
 
+  // Passage-level exact dedup (the RefinedWeb / CCNet "line dedup"
+  // pass over this pipeline's segmentation unit): non-overlapping
+  // 16-token windows, md5 fingerprint per window, global occurrence
+  // audit, per-doc duplicated-passage ratio + boilerplate verdict.
+  // Catches partial-overlap duplication that document-level exact
+  // dedup misses (a doc quoting half of another). Only (fp, doc_id)
+  // ever shuffles — 32-hex-char digests, never passage text — and the
+  // two-level aggregation (per-(fp,doc) partial, then per-fp doc
+  // count) keeps map-side combining effective. Scales like exact
+  // dedup: one digest-keyed shuffle, no self-join.
+  def chunkDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val fps = Tables.documents(spark, sfDir)
+      .withColumn("ws", tokens)
+      .select(col("doc_id"),
+        explode(expr("sequence(0, greatest(size(ws) - 1, 0), 16)")).as("s"),
+        col("ws"))
+      .select(col("doc_id"),
+        md5(expr("array_join(slice(ws, s + 1, 16), ' ')")).as("fp"))
+    val perDocFp = fps.groupBy(col("fp"), col("doc_id"))
+      .agg(count(lit(1)).as("n_local"))
+    val fpDocs = perDocFp.groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_docs"))
+    perDocFp.join(fpDocs, "fp")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_local")).as("n_chunks"),
+        sum(when(col("n_docs") > 1, col("n_local")).otherwise(lit(0L)))
+          .as("n_shared"))
+      .select(col("doc_id"), col("n_chunks"), col("n_shared"),
+        floor(lit(10000.0) * col("n_shared") / col("n_chunks"))
+          .as("shared_ratio_e4"),
+        (col("n_shared") * 2 >= col("n_chunks")).as("boilerplate"))
+      .orderBy(col("doc_id"))
+  }
+  val chunkDedupSql: String =
+    """WITH ch AS (
+         SELECT doc_id,
+           md5(array_to_string(list_slice(ws, s + 1, s + 16), ' ')) AS fp
+         FROM (
+           SELECT doc_id, ws,
+             unnest(range(0, greatest(len(ws), 1), 16)) AS s
+           FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws
+                 FROM documents))),
+       pdf AS (SELECT fp, doc_id, count(1) AS n_local FROM ch GROUP BY 1, 2),
+       fd AS (SELECT fp, count(1) AS n_docs FROM pdf GROUP BY 1)
+       SELECT doc_id, CAST(sum(n_local) AS BIGINT) AS n_chunks,
+         CAST(sum(CASE WHEN n_docs > 1 THEN n_local ELSE 0 END) AS BIGINT)
+           AS n_shared,
+         CAST(floor(10000.0 * sum(CASE WHEN n_docs > 1 THEN n_local ELSE 0 END)
+           / sum(n_local)) AS BIGINT) AS shared_ratio_e4,
+         (2 * sum(CASE WHEN n_docs > 1 THEN n_local ELSE 0 END)
+           >= sum(n_local)) AS boilerplate
+       FROM pdf JOIN fd USING (fp)
+       GROUP BY doc_id ORDER BY doc_id"""
+
   // Sequence packing: assign documents to fixed token-budget bins
   // (2048-token context windows) — the "pack the corpus into training
   // sequences" stage. Bin id = floor(preceding cumulative token count /
@@ -587,7 +641,7 @@ object Text {
   // partitioning (a raw double sum would be order-dependent). Two
   // bounded shuffles (vocab count, per-doc sum); the corpus total joins
   // as a broadcast scalar.
-  def unigramLogprob(spark: SparkSession, sfDir: String): DataFrame = {
+  private def docSurprisal(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(tokens).as("w"))
       .filter(col("w") =!= "")
@@ -601,8 +655,10 @@ object Text {
         sum(col("surprisal_e4")).as("sum_surprisal_e4"))
       .withColumn("avg_surprisal_e4",
         floor(lit(1.0) * col("sum_surprisal_e4") / col("n_tokens")))
-      .orderBy(col("doc_id"))
   }
+
+  def unigramLogprob(spark: SparkSession, sfDir: String): DataFrame =
+    docSurprisal(spark, sfDir).orderBy(col("doc_id"))
   val unigramLogprobSql: String =
     """WITH toks AS (
          SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
@@ -617,6 +673,58 @@ object Text {
            AS BIGINT)) / count(1)) AS BIGINT) AS avg_surprisal_e4
        FROM ft JOIN vocab USING (w) CROSS JOIN total
        GROUP BY doc_id ORDER BY doc_id"""
+
+  // CCNet-style perplexity bucketing: tag every document head / middle
+  // / tail by its unigram-LM surprisal (the corpus-as-LM stand-in for
+  // the KenLM score). The tercile CUTOFFS are trained on the
+  // deterministic md5 hash-sample ('40' → 64/256 = 25%) — the 100 TB
+  // shape: order statistics over a BOUNDED sample (one small-window
+  // sort), then a broadcast comparison over the corpus. A corpus-wide
+  // ntile would be a single-partition window over every doc — the
+  // classic global-sort scale killer this formulation avoids.
+  // Ties on a cutoff land in the lower bucket (<=), deterministically.
+  def perplexityBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    val per = docSurprisal(spark, sfDir)
+    val sample = per.filter(
+      md5(encode(col("doc_id").cast("string"), "utf-8")) < "40")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("avg_surprisal_e4"), col("doc_id"))
+    val cuts = sample.withColumn("tile", ntile(3).over(w))
+      .groupBy()
+      .agg(max(when(col("tile") === 1, col("avg_surprisal_e4"))).as("c1"),
+        max(when(col("tile") === 2, col("avg_surprisal_e4"))).as("c2"))
+    per.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("avg_surprisal_e4"),
+        when(col("avg_surprisal_e4") <= col("c1"), "head")
+          .when(col("avg_surprisal_e4") <= col("c2"), "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+  val perplexityBucketsSql: String =
+    """WITH toks AS (
+         SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+         FROM documents),
+       ft AS (SELECT doc_id, w FROM toks WHERE w <> ''),
+       vocab AS (SELECT w, count(1) AS n FROM ft GROUP BY w),
+       total AS (SELECT sum(n) AS t FROM vocab),
+       per AS (SELECT doc_id,
+           CAST(floor(1.0 * sum(CAST(floor(-ln(1.0 * n / t) * 10000.0)
+             AS BIGINT)) / count(1)) AS BIGINT) AS avg_surprisal_e4
+         FROM ft JOIN vocab USING (w) CROSS JOIN total GROUP BY doc_id),
+       samp AS (SELECT * FROM per
+         WHERE md5(CAST(doc_id AS VARCHAR)) < '40'),
+       tiles AS (SELECT avg_surprisal_e4,
+           ntile(3) OVER (ORDER BY avg_surprisal_e4, doc_id) AS tile
+         FROM samp),
+       cuts AS (SELECT
+           max(CASE WHEN tile = 1 THEN avg_surprisal_e4 END) AS c1,
+           max(CASE WHEN tile = 2 THEN avg_surprisal_e4 END) AS c2
+         FROM tiles)
+       SELECT doc_id, avg_surprisal_e4,
+         CASE WHEN avg_surprisal_e4 <= c1 THEN 'head'
+              WHEN avg_surprisal_e4 <= c2 THEN 'middle'
+              ELSE 'tail' END AS bucket
+       FROM per CROSS JOIN cuts ORDER BY doc_id"""
 
   // Per-source KL divergence: how far each shard's unigram distribution
   // drifts from the corpus distribution — the shard-skew / contamination
@@ -797,6 +905,52 @@ object Text {
          AS BIGINT) < rate_fp
        ORDER BY doc_id"""
 
+  // Source-mixture planner (the data-mix sheet of an LLM training
+  // run): per-source token counts → temperature weights n^0.7 →
+  // planned token allocation against a fixed training budget →
+  // epochs-per-source (allocation / available, >1 = the source is
+  // repeated/upsampled, the small-high-quality-corpus case; <1 =
+  // subsampled). Weights are snapped to 2^16 fixed point ONCE (the
+  // sample_temperature pow discipline) and every downstream number —
+  // shares, allocations, epochs — is exact integer arithmetic on the
+  // snapped values. One bounded groupBy(source) + a broadcast total:
+  // at 100 TB this reads the corpus once and shuffles source-count
+  // rows, nothing else.
+  def mixturePlan(spark: SparkSession, sfDir: String): DataFrame = {
+    val budget = 2000000L
+    val w = Tables.documents(spark, sfDir)
+      .groupBy(col("source"))
+      .agg(sum(size(tokens)).cast("long").as("tok_s"))
+      .withColumn("w_fp",
+        floor(pow(col("tok_s").cast("double"), lit(0.7)) * lit(65536.0))
+          .cast("long"))
+    val tot = w.agg(sum(col("w_fp")).as("w_tot"))
+    w.crossJoin(broadcast(tot))
+      .select(col("source"), col("tok_s"),
+        expr("(w_fp * 10000) DIV w_tot").as("share_e4"),
+        expr(s"($budget * w_fp) DIV w_tot").as("planned_tokens"),
+        expr(s"((($budget * w_fp) DIV w_tot) * 10000) DIV tok_s")
+          .as("epochs_e4"))
+      .withColumn("upsampled", col("epochs_e4") > 10000)
+      .orderBy(col("source"))
+  }
+  val mixturePlanSql: String =
+    """WITH t AS (SELECT source,
+           CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS tok_s
+         FROM documents GROUP BY source),
+       w AS (SELECT source, tok_s,
+           CAST(floor(pow(CAST(tok_s AS DOUBLE), 0.7) * 65536.0) AS BIGINT)
+             AS w_fp
+         FROM t),
+       s AS (SELECT sum(w_fp) AS w_tot FROM w)
+       SELECT source, tok_s,
+         CAST((w_fp * 10000) // w_tot AS BIGINT) AS share_e4,
+         CAST((2000000 * w_fp) // w_tot AS BIGINT) AS planned_tokens,
+         CAST((((2000000 * w_fp) // w_tot) * 10000) // tok_s AS BIGINT)
+           AS epochs_e4,
+         ((((2000000 * w_fp) // w_tot) * 10000) // tok_s) > 10000 AS upsampled
+       FROM w CROSS JOIN s ORDER BY source"""
+
   // The end-to-end corpus filter funnel: every doc gets a keep/drop
   // verdict with its FIRST failing gate (fixed precedence — the order
   // every production corpus filter documents), aggregated to per-reason
@@ -884,6 +1038,9 @@ object Text {
     "t_doc_overlap_pairs" -> docOverlapPairs,
     "t_kgram_sample" -> kgramSample,
     "t_unigram_logprob" -> unigramLogprob,
+    "t_perplexity_buckets" -> perplexityBuckets,
+    "t_chunk_dedup" -> chunkDedup,
+    "t_mixture_plan" -> mixturePlan,
     "t_source_kl" -> sourceKl,
     "t_repetition" -> repetition,
     "t_decontam" -> decontam,
@@ -908,6 +1065,9 @@ object Text {
     "t_doc_overlap_pairs" -> docOverlapPairsSql,
     "t_kgram_sample" -> kgramSampleSql,
     "t_unigram_logprob" -> unigramLogprobSql,
+    "t_perplexity_buckets" -> perplexityBucketsSql,
+    "t_chunk_dedup" -> chunkDedupSql,
+    "t_mixture_plan" -> mixturePlanSql,
     "t_source_kl" -> sourceKlSql,
     "t_repetition" -> repetitionSql,
     "t_decontam" -> decontamSql,

@@ -108,6 +108,34 @@ object Vector {
   def annBruteTopk(spark: SparkSession, sfDir: String): DataFrame =
     topk(scored(spark, sfDir, sameLabelOnly = false), 10)
 
+  /** Metadata-FILTERED vector search (the production "top-k similar
+    * where label ∈ S" query): the predicate restricts the corpus
+    * BEFORE any scoring — pre-filtering, not post-filtering a larger
+    * top-k, so recall over the admissible set is exact by construction
+    * and the scan prunes first. At 100 TB the predicate reaches the
+    * parquet scan (plan-asserted in ScaleSpec) and, with the table
+    * partitioned by the filter column, becomes partition pruning;
+    * post-filter ANN (search-then-filter) is the WRONG shape — its
+    * recall decays with predicate selectivity. */
+  /** Admissible labels for [[annFilteredTopk]] — an IN-list (not an
+    * arithmetic predicate) so the filter is expressible as a parquet
+    * `In` pushed filter, not just a post-scan filter. */
+  val FilteredLabels: Seq[Int] = Seq(0, 3, 6, 9)
+
+  def annFilteredTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = withNorm2(spark, sfDir)
+      .filter(col("label").isin(FilteredLabels.map(Int.box): _*))
+    val qs = withNorm2(spark, sfDir)
+      .filter(col("vec_id").isin(QueryIds.map(Int.box): _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("nrm2").as("na"))
+    topk(emb.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("dot", dot("qv", "embedding"))
+      .withColumn("sim", col("dot") / (sqrt(col("na")) * sqrt(col("nrm2")))),
+      10)
+  }
+
   /** IVF-style search: the label column acts as the precomputed coarse
     * cluster assignment; each query probes only its own cell. At scale
     * the table is partitioned by the cell id, so a probe is a partition-
@@ -115,9 +143,11 @@ object Vector {
   def annIvfTopk(spark: SparkSession, sfDir: String): DataFrame =
     topk(scored(spark, sfDir, sameLabelOnly = true), 5)
 
-  private def oracleSql(k: Int, sameLabelOnly: Boolean): String = {
+  private def oracleSql(k: Int, sameLabelOnly: Boolean,
+      corpusPred: String = ""): String = {
     val ids = QueryIds.mkString(", ")
-    val labelPred = if (sameLabelOnly) " AND e.label = q.qlabel" else ""
+    val labelPred = (if (sameLabelOnly) " AND e.label = q.qlabel" else "") +
+      (if (corpusPred.nonEmpty) s" AND $corpusPred" else "")
     s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS qlabel
            FROM embeddings WHERE vec_id IN ($ids)),
        p AS (SELECT q.qid, e.vec_id,
@@ -740,6 +770,7 @@ object Vector {
     "emb_centroids" -> embCentroids,
     "emb_quantize_int8" -> embQuantizeInt8,
     "ann_brute_topk" -> annBruteTopk,
+    "ann_filtered_topk" -> annFilteredTopk,
     "ann_ivf_topk" -> annIvfTopk,
     "emb_norm_stats" -> embNormStats,
     "ann_pq_recall_gate" -> annPqRecallGate,
@@ -751,6 +782,8 @@ object Vector {
     "emb_centroids" -> embCentroidsSql,
     "emb_quantize_int8" -> embQuantizeInt8Sql,
     "ann_brute_topk" -> oracleSql(10, sameLabelOnly = false),
+    "ann_filtered_topk" -> oracleSql(10, sameLabelOnly = false,
+      corpusPred = s"e.label IN (${FilteredLabels.mkString(", ")})"),
     "ann_ivf_topk" -> oracleSql(5, sameLabelOnly = true),
     "emb_norm_stats" -> embNormStatsSql,
     "ann_pq_recall_gate" -> annPqRecallGateSql,

@@ -308,6 +308,80 @@ class TextOpsSpec extends SparkSuite {
     assert(rows("same1") == rows("same2"), "identical shards score identically")
   }
 
+  test("perplexity buckets: order-consistent terciles, every doc tagged") {
+    val rows = ops.Text.perplexityBuckets(spark, sf).collect()
+      .map(r => (r.getAs[String]("bucket"), r.getAs[Long]("avg_surprisal_e4")))
+    assert(rows.length == 500, "one verdict per document")
+    val byB = rows.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(Set("head", "middle", "tail").subsetOf(byB.keySet),
+      s"all three buckets populated: ${byB.keySet}")
+    // bucket assignment is monotone in the score: max(head) <= min(middle)
+    // can tie at the cutoff but never invert
+    assert(byB("head").max <= byB("middle").min,
+      "head scores never exceed middle scores")
+    assert(byB("middle").max <= byB("tail").min,
+      "middle scores never exceed tail scores")
+    // cutoffs trained on a 25% sample still split the corpus roughly in
+    // thirds (the sample is uniform over doc ids)
+    assert(byB.values.forall(v => v.length > 50 && v.length < 450),
+      s"no degenerate bucket: ${byB.view.mapValues(_.length).toMap}")
+  }
+
+  test("chunk dedup matches a hand computation over every document") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val texts = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    val perDoc = texts.map { case (id, t) =>
+      val ws = t.toLowerCase.split(" ", -1)
+      id -> (0 to math.max(ws.length - 1, 0) by 16)
+        .map(s => md5hex(ws.slice(s, s + 16).mkString(" ")))
+    }.toMap
+    val nDocs = perDoc.values.flatMap(_.distinct).groupBy(identity)
+      .view.mapValues(_.size).toMap
+    val rows = ops.Text.chunkDedup(spark, sf).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val fps = perDoc(id)
+      val expShared = fps.count(f => nDocs(f) > 1).toLong
+      assert(r.getAs[Long]("n_chunks") == fps.length.toLong, s"doc $id chunks")
+      assert(r.getAs[Long]("n_shared") == expShared, s"doc $id shared")
+      assert(r.getAs[Boolean]("boilerplate") == (2 * expShared >= fps.length))
+    }
+    // the corpus exercises both sides of the verdict
+    assert(rows.exists(_.getAs[Long]("n_shared") > 0), "sharing exists")
+    assert(rows.exists(_.getAs[Long]("n_shared") == 0), "unique docs exist")
+  }
+
+  test("mixture plan: budget conserved within rounding, temperature flattens") {
+    val rows = ops.Text.mixturePlan(spark, sf).collect()
+    assert(rows.length == 20, "one plan row per source")
+    val planned = rows.map(_.getAs[Long]("planned_tokens")).sum
+    // integer flooring loses < 1 token per source
+    assert(planned <= 2000000L && planned > 2000000L - rows.length,
+      s"allocations sum to the budget minus rounding, got $planned")
+    // n^0.7 compresses the range: the planned share ratio between the
+    // largest and smallest source is strictly tighter than the raw
+    // token ratio, and ordering by size is preserved
+    val bySize = rows.sortBy(_.getAs[Long]("tok_s"))
+    val (lo, hi) = (bySize.head, bySize.last)
+    val rawRatio = hi.getAs[Long]("tok_s").toDouble / lo.getAs[Long]("tok_s")
+    val planRatio = hi.getAs[Long]("planned_tokens").toDouble /
+      lo.getAs[Long]("planned_tokens")
+    assert(planRatio < rawRatio, "temperature must flatten the mix")
+    assert(planRatio > 1.0, "but still favor the bigger source")
+    // epochs_e4 is exactly planned/available in e4 fixed point
+    rows.foreach { r =>
+      assert(r.getAs[Long]("epochs_e4") ==
+        r.getAs[Long]("planned_tokens") * 10000L / r.getAs[Long]("tok_s"))
+      assert(r.getAs[Boolean]("upsampled") ==
+        (r.getAs[Long]("epochs_e4") > 10000L))
+    }
+  }
+
   test("pii redact: trailer is scrubbed, counts match, text is preserved") {
     val row = ops.Text.piiRedact(spark, sf)
       .filter(col("doc_id") === 3).collect()(0)
@@ -328,6 +402,25 @@ class VectorSpec extends SparkSuite {
     assert(rows.length == 10)
     val sims = rows.map(_.getAs[Long]("sim_e4"))
     assert(sims.sameElements(sims.sortBy(-_.toDouble)), "ranks ordered by sim")
+  }
+
+  test("filtered top-k: predicate holds for every hit, optimum never beats unfiltered") {
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    val filtered = Vector.annFilteredTopk(spark, sf).collect()
+    assert(filtered.length == 30, "10 hits per query vector")
+    filtered.foreach { r =>
+      assert(Vector.FilteredLabels.contains(emb(r.getAs[Long]("vec_id"))),
+        s"hit ${r.getAs[Long]("vec_id")} violates the label predicate")
+    }
+    // pre-filtering restricts the candidate set: the filtered best can
+    // tie but never beat the unfiltered best for the same query
+    val bestU = Vector.annBruteTopk(spark, sf).filter(col("rank") === 1)
+      .collect().map(r => r.getAs[Long]("qid") -> r.getAs[Long]("sim_e4")).toMap
+    filtered.filter(_.getAs[Int]("rank") == 1).foreach { r =>
+      assert(r.getAs[Long]("sim_e4") <= bestU(r.getAs[Long]("qid")))
+    }
   }
 
   test("centroid sums are exact integers matching a JVM computation") {

@@ -321,4 +321,14 @@ class ScaleSpec extends SparkSuite {
       || plan.contains("EqualTo(c_mktsegment,BUILDING)"), "dim filter pushed to scan")
     assert(!plan.contains("l_quantity"), "unused lineitem columns pruned")
   }
+
+  test("filtered ANN pushes the label IN-list into the parquet scan") {
+    // pre-filter vector search: the metadata predicate must restrict
+    // the corpus AT THE SCAN (with a label-partitioned table this is
+    // partition pruning), never post-filter scored results
+    val plan = graft.ops.Vector.annFilteredTopk(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("In(label, [0,3,6,9])"),
+      s"label IN-list must appear in PushedFilters:\n${plan.take(2000)}")
+  }
 }
