@@ -645,6 +645,42 @@ object Vector {
         sum(floor(col("x").cast("double") * lit(10000.0))).as("sum_e4"))
       .withColumn("mean_e4", floor(lit(1.0) * col("sum_e4") / col("n")))
       .orderBy(col("label"), col("dim"))
+  /** Per-DIMENSION corpus moments over the embedding column — the
+    * dead/degenerate-dimension audit of an embedding pipeline (a dim
+    * whose variance collapses carries no signal and poisons cosine).
+    * Mean and variance come from exact integer moments on e4-snapped
+    * values (var_e8 = (n·Σx² − (Σx)²) DIV n², all BIGINT — order-
+    * independent under any partitioning, unlike float Welford). One
+    * posexplode → groupBy(dim): 64 keys, partial-agg friendly. The
+    * long budget covers ~1e6 rows per dim at e4; at 100 TB the same
+    * query runs per-shard and the (n, Σx, Σx²) triples — 24 bytes per
+    * (shard, dim) — combine exactly in DECIMAL(38). */
+  def embDimStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .withColumn("xe4",
+        floor(col("x").cast("double") * lit(10000.0)).cast("long"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("xe4")).as("sum_e4"),
+        sum(col("xe4") * col("xe4")).as("sum_sq_e8"))
+      .select(col("dim"), col("n"),
+        floor(lit(1.0) * col("sum_e4") / col("n")).as("mean_e4"),
+        expr("(n * sum_sq_e8 - sum_e4 * sum_e4) DIV (n * n)").as("var_e8"))
+      .withColumn("dead", col("var_e8") < 1000000L)
+      .orderBy(col("dim"))
+  val embDimStatsSql: String =
+    """SELECT CAST(i - 1 AS INT) AS dim, count(1) AS n,
+       CAST(floor(1.0 * sum(xe4) / count(1)) AS BIGINT) AS mean_e4,
+       CAST((count(1) * sum(xe4 * xe4) - sum(xe4) * sum(xe4))
+         // (count(1) * count(1)) AS BIGINT) AS var_e8,
+       CAST((count(1) * sum(xe4 * xe4) - sum(xe4) * sum(xe4))
+         // (count(1) * count(1)) AS BIGINT) < 1000000 AS dead
+       FROM (SELECT CAST(floor(CAST(x AS DOUBLE) * 10000.0) AS BIGINT) AS xe4, i
+             FROM (SELECT unnest(embedding) AS x,
+                     generate_subscripts(embedding, 1) AS i
+                   FROM embeddings))
+       GROUP BY i ORDER BY dim"""
+
   val embCentroidsSql: String =
     """SELECT label, CAST(i - 1 AS INT) AS dim, count(1) AS n,
        CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 10000.0) AS BIGINT))
@@ -768,6 +804,7 @@ object Vector {
   // search, so every ANN row in CORRECTNESS is oracle-checked).
   val queries: Map[String, QFn] = Map(
     "emb_centroids" -> embCentroids,
+    "emb_dim_stats" -> embDimStats,
     "emb_quantize_int8" -> embQuantizeInt8,
     "ann_brute_topk" -> annBruteTopk,
     "ann_filtered_topk" -> annFilteredTopk,
@@ -780,6 +817,7 @@ object Vector {
 
   val oracles: Map[String, String] = Map(
     "emb_centroids" -> embCentroidsSql,
+    "emb_dim_stats" -> embDimStatsSql,
     "emb_quantize_int8" -> embQuantizeInt8Sql,
     "ann_brute_topk" -> oracleSql(10, sameLabelOnly = false),
     "ann_filtered_topk" -> oracleSql(10, sameLabelOnly = false,

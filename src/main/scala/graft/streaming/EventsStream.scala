@@ -189,16 +189,47 @@ object EventsStream {
          AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 30 MINUTE
        GROUP BY c_uid ORDER BY user_id"""
 
+  /** `stream_dedup`: exactly-once counts from at-least-once delivery.
+    * The source is deliberately DOUBLED (two file streams over the
+    * same events union'd — every event id observed twice in the
+    * batch), then `dropDuplicatesWithinWatermark` keyed on event_id
+    * collapses redelivery; per-type counts equal the plain batch
+    * counts, which is the oracle's proof the dedup actually dropped
+    * the second copy (without it every count would be 2×). State is
+    * the bounded variant: dedup rows evict once the watermark passes
+    * first-seen + delay, so a re-observed id outside the redelivery
+    * horizon costs one state row, never corpus-lifetime retention —
+    * the at-least-once ingestion front door of a streaming pipeline. */
+  def streamDedup(spark: SparkSession, sfDir: String): DataFrame =
+    withStreamingParts(spark, 8) {
+      def src = spark.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val deduped = src.unionByName(src)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(Seq("event_id"))
+        .select(col("event_id"), col("event_type"))
+      val out = runToMemory(spark, deduped,
+        s"graft_stream_dd_${runSeq.incrementAndGet()}", OutputMode.Append())
+      out.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    }
+  val streamDedupSql: String =
+    """SELECT event_type, count(1) AS n
+       FROM events GROUP BY event_type ORDER BY event_type"""
+
   val queries: Map[String, graft.Util.QFn] = Map(
     "stream_windowed_counts" -> streamWindowedCounts,
     "stream_sessionize" -> streamSessionize,
     "stream_running_counts" -> streamRunningCounts,
-    "stream_interval_join" -> streamIntervalJoin)
+    "stream_interval_join" -> streamIntervalJoin,
+    "stream_dedup" -> streamDedup)
   val oracles: Map[String, String] = Map(
     "stream_windowed_counts" -> streamWindowedCountsSql,
     "stream_sessionize" -> streamSessionizeSql,
     "stream_running_counts" -> streamRunningCountsSql,
-    "stream_interval_join" -> streamIntervalJoinSql)
+    "stream_interval_join" -> streamIntervalJoinSql,
+    "stream_dedup" -> streamDedupSql)
 
   // -- transformWithState (Spark 4 arbitrary-state API) --------------------
 

@@ -423,6 +423,24 @@ class VectorSpec extends SparkSuite {
     }
   }
 
+  test("dim stats variance matches a JVM integer-moment computation") {
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("embedding")).collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("embedding").toArray)
+    val rows = Vector.embDimStats(spark, sf).collect()
+    assert(rows.length == 64, "one row per dimension")
+    rows.foreach { r =>
+      val d = r.getAs[Int]("dim")
+      val xs = vecs.map(v => math.floor(v(d).toDouble * 10000.0).toLong)
+      val n = xs.length.toLong
+      val s = xs.sum; val sq = xs.map(x => x * x).sum
+      assert(r.getAs[Long]("n") == n)
+      assert(r.getAs[Long]("mean_e4") == math.floor(1.0 * s / n).toLong)
+      assert(r.getAs[Long]("var_e8") == (n * sq - s * s) / (n * n),
+        s"dim $d variance")
+    }
+  }
+
   test("centroid sums are exact integers matching a JVM computation") {
     val rows = ops.Vector.embCentroids(spark, sf)
       .filter(col("label") === 0 && col("dim") === 0).collect()
