@@ -225,6 +225,36 @@ class RelationalOpsSpec extends SparkSuite {
     assert(rows == Map(10L -> "click", 12L -> "view"))
   }
 
+  test("triangle counts match brute-force enumeration on the real graph") {
+    // independent ground truth: rebuild the undirected simple graph in
+    // the JVM and enumerate triangles by intersecting adjacency sets
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"), col("src"))
+    val edges = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey").as("src"))
+      .withColumn("dst", lead(col("src"), 1).over(w))
+      .filter(col("dst").isNotNull && col("dst") =!= col("src"))
+      .select(col("src"), col("dst")).collect()
+      .map(r => {
+        val (s, d) = (r.getAs[Long]("src"), r.getAs[Long]("dst"))
+        (math.min(s, d), math.max(s, d))
+      }).toSet
+    val adj = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val triCount = scala.collection.mutable.HashMap.empty[Long, Long]
+    edges.foreach { case (a, b) =>
+      (adj(a) intersect adj(b)).foreach { c =>
+        if (c > b) // each triangle once via its sorted (a < b < c) form
+          Seq(a, b, c).foreach(n => triCount(n) = triCount.getOrElse(n, 0L) + 1)
+      }
+    }
+    val want = triCount.toSeq.sortBy { case (n, c) => (-c, n) }.take(20)
+    val got = ops.Relational.graphTriangles(spark, sf).collect()
+      .map(r => (r.getAs[Long]("node"), r.getAs[Long]("n_triangles"))).toSeq
+    assert(got == want, s"got ${got.take(5)}... want ${want.take(5)}...")
+    assert(want.nonEmpty && want.head._2 > 0, "graph actually has triangles")
+  }
+
   test("profiler agrees with directly computed column facts") {
     val p = ops.Relational.profileOrders(spark, sf).collect()
       .map(r => r.getAs[String]("column_name") -> r).toMap

@@ -322,6 +322,23 @@ class ScaleSpec extends SparkSuite {
     assert(!plan.contains("l_quantity"), "unused lineitem columns pruned")
   }
 
+  test("dedup family shares one persisted shingle stage across operators") {
+    // At 100 TB the shingle computation is a corpus-wide scan + typed
+    // stage; minhash, incremental, simhash, and ngram-jaccard must all
+    // read ONE persisted copy, not re-run it per operator. The plans
+    // prove it: after the first dedup query, every other family
+    // member's plan reads an InMemoryTableScan (the persist-once
+    // registry), not a fresh SerializeFromObject over the parquet scan.
+    graft.ops.Dedup.minhashLsh(spark, sf).collect()
+    Seq(
+      graft.ops.Dedup.incrementalDedup(spark, sf),
+      graft.ops.Dedup.simhash(spark, sf)).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("InMemoryTableScan"),
+        s"dedup operator must reuse the persisted shingle stage:\n${plan.take(1200)}")
+    }
+  }
+
   test("filtered ANN pushes the label IN-list into the parquet scan") {
     // pre-filter vector search: the metadata predicate must restrict
     // the corpus AT THE SCAN (with a label-partitioned table this is
