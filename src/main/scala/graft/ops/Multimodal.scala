@@ -347,9 +347,119 @@ object Multimodal {
           ORDER BY fa, fb"""
   }
 
+  // -- audio modality (PCM16 WAV, dependency-free RIFF parse) --------------
+
+  /** Per-file audio facts, all exact integers: container fields from
+    * the fmt chunk, loudness/clip stats from one pass over the PCM
+    * payload (peak = max |s|, rms = isqrt(Σs²/n), clip = |s| at the
+    * ±10000 rail). */
+  case class AudioMeta(file: String, sample_rate: Int, channels: Int,
+      n_frames: Long, duration_ms: Long, peak: Int, rms: Long,
+      n_clipped: Long)
+
+  /** Walk RIFF chunks (fmt → rate/channels/bits, data → PCM16 LE
+    * samples). Chunk-generic: unknown chunks are skipped by their
+    * declared length, the WAV promise is only RIFF/WAVE + PCM16. */
+  def parseWav(file: String, bytes: Array[Byte]): AudioMeta = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(): String = {
+      val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
+    }
+    require(fourcc() == "RIFF", s"$file: not RIFF")
+    bb.getInt()
+    require(fourcc() == "WAVE", s"$file: not WAVE")
+    var rate = 0; var ch = 0
+    var peak = 0; var sumSq = 0L; var n = 0L; var clipped = 0L
+    while (bb.remaining() >= 8) {
+      val id = fourcc(); val len = bb.getInt()
+      id match {
+        case "fmt " =>
+          val end = bb.position() + len
+          require(bb.getShort() == 1, s"$file: not PCM")
+          ch = bb.getShort(); rate = bb.getInt()
+          bb.getInt(); bb.getShort()
+          require(bb.getShort() == 16, s"$file: not 16-bit")
+          bb.position(end)
+        case "data" =>
+          var i = 0
+          while (i < len / 2) {
+            val s = bb.getShort().toInt
+            val a = math.abs(s)
+            if (a > peak) peak = a
+            if (a >= 10000) clipped += 1
+            sumSq += s.toLong * s; n += 1
+            i += 1
+          }
+        case _ => bb.position(bb.position() + len)
+      }
+    }
+    require(rate > 0 && ch > 0 && n > 0, s"$file: missing fmt/data chunk")
+    // exact floor-sqrt of the mean square (Math.sqrt then fix-up: a
+    // double can misround the 53-bit boundary; the while loops cannot)
+    val ms = sumSq / n
+    var r = math.sqrt(ms.toDouble).toLong
+    while (r * r > ms) r -= 1
+    while ((r + 1) * (r + 1) <= ms) r += 1
+    AudioMeta(file, rate, ch, n / ch, n / ch * 1000L / rate, peak, r, clipped)
+  }
+
+  /** `mm_audio_stats`: binary scan over the WAV fixtures → one-pass
+    * per-partition parse (no handle state needed — the RIFF walk is
+    * allocation-light) → exact integer loudness/clip audit. Same
+    * scale shape as the image path: pixels/samples die in the scan
+    * stage, only (file, ints) rows ever move. */
+  def mmAudioStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = MultimodalFixtures.ensureAudio()
+    spark.read.format("binaryFile").load(dir)
+      .select(regexp_extract(col("path"), "[^/]+$", 0).as("file"),
+        col("content"))
+      .as[ImgBin]
+      .mapPartitions(_.map(d => parseWav(d.file, d.content)))
+      .toDF()
+      .withColumn("clipped", col("n_clipped") > 0)
+      .orderBy(col("file"))
+  }
+  /** Oracle from the GENERATOR's arithmetic (sample formula replayed
+    * in the dump builder) — ground truth independent of the RIFF
+    * parse under test. */
+  def mmAudioStatsSql: String = {
+    val rows = MultimodalFixtures.audioSpecs.map { case (name, id) =>
+      val ch = MultimodalFixtures.channelsOf(id)
+      val nf = MultimodalFixtures.audioFramesOf(id)
+      val rate = MultimodalFixtures.rateOf(id)
+      var peak = 0; var sumSq = 0L; var clipped = 0L
+      for (i <- 0 until nf; c <- 0 until ch) {
+        val s = MultimodalFixtures.sampleOf(id, c, i)
+        val a = math.abs(s)
+        if (a > peak) peak = a
+        if (a >= 10000) clipped += 1
+        sumSq += s.toLong * s
+      }
+      val n = nf.toLong * ch
+      val ms = sumSq / n
+      var r = math.sqrt(ms.toDouble).toLong
+      while (r * r > ms) r -= 1
+      while ((r + 1) * (r + 1) <= ms) r += 1
+      s"('$name', $rate, $ch, ${nf.toLong}, ${nf.toLong * 1000L / rate}, " +
+        s"$peak, $r, $clipped, ${clipped > 0})"
+    }
+    s"""SELECT file, CAST(sample_rate AS INT) AS sample_rate,
+         CAST(channels AS INT) AS channels,
+         CAST(n_frames AS BIGINT) AS n_frames,
+         CAST(duration_ms AS BIGINT) AS duration_ms,
+         CAST(peak AS INT) AS peak, CAST(rms AS BIGINT) AS rms,
+         CAST(n_clipped AS BIGINT) AS n_clipped, clipped
+       FROM (VALUES ${rows.mkString(", ")}) AS t(file, sample_rate,
+         channels, n_frames, duration_ms, peak, rms, n_clipped, clipped)
+       ORDER BY file"""
+  }
+
   val queries: Map[String, QFn] = Map(
     "mm_phash_dedup" -> mmPhashDedup,
     "mm_phash_near" -> mmPhashNear,
+    "mm_audio_stats" -> mmAudioStats,
     "mm_metadata" -> mmMetadata,
     "mm_frame_sample" -> mmFrameSample,
     "mm_resize_plan" -> mmResizePlan,
@@ -358,6 +468,7 @@ object Multimodal {
   val oracles: Map[String, String] = Map(
     "mm_phash_dedup" -> mmPhashDedupSql,
     "mm_phash_near" -> mmPhashNearSql,
+    "mm_audio_stats" -> mmAudioStatsSql,
     "mm_metadata" -> mmMetadataSql,
     "mm_frame_sample" -> mmFrameSampleSql,
     "mm_resize_plan" -> mmResizePlanSql,

@@ -132,6 +132,58 @@ object MultimodalFixtures {
     Dir
   }
 
+  // -- audio fixtures (PCM16 WAV) ------------------------------------------
+
+  val AudioDir: String = s"${graft.Tables.FixturesDir}/audio"
+
+  /** Ten PCM16 WAVs: rates cycle 8k/16k/44.1k, mono/stereo alternate,
+    * and the raw amplitude grows with id so ids ≥ 4 CLIP at the int16
+    * rail stand-in ±10000 — the deterministic clip-detection ground
+    * truth. Samples are pure integer arithmetic in (id, channel, i). */
+  val AudioIds: Range = 0 to 9
+  def audioSpecs: Seq[(String, Int)] = AudioIds.map(i => (f"aud$i%02d.wav", i))
+  def rateOf(id: Int): Int = Seq(8000, 16000, 44100)(id % 3)
+  def channelsOf(id: Int): Int = 1 + id % 2
+  def audioFramesOf(id: Int): Int = 1000 + id * 337
+  def ampOf(id: Int): Int = 8000 + id * 600
+  /** Raw (pre-clip) sample value; the stored sample clamps to ±10000. */
+  def rawSample(id: Int, ch: Int, i: Int): Int = {
+    val amp = ampOf(id)
+    (Math.floorMod(i.toLong * 2654435761L * (id + 3) + ch * 9973L,
+      2L * amp + 1L) - amp).toInt
+  }
+  def sampleOf(id: Int, ch: Int, i: Int): Int =
+    math.max(-10000, math.min(10000, rawSample(id, ch, i)))
+
+  /** Write any missing WAV fixtures; returns the audio dir. */
+  def ensureAudio(): String = synchronized {
+    val dir = new File(AudioDir)
+    dir.mkdirs()
+    audioSpecs.foreach { case (name, id) =>
+      val f = new File(dir, name)
+      if (!f.exists()) writeWav(f, id)
+    }
+    AudioDir
+  }
+
+  private def writeWav(f: File, id: Int): Unit = {
+    val ch = channelsOf(id)
+    val n = audioFramesOf(id)
+    val rate = rateOf(id)
+    val dataLen = n * ch * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(ch.toShort).putInt(rate)
+      .putInt(rate * ch * 2).putShort((ch * 2).toShort).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    for (i <- 0 until n; c <- 0 until ch)
+      bb.putShort(sampleOf(id, c, i).toShort)
+    java.nio.file.Files.write(f.toPath, bb.array())
+  }
+
   /** Multi-frame GIF via ImageWriter.writeToSequence — each frame its
     * own image record, so `ImageReader.getNumImages` recovers the
     * generator's frame count. */

@@ -641,6 +641,25 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("WAV parse recovers the generator's audio facts exactly") {
+    val rows = Multimodal.mmAudioStats(spark, sf).collect()
+      .map(r => r.getAs[String]("file") -> r).toMap
+    assert(rows.size == MultimodalFixtures.audioSpecs.size)
+    MultimodalFixtures.audioSpecs.foreach { case (name, id) =>
+      val r = rows(name)
+      assert(r.getAs[Int]("sample_rate") == MultimodalFixtures.rateOf(id))
+      assert(r.getAs[Int]("channels") == MultimodalFixtures.channelsOf(id))
+      assert(r.getAs[Long]("n_frames") == MultimodalFixtures.audioFramesOf(id))
+      // clip ground truth: raw amplitude exceeds the rail iff id >= 4
+      assert(r.getAs[Boolean]("clipped") == (id >= 4), s"$name clip flag")
+      assert(r.getAs[Int]("peak") <= 10000)
+      assert(r.getAs[Long]("rms") > 0 &&
+        r.getAs[Long]("rms") <= r.getAs[Int]("peak"))
+    }
+    // both mono and stereo files exercised
+    assert(rows.values.map(_.getAs[Int]("channels")).toSet == Set(1, 2))
+  }
+
   test("frame sample emits evenly spaced frames per animated asset") {
     val df = Multimodal.mmFrameSample(spark, sf)
     val counts = df.groupBy("file").count()
