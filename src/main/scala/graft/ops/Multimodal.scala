@@ -144,6 +144,9 @@ object Multimodal {
     } ++ MultimodalFixtures.gifSpecs.map { case (name, id) =>
       (name, "gif", MultimodalFixtures.GifW, MultimodalFixtures.GifH,
         MultimodalFixtures.framesOf(id))
+    } ++ MultimodalFixtures.sceneSpecs.map { case (name, _) =>
+      (name, "gif", MultimodalFixtures.GifW, MultimodalFixtures.GifH,
+        MultimodalFixtures.SceneFrames)
     }).sortBy(_._1)
 
   /** Real decode of real assets: container format, true dimensions,
@@ -347,6 +350,113 @@ object Multimodal {
           ORDER BY fa, fb"""
   }
 
+  /** One temporal-difference row per frame transition of an animated
+    * asset: mean |Δluminance| in e4 fixed point + the shot verdict. */
+  case class FrameDiff(file: String, frame_idx: Int, mad_e4: Long,
+      is_cut: Boolean)
+
+  /** Exact integer luminance plane (same BT.601 formula as [[aHash]]). */
+  private def lumPlane(img: BufferedImage): Array[Int] = {
+    val w = img.getWidth; val h = img.getHeight
+    val out = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        out(y * w + x) = (((rgb >> 16) & 0xff) * 299 +
+          ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Per-partition frame differencing with one reusable GIF reader:
+    * every consecutive frame pair → mean absolute luminance delta.
+    * All integer arithmetic; only (file, idx, mad) rows leave the
+    * decode stage — at scale, frames never shuffle. */
+  def frameDiffPartition(it: Iterator[ImgBin]): Iterator[FrameDiff] = {
+    val readers =
+      scala.collection.mutable.Map.empty[String, javax.imageio.ImageReader]
+    def reader(fmt: String) = readers.getOrElseUpdate(fmt,
+      ImageIO.getImageReadersByFormatName(fmt).next())
+    val diffs = it.flatMap { d =>
+      if (sniff(d.content) != "gif") Nil
+      else {
+        val r = reader("gif")
+        val iis =
+          ImageIO.createImageInputStream(new ByteArrayInputStream(d.content))
+        try {
+          r.setInput(iis, false, true)
+          val n = r.getNumImages(true)
+          var prev = if (n >= 2) lumPlane(r.read(0)) else null
+          (1 until n).map { f =>
+            val cur = lumPlane(r.read(f))
+            var sum = 0L; var i = 0
+            while (i < cur.length) {
+              sum += math.abs(cur(i) - prev(i)); i += 1
+            }
+            prev = cur
+            val mad = sum * 10000L / cur.length
+            FrameDiff(d.file, f, mad, mad > CutThresholdE4)
+          }
+        } finally iis.close()
+      }
+    }
+    diffs ++ { readers.values.foreach(_.dispose()); Iterator.empty }
+  }
+
+  /** Shot boundary if mean |Δ| exceeds 5 gray levels — far above the
+    * scn* within-scene drift (exactly 1) and far below any hash-noise
+    * re-roll (≈ 67). */
+  val CutThresholdE4: Long = 50000L
+
+  /** `mm_scene_cuts`: temporal differencing over every animated
+    * asset's REAL decoded frames — the shot-detection operator class
+    * of a video pipeline. vid* assets re-roll every frame (all cuts);
+    * scn* assets hold a scene for 3 frames with a ±1 brightness drift
+    * (cuts only at scene boundaries) — both recovered exactly. */
+  def mmSceneCuts(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = MultimodalFixtures.ensure()
+    spark.read.format("binaryFile").load(dir)
+      .select(regexp_extract(col("path"), "[^/]+$", 0).as("file"),
+        col("content"))
+      .as[ImgBin]
+      .mapPartitions(frameDiffPartition)
+      .toDF()
+      .orderBy(col("file"), col("frame_idx"))
+  }
+  /** Oracle replays the GENERATOR's per-frame gray arithmetic — no
+    * decode involved, pure integer VALUES. */
+  def mmSceneCutsSql: String = {
+    val w = MultimodalFixtures.GifW; val h = MultimodalFixtures.GifH
+    def rowsFor(name: String, id: Int, frames: Int,
+        gray: (Int, Int, Int, Int) => Int): Seq[String] =
+      (1 until frames).map { f =>
+        var sum = 0L
+        for (y <- 0 until h; x <- 0 until w)
+          sum += math.abs(gray(id, f, x, y) - gray(id, f - 1, x, y))
+        val mad = sum * 10000L / (w * h)
+        s"('$name', $f, $mad, ${mad > CutThresholdE4})"
+      }
+    val rows =
+      MultimodalFixtures.gifSpecs.flatMap { case (name, id) =>
+        rowsFor(name, id, MultimodalFixtures.framesOf(id),
+          MultimodalFixtures.gifGrayOf)
+      } ++ MultimodalFixtures.sceneSpecs.flatMap { case (name, id) =>
+        rowsFor(name, id, MultimodalFixtures.SceneFrames,
+          MultimodalFixtures.sceneGrayOf)
+      }
+    s"""SELECT file, CAST(frame_idx AS INT) AS frame_idx,
+         CAST(mad_e4 AS BIGINT) AS mad_e4, is_cut
+       FROM (VALUES ${rows.mkString(", ")})
+         AS t(file, frame_idx, mad_e4, is_cut)
+       ORDER BY file, frame_idx"""
+  }
+
   // -- audio modality (PCM16 WAV, dependency-free RIFF parse) --------------
 
   /** Per-file audio facts, all exact integers: container fields from
@@ -460,6 +570,7 @@ object Multimodal {
     "mm_phash_dedup" -> mmPhashDedup,
     "mm_phash_near" -> mmPhashNear,
     "mm_audio_stats" -> mmAudioStats,
+    "mm_scene_cuts" -> mmSceneCuts,
     "mm_metadata" -> mmMetadata,
     "mm_frame_sample" -> mmFrameSample,
     "mm_resize_plan" -> mmResizePlan,
@@ -469,6 +580,7 @@ object Multimodal {
     "mm_phash_dedup" -> mmPhashDedupSql,
     "mm_phash_near" -> mmPhashNearSql,
     "mm_audio_stats" -> mmAudioStatsSql,
+    "mm_scene_cuts" -> mmSceneCutsSql,
     "mm_metadata" -> mmMetadataSql,
     "mm_frame_sample" -> mmFrameSampleSql,
     "mm_resize_plan" -> mmResizePlanSql,

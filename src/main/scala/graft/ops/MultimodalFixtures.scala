@@ -99,12 +99,28 @@ object MultimodalFixtures {
     img
   }
 
-  private def gifFrame(id: Int, f: Int): BufferedImage = {
+  /** Per-frame gray for the vid* GIFs: every frame its own hash-noise
+    * field, so EVERY transition is a hard cut (mean |Δ| ≈ 67 gray). */
+  def gifGrayOf(id: Int, f: Int, x: Int, y: Int): Int = Math.floorMod(
+    x * 73856093 ^ y * 19349663 ^ (id + 1) * 83492791 ^ (f + 1) * 40503,
+    201)
+
+  /** scn* GIFs: 3 scenes × 3 frames. Within a scene the field is fixed
+    * and only a +f%3 brightness drift moves (mean |Δ| exactly 1 gray);
+    * at a scene boundary the whole field re-rolls — the ground truth a
+    * temporal-differencing shot detector must recover. */
+  val SceneIds: Range = 0 to 3
+  val SceneFrames: Int = 9
+  def sceneSpecs: Seq[(String, Int)] = SceneIds.map(i => (f"scn$i%02d.gif", i))
+  def sceneGrayOf(id: Int, f: Int, x: Int, y: Int): Int = Math.floorMod(
+    x * 73856093 ^ y * 19349663 ^ (id + 101) * 15485863 ^
+      (f / 3 + 1) * 57885161, 201) + f % 3
+
+  private def gifFrame(id: Int, f: Int,
+      gray: (Int, Int, Int, Int) => Int): BufferedImage = {
     val img = new BufferedImage(GifW, GifH, BufferedImage.TYPE_INT_RGB)
     for (y <- 0 until GifH; x <- 0 until GifW) {
-      val g = Math.floorMod(
-        x * 73856093 ^ y * 19349663 ^ (id + 1) * 83492791 ^ (f + 1) * 40503,
-        201)
+      val g = gray(id, f, x, y)
       img.setRGB(x, y, (g << 16) | (g << 8) | g)
     }
     img
@@ -127,7 +143,11 @@ object MultimodalFixtures {
     }
     gifSpecs.foreach { case (name, id) =>
       val f = new File(dir, name)
-      if (!f.exists()) writeAnimatedGif(f, id)
+      if (!f.exists()) writeAnimatedGif(f, id, framesOf(id), gifGrayOf)
+    }
+    sceneSpecs.foreach { case (name, id) =>
+      val f = new File(dir, name)
+      if (!f.exists()) writeAnimatedGif(f, id, SceneFrames, sceneGrayOf)
     }
     Dir
   }
@@ -187,15 +207,16 @@ object MultimodalFixtures {
   /** Multi-frame GIF via ImageWriter.writeToSequence — each frame its
     * own image record, so `ImageReader.getNumImages` recovers the
     * generator's frame count. */
-  private def writeAnimatedGif(f: File, id: Int): Unit = {
+  private def writeAnimatedGif(f: File, id: Int, frames: Int,
+      gray: (Int, Int, Int, Int) => Int): Unit = {
     val writer = ImageIO.getImageWritersByFormatName("gif").next()
     val out = new FileImageOutputStream(f)
     try {
       writer.setOutput(out)
       writer.prepareWriteSequence(null)
-      (0 until framesOf(id)).foreach { fr =>
+      (0 until frames).foreach { fr =>
         writer.writeToSequence(
-          new javax.imageio.IIOImage(gifFrame(id, fr), null, null), null)
+          new javax.imageio.IIOImage(gifFrame(id, fr, gray), null, null), null)
       }
       writer.endWriteSequence()
     } finally {

@@ -641,6 +641,30 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("scene cuts land exactly at scene boundaries, drift stays below") {
+    val rows = Multimodal.mmSceneCuts(spark, sf).collect()
+      .map(r => (r.getAs[String]("file"), r.getAs[Int]("frame_idx")) ->
+        (r.getAs[Long]("mad_e4"), r.getAs[Boolean]("is_cut"))).toMap
+    MultimodalFixtures.sceneSpecs.foreach { case (name, _) =>
+      (1 until MultimodalFixtures.SceneFrames).foreach { f =>
+        val (mad, cut) = rows((name, f))
+        if (f % 3 == 0) {
+          assert(cut, s"$name frame $f is a scene boundary")
+          assert(mad > Multimodal.CutThresholdE4)
+        } else {
+          assert(!cut, s"$name frame $f is within-scene drift")
+          assert(mad == 10000L, s"$name frame $f: drift is exactly 1 gray")
+        }
+      }
+    }
+    // hash-noise vid* assets: every transition is a hard cut
+    MultimodalFixtures.gifSpecs.foreach { case (name, id) =>
+      (1 until MultimodalFixtures.framesOf(id)).foreach { f =>
+        assert(rows((name, f))._2, s"$name frame $f")
+      }
+    }
+  }
+
   test("WAV parse recovers the generator's audio facts exactly") {
     val rows = Multimodal.mmAudioStats(spark, sf).collect()
       .map(r => r.getAs[String]("file") -> r).toMap
