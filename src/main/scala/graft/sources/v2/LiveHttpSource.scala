@@ -232,10 +232,17 @@ class LiveHttpMicroBatchStream(scan: LiveHttpScan)
   override def reportLatestOffset(): org.apache.spark.sql.connector.read.streaming.Offset =
     PollOffset(polled.get())
   override def deserializeOffset(json: String)
-      : org.apache.spark.sql.connector.read.streaming.Offset =
-    PollOffset(""""poll"\s*:\s*(\d+)""".r.findFirstMatchIn(json)
+      : org.apache.spark.sql.connector.read.streaming.Offset = {
+    val restored = """"poll"\s*:\s*(\d+)""".r.findFirstMatchIn(json)
       .map(_.group(1).toLong)
-      .getOrElse(throw new IllegalArgumentException(s"bad offset: $json")))
+      .getOrElse(throw new IllegalArgumentException(s"bad offset: $json"))
+    // Checkpoint restart: the poll counter is process-local and starts
+    // at 0, so fast-forward it to the restored offset — otherwise
+    // latestOffset() would regress below the committed start and the
+    // stream would sit idle until the counter caught back up.
+    polled.updateAndGet(c => math.max(c, restored))
+    PollOffset(restored)
+  }
 
   /** One fetch round per poll in (start, end] — normally exactly one. */
   override def planInputPartitions(

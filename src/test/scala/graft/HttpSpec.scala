@@ -372,6 +372,50 @@ class HttpSpec extends SparkSuite {
     }
   }
 
+  test("live-fetch stream resumes from a checkpoint without offset regression") {
+    // file sink + checkpoint: stop mid-stream, restart the SAME query
+    // from the checkpoint, and the poll counter must fast-forward to
+    // the committed offset (a fresh process starts its counter at 0 —
+    // without the fast-forward, latestOffset would sit below the
+    // restored start and the stream would idle). Server readings only
+    // ever advance, so post-restart rows are provably NEW fetches.
+    val seq = new java.util.concurrent.atomic.AtomicInteger(0)
+    withServer(Map("/r" -> { ex =>
+      respond(ex, 200, s"""{"client": "solo", "reading": ${seq.incrementAndGet()}}""")
+    })) { base =>
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_live_ck").toString
+      val outDir = java.nio.file.Files.createTempDirectory("graft_live_o").toString
+      def readings(): Seq[Long] =
+        spark.read.schema("client STRING, reading BIGINT").json(outDir)
+          .collect().map(_.getAs[Long]("reading")).toSeq.sorted
+      def start() = spark.readStream.format("graft.sources.v2.LiveHttpSource")
+        .option("url", s"$base/r")
+        .option("clients", "solo")
+        .option("schemaDDL", "client STRING, reading BIGINT")
+        .load()
+        .writeStream.format("json")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(50))
+        .start()
+      def awaitRows(atLeast: Int): Unit = {
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        while (readings().size < atLeast && System.nanoTime() < deadline)
+          Thread.sleep(100)
+      }
+      val q1 = start()
+      try awaitRows(2) finally q1.stop()
+      val before = readings()
+      assert(before.size >= 2, s"first run committed polls: $before")
+      val q2 = start()
+      try awaitRows(before.size + 2) finally q2.stop()
+      val after = readings()
+      assert(after.size >= before.size + 2, "stream resumed and kept polling")
+      assert(after.distinct.size == after.size,
+        s"each committed row is a distinct live fetch: $after")
+      assert(after.max > before.max, "post-restart fetches observed fresh state")
+    }
+  }
+
   test("contract query s9_live_fetch round-trips the fixture endpoint") {
     val out = graft.ops.Semi.s9LiveFetch(spark, sf).collect()
     assert(out.length == 4)
