@@ -28,12 +28,13 @@ final case class Cron(
     val domOk = daysOfMonth(t.getDayOfMonth)
     // java.time: MONDAY=1..SUNDAY=7; cron: SUNDAY=0. Normalized to 0-6.
     val dowOk = daysOfWeek(t.getDayOfWeek.getValue % 7)
-    (domRestricted, dowRestricted) match {
-      case (true, true) => domOk || dowOk // Vixie either-match rule
-      case (true, false) => domOk
-      case (false, true) => dowOk
-      case (false, false) => true
-    }
+    // Vixie: when EITHER field carries the star flag (field begins
+    // with '*'), the day must satisfy BOTH sets — "0 0 */2 * 1" is
+    // odd-dom Mondays. Only when both are genuinely restricted does
+    // the either-match OR apply. A true "*" set contains every value,
+    // so the AND is vacuous for it.
+    if (!domRestricted || !dowRestricted) domOk && dowOk
+    else domOk || dowOk
   }
 
   def matches(instant: Instant): Boolean = {
@@ -44,13 +45,13 @@ final case class Cron(
 
   /** First fire time strictly after `after`. Walks minute-aligned time
     * with field-sized skips (month/day/hour granularity), so even a
-    * yearly schedule resolves in a few hundred steps; bails after five
-    * years (no 5-field expression has a longer gap — Feb 29 is the
-    * worst case at 4). */
+    * yearly schedule resolves in a few hundred steps; bails after nine
+    * years — the longest real gap for a 5-field expression is Feb 29
+    * across a skipped CENTURY leap year (2096 → 2104 is 8 years). */
   def nextFire(after: Instant): Instant = {
     var t = after.atZone(ZoneOffset.UTC)
       .truncatedTo(ChronoUnit.MINUTES).plusMinutes(1)
-    val limit = t.plusYears(5)
+    val limit = t.plusYears(9)
     while (t.isBefore(limit)) {
       if (!months(t.getMonthValue))
         t = t.plusMonths(1).withDayOfMonth(1).truncatedTo(ChronoUnit.DAYS)
@@ -64,7 +65,7 @@ final case class Cron(
         return t.toInstant
     }
     throw new IllegalArgumentException(
-      s"cron expression never fires within 5 years of $after")
+      s"cron expression never fires within 9 years of $after")
   }
 
   /** Lazy stream of fire times strictly after `after`. */
@@ -97,8 +98,11 @@ object Cron {
       months = parseField(mon, 1, 12, expr),
       // 0-7 with 7 folded onto Sunday=0
       daysOfWeek = parseField(dow, 0, 7, expr).map(_ % 7),
-      domRestricted = dom != "*",
-      dowRestricted = dow != "*")
+      // Vixie sets the DOM_STAR/DOW_STAR flag whenever the field BEGINS
+      // with '*' — so "*/2" is a star field (AND day semantics), not a
+      // restriction that triggers the either-match rule
+      domRestricted = !dom.startsWith("*"),
+      dowRestricted = !dow.startsWith("*"))
   }
 
   private def parseField(f: String, lo: Int, hi: Int,

@@ -238,8 +238,20 @@ object Flow {
       sleep: Long => Unit = Thread.sleep)(
       job: java.time.Instant => T): Seq[scala.util.Try[T]] = {
     val cron = Cron.parse(cronExpr)
+    // resolve each tick's fire from max(now, previous fire): sleep()
+    // granularity is milliseconds, so the clock can wake a hair BEFORE
+    // fireAt — re-deriving from the raw clock would resolve the same
+    // fire twice. Anchoring on the previous fire makes every resolved
+    // fire strictly later regardless of clock/sleep rounding, while
+    // still skipping past-due fires (no catchup) when a job overruns.
+    var prevFire: Option[java.time.Instant] = None
     (0 until ticks).map { _ =>
-      val fireAt = cron.nextFire(now()) // skips past-due fires: no catchup
+      val anchor = prevFire match {
+        case Some(p) => { val n = now(); if (n.isAfter(p)) n else p }
+        case None => now()
+      }
+      val fireAt = cron.nextFire(anchor)
+      prevFire = Some(fireAt)
       val waitMs = java.time.Duration.between(now(), fireAt).toMillis
       if (waitMs > 0) sleep(waitMs)
       scala.util.Try(withRetry(retries, retryDelayMs)(

@@ -46,6 +46,12 @@ object Multimodal {
       scala.collection.mutable.Map.empty[String, javax.imageio.ImageReader]
     def reader(fmt: String) = readers.getOrElseUpdate(fmt,
       ImageIO.getImageReadersByFormatName(fmt).next())
+    // codec handles must be released even when the consumer stops
+    // pulling early (limit/take/task failure) — the iterator-drain
+    // dispose below never runs then; the task listener always does
+    def disposeAll(): Unit = { readers.values.foreach(_.dispose()); readers.clear() }
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => disposeAll()))
     val metas = it.map { d =>
       md.reset()
       val sha = md.digest(d.content).map("%02x".format(_)).mkString
@@ -62,7 +68,7 @@ object Multimodal {
       } finally iis.close()
     }
     // dispose the codec handles once the partition is exhausted
-    metas ++ { readers.values.foreach(_.dispose()); Iterator.empty }
+    metas ++ { disposeAll(); Iterator.empty }
   }
 
   /** Container sniff by magic number — the cheap pre-decode routing
@@ -382,6 +388,9 @@ object Multimodal {
       scala.collection.mutable.Map.empty[String, javax.imageio.ImageReader]
     def reader(fmt: String) = readers.getOrElseUpdate(fmt,
       ImageIO.getImageReadersByFormatName(fmt).next())
+    def disposeAll(): Unit = { readers.values.foreach(_.dispose()); readers.clear() }
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => disposeAll()))
     val diffs = it.flatMap { d =>
       if (sniff(d.content) != "gif") Nil
       else {
@@ -405,7 +414,7 @@ object Multimodal {
         } finally iis.close()
       }
     }
-    diffs ++ { readers.values.foreach(_.dispose()); Iterator.empty }
+    diffs ++ { disposeAll(); Iterator.empty }
   }
 
   /** Shot boundary if mean |Δ| exceeds 5 gray levels — far above the
@@ -483,14 +492,16 @@ object Multimodal {
     var peak = 0; var sumSq = 0L; var n = 0L; var clipped = 0L
     while (bb.remaining() >= 8) {
       val id = fourcc(); val len = bb.getInt()
+      // RIFF chunks are word-aligned: an odd declared length carries a
+      // pad byte not counted in `len` — skipping without it misaligns
+      // every later fourcc (real WAVs ship odd-length LIST/INFO chunks)
+      val end = math.min(bb.position() + len + (len & 1), bb.limit())
       id match {
         case "fmt " =>
-          val end = bb.position() + len
           require(bb.getShort() == 1, s"$file: not PCM")
           ch = bb.getShort(); rate = bb.getInt()
           bb.getInt(); bb.getShort()
           require(bb.getShort() == 16, s"$file: not 16-bit")
-          bb.position(end)
         case "data" =>
           var i = 0
           while (i < len / 2) {
@@ -501,8 +512,9 @@ object Multimodal {
             sumSq += s.toLong * s; n += 1
             i += 1
           }
-        case _ => bb.position(bb.position() + len)
+        case _ => ()
       }
+      bb.position(end)
     }
     require(rate > 0 && ch > 0 && n > 0, s"$file: missing fmt/data chunk")
     // exact floor-sqrt of the mean square (Math.sqrt then fix-up: a

@@ -40,10 +40,15 @@ object Vector {
     Tables.embeddings(spark, sfDir)
       .withColumn("nrm2", dot("embedding", "embedding"))
 
+  /** `corpusFilter` restricts the SEARCHED side only (queries come
+    * from the unfiltered table) — the pre-filter half of metadata-
+    * filtered vector search. */
   private def scored(spark: SparkSession, sfDir: String,
-      sameLabelOnly: Boolean): DataFrame = {
-    val emb = withNorm2(spark, sfDir)
-    val qs = emb.filter(col("vec_id").isin(QueryIds.map(Int.box): _*))
+      sameLabelOnly: Boolean,
+      corpusFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val all = withNorm2(spark, sfDir)
+    val emb = corpusFilter.fold(all)(all.filter)
+    val qs = all.filter(col("vec_id").isin(QueryIds.map(Int.box): _*))
       .select(col("vec_id").as("qid"), col("embedding").as("qv"),
         col("label").as("qlabel"), col("nrm2").as("na"))
     // Query side is k rows — broadcast; the big side streams through
@@ -122,19 +127,10 @@ object Vector {
     * `In` pushed filter, not just a post-scan filter. */
   val FilteredLabels: Seq[Int] = Seq(0, 3, 6, 9)
 
-  def annFilteredTopk(spark: SparkSession, sfDir: String): DataFrame = {
-    val emb = withNorm2(spark, sfDir)
-      .filter(col("label").isin(FilteredLabels.map(Int.box): _*))
-    val qs = withNorm2(spark, sfDir)
-      .filter(col("vec_id").isin(QueryIds.map(Int.box): _*))
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
-        col("nrm2").as("na"))
-    topk(emb.crossJoin(broadcast(qs))
-      .filter(col("vec_id") =!= col("qid"))
-      .withColumn("dot", dot("qv", "embedding"))
-      .withColumn("sim", col("dot") / (sqrt(col("na")) * sqrt(col("nrm2")))),
+  def annFilteredTopk(spark: SparkSession, sfDir: String): DataFrame =
+    topk(scored(spark, sfDir, sameLabelOnly = false,
+      corpusFilter = Some(col("label").isin(FilteredLabels.map(Int.box): _*))),
       10)
-  }
 
   /** IVF-style search: the label column acts as the precomputed coarse
     * cluster assignment; each query probes only its own cell. At scale
@@ -649,12 +645,13 @@ object Vector {
     * dead/degenerate-dimension audit of an embedding pipeline (a dim
     * whose variance collapses carries no signal and poisons cosine).
     * Mean and variance come from exact integer moments on e4-snapped
-    * values (var_e8 = (n·Σx² − (Σx)²) DIV n², all BIGINT — order-
-    * independent under any partitioning, unlike float Welford). One
-    * posexplode → groupBy(dim): 64 keys, partial-agg friendly. The
-    * long budget covers ~1e6 rows per dim at e4; at 100 TB the same
-    * query runs per-shard and the (n, Σx, Σx²) triples — 24 bytes per
-    * (shard, dim) — combine exactly in DECIMAL(38). */
+    * values (var_e8 = (n·Σx² − (Σx)²) DIV n² — order-independent under
+    * any partitioning, unlike float Welford). One posexplode →
+    * groupBy(dim): 64 keys, partial-agg friendly. The BIGINT sums
+    * themselves hold to ~9e10 rows per dim at |x| ≤ 1; the n·Σx² and
+    * (Σx)² PRODUCTS would overflow a long at ~3e5 rows, so the product
+    * arithmetic runs in DECIMAL(38,0) (matching the DuckDB oracle's
+    * HUGEINT sums) — exact to ~1e12 rows per dim. */
   def embDimStats(spark: SparkSession, sfDir: String): DataFrame =
     Tables.embeddings(spark, sfDir)
       .select(posexplode(col("embedding")).as(Seq("dim", "x")))
@@ -665,7 +662,9 @@ object Vector {
         sum(col("xe4") * col("xe4")).as("sum_sq_e8"))
       .select(col("dim"), col("n"),
         floor(lit(1.0) * col("sum_e4") / col("n")).as("mean_e4"),
-        expr("(n * sum_sq_e8 - sum_e4 * sum_e4) DIV (n * n)").as("var_e8"))
+        expr("""(CAST(n AS DECIMAL(20,0)) * sum_sq_e8 -
+                 CAST(sum_e4 AS DECIMAL(20,0)) * sum_e4)
+                DIV (CAST(n AS DECIMAL(20,0)) * n)""").as("var_e8"))
       .withColumn("dead", col("var_e8") < 1000000L)
       .orderBy(col("dim"))
   val embDimStatsSql: String =

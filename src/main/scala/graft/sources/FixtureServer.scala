@@ -54,12 +54,27 @@ object FixtureServer {
     s"http://127.0.0.1:${server.getAddress.getPort}"
   }
 
+  /** The Basic credentials every route REQUIRES (admin:secret — what
+    * the s9 contract query sends). Without enforcement the oracle gate
+    * could not detect a connector that silently drops auth headers:
+    * an unauthenticated 200 would pass identically. */
+  private val RequiredAuth: String = "Basic " +
+    java.util.Base64.getEncoder.encodeToString(
+      "admin:secret".getBytes(StandardCharsets.UTF_8))
+
   /** Serve a fixture JSONL file, honoring `search` (substring match on
     * `searchField`, like AdGuard's querylog search) and `limit` query
     * params — the server-side pruning the connector's pushdown renders. */
   private def serveJsonl(ex: HttpExchange, path: String,
       searchField: String): Unit = {
     try {
+      if (Option(ex.getRequestHeaders.getFirst("Authorization"))
+          .forall(_ != RequiredAuth)) {
+        val msg = "unauthorized".getBytes(StandardCharsets.UTF_8)
+        ex.sendResponseHeaders(401, msg.length)
+        ex.getResponseBody.write(msg)
+        return
+      }
       val params = Option(ex.getRequestURI.getRawQuery).getOrElse("")
         .split("&").filter(_.contains("=")).map { kv =>
           val Array(k, v) = kv.split("=", 2)

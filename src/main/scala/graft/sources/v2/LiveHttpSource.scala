@@ -67,12 +67,17 @@ trait LiveTransport extends Serializable {
 }
 
 /** Default transport: JDK HttpClient, non-200 ⇒ IOException (V8 status
-  * guard at the source boundary — cloudflare_api.py:16-19). */
+  * guard at the source boundary — cloudflare_api.py:16-19). ONE client
+  * per executor (HttpClient is thread-safe and pools connections) —
+  * per-fetch construction would rebuild the pool and forfeit
+  * keep-alive on every poll of a large endpoint fan-out. The
+  * per-request timeout stays per-request via HttpRequest.timeout;
+  * only the connect timeout is fixed at client construction. */
 object JdkTransport extends LiveTransport {
+  @transient private lazy val client = java.net.http.HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofSeconds(10)).build()
   def fetch(url: String, headers: Map[String, String],
       timeoutMs: Long): String = {
-    val client = java.net.http.HttpClient.newBuilder()
-      .connectTimeout(java.time.Duration.ofMillis(timeoutMs)).build()
     var b = java.net.http.HttpRequest.newBuilder(URI.create(url))
       .timeout(java.time.Duration.ofMillis(timeoutMs)).GET()
     headers.foreach { case (k, v) => b = b.header(k, v) }
@@ -212,13 +217,27 @@ class LiveHttpMicroBatchStream(scan: LiveHttpScan)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   private val polled = new java.util.concurrent.atomic.AtomicLong(0L)
-  /** Trigger.AvailableNow contract: stop after exactly one more poll. */
+  /** Trigger.AvailableNow contract: stop after exactly one more poll.
+    * The cap is RESOLVED LAZILY at the first latestOffset() call, not
+    * in prepareForTriggerAvailableNow — the engine invokes the latter
+    * during plan init, BEFORE restored offsets are deserialized, and a
+    * cap taken from the process-local counter at that point would land
+    * below a restarted query's committed start offset. By the first
+    * latestOffset() the counter has been fast-forwarded. */
+  @volatile private var availableNowPending: Boolean = false
   @volatile private var availableNowCap: Long = Long.MaxValue
 
   override def initialOffset(): org.apache.spark.sql.connector.read.streaming.Offset =
     PollOffset(0L)
-  override def latestOffset(): org.apache.spark.sql.connector.read.streaming.Offset =
+  override def latestOffset(): org.apache.spark.sql.connector.read.streaming.Offset = {
+    if (availableNowPending) synchronized {
+      if (availableNowPending) {
+        availableNowCap = polled.get() + 1
+        availableNowPending = false
+      }
+    }
     PollOffset(math.min(polled.incrementAndGet(), availableNowCap))
+  }
   /** Admission-control variant (SupportsTriggerAvailableNow extends
     * SupportsAdmissionControl): a poll round is atomic — limits don't
     * subdivide it. */
@@ -228,7 +247,7 @@ class LiveHttpMicroBatchStream(scan: LiveHttpScan)
       : org.apache.spark.sql.connector.read.streaming.Offset =
     latestOffset()
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowCap = polled.get() + 1
+    availableNowPending = true
   override def reportLatestOffset(): org.apache.spark.sql.connector.read.streaming.Offset =
     PollOffset(polled.get())
   override def deserializeOffset(json: String)

@@ -58,6 +58,36 @@ class CronSpec extends AnyFunSuite {
       Seq("2024-09-13T00:00:00Z"))
   }
 
+  test("'*/n' dom/dow counts as a STAR field (Vixie), not a restriction") {
+    // "0 0 */2 * 1": Vixie sets DOM_STAR for any field beginning with
+    // '*', so day matching is dom AND dow — only odd-numbered Mondays.
+    val c = Cron.parse("0 0 */2 * 1")
+    assert(c.matches(t("2026-09-07T00:00:00Z")), "Mon Sep 7 (odd dom)")
+    assert(!c.matches(t("2026-09-01T00:00:00Z")),
+      "Tue Sep 1 matches dom but not dow: must NOT fire (no either-match)")
+    assert(!c.matches(t("2026-09-14T00:00:00Z")),
+      "Mon Sep 14 matches dow but not dom: must NOT fire")
+  }
+
+  test("Feb 29 crosses the skipped century leap year (2096 -> 2104)") {
+    val c = Cron.parse("0 0 29 2 *")
+    assert(c.nextFire(t("2096-03-01T00:00:00Z")) == t("2104-02-29T00:00:00Z"),
+      "1900-style century non-leap gaps are 8 years, not 4")
+  }
+
+  test("a tick that wakes a hair early never re-fires the same schedule slot") {
+    // clock wakes 400µs BEFORE the fire (sleep truncates to millis):
+    // the next tick must anchor on the previous fire, not the raw clock
+    var clock = t("2024-03-01T22:58:30.000000400Z")
+    val fired = scala.collection.mutable.ArrayBuffer.empty[Instant]
+    graft.ops.Flow.runRecurringCron("0 * * * *", ticks = 3,
+      now = () => clock,
+      sleep = ms => clock = clock.plusMillis(ms))(fired += _)
+    assert(fired.toSeq == Seq(t("2024-03-01T23:00:00Z"),
+      t("2024-03-02T00:00:00Z"), t("2024-03-02T01:00:00Z")),
+      s"each schedule slot exactly once: $fired")
+  }
+
   test("Feb 29 resolves to the next leap year") {
     assert(fires("0 0 29 2 *", "2023-03-01T00:00:00Z", 2) == Seq(
       "2024-02-29T00:00:00Z", "2028-02-29T00:00:00Z"))

@@ -416,6 +416,20 @@ class HttpSpec extends SparkSuite {
     }
   }
 
+  test("fixture endpoint rejects missing auth — the s9 gate really covers auth") {
+    val df = spark.read.format("graft.sources.v2.LiveHttpSource")
+      .option("url", s"${graft.sources.FixtureServer.base}/querylog")
+      .option("clients", "iowa")
+      .option("clientParam", "search")
+      .option("schemaDDL", "client STRING, oldest STRING")
+      .load()
+    val e = intercept[Throwable] { df.collect() }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: chain(t.getCause)
+    assert(chain(e).exists(_.contains("401")),
+      s"unauthenticated fetch must fail with 401: ${chain(e)}")
+  }
+
   test("contract query s9_live_fetch round-trips the fixture endpoint") {
     val out = graft.ops.Semi.s9LiveFetch(spark, sf).collect()
     assert(out.length == 4)

@@ -322,6 +322,27 @@ class ScaleSpec extends SparkSuite {
     assert(!plan.contains("l_quantity"), "unused lineitem columns pruned")
   }
 
+  test("chunk dedup survives a corpus-wide hot passage (boilerplate header)") {
+    // 2000 docs all opening with the SAME 16-token header + unique
+    // filler: one fingerprint with df = corpus size. The two-level
+    // count aggregation carries (fp, count) partials — no per-pair
+    // join exists to detonate, unlike a naive fp self-join whose hot
+    // bucket would be df² pairs. Every doc must come back flagged.
+    import spark.implicits._
+    val header = (1 to 16).map(i => s"h$i").mkString(" ")
+    (0L until 2000L).map(i =>
+      (i, header + " " + (1 to 16).map(j => s"u${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet("/tmp/graft_hot_chunk/documents.parquet")
+    val rows = graft.ops.Text.chunkDedup(spark, "/tmp/graft_hot_chunk").collect()
+    assert(rows.length == 2000)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_chunks") == 2L)
+      assert(r.getAs[Long]("n_shared") == 1L, "exactly the header is shared")
+      assert(r.getAs[Boolean]("boilerplate"), "2*shared >= chunks")
+    }
+  }
+
   test("dedup family shares one persisted shingle stage across operators") {
     // At 100 TB the shingle computation is a corpus-wide scan + typed
     // stage; minhash, incremental, simhash, and ngram-jaccard must all
