@@ -1221,19 +1221,34 @@ object Relational {
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
     val lowFirst = col("da") < col("db") ||
       (col("da") === col("db") && col("a") < col("b"))
+    // The oriented edge table feeds all three legs of the wedge join;
+    // without materialization each leg re-runs the scan + window +
+    // distinct + degree joins (exchange reuse does not canonicalize
+    // across self-join clones — same measured 3× as ngram-jaccard).
     val o = und
       .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
       .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
       .select(when(lowFirst, col("a")).otherwise(col("b")).as("u"),
         when(lowFirst, col("b")).otherwise(col("a")).as("v"))
-    val tri = o.as("e1")
-      .join(o.as("e2"), col("e2.u") === col("e1.v"))
-      .join(o.as("e3"),
-        col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
-      .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))
-    tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
-      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
-      .orderBy(col("n_triangles").desc, col("node")).limit(20)
+      .persist()
+    try {
+      val tri = o.as("e1")
+        .join(o.as("e2"), col("e2.u") === col("e1.v"))
+        .join(o.as("e3"),
+          col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
+        .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))
+      // top-20 is bounded: collect while o is cached, return a local
+      // frame (the pagerank pattern — no persist leak, and a consumer
+      // writing the result doesn't re-run the wedge join uncached)
+      import spark.implicits._
+      val top = tri
+        .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+        .orderBy(col("n_triangles").desc, col("node")).limit(20)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      top.toDF("node", "n_triangles")
+        .orderBy(col("n_triangles").desc, col("node"))
+    } finally o.unpersist(false)
   }
   val graphTrianglesSql: String =
     """WITH raw AS (
