@@ -68,3 +68,105 @@ object FreshnessProps extends Properties("Freshness") {
       !(lastSeen < lo) || (lastSeen < hi) || lo == hi
     }
 }
+
+/** Cron next-fire invariants: for ANY parseable expression and any
+  * instant, the resolved fire is strictly later, minute-aligned, and
+  * itself matches the expression; iterating fires is strictly
+  * monotone. Expressions are generated from random field subsets so
+  * the walk logic is exercised across minute/hour/dom/month/dow
+  * restrictions (not just the reference's five strings). */
+object CronProps extends Properties("Cron") {
+  import graft.ops.Cron
+
+  private def pick(lo: Int, hi: Int): Gen[String] = Gen.oneOf(
+    Gen.const("*"),
+    Gen.choose(lo, hi).map(_.toString),
+    for { a <- Gen.choose(lo, hi - 1); b <- Gen.choose(a, hi) } yield s"$a-$b",
+    Gen.choose(2, 6).map(n => s"*/$n"))
+  private val cronExpr: Gen[String] = for {
+    m <- pick(0, 59); h <- pick(0, 23); dom <- pick(1, 28)
+    mon <- pick(1, 12); dow <- pick(0, 6)
+  } yield s"$m $h $dom $mon $dow"
+  private val instant = Gen.choose(0L, 4102444800L)
+    .map(java.time.Instant.ofEpochSecond)
+
+  property("nextFire is strictly after, minute-aligned, and matches") =
+    forAll(cronExpr, instant) { (e, t) =>
+      val c = Cron.parse(e)
+      val f = c.nextFire(t)
+      f.isAfter(t) && f.getEpochSecond % 60 == 0 && c.matches(f)
+    }
+
+  property("fire sequence is strictly increasing") =
+    forAll(cronExpr, instant) { (e, t) =>
+      val fires = Cron.parse(e).fireTimes(t).take(4).toList
+      fires.zip(fires.tail).forall { case (a, b) => b.isAfter(a) }
+    }
+
+  property("no fire exists strictly between t and nextFire(t)") =
+    forAll(cronExpr, instant) { (e, t) =>
+      val c = Cron.parse(e)
+      val f = c.nextFire(t)
+      // walk every aligned minute in between (bounded: only check
+      // gaps up to 3 hours to keep the property cheap)
+      val gapMin = java.time.Duration.between(t, f).toMinutes
+      gapMin > 180 || {
+        val start = t.plusSeconds(60 - t.getEpochSecond % 60)
+          .truncatedTo(java.time.temporal.ChronoUnit.MINUTES)
+        Iterator.iterate(start)(_.plusSeconds(60))
+          .takeWhile(_.isBefore(f)).forall(m => !c.matches(m))
+      }
+    }
+}
+
+/** WAV parse properties: for ANY PCM16 stream the RIFF walker must
+  * recover the written facts exactly — including odd-length unknown
+  * chunks whose word-alignment pad byte shifts every later chunk. */
+object WavProps extends Properties("ParseWav") {
+  import graft.ops.Multimodal
+
+  private val params = for {
+    rate <- Gen.oneOf(8000, 16000, 22050, 44100)
+    ch <- Gen.choose(1, 2)
+    n <- Gen.choose(1, 400)
+    samples <- Gen.listOfN(n * ch, Gen.choose(-12000, 12000))
+    junkLen <- Gen.choose(0, 9) // odd lengths exercise the pad byte
+  } yield (rate, ch, n, samples.toArray, junkLen)
+
+  private def wav(rate: Int, ch: Int, n: Int, samples: Array[Int],
+      junkLen: Int): Array[Byte] = {
+    val dataLen = n * ch * 2
+    val junkPadded = junkLen + (junkLen & 1)
+    val bb = java.nio.ByteBuffer.allocate(44 + junkPadded + 8 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + junkPadded + 8 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(ch.toShort).putInt(rate)
+      .putInt(rate * ch * 2).putShort((ch * 2).toShort).putShort(16)
+    // unknown chunk with a possibly-odd declared length (pad byte
+    // written but not declared — the RIFF alignment rule)
+    bb.put("LIST".getBytes("US-ASCII")).putInt(junkLen)
+    (0 until junkPadded).foreach(i => bb.put((i % 7).toByte))
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(s => bb.putShort(s.toShort))
+    bb.array()
+  }
+
+  property("recovers rate/channels/frames/peak/clip through junk chunks") =
+    forAll(params) { case (rate, ch, n, samples, junkLen) =>
+      val m = Multimodal.parseWav("p.wav", wav(rate, ch, n, samples, junkLen))
+      val peak = samples.map(math.abs).max
+      val clipped = samples.count(s => math.abs(s) >= 10000)
+      m.sample_rate == rate && m.channels == ch && m.n_frames == n &&
+        m.duration_ms == n.toLong * 1000 / rate &&
+        m.peak == peak && m.n_clipped == clipped
+    }
+
+  property("rms is the exact floor sqrt of the mean square") =
+    forAll(params) { case (rate, ch, n, samples, junkLen) =>
+      val m = Multimodal.parseWav("p.wav", wav(rate, ch, n, samples, junkLen))
+      val ms = samples.map(s => s.toLong * s).sum / samples.length
+      m.rms * m.rms <= ms && (m.rms + 1) * (m.rms + 1) > ms
+    }
+}
