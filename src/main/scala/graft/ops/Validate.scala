@@ -309,7 +309,53 @@ object Validate {
            AS bin_drifted
        FROM c CROSS JOIN t ORDER BY bin"""
 
+  /** V13 — seasonal-baseline anomaly detection: each concrete
+    * (date, hour) traffic bucket is compared against the MEAN count of
+    * its own (day-of-week, hour) slot across history — the "is this
+    * Tuesday 14:00 unusual for a Tuesday 14:00" monitor, one step past
+    * V1's flat freshness bound (a weekend lull must not page, a
+    * weekday-scale burst on Sunday must). Baseline and ratio are exact
+    * integer e4 arithmetic; anomaly = 3× above or below the slot mean.
+    * Two bounded shuffles (per-bucket count, per-slot mean over ≤ 168
+    * keys), the slot table broadcast back — no fact re-shuffle. */
+  def v13SeasonalBaseline(spark: SparkSession, sfDir: String): DataFrame = {
+    val buckets = graft.Tables.events(spark, sfDir)
+      .select(to_date(col("ts")).as("day"),
+        (dayofweek(col("ts")) - 1).as("dow"), hour(col("ts")).as("hr"))
+      .groupBy(col("day"), col("dow"), col("hr"))
+      .agg(count(lit(1)).as("n_events"))
+    val slots = buckets.groupBy(col("dow"), col("hr"))
+      .agg(count(lit(1)).as("n_days"), sum(col("n_events")).as("total"))
+      .withColumn("baseline_e4",
+        expr("(total * 10000) DIV n_days"))
+    buckets.join(broadcast(slots), Seq("dow", "hr"))
+      .select(col("day").cast("string").as("day"), col("dow"), col("hr"),
+        col("n_events"), col("baseline_e4"),
+        (col("n_events") * 10000L >= col("baseline_e4") * 3L ||
+          col("n_events") * 30000L <= col("baseline_e4"))
+          .as("anomaly"))
+      .orderBy(col("day"), col("hr"))
+  }
+  val v13Sql: String =
+    """WITH b AS (
+         SELECT CAST(ts AS DATE) AS day, dayofweek(ts) AS dow,
+           CAST(hour(ts) AS INT) AS hr, count(1) AS n_events
+         FROM events GROUP BY 1, 2, 3),
+       s AS (
+         SELECT dow, hr, count(1) AS n_days,
+           CAST(sum(n_events) AS BIGINT) AS total
+         FROM b GROUP BY dow, hr)
+       SELECT CAST(b.day AS VARCHAR) AS day, CAST(b.dow AS INT) AS dow,
+         b.hr AS hr, CAST(b.n_events AS BIGINT) AS n_events,
+         CAST((total * 10000) // n_days AS BIGINT) AS baseline_e4,
+         (b.n_events * 10000 >= ((total * 10000) // n_days) * 3
+          OR b.n_events * 30000 <= ((total * 10000) // n_days))
+           AS anomaly
+       FROM b JOIN s ON b.dow = s.dow AND b.hr = s.hr
+       ORDER BY day, hr"""
+
   val queries: Map[String, QFn] = Map(
+    "v13_seasonal_baseline" -> v13SeasonalBaseline,
     "v12_psi_drift" -> v12PsiDrift,
     "v11_zscore_outliers" -> v11ZscoreOutliers,
     "v1_freshness" -> v1Freshness,
@@ -324,6 +370,7 @@ object Validate {
     "v10_nonempty" -> v10NonEmpty)
 
   val oracles: Map[String, String] = Map(
+    "v13_seasonal_baseline" -> v13Sql,
     "v12_psi_drift" -> v12Sql,
     "v11_zscore_outliers" -> v11Sql,
     "v1_freshness" -> v1Sql,

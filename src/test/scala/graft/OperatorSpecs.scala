@@ -45,6 +45,22 @@ class ValidateSpec extends SparkSuite {
       .filter(col("bin_drifted")).isEmpty)
   }
 
+  test("v13 seasonal baseline: slot means exact, anomaly rule symmetric") {
+    val rows = ops.Validate.v13SeasonalBaseline(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // recompute one slot's baseline by hand from the output itself
+    val bySlot = rows.groupBy(r => (r.getAs[Int]("dow"), r.getAs[Int]("hr")))
+    bySlot.foreach { case (_, rs) =>
+      val mean_e4 = rs.map(_.getAs[Long]("n_events")).sum * 10000L / rs.length
+      rs.foreach { r =>
+        assert(r.getAs[Long]("baseline_e4") == mean_e4)
+        val n = r.getAs[Long]("n_events")
+        assert(r.getAs[Boolean]("anomaly") ==
+          (n * 10000L >= mean_e4 * 3 || n * 30000L <= mean_e4))
+      }
+    }
+  }
+
   test("v11 z-score flags only genuine outliers, symmetric in sign") {
     val rows = Validate.v11ZscoreOutliers(spark, sf).collect()
     assert(rows.nonEmpty, "sf0.001 events should contain |z|>3 outliers")
