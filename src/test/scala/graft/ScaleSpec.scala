@@ -360,6 +360,39 @@ class ScaleSpec extends SparkSuite {
     }
   }
 
+  test("no shuffle carries wide payloads: bodies, chunks, and pixels stay put") {
+    // The structural scale invariant behind the dedup/multimodal
+    // family: exchanges move digests and counters, never document
+    // bodies, chunk text, or binary content. Asserted on the actual
+    // ShuffleExchangeExec output attributes, so a refactor that
+    // accidentally shuffles a wide column fails here before it ships.
+    def shuffledCols(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      val plan = df.queryExecution.executedPlan
+      (plan +: plan.subqueries).flatMap(_.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          e.output.map(_.name.toLowerCase)
+      }.flatten)
+    }
+    val noBody = Map(
+      "dedup_exact" -> graft.ops.Dedup.exactDedup(spark, sf),
+      "dedup_keep_best" -> graft.ops.Dedup.keepBest(spark, sf),
+      "t_chunk_dedup" -> graft.ops.Text.chunkDedup(spark, sf))
+    noBody.foreach { case (name, df) =>
+      val cols = shuffledCols(df)
+      assert(!cols.exists(c => c.startsWith("text") || c.startsWith("chunk_text")),
+        s"$name must not shuffle document/chunk text: $cols")
+    }
+    val mm = Map(
+      "mm_metadata" -> graft.ops.Multimodal.mmMetadata(spark, sf),
+      "mm_phash_dedup" -> graft.ops.Multimodal.mmPhashDedup(spark, sf),
+      "mm_audio_stats" -> graft.ops.Multimodal.mmAudioStats(spark, sf))
+    mm.foreach { case (name, df) =>
+      val cols = shuffledCols(df)
+      assert(!cols.exists(_.startsWith("content")),
+        s"$name must not shuffle binary content: $cols")
+    }
+  }
+
   test("filtered ANN pushes the label IN-list into the parquet scan") {
     // pre-filter vector search: the metadata predicate must restrict
     // the corpus AT THE SCAN (with a label-partitioned table this is
