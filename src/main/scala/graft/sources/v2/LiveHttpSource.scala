@@ -325,6 +325,12 @@ class LiveHttpReader(schema: StructType, filters: Array[Filter], limit: Int,
         case IntegerType => n.asInt()
         case BooleanType => n.asBoolean()
         case DoubleType => n.asDouble()
+        case TimestampType =>
+          // ISO-8601 with offset — both the reference's
+          // "+00:00"-suffixed payloads and plain "Z" instants
+          val odt = java.time.OffsetDateTime.parse(n.asText())
+          val i = odt.toInstant
+          i.getEpochSecond * 1000000L + i.getNano / 1000L
         case dt => throw new UnsupportedOperationException(dt.simpleString)
       }
     })

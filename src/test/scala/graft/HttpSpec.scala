@@ -372,6 +372,53 @@ class HttpSpec extends SparkSuite {
     }
   }
 
+  test("live poll rounds feed a watermarked windowed agg end-to-end") {
+    // The full production pipeline in one query: the cron'd monitoring
+    // fetch (live DSv2 micro-batch source) -> event-time watermark ->
+    // tumbling-window aggregation -> Append sink. The server stamps
+    // each reading with an advancing event time (+20 s per poll), so
+    // the watermark crosses the first window's end after a few polls
+    // and Append emits it FINALIZED — asserting the whole chain:
+    // live fetch, event-time extraction, state, watermark eviction.
+    val seq = new java.util.concurrent.atomic.AtomicInteger(0)
+    withServer(Map("/m" -> { ex =>
+      val n = seq.incrementAndGet()
+      val ts = java.time.Instant.parse("2024-01-01T00:00:00Z")
+        .plusSeconds(20L * n)
+      respond(ex, 200, s"""{"client": "solo", "reading": $n, "ts": "$ts"}""")
+    })) { base =>
+      val windowed = spark.readStream
+        .format("graft.sources.v2.LiveHttpSource")
+        .option("url", s"$base/m")
+        .option("clients", "solo")
+        .option("schemaDDL", "client STRING, reading BIGINT, ts TIMESTAMP")
+        .load()
+        .withWatermark("ts", "1 second")
+        .groupBy(window(col("ts"), "1 minute"), col("client"))
+        .agg(count(lit(1)).as("n"), max(col("reading")).as("max_reading"))
+        .select(col("window.start").cast("string").as("ws"), col("client"),
+          col("n"), col("max_reading"))
+      val q = windowed.writeStream.format("memory")
+        .queryName("graft_live_windowed")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(50))
+        .start()
+      try {
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        while (spark.table("graft_live_windowed").count() < 1 &&
+            System.nanoTime() < deadline)
+          Thread.sleep(100)
+      } finally q.stop()
+      val rows = spark.table("graft_live_windowed").collect()
+      assert(rows.nonEmpty, "a finalized window must have been emitted")
+      val first = rows.minBy(_.getAs[String]("ws"))
+      // window [00:00, 01:00) holds readings 1 (00:00:20) and 2 (00:00:40)
+      assert(first.getAs[String]("ws") == "2024-01-01 00:00:00")
+      assert(first.getAs[Long]("n") == 2L)
+      assert(first.getAs[Long]("max_reading") == 2L)
+    }
+  }
+
   test("live-fetch stream resumes from a checkpoint without offset regression") {
     // file sink + checkpoint: stop mid-stream, restart the SAME query
     // from the checkpoint, and the poll counter must fast-forward to
