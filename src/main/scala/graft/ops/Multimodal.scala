@@ -223,6 +223,91 @@ object Multimodal {
         ORDER BY file"""
   }
 
+  /** Deterministic nearest-neighbor resize (integer index map — no
+    * interpolation, so executor and oracle builder produce identical
+    * pixels from identical inputs). */
+  def resizeNearest(img: BufferedImage, ow: Int, oh: Int): BufferedImage = {
+    val out = new BufferedImage(ow, oh, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < oh) {
+      var x = 0
+      while (x < ow) {
+        out.setRGB(x, y,
+          img.getRGB(x * img.getWidth / ow, y * img.getHeight / oh))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Fit-224 target dims — the same arithmetic as [[mmResizePlan]]. */
+  def fitDims(w: Int, h: Int): (Int, Int) = {
+    val scale = math.min(224.0 / w, 224.0 / h)
+    (math.max(1, math.floor(w * scale).toInt),
+      math.max(1, math.floor(h * scale).toInt))
+  }
+
+  /** Per-file thumbnail facts: executed resize, not just the plan. */
+  case class ThumbMeta(file: String, out_w: Int, out_h: Int,
+      thumb_phash: String)
+
+  /** `mm_thumbnail`: the EXECUTED half of the resize stage — decode
+    * frame 0, nearest-neighbor resize into the fit-224 box, perceptual
+    * hash of the REAL resized pixels. Runs in the same per-partition
+    * decode pass as everything else (reusable reader handle, pixels
+    * die in the scan stage; only (file, dims, hash) rows move). The
+    * oracle replays the identical decode+resize+hash functions over
+    * the committed fixture bytes — same JVM code on both sides, so the
+    * resized pixels are bit-identical by construction. */
+  def mmThumbnail(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = MultimodalFixtures.ensure()
+    spark.read.format("binaryFile").load(dir)
+      .select(regexp_extract(col("path"), "[^/]+$", 0).as("file"),
+        col("content"))
+      .as[ImgBin]
+      .mapPartitions { it =>
+        val readers =
+          scala.collection.mutable.Map.empty[String, javax.imageio.ImageReader]
+        def reader(fmt: String) = readers.getOrElseUpdate(fmt,
+          ImageIO.getImageReadersByFormatName(fmt).next())
+        def disposeAll(): Unit = {
+          readers.values.foreach(_.dispose()); readers.clear()
+        }
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => disposeAll()))
+        val out = it.map { d =>
+          val r = reader(sniff(d.content))
+          val iis =
+            ImageIO.createImageInputStream(new ByteArrayInputStream(d.content))
+          try {
+            r.setInput(iis, false, true)
+            val img = r.read(0)
+            val (ow, oh) = fitDims(img.getWidth, img.getHeight)
+            ThumbMeta(d.file, ow, oh,
+              f"${aHash(resizeNearest(img, ow, oh))}%016x")
+          } finally iis.close()
+        }
+        out ++ { disposeAll(); Iterator.empty }
+      }
+      .toDF()
+      .orderBy(col("file"))
+  }
+  /** Oracle: identical decode + resize + hash over the fixture bytes. */
+  def mmThumbnailSql: String = {
+    val rows = groundTruth.map { case (name, _, _, _, _) =>
+      val img = ImageIO.read(new ByteArrayInputStream(fileBytes(name)))
+      val (ow, oh) = fitDims(img.getWidth, img.getHeight)
+      s"('$name', $ow, $oh, '${f"${aHash(resizeNearest(img, ow, oh))}%016x"}')"
+    }
+    s"""SELECT file, CAST(out_w AS INT) AS out_w, CAST(out_h AS INT) AS out_h,
+         thumb_phash
+       FROM (VALUES ${rows.mkString(", ")})
+         AS t(file, out_w, out_h, thumb_phash)
+       ORDER BY file"""
+  }
+
   /** Binary feature extraction straight off the opaque bytes column:
     * magic-number head, trailer, content digest — the container-probe
     * stage before a full decode routes by format. */
@@ -583,6 +668,7 @@ object Multimodal {
     "mm_phash_near" -> mmPhashNear,
     "mm_audio_stats" -> mmAudioStats,
     "mm_scene_cuts" -> mmSceneCuts,
+    "mm_thumbnail" -> mmThumbnail,
     "mm_metadata" -> mmMetadata,
     "mm_frame_sample" -> mmFrameSample,
     "mm_resize_plan" -> mmResizePlan,
@@ -593,6 +679,7 @@ object Multimodal {
     "mm_phash_near" -> mmPhashNearSql,
     "mm_audio_stats" -> mmAudioStatsSql,
     "mm_scene_cuts" -> mmSceneCutsSql,
+    "mm_thumbnail" -> mmThumbnailSql,
     "mm_metadata" -> mmMetadataSql,
     "mm_frame_sample" -> mmFrameSampleSql,
     "mm_resize_plan" -> mmResizePlanSql,

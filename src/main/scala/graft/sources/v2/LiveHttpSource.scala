@@ -331,6 +331,8 @@ class LiveHttpReader(schema: StructType, filters: Array[Filter], limit: Int,
           val odt = java.time.OffsetDateTime.parse(n.asText())
           val i = odt.toInstant
           i.getEpochSecond * 1000000L + i.getNano / 1000L
+        case DateType =>
+          java.time.LocalDate.parse(n.asText()).toEpochDay.toInt
         case dt => throw new UnsupportedOperationException(dt.simpleString)
       }
     })

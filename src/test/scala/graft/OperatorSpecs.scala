@@ -657,6 +657,29 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("executed thumbnails match the plan dims and a direct JVM resize") {
+    val plans = Multimodal.mmResizePlan(spark, sf).collect()
+      .map(r => r.getAs[String]("file") ->
+        (r.getAs[Long]("out_w"), r.getAs[Long]("out_h"))).toMap
+    val rows = Multimodal.mmThumbnail(spark, sf).collect()
+    assert(rows.length == plans.size, "one thumbnail per asset")
+    rows.foreach { r =>
+      val f = r.getAs[String]("file")
+      // executed dims equal the planning operator's dims exactly
+      assert((r.getAs[Int]("out_w").toLong, r.getAs[Int]("out_h").toLong)
+        == plans(f), s"$f dims")
+      // hash of REAL resized pixels: recompute directly in the test JVM
+      val bytes = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(MultimodalFixtures.Dir, f))
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      val (ow, oh) = Multimodal.fitDims(img.getWidth, img.getHeight)
+      val want =
+        f"${Multimodal.aHash(Multimodal.resizeNearest(img, ow, oh))}%016x"
+      assert(r.getAs[String]("thumb_phash") == want, s"$f thumb hash")
+    }
+  }
+
   test("scene cuts land exactly at scene boundaries, drift stays below") {
     val rows = Multimodal.mmSceneCuts(spark, sf).collect()
       .map(r => (r.getAs[String]("file"), r.getAs[Int]("frame_idx")) ->
