@@ -602,13 +602,123 @@ object Multimodal {
       bb.position(end)
     }
     require(rate > 0 && ch > 0 && n > 0, s"$file: missing fmt/data chunk")
-    // exact floor-sqrt of the mean square (Math.sqrt then fix-up: a
-    // double can misround the 53-bit boundary; the while loops cannot)
-    val ms = sumSq / n
-    var r = math.sqrt(ms.toDouble).toLong
-    while (r * r > ms) r -= 1
-    while ((r + 1) * (r + 1) <= ms) r += 1
-    AudioMeta(file, rate, ch, n / ch, n / ch * 1000L / rate, peak, r, clipped)
+    AudioMeta(file, rate, ch, n / ch, n / ch * 1000L / rate, peak,
+      isqrt(sumSq / n), clipped)
+  }
+
+  /** Exact floor-sqrt (Math.sqrt then fix-up: a double can misround
+    * the 53-bit boundary; the while loops cannot). */
+  def isqrt(v: Long): Long = {
+    var r = math.sqrt(v.toDouble).toLong
+    while (r * r > v) r -= 1
+    while ((r + 1) * (r + 1) <= v) r += 1
+    r
+  }
+
+  /** One 100 ms loudness window of one audio file. */
+  case class AudioWindow(file: String, win_idx: Int, n_frames: Long,
+      peak: Int, rms: Long, n_clipped: Long)
+
+  /** Decode the PCM payload into per-channel-interleaved samples plus
+    * (rate, channels). Materializes ONE file's samples at a time —
+    * bounded by the asset size, the same per-row memory contract as
+    * the image decode. */
+  def wavSamples(file: String, bytes: Array[Byte]): (Int, Int, Array[Short]) = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(): String = {
+      val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
+    }
+    require(fourcc() == "RIFF", s"$file: not RIFF"); bb.getInt()
+    require(fourcc() == "WAVE", s"$file: not WAVE")
+    var rate = 0; var ch = 0
+    var samples: Array[Short] = null
+    while (bb.remaining() >= 8) {
+      val id = fourcc(); val len = bb.getInt()
+      val end = math.min(bb.position() + len + (len & 1), bb.limit())
+      id match {
+        case "fmt " =>
+          require(bb.getShort() == 1, s"$file: not PCM")
+          ch = bb.getShort(); rate = bb.getInt()
+          bb.getInt(); bb.getShort()
+          require(bb.getShort() == 16, s"$file: not 16-bit")
+        case "data" =>
+          samples = Array.ofDim[Short](len / 2)
+          var i = 0
+          while (i < samples.length) { samples(i) = bb.getShort(); i += 1 }
+        case _ => ()
+      }
+      bb.position(end)
+    }
+    require(rate > 0 && ch > 0 && samples != null,
+      s"$file: missing fmt/data chunk")
+    (rate, ch, samples)
+  }
+
+  /** `mm_audio_windows`: the TEMPORAL half of the audio modality
+    * (frame sampling's analogue) — 100 ms loudness windows per file,
+    * each with exact integer peak / floor-isqrt RMS / clip counts.
+    * The segment-level feature row an audio pipeline feeds to VAD or
+    * loudness normalization. Samples die in the scan stage. */
+  def mmAudioWindows(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = MultimodalFixtures.ensureAudio()
+    spark.read.format("binaryFile").load(dir)
+      .select(regexp_extract(col("path"), "[^/]+$", 0).as("file"),
+        col("content"))
+      .as[ImgBin]
+      .mapPartitions(_.flatMap(d => audioWindows(d.file, d.content)))
+      .toDF()
+      .orderBy(col("file"), col("win_idx"))
+  }
+  private[ops] def audioWindows(file: String,
+      bytes: Array[Byte]): Seq[AudioWindow] = {
+    val (rate, ch, samples) = wavSamples(file, bytes)
+    val nFrames = samples.length / ch
+    val winFrames = math.max(1, rate / 10)
+    (0 until (nFrames + winFrames - 1) / winFrames).map { w =>
+      val from = w * winFrames
+      val until = math.min(from + winFrames, nFrames)
+      var peak = 0; var sumSq = 0L; var clipped = 0L
+      var i = from * ch
+      while (i < until * ch) {
+        val s = samples(i).toInt; val a = math.abs(s)
+        if (a > peak) peak = a
+        if (a >= 10000) clipped += 1
+        sumSq += s.toLong * s
+        i += 1
+      }
+      AudioWindow(file, w, until - from, peak,
+        isqrt(sumSq / ((until - from).toLong * ch)), clipped)
+    }
+  }
+  /** Oracle replays the sample generator per window. */
+  def mmAudioWindowsSql: String = {
+    val rows = MultimodalFixtures.audioSpecs.flatMap { case (name, id) =>
+      val ch = MultimodalFixtures.channelsOf(id)
+      val nf = MultimodalFixtures.audioFramesOf(id)
+      val winFrames = math.max(1, MultimodalFixtures.rateOf(id) / 10)
+      (0 until (nf + winFrames - 1) / winFrames).map { w =>
+        val from = w * winFrames
+        val until = math.min(from + winFrames, nf)
+        var peak = 0; var sumSq = 0L; var clipped = 0L
+        for (i <- from until until; c <- 0 until ch) {
+          val s = MultimodalFixtures.sampleOf(id, c, i)
+          val a = math.abs(s)
+          if (a > peak) peak = a
+          if (a >= 10000) clipped += 1
+          sumSq += s.toLong * s
+        }
+        val rms = isqrt(sumSq / ((until - from).toLong * ch))
+        s"('$name', $w, ${until - from}, $peak, $rms, $clipped)"
+      }
+    }
+    s"""SELECT file, CAST(win_idx AS INT) AS win_idx,
+         CAST(n_frames AS BIGINT) AS n_frames, CAST(peak AS INT) AS peak,
+         CAST(rms AS BIGINT) AS rms, CAST(n_clipped AS BIGINT) AS n_clipped
+       FROM (VALUES ${rows.mkString(", ")})
+         AS t(file, win_idx, n_frames, peak, rms, n_clipped)
+       ORDER BY file, win_idx"""
   }
 
   /** `mm_audio_stats`: binary scan over the WAV fixtures → one-pass
@@ -645,12 +755,8 @@ object Multimodal {
         sumSq += s.toLong * s
       }
       val n = nf.toLong * ch
-      val ms = sumSq / n
-      var r = math.sqrt(ms.toDouble).toLong
-      while (r * r > ms) r -= 1
-      while ((r + 1) * (r + 1) <= ms) r += 1
       s"('$name', $rate, $ch, ${nf.toLong}, ${nf.toLong * 1000L / rate}, " +
-        s"$peak, $r, $clipped, ${clipped > 0})"
+        s"$peak, ${isqrt(sumSq / n)}, $clipped, ${clipped > 0})"
     }
     s"""SELECT file, CAST(sample_rate AS INT) AS sample_rate,
          CAST(channels AS INT) AS channels,
@@ -667,6 +773,7 @@ object Multimodal {
     "mm_phash_dedup" -> mmPhashDedup,
     "mm_phash_near" -> mmPhashNear,
     "mm_audio_stats" -> mmAudioStats,
+    "mm_audio_windows" -> mmAudioWindows,
     "mm_scene_cuts" -> mmSceneCuts,
     "mm_thumbnail" -> mmThumbnail,
     "mm_metadata" -> mmMetadata,
@@ -678,6 +785,7 @@ object Multimodal {
     "mm_phash_dedup" -> mmPhashDedupSql,
     "mm_phash_near" -> mmPhashNearSql,
     "mm_audio_stats" -> mmAudioStatsSql,
+    "mm_audio_windows" -> mmAudioWindowsSql,
     "mm_scene_cuts" -> mmSceneCutsSql,
     "mm_thumbnail" -> mmThumbnailSql,
     "mm_metadata" -> mmMetadataSql,

@@ -723,6 +723,29 @@ class MultimodalSpec extends SparkSuite {
     assert(rows.values.map(_.getAs[Int]("channels")).toSet == Set(1, 2))
   }
 
+  test("audio windows tile each file exactly and reconcile with global stats") {
+    val stats = Multimodal.mmAudioStats(spark, sf).collect()
+      .map(r => r.getAs[String]("file") -> r).toMap
+    val wins = Multimodal.mmAudioWindows(spark, sf).collect()
+      .groupBy(_.getAs[String]("file"))
+    assert(wins.keySet == stats.keySet)
+    wins.foreach { case (f, ws) =>
+      val g = stats(f)
+      // windows partition the frames exactly, indices contiguous
+      assert(ws.map(_.getAs[Int]("win_idx")).sorted.toSeq ==
+        (0 until ws.length))
+      assert(ws.map(_.getAs[Long]("n_frames")).sum == g.getAs[Long]("n_frames"))
+      // global peak/clip counts are the window-wise max/sum
+      assert(ws.map(_.getAs[Int]("peak")).max == g.getAs[Int]("peak"))
+      assert(ws.map(_.getAs[Long]("n_clipped")).sum == g.getAs[Long]("n_clipped"))
+      // every full window holds exactly rate/10 frames
+      ws.filter(_.getAs[Int]("win_idx") < ws.length - 1).foreach { w =>
+        val id = MultimodalFixtures.audioSpecs.find(_._1 == f).get._2
+        assert(w.getAs[Long]("n_frames") == MultimodalFixtures.rateOf(id) / 10)
+      }
+    }
+  }
+
   test("frame sample emits evenly spaced frames per animated asset") {
     val df = Multimodal.mmFrameSample(spark, sf)
     val counts = df.groupBy("file").count()
