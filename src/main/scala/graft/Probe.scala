@@ -42,10 +42,12 @@ object Probe {
       "corpus_filter_funnel")
     val sel = if (args.nonEmpty) args.toSeq else defaults
     val results = sel.map { name =>
-      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       val rows =
-        try fn(spark, dir).count()
+        try SparkEntry.queries.get(name) match {
+          case Some(fn) => fn(spark, dir).count()
+          case None => sys.error(s"unknown query '$name'")
+        }
         catch { case e: Throwable =>
           System.err.println(s"[probe] $name FAILED: ${e.getMessage}"); -1L
         }

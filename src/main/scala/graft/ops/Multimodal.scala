@@ -40,19 +40,30 @@ object Multimodal {
 
   /** Per-partition decode: one reusable reader per container format,
     * one digest instance, disposed when the partition drains. */
-  def decodePartition(it: Iterator[ImgBin]): Iterator[ImgMeta] = {
-    val md = java.security.MessageDigest.getInstance("SHA-256")
+  /** Per-partition decode harness: one reusable `ImageReader` handle
+    * per container format, disposed BOTH when the partition drains and
+    * on early termination (limit/take/task failure) via a
+    * TaskCompletionListener — the iterator-drain dispose never runs
+    * then. All three decode passes (metadata, frame differencing,
+    * thumbnails) share this lifecycle so a fix lands once. */
+  private def withReaders[T](it: Iterator[ImgBin])(
+      f: (ImgBin, String => javax.imageio.ImageReader) => IterableOnce[T])
+      : Iterator[T] = {
     val readers =
       scala.collection.mutable.Map.empty[String, javax.imageio.ImageReader]
     def reader(fmt: String) = readers.getOrElseUpdate(fmt,
       ImageIO.getImageReadersByFormatName(fmt).next())
-    // codec handles must be released even when the consumer stops
-    // pulling early (limit/take/task failure) — the iterator-drain
-    // dispose below never runs then; the task listener always does
-    def disposeAll(): Unit = { readers.values.foreach(_.dispose()); readers.clear() }
+    def disposeAll(): Unit = {
+      readers.values.foreach(_.dispose()); readers.clear()
+    }
     Option(org.apache.spark.TaskContext.get())
       .foreach(_.addTaskCompletionListener[Unit](_ => disposeAll()))
-    val metas = it.map { d =>
+    it.flatMap(d => f(d, reader)) ++ { disposeAll(); Iterator.empty }
+  }
+
+  def decodePartition(it: Iterator[ImgBin]): Iterator[ImgMeta] = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    withReaders(it) { (d, reader) =>
       md.reset()
       val sha = md.digest(d.content).map("%02x".format(_)).mkString
       val fmt = sniff(d.content)
@@ -63,12 +74,10 @@ object Multimodal {
         r.setInput(iis, false, true)
         val frames = r.getNumImages(true)
         val img = r.read(0)
-        ImgMeta(d.file, d.content.length, sha, fmt,
-          img.getWidth, img.getHeight, frames, f"${aHash(img)}%016x")
+        Seq(ImgMeta(d.file, d.content.length, sha, fmt,
+          img.getWidth, img.getHeight, frames, f"${aHash(img)}%016x"))
       } finally iis.close()
     }
-    // dispose the codec handles once the partition is exhausted
-    metas ++ { disposeAll(); Iterator.empty }
   }
 
   /** Container sniff by magic number — the cheap pre-decode routing
@@ -267,30 +276,18 @@ object Multimodal {
       .select(regexp_extract(col("path"), "[^/]+$", 0).as("file"),
         col("content"))
       .as[ImgBin]
-      .mapPartitions { it =>
-        val readers =
-          scala.collection.mutable.Map.empty[String, javax.imageio.ImageReader]
-        def reader(fmt: String) = readers.getOrElseUpdate(fmt,
-          ImageIO.getImageReadersByFormatName(fmt).next())
-        def disposeAll(): Unit = {
-          readers.values.foreach(_.dispose()); readers.clear()
-        }
-        Option(org.apache.spark.TaskContext.get())
-          .foreach(_.addTaskCompletionListener[Unit](_ => disposeAll()))
-        val out = it.map { d =>
-          val r = reader(sniff(d.content))
-          val iis =
-            ImageIO.createImageInputStream(new ByteArrayInputStream(d.content))
-          try {
-            r.setInput(iis, false, true)
-            val img = r.read(0)
-            val (ow, oh) = fitDims(img.getWidth, img.getHeight)
-            ThumbMeta(d.file, ow, oh,
-              f"${aHash(resizeNearest(img, ow, oh))}%016x")
-          } finally iis.close()
-        }
-        out ++ { disposeAll(); Iterator.empty }
-      }
+      .mapPartitions(it => withReaders(it) { (d, reader) =>
+        val r = reader(sniff(d.content))
+        val iis =
+          ImageIO.createImageInputStream(new ByteArrayInputStream(d.content))
+        try {
+          r.setInput(iis, false, true)
+          val img = r.read(0)
+          val (ow, oh) = fitDims(img.getWidth, img.getHeight)
+          Seq(ThumbMeta(d.file, ow, oh,
+            f"${aHash(resizeNearest(img, ow, oh))}%016x"))
+        } finally iis.close()
+      })
       .toDF()
       .orderBy(col("file"))
   }
@@ -468,15 +465,8 @@ object Multimodal {
     * every consecutive frame pair → mean absolute luminance delta.
     * All integer arithmetic; only (file, idx, mad) rows leave the
     * decode stage — at scale, frames never shuffle. */
-  def frameDiffPartition(it: Iterator[ImgBin]): Iterator[FrameDiff] = {
-    val readers =
-      scala.collection.mutable.Map.empty[String, javax.imageio.ImageReader]
-    def reader(fmt: String) = readers.getOrElseUpdate(fmt,
-      ImageIO.getImageReadersByFormatName(fmt).next())
-    def disposeAll(): Unit = { readers.values.foreach(_.dispose()); readers.clear() }
-    Option(org.apache.spark.TaskContext.get())
-      .foreach(_.addTaskCompletionListener[Unit](_ => disposeAll()))
-    val diffs = it.flatMap { d =>
+  def frameDiffPartition(it: Iterator[ImgBin]): Iterator[FrameDiff] =
+    withReaders(it) { (d, reader) =>
       if (sniff(d.content) != "gif") Nil
       else {
         val r = reader("gif")
@@ -499,8 +489,6 @@ object Multimodal {
         } finally iis.close()
       }
     }
-    diffs ++ { disposeAll(); Iterator.empty }
-  }
 
   /** Shot boundary if mean |Δ| exceeds 5 gray levels — far above the
     * scn* within-scene drift (exactly 1) and far below any hash-noise
@@ -561,47 +549,21 @@ object Multimodal {
       n_frames: Long, duration_ms: Long, peak: Int, rms: Long,
       n_clipped: Long)
 
-  /** Walk RIFF chunks (fmt → rate/channels/bits, data → PCM16 LE
-    * samples). Chunk-generic: unknown chunks are skipped by their
-    * declared length, the WAV promise is only RIFF/WAVE + PCM16. */
+  /** Per-file global audio facts, derived from THE one RIFF walker
+    * ([[wavSamples]]) so the stats and the windowed view can never
+    * disagree about what the payload contains. */
   def parseWav(file: String, bytes: Array[Byte]): AudioMeta = {
-    val bb = java.nio.ByteBuffer.wrap(bytes)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    def fourcc(): String = {
-      val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
+    val (rate, ch, samples) = wavSamples(file, bytes)
+    var peak = 0; var sumSq = 0L; var clipped = 0L
+    var i = 0
+    while (i < samples.length) {
+      val s = samples(i).toInt; val a = math.abs(s)
+      if (a > peak) peak = a
+      if (a >= 10000) clipped += 1
+      sumSq += s.toLong * s
+      i += 1
     }
-    require(fourcc() == "RIFF", s"$file: not RIFF")
-    bb.getInt()
-    require(fourcc() == "WAVE", s"$file: not WAVE")
-    var rate = 0; var ch = 0
-    var peak = 0; var sumSq = 0L; var n = 0L; var clipped = 0L
-    while (bb.remaining() >= 8) {
-      val id = fourcc(); val len = bb.getInt()
-      // RIFF chunks are word-aligned: an odd declared length carries a
-      // pad byte not counted in `len` — skipping without it misaligns
-      // every later fourcc (real WAVs ship odd-length LIST/INFO chunks)
-      val end = math.min(bb.position() + len + (len & 1), bb.limit())
-      id match {
-        case "fmt " =>
-          require(bb.getShort() == 1, s"$file: not PCM")
-          ch = bb.getShort(); rate = bb.getInt()
-          bb.getInt(); bb.getShort()
-          require(bb.getShort() == 16, s"$file: not 16-bit")
-        case "data" =>
-          var i = 0
-          while (i < len / 2) {
-            val s = bb.getShort().toInt
-            val a = math.abs(s)
-            if (a > peak) peak = a
-            if (a >= 10000) clipped += 1
-            sumSq += s.toLong * s; n += 1
-            i += 1
-          }
-        case _ => ()
-      }
-      bb.position(end)
-    }
-    require(rate > 0 && ch > 0 && n > 0, s"$file: missing fmt/data chunk")
+    val n = samples.length.toLong
     AudioMeta(file, rate, ch, n / ch, n / ch * 1000L / rate, peak,
       isqrt(sumSq / n), clipped)
   }
@@ -619,10 +581,13 @@ object Multimodal {
   case class AudioWindow(file: String, win_idx: Int, n_frames: Long,
       peak: Int, rms: Long, n_clipped: Long)
 
-  /** Decode the PCM payload into per-channel-interleaved samples plus
-    * (rate, channels). Materializes ONE file's samples at a time —
-    * bounded by the asset size, the same per-row memory contract as
-    * the image decode. */
+  /** THE RIFF chunk walker: decode the PCM payload into interleaved
+    * samples plus (rate, channels). Chunk-generic — unknown chunks are
+    * skipped by declared length + the word-alignment pad byte (an odd
+    * `len` carries a pad not counted in it; real WAVs ship odd-length
+    * LIST/INFO chunks), multiple data chunks concatenate. Materializes
+    * ONE file's samples at a time — bounded by the asset size, the
+    * same per-row memory contract as the image decode. */
   def wavSamples(file: String, bytes: Array[Byte]): (Int, Int, Array[Short]) = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -632,7 +597,8 @@ object Multimodal {
     require(fourcc() == "RIFF", s"$file: not RIFF"); bb.getInt()
     require(fourcc() == "WAVE", s"$file: not WAVE")
     var rate = 0; var ch = 0
-    var samples: Array[Short] = null
+    val samples = scala.collection.mutable.ArrayBuilder.make[Short]
+    var nSamples = 0L
     while (bb.remaining() >= 8) {
       val id = fourcc(); val len = bb.getInt()
       val end = math.min(bb.position() + len + (len & 1), bb.limit())
@@ -643,16 +609,16 @@ object Multimodal {
           bb.getInt(); bb.getShort()
           require(bb.getShort() == 16, s"$file: not 16-bit")
         case "data" =>
-          samples = Array.ofDim[Short](len / 2)
           var i = 0
-          while (i < samples.length) { samples(i) = bb.getShort(); i += 1 }
+          while (i < len / 2) { samples += bb.getShort(); i += 1 }
+          nSamples += len / 2
         case _ => ()
       }
       bb.position(end)
     }
-    require(rate > 0 && ch > 0 && samples != null,
+    require(rate > 0 && ch > 0 && nSamples > 0,
       s"$file: missing fmt/data chunk")
-    (rate, ch, samples)
+    (rate, ch, samples.result())
   }
 
   /** `mm_audio_windows`: the TEMPORAL half of the audio modality

@@ -310,6 +310,20 @@ class LiveHttpReader(schema: StructType, filters: Array[Filter], limit: Int,
   private var emitted = 0
   private var current: InternalRow = _
 
+  /** Temporal parses are the only THROWING coercion in [[toRow]] (the
+    * Jackson asLong/asText paths never throw) — in S4 permissive mode
+    * a malformed event time nulls the FIELD instead of failing the
+    * task, preserving "this endpoint contributes nothing; others
+    * proceed" at field granularity. Strict mode surfaces the parse
+    * error with the offending value named. */
+  private def temporal(raw: String)(parse: => Any): Any =
+    try parse catch {
+      case e: java.time.format.DateTimeParseException =>
+        if (permissive) null
+        else throw new IllegalArgumentException(
+          s"unparseable temporal value '$raw'", e)
+    }
+
   private def matches(node: JsonNode): Boolean =
     eqFilters.forall { case (k, v) =>
       node.has(k) && node.get(k).asText() == v
@@ -325,14 +339,14 @@ class LiveHttpReader(schema: StructType, filters: Array[Filter], limit: Int,
         case IntegerType => n.asInt()
         case BooleanType => n.asBoolean()
         case DoubleType => n.asDouble()
-        case TimestampType =>
+        case TimestampType => temporal(n.asText()) {
           // ISO-8601 with offset — both the reference's
           // "+00:00"-suffixed payloads and plain "Z" instants
-          val odt = java.time.OffsetDateTime.parse(n.asText())
-          val i = odt.toInstant
+          val i = java.time.OffsetDateTime.parse(n.asText()).toInstant
           i.getEpochSecond * 1000000L + i.getNano / 1000L
-        case DateType =>
-          java.time.LocalDate.parse(n.asText()).toEpochDay.toInt
+        }
+        case DateType => temporal(n.asText())(
+          java.time.LocalDate.parse(n.asText()).toEpochDay.toInt)
         case dt => throw new UnsupportedOperationException(dt.simpleString)
       }
     })

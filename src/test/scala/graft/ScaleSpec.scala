@@ -366,28 +366,34 @@ class ScaleSpec extends SparkSuite {
     // bodies, chunk text, or binary content. Asserted on the actual
     // ShuffleExchangeExec output attributes, so a refactor that
     // accidentally shuffles a wide column fails here before it ships.
-    def shuffledCols(df: org.apache.spark.sql.DataFrame): Seq[String] = {
-      val plan = df.queryExecution.executedPlan
-      (plan +: plan.subqueries).flatMap(_.collect {
-        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
-          e.output.map(_.name.toLowerCase)
-      }.flatten)
-    }
-    val noBody = Map(
-      "dedup_exact" -> graft.ops.Dedup.exactDedup(spark, sf),
-      "dedup_keep_best" -> graft.ops.Dedup.keepBest(spark, sf),
-      "t_chunk_dedup" -> graft.ops.Text.chunkDedup(spark, sf))
-    noBody.foreach { case (name, df) =>
-      val cols = shuffledCols(df)
+    // AQE wraps the whole plan in AdaptiveSparkPlanExec (a LEAF node —
+    // collect() would find zero exchanges and pass vacuously), so the
+    // plans are built with AQE scoped off; the non-empty assertions
+    // below prove the guard actually sees the exchanges.
+    def shuffledCols(mk: => org.apache.spark.sql.DataFrame): Seq[String] =
+      graft.Util.withConf(spark, "spark.sql.adaptive.enabled", "false") {
+        val plan = mk.queryExecution.executedPlan
+        (plan +: plan.subqueries).flatMap(_.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+            e.output.map(_.name.toLowerCase)
+        }.flatten)
+      }
+    val noBody = Map[String, () => org.apache.spark.sql.DataFrame](
+      "dedup_exact" -> (() => graft.ops.Dedup.exactDedup(spark, sf)),
+      "dedup_keep_best" -> (() => graft.ops.Dedup.keepBest(spark, sf)),
+      "t_chunk_dedup" -> (() => graft.ops.Text.chunkDedup(spark, sf)))
+    noBody.foreach { case (name, mk) =>
+      val cols = shuffledCols(mk())
+      assert(cols.nonEmpty, s"$name: guard must see the exchanges")
       assert(!cols.exists(c => c.startsWith("text") || c.startsWith("chunk_text")),
         s"$name must not shuffle document/chunk text: $cols")
     }
-    val mm = Map(
-      "mm_metadata" -> graft.ops.Multimodal.mmMetadata(spark, sf),
-      "mm_phash_dedup" -> graft.ops.Multimodal.mmPhashDedup(spark, sf),
-      "mm_audio_stats" -> graft.ops.Multimodal.mmAudioStats(spark, sf))
-    mm.foreach { case (name, df) =>
-      val cols = shuffledCols(df)
+    val mm = Map[String, () => org.apache.spark.sql.DataFrame](
+      "mm_metadata" -> (() => graft.ops.Multimodal.mmMetadata(spark, sf)),
+      "mm_phash_dedup" -> (() => graft.ops.Multimodal.mmPhashDedup(spark, sf)),
+      "mm_audio_stats" -> (() => graft.ops.Multimodal.mmAudioStats(spark, sf)))
+    mm.foreach { case (name, mk) =>
+      val cols = shuffledCols(mk())
       assert(!cols.exists(_.startsWith("content")),
         s"$name must not shuffle binary content: $cols")
     }
