@@ -275,14 +275,7 @@ object Dedup {
     // join-back: the capped table needs one exchange on s instead of
     // an aggregate plus a join back onto the full shingle stream
     // (measured 16% faster at sf0.1).
-    val kept = Flow.sharedScan(spark, s"ngram_kept:$sfDir") {
-      val sh = shingled(spark, sfDir)
-        .select(col("doc_id"), explode(col("shingles")).as("s"))
-      val wS = org.apache.spark.sql.expressions.Window.partitionBy(col("s"))
-      sh.withColumn("df", count(lit(1)).over(wS))
-        .filter(col("df") <= MaxShingleDf)
-        .select(col("doc_id"), col("s"))
-    }
+    val kept = keptPostings(spark, sfDir)
     val cnt = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val pairs = kept.select(col("doc_id").as("da"), col("s"))
       .join(kept.select(col("doc_id").as("db"), col("s")), "s")
@@ -300,6 +293,59 @@ object Dedup {
   }
   /** Document-frequency cap for [[ngramJaccard]]'s inverted index. */
   val MaxShingleDf = 50
+
+  /** The df-capped postings index — the shared artifact behind
+    * [[ngramJaccard]] and [[containment]] (persist-once via the D3
+    * registry; see the comment in ngramJaccard). */
+  private def keptPostings(spark: SparkSession, sfDir: String): DataFrame =
+    Flow.sharedScan(spark, s"ngram_kept:$sfDir") {
+      val sh = shingled(spark, sfDir)
+        .select(col("doc_id"), explode(col("shingles")).as("s"))
+      val wS = org.apache.spark.sql.expressions.Window.partitionBy(col("s"))
+      sh.withColumn("df", count(lit(1)).over(wS))
+        .filter(col("df") <= MaxShingleDf)
+        .select(col("doc_id"), col("s"))
+    }
+
+  /** ASYMMETRIC containment near-dup: flag pairs where the smaller
+    * document's shingles are mostly inside the bigger one —
+    * c = i / min(|A|, |B|) ≥ 0.8 — the quoting/subset duplication
+    * Jaccard structurally misses (a 100-shingle doc embedded verbatim
+    * in a 10,000-shingle doc has J ≈ 0.01 but c = 1.0). Shares the
+    * df-capped postings index with [[ngramJaccard]]: same single
+    * materialization, same capped semantics mirrored in the oracle.
+    * The RefinedWeb-style sub-document dedup pass. */
+  def containment(spark: SparkSession, sfDir: String): DataFrame = {
+    val kept = keptPostings(spark, sfDir)
+    val cnt = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    kept.select(col("doc_id").as("da"), col("s"))
+      .join(kept.select(col("doc_id").as("db"), col("s")), "s")
+      .filter(col("da") < col("db"))
+      .groupBy(col("da"), col("db"))
+      .agg(count(lit(1)).as("i"))
+      .join(cnt.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(cnt.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .filter(lit(1.0) * col("i") / least(col("na"), col("nb")) >= 0.8)
+      .select(col("da"), col("db"), col("i"), col("na"), col("nb"),
+        e4(lit(1.0) * col("i") / least(col("na"), col("nb"))).as("c_e4"))
+      .orderBy(col("da"), col("db"))
+  }
+  val containmentSql: String =
+    s"""WITH ${Text.shingleCte},
+       rare AS (SELECT s FROM sh GROUP BY s HAVING count(1) <= $MaxShingleDf),
+       kept AS (SELECT doc_id, sh.s FROM sh JOIN rare USING (s)),
+       cnt AS (SELECT doc_id, count(1) AS n FROM kept GROUP BY 1),
+       inter AS (
+         SELECT a.doc_id AS da, b.doc_id AS db, count(1) AS i
+         FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+         GROUP BY 1, 2)
+       SELECT da, db, i, ca.n AS na, cb.n AS nb,
+         CAST(floor((1.0 * i / least(ca.n, cb.n)) * 10000.0) AS BIGINT)
+           AS c_e4
+       FROM inter
+       JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+       WHERE 1.0 * i / least(ca.n, cb.n) >= 0.8
+       ORDER BY da, db"""
   val ngramJaccardSql: String =
     s"""WITH ${Text.shingleCte},
        rare AS (SELECT s FROM sh GROUP BY s HAVING count(1) <= $MaxShingleDf),
@@ -474,6 +520,7 @@ object Dedup {
     "dedup_incremental" -> incrementalDedup,
     "dedup_simhash" -> simhash,
     "dedup_ngram_jaccard" -> ngramJaccard,
+    "dedup_containment" -> containment,
     "dedup_clusters" -> dedupClusters)
 
   val oracles: Map[String, String] = Map(
@@ -484,5 +531,6 @@ object Dedup {
     "dedup_incremental" -> incrementalDedupSql,
     "dedup_simhash" -> simhashSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
+    "dedup_containment" -> containmentSql,
     "dedup_clusters" -> dedupClustersSql)
 }

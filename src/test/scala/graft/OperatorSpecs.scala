@@ -185,6 +185,45 @@ class DedupSpec extends SparkSuite {
     assert(kept == Set((1L, 2L), (4L, 0L)))
   }
 
+  test("containment matches brute-force capped-shingle enumeration") {
+    // independent ground truth: rebuild the df-capped postings in the
+    // JVM and enumerate pairs via an inverted index
+    val sets = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        graft.functions.TextHash.shingles(r.getAs[String]("text")).toSet)
+      .toMap
+    val df = sets.values.flatten.groupBy(identity).view.mapValues(_.size)
+    val kept = sets.view
+      .mapValues(_.filter(s => df(s) <= ops.Dedup.MaxShingleDf)).toMap
+    val inv = kept.toSeq.flatMap { case (id, ss) => ss.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2))
+    val want = inv.values.flatMap(ids =>
+        for (a <- ids; b <- ids if a < b) yield (a, b))
+      .toSet.toSeq.flatMap { p: (Long, Long) =>
+        val (a, b) = p
+        val i = (kept(a) intersect kept(b)).size
+        val c = 1.0 * i / math.min(kept(a).size, kept(b).size)
+        if (c >= 0.8)
+          Some((a, b, i.toLong, kept(a).size.toLong, kept(b).size.toLong,
+            math.floor(c * 10000.0).toLong))
+        else None
+      }.sortBy(t => (t._1, t._2))
+    val got = ops.Dedup.containment(spark, sf).collect()
+      .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"),
+        r.getAs[Long]("i"), r.getAs[Long]("na"), r.getAs[Long]("nb"),
+        r.getAs[Long]("c_e4"))).toSeq
+    assert(got == want, s"got ${got.take(3)}... want ${want.take(3)}...")
+    assert(want.nonEmpty, "corpus contains containment pairs")
+    // containment dominates Jaccard: every J >= 0.5 pair has c >= J
+    val jac = ops.Dedup.ngramJaccard(spark, sf).collect()
+      .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db")) ->
+        r.getAs[Long]("j_e4")).toMap
+    val gotMap = got.map(t => (t._1, t._2) -> t._6).toMap
+    jac.foreach { case (p, j) =>
+      gotMap.get(p).foreach(c => assert(c >= j, s"$p: c >= J")) }
+  }
+
   test("exact dedup keeps one keeper per distinct text") {
     val df = Dedup.exactDedup(spark, sf)
     val distinctTexts = Tables.documents(spark, sf)
