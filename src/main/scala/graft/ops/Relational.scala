@@ -1046,6 +1046,61 @@ object Relational {
   // keeps the frame bounds exact in both engines; ties at the same
   // second all enter the frame together (RANGE semantics), so the
   // result is partitioning- and tie-order-independent.
+  /** IGNORE NULLS carry-forward: every event carries the user's most
+    * recent purchase amount (null until the first purchase — coalesced
+    * to -1 so the contract column stays non-null integer; a nullable
+    * int would round-trip as pandas float64 in the driver's hasher).
+    * One window, no spine join — the sparse-column forward fill that
+    * complements resample_ffill's dense time-spine variant. */
+  def windowFfill(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, sfDir)
+      .withColumn("pv",
+        when(col("event_type") === "purchase", cents(col("value"))))
+      .withColumn("last_purchase_cents",
+        coalesce(last(col("pv"), ignoreNulls = true).over(w), lit(-1L)))
+      .select(col("user_id"), col("event_id"),
+        col("last_purchase_cents").cast("long").as("last_purchase_cents"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+  val windowFfillSql: String =
+    """SELECT user_id, event_id,
+       CAST(coalesce(last_value(pv IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1)
+         AS BIGINT) AS last_purchase_cents
+       FROM (SELECT user_id, event_id, ts,
+               CASE WHEN event_type = 'purchase'
+                    THEN CAST(floor(value * 100.0) AS BIGINT) END AS pv
+             FROM events)
+       ORDER BY user_id, event_id"""
+
+  /** Deterministic MODE aggregate: the most frequent event_type per
+    * user, ties broken lexicographically — engine-native mode() is
+    * tie-order-dependent and therefore uncheckable; the window
+    * formulation is exact in both engines and pushes through
+    * WindowGroupLimit like the other top-1 patterns. */
+  def aggMode(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("n").desc, col("event_type"))
+    counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("mode_type"), col("n"))
+      .orderBy(col("user_id"))
+  }
+  val aggModeSql: String =
+    """SELECT user_id, event_type AS mode_type, n
+       FROM (SELECT user_id, event_type, count(1) AS n,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY count(1) DESC, event_type) AS rn
+             FROM events GROUP BY user_id, event_type)
+       WHERE rn = 1 ORDER BY user_id"""
+
   def windowRangeFrame(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("epoch_s"))
       .rangeBetween(-3600L, 0L)
@@ -1345,6 +1400,8 @@ object Relational {
     "graph_pagerank" -> graphPagerank,
     "graph_triangles" -> graphTriangles,
     "window_range_frame" -> windowRangeFrame,
+    "window_ffill" -> windowFfill,
+    "agg_mode" -> aggMode,
     "winsorize_values" -> winsorizeValues,
     "udaf_geomean" -> udafGeomean,
     "fk_check" -> fkCheck,
@@ -1399,6 +1456,8 @@ object Relational {
     "graph_pagerank" -> graphPagerankSql,
     "graph_triangles" -> graphTrianglesSql,
     "window_range_frame" -> windowRangeFrameSql,
+    "window_ffill" -> windowFfillSql,
+    "agg_mode" -> aggModeSql,
     "winsorize_values" -> winsorizeValuesSql,
     "udaf_geomean" -> udafGeomeanSql,
     "fk_check" -> fkCheckSql,

@@ -280,6 +280,40 @@ class RelationalOpsSpec extends SparkSuite {
     assert(rows == Map(10L -> "click", 12L -> "view"))
   }
 
+  test("ffill carries the last purchase forward; mode picks max with lex ties") {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        col("value")).collect()
+    // hand ffill for one user with purchases
+    val uid = ev.filter(_.getAs[String]("event_type") == "purchase")
+      .head.getAs[Long]("user_id")
+    val mine = ev.filter(_.getAs[Long]("user_id") == uid)
+      .sortBy(r => (r.getAs[java.sql.Timestamp]("ts").getTime,
+        r.getAs[Long]("event_id")))
+    var lastP = -1L
+    val want = mine.map { r =>
+      if (r.getAs[String]("event_type") == "purchase")
+        lastP = math.floor(r.getAs[Double]("value") * 100.0).toLong
+      r.getAs[Long]("event_id") -> lastP
+    }.toMap
+    val got = ops.Relational.windowFfill(spark, sf)
+      .filter(col("user_id") === uid).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("last_purchase_cents"))
+      .toMap
+    assert(got == want, s"user $uid forward fill")
+    // mode: recompute per user
+    val wantMode = ev.groupBy(_.getAs[Long]("user_id")).map { case (u, rs) =>
+      val byType = rs.groupBy(_.getAs[String]("event_type"))
+        .view.mapValues(_.length).toSeq
+      u -> byType.minBy { case (t, n) => (-n, t) }
+    }
+    val gotMode = ops.Relational.aggMode(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[String]("mode_type"), r.getAs[Long]("n").toInt)).toMap
+    assert(gotMode == wantMode, "mode per user")
+  }
+
   test("triangle counts match brute-force enumeration on the real graph") {
     // independent ground truth: rebuild the undirected simple graph in
     // the JVM and enumerate triangles by intersecting adjacency sets
