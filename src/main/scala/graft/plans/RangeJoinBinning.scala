@@ -179,8 +179,59 @@ object Plans {
          ON e.ts >= lo AND e.ts < hi
        GROUP BY lo ORDER BY window_start"""
 
+  /** Hourly session concurrency ("how many users are online right
+    * now"): each hour tick joined to the gap-30min session intervals
+    * containing it. The tick-in-interval predicate is exactly the
+    * binning rule's shape, so the O(hours × sessions) nested loop
+    * the naive plan would pick becomes a binned hash join — the same
+    * rewrite as [[rangeJoinBinned]], proving the rule generalizes
+    * beyond its first query. Hours with zero active sessions drop out
+    * (inner join), mirrored in the oracle. */
+  def sessionConcurrency(spark: SparkSession, sfDir: String): DataFrame = {
+    install(spark)
+    val sess = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("lo"),
+        col("session_window.end").as("hi"))
+    val spine = Tables.events(spark, sfDir)
+      .select(date_trunc("hour", col("ts")).as("h")).distinct()
+    spine.join(sess, col("h") >= col("lo") && col("h") < col("hi"))
+      .groupBy(col("h"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .select(Util.fmtTs(col("h")).as("hour"), col("n_active"))
+      .orderBy(col("hour"))
+  }
+  val sessionConcurrencySql: String =
+    """WITH e AS (SELECT user_id, event_id,
+           date_trunc('microseconds', ts) AS ts FROM events),
+       sx AS (
+         SELECT user_id, ts,
+           sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_idx
+         FROM (
+           SELECT user_id, event_id, ts,
+             CASE WHEN prev_ts IS NULL
+                  OR ts - prev_ts >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+           FROM (
+             SELECT user_id, event_id, ts,
+               lag(ts, 1) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS prev_ts
+             FROM e))),
+       sess AS (SELECT user_id, min(ts) AS lo,
+                  max(ts) + INTERVAL 30 MINUTE AS hi
+                FROM sx GROUP BY user_id, sess_idx),
+       spine AS (SELECT DISTINCT date_trunc('hour', ts) AS h FROM e)
+       SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+         count(DISTINCT user_id) AS n_active
+       FROM spine JOIN sess ON h >= lo AND h < hi
+       GROUP BY h ORDER BY hour"""
+
   val queries: Map[String, Util.QFn] = Map(
-    "range_join_binned" -> rangeJoinBinned)
+    "range_join_binned" -> rangeJoinBinned,
+    "session_concurrency" -> sessionConcurrency)
   val oracles: Map[String, String] = Map(
-    "range_join_binned" -> rangeJoinBinnedSql)
+    "range_join_binned" -> rangeJoinBinnedSql,
+    "session_concurrency" -> sessionConcurrencySql)
 }

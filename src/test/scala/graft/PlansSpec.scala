@@ -64,6 +64,39 @@ class PlansSpec extends SparkSuite {
     assert(plan.contains("graft_bin"), s"bin key missing:\n$plan")
   }
 
+  test("session concurrency is binned (no nested loop) and counts exactly") {
+    Plans.install(spark)
+    val df = Plans.sessionConcurrency(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"hour-tick-in-session join must be binned:\n${plan.take(1500)}")
+    assert(plan.contains("graft_bin"), "rule fired for the second consumer")
+    // ground truth: per-hour distinct active users from collected sessions
+    val sess = Tables.events(spark, sf)
+      .groupBy(col("user_id"),
+        org.apache.spark.sql.functions.session_window(col("ts"), "30 minutes"))
+      .count()
+      .select(col("user_id"), col("session_window.start").as("lo"),
+        col("session_window.end").as("hi")).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[java.sql.Timestamp]("lo"),
+        r.getAs[java.sql.Timestamp]("hi")))
+    val hours = Tables.events(spark, sf)
+      .select(date_trunc("hour", col("ts")).as("h")).distinct().collect()
+      .map(_.getAs[java.sql.Timestamp]("h"))
+    val want = hours.map { h =>
+      h -> sess.filter { case (_, lo, hi) =>
+        !h.before(lo) && h.before(hi) }.map(_._1).distinct.length
+    }.filter(_._2 > 0).toMap
+    val got = df.collect().map(r =>
+      r.getAs[String]("hour") -> r.getAs[Long]("n_active").toInt).toMap
+    val wantFmt = want.map { case (h, n) =>
+      new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss") {
+        setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+      }.format(h) -> n
+    }
+    assert(got == wantFmt, s"sizes: got ${got.size} want ${wantFmt.size}")
+  }
+
   test("rule leaves equi joins and non-inner joins alone") {
     Plans.install(spark)
     val (points, intervals) = fixtures()
