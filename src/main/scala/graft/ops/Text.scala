@@ -674,6 +674,71 @@ object Text {
        FROM ft JOIN vocab USING (w) CROSS JOIN total
        GROUP BY doc_id ORDER BY doc_id"""
 
+  // Bigram-LM surprisal: the conditional step from the unigram filter
+  // toward a KenLM-style n-gram quality gate. Each doc's first token
+  // scores -ln(c1(w)/T), every later token -ln(c2(prev,w)/c1(prev)) —
+  // corpus-as-LM, no smoothing needed since every observed bigram has
+  // c2 >= 1. Per-token e4 floors make the per-doc sum an exact
+  // integer (partition-order-independent). Shuffles: bigram + unigram
+  // count aggregations and one (prev, w)-keyed join — all bounded by
+  // observed-vocab sizes; the corpus total broadcasts.
+  def bigramLogprob(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), posexplode(tokens).as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+      .withColumn("prev", lag(col("w"), 1).over(w))
+    val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val total = uni.agg(sum(col("c1")).as("t"))
+    val bi = toks.filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("w")).agg(count(lit(1)).as("c2"))
+    val scored = toks
+      .join(uni.select(col("w").as("prev"), col("c1").as("c_prev")), Seq("prev"), "left")
+      .join(uni, "w")
+      .join(bi, Seq("prev", "w"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("surprisal_e4", when(col("prev").isNull,
+          floor(-log(lit(1.0) * col("c1") / col("t")) * lit(10000.0)))
+        .otherwise(
+          floor(-log(lit(1.0) * col("c2") / col("c_prev")) * lit(10000.0))))
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("surprisal_e4")).as("sum_surprisal_e4"))
+      .withColumn("avg_surprisal_e4",
+        floor(lit(1.0) * col("sum_surprisal_e4") / col("n_tokens")))
+      .orderBy(col("doc_id"))
+  }
+  val bigramLogprobSql: String =
+    """WITH toks AS (
+         SELECT doc_id, w, i,
+           lag(w, 1) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+         FROM (
+           SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w,
+             generate_subscripts(string_split(lower(text), ' '), 1) AS i
+           FROM documents)
+         WHERE w <> ''),
+       uni AS (SELECT w, count(1) AS c1 FROM toks GROUP BY w),
+       total AS (SELECT sum(c1) AS t FROM uni),
+       bi AS (SELECT prev, w, count(1) AS c2 FROM toks
+              WHERE prev IS NOT NULL GROUP BY prev, w),
+       scored AS (
+         SELECT t1.doc_id,
+           CASE WHEN t1.prev IS NULL
+             THEN CAST(floor(-ln(1.0 * u.c1 / tt.t) * 10000.0) AS BIGINT)
+             ELSE CAST(floor(-ln(1.0 * b.c2 / up.c1) * 10000.0) AS BIGINT)
+           END AS s_e4
+         FROM toks t1
+         JOIN uni u ON u.w = t1.w
+         LEFT JOIN uni up ON up.w = t1.prev
+         LEFT JOIN bi b ON b.prev = t1.prev AND b.w = t1.w
+         CROSS JOIN total tt)
+       SELECT doc_id, count(1) AS n_tokens,
+         CAST(sum(s_e4) AS BIGINT) AS sum_surprisal_e4,
+         CAST(floor(1.0 * sum(s_e4) / count(1)) AS BIGINT)
+           AS avg_surprisal_e4
+       FROM scored GROUP BY doc_id ORDER BY doc_id"""
+
   // CCNet-style perplexity bucketing: tag every document head / middle
   // / tail by its unigram-LM surprisal (the corpus-as-LM stand-in for
   // the KenLM score). The tercile CUTOFFS are trained on the
@@ -1038,6 +1103,7 @@ object Text {
     "t_doc_overlap_pairs" -> docOverlapPairs,
     "t_kgram_sample" -> kgramSample,
     "t_unigram_logprob" -> unigramLogprob,
+    "t_bigram_logprob" -> bigramLogprob,
     "t_perplexity_buckets" -> perplexityBuckets,
     "t_chunk_dedup" -> chunkDedup,
     "t_mixture_plan" -> mixturePlan,
@@ -1065,6 +1131,7 @@ object Text {
     "t_doc_overlap_pairs" -> docOverlapPairsSql,
     "t_kgram_sample" -> kgramSampleSql,
     "t_unigram_logprob" -> unigramLogprobSql,
+    "t_bigram_logprob" -> bigramLogprobSql,
     "t_perplexity_buckets" -> perplexityBucketsSql,
     "t_chunk_dedup" -> chunkDedupSql,
     "t_mixture_plan" -> mixturePlanSql,

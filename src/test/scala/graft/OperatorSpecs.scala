@@ -415,6 +415,25 @@ class TextOpsSpec extends SparkSuite {
     assert(rows(1L).getAs[Long]("avg_surprisal_e4") == sA)
   }
 
+  test("bigram surprisal matches hand computation on a tiny corpus") {
+    import spark.implicits._
+    // corpus: doc1 "a b a b", doc2 "a a" →
+    // c1: a=4, b=2, T=6; c2: (a,b)=2, (b,a)=1, (a,a)=1
+    Seq((1L, "a b a b"), (2L, "a a"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet("/tmp/graft_test_bg/documents.parquet")
+    val rows = ops.Text.bigramLogprob(spark, "/tmp/graft_test_bg").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    def s(p: Double) = math.floor(-math.log(p) * 10000.0).toLong
+    // doc1: first 'a' = -ln(4/6); 'b'|a = -ln(2/4); 'a'|b = -ln(1/2); 'b'|a
+    val d1 = s(4.0 / 6) + s(2.0 / 4) + s(1.0 / 2) + s(2.0 / 4)
+    // doc2: first 'a' = -ln(4/6); 'a'|a = -ln(1/4)
+    val d2 = s(4.0 / 6) + s(1.0 / 4)
+    assert(rows(1L).getAs[Long]("sum_surprisal_e4") == d1, "doc1")
+    assert(rows(2L).getAs[Long]("sum_surprisal_e4") == d2, "doc2")
+    assert(rows(1L).getAs[Long]("n_tokens") == 4)
+  }
+
   test("source KL is ~zero for identical shards, positive for skewed") {
     import spark.implicits._
     Seq((1L, "x y z", "same1"), (2L, "x y z", "same2"),
