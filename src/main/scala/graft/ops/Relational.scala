@@ -258,6 +258,79 @@ object Relational {
     """SELECT n_nationkey AS nk FROM nation EXCEPT
        SELECT s_nationkey AS nk FROM supplier ORDER BY nk"""
 
+  /** Multiset (ALL) set operations — duplicates preserved by count
+    * arithmetic, not membership: EXCEPT ALL keeps max(la − lb, 0)
+    * copies per key, INTERSECT ALL min(la, lb). Spark plans both as
+    * count-based aggregations (no row-pairing join); the per-key
+    * counts are exactly what the oracle's ALL semantics require. */
+  def setopExceptAll(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir).select(col("c_nationkey").as("nk"))
+      .exceptAll(Tables.supplier(spark, sfDir).select(col("s_nationkey").as("nk")))
+      .groupBy(col("nk")).agg(count(lit(1)).as("n_copies"))
+      .orderBy(col("nk"))
+  val setopExceptAllSql: String =
+    """SELECT nk, count(1) AS n_copies FROM (
+         SELECT c_nationkey AS nk FROM customer EXCEPT ALL
+         SELECT s_nationkey AS nk FROM supplier)
+       GROUP BY nk ORDER BY nk"""
+
+  def setopIntersectAll(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir).select(col("c_nationkey").as("nk"))
+      .intersectAll(Tables.supplier(spark, sfDir).select(col("s_nationkey").as("nk")))
+      .groupBy(col("nk")).agg(count(lit(1)).as("n_copies"))
+      .orderBy(col("nk"))
+  val setopIntersectAllSql: String =
+    """SELECT nk, count(1) AS n_copies FROM (
+         SELECT c_nationkey AS nk FROM customer INTERSECT ALL
+         SELECT s_nationkey AS nk FROM supplier)
+       GROUP BY nk ORDER BY nk"""
+
+  /** Exact Pearson correlation from integer moments: hour-of-day vs
+    * event value, every moment an exact integer sum (value in cents,
+    * hour 0–23), products in DECIMAL(38,0) — the emb_dim_stats
+    * discipline applied to the classic statistic. Only the final
+    * ratio touches floats, floored to e4 from exact operands, so the
+    * result is partition-order-independent (a naive corr() over
+    * doubles is not). */
+  def aggCorr(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = Tables.events(spark, sfDir)
+      .select(col("event_type"), hour(col("ts")).cast("long").as("x"),
+        cents(col("value")).cast("long").as("y"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+    m.select(col("event_type"), col("n"),
+        expr("""CAST(floor(
+            (CAST(n AS DECIMAL(20,0)) * sxy - CAST(sx AS DECIMAL(20,0)) * sy)
+            / sqrt(CAST((CAST(n AS DECIMAL(20,0)) * sxx
+                         - CAST(sx AS DECIMAL(20,0)) * sx) AS DOUBLE)
+                 * CAST((CAST(n AS DECIMAL(20,0)) * syy
+                         - CAST(sy AS DECIMAL(20,0)) * sy) AS DOUBLE))
+            * 10000.0) AS BIGINT)""").as("corr_e4"))
+      .orderBy(col("event_type"))
+  }
+  val aggCorrSql: String =
+    """SELECT event_type, n,
+       CAST(floor(
+         (n * sxy - sx * sy)
+         / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+              * CAST(n * syy - sy * sy AS DOUBLE))
+         * 10000.0) AS BIGINT) AS corr_e4
+       FROM (
+         SELECT event_type, count(1) AS n,
+           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * x) AS BIGINT) AS sxx,
+           CAST(sum(y * y) AS BIGINT) AS syy,
+           CAST(sum(x * y) AS BIGINT) AS sxy
+         FROM (SELECT event_type, CAST(hour(ts) AS BIGINT) AS x,
+                 CAST(floor(value * 100.0) AS BIGINT) AS y
+               FROM events)
+         GROUP BY event_type)
+       ORDER BY event_type"""
+
   // Rollup (hierarchical grouping sets).
   def aggRollup(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)
@@ -1427,6 +1500,9 @@ object Relational {
     "setop_union" -> setopUnion,
     "setop_intersect" -> setopIntersect,
     "setop_except" -> setopExcept,
+    "setop_except_all" -> setopExceptAll,
+    "setop_intersect_all" -> setopIntersectAll,
+    "agg_corr" -> aggCorr,
     "agg_rollup" -> aggRollup,
     "distinct_count" -> distinctCount,
     // approx_distinct enters the contract through its _check gate (the
@@ -1483,6 +1559,9 @@ object Relational {
     "setop_union" -> setopUnionSql,
     "setop_intersect" -> setopIntersectSql,
     "setop_except" -> setopExceptSql,
+    "setop_except_all" -> setopExceptAllSql,
+    "setop_intersect_all" -> setopIntersectAllSql,
+    "agg_corr" -> aggCorrSql,
     "agg_rollup" -> aggRollupSql,
     "distinct_count" -> distinctCountSql,
     "approx_distinct_check" -> approxDistinctCheckSql,

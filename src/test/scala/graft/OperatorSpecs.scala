@@ -233,6 +233,41 @@ class DedupSpec extends SparkSuite {
 }
 
 class RelationalOpsSpec extends SparkSuite {
+  test("ALL set-ops follow count arithmetic; corr matches direct computation") {
+    val cc = Tables.customer(spark, sf).groupBy(col("c_nationkey")).count()
+      .collect().map(r => r.getAs[Number](0).longValue -> r.getLong(1)).toMap
+    val sc = Tables.supplier(spark, sf).groupBy(col("s_nationkey")).count()
+      .collect().map(r => r.getAs[Number](0).longValue -> r.getLong(1)).toMap
+    val ex = ops.Relational.setopExceptAll(spark, sf).collect()
+      .map(r => r.getAs[Number]("nk").longValue -> r.getAs[Long]("n_copies")).toMap
+    val wantEx = cc.map { case (k, n) => k -> (n - sc.getOrElse(k, 0L)) }
+      .filter(_._2 > 0)
+    assert(ex == wantEx, "EXCEPT ALL = max(la - lb, 0) copies per key")
+    val in = ops.Relational.setopIntersectAll(spark, sf).collect()
+      .map(r => r.getAs[Number]("nk").longValue -> r.getAs[Long]("n_copies")).toMap
+    val wantIn = cc.flatMap { case (k, n) =>
+      sc.get(k).map(m => k -> math.min(n, m)) }.filter(_._2 > 0)
+    assert(in == wantIn, "INTERSECT ALL = min(la, lb) copies per key")
+    // corr: recompute one group directly from collected (x, y)
+    val xy = Tables.events(spark, sf)
+      .filter(col("event_type") === "view")
+      .select(hour(col("ts")).cast("long"), graft.Util.cents(col("value")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = xy.length.toLong
+    val (sx, sy) = (xy.map(_._1).sum, xy.map(_._2).sum)
+    val sxx = xy.map(t => t._1 * t._1).sum
+    val syy = xy.map(t => t._2 * t._2).sum
+    val sxy = xy.map(t => t._1 * t._2).sum
+    val want = math.floor((n * sxy - sx * sy).toDouble /
+      math.sqrt((n * sxx - sx * sx).toDouble * (n * syy - sy * sy).toDouble)
+      * 10000.0).toLong
+    val got = ops.Relational.aggCorr(spark, sf)
+      .filter(col("event_type") === "view").collect()(0)
+      .getAs[Long]("corr_e4")
+    assert(got == want, s"corr_e4 got $got want $want")
+    assert(math.abs(got) <= 10000, "correlation bounded in [-1, 1]")
+  }
+
   test("scd2 intervals tile each user's timeline with one open row") {
     import org.apache.spark.sql.expressions.Window
     val iv = ops.Relational.scd2Intervals(spark, sf)
