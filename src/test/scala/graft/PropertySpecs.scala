@@ -170,3 +170,55 @@ object WavProps extends Properties("ParseWav") {
       m.rms * m.rms <= ms && (m.rms + 1) * (m.rms + 1) > ms
     }
 }
+
+/** Image-kernel properties: the fit-224 planner and nearest-neighbor
+  * resize must hold for ANY source dimensions, and isqrt must be the
+  * exact floor square root for any non-negative input. */
+object ImageKernelProps extends Properties("ImageKernels") {
+  import graft.ops.Multimodal
+
+  property("isqrt is the exact floor sqrt for any non-negative long") =
+    forAll(Gen.oneOf(
+      Gen.choose(0L, 1000L),
+      Gen.choose(0L, Long.MaxValue / 4),
+      // adversarial: exact squares and their neighbors, where a naive
+      // double sqrt misrounds
+      Gen.choose(0L, 3037000498L).map(r => r * r),
+      Gen.choose(1L, 3037000498L).map(r => r * r - 1))) { v =>
+      val r = Multimodal.isqrt(v)
+      r >= 0 && r * r <= v && (r + 1) * (r + 1) > v
+    }
+
+  private val dims = Gen.choose(1, 500)
+
+  property("fitDims stays in the 224 box (unless upscaling a tiny side) and positive") =
+    forAll(dims, dims) { (w, h) =>
+      val (ow, oh) = Multimodal.fitDims(w, h)
+      ow >= 1 && oh >= 1 && ow <= 224 && oh <= 224
+    }
+
+  property("fitDims preserves aspect ratio within one floor step") =
+    forAll(dims, dims) { (w, h) =>
+      val (ow, oh) = Multimodal.fitDims(w, h)
+      // both dims come from the SAME scale: cross products differ by
+      // at most one rounding step on each side
+      math.abs(ow.toLong * h - oh.toLong * w) <= (w.toLong max h.toLong)
+    }
+
+  property("resizeNearest emits exactly the target dims, pixels from source") =
+    forAll(Gen.choose(1, 40), Gen.choose(1, 40), Gen.choose(1, 60),
+      Gen.choose(1, 60), Gen.choose(0, 255)) { (w, h, ow, oh, seed) =>
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val g = Math.floorMod(x * 31 + y * 17 + seed, 256)
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val out = Multimodal.resizeNearest(img, ow, oh)
+      val srcPixels =
+        (for (y <- 0 until h; x <- 0 until w) yield img.getRGB(x, y)).toSet
+      out.getWidth == ow && out.getHeight == oh &&
+        (0 until oh).forall(y => (0 until ow).forall(x =>
+          srcPixels.contains(out.getRGB(x, y))))
+    }
+}
