@@ -258,6 +258,46 @@ object Relational {
     """SELECT n_nationkey AS nk FROM nation EXCEPT
        SELECT s_nationkey AS nk FROM supplier ORDER BY nk"""
 
+  /** Wide→long UNPIVOT (melt) via Spark's native `unpivot` operator:
+    * the four lineitem measures become (measure, value_cents) rows —
+    * the metric-table normalization every monitoring store performs.
+    * Values in exact cents; restricted to the first 500 orders so the
+    * contract output stays bounded. Spark plans unpivot as Expand (one
+    * pass, rows × measures, no shuffle before the sort). */
+  def unpivotMeasures(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_orderkey") < 2000)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        cents(col("l_quantity")).as("quantity"),
+        cents(col("l_extendedprice")).as("extendedprice"),
+        cents(col("l_discount")).as("discount"),
+        cents(col("l_tax")).as("tax"))
+      .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("quantity"), col("extendedprice"), col("discount"),
+          col("tax")),
+        "measure", "value_cents")
+      .withColumn("value_cents", col("value_cents").cast("long"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"))
+  val unpivotMeasuresSql: String =
+    """SELECT l_orderkey, l_linenumber, measure,
+         CAST(value_cents AS BIGINT) AS value_cents
+       FROM (
+         SELECT l_orderkey, l_linenumber, 'quantity' AS measure,
+           floor(l_quantity * 100.0) AS value_cents
+         FROM lineitem WHERE l_orderkey < 2000
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'extendedprice',
+           floor(l_extendedprice * 100.0)
+         FROM lineitem WHERE l_orderkey < 2000
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'discount',
+           floor(l_discount * 100.0)
+         FROM lineitem WHERE l_orderkey < 2000
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'tax', floor(l_tax * 100.0)
+         FROM lineitem WHERE l_orderkey < 2000)
+       ORDER BY l_orderkey, l_linenumber, measure"""
+
   /** Multiset (ALL) set operations — duplicates preserved by count
     * arithmetic, not membership: EXCEPT ALL keeps max(la − lb, 0)
     * copies per key, INTERSECT ALL min(la, lb). Spark plans both as
@@ -1501,6 +1541,7 @@ object Relational {
     "setop_intersect" -> setopIntersect,
     "setop_except" -> setopExcept,
     "setop_except_all" -> setopExceptAll,
+    "unpivot_measures" -> unpivotMeasures,
     "setop_intersect_all" -> setopIntersectAll,
     "agg_corr" -> aggCorr,
     "agg_rollup" -> aggRollup,
@@ -1560,6 +1601,7 @@ object Relational {
     "setop_intersect" -> setopIntersectSql,
     "setop_except" -> setopExceptSql,
     "setop_except_all" -> setopExceptAllSql,
+    "unpivot_measures" -> unpivotMeasuresSql,
     "setop_intersect_all" -> setopIntersectAllSql,
     "agg_corr" -> aggCorrSql,
     "agg_rollup" -> aggRollupSql,
