@@ -222,3 +222,44 @@ object ImageKernelProps extends Properties("ImageKernels") {
           srcPixels.contains(out.getRGB(x, y))))
     }
 }
+
+/** The RIFF walker's multi-chunk contract: a payload split across
+  * several data chunks must parse identically to the same samples in
+  * one chunk — stats and windows can never disagree about content. */
+object WavMultiChunkProps extends Properties("ParseWavMultiChunk") {
+  import graft.ops.Multimodal
+
+  private def wavChunks(rate: Int, ch: Int,
+      chunks: Seq[Array[Int]]): Array[Byte] = {
+    val dataLen = chunks.map(c => 8 + c.length * 2 +
+      (if (c.length % 2 == 1) 0 else 0)).sum
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(ch.toShort).putInt(rate)
+      .putInt(rate * ch * 2).putShort((ch * 2).toShort).putShort(16)
+    chunks.foreach { c =>
+      bb.put("data".getBytes("US-ASCII")).putInt(c.length * 2)
+      c.foreach(s => bb.putShort(s.toShort))
+    }
+    java.util.Arrays.copyOf(bb.array(), bb.position())
+  }
+
+  private val params = for {
+    ch <- Gen.choose(1, 2)
+    n1 <- Gen.choose(1, 50)
+    n2 <- Gen.choose(1, 50)
+    all <- Gen.listOfN((n1 + n2) * ch, Gen.choose(-11000, 11000))
+  } yield (ch, n1 * ch, all.toArray)
+
+  property("split data chunks parse identically to one chunk") =
+    forAll(params) { case (ch, cut, all) =>
+      val one = Multimodal.parseWav("a.wav",
+        wavChunks(8000, ch, Seq(all)))
+      val two = Multimodal.parseWav("b.wav",
+        wavChunks(8000, ch, Seq(all.take(cut), all.drop(cut))))
+      one.copy(file = "x") == two.copy(file = "x")
+    }
+}
