@@ -275,22 +275,30 @@ object Dedup {
     // join-back: the capped table needs one exchange on s instead of
     // an aggregate plus a join back onto the full shingle stream
     // (measured 16% faster at sf0.1).
-    val kept = keptPostings(spark, sfDir)
-    val cnt = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val pairs = kept.select(col("doc_id").as("da"), col("s"))
-      .join(kept.select(col("doc_id").as("db"), col("s")), "s")
-      .filter(col("da") < col("db"))
-      .groupBy(col("da"), col("db"))
-      .agg(count(lit(1)).as("i"))
-    pairs
-      .join(cnt.select(col("doc_id").as("da"), col("n").as("na")), "da")
-      .join(cnt.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+    intersections(spark, sfDir)
       .withColumn("u", col("na") + col("nb") - col("i"))
       .filter(lit(1.0) * col("i") / col("u") >= 0.5)
       .select(col("da"), col("db"),
         e4(lit(1.0) * col("i") / col("u")).as("j_e4"))
       .orderBy(col("da"), col("db"))
   }
+
+  /** Shared pair-intersection table (da, db, i, na, nb) over the
+    * capped postings — the expensive self-join computed ONCE per
+    * session and read by both [[ngramJaccard]] and [[containment]]
+    * (which differ only in the final similarity metric). */
+  private def intersections(spark: SparkSession, sfDir: String): DataFrame =
+    Flow.sharedScan(spark, s"ngram_pairs:$sfDir") {
+      val kept = keptPostings(spark, sfDir)
+      val cnt = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      kept.select(col("doc_id").as("da"), col("s"))
+        .join(kept.select(col("doc_id").as("db"), col("s")), "s")
+        .filter(col("da") < col("db"))
+        .groupBy(col("da"), col("db"))
+        .agg(count(lit(1)).as("i"))
+        .join(cnt.select(col("doc_id").as("da"), col("n").as("na")), "da")
+        .join(cnt.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+    }
   /** Document-frequency cap for [[ngramJaccard]]'s inverted index. */
   val MaxShingleDf = 50
 
@@ -316,15 +324,7 @@ object Dedup {
     * materialization, same capped semantics mirrored in the oracle.
     * The RefinedWeb-style sub-document dedup pass. */
   def containment(spark: SparkSession, sfDir: String): DataFrame = {
-    val kept = keptPostings(spark, sfDir)
-    val cnt = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    kept.select(col("doc_id").as("da"), col("s"))
-      .join(kept.select(col("doc_id").as("db"), col("s")), "s")
-      .filter(col("da") < col("db"))
-      .groupBy(col("da"), col("db"))
-      .agg(count(lit(1)).as("i"))
-      .join(cnt.select(col("doc_id").as("da"), col("n").as("na")), "da")
-      .join(cnt.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+    intersections(spark, sfDir)
       .filter(lit(1.0) * col("i") / least(col("na"), col("nb")) >= 0.8)
       .select(col("da"), col("db"), col("i"), col("na"), col("nb"),
         e4(lit(1.0) * col("i") / least(col("na"), col("nb"))).as("c_e4"))

@@ -1178,13 +1178,16 @@ object Relational {
         col("last_purchase_cents").cast("long").as("last_purchase_cents"))
       .orderBy(col("user_id"), col("event_id"))
   }
+  /** µs-truncated ts in the window order (the Spark side reads µs —
+    * the repo-wide nanos parity rule). */
   val windowFfillSql: String =
     """SELECT user_id, event_id,
        CAST(coalesce(last_value(pv IGNORE NULLS) OVER (
          PARTITION BY user_id ORDER BY ts, event_id
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1)
          AS BIGINT) AS last_purchase_cents
-       FROM (SELECT user_id, event_id, ts,
+       FROM (SELECT user_id, event_id,
+               date_trunc('microseconds', ts) AS ts,
                CASE WHEN event_type = 'purchase'
                     THEN CAST(floor(value * 100.0) AS BIGINT) END AS pv
              FROM events)

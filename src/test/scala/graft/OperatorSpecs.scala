@@ -325,6 +325,7 @@ class RelationalOpsSpec extends SparkSuite {
       .head.getAs[Long]("user_id")
     val mine = ev.filter(_.getAs[Long]("user_id") == uid)
       .sortBy(r => (r.getAs[java.sql.Timestamp]("ts").getTime,
+        r.getAs[java.sql.Timestamp]("ts").getNanos,
         r.getAs[Long]("event_id")))
     var lastP = -1L
     val want = mine.map { r =>

@@ -231,11 +231,13 @@ object WavMultiChunkProps extends Properties("ParseWavMultiChunk") {
 
   private def wavChunks(rate: Int, ch: Int,
       chunks: Seq[Array[Int]]): Array[Byte] = {
-    val dataLen = chunks.map(c => 8 + c.length * 2 +
-      (if (c.length % 2 == 1) 0 else 0)).sum
-    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+    // chunksLen = every data chunk's 8-byte header + payload; the
+    // RIFF size counts from after its own 8-byte header: 'WAVE' (4)
+    // + fmt header+body (8 + 16) + the data chunks
+    val chunksLen = chunks.map(c => 8 + c.length * 2).sum
+    val bb = java.nio.ByteBuffer.allocate(36 + 8 + chunksLen)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(28 + chunksLen)
       .put("WAVE".getBytes("US-ASCII"))
     bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
       .putShort(1).putShort(ch.toShort).putInt(rate)
