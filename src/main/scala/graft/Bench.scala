@@ -90,15 +90,22 @@ object Bench {
     val ok = results.filter(_._2 >= 0)
     val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0
     val nFail = results.count(_._2 < 0)
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$nRuns,"queries":$qs,"queries_min":$qmin,"queries_max":$qmax,"failed":$nFail,"shuffle_bytes":$sh,"sf":"$sfDir"}"""
-    println(json)
-    // The driver captures a bounded stdout tail; the full line also
-    // lands on disk so per-query numbers survive truncation. Best
-    // effort — a read-only checkout must not turn a green bench red.
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$nRuns,"queries":$qs,"queries_min":$qmin,"queries_max":$qmax,"failed":$nFail,"shuffle_bytes":$sh,"sf":"$sfDir"}"""
+    // Full per-query detail lands on disk; the PRINTED line must fit
+    // the driver's bounded stdout tail (observed: last 2000 chars —
+    // the 8 KB full line was truncated and never parsed, rounds 1-4),
+    // so stdout carries the total plus only the slowest queries,
+    // values rounded. Best effort on the file write — a read-only
+    // checkout must not turn a green bench red.
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_LAST.json"), json + "\n")
+      java.nio.file.Paths.get("BENCH_LAST.json"), full + "\n")
     catch { case e: Exception =>
       System.err.println(s"[bench] could not write BENCH_LAST.json: $e") }
+    def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(20)
+      .map(r => "\"" + r._1 + "\":" + r3(r._2)).mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs_per_query":$nRuns,"n_queries":${results.size},"failed":$nFail,"queries":$slowest,"detail":"BENCH_LAST.json","sf":"$sfDir"}"""
+    println(json)
     spark.stop()
   }
 }

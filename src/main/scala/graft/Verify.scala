@@ -5,7 +5,10 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // args 3+ (optional) restrict the dump to the named queries —
+    // same local-iteration escape hatch as SPARK_GRAFT_ONLY.
+    val (sfDir, outDir) = (args(0), args(1))
+    val argOnly = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -19,7 +22,8 @@ object Verify {
     // SPARK_GRAFT_ONLY=q1,q2 restricts the dump for local iteration
     // (the driver never sets it, so its gate always runs everything).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String]) ++
+      argOnly
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>

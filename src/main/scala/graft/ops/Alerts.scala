@@ -44,8 +44,8 @@ object Alerts {
         val cron = Cron.parse(expr)
         // prev fire: step back in day-sized jumps until a fire lands
         // before logicalDate, then walk fires forward to the LAST one
-        // before it (cron gaps are <= 4 years; bounded by nextFire's
-        // own 5-year guard)
+        // before it (cron gaps are <= 8 years — Feb 29 across a
+        // skipped century leap year; bounded by nextFire's 9-year guard)
         var back = logicalDate.minus(java.time.Duration.ofDays(1))
         while (cron.nextFire(back).compareTo(logicalDate) >= 0)
           back = back.minus(java.time.Duration.ofDays(1))

@@ -42,9 +42,12 @@ object Config {
   /** One-row frame `(value)` for `key`, falling back to `default` when
     * absent — broadcast-join this onto data instead of collecting.
     * The aggregate keeps it one row even if the key is missing.
-    * `max` (not `first`) so a duplicated key resolves identically here,
-    * in [[getString]], and in the DuckDB oracles' `max(CASE...)` —
-    * never nondeterministically. */
+    * `max` (not `first`) so a duplicated key resolves deterministically
+    * with max as the tie-break, matching the DuckDB oracles'
+    * `max(CASE...)`. Note [[getString]] is stricter: it fail-fasts on
+    * CONFLICTING duplicates instead of picking the max — driver-side
+    * lookups want the loud failure, query-side frames want a value the
+    * oracle can reproduce. */
   def valueRow(spark: SparkSession, key: String, default: String): DataFrame =
     store(spark)
       .filter(col("key") === key)

@@ -116,10 +116,16 @@ object Multimodal {
       }
       y += 1
     }
-    val avgs = Array.tabulate(64)(i => sums(i) / counts(i))
-    val mean = avgs.sum / 64
+    // Images (or thumbnails of extreme-aspect originals) narrower or
+    // shorter than 8 px leave some of the 64 blocks empty; those
+    // blocks carry no signal, so they are excluded from the global
+    // mean and hash to 0 rather than dividing by a zero count.
+    val avgs = Array.tabulate(64)(i =>
+      if (counts(i) == 0) -1L else sums(i) / counts(i))
+    val nonEmpty = counts.count(_ > 0).max(1)
+    val mean = avgs.filter(_ >= 0L).sum / nonEmpty
     avgs.zipWithIndex.foldLeft(0L) { case (acc, (a, i)) =>
-      if (a > mean) acc | (1L << i) else acc
+      if (a >= 0L && a > mean) acc | (1L << i) else acc
     }
   }
 
@@ -609,6 +615,8 @@ object Multimodal {
           bb.getInt(); bb.getShort()
           require(bb.getShort() == 16, s"$file: not 16-bit")
         case "data" =>
+          require(len <= bb.remaining(),
+            s"$file: truncated data chunk ($len declared, ${bb.remaining()} left)")
           var i = 0
           while (i < len / 2) { samples += bb.getShort(); i += 1 }
           nSamples += len / 2

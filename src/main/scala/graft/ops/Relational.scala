@@ -342,13 +342,16 @@ object Relational {
         sum(col("x") * col("x")).as("sxx"),
         sum(col("y") * col("y")).as("syy"),
         sum(col("x") * col("y")).as("sxy"))
+    // nullif on the denominator: a zero-variance group (constant hour
+    // or constant value) must emit NULL corr_e4 in BOTH engines — a
+    // bare 0/0 is NaN in Spark but errors DuckDB's CAST AS BIGINT.
     m.select(col("event_type"), col("n"),
         expr("""CAST(floor(
             (CAST(n AS DECIMAL(20,0)) * sxy - CAST(sx AS DECIMAL(20,0)) * sy)
-            / sqrt(CAST((CAST(n AS DECIMAL(20,0)) * sxx
+            / nullif(sqrt(CAST((CAST(n AS DECIMAL(20,0)) * sxx
                          - CAST(sx AS DECIMAL(20,0)) * sx) AS DOUBLE)
                  * CAST((CAST(n AS DECIMAL(20,0)) * syy
-                         - CAST(sy AS DECIMAL(20,0)) * sy) AS DOUBLE))
+                         - CAST(sy AS DECIMAL(20,0)) * sy) AS DOUBLE)), 0.0D)
             * 10000.0) AS BIGINT)""").as("corr_e4"))
       .orderBy(col("event_type"))
   }
@@ -356,8 +359,8 @@ object Relational {
     """SELECT event_type, n,
        CAST(floor(
          (n * sxy - sx * sy)
-         / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
-              * CAST(n * syy - sy * sy AS DOUBLE))
+         / nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+              * CAST(n * syy - sy * sy AS DOUBLE)), 0.0)
          * 10000.0) AS BIGINT) AS corr_e4
        FROM (
          SELECT event_type, count(1) AS n,

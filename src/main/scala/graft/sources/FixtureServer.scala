@@ -83,7 +83,9 @@ object FixtureServer {
         }.toMap
       val search = params.get("search")
       val limit = params.get("limit").map(_.toInt).getOrElse(Int.MaxValue)
-      val needle = search.map(s => s""""$searchField": "$s"""")
+      // Closing quote makes this an exact-value match: without it a
+      // client named e.g. "iowa2" would leak into the "iowa" partition.
+      val needle = search.map(s => "\"" + searchField + "\": \"" + s + "\"")
       val lines = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path))
       val body = new StringBuilder
       var n = 0

@@ -221,6 +221,26 @@ object ImageKernelProps extends Properties("ImageKernels") {
         (0 until oh).forall(y => (0 until ow).forall(x =>
           srcPixels.contains(out.getRGB(x, y))))
     }
+
+  property("aHash total on tiny/thin images (empty 8x8 blocks hash to 0)") =
+    forAll(Gen.choose(1, 12), Gen.choose(1, 12), Gen.choose(0, 255)) {
+      (w, h, seed) =>
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val g = Math.floorMod(x * 31 + y * 17 + seed, 256)
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      // must not divide by an empty block's zero count (w or h < 8
+      // leaves blocks with no pixels); empty blocks contribute 0 bits
+      val hash = Multimodal.aHash(img)
+      val emptyBlocks = (for {
+        by <- 0 until 8; bx <- 0 until 8
+        if !(0 until h).exists(y => (0 until w).exists(x =>
+          (y * 8 / h) * 8 + (x * 8 / w) == by * 8 + bx))
+      } yield by * 8 + bx).toSet
+      emptyBlocks.forall(b => (hash & (1L << b)) == 0L)
+    }
 }
 
 /** The RIFF walker's multi-chunk contract: a payload split across
@@ -263,5 +283,23 @@ object WavMultiChunkProps extends Properties("ParseWavMultiChunk") {
       val two = Multimodal.parseWav("b.wav",
         wavChunks(8000, ch, Seq(all.take(cut), all.drop(cut))))
       one.copy(file = "x") == two.copy(file = "x")
+    }
+
+  property("truncated data chunk fails with the file-named require") =
+    forAll(params, Gen.choose(1, 200)) { case ((ch, _, all), cutBytes) =>
+      val whole = wavChunks(8000, ch, Seq(all))
+      val short = java.util.Arrays.copyOf(
+        whole, math.max(44, whole.length - cutBytes.min(all.length * 2)))
+      // either parses (cut landed past the declared payload — can't
+      // happen here but keeps the property total) or raises the
+      // parser's own IllegalArgumentException naming the file, never
+      // a raw BufferUnderflowException
+      if (short.length < whole.length)
+        try { Multimodal.wavSamples("t.wav", short); false }
+        catch {
+          case e: IllegalArgumentException => e.getMessage.contains("t.wav")
+          case _: Throwable => false
+        }
+      else true
     }
 }
