@@ -512,7 +512,59 @@ object Dedup {
                FROM documents))
        WHERE rk = 1 ORDER BY fp"""
 
+  /** URL canonicalization + exact dedup — the web-corpus dedup step
+    * that runs BEFORE any content hashing: the same page fetched as
+    * `HTTPS://Host.Example.com:443/docs/7/?utm_source=feed&id=3#top`
+    * and `https://host.example.com/docs/7?id=3` must collapse to one
+    * canonical key. The canonicalizer (strip fragment → lowercase
+    * scheme/authority → drop default :443 port → drop tracking params
+    * → fold the path's trailing slash) is generated ONCE as SQL text
+    * and evaluated by both engines, so the oracle exercises the real
+    * transformation rather than restating it. Portability constraints
+    * baked into that text: anchored single-match regexes only (DuckDB
+    * `regexp_replace` is first-match where Spark's is all-match) and
+    * no backreferences (`$1` vs `\1` divergence); multi-occurrence
+    * strips use plain `replace()`, all-occurrence in both engines.
+    * Raw URLs derive deterministically from doc fields — the test
+    * tables ship no URL column — while the canonicalizer itself is
+    * input-agnostic. Scale: a pure per-row map feeding one groupBy on
+    * the canonical key, the same shuffle shape as [[exactHashDedup]]. */
+  private val rawUrlExpr: String =
+    """(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END ||
+        CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END ||
+        '.Example.com' ||
+        CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END ||
+        '/docs/' || CAST(doc_id % 50 AS STRING) ||
+        CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END ||
+        CASE doc_id % 3
+          WHEN 0 THEN '?utm_source=feed&id=' || CAST(doc_id % 7 AS STRING)
+          WHEN 1 THEN '?id=' || CAST(doc_id % 7 AS STRING)
+          ELSE '' END ||
+        CASE WHEN doc_id % 2 = 0 THEN '#top' ELSE '' END)"""
+  private def canonUrlExpr(in: String): String = {
+    val noFrag = s"regexp_replace($in, '#.*', '')"
+    val auth = s"(lower(regexp_extract($noFrag, '^[a-zA-Z]+://[^/?#]*', 0))" +
+      s" || regexp_replace($noFrag, '^[a-zA-Z]+://[^/?#]*', ''))"
+    val noPort = s"replace($auth, ':443/', '/')"
+    val noUtm = s"replace($noPort, '?utm_source=feed&', '?')"
+    val noSlashQ = s"replace($noUtm, '/?', '?')"
+    s"regexp_replace($noSlashQ, '/$$', '')"
+  }
+  def urlDedup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"))
+      .withColumn("url", expr(canonUrlExpr(rawUrlExpr)))
+      .groupBy(col("url"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_doc_id"))
+      .filter(col("n_copies") >= 2)
+      .orderBy(col("url"))
+  val urlDedupSql: String =
+    s"""SELECT url, count(1) AS n_copies, min(doc_id) AS keep_doc_id
+       FROM (SELECT doc_id, ${canonUrlExpr(rawUrlExpr)} AS url FROM documents)
+       GROUP BY 1 HAVING count(1) >= 2 ORDER BY url"""
+
   val queries: Map[String, QFn] = Map(
+    "dedup_url" -> urlDedup,
     "dedup_keep_best" -> keepBest,
     "dedup_exact" -> exactDedup,
     "dedup_exact_hash" -> exactHashDedup,
@@ -524,6 +576,7 @@ object Dedup {
     "dedup_clusters" -> dedupClusters)
 
   val oracles: Map[String, String] = Map(
+    "dedup_url" -> urlDedupSql,
     "dedup_keep_best" -> keepBestSql,
     "dedup_exact" -> exactDedupSql,
     "dedup_exact_hash" -> exactHashDedupSql,

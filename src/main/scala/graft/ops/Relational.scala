@@ -1513,7 +1513,165 @@ object Relational {
              FROM orders)
        GROUP BY o_orderstatus ORDER BY o_orderstatus"""
 
+  /** Linear-interpolation resample — the interpolating twin of
+    * [[resampleFfill]]: per event_type, an hourly spine between first
+    * and last observation; grid hours without an observation get the
+    * time-weighted blend of the nearest observed hour on each side
+    * (`(pv*(nh-h) + nv*(h-ph)) / (nh-ph)`), NULL before the first /
+    * after the last observation. Arithmetic stays integral up to one
+    * double division whose quotient is a small-denominator rational,
+    * so `floor` of it is engine-exact (a non-integral quotient sits ≥
+    * 1/denominator away from any integer — far beyond one ulp).
+    * Scale: per-hour pre-aggregation bounds the spine to O(types ×
+    * hours); both window passes ride the same (type, hr) sort. */
+  def resampleInterp(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir).filter(col("user_id") < 40)
+    val perHour = e.groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).as("hr"))
+      .agg(max_by(cents(col("value")),
+        struct(col("ts"), col("event_id"))).as("obs_cents"))
+    val spine = e.groupBy(col("event_type"))
+      .agg(date_trunc("hour", min(col("ts"))).as("h0"),
+        date_trunc("hour", max(col("ts"))).as("h1"))
+      .select(col("event_type"),
+        explode(expr("sequence(h0, h1, interval 1 hour)")).as("hr"))
+    val wP = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wN = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+      .rowsBetween(0, Window.unboundedFollowing)
+    spine.join(perHour, Seq("event_type", "hr"), "left")
+      .withColumn("h", expr("unix_timestamp(hr) div 3600"))
+      .withColumn("obs_h", when(col("obs_cents").isNotNull, col("h")))
+      .withColumn("pv", last(col("obs_cents"), ignoreNulls = true).over(wP))
+      .withColumn("ph", last(col("obs_h"), ignoreNulls = true).over(wP))
+      .withColumn("nv", first(col("obs_cents"), ignoreNulls = true).over(wN))
+      .withColumn("nh", first(col("obs_h"), ignoreNulls = true).over(wN))
+      .withColumn("interp_cents",
+        when(col("obs_cents").isNotNull, col("obs_cents"))
+          .otherwise(floor(
+            (col("pv") * (col("nh") - col("h")) +
+             col("nv") * (col("h") - col("ph"))).cast("double") /
+            (col("nh") - col("ph")).cast("double")).cast("long")))
+      .select(col("event_type"), fmtTs(col("hr")).as("hr"),
+        col("obs_cents"), col("interp_cents"))
+      .orderBy(col("event_type"), col("hr"))
+  }
+  val resampleInterpSql: String =
+    """WITH e AS (SELECT * FROM events WHERE user_id < 40),
+       per_hour AS (
+         SELECT event_type, hr, obs_cents FROM (
+           SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(floor(value * 100.0) AS BIGINT) AS obs_cents,
+             row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+               ORDER BY ts DESC, event_id DESC) AS rn
+           FROM e) WHERE rn = 1),
+       spine AS (
+         SELECT event_type, unnest(generate_series(
+           date_trunc('hour', mn), date_trunc('hour', mx),
+           INTERVAL 1 HOUR)) AS hr
+         FROM (SELECT event_type, min(ts) AS mn, max(ts) AS mx
+               FROM e GROUP BY event_type)),
+       g AS (
+         SELECT s.event_type AS event_type, s.hr AS hr, p.obs_cents AS obs_cents,
+           CAST(date_part('epoch', s.hr) // 3600 AS BIGINT) AS h,
+           CASE WHEN p.obs_cents IS NOT NULL
+                THEN CAST(date_part('epoch', s.hr) // 3600 AS BIGINT) END AS obs_h
+         FROM spine s LEFT JOIN per_hour p
+           ON s.event_type = p.event_type AND s.hr = p.hr),
+       w AS (
+         SELECT *,
+           last_value(obs_cents IGNORE NULLS) OVER (PARTITION BY event_type
+             ORDER BY hr ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+           last_value(obs_h IGNORE NULLS) OVER (PARTITION BY event_type
+             ORDER BY hr ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+           first_value(obs_cents IGNORE NULLS) OVER (PARTITION BY event_type
+             ORDER BY hr ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+           first_value(obs_h IGNORE NULLS) OVER (PARTITION BY event_type
+             ORDER BY hr ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+         FROM g)
+       SELECT event_type, strftime(hr, '%Y-%m-%d %H:%M:%S') AS hr, obs_cents,
+         CASE WHEN obs_cents IS NOT NULL THEN obs_cents
+              ELSE CAST(floor(CAST(pv * (nh - h) + nv * (h - ph) AS DOUBLE)
+                              / CAST(nh - ph AS DOUBLE)) AS BIGINT) END
+           AS interp_cents
+       FROM w ORDER BY event_type, hr"""
+
+  /** Mergeable-sketch rollup — the re-aggregation story HLL++ can't
+    * tell: DataSketches HLL sketches built per day (`hll_sketch_agg`)
+    * are UNIONED (`hll_union_agg`) into the corpus total without
+    * touching raw rows again, exactly how a 100 TB pipeline rolls
+    * daily uniques into monthly ones. The sketch estimates are
+    * engine-specific, so (as with [[approxDistinctCheck]]) the oracle
+    * checks the tolerance verdict next to the exact count. The per-day
+    * frame is deliberately reused by both branches: at scale it would
+    * be a persisted daily artifact; here the double scan of events is
+    * cheaper than caching bookkeeping. */
+  def sketchUnionRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(to_date(col("ts")).as("d"), col("user_id"))
+    val perDay = ev.groupBy(col("d"))
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"),
+        countDistinct(col("user_id")).as("exact_users"))
+    val days = perDay.select(col("d").cast("string").as("scope"),
+      col("exact_users"),
+      (abs(expr("hll_sketch_estimate(sk)") - col("exact_users")) <=
+        col("exact_users") * 0.05).as("within_5pct"))
+    val total = perDay.agg(expr("hll_union_agg(sk)").as("sk"))
+      .crossJoin(broadcast(ev.agg(countDistinct(col("user_id")).as("exact_users"))))
+      .select(lit("ALL").as("scope"), col("exact_users"),
+        (abs(expr("hll_sketch_estimate(sk)") - col("exact_users")) <=
+          col("exact_users") * 0.05).as("within_5pct"))
+    days.unionByName(total).orderBy(col("scope"))
+  }
+  val sketchUnionRollupSql: String =
+    """SELECT CAST(CAST(ts AS DATE) AS STRING) AS scope,
+         count(DISTINCT user_id) AS exact_users, true AS within_5pct
+       FROM events GROUP BY 1
+       UNION ALL
+       SELECT 'ALL' AS scope, count(DISTINCT user_id) AS exact_users,
+         true AS within_5pct
+       FROM events
+       ORDER BY scope"""
+
+  /** Z-order layout manifest — the multi-dimensional clustering used
+    * for data skipping (Delta/Iceberg `OPTIMIZE ZORDER`): interleave
+    * the low 10 bits of two join keys into a 20-bit Morton code, cut
+    * it into 64 buckets by its top 6 bits, and emit each bucket's
+    * min/max per dimension. Narrow per-bucket ranges on BOTH columns
+    * are the point: a scan filtered on either key can prune most
+    * buckets, which a single-column sort can only do for one. The bit
+    * interleave is generated as div/mod arithmetic so the identical
+    * formula runs in Spark (`div`) and DuckDB (`//`). */
+  private def zOrderExpr(divOp: String): String =
+    (0 until 10).map { k =>
+      s"((x $divOp ${1 << k}) % 2) * ${1 << (2 * k)} + " +
+        s"((y $divOp ${1 << k}) % 2) * ${1 << (2 * k + 1)}"
+    }.mkString(" + ")
+  def layoutZorder(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .select(pmod(col("l_orderkey"), lit(1024)).as("x"),
+        pmod(col("l_partkey"), lit(1024)).as("y"))
+      .withColumn("z", expr(zOrderExpr("div")))
+      .withColumn("bucket", expr(s"z div ${1 << 14}"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+      .orderBy(col("bucket"))
+  val layoutZorderSql: String = {
+    val z = zOrderExpr("//")
+    s"""SELECT (z // ${1 << 14}) AS bucket, count(1) AS n,
+        min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
+        FROM (SELECT ($z) AS z, x, y
+              FROM (SELECT l_orderkey % 1024 AS x, l_partkey % 1024 AS y
+                    FROM lineitem))
+        GROUP BY 1 ORDER BY bucket"""
+  }
+
   val queries: Map[String, QFn] = Map(
+    "resample_interp" -> resampleInterp,
+    "sketch_union_rollup" -> sketchUnionRollup,
+    "layout_zorder" -> layoutZorder,
     "agg_decimal_exact" -> aggDecimalExact,
     "sessionize_native" -> sessionizeNative,
     "graph_pagerank" -> graphPagerank,
@@ -1574,6 +1732,9 @@ object Relational {
     "cohort_retention" -> cohortRetention)
 
   val oracles: Map[String, String] = Map(
+    "resample_interp" -> resampleInterpSql,
+    "sketch_union_rollup" -> sketchUnionRollupSql,
+    "layout_zorder" -> layoutZorderSql,
     "agg_decimal_exact" -> aggDecimalExactSql,
     "sessionize_native" -> sessionizeNativeSql,
     "graph_pagerank" -> graphPagerankSql,

@@ -1097,7 +1097,36 @@ object Text {
          FROM base LEFT JOIN rep USING (doc_id) LEFT JOIN surp USING (doc_id))
        GROUP BY verdict ORDER BY verdict"""
 
+  /** Deterministic train/val/test assignment — the split step every
+    * training corpus needs before packing: a doc's split is a pure
+    * function of md5(doc_id) (train &lt; 0xcc ≈ 79.7 %, val &lt; 0xe6 ≈
+    * 10.2 %, rest test), so re-running the pipeline, adding sources, or
+    * re-sharding never moves a document across splits — no
+    * contamination from assignment churn. Per (source, split) counts
+    * come out of one map-side-combined groupBy on a 60-key space;
+    * stratification falls out of hash uniformity within each source
+    * rather than per-source bookkeeping. */
+  def splitAssign(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("key", md5(encode(col("doc_id").cast("string"), "utf-8")))
+      .withColumn("split",
+        when(col("key") < "cc", "train")
+          .when(col("key") < "e6", "val")
+          .otherwise("test"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .orderBy(col("source"), col("split"))
+  val splitAssignSql: String =
+    """SELECT source,
+         CASE WHEN md5(CAST(doc_id AS STRING)) < 'cc' THEN 'train'
+              WHEN md5(CAST(doc_id AS STRING)) < 'e6' THEN 'val'
+              ELSE 'test' END AS split,
+         count(1) AS n_docs, min(doc_id) AS first_doc
+       FROM documents
+       GROUP BY 1, 2 ORDER BY source, split"""
+
   val queries: Map[String, QFn] = Map(
+    "t_split_assign" -> splitAssign,
     "corpus_filter_funnel" -> corpusFilterFunnel,
     "sample_temperature" -> sampleTemperature,
     "t_doc_overlap_pairs" -> docOverlapPairs,
@@ -1126,6 +1155,7 @@ object Text {
     "t_fingerprint" -> fingerprint)
 
   val oracles: Map[String, String] = Map(
+    "t_split_assign" -> splitAssignSql,
     "corpus_filter_funnel" -> corpusFilterFunnelSql,
     "sample_temperature" -> sampleTemperatureSql,
     "t_doc_overlap_pairs" -> docOverlapPairsSql,

@@ -218,13 +218,55 @@ object EventsStream {
     """SELECT event_type, count(1) AS n
        FROM events GROUP BY event_type ORDER BY event_type"""
 
+  /** `stream_static_enrich`: the stream-static join — each micro-batch
+    * of events joins the nation dimension as a BROADCAST hash join (no
+    * stream-side shuffle, no state store for the join itself; the
+    * static side is re-planned per batch, which is how a slowly-
+    * refreshed dim table stays current on a cluster). Downstream the
+    * enriched stream feeds a watermarked daily window per nation.
+    * AvailableNow + Complete ⇒ the result equals the batch join, so it
+    * oracle-checks; at scale only the windowed agg holds state and the
+    * dim stays O(|nation|) per executor. */
+  def streamStaticEnrich(spark: SparkSession, sfDir: String): DataFrame =
+    withStreamingParts(spark, 8) {
+      val src = spark.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val dim = graft.Tables.nation(spark, sfDir)
+        .select(col("n_nationkey").cast("long").as("nk"), col("n_name"))
+      val enriched = src
+        .withColumn("nk", pmod(col("user_id"), lit(25)))
+        .join(broadcast(dim), Seq("nk"))
+      val agg = enriched
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 day"), col("n_name"))
+        .agg(count(lit(1)).as("n"),
+          sum(graft.Util.cents(col("value"))).as("sum_cents"))
+      val out = runToMemory(spark, agg
+          .select(col("window.start").as("day_start"), col("n_name"),
+            col("n"), col("sum_cents")),
+        s"graft_stream_se_${runSeq.incrementAndGet()}")
+      out.select(graft.Util.fmtTs(col("day_start")).as("day_start"),
+          col("n_name"), col("n"), col("sum_cents").cast("long").as("sum_cents"))
+        .orderBy(col("day_start"), col("n_name"))
+    }
+  val streamStaticEnrichSql: String =
+    """SELECT strftime(make_timestamp(CAST(floor(epoch(ts) / 86400) * 86400000000 AS BIGINT)),
+                       '%Y-%m-%d %H:%M:%S') AS day_start,
+       n_name, count(1) AS n,
+       CAST(sum(CAST(floor(value * 100.0) AS BIGINT)) AS BIGINT) AS sum_cents
+       FROM events JOIN nation ON user_id % 25 = n_nationkey
+       GROUP BY 1, 2 ORDER BY day_start, n_name"""
+
   val queries: Map[String, graft.Util.QFn] = Map(
+    "stream_static_enrich" -> streamStaticEnrich,
     "stream_windowed_counts" -> streamWindowedCounts,
     "stream_sessionize" -> streamSessionize,
     "stream_running_counts" -> streamRunningCounts,
     "stream_interval_join" -> streamIntervalJoin,
     "stream_dedup" -> streamDedup)
   val oracles: Map[String, String] = Map(
+    "stream_static_enrich" -> streamStaticEnrichSql,
     "stream_windowed_counts" -> streamWindowedCountsSql,
     "stream_sessionize" -> streamSessionizeSql,
     "stream_running_counts" -> streamRunningCountsSql,

@@ -1003,3 +1003,110 @@ class FlowSpec extends SparkSuite {
     assert(sess.filter(col("n_events") < 1).isEmpty)
   }
 }
+
+/** Round-5 operators: interpolation exactness, z-order locality,
+  * split determinism, URL canonical collapse, sketch rollup gates,
+  * stream-static equivalence. */
+class Round5OpsSpec extends SparkSuite {
+  import org.apache.spark.sql.functions._
+
+  test("resample_interp: observed hours pass through; gaps blend linearly") {
+    val out = ops.Relational.resampleInterp(spark, sf).collect()
+    assert(out.nonEmpty)
+    // observed rows: interp == obs, always
+    out.filter(r => !r.isNullAt(r.fieldIndex("obs_cents"))).foreach { r =>
+      assert(r.getAs[Long]("interp_cents") == r.getAs[Long]("obs_cents"))
+    }
+    // interpolated rows sit within [min(prev,next), max(prev,next)] of
+    // their neighbors: monotone blend, never extrapolation
+    val byType = out.groupBy(_.getAs[String]("event_type"))
+    byType.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[String]("hr"))
+      val obsIdx = sorted.zipWithIndex
+        .filter { case (r, _) => !r.isNullAt(r.fieldIndex("obs_cents")) }
+        .map(_._2)
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        if (r.isNullAt(r.fieldIndex("obs_cents")) &&
+            !r.isNullAt(r.fieldIndex("interp_cents"))) {
+          val prev = obsIdx.filter(_ < i).lastOption
+          val next = obsIdx.find(_ > i)
+          (prev, next) match {
+            case (Some(p), Some(n)) =>
+              val pv = sorted(p).getAs[Long]("obs_cents")
+              val nv = sorted(n).getAs[Long]("obs_cents")
+              val v = r.getAs[Long]("interp_cents")
+              assert(v >= math.min(pv, nv) - 1 && v <= math.max(pv, nv),
+                s"interp $v outside [$pv, $nv]")
+            case _ => fail("interp_cents present without both neighbors")
+          }
+        }
+      }
+    }
+  }
+
+  test("layout_zorder: every bucket bounds both dimensions to 1/8 range") {
+    val m = ops.Relational.layoutZorder(spark, sf).collect()
+    assert(m.nonEmpty)
+    // top 6 z bits fix the top 3 bits of x AND y: per-bucket spread of
+    // each dim is < 1024/8 — the two-dimensional pruning a single-column
+    // sort cannot give
+    m.foreach { r =>
+      assert(r.getAs[Long]("max_x") - r.getAs[Long]("min_x") <= 127)
+      assert(r.getAs[Long]("max_y") - r.getAs[Long]("min_y") <= 127)
+    }
+  }
+
+  test("t_split_assign: splits partition the corpus near 80/10/10") {
+    val rows = ops.Text.splitAssign(spark, sf).collect()
+    val bySplit = rows.groupBy(_.getAs[String]("split"))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    val total = bySplit.values.sum
+    assert(total == Tables.documents(spark, sf).count())
+    val train = bySplit.getOrElse("train", 0L).toDouble / total
+    val valF = bySplit.getOrElse("val", 0L).toDouble / total
+    assert(math.abs(train - 204.0 / 256) < 0.05, s"train share $train")
+    assert(math.abs(valF - 26.0 / 256) < 0.04, s"val share $valF")
+    // determinism: a second run assigns identically
+    val again = ops.Text.splitAssign(spark, sf).collect()
+    assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
+  test("dedup_url: canonical keys carry no case/port/utm/fragment residue") {
+    val urls = ops.Dedup.urlDedup(spark, sf).collect()
+      .map(_.getAs[String]("url"))
+    urls.foreach { u =>
+      assert(!u.contains("#") && !u.contains(":443") && !u.contains("utm_"),
+        s"residue in $u")
+      assert(u == u.toLowerCase, s"case residue in $u")
+      assert(!u.endsWith("/") && !u.contains("/?"), s"slash residue in $u")
+    }
+  }
+
+  test("sketch_union_rollup: every scope passes the 5% gate; ALL >= max day") {
+    val rows = ops.Relational.sketchUnionRollup(spark, sf).collect()
+    assert(rows.forall(_.getAs[Boolean]("within_5pct")))
+    val all = rows.filter(_.getAs[String]("scope") == "ALL")
+      .map(_.getAs[Long]("exact_users")).head
+    val maxDay = rows.filter(_.getAs[String]("scope") != "ALL")
+      .map(_.getAs[Long]("exact_users")).max
+    assert(all >= maxDay, "union must cover the largest day")
+  }
+
+  test("stream_static_enrich equals the batch join it enriches") {
+    val stream = streaming.EventsStream.streamStaticEnrich(spark, sf)
+      .collect().map(_.toString)
+    val dim = Tables.nation(spark, sf)
+      .select(col("n_nationkey").cast("long").as("nk"), col("n_name"))
+    val batch = Tables.events(spark, sf)
+      .withColumn("nk", pmod(col("user_id"), lit(25)))
+      .join(broadcast(dim), Seq("nk"))
+      .groupBy(window(col("ts"), "1 day"), col("n_name"))
+      .agg(count(lit(1)).as("n"),
+        sum(graft.Util.cents(col("value"))).as("sum_cents"))
+      .select(graft.Util.fmtTs(col("window.start")).as("day_start"),
+        col("n_name"), col("n"), col("sum_cents").cast("long").as("sum_cents"))
+      .orderBy(col("day_start"), col("n_name"))
+      .collect().map(_.toString)
+    assert(stream.sameElements(batch))
+  }
+}
