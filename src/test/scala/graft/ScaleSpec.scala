@@ -399,6 +399,55 @@ class ScaleSpec extends SparkSuite {
     }
   }
 
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // At 100 TB a selective dim filter must reach the fact scan even
+    // when the dim outgrows the broadcast threshold: Spark's runtime
+    // bloom filter builds a filter from the dim side and applies it
+    // below the fact shuffle. The application-side size threshold
+    // defaults to 10 GB (never met at test SF), so it is scoped to 0
+    // here — the assertion is that the ENGINE's plans remain eligible
+    // for injection (shuffle join + selective creation side), which a
+    // refactor to a non-equi or pre-aggregated shape would break.
+    graft.Util.withConf(spark, "spark.sql.adaptive.enabled", "false") {
+      graft.Util.withConf(spark,
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0") {
+        graft.Util.withConf(spark, "spark.sql.autoBroadcastJoinThreshold", "-1") {
+          val dim = Tables.orders(spark, sf)
+            .filter(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_orderkey"))
+          val fact = Tables.lineitem(spark, sf)
+            .select(col("l_orderkey"), col("l_quantity"))
+          val q = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+            .groupBy().count()
+          val opt = q.queryExecution.optimizedPlan.toString
+          assert(opt.contains("might_contain") && opt.contains("bloom_filter_agg"),
+            s"runtime bloom filter must inject on the fact side:\n${opt.take(1500)}")
+        }
+      }
+    }
+  }
+
+  test("layout_zorder aggregates in one exchange on the bucket key") {
+    // The z-order manifest is a map-side-combined groupBy on a 64-key
+    // space: exactly one shuffle, carrying only the bucket key and agg
+    // buffers — never the per-row x/y/z. At 100 TB the interleave is
+    // pure per-row arithmetic and the exchange stays O(buckets).
+    graft.Util.withConf(spark, "spark.sql.adaptive.enabled", "false") {
+      val plan = graft.ops.Relational.layoutZorder(spark, sf)
+        .queryExecution.executedPlan
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      // one for the groupBy, one for the final orderBy's range partition
+      assert(exchanges.nonEmpty, "guard must see the exchanges")
+      val hashEx = exchanges.filter(_.outputPartitioning.toString.contains("hash"))
+      assert(hashEx.size == 1, s"one hash exchange expected, got ${exchanges.size}")
+      val cols = hashEx.flatMap(_.output.map(_.name.toLowerCase))
+      assert(!cols.contains("x") && !cols.contains("y") && !cols.contains("z"),
+        s"exchange must carry agg buffers, not raw dims: $cols")
+    }
+  }
+
   test("filtered ANN pushes the label IN-list into the parquet scan") {
     // pre-filter vector search: the metadata predicate must restrict
     // the corpus AT THE SCAN (with a label-partitioned table this is
