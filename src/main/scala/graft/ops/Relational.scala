@@ -1668,7 +1668,137 @@ object Relational {
         GROUP BY 1 ORDER BY bucket"""
   }
 
+  /** TPC-H Q8-shaped market share — the deepest join tree in the
+    * engine (8 relations): PROMO-part lineitems joined through
+    * supplier→nation (numerator tag) and orders→customer→nation→
+    * region (ASIA filter), yearly share of one supplier nation in e4
+    * fixed point. Deliberately DECLARATIVE: no broadcast() hints —
+    * Catalyst/AQE reorders the tree and picks broadcast sides from
+    * size estimates, which is the point at 100 TB (dims broadcast,
+    * the lineitem⋈orders spine is the only big shuffle, and the part
+    * filter prunes the fact side early). */
+  def q8MarketShare(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        revenueCents("l_extendedprice", "l_discount").cast("long").as("rev_cents"))
+    val part = Tables.part(spark, sfDir)
+      .filter(col("p_type") === "PROMO").select(col("p_partkey"))
+    val supp = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val n2 = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val ord = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).as("yr"))
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val n1 = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").as("cn_key"), col("n_regionkey"))
+    val reg = Tables.region(spark, sfDir)
+      .filter(col("r_name") === "ASIA").select(col("r_regionkey"))
+    li.join(part, col("l_partkey") === col("p_partkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(n2, col("s_nationkey") === col("sn_key"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(n1, col("c_nationkey") === col("cn_key"))
+      .join(reg, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("yr"))
+      .agg(sum(when(col("supp_nation") === "NATION_2", col("rev_cents"))
+          .otherwise(0L)).as("nat_cents"),
+        sum(col("rev_cents")).as("tot_cents"))
+      .select(col("yr"), col("nat_cents"), col("tot_cents"),
+        floor(lit(10000.0) * col("nat_cents") / col("tot_cents"))
+          .cast("long").as("share_e4"))
+      .orderBy(col("yr"))
+  }
+  val q8MarketShareSql: String =
+    """SELECT yr, CAST(nat_cents AS BIGINT) AS nat_cents,
+         CAST(tot_cents AS BIGINT) AS tot_cents,
+         CAST(floor(10000.0 * nat_cents / tot_cents) AS BIGINT) AS share_e4
+       FROM (
+         SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+           sum(CASE WHEN n2.n_name = 'NATION_2' THEN rev_cents ELSE 0 END) AS nat_cents,
+           sum(rev_cents) AS tot_cents
+         FROM (SELECT l_orderkey, l_partkey, l_suppkey,
+                 CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT) AS rev_cents
+               FROM lineitem) l
+         JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+         GROUP BY 1)
+       ORDER BY yr"""
+
+  /** TPC-H Q18-shaped large-order detection: aggregate the fact table
+    * to order grain, keep orders whose total quantity clears a
+    * threshold (HAVING on the aggregate), then join the survivors
+    * back to order/customer detail. The aggregate side shrinks to the
+    * HAVING survivors BEFORE the detail join — at scale the join input
+    * is O(big orders), not O(orders). */
+  def q18BigOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val big = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .filter(col("sum_qty") > 150)
+    Tables.orders(spark, sfDir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(spark, sfDir),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("o_orderkey"),
+        fmtTs(col("o_orderdate")).as("o_orderdate"),
+        cents(col("o_totalprice")).cast("long").as("price_cents"),
+        col("sum_qty"))
+      .orderBy(col("price_cents").desc, col("o_orderkey")).limit(50)
+  }
+  val q18BigOrdersSql: String =
+    """SELECT c_name, o_orderkey,
+         strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+         CAST(floor(o_totalprice * 100.0) AS BIGINT) AS price_cents, sum_qty
+       FROM orders
+       JOIN (SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+             FROM lineitem GROUP BY 1 HAVING sum(CAST(l_quantity AS BIGINT)) > 150) b
+         ON o_orderkey = b.l_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       ORDER BY price_cents DESC, o_orderkey LIMIT 50"""
+
+  /** Rolling 7-day distinct users — the dedup-aware rolling metric a
+    * naive sliding window can't give (distinct does not decompose over
+    * overlapping windows). Exact two-stage shape: collapse events to
+    * (day, user) grain first, then fan each day-user row out to the ≤7
+    * window days it contributes to and count distinct per window day.
+    * The fan-out is bounded (7 × |day-user pairs|) and the heavy
+    * distinct happens at the COLLAPSED grain — at 100 TB the raw-event
+    * shuffle is the first groupBy only; everything after is O(days ×
+    * daily actives). */
+  def rollingDistinctUsers(spark: SparkSession, sfDir: String): DataFrame = {
+    val dayUser = Tables.events(spark, sfDir)
+      .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+    val offsets = spark.range(0, 7).select(col("id").cast("int").as("off"))
+    dayUser.crossJoin(broadcast(offsets))
+      .select(date_add(col("d"), col("off")).as("win_day"), col("user_id"),
+        col("d"))
+      .join(dayUser.select(col("d").as("win_day")).distinct(), Seq("win_day"))
+      .groupBy(col("win_day"))
+      .agg(countDistinct(col("user_id")).as("users_7d"))
+      .select(col("win_day").cast("string").as("win_day"), col("users_7d"))
+      .orderBy(col("win_day"))
+  }
+  val rollingDistinctUsersSql: String =
+    """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+         wins AS (SELECT DISTINCT d AS win_day FROM du)
+       SELECT CAST(w.win_day AS STRING) AS win_day,
+         count(DISTINCT du.user_id) AS users_7d
+       FROM wins w JOIN du ON du.d <= w.win_day AND du.d > w.win_day - 7
+       GROUP BY w.win_day ORDER BY win_day"""
+
   val queries: Map[String, QFn] = Map(
+    "q8_market_share" -> q8MarketShare,
+    "q18_big_orders" -> q18BigOrders,
+    "rolling_distinct_users" -> rollingDistinctUsers,
     "resample_interp" -> resampleInterp,
     "sketch_union_rollup" -> sketchUnionRollup,
     "layout_zorder" -> layoutZorder,
@@ -1732,6 +1862,9 @@ object Relational {
     "cohort_retention" -> cohortRetention)
 
   val oracles: Map[String, String] = Map(
+    "q8_market_share" -> q8MarketShareSql,
+    "q18_big_orders" -> q18BigOrdersSql,
+    "rolling_distinct_users" -> rollingDistinctUsersSql,
     "resample_interp" -> resampleInterpSql,
     "sketch_union_rollup" -> sketchUnionRollupSql,
     "layout_zorder" -> layoutZorderSql,

@@ -1092,6 +1092,50 @@ class Round5OpsSpec extends SparkSuite {
     assert(all >= maxDay, "union must cover the largest day")
   }
 
+  test("q8_market_share: shares stay in [0, 10000] e4 and dims broadcast") {
+    val rows = ops.Relational.q8MarketShare(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val s = r.getAs[Long]("share_e4")
+      assert(s >= 0 && s <= 10000, s"share $s out of range")
+      assert(r.getAs[Long]("nat_cents") <= r.getAs[Long]("tot_cents"))
+    }
+    // the 8-relation tree must resolve its dims as broadcast joins —
+    // no hint in the code, Catalyst's size estimates decide
+    graft.Util.withConf(spark, "spark.sql.adaptive.enabled", "false") {
+      val plan = ops.Relational.q8MarketShare(spark, sf)
+        .queryExecution.executedPlan
+      val bhj = plan.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+      }
+      assert(bhj.size >= 5, s"dims should broadcast (got ${bhj.size} BHJ)")
+    }
+  }
+
+  test("q18_big_orders: every survivor clears the HAVING threshold") {
+    val rows = ops.Relational.q18BigOrders(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    rows.foreach(r => assert(r.getAs[Long]("sum_qty") > 150))
+    // descending by price with orderkey tiebreak = deterministic page
+    val prices = rows.map(_.getAs[Long]("price_cents"))
+    assert(prices.sameElements(prices.sorted.reverse))
+  }
+
+  test("rolling_distinct_users matches brute force over collected events") {
+    val out = ops.Relational.rollingDistinctUsers(spark, sf).collect()
+      .map(r => r.getAs[String]("win_day") -> r.getAs[Long]("users_7d")).toMap
+    val ev = Tables.events(spark, sf)
+      .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+      .collect().map(r => (r.getAs[java.sql.Date]("d").toLocalDate,
+        r.getAs[Long]("user_id")))
+    val days = ev.map(_._1).distinct
+    val want = days.map { w =>
+      w.toString -> ev.filter { case (d, _) =>
+        !d.isAfter(w) && d.isAfter(w.minusDays(7)) }.map(_._2).distinct.size.toLong
+    }.toMap
+    assert(out == want)
+  }
+
   test("stream_static_enrich equals the batch join it enriches") {
     val stream = streaming.EventsStream.streamStaticEnrich(spark, sf)
       .collect().map(_.toString)
