@@ -328,6 +328,41 @@ object Semi {
        AS t(device, host, port, enabled)
        WHERE enabled ORDER BY device"""
 
+  /** S10 — corrupt-tolerant JSONL ingestion: PERMISSIVE mode with an
+    * explicit `_corrupt_record` column, the quarantine pattern a real
+    * feed needs (a poison line must not kill the batch, and must not
+    * silently vanish either). Spark's exact semantics are both
+    * exercised: a syntactically broken line parses to all-null +
+    * corrupt payload, while a TYPE-mismatched field keeps the other
+    * parsed fields AND carries the corrupt payload — so quarantined
+    * rows can still attribute to a device. Clean rows aggregate;
+    * quarantined rows count per attributable device ('_unparseable'
+    * when nothing parsed). At scale this is one pass, no shuffle
+    * beyond the per-device groupBy; the quarantine side feeds a
+    * dead-letter sink instead of an agg. */
+  def s10JsonlCorrupt(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read
+      .schema("device STRING, metric BIGINT, ok BOOLEAN, _corrupt_record STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(s"${graft.Tables.FixturesDir}/telemetry.jsonl")
+      .select(coalesce(col("device"), lit("_unparseable")).as("device"),
+        col("metric"), col("_corrupt_record").isNull.as("clean"))
+      .groupBy(col("device"))
+      .agg(sum(when(col("clean"), 1L).otherwise(0L)).as("n_clean"),
+        sum(when(!col("clean"), 1L).otherwise(0L)).as("n_quarantined"),
+        sum(when(col("clean"), col("metric"))).as("metric_sum"))
+      .orderBy(col("device"))
+  val s10Sql: String =
+    """SELECT device, n_clean, n_quarantined, metric_sum FROM (VALUES
+        ('_unparseable', CAST(0 AS BIGINT), CAST(2 AS BIGINT), CAST(NULL AS BIGINT)),
+        ('backup-server', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(12 AS BIGINT)),
+        ('chicago', CAST(2 AS BIGINT), CAST(0 AS BIGINT), CAST(10 AS BIGINT)),
+        ('iowa', CAST(2 AS BIGINT), CAST(0 AS BIGINT), CAST(15 AS BIGINT)),
+        ('racknerd', CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(NULL AS BIGINT)))
+       AS t(device, n_clean, n_quarantined, metric_sum)
+       ORDER BY device"""
+
   // S6 — filesystem scan over the staged-fixture dir. The oracle is
   // generated from the same directory listing at dump time (the
   // collector's staging manifest), so binaryFile's (path, length)
@@ -473,6 +508,7 @@ object Semi {
     "s9_live_fetch" -> s9LiveFetch,
     "s6_fs_scan" -> s6FsScan,
     "s8_csv_read" -> s8CsvRead,
+    "s10_jsonl_corrupt" -> s10JsonlCorrupt,
     "s7_usage_ratio" -> s7UsageRatio,
     "variant_extract" -> variantExtract,
     "compaction_plan" -> compactionPlan)
@@ -497,6 +533,7 @@ object Semi {
     "s9_live_fetch" -> s9Sql,
     "s6_fs_scan" -> s6Sql,
     "s8_csv_read" -> s8Sql,
+    "s10_jsonl_corrupt" -> s10Sql,
     "s7_usage_ratio" -> s7Sql,
     "compaction_plan" -> compactionPlanSql,
     "variant_extract" -> variantExtractSql)
