@@ -102,7 +102,7 @@ object Bench {
     catch { case e: Exception =>
       System.err.println(s"[bench] could not write BENCH_LAST.json: $e") }
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(20)
+    val slowest = ok.sortBy(-_._2).take(20)
       .map(r => "\"" + r._1 + "\":" + r3(r._2)).mkString("{", ",", "}")
     val json = s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs_per_query":$nRuns,"n_queries":${results.size},"failed":$nFail,"queries":$slowest,"detail":"BENCH_LAST.json","sf":"$sfDir"}"""
     println(json)

@@ -6,9 +6,14 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     // args 3+ (optional) restrict the dump to the named queries —
-    // same local-iteration escape hatch as SPARK_GRAFT_ONLY.
+    // same local-iteration escape hatch as SPARK_GRAFT_ONLY. Unknown
+    // names fail loudly: a typo must not produce an empty-but-green
+    // dump (the silent-zero failure mode the JSON escaper below
+    // guards against).
     val (sfDir, outDir) = (args(0), args(1))
     val argOnly = args.drop(2).toSet
+    val unknown = argOnly -- SparkEntry.queries.keySet
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

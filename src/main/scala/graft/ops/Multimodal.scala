@@ -610,12 +610,19 @@ object Multimodal {
       val end = math.min(bb.position() + len + (len & 1), bb.limit())
       id match {
         case "fmt " =>
+          // a negative or short len would underflow the typed reads
+          // below with a raw, file-anonymous exception
+          require(len >= 16 && len <= bb.remaining(),
+            s"$file: truncated fmt chunk ($len declared, ${bb.remaining()} left)")
           require(bb.getShort() == 1, s"$file: not PCM")
           ch = bb.getShort(); rate = bb.getInt()
           bb.getInt(); bb.getShort()
           require(bb.getShort() == 16, s"$file: not 16-bit")
         case "data" =>
-          require(len <= bb.remaining(),
+          // len >= 0 also blocks a negative declared length from
+          // seeking BACKWARD via end = position + len and corrupting
+          // nSamples
+          require(len >= 0 && len <= bb.remaining(),
             s"$file: truncated data chunk ($len declared, ${bb.remaining()} left)")
           var i = 0
           while (i < len / 2) { samples += bb.getShort(); i += 1 }

@@ -1083,7 +1083,7 @@ object Relational {
            SELECT user_id, date_trunc('hour', ts) AS hr,
              CAST(floor(value * 100.0) AS BIGINT) AS obs_cents,
              row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
-               ORDER BY ts DESC, event_id DESC) AS rn
+               ORDER BY date_trunc('microseconds', ts) DESC, event_id DESC) AS rn
            FROM e) WHERE rn = 1),
        spine AS (
          SELECT user_id, unnest(generate_series(
@@ -1563,7 +1563,7 @@ object Relational {
            SELECT event_type, date_trunc('hour', ts) AS hr,
              CAST(floor(value * 100.0) AS BIGINT) AS obs_cents,
              row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
-               ORDER BY ts DESC, event_id DESC) AS rn
+               ORDER BY date_trunc('microseconds', ts) DESC, event_id DESC) AS rn
            FROM e) WHERE rn = 1),
        spine AS (
          SELECT event_type, unnest(generate_series(

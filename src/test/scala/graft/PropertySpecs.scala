@@ -285,21 +285,20 @@ object WavMultiChunkProps extends Properties("ParseWavMultiChunk") {
       one.copy(file = "x") == two.copy(file = "x")
     }
 
-  property("truncated data chunk fails with the file-named require") =
-    forAll(params, Gen.choose(1, 200)) { case ((ch, _, all), cutBytes) =>
+  property("any truncation fails with the file-named require") =
+    forAll(params, Gen.choose(0, 10000)) { case ((ch, _, all), cutSeed) =>
       val whole = wavChunks(8000, ch, Seq(all))
-      val short = java.util.Arrays.copyOf(
-        whole, math.max(44, whole.length - cutBytes.min(all.length * 2)))
-      // either parses (cut landed past the declared payload — can't
-      // happen here but keeps the property total) or raises the
-      // parser's own IllegalArgumentException naming the file, never
-      // a raw BufferUnderflowException
-      if (short.length < whole.length)
-        try { Multimodal.wavSamples("t.wav", short); false }
-        catch {
-          case e: IllegalArgumentException => e.getMessage.contains("t.wav")
-          case _: Throwable => false
-        }
-      else true
+      // cut ANYWHERE after the RIFF/WAVE preamble: mid-fmt-header,
+      // mid-fmt-payload, mid-data-header, mid-data-payload — every
+      // case must surface the parser's own IllegalArgumentException
+      // naming the file, never a raw BufferUnderflowException or a
+      // silent short parse
+      val keep = 12 + cutSeed % (whole.length - 12)
+      val short = java.util.Arrays.copyOf(whole, keep)
+      try { Multimodal.wavSamples("t.wav", short); false }
+      catch {
+        case e: IllegalArgumentException => e.getMessage.contains("t.wav")
+        case _: Throwable => false
+      }
     }
 }

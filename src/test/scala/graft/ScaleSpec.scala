@@ -441,7 +441,7 @@ class ScaleSpec extends SparkSuite {
       // one for the groupBy, one for the final orderBy's range partition
       assert(exchanges.nonEmpty, "guard must see the exchanges")
       val hashEx = exchanges.filter(_.outputPartitioning.toString.contains("hash"))
-      assert(hashEx.size == 1, s"one hash exchange expected, got ${exchanges.size}")
+      assert(hashEx.size == 1, s"one hash exchange expected, got ${hashEx.size}")
       val cols = hashEx.flatMap(_.output.map(_.name.toLowerCase))
       assert(!cols.contains("x") && !cols.contains("y") && !cols.contains("z"),
         s"exchange must carry agg buffers, not raw dims: $cols")
