@@ -217,7 +217,7 @@ object Relational {
     """SELECT user_id, event_id,
        max(value) OVER w AS win_max,
        count(1) OVER w AS win_n
-       FROM events
+       FROM (SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events)
        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
        ORDER BY user_id, event_id"""
@@ -482,7 +482,7 @@ object Relational {
              OVER (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              AS last_click_ts
-         FROM events)
+         FROM (SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events))
        WHERE event_type = 'purchase' ORDER BY event_id"""
 
   // TPC-H Q6-shaped, driven through the spark.sql entry point over the
@@ -625,7 +625,7 @@ object Relational {
        epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) AS gap_us,
        lag(event_type, 1) OVER w AS prev_type,
        lead(event_type, 1) OVER w AS next_type
-       FROM events
+       FROM (SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events)
        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
        ORDER BY user_id, event_id"""
 
@@ -887,7 +887,7 @@ object Relational {
          SELECT user_id, event_id, ts, event_type,
            lag(event_type) OVER (PARTITION BY user_id
              ORDER BY ts, event_id) AS prev_type
-         FROM events),
+         FROM (SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events)),
        changes AS (
          SELECT user_id, event_id, ts, event_type FROM ordered
          WHERE prev_type IS NULL OR event_type <> prev_type),
@@ -1048,7 +1048,7 @@ object Relational {
          SELECT user_id, event_type, ts, value,
            row_number() OVER (PARTITION BY user_id
              ORDER BY ts DESC, event_id DESC) AS rn
-         FROM events)
+         FROM (SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events))
        WHERE rn = 1 AND event_type <> 'error'
        ORDER BY user_id"""
 
@@ -1484,7 +1484,7 @@ object Relational {
              SELECT user_id, event_id, ts,
                lag(ts, 1) OVER (PARTITION BY user_id
                  ORDER BY ts, event_id) AS prev_ts
-             FROM events)))
+             FROM (SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events))))
        GROUP BY user_id, sess_idx ORDER BY user_id, session_start"""
 
   // Exact DECIMAL money arithmetic: cents → DECIMAL(38,0) → sum →

@@ -130,7 +130,7 @@ object EventsStream {
              SELECT user_id, event_id, ts,
                CAST(floor(epoch(lag(ts, 1) OVER (PARTITION BY user_id
                  ORDER BY ts, event_id))) AS BIGINT) AS prev_s
-             FROM events)))
+             FROM (SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events))))
        GROUP BY user_id, sess_idx ORDER BY user_id, session_start"""
 
   /** `stream_running_counts`: the transformWithState path in the
