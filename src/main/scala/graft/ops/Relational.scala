@@ -1689,7 +1689,9 @@ object Relational {
       .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
     val ord = Tables.orders(spark, sfDir)
       .select(col("o_orderkey"), col("o_custkey"),
-        year(col("o_orderdate")).as("yr"))
+        // long, not int: the oracle's year() is BIGINT and the driver's
+        // pandas hash is dtype-sensitive (int32 3 != int64 3)
+        year(col("o_orderdate")).cast("long").as("yr"))
     val cust = Tables.customer(spark, sfDir)
       .select(col("c_custkey"), col("c_nationkey"))
     val n1 = Tables.nation(spark, sfDir)
