@@ -801,7 +801,86 @@ object Vector {
   // their recall gates (engine-specific codes make the raw rows
   // rows-only; the gates assert the quality verdict against exact
   // search, so every ANN row in CORRECTNESS is oracle-checked).
+  /** Embedding-spectrum audit — the PCA-health check of an embedding
+    * store: if one principal component hoards the variance, cosine
+    * similarity degenerates (anisotropy; common after bad norm / dead
+    * dims). Exact path: e4-snap each vector, accumulate the d×d Gram
+    * matrix as ONE partial outer-product buffer per partition (the
+    * MLlib treeAggregate shape — a 4096-long array per partition is
+    * the entire shuffle, O(d²) not O(rows)), sum partials on the
+    * driver, then power-iterate for the top eigenpair. The eigenpair
+    * is float and engine-specific, so the contract row carries the
+    * exact integer invariants (Gram trace = Σ xe4², vector count) plus
+    * tolerance gates the oracle states as constants: the residual
+    * ‖Gv − λv‖ ≤ 1e-9·λ‖v‖ proves the iteration converged, and
+    * λ ≤ trace is the spectral sanity bound (λ₁ ≤ tr G exactly). */
+  def embSpectrumGate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val d = 64
+    val partials = Tables.embeddings(spark, sfDir)
+      .select(col("embedding")).as[Array[Float]]
+      .mapPartitions { it =>
+        val buf = new Array[Long](d * d)
+        var n = 0L
+        it.foreach { v =>
+          val xe = Array.tabulate(d)(i => math.floor(v(i).toDouble * 10000.0).toLong)
+          var i = 0
+          while (i < d) {
+            var j = 0
+            while (j < d) { buf(i * d + j) += xe(i) * xe(j); j += 1 }
+            i += 1
+          }
+          n += 1
+        }
+        if (n == 0) Iterator.empty else Iterator((n, buf))
+      }.collect()
+    val nVecs = partials.map(_._1).sum
+    val g = new Array[Long](d * d)
+    partials.foreach { case (_, b) =>
+      var k = 0; while (k < d * d) { g(k) += b(k); k += 1 }
+    }
+    val trace = (0 until d).map(i => g(i * d + i)).sum
+    // driver-side power iteration on the exact Gram (doubles are fine
+    // here: the gate is a relative residual, not a value compare). The
+    // iteration count adapts to the spectral gap — a near-isotropic
+    // spectrum (λ2/λ1 ≈ 0.98 on this corpus) needs ~1500 rounds for a
+    // 1e-9 residual, which is still only O(d²·iters) driver flops.
+    def mul(v: Array[Double]): Array[Double] = Array.tabulate(d)(i => {
+      var s = 0.0; var j = 0
+      while (j < d) { s += g(i * d + j).toDouble * v(j); j += 1 }; s
+    })
+    var v = Array.fill(d)(1.0 / math.sqrt(d))
+    var lambda = 0.0
+    var resid = Double.MaxValue
+    var iters = 0
+    while (resid > 1e-10 * math.max(lambda, 1.0) && iters < 20000) {
+      var k = 0
+      while (k < 100) {
+        val gv = mul(v)
+        lambda = math.sqrt(gv.map(x => x * x).sum)
+        v = gv.map(_ / lambda)
+        k += 1
+      }
+      iters += 100
+      val gv = mul(v)
+      resid = math.sqrt(
+        (0 until d).map(i => { val r = gv(i) - lambda * v(i); r * r }).sum)
+    }
+    val residOk = resid <= 1e-9 * lambda
+    val boundOk = lambda <= trace.toDouble * (1 + 1e-12)
+    Seq((d, nVecs, trace, residOk, boundOk))
+      .toDF("d", "n_vecs", "trace_e8", "resid_ok", "eig_bound_ok")
+  }
+  val embSpectrumGateSql: String =
+    """SELECT CAST(64 AS INT) AS d,
+       (SELECT count(1) FROM embeddings) AS n_vecs,
+       CAST(sum(xe4 * xe4) AS BIGINT) AS trace_e8,
+       true AS resid_ok, true AS eig_bound_ok
+       FROM (SELECT CAST(floor(CAST(x AS DOUBLE) * 10000.0) AS BIGINT) AS xe4
+             FROM (SELECT unnest(embedding) AS x FROM embeddings))"""
+
   val queries: Map[String, QFn] = Map(
+    "emb_spectrum_gate" -> embSpectrumGate,
     "emb_centroids" -> embCentroids,
     "emb_dim_stats" -> embDimStats,
     "emb_quantize_int8" -> embQuantizeInt8,
@@ -815,6 +894,7 @@ object Vector {
     "dedup_embedding_cosine" -> dedupEmbeddingCosine)
 
   val oracles: Map[String, String] = Map(
+    "emb_spectrum_gate" -> embSpectrumGateSql,
     "emb_centroids" -> embCentroidsSql,
     "emb_dim_stats" -> embDimStatsSql,
     "emb_quantize_int8" -> embQuantizeInt8Sql,

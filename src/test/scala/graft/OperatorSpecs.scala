@@ -1136,6 +1136,20 @@ class Round5OpsSpec extends SparkSuite {
     assert(out == want)
   }
 
+  test("emb_spectrum_gate: exact trace, converged residual, spectral bound") {
+    val r = ops.Vector.embSpectrumGate(spark, sf).collect().head
+    assert(r.getAs[Boolean]("resid_ok"), "power iteration must converge")
+    assert(r.getAs[Boolean]("eig_bound_ok"))
+    // trace must equal the brute-force sum of squared e4 components
+    val want = Tables.embeddings(spark, sf).collect().map { row =>
+      row.getAs[scala.collection.Seq[Float]]("embedding")
+        .map(x => { val e = math.floor(x.toDouble * 10000.0).toLong; e * e }).sum
+    }.sum
+    assert(r.getAs[Long]("trace_e8") == want)
+    assert(r.getAs[Long]("n_vecs") ==
+      Tables.embeddings(spark, sf).count())
+  }
+
   test("stream_static_enrich equals the batch join it enriches") {
     val stream = streaming.EventsStream.streamStaticEnrich(spark, sf)
       .collect().map(_.toString)
