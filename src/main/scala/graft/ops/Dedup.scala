@@ -529,7 +529,7 @@ object Dedup {
     * tables ship no URL column — while the canonicalizer itself is
     * input-agnostic. Scale: a pure per-row map feeding one groupBy on
     * the canonical key, the same shuffle shape as [[exactHashDedup]]. */
-  private val rawUrlExpr: String =
+  private[graft] val rawUrlExpr: String =
     """(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END ||
         CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END ||
         '.Example.com' ||
@@ -541,7 +541,7 @@ object Dedup {
           WHEN 1 THEN '?id=' || CAST(doc_id % 7 AS STRING)
           ELSE '' END ||
         CASE WHEN doc_id % 2 = 0 THEN '#top' ELSE '' END)"""
-  private def canonUrlExpr(in: String): String = {
+  private[graft] def canonUrlExpr(in: String): String = {
     val noFrag = s"regexp_replace($in, '#.*', '')"
     val auth = s"(lower(regexp_extract($noFrag, '^[a-zA-Z]+://[^/?#]*', 0))" +
       s" || regexp_replace($noFrag, '^[a-zA-Z]+://[^/?#]*', ''))"

@@ -607,11 +607,17 @@ object Multimodal {
     var nSamples = 0L
     while (bb.remaining() >= 8) {
       val id = fourcc(); val len = bb.getInt()
-      val end = math.min(bb.position() + len + (len & 1), bb.limit())
+      // guard EVERY chunk, including skipped unknown ones: a negative
+      // declared length would make the seek below rewind (infinite
+      // loop re-reading the same header), and position+len in int
+      // arithmetic could overflow into a raw, file-anonymous throw
+      require(len >= 0, s"$file: negative chunk length $len in '$id'")
+      val end = math.min(
+        bb.position().toLong + len + (len & 1), bb.limit().toLong).toInt
       id match {
         case "fmt " =>
-          // a negative or short len would underflow the typed reads
-          // below with a raw, file-anonymous exception
+          // a short len would underflow the typed reads below with a
+          // raw, file-anonymous exception
           require(len >= 16 && len <= bb.remaining(),
             s"$file: truncated fmt chunk ($len declared, ${bb.remaining()} left)")
           require(bb.getShort() == 1, s"$file: not PCM")
@@ -619,10 +625,7 @@ object Multimodal {
           bb.getInt(); bb.getShort()
           require(bb.getShort() == 16, s"$file: not 16-bit")
         case "data" =>
-          // len >= 0 also blocks a negative declared length from
-          // seeking BACKWARD via end = position + len and corrupting
-          // nSamples
-          require(len >= 0 && len <= bb.remaining(),
+          require(len <= bb.remaining(),
             s"$file: truncated data chunk ($len declared, ${bb.remaining()} left)")
           var i = 0
           while (i < len / 2) { samples += bb.getShort(); i += 1 }

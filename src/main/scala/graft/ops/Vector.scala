@@ -816,7 +816,7 @@ object Vector {
     * λ ≤ trace is the spectral sanity bound (λ₁ ≤ tr G exactly). */
   def embSpectrumGate(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val d = 64
+    val d = Dim
     val partials = Tables.embeddings(spark, sfDir)
       .select(col("embedding")).as[Array[Float]]
       .mapPartitions { it =>
@@ -851,8 +851,11 @@ object Vector {
     })
     var v = Array.fill(d)(1.0 / math.sqrt(d))
     var lambda = 0.0
-    var resid = Double.MaxValue
+    var resid = if (trace == 0L) 0.0 else Double.MaxValue
     var iters = 0
+    // trace == 0 (empty table / all-zero snap) means G = 0: every
+    // vector is an eigenvector of eigenvalue 0 — trivially converged,
+    // and iterating would divide by a zero norm
     while (resid > 1e-10 * math.max(lambda, 1.0) && iters < 20000) {
       var k = 0
       while (k < 100) {
@@ -866,15 +869,15 @@ object Vector {
       resid = math.sqrt(
         (0 until d).map(i => { val r = gv(i) - lambda * v(i); r * r }).sum)
     }
-    val residOk = resid <= 1e-9 * lambda
+    val residOk = trace == 0L || resid <= 1e-9 * lambda
     val boundOk = lambda <= trace.toDouble * (1 + 1e-12)
     Seq((d, nVecs, trace, residOk, boundOk))
       .toDF("d", "n_vecs", "trace_e8", "resid_ok", "eig_bound_ok")
   }
   val embSpectrumGateSql: String =
-    """SELECT CAST(64 AS INT) AS d,
+    s"""SELECT CAST($Dim AS INT) AS d,
        (SELECT count(1) FROM embeddings) AS n_vecs,
-       CAST(sum(xe4 * xe4) AS BIGINT) AS trace_e8,
+       COALESCE(CAST(sum(xe4 * xe4) AS BIGINT), 0) AS trace_e8,
        true AS resid_ok, true AS eig_bound_ok
        FROM (SELECT CAST(floor(CAST(x AS DOUBLE) * 10000.0) AS BIGINT) AS xe4
              FROM (SELECT unnest(embedding) AS x FROM embeddings))"""

@@ -1071,6 +1071,18 @@ class Round5OpsSpec extends SparkSuite {
     assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
   }
 
+  test("URL canonicalizer is idempotent over every generated raw URL") {
+    // the defining property of a canonical form: canon(canon(u)) ==
+    // canon(u) — applied as one whole-corpus query, not per-row loops
+    val diff = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"))
+      .withColumn("c1", expr(ops.Dedup.canonUrlExpr(ops.Dedup.rawUrlExpr)))
+      .withColumn("c2", expr(ops.Dedup.canonUrlExpr(
+        ops.Dedup.canonUrlExpr(ops.Dedup.rawUrlExpr))))
+      .filter(col("c1") =!= col("c2"))
+    assert(diff.isEmpty, s"non-idempotent: ${diff.take(3).mkString}")
+  }
+
   test("dedup_url: canonical keys carry no case/port/utm/fragment residue") {
     val urls = ops.Dedup.urlDedup(spark, sf).collect()
       .map(_.getAs[String]("url"))

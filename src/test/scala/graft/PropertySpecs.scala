@@ -285,6 +285,24 @@ object WavMultiChunkProps extends Properties("ParseWavMultiChunk") {
       one.copy(file = "x") == two.copy(file = "x")
     }
 
+  property("negative declared chunk length fails loudly, never loops") =
+    forAll(Gen.oneOf("LIST", "fmt ", "data"), Gen.choose(1, 1000)) {
+      (id, mag) =>
+      // a negative length once made the skip path seek BACKWARD and
+      // re-read the same header forever (executor hang on corrupt
+      // input); all three chunk paths must raise the file-named require
+      val bb = java.nio.ByteBuffer.allocate(20)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(12)
+        .put("WAVE".getBytes("US-ASCII"))
+      bb.put(id.getBytes("US-ASCII")).putInt(-mag)
+      try { Multimodal.wavSamples("neg.wav", bb.array()); false }
+      catch {
+        case e: IllegalArgumentException => e.getMessage.contains("neg.wav")
+        case _: Throwable => false
+      }
+    }
+
   property("any truncation fails with the file-named require") =
     forAll(params, Gen.choose(0, 10000)) { case ((ch, _, all), cutSeed) =>
       val whole = wavChunks(8000, ch, Seq(all))
