@@ -1797,7 +1797,73 @@ object Relational {
        FROM wins w JOIN du ON du.d <= w.win_day AND du.d > w.win_day - 7
        GROUP BY w.win_day ORDER BY win_day"""
 
+  /** TPC-H Q12-shaped priority split by return flag: one fact⋈fact
+    * join (lineitem⋈orders on the natural key) with the dimension-free
+    * CASE aggregation — counts of urgent vs non-urgent orders per
+    * lineitem return flag for late-shipped lines. The filter prunes at
+    * the lineitem scan; the join shuffles once on orderkey (or
+    * broadcasts orders when small enough — Catalyst's call). */
+  def q12Priority(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_returnflag"))
+      .join(Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+      .orderBy(col("l_returnflag"))
+  val q12PrioritySql: String =
+    """SELECT l_returnflag,
+         CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+         CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+       GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  /** TPC-H Q14-shaped promo effect: the share of revenue from PROMO
+    * parts per ship-year, in exact e4. The part side broadcasts; the
+    * only shuffle is the per-year partial-agg exchange. */
+  def q14PromoEffect(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), year(col("l_shipdate")).cast("long").as("yr"),
+        revenueCents("l_extendedprice", "l_discount").cast("long").as("rev_cents"))
+      .join(Tables.part(spark, sfDir).select(col("p_partkey"), col("p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("yr"))
+      .agg(sum(when(col("p_type") === "PROMO", col("rev_cents"))
+          .otherwise(0L)).as("promo_cents"),
+        sum(col("rev_cents")).as("tot_cents"))
+      .select(col("yr"), col("promo_cents"), col("tot_cents"),
+        floor(lit(10000.0) * col("promo_cents") / col("tot_cents"))
+          .cast("long").as("promo_share_e4"))
+      .orderBy(col("yr"))
+  val q14PromoEffectSql: String =
+    """SELECT yr, CAST(promo_cents AS BIGINT) AS promo_cents,
+         CAST(tot_cents AS BIGINT) AS tot_cents,
+         CAST(floor(10000.0 * promo_cents / tot_cents) AS BIGINT)
+           AS promo_share_e4
+       FROM (
+         SELECT CAST(year(l_shipdate) AS BIGINT) AS yr,
+           sum(CASE WHEN p_type = 'PROMO' THEN rev_cents ELSE 0 END)
+             AS promo_cents,
+           sum(rev_cents) AS tot_cents
+         FROM (SELECT l_partkey, l_shipdate,
+                 CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0)
+                   AS BIGINT) AS rev_cents
+               FROM lineitem) l
+         JOIN part ON l_partkey = p_partkey
+         GROUP BY 1)
+       ORDER BY yr"""
+
   val queries: Map[String, QFn] = Map(
+    "q12_priority" -> q12Priority,
+    "q14_promo_effect" -> q14PromoEffect,
     "q8_market_share" -> q8MarketShare,
     "q18_big_orders" -> q18BigOrders,
     "rolling_distinct_users" -> rollingDistinctUsers,
@@ -1864,6 +1930,8 @@ object Relational {
     "cohort_retention" -> cohortRetention)
 
   val oracles: Map[String, String] = Map(
+    "q12_priority" -> q12PrioritySql,
+    "q14_promo_effect" -> q14PromoEffectSql,
     "q8_market_share" -> q8MarketShareSql,
     "q18_big_orders" -> q18BigOrdersSql,
     "rolling_distinct_users" -> rollingDistinctUsersSql,
