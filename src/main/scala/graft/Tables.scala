@@ -23,18 +23,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
-    * read as TimestampType. Read it as raw INT64 nanos via an explicit
-    * schema (works under any session config) and convert to µs
-    * precision with integer division — `ts div 1000`, never a double
-    * division (ns epochs exceed 2^53). */
+  /** events.ts arrives as parquet INT64 timestamps whose precision has
+    * varied across driver testdata generations: TIMESTAMP(NANOS)
+    * (which Spark 4 refuses to read as TimestampType) and
+    * TIMESTAMP(MICROS). Read the raw INT64 via an explicit schema
+    * (works under any session config, both annotations) and normalize
+    * to µs by magnitude: epochs ≥ 1e17 can only be nanoseconds (1e17
+    * µs is year 5138; 1e17 ns is 1973), so divide those by 1000 —
+    * integer division, never double (ns epochs exceed 2^53). */
+  val TsToMicrosSql: String =
+    "(CASE WHEN abs(ts) >= 100000000000000000 THEN ts div 1000 ELSE ts END)"
+
   def events(s: SparkSession, d: String): DataFrame = {
     val schema = new StructType()
       .add("event_id", LongType).add("ts", LongType).add("user_id", LongType)
       .add("event_type", StringType).add("value", DoubleType)
       .add("props", StringType)
     s.read.schema(schema).parquet(s"$d/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", expr(s"timestamp_micros($TsToMicrosSql)"))
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

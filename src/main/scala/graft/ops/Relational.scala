@@ -539,15 +539,63 @@ object Relational {
        count(DISTINCT user_id) AS nd_users
        FROM events GROUP BY 1 ORDER BY hr"""
 
+  /** Exact interpolated quantiles WITHOUT per-group row buffering.
+    * `percentile()` holds every row of the group in its aggregation
+    * buffer, which OOMs once groups scale with the corpus (the r5
+    * verdict's "exact percentile over unbounded groups" finding).
+    * Equivalent exact plan for discrete (integer) domains: count per
+    * (group, value) — map-side combined — cumulative count over the
+    * DISTINCT values (window input = value-domain cardinality, not row
+    * count), then the two order statistics bracketing 0-based rank
+    * h = q·(n−1) interpolate as lo + (hi−lo)·(h−⌊h⌋) — the identical
+    * arithmetic `percentile()` / DuckDB `quantile_cont` evaluate, so
+    * results stay bit-equal and the oracle needs no tolerance gate.
+    * (Continuous domains with unbounded distinct values go through the
+    * approx_percentile_check gate pattern instead.) */
+  private def exactQuantiles(rows: DataFrame, grp: String, v: String,
+      qs: Seq[(String, Double)]): DataFrame = {
+    val counts = rows.filter(col(v).isNotNull)
+      .groupBy(col(grp), col(v)).agg(count(lit(1)).as("c"))
+    val cum = counts.withColumn("cum",
+      sum(col("c")).over(Window.partitionBy(col(grp)).orderBy(col(v))))
+    val tot = counts.groupBy(col(grp)).agg(sum(col("c")).as("n_rows"))
+    var d = cum.join(broadcast(tot), grp)
+    qs.foreach { case (name, q) =>
+      d = d.withColumn(s"__h_$name",
+        lit(q) * (col("n_rows") - lit(1L)).cast("double"))
+    }
+    val aggCols = qs.flatMap { case (name, _) =>
+      // 1-based bracketing indices j = ⌊h⌋+1 and j+1; v[j] = min value
+      // whose cumulative count reaches j (cum > ⌊h⌋ on integers).
+      Seq(
+        min(when(col("cum") > floor(col(s"__h_$name")), col(v)))
+          .as(s"__lo_$name"),
+        min(when(col("cum") > floor(col(s"__h_$name")) + lit(1L), col(v)))
+          .as(s"__hi_$name"),
+        max(col(s"__h_$name")).as(s"__hh_$name"))
+    }
+    val agg = d.groupBy(col(grp)).agg(aggCols.head, aggCols.tail: _*)
+    val outCols = col(grp) +: qs.map { case (name, _) =>
+      (col(s"__lo_$name").cast("double") +
+        (coalesce(col(s"__hi_$name"), col(s"__lo_$name")).cast("double") -
+          col(s"__lo_$name").cast("double")) *
+        (col(s"__hh_$name") - floor(col(s"__hh_$name")))).as(name)
+    }
+    agg.select(outCols: _*)
+  }
+
   // Exact median over an integer-valued column (interpolation on ints
-  // yields exact .0/.5 doubles — deterministic in both engines).
+  // yields exact .0/.5 doubles — deterministic in both engines), via
+  // the count-histogram [[exactQuantiles]] so no task ever buffers a
+  // whole event_type group.
   def aggMedian(spark: SparkSession, sfDir: String): DataFrame = {
-    val k = get_json_object(col("props"), "$.k").cast("long")
-    Tables.events(spark, sfDir)
-      .withColumn("k", k)
-      .groupBy(col("event_type"))
-      .agg(expr("percentile(k, 0.5)").as("median_k"),
-        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+    val med = exactQuantiles(ev, "event_type", "k", Seq(("median_k", 0.5)))
+    ev.groupBy(col("event_type"))
+      .agg(min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .join(med, Seq("event_type"), "left")
+      .select(col("event_type"), col("median_k"), col("min_k"), col("max_k"))
       .orderBy(col("event_type"))
   }
   val aggMedianSql: String =
@@ -1121,19 +1169,19 @@ object Relational {
 
   // Winsorization: clip each event's value to its type's [p05, p95]
   // band — the outlier-capping pass before feature aggregation. The
-  // per-type bounds are a 5-row aggregate broadcast back onto the fact
-  // scan, so the clip itself adds NO shuffle at any scale; only rows
-  // that actually clipped are emitted (bounded output). Exact integer
-  // cents in, interpolated percentile doubles out — the interpolation
-  // arithmetic is bit-equal across engines (same formula, same IEEE
-  // ops; already relied on by agg_median).
+  // per-type bounds come from the count-histogram [[exactQuantiles]]
+  // (no task buffers a whole event_type group) and broadcast back onto
+  // the fact scan, so the clip itself adds NO shuffle at any scale;
+  // only rows that actually clipped are emitted (bounded output).
+  // Exact integer cents in, interpolated percentile doubles out — the
+  // interpolation arithmetic is bit-equal across engines (same
+  // formula, same IEEE ops; already relied on by agg_median).
   def winsorizeValues(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
       .select(col("event_id"), col("event_type"),
         cents(col("value")).as("vc"))
-    val bounds = ev.groupBy(col("event_type"))
-      .agg(expr("percentile(vc, 0.05)").as("p05"),
-        expr("percentile(vc, 0.95)").as("p95"))
+    val bounds = exactQuantiles(ev, "event_type", "vc",
+      Seq(("p05", 0.05), ("p95", 0.95)))
     ev.join(broadcast(bounds), "event_type")
       .filter(col("vc") < col("p05") || col("vc") > col("p95"))
       .select(col("event_id"), col("event_type"), col("vc"),

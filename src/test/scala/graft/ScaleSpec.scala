@@ -457,4 +457,28 @@ class ScaleSpec extends SparkSuite {
     assert(plan.contains("In(label, [0,3,6,9])"),
       s"label IN-list must appear in PushedFilters:\n${plan.take(2000)}")
   }
+
+  test("exact quantiles never buffer a group: no percentile() aggregate") {
+    // agg_median / winsorize_values compute exact interpolated
+    // quantiles via a count-histogram (count per (group, value), then
+    // order statistics over the DISTINCT-value domain). The failure
+    // mode guarded here: exact percentile() holds every row of the
+    // group in its ObjectHashAggregate buffer and OOMs once groups
+    // scale with the corpus. Codegen'd HashAggregates only.
+    graft.Util.withConf(spark, "spark.sql.adaptive.enabled", "false") {
+      for (df <- Seq(graft.ops.Relational.aggMedian(spark, sf),
+                     graft.ops.Relational.winsorizeValues(spark, sf))) {
+        val plan = df.queryExecution.executedPlan
+        val hashAggs = plan.collect {
+          case h: org.apache.spark.sql.execution.aggregate.HashAggregateExec => h
+        }
+        assert(hashAggs.nonEmpty, "guard: aggregation must be visible")
+        val objAggs = plan.collect {
+          case o: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => o
+        }
+        assert(objAggs.isEmpty,
+          s"row-buffering aggregate in plan:\n${plan.toString.take(1500)}")
+      }
+    }
+  }
 }
