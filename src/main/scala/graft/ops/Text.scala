@@ -248,36 +248,43 @@ object Text {
 
   // Sequence packing: assign documents to fixed token-budget bins
   // (2048-token context windows) — the "pack the corpus into training
-  // sequences" stage. Bin id = floor(preceding cumulative token count /
-  // budget) via ONE ordered window over (doc_id) — the same single-sort
-  // plan as the compaction planner, no pairwise bin-packing search. A
-  // doc longer than the budget gets its own bin(s) by construction. At
-  // 100 TB the order key becomes (shard, doc_id) and packing runs
-  // per-shard — embarrassingly parallel, same plan per shard.
+  // sequences" stage. The corpus is first split into SHARDS by a
+  // deterministic key (doc_id mod 16); each shard packs independently
+  // with one cumulative window over (shard, doc_id): bin =
+  // floor(preceding in-shard token count / budget). Embarrassingly
+  // parallel — no global sort, no single-partition window; at 100 TB
+  // the shard count scales with the cluster and each shard is one
+  // ordinary partitioned-window task. A doc longer than the budget
+  // gets its own bin(s) by construction. Bin ids are (shard, bin)
+  // pairs; packing quality is unchanged (each bin still fills to the
+  // budget boundary within its shard).
   def packSequences(spark: SparkSession, sfDir: String): DataFrame = {
     val budget = 2048L
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val W = org.apache.spark.sql.expressions.Window
+    val cum = W.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(W.unboundedPreceding, -1)
     Tables.documents(spark, sfDir)
-      .select(col("doc_id"), size(tokens).cast("long").as("n_tokens"))
+      .select(col("doc_id"), (col("doc_id") % 16).as("shard"),
+        size(tokens).cast("long").as("n_tokens"))
       .withColumn("bin",
-        floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / lit(budget)))
+        floor(coalesce(sum(col("n_tokens")).over(cum), lit(0L)) / lit(budget)))
       .withColumn("bin_tokens",
-        sum(col("n_tokens")).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("bin"))))
-      .select(col("doc_id"), col("n_tokens"), col("bin"),
+        sum(col("n_tokens")).over(W.partitionBy(col("shard"), col("bin"))))
+      .select(col("doc_id"), col("n_tokens"), col("shard"), col("bin"),
         col("bin_tokens").cast("long").as("bin_tokens"))
       .orderBy(col("doc_id"))
   }
   val packSequencesSql: String =
-    """SELECT doc_id, n_tokens, bin,
-       CAST(sum(n_tokens) OVER (PARTITION BY bin) AS BIGINT) AS bin_tokens
+    """SELECT doc_id, n_tokens, shard, bin,
+       CAST(sum(n_tokens) OVER (PARTITION BY shard, bin) AS BIGINT)
+         AS bin_tokens
        FROM (
-         SELECT doc_id, n_tokens,
-           CAST(floor(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         SELECT doc_id, n_tokens, shard,
+           CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY shard
+             ORDER BY doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048)
              AS BIGINT) AS bin
-         FROM (SELECT doc_id,
+         FROM (SELECT doc_id, doc_id % 16 AS shard,
                  CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
                FROM documents))
        ORDER BY doc_id"""
@@ -739,19 +746,157 @@ object Text {
            AS avg_surprisal_e4
        FROM scored GROUP BY doc_id ORDER BY doc_id"""
 
+  /** Deterministic fixed-SIZE hash sample: keep a row iff the first 32
+    * bits of md5(id) fall under a cap derived from the corpus count —
+    * cap = ⌊2³²·min(1, target/n)⌋ — so the expected sample size is
+    * `target` REGARDLESS of corpus size (a fixed-RATE hash sample
+    * scales with the corpus and re-creates the unbounded-sort problem
+    * it was meant to avoid). Reproducible across engines, runs, and
+    * partitionings: md5 is engine-independent and the cap arithmetic
+    * is the same IEEE double in Spark and DuckDB. Costs one count()
+    * aggregate (map-side combined, 1-row broadcast). */
+  def hashSampleFixed(df: DataFrame, idCol: String, target: Long): DataFrame = {
+    val h = conv(substring(
+      md5(encode(col(idCol).cast("string"), "utf-8")), 1, 8), 16, 10)
+      .cast("long")
+    val n = df.agg(count(lit(1)).as("__n"))
+    df.crossJoin(broadcast(n))
+      .filter(h < floor(lit(4294967296.0) *
+        least(lit(1.0), lit(target.toDouble) / col("__n"))))
+      .drop("__n")
+  }
+
+  // Trigram stupid-backoff surprisal — the KenLM-shaped n-gram gate.
+  // The LM trains on a deterministic 50% hash shard (md5(doc_id) <
+  // '80') and scores the WHOLE corpus, so held-out docs genuinely
+  // exercise the backoff chain (corpus-as-LM trigrams would all have
+  // c3 >= 1 and the backoff would be dead code):
+  //   S(w | p2 p1) = c3/c2(p2,p1)          if the trigram was seen
+  //                = 0.4 * S(w | p1)        otherwise
+  //   S(w | p1)    = c2(p1,w)/c1(p1)        if the bigram was seen
+  //                = 0.4 * S(w)             otherwise
+  //   S(w)         = c1(w)/T, OOV floor 0.4/T
+  // (Brants et al. 2007's fixed 0.4 — score, not probability; no
+  // normalization, which is what makes it shuffle-friendly.) Doc
+  // position clips the order: token 1 scores S(w), token 2 S(w|p1).
+  // Per-token e4 floors keep the per-doc sum an exact integer, so the
+  // DuckDB oracle replays the arithmetic bit-equal. Shuffles: three
+  // count aggregations (map-side combined, bounded by observed vocab)
+  // and ngram-keyed joins; the corpus total broadcasts. n_backoff
+  // counts trigram-position tokens that fell back — the LM-coverage
+  // diagnostic a corpus build watches.
+  def trigramLogprob(spark: SparkSession, sfDir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val byPos = W.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), posexplode(tokens).as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+      .withColumn("p1", lag(col("w"), 1).over(byPos))
+      .withColumn("p2", lag(col("w"), 2).over(byPos))
+    val train = toks.filter(
+      md5(encode(col("doc_id").cast("string"), "utf-8")) < "80")
+    val uni = train.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val total = uni.agg(sum(col("c1")).as("t"))
+    val bi = train.filter(col("p1").isNotNull)
+      .groupBy(col("p1"), col("w")).agg(count(lit(1)).as("c2"))
+    val tri = train.filter(col("p2").isNotNull)
+      .groupBy(col("p2"), col("p1"), col("w")).agg(count(lit(1)).as("c3"))
+    val scored = toks
+      .join(uni, Seq("w"), "left")
+      .join(uni.select(col("w").as("p1"), col("c1").as("c1p")), Seq("p1"), "left")
+      .join(bi, Seq("p1", "w"), "left")
+      .join(bi.select(col("p1").as("p2"), col("w").as("p1"),
+        col("c2").as("c2ctx")), Seq("p2", "p1"), "left")
+      .join(tri, Seq("p2", "p1", "w"), "left")
+      .crossJoin(broadcast(total))
+    val sUni = coalesce(col("c1").cast("double"), lit(0.4)) / col("t")
+    val sBi = when(col("c2").isNotNull,
+      lit(1.0) * col("c2") / col("c1p")).otherwise(lit(0.4) * sUni)
+    val p = when(col("p1").isNull, sUni)
+      .when(col("p2").isNull, sBi)
+      .when(col("c3").isNotNull, lit(1.0) * col("c3") / col("c2ctx"))
+      .otherwise(lit(0.4) * sBi)
+    scored
+      .withColumn("s_e4", floor(-log(p) * lit(10000.0)))
+      .withColumn("backoff",
+        (col("p2").isNotNull && col("c3").isNull).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("s_e4")).as("sum_surprisal_e4"),
+        sum(col("backoff")).as("n_backoff"))
+      .withColumn("avg_surprisal_e4",
+        floor(lit(1.0) * col("sum_surprisal_e4") / col("n_tokens")))
+      .select(col("doc_id"), col("n_tokens"), col("sum_surprisal_e4"),
+        col("avg_surprisal_e4"), col("n_backoff"))
+      .orderBy(col("doc_id"))
+  }
+  val trigramLogprobSql: String =
+    """WITH toks AS (
+         SELECT doc_id, w, i,
+           lag(w, 1) OVER (PARTITION BY doc_id ORDER BY i) AS p1,
+           lag(w, 2) OVER (PARTITION BY doc_id ORDER BY i) AS p2
+         FROM (
+           SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w,
+             generate_subscripts(string_split(lower(text), ' '), 1) AS i
+           FROM documents)
+         WHERE w <> ''),
+       train AS (SELECT * FROM toks
+         WHERE md5(CAST(doc_id AS VARCHAR)) < '80'),
+       uni AS (SELECT w, count(1) AS c1 FROM train GROUP BY w),
+       total AS (SELECT sum(c1) AS t FROM uni),
+       bi AS (SELECT p1, w, count(1) AS c2 FROM train
+              WHERE p1 IS NOT NULL GROUP BY p1, w),
+       tri AS (SELECT p2, p1, w, count(1) AS c3 FROM train
+               WHERE p2 IS NOT NULL GROUP BY p2, p1, w),
+       sc AS (
+         SELECT t0.doc_id, t0.p1, t0.p2, tr.c3, bc.c2 AS c2ctx,
+           coalesce(1.0 * u.c1, 0.4) / tt.t AS s_uni,
+           b.c2 AS c2, up.c1 AS c1p
+         FROM toks t0
+         LEFT JOIN uni u ON u.w = t0.w
+         LEFT JOIN uni up ON up.w = t0.p1
+         LEFT JOIN bi b ON b.p1 = t0.p1 AND b.w = t0.w
+         LEFT JOIN bi bc ON bc.p1 = t0.p2 AND bc.w = t0.p1
+         LEFT JOIN tri tr ON tr.p2 = t0.p2 AND tr.p1 = t0.p1
+           AND tr.w = t0.w
+         CROSS JOIN total tt),
+       sc2 AS (
+         SELECT doc_id, p1, p2, c3, c2ctx, s_uni,
+           CASE WHEN c2 IS NOT NULL THEN 1.0 * c2 / c1p
+                ELSE 0.4 * s_uni END AS s_bi
+         FROM sc),
+       sc3 AS (
+         SELECT doc_id,
+           CASE WHEN p1 IS NULL THEN s_uni
+                WHEN p2 IS NULL THEN s_bi
+                WHEN c3 IS NOT NULL THEN 1.0 * c3 / c2ctx
+                ELSE 0.4 * s_bi END AS p,
+           CASE WHEN p2 IS NOT NULL AND c3 IS NULL THEN 1 ELSE 0 END
+             AS backoff
+         FROM sc2)
+       SELECT doc_id, count(1) AS n_tokens,
+         CAST(sum(CAST(floor(-ln(p) * 10000.0) AS BIGINT)) AS BIGINT)
+           AS sum_surprisal_e4,
+         CAST(floor(1.0 * sum(CAST(floor(-ln(p) * 10000.0) AS BIGINT))
+           / count(1)) AS BIGINT) AS avg_surprisal_e4,
+         CAST(sum(backoff) AS BIGINT) AS n_backoff
+       FROM sc3 GROUP BY doc_id ORDER BY doc_id"""
+
   // CCNet-style perplexity bucketing: tag every document head / middle
   // / tail by its unigram-LM surprisal (the corpus-as-LM stand-in for
-  // the KenLM score). The tercile CUTOFFS are trained on the
-  // deterministic md5 hash-sample ('40' → 64/256 = 25%) — the 100 TB
-  // shape: order statistics over a BOUNDED sample (one small-window
-  // sort), then a broadcast comparison over the corpus. A corpus-wide
-  // ntile would be a single-partition window over every doc — the
-  // classic global-sort scale killer this formulation avoids.
-  // Ties on a cutoff land in the lower bucket (<=), deterministically.
+  // the KenLM score). The tercile CUTOFFS are trained on a
+  // deterministic FIXED-SIZE hash sample ([[hashSampleFixed]], target
+  // 2048 docs) — the 100 TB shape: order statistics over a sample
+  // whose size is independent of the corpus (one small-window sort),
+  // then a broadcast comparison over the corpus. A corpus-wide ntile —
+  // or a fixed-RATE sample, which at 100 TB is still hundreds of
+  // millions of rows — would funnel into one single-partition window
+  // sort, the classic global-sort scale killer this formulation
+  // avoids. Ties on a cutoff land in the lower bucket (<=),
+  // deterministically.
   def perplexityBuckets(spark: SparkSession, sfDir: String): DataFrame = {
     val per = docSurprisal(spark, sfDir)
-    val sample = per.filter(
-      md5(encode(col("doc_id").cast("string"), "utf-8")) < "40")
+    val sample = hashSampleFixed(per, "doc_id", 2048L)
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("avg_surprisal_e4"), col("doc_id"))
     val cuts = sample.withColumn("tile", ntile(3).over(w))
@@ -776,8 +921,11 @@ object Text {
            CAST(floor(1.0 * sum(CAST(floor(-ln(1.0 * n / t) * 10000.0)
              AS BIGINT)) / count(1)) AS BIGINT) AS avg_surprisal_e4
          FROM ft JOIN vocab USING (w) CROSS JOIN total GROUP BY doc_id),
-       samp AS (SELECT * FROM per
-         WHERE md5(CAST(doc_id AS VARCHAR)) < '40'),
+       nn AS (SELECT count(1) AS n FROM per),
+       samp AS (SELECT per.* FROM per CROSS JOIN nn
+         WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+             AS BIGINT)
+           < floor(4294967296.0 * least(1.0, 2048.0 / n))),
        tiles AS (SELECT avg_surprisal_e4,
            ntile(3) OVER (ORDER BY avg_surprisal_e4, doc_id) AS tile
          FROM samp),
@@ -1133,6 +1281,7 @@ object Text {
     "t_kgram_sample" -> kgramSample,
     "t_unigram_logprob" -> unigramLogprob,
     "t_bigram_logprob" -> bigramLogprob,
+    "t_trigram_logprob" -> trigramLogprob,
     "t_perplexity_buckets" -> perplexityBuckets,
     "t_chunk_dedup" -> chunkDedup,
     "t_mixture_plan" -> mixturePlan,
@@ -1162,6 +1311,7 @@ object Text {
     "t_kgram_sample" -> kgramSampleSql,
     "t_unigram_logprob" -> unigramLogprobSql,
     "t_bigram_logprob" -> bigramLogprobSql,
+    "t_trigram_logprob" -> trigramLogprobSql,
     "t_perplexity_buckets" -> perplexityBucketsSql,
     "t_chunk_dedup" -> chunkDedupSql,
     "t_mixture_plan" -> mixturePlanSql,

@@ -1162,6 +1162,27 @@ class Round5OpsSpec extends SparkSuite {
       Tables.embeddings(spark, sf).count())
   }
 
+  test("trigram backoff: held-in docs never back off, held-out docs do") {
+    // The LM trains on the md5(doc_id) < '80' shard. A train doc's own
+    // trigrams are all in the counts (c3 >= 1), so its n_backoff must
+    // be exactly 0; held-out docs must exercise the backoff chain
+    // somewhere (else the operator degenerates to corpus-as-LM and the
+    // 0.4 path is dead code).
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rows = ops.Text.trigramLogprob(spark, sf).collect()
+    var heldOutBackoffs = 0L
+    rows.foreach { r =>
+      val heldIn = md5hex(r.getAs[Long]("doc_id").toString) < "80"
+      val nb = r.getAs[Long]("n_backoff")
+      if (heldIn) assert(nb == 0L, s"train doc ${r.get(0)} backed off $nb times")
+      else heldOutBackoffs += nb
+      assert(r.getAs[Long]("sum_surprisal_e4") >= 0L)
+    }
+    assert(heldOutBackoffs > 0L, "no held-out token ever backed off")
+  }
+
   test("stream_static_enrich equals the batch join it enriches") {
     val stream = streaming.EventsStream.streamStaticEnrich(spark, sf)
       .collect().map(_.toString)

@@ -458,6 +458,38 @@ class ScaleSpec extends SparkSuite {
       s"label IN-list must appear in PushedFilters:\n${plan.take(2000)}")
   }
 
+  test("pack_sequences windows are sharded: no single-partition Window") {
+    // Packing runs per (doc_id % 16) shard — every Window in the plan
+    // must carry a partitionSpec, or one task would sort the corpus.
+    graft.Util.withConf(spark, "spark.sql.adaptive.enabled", "false") {
+      val plan = graft.ops.Text.packSequences(spark, sf)
+        .queryExecution.executedPlan
+      val windows = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.nonEmpty, "guard: windows must be visible")
+      windows.foreach { w =>
+        assert(w.partitionSpec.nonEmpty,
+          s"unpartitioned window would globally sort:\n$w")
+      }
+    }
+  }
+
+  test("fixed-size hash sample stays ~target regardless of corpus size") {
+    // perplexity_buckets trains its cutoffs on hashSampleFixed(target
+    // = 2048): the ONLY single-partition sort in that plan sees a
+    // sample whose expected size is constant in corpus size. 100k ids
+    // → the kept count must concentrate near 2048 (not 25% = 25k, the
+    // fixed-RATE shape this replaced).
+    import spark.implicits._
+    val big = (0L until 100000L).toDF("doc_id")
+    val kept = graft.ops.Text.hashSampleFixed(big, "doc_id", 2048L).count()
+    assert(kept >= 1500 && kept <= 2600, s"sample size $kept not ~2048")
+    // and when the corpus is SMALLER than the target, keep everything
+    val small = (0L until 500L).toDF("doc_id")
+    assert(graft.ops.Text.hashSampleFixed(small, "doc_id", 2048L).count() == 500L)
+  }
+
   test("exact quantiles never buffer a group: no percentile() aggregate") {
     // agg_median / winsorize_values compute exact interpolated
     // quantiles via a count-histogram (count per (group, value), then
