@@ -704,6 +704,44 @@ class VectorSpec extends SparkSuite {
       assert(labelOf(r.getAs[Long]("vec_id")) == labelOf(r.getAs[Long]("qid")))
     }
   }
+
+  test("dedup_semantic flags equal a brute-force within-cell sweep") {
+    // Replays the keep policy exactly: dropped(v) iff some lower-id
+    // vector in v's cell has cosine >= 0.9. Cells come from the same
+    // memoized centroids the operator used, so the comparison isolates
+    // the pair-sweep logic.
+    val flags = Vector.dedupSemanticFlags(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        (r.getAs[Int]("cell"), r.getAs[Boolean]("dropped"))))
+      .toMap
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Seq[Float]]("embedding").toArray)
+      .sortBy(_._1)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        d += x * y; na += x * x; nb += y * y; i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    var nDropped = 0
+    vecs.foreach { case (v, ev) =>
+      val expect = vecs.exists { case (u, eu) =>
+        u < v && flags(u)._1 == flags(v)._1 && cos(eu, ev) >= 0.9
+      }
+      assert(flags(v)._2 == expect, s"vec $v: dropped=${flags(v)._2}, brute=$expect")
+      if (expect) nDropped += 1
+    }
+    assert(nDropped > 0, "corpus has near-dups; the pass must drop some")
+    // diagnosability: print the measured cell coverage of global pairs
+    val gate = Vector.dedupSemantic(spark, sf).collect().head
+    info(s"n_vecs=${gate.getAs[Long]("n_vecs")} dropped=$nDropped " +
+      s"drops_ok=${gate.getAs[Boolean]("drops_ok")} " +
+      s"coverage_ok=${gate.getAs[Boolean]("coverage_ok")}")
+    assert(gate.getAs[Boolean]("drops_ok") && gate.getAs[Boolean]("coverage_ok"))
+  }
 }
 
 class MultimodalSpec extends SparkSuite {
