@@ -543,10 +543,15 @@ object Dedup {
         CASE WHEN doc_id % 2 = 0 THEN '#top' ELSE '' END)"""
   private[graft] def canonUrlExpr(in: String): String = {
     val noFrag = s"regexp_replace($in, '#.*', '')"
-    val auth = s"(lower(regexp_extract($noFrag, '^[a-zA-Z]+://[^/?#]*', 0))" +
+    // The default-port strip is anchored to the END of the extracted
+    // authority (':443$'), never a positional replace over the whole
+    // URL — a path containing the literal ':443/' must survive (the
+    // r6 advice's adversarial case, specced in OperatorSpecs).
+    val authPart =
+      s"regexp_replace(lower(regexp_extract($noFrag, '^[a-zA-Z]+://[^/?#]*', 0)), ':443$$', '')"
+    val auth = s"($authPart" +
       s" || regexp_replace($noFrag, '^[a-zA-Z]+://[^/?#]*', ''))"
-    val noPort = s"replace($auth, ':443/', '/')"
-    val noUtm = s"replace($noPort, '?utm_source=feed&', '?')"
+    val noUtm = s"replace($auth, '?utm_source=feed&', '?')"
     val noSlashQ = s"replace($noUtm, '/?', '?')"
     s"regexp_replace($noSlashQ, '/$$', '')"
   }

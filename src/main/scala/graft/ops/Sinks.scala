@@ -185,7 +185,12 @@ object Sinks {
   // straight from the table — any loss, duplication, or mangling in
   // the writer protocol breaks the hash match.
   def k8Dsv2Roundtrip(spark: SparkSession, sfDir: String): DataFrame = {
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_dsv2_gate"
+    // applicationId suffix: two concurrent sessions (e.g. parallel
+    // Verify runs) each get a private staging dir — a shared fixed
+    // path would let one session's recursive wipe race the other's
+    // committed output (r5/r6 finding).
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_dsv2_gate_" +
+      spark.sparkContext.applicationId
     def wipe(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(wipe)
       f.delete(); ()

@@ -490,6 +490,20 @@ class ScaleSpec extends SparkSuite {
     assert(graft.ops.Text.hashSampleFixed(small, "doc_id", 2048L).count() == 500L)
   }
 
+  test("dedup_semantic gate contains no corpus-wide banded self-join") {
+    // The r6 gate re-ran dedupEmbeddingCosine (sign-LSH band
+    // self-join over the WHOLE corpus) just to measure cell coverage —
+    // strictly more expensive than the global pass SemDeDup exists to
+    // avoid. The r7 gate audits a fixed-size hash sample instead, so
+    // the registered plan must not contain the band-bucket stage: no
+    // 'bucket' column anywhere in the analyzed plan, and the only
+    // self-join input is the bounded sample.
+    val plan = graft.ops.Vector.dedupSemantic(spark, sf)
+      .queryExecution.analyzed.toString
+    assert(!plan.toLowerCase.contains("bucket"),
+      s"gate plan re-introduces the banded corpus self-join:\n${plan.take(1500)}")
+  }
+
   test("exact quantiles never buffer a group: no percentile() aggregate") {
     // agg_median / winsorize_values compute exact interpolated
     // quantiles via a count-histogram (count per (group, value), then
