@@ -299,6 +299,35 @@ object Semi {
         ('backup-server', '2024-01-29T04:00:00.000000+00:00'))
        AS t(client, oldest) ORDER BY client"""
 
+  // S11 — LIVE paginated fetch: the executor-side page-cursor walk
+  // over a list endpoint (`?page=N`, stop on empty/short page) — the
+  // live half of the reference's Cloudflare result paging
+  // (plugins/cloudflare/cloudflare_api.py:11-30,120-137). The fixture
+  // endpoint serves 7 records at per_page=3, so a correct walk issues
+  // pages 1..3 and stops on the short third page; a round-6-shaped
+  // connector (single fetch) would return only page 1's 3 rows and
+  // break the row count, order, and hash.
+  def s11LivePaginated(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.format("graft.sources.v2.LiveHttpSource")
+      .option("url", s"${graft.sources.FixtureServer.base}/records")
+      .option("schemaDDL", "id STRING, name STRING, type STRING, content STRING")
+      .option("authMode", "basic")
+      .option("user", "admin").option("secret", "secret")
+      .option("pageParam", "page")
+      .option("pageSizeParam", "per_page").option("pageSize", "3")
+      .load()
+      .orderBy(col("id"))
+  val s11Sql: String =
+    """SELECT id, name, type, content FROM (VALUES
+        ('rec-01', 'vpn.example.com', 'A', '203.0.113.7'),
+        ('rec-02', 'vpn.example.com', 'AAAA', '2001:db8::7'),
+        ('rec-03', 'home.example.com', 'A', '198.51.100.22'),
+        ('rec-04', 'cdn.example.com', 'CNAME', 'edge.example.net'),
+        ('rec-05', 'mail.example.com', 'A', '192.0.2.40'),
+        ('rec-06', 'www.example.com', 'CNAME', 'apex.example.com'),
+        ('rec-07', 'api.example.com', 'A', '203.0.113.99'))
+       AS t(id, name, type, content) ORDER BY id"""
+
   // S5 — paginated envelope explode (cloudflare_api.py:21-26).
   def s5Paginated(spark: SparkSession, sfDir: String): DataFrame =
     Sources.zonesSrc(spark)
@@ -506,6 +535,7 @@ object Semi {
     "s4_soft_fail" -> s4SoftFail,
     "s5_paginated" -> s5Paginated,
     "s9_live_fetch" -> s9LiveFetch,
+    "s11_live_paginated" -> s11LivePaginated,
     "s6_fs_scan" -> s6FsScan,
     "s8_csv_read" -> s8CsvRead,
     "s10_jsonl_corrupt" -> s10JsonlCorrupt,
@@ -531,6 +561,7 @@ object Semi {
     "s4_soft_fail" -> s4Sql,
     "s5_paginated" -> s5Sql,
     "s9_live_fetch" -> s9Sql,
+    "s11_live_paginated" -> s11Sql,
     "s6_fs_scan" -> s6Sql,
     "s8_csv_read" -> s8Sql,
     "s10_jsonl_corrupt" -> s10Sql,

@@ -50,6 +50,8 @@ object FixtureServer {
     server.createContext("/status", (ex: HttpExchange) =>
       serveJsonl(ex, s"${graft.Tables.FixturesDir}/a1_status.jsonl",
         searchField = "endpoint"))
+    server.createContext("/records", (ex: HttpExchange) =>
+      servePaged(ex, s"${graft.Tables.FixturesDir}/a10_paged_records.jsonl"))
     server.start()
     s"http://127.0.0.1:${server.getAddress.getPort}"
   }
@@ -61,6 +63,54 @@ object FixtureServer {
   private val RequiredAuth: String = "Basic " +
     java.util.Base64.getEncoder.encodeToString(
       "admin:secret".getBytes(StandardCharsets.UTF_8))
+
+  /** Requests seen per route since JVM start — lets specs assert HOW
+    * MANY fetches a page walk issued, not just what rows came back. */
+  private val hits = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+  private def countHit(route: String): Unit =
+    hits.computeIfAbsent(route, _ => new java.util.concurrent.atomic.AtomicLong()).incrementAndGet()
+  def hitCount(route: String): Long =
+    Option(hits.get(route)).map(_.get()).getOrElse(0L)
+
+  /** Serve a fixture JSONL file in fixed-size pages: `page` (1-based)
+    * and `per_page` (default 3) slice the file — the Cloudflare-style
+    * list pagination the live connector's cursor walk consumes
+    * (reference pages `result` arrays the same way:
+    * plugins/cloudflare/cloudflare_api.py:120-137). A page past the
+    * end returns an empty 200 body, a short last page fewer lines —
+    * both termination signals the walk must honor. */
+  private def servePaged(ex: HttpExchange, path: String): Unit = {
+    try {
+      countHit(ex.getRequestURI.getPath)
+      if (Option(ex.getRequestHeaders.getFirst("Authorization"))
+          .forall(_ != RequiredAuth)) {
+        val msg = "unauthorized".getBytes(StandardCharsets.UTF_8)
+        ex.sendResponseHeaders(401, msg.length)
+        ex.getResponseBody.write(msg)
+        return
+      }
+      val params = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+        .split("&").filter(_.contains("=")).map { kv =>
+          val Array(k, v) = kv.split("=", 2)
+          java.net.URLDecoder.decode(k, "UTF-8") ->
+            java.net.URLDecoder.decode(v, "UTF-8")
+        }.toMap
+      val page = params.get("page").map(_.toInt).getOrElse(1)
+      val per = params.get("per_page").map(_.toInt).getOrElse(3)
+      val lines = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path))
+      val from = math.max(0, (page - 1) * per)
+      val slice = if (from >= lines.size()) Seq.empty[String]
+        else (from until math.min(lines.size(), from + per)).map(lines.get)
+      val bytes = slice.map(_ + "\n").mkString.getBytes(StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(200, if (bytes.isEmpty) -1 else bytes.length)
+      if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+    } catch {
+      case e: Exception =>
+        val msg = String.valueOf(e.getMessage).getBytes(StandardCharsets.UTF_8)
+        ex.sendResponseHeaders(500, msg.length)
+        ex.getResponseBody.write(msg)
+    } finally ex.close()
+  }
 
   /** Serve a fixture JSONL file, honoring `search` (substring match on
     * `searchField`, like AdGuard's querylog search) and `limit` query

@@ -174,10 +174,16 @@ class LiveHttpScan(schema: StructType, options: java.util.Map[String, String],
       else base + "?" + params.map { case (k, v) =>
         s"${URLEncoder.encode(k, "UTF-8")}=${URLEncoder.encode(v, "UTF-8")}"
       }.mkString("&")
+    // Page-size param (e.g. per_page=50) is static per request; the
+    // page CURSOR itself is appended by the reader as it walks.
+    val sizeParam = (opt("pageSizeParam", ""), opt("pageSize", "")) match {
+      case (p, n) if p.nonEmpty && n.nonEmpty => Seq(p -> n)
+      case _ => Nil
+    }
     val targets =
-      if (clients.isEmpty) Array(render(eqParams ++ limitParam))
+      if (clients.isEmpty) Array(render(eqParams ++ limitParam ++ sizeParam))
       else clients.split("\\|").map(c =>
-        render((clientParam -> c) +: (eqParams ++ limitParam)))
+        render((clientParam -> c) +: (eqParams ++ limitParam ++ sizeParam)))
     targets.map(u => LiveEndpointPartition(u): InputPartition)
   }
 
@@ -193,7 +199,9 @@ class LiveHttpScan(schema: StructType, options: java.util.Map[String, String],
     }
     new LiveHttpReaderFactory(schema, filters, limit, headers,
       opt("transport", "jdk"), opt("timeoutMs", "10000").toLong,
-      opt("permissive", "false").toBoolean)
+      opt("permissive", "false").toBoolean,
+      PageWalk(opt("pageParam", ""), opt("pageStart", "1").toLong,
+        opt("pageSize", "0").toLong, opt("maxPages", "10000").toLong))
   }
 
   /** Streaming facet: each micro-batch is one POLL ROUND over the
@@ -282,12 +290,24 @@ class LiveHttpMicroBatchStream(scan: LiveHttpScan)
 
 case class LiveEndpointPartition(url: String) extends InputPartition
 
+/** Page-cursor walk config. `param` empty ⇒ single-fetch (no walk).
+  * `size` > 0 enables short-page termination: a page carrying fewer
+  * rows than `size` must be the last (the reference's Cloudflare
+  * helpers page `result` arrays the same way —
+  * plugins/cloudflare/cloudflare_api.py:120-137); an EMPTY page always
+  * terminates. `maxPages` is the runaway-server backstop. */
+case class PageWalk(param: String, start: Long, size: Long, maxPages: Long) {
+  def enabled: Boolean = param.nonEmpty
+}
+
 class LiveHttpReaderFactory(schema: StructType, filters: Array[Filter],
     limit: Int, headers: Map[String, String], transportName: String,
-    timeoutMs: Long, permissive: Boolean) extends PartitionReaderFactory {
+    timeoutMs: Long, permissive: Boolean, pages: PageWalk)
+    extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new LiveHttpReader(schema, filters, limit, headers, transportName,
-      timeoutMs, permissive, p.asInstanceOf[LiveEndpointPartition].url)
+      timeoutMs, permissive, pages,
+      p.asInstanceOf[LiveEndpointPartition].url)
 }
 
 /** Executor-side reader: ONE fetch per partition (= per endpoint),
@@ -296,16 +316,48 @@ class LiveHttpReaderFactory(schema: StructType, filters: Array[Filter],
   * cannot change results. */
 class LiveHttpReader(schema: StructType, filters: Array[Filter], limit: Int,
     headers: Map[String, String], transportName: String, timeoutMs: Long,
-    permissive: Boolean, url: String) extends PartitionReader[InternalRow] {
+    permissive: Boolean, pages: PageWalk, url: String)
+    extends PartitionReader[InternalRow] {
   private val mapper = new ObjectMapper()
   private val eqFilters: Map[String, String] =
     filters.collect { case EqualTo(a, v: String) => a -> v }.toMap
-  private lazy val lines: Iterator[String] =
-    try LiveTransports(transportName).fetch(url, headers, timeoutMs)
-      .linesIterator
+
+  private def fetchLines(u: String): Seq[String] =
+    try LiveTransports(transportName).fetch(u, headers, timeoutMs)
+      .linesIterator.filter(_.trim.nonEmpty).toSeq
     catch {
       // S4 soft-fail: this endpoint contributes nothing; others proceed
-      case _: Exception if permissive => Iterator.empty
+      case _: Exception if permissive => Nil
+    }
+
+  /** Executor-side page-cursor walk: fetch `pageParam=N`, N from
+    * `pageStart`, LAZILY — a pushed LIMIT satisfied by page 1 never
+    * requests page 2. Terminates on an empty page, a page shorter
+    * than `pageSize` (when configured), or the `maxPages` backstop.
+    * Without a pageParam this is the single fetch of round 6. */
+  private lazy val lines: Iterator[String] =
+    if (!pages.enabled) fetchLines(url).iterator
+    else new Iterator[String] {
+      private val sep = if (url.contains("?")) "&" else "?"
+      private var page = pages.start
+      private var done = false
+      private var cur: Iterator[String] = Iterator.empty
+      private def advance(): Unit =
+        while (!done && !cur.hasNext) {
+          if (page - pages.start >= pages.maxPages) done = true
+          else {
+            val got = fetchLines(s"$url$sep${pages.param}=$page")
+            page += 1
+            if (got.isEmpty) done = true
+            else {
+              cur = got.iterator
+              // short page ⇒ serve it, then stop without re-fetching
+              if (pages.size > 0 && got.size < pages.size) done = true
+            }
+          }
+        }
+      override def hasNext: Boolean = { advance(); cur.hasNext }
+      override def next(): String = { advance(); cur.next() }
     }
   private var emitted = 0
   private var current: InternalRow = _

@@ -484,6 +484,79 @@ class HttpSpec extends SparkSuite {
       Seq("backup-server", "chicago", "iowa", "racknerd"))
   }
 
+  test("live page-cursor walk fetches every page, stops on the short one") {
+    // Counted server: 8 records at per_page=3 → the walk must issue
+    // pages 1, 2, 3 (3+3+2 rows) and STOP — the short third page is
+    // the termination signal, so no page=4 probe. A single-fetch
+    // connector would return 3 rows; a walk ignoring short pages
+    // would issue a 4th request.
+    val pages = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val recs = (1 to 8).map(i => f"""{"id": "r-$i%02d", "v": $i}""")
+    withServer(Map("/paged" -> { ex =>
+      val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+      pages.add(q)
+      val page = q.split("&").collectFirst {
+        case kv if kv.startsWith("page=") => kv.stripPrefix("page=").toInt
+      }.getOrElse(1)
+      val slice = recs.slice((page - 1) * 3, page * 3)
+      respond(ex, 200, slice.map(_ + "\n").mkString)
+    })) { base =>
+      val df = spark.read.format("graft.sources.v2.LiveHttpSource")
+        .option("url", s"$base/paged")
+        .option("schemaDDL", "id STRING, v LONG")
+        .option("pageParam", "page")
+        .option("pageSizeParam", "per_page").option("pageSize", "3")
+        .load()
+      val got = df.collect().map(_.getString(0)).sorted
+      assert(got.length == 8, s"all pages must be fetched: ${got.toSeq}")
+      val pageNums = pages.asScala.toSeq.map(_.split("&").collectFirst {
+        case kv if kv.startsWith("page=") => kv.stripPrefix("page=").toInt
+      }.getOrElse(-1)).sorted
+      assert(pageNums == Seq(1, 2, 3),
+        s"walk must stop AT the short page, no page=4 probe: $pageNums")
+      assert(pages.asScala.forall(_.contains("per_page=3")),
+        s"page size must render as a static param: ${pages.asScala.toSeq}")
+    }
+  }
+
+  test("page walk terminates on an EMPTY page when sizes are unknown") {
+    // No pageSize configured: the only termination signal is the empty
+    // page — exactly one extra probe past the end, never a runaway.
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    withServer(Map("/paged" -> { ex =>
+      val page = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+        .split("&").collectFirst {
+          case kv if kv.startsWith("page=") => kv.stripPrefix("page=").toInt
+        }.getOrElse(1)
+      seen.add(page)
+      val body = if (page <= 2) s"""{"id": "p$page"}""" + "\n" else ""
+      respond(ex, 200, body)
+    })) { base =>
+      val df = spark.read.format("graft.sources.v2.LiveHttpSource")
+        .option("url", s"$base/paged")
+        .option("schemaDDL", "id STRING")
+        .option("pageParam", "page")
+        .load()
+      assert(df.count() == 2)
+      assert(seen.asScala.toSeq.sorted == Seq(1, 2, 3),
+        s"one empty probe terminates the walk: ${seen.asScala.toSeq.sorted}")
+    }
+  }
+
+  test("contract query s11_live_paginated walks the fixture's three pages") {
+    val before = graft.sources.FixtureServer.hitCount("/records")
+    val out = graft.ops.Semi.s11LivePaginated(spark, sf).collect()
+    assert(out.length == 7)
+    assert(out.map(_.getString(0)).toSeq == (1 to 7).map(i => f"rec-$i%02d"))
+    // The global orderBy costs two scan passes (RangePartitioner
+    // sampling, then the exchange), so fetches arrive in WALKS of
+    // exactly 3 pages — a page=4 probe or a page-1-only fetch breaks
+    // the multiple.
+    val fetched = graft.sources.FixtureServer.hitCount("/records") - before
+    assert(fetched > 0 && fetched % 3 == 0,
+      s"each scan pass walks exactly 3 pages, got $fetched fetches")
+  }
+
   test("alert delivery retries a flaky webhook; exhausted retries dead-letter") {
     // server fails the first 2 attempts per body then succeeds — one
     // redelivery cycle inside the listener's retry budget (the
