@@ -444,6 +444,89 @@ object Multimodal {
           ORDER BY fa, fb"""
   }
 
+  // -- cross-modal pairs ---------------------------------------------------
+
+  /** Normalized caption fingerprint: lower-case, non-alphanumerics to
+    * one space, trim, md5 — case/punctuation/whitespace renditions of
+    * the same words collapse to one 16-byte key. */
+  private def captionFp(c: org.apache.spark.sql.Column) =
+    md5(trim(regexp_replace(lower(c), "[^a-z0-9]+", " ")))
+
+  /** The caption table: (file, caption) for every captioned image. */
+  private def captions(spark: SparkSession): DataFrame =
+    spark.read.schema("file STRING, caption STRING")
+      .json(MultimodalFixtures.ensureCaptions())
+
+  /** Cross-modal PAIR dedup (`mm_pair_dedup`): an (image, caption)
+    * pair is a duplicate of another iff BOTH modalities agree — the
+    * caption fingerprints match exactly AND the image phashes are
+    * within Hamming ≤ 3 (banded, as [[mmPhashNear]]). Neither alone
+    * suffices: ids 3–5 are pixel-identical with different captions,
+    * and distinct-id images can share caption words only by design.
+    * The LAION-style dedup shape for paired training data.
+    *
+    * Scale: the band join's bucket key is (caption_fp, band_idx,
+    * band) — candidates must already agree on the text fingerprint,
+    * so a viral image with a million distinct captions never forms a
+    * candidate clique the way a phash-only band join would. Pixels
+    * die in the decode scan; only (file, phash, fp) rows move, and
+    * the shared (file, phash) projection is the same persisted scan
+    * all phash consumers read. */
+  def mmPairDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val ph = Flow.sharedScan(spark, s"mm_phash:${MultimodalFixtures.Dir}")(
+      decoded(spark).select(col("file"), col("phash")))
+    val paired = ph.join(captions(spark), "file")
+      .select(col("file"), col("phash"), captionFp(col("caption")).as("fp"))
+    val bands = paired.select(col("file"), col("phash"), col("fp"),
+      posexplode(array((0 until 4).map(i =>
+        substring(col("phash"), i * 4 + 1, 4)): _*))
+        .as(Seq("band_idx", "band")))
+    val cand = bands.alias("a")
+      .join(bands.alias("b"),
+        col("a.fp") === col("b.fp") &&
+          col("a.band_idx") === col("b.band_idx") &&
+          col("a.band") === col("b.band") &&
+          col("a.file") < col("b.file"))
+      .select(col("a.file").as("fa"), col("b.file").as("fb"),
+        col("a.phash").as("pa"), col("b.phash").as("pb"))
+      .distinct()
+    val hamming = (0 until 4).map { i =>
+      bit_count(
+        conv(substring(col("pa"), i * 4 + 1, 4), 16, 10).cast("int")
+          .bitwiseXOR(
+            conv(substring(col("pb"), i * 4 + 1, 4), 16, 10).cast("int")))
+    }.reduce(_ + _)
+    cand
+      .withColumn("hamming", hamming.cast("int"))
+      .filter(col("hamming") <= 3)
+      .select(col("fa"), col("fb"), col("hamming"))
+      .orderBy(col("fa"), col("fb"))
+  }
+  /** Dump-time twin: the same both-modality rule over phashes from the
+    * committed bytes and the generator's caption sharing structure. */
+  def mmPairDedupSql: String = {
+    def norm(c: String): String =
+      c.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+    val ph = (MultimodalFixtures.pngSpecs.map(_._1) ++
+      MultimodalFixtures.variantSpecs.map(_._1)).map { name =>
+      name -> aHash(ImageIO.read(new ByteArrayInputStream(fileBytes(name))))
+    }.toMap
+    def bands(h: Long): Seq[Int] =
+      (0 until 4).map(i => ((h >>> (48 - 16 * i)) & 0xffff).toInt)
+    val caps = MultimodalFixtures.captionSpecs
+    val pairs = for {
+      (fa, ca) <- caps; (fb, cb) <- caps
+      if fa < fb
+      if norm(ca) == norm(cb)
+      if bands(ph(fa)).zip(bands(ph(fb))).exists { case (x, y) => x == y }
+      d = java.lang.Long.bitCount(ph(fa) ^ ph(fb))
+      if d <= 3
+    } yield s"('$fa', '$fb', $d)"
+    s"""SELECT fa, fb, CAST(hamming AS INT) AS hamming
+        FROM (VALUES ${pairs.mkString(", ")}) AS t(fa, fb, hamming)
+        ORDER BY fa, fb"""
+  }
+
   /** One temporal-difference row per frame transition of an animated
     * asset: mean |Δluminance| in e4 fixed point + the shot verdict. */
   case class FrameDiff(file: String, frame_idx: Int, mad_e4: Long,
@@ -756,6 +839,7 @@ object Multimodal {
   val queries: Map[String, QFn] = Map(
     "mm_phash_dedup" -> mmPhashDedup,
     "mm_phash_near" -> mmPhashNear,
+    "mm_pair_dedup" -> mmPairDedup,
     "mm_audio_stats" -> mmAudioStats,
     "mm_audio_windows" -> mmAudioWindows,
     "mm_scene_cuts" -> mmSceneCuts,
@@ -768,6 +852,7 @@ object Multimodal {
   val oracles: Map[String, String] = Map(
     "mm_phash_dedup" -> mmPhashDedupSql,
     "mm_phash_near" -> mmPhashNearSql,
+    "mm_pair_dedup" -> mmPairDedupSql,
     "mm_audio_stats" -> mmAudioStatsSql,
     "mm_audio_windows" -> mmAudioWindowsSql,
     "mm_scene_cuts" -> mmSceneCutsSql,

@@ -152,6 +152,65 @@ object MultimodalFixtures {
     Dir
   }
 
+  // -- cross-modal captions ------------------------------------------------
+
+  /** Deterministic caption per image file — the text half of the
+    * image↔text pair surface. The caption SHARING structure is the
+    * mm_pair_dedup ground truth:
+    *  - pair ids 0–2: the b-rendition repeats the caption under case/
+    *    punctuation/whitespace noise (same normalized fingerprint,
+    *    different raw bytes);
+    *  - pair ids 3–5: the b-rendition's caption genuinely differs —
+    *    identical pixels alone must NOT make a pair-duplicate;
+    *  - near ids 6–7 repeat (noisy), id 8 differs;
+    *  - variant ids 9–10 repeat (noisy), id 11 differs —
+    *    the banded phash near-match × caption-fingerprint case;
+    *  - singles: unique captions.
+    */
+  def baseCaption(id: Int): String =
+    s"a gray noise field number $id sized ${widthOf(id)} by ${heightOf(id)}"
+  /** Same words, noisy rendering: the raw bytes differ, the normalized
+    * fingerprint must not. */
+  def noisyCaption(id: Int): String =
+    "  " + baseCaption(id).toUpperCase.replace(" ", "  ") + " ."
+  def altCaption(id: Int): String =
+    s"an unrelated rendition caption for id $id"
+
+  /** ids whose second rendition SHARES the caption (pair-dup targets). */
+  val CaptionDupPair: Range = 0 to 2
+  val CaptionDupNear: Range = 6 to 7
+  val CaptionDupVar: Range = 9 to 10
+
+  /** (file, caption) for every captioned asset. */
+  def captionSpecs: Seq[(String, String)] =
+    PairIds.flatMap(i => Seq(
+      (f"img$i%02da.png", baseCaption(i)),
+      (f"img$i%02db.png",
+        if (CaptionDupPair.contains(i)) noisyCaption(i) else altCaption(i)))) ++
+    NearIds.flatMap(i => Seq(
+      (f"img$i%02da.png", baseCaption(i)),
+      (f"img$i%02dn.png",
+        if (CaptionDupNear.contains(i)) noisyCaption(i) else altCaption(i)))) ++
+    SingleIds.map(i => (f"img$i%02da.png", baseCaption(i))) ++
+    VariantIds.map(i => (f"img$i%02dv.png",
+      if (CaptionDupVar.contains(i)) noisyCaption(i) else altCaption(i)))
+
+  val CaptionsFile: String = s"${graft.Tables.FixturesDir}/captions.jsonl"
+
+  /** Write the captions JSONL if absent; returns the path. */
+  def ensureCaptions(): String = synchronized {
+    val f = new File(CaptionsFile)
+    if (!f.exists()) {
+      def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+      val lines = captionSpecs.map { case (file, cap) =>
+        s"""{"file": "${esc(file)}", "caption": "${esc(cap)}"}"""
+      }
+      java.nio.file.Files.write(f.toPath,
+        (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    }
+    CaptionsFile
+  }
+
   // -- audio fixtures (PCM16 WAV) ------------------------------------------
 
   val AudioDir: String = s"${graft.Tables.FixturesDir}/audio"

@@ -809,6 +809,35 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("cross-modal pair dedup: both modalities must agree") {
+    val got = Multimodal.mmPairDedup(spark, sf).collect()
+      .map(r => (r.getAs[String]("fa"), r.getAs[String]("fb"),
+        r.getAs[Int]("hamming")))
+    val gotPairs = got.map(p => (p._1, p._2)).toSet
+    // captions shared AND pixels identical → hamming 0 pair-dups
+    (MultimodalFixtures.CaptionDupPair.map(i =>
+        (f"img$i%02da.png", f"img$i%02db.png")) ++
+      MultimodalFixtures.CaptionDupNear.map(i =>
+        (f"img$i%02da.png", f"img$i%02dn.png"))).foreach { p =>
+      assert(gotPairs.contains(p), s"expected pair-dup $p")
+      assert(got.find(g => (g._1, g._2) == p).get._3 == 0)
+    }
+    // captions shared AND phash within banded hamming 1..3 (v-variants)
+    MultimodalFixtures.CaptionDupVar.foreach { i =>
+      val p = (f"img$i%02da.png", f"img$i%02dv.png")
+      assert(gotPairs.contains(p), s"expected near pair-dup $p")
+      val d = got.find(g => (g._1, g._2) == p).get._3
+      assert(d >= 1 && d <= 3, s"v-variant hamming $d")
+    }
+    // identical pixels with DIFFERENT captions are not pair-dups
+    Seq((3, "b"), (4, "b"), (5, "b"), (8, "n"), (11, "v")).foreach { case (i, s) =>
+      val p = (f"img$i%02da.png", f"img$i%02d$s%s.png")
+      assert(!gotPairs.contains(p), s"caption differs: $p must NOT pair-dup")
+    }
+    // and nothing else sneaks in: 7 pair-dups exactly
+    assert(got.length == 7, s"exactly the planted pairs: ${got.toSeq}")
+  }
+
   test("brightness near-dups: different sha256, identical phash") {
     val metas = Multimodal.mmMetadata(spark, sf).collect()
       .map(r => r.getAs[String]("file") -> r.getAs[String]("sha256")).toMap
