@@ -328,6 +328,54 @@ object Semi {
         ('rec-07', 'api.example.com', 'A', '203.0.113.99'))
        AS t(id, name, type, content) ORDER BY id"""
 
+  // S12 — engine health probe: one row per component with a bounded
+  // probe result and a healthy verdict — the queryable analog of the
+  // reference's healthcheck endpoint walk (config/healthcheck.sh:20-41
+  // checks metadatabase/scheduler/triggerer statuses; here the
+  // components are the warehouse tables, the live HTTP boundary, and
+  // the session). Table probes are LIMIT-1 reads — "readable and
+  // non-empty" at metadata cost, never a full count, so the probe
+  // itself is 100 TB-safe. The 12-row collect is the health report,
+  // bounded by the component inventory.
+  def s12HealthProbe(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val tableRows = graft.Tables.Names.map { t =>
+      val probe =
+        try {
+          val df = if (t == "events") graft.Tables.events(spark, sfDir)
+            else graft.Tables.table(spark, sfDir, t)
+          df.limit(1).count()
+        } catch { case _: Exception => 0L }
+      (s"table:$t", probe, probe > 0L)
+    }
+    val http =
+      try {
+        val auth = "Basic " + java.util.Base64.getEncoder.encodeToString(
+          "admin:secret".getBytes("UTF-8"))
+        graft.sources.v2.JdkTransport.fetch(
+          s"${graft.sources.FixtureServer.base}/status?limit=1",
+          Map("Authorization" -> auth), 5000L)
+        ("http:fixture", 1L, true)
+      } catch { case _: Exception => ("http:fixture", 0L, false) }
+    val session =
+      if (spark.sparkContext.isStopped) ("session", 0L, false)
+      else ("session", 1L, true)
+    (tableRows :+ http :+ session)
+      .toDF("component", "probe", "healthy")
+      .orderBy(col("component"))
+  }
+  val s12Sql: String = {
+    val tables = graft.Tables.Names.map(t =>
+      s"""SELECT 'table:$t' AS component,
+          least((SELECT count(1) FROM $t), 1) AS probe,
+          (SELECT count(1) FROM $t) > 0 AS healthy""")
+    val fixed = Seq(
+      "SELECT 'http:fixture' AS component, 1 AS probe, true AS healthy",
+      "SELECT 'session' AS component, 1 AS probe, true AS healthy")
+    (tables ++ fixed).mkString("SELECT component, CAST(probe AS BIGINT) AS probe, healthy FROM (",
+      " UNION ALL ", ") ORDER BY component")
+  }
+
   // S5 — paginated envelope explode (cloudflare_api.py:21-26).
   def s5Paginated(spark: SparkSession, sfDir: String): DataFrame =
     Sources.zonesSrc(spark)
@@ -536,6 +584,7 @@ object Semi {
     "s5_paginated" -> s5Paginated,
     "s9_live_fetch" -> s9LiveFetch,
     "s11_live_paginated" -> s11LivePaginated,
+    "s12_health_probe" -> s12HealthProbe,
     "s6_fs_scan" -> s6FsScan,
     "s8_csv_read" -> s8CsvRead,
     "s10_jsonl_corrupt" -> s10JsonlCorrupt,
@@ -562,6 +611,7 @@ object Semi {
     "s5_paginated" -> s5Sql,
     "s9_live_fetch" -> s9Sql,
     "s11_live_paginated" -> s11Sql,
+    "s12_health_probe" -> s12Sql,
     "s6_fs_scan" -> s6Sql,
     "s8_csv_read" -> s8Sql,
     "s10_jsonl_corrupt" -> s10Sql,
