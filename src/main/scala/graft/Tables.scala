@@ -27,12 +27,69 @@ object Tables {
     * varied across driver testdata generations: TIMESTAMP(NANOS)
     * (which Spark 4 refuses to read as TimestampType) and
     * TIMESTAMP(MICROS). Read the raw INT64 via an explicit schema
-    * (works under any session config, both annotations) and normalize
-    * to µs by magnitude: epochs ≥ 1e17 can only be nanoseconds (1e17
-    * µs is year 5138; 1e17 ns is 1973), so divide those by 1000 —
-    * integer division, never double (ns epochs exceed 2^53). */
+    * (works under any session config, any annotation) and normalize to
+    * µs. LAST-RESORT normalization is by magnitude: epochs ≥ 1e17 can
+    * only be nanoseconds (1e17 µs is year 5138; 1e17 ns is 1973), so
+    * divide those by 1000 — integer division, never double (ns epochs
+    * exceed 2^53). The heuristic silently misreads a ns epoch before
+    * ~1973-03 (r6 advice), so [[tsToMicrosSql]] consults the file's
+    * actual logical-type ANNOTATION first and only falls back to
+    * magnitude when no annotation is present. */
   val TsToMicrosSql: String =
     "(CASE WHEN abs(ts) >= 100000000000000000 THEN ts div 1000 ELSE ts END)"
+
+  /** µs-normalization SQL for the raw INT64 `ts` of the events table
+    * under `dir`, from the parquet TIMESTAMP annotation (NANOS/MICROS/
+    * MILLIS — read once from the first part file's footer, memoized
+    * per directory) with [[TsToMicrosSql]]'s magnitude heuristic as
+    * the unannotated-INT64 fallback. */
+  def tsToMicrosSql(dir: String): String =
+    tsToMicrosSqlAt(s"$dir/events.parquet")
+
+  /** Same, for a path that IS the parquet file/part-dir itself (the
+    * streaming sources' staged dirs). */
+  def tsToMicrosSqlAt(path: String): String =
+    tsUnitCache.getOrElseUpdate(path, sniffTsUnit(path))
+      .getOrElse(TsToMicrosSql)
+
+  private val tsUnitCache =
+    scala.collection.concurrent.TrieMap.empty[String, Option[String]]
+
+  /** The µs-normalization expression the parquet footer's `ts`
+    * annotation dictates, or None when the file/field/annotation is
+    * absent (caller falls back to the magnitude heuristic). `path` may
+    * be a single parquet file or a directory of part files. */
+  private[graft] def sniffTsUnit(path: String): Option[String] = try {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val root = new java.io.File(path)
+    val part =
+      if (root.isFile) Some(root)
+      else Option(root.listFiles()).flatMap(_.filter(f =>
+        f.isFile && f.getName.endsWith(".parquet"))
+        .sortBy(_.getName).headOption)
+    part.flatMap { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+        new org.apache.hadoop.conf.Configuration())
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val schema = r.getFooter.getFileMetaData.getSchema
+        if (!schema.containsField("ts")) None
+        else schema.getType(schema.getFieldIndex("ts"))
+            .getLogicalTypeAnnotation match {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            if (t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS)
+              Some("(ts div 1000)")
+            else if (t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS)
+              Some("ts")
+            else if (t.getUnit == LogicalTypeAnnotation.TimeUnit.MILLIS)
+              Some("(ts * 1000)")
+            else None
+          case _ => None
+        }
+      } finally r.close()
+    }
+  } catch { case _: Exception => None }
 
   def events(s: SparkSession, d: String): DataFrame = {
     val schema = new StructType()
@@ -40,7 +97,7 @@ object Tables {
       .add("event_type", StringType).add("value", DoubleType)
       .add("props", StringType)
     s.read.schema(schema).parquet(s"$d/events.parquet")
-      .withColumn("ts", expr(s"timestamp_micros($TsToMicrosSql)"))
+      .withColumn("ts", expr(s"timestamp_micros(${tsToMicrosSql(d)})"))
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

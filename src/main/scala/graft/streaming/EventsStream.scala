@@ -12,8 +12,9 @@ import org.apache.spark.sql.types._
   */
 object EventsStream {
 
-  /** Raw events schema (ts as INT64 epoch, ns or µs — normalized by
-    * magnitude via [[graft.Tables.TsToMicrosSql]], as staged). */
+  /** Raw events schema (ts as INT64 epoch, any precision — normalized
+    * per the file's parquet annotation via [[graft.Tables.tsToMicrosSql]],
+    * magnitude fallback for unannotated INT64). */
   val rawSchema: StructType = new StructType()
     .add("event_id", LongType).add("ts", LongType).add("user_id", LongType)
     .add("event_type", StringType).add("value", DoubleType)
@@ -22,7 +23,7 @@ object EventsStream {
   /** Streaming read of the staged events directory/file. */
   def readEvents(spark: SparkSession, path: String): DataFrame =
     spark.readStream.schema(rawSchema).parquet(path)
-      .withColumn("ts", expr(s"timestamp_micros(${graft.Tables.TsToMicrosSql})"))
+      .withColumn("ts", expr(s"timestamp_micros(${graft.Tables.tsToMicrosSqlAt(path)})"))
 
   /** Watermarked tumbling-window aggregation (the streaming twin of
     * Relational.tumblingWindowAgg). */
@@ -75,7 +76,7 @@ object EventsStream {
       val src = spark.readStream.schema(rawSchema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sfDir)
-        .withColumn("ts", expr(s"timestamp_micros(${graft.Tables.TsToMicrosSql})"))
+        .withColumn("ts", expr(s"timestamp_micros(${graft.Tables.tsToMicrosSql(sfDir)})"))
       val counts = windowedCounts(src)
       val out = runToMemory(spark, counts,
         s"graft_stream_wc_${runSeq.incrementAndGet()}")
@@ -103,7 +104,7 @@ object EventsStream {
       val src = spark.readStream.schema(rawSchema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sfDir)
-        .select(col("user_id"), expr(graft.Tables.TsToMicrosSql).as("tsMicros"))
+        .select(col("user_id"), expr(graft.Tables.tsToMicrosSql(sfDir)).as("tsMicros"))
         .as[Ev]
       val out = runToMemory(spark, sessionize(src).toDF(),
         s"graft_stream_sess_${runSeq.incrementAndGet()}", OutputMode.Append())
@@ -162,7 +163,7 @@ object EventsStream {
     def side(t: String, pfx: String) =
       spark.readStream.schema(rawSchema)
         .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-        .withColumn("ts", expr(s"timestamp_micros(${graft.Tables.TsToMicrosSql})"))
+        .withColumn("ts", expr(s"timestamp_micros(${graft.Tables.tsToMicrosSql(sfDir)})"))
         .filter(col("event_type") === t)
         .select(col("event_id").as(s"${pfx}_id"),
           col("user_id").as(s"${pfx}_uid"), col("ts").as(s"${pfx}_ts"))
@@ -205,7 +206,7 @@ object EventsStream {
     withStreamingParts(spark, 8) {
       def src = spark.readStream.schema(rawSchema)
         .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-        .withColumn("ts", expr(s"timestamp_micros(${graft.Tables.TsToMicrosSql})"))
+        .withColumn("ts", expr(s"timestamp_micros(${graft.Tables.tsToMicrosSql(sfDir)})"))
       val deduped = src.unionByName(src)
         .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark(Seq("event_id"))
@@ -232,7 +233,7 @@ object EventsStream {
     withStreamingParts(spark, 8) {
       val src = spark.readStream.schema(rawSchema)
         .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-        .withColumn("ts", expr(s"timestamp_micros(${graft.Tables.TsToMicrosSql})"))
+        .withColumn("ts", expr(s"timestamp_micros(${graft.Tables.tsToMicrosSql(sfDir)})"))
       val dim = graft.Tables.nation(spark, sfDir)
         .select(col("n_nationkey").cast("long").as("nk"), col("n_name"))
       val enriched = src
@@ -316,7 +317,7 @@ object EventsStream {
     val src = spark.readStream.schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(srcPath)
-      .select(col("user_id"), expr(graft.Tables.TsToMicrosSql).as("tsMicros"))
+      .select(col("user_id"), expr(graft.Tables.tsToMicrosSqlAt(srcPath)).as("tsMicros"))
       .as[Ev]
     val counted = src.groupByKey(_.user_id)
       .transformWithState(new RunningCountProcessor,
@@ -344,7 +345,7 @@ object EventsStream {
     val src = spark.readStream.schema(rawSchema)
       .option("maxFilesPerTrigger", "1") // source option: one file per micro-batch
       .parquet(srcPath)
-      .withColumn("ts", expr(s"timestamp_micros(${graft.Tables.TsToMicrosSql})"))
+      .withColumn("ts", expr(s"timestamp_micros(${graft.Tables.tsToMicrosSqlAt(srcPath)})"))
     val q = src
       .writeStream
       .trigger(Trigger.AvailableNow())
