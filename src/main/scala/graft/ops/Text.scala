@@ -1273,7 +1273,98 @@ object Text {
        FROM documents
        GROUP BY 1, 2 ORDER BY source, split"""
 
+  // DSIR-style importance weights (Xie et al. 2023, arXiv:2302.03169):
+  // score every document by how much its hashed n-gram feature profile
+  // resembles a TARGET domain versus the RAW corpus — the data-selection
+  // step that upsamples target-like documents before training. Features
+  // are unigrams + consecutive-token bigrams hashed into a FIXED bucket
+  // space (md5-prefix mod B — engine-portable, the same trick as
+  // hashSampleFixed), so the model is two B-row count vectors however
+  // large the corpus. Per-bucket log-ratio
+  //   λ[b] = ln((ct[b]+1)/(T+B)) − ln((cr[b]+1)/(R+B))
+  // (Laplace-smoothed) is floored to e4 fixed point BEFORE the per-doc
+  // sum, so doc weights are exact integers under any partitioning.
+  // Shuffles: two bucket-count aggregations (map-side combined, ≤ B
+  // rows out) and one doc_id aggregation; the λ table broadcasts.
+  // At 100 TB: identical plan — the feature space, not the corpus,
+  // bounds the model state.
+  val DsirBuckets = 256
+  val DsirTargetSources: Seq[String] = Seq("src0", "src1")
+
+  def dsirWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), posexplode(tokens).as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+      .withColumn("prev", lag(col("w"), 1).over(w))
+    val feats = toks.select(col("doc_id"), col("source"), col("w").as("f"))
+      .unionByName(toks.filter(col("prev").isNotNull)
+        .select(col("doc_id"), col("source"),
+          concat(col("prev"), lit(" "), col("w")).as("f")))
+      .withColumn("bucket", pmod(
+        conv(substring(md5(encode(col("f"), "utf-8")), 1, 4), 16, 10)
+          .cast("long"),
+        lit(DsirBuckets.toLong)))
+      .select(col("doc_id"), col("source"), col("bucket"))
+    val cr = feats.groupBy(col("bucket")).agg(count(lit(1)).as("cr"))
+    val ct = feats.filter(col("source").isin(DsirTargetSources: _*))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("ct"))
+    val totals = cr.agg(sum(col("cr")).as("r"))
+      .crossJoin(broadcast(ct.agg(coalesce(sum(col("ct")), lit(0L)).as("t"))))
+    val lam = spark.range(DsirBuckets.toLong).select(col("id").as("bucket"))
+      .join(cr, Seq("bucket"), "left").join(ct, Seq("bucket"), "left")
+      .na.fill(0L, Seq("cr", "ct"))
+      .crossJoin(broadcast(totals))
+      .withColumn("lam_e4", floor(
+        (log((col("ct") + lit(1.0)) / (col("t") + lit(DsirBuckets))) -
+          log((col("cr") + lit(1.0)) / (col("r") + lit(DsirBuckets))))
+          * lit(10000.0)).cast("long"))
+      .select(col("bucket"), col("lam_e4"))
+    feats.join(broadcast(lam), "bucket")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("lam_e4")).as("weight_e4"))
+      .orderBy(col("doc_id"))
+  }
+  val dsirWeightsSql: String =
+    s"""WITH toks0 AS (
+         SELECT doc_id, source, w,
+                row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn
+         FROM (SELECT doc_id, source,
+                 unnest(string_split(lower(text), ' ')) AS w,
+                 generate_subscripts(string_split(lower(text), ' '), 1) AS i
+               FROM documents)
+         WHERE w <> ''),
+       feats AS (
+         SELECT doc_id, source, w AS f FROM toks0
+         UNION ALL
+         SELECT b.doc_id, b.source, a.w || ' ' || b.w AS f
+         FROM toks0 a JOIN toks0 b
+           ON a.doc_id = b.doc_id AND b.rn = a.rn + 1),
+       fb AS (SELECT doc_id, source,
+                CAST(('0x' || substring(md5(f), 1, 4)) AS BIGINT)
+                  % $DsirBuckets AS bucket
+              FROM feats),
+       cr AS (SELECT bucket, count(1) AS cr FROM fb GROUP BY 1),
+       ct AS (SELECT bucket, count(1) AS ct FROM fb
+              WHERE source IN (${DsirTargetSources.map(s => s"'$s'").mkString(", ")})
+              GROUP BY 1),
+       tot AS (SELECT (SELECT sum(cr) FROM cr) AS r,
+                      (SELECT COALESCE(sum(ct), 0) FROM ct) AS t),
+       lam AS (SELECT g.bucket,
+                 CAST(floor((ln((COALESCE(ct, 0) + 1.0) / (t + $DsirBuckets)) -
+                             ln((COALESCE(cr, 0) + 1.0) / (r + $DsirBuckets)))
+                   * 10000.0) AS BIGINT) AS lam_e4
+               FROM (SELECT unnest(range(0, $DsirBuckets)) AS bucket) g
+               LEFT JOIN cr USING (bucket) LEFT JOIN ct USING (bucket)
+               CROSS JOIN tot)
+       SELECT doc_id, count(1) AS n_feats,
+         CAST(sum(lam_e4) AS BIGINT) AS weight_e4
+       FROM fb JOIN lam USING (bucket)
+       GROUP BY doc_id ORDER BY doc_id"""
+
   val queries: Map[String, QFn] = Map(
+    "t_dsir_weights" -> dsirWeights,
     "t_split_assign" -> splitAssign,
     "corpus_filter_funnel" -> corpusFilterFunnel,
     "sample_temperature" -> sampleTemperature,
@@ -1304,6 +1395,7 @@ object Text {
     "t_fingerprint" -> fingerprint)
 
   val oracles: Map[String, String] = Map(
+    "t_dsir_weights" -> dsirWeightsSql,
     "t_split_assign" -> splitAssignSql,
     "corpus_filter_funnel" -> corpusFilterFunnelSql,
     "sample_temperature" -> sampleTemperatureSql,

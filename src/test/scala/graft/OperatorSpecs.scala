@@ -402,6 +402,35 @@ class RelationalOpsSpec extends SparkSuite {
 }
 
 class TextOpsSpec extends SparkSuite {
+  test("dsir weights: feature accounting exact, target domain scores higher") {
+    // structural: features = unigrams + consecutive bigrams, so
+    // n_feats == 2*n_tokens - 1 for every tokenized doc
+    val nf = ops.Text.dsirWeights(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_feats"), r.getAs[Long]("weight_e4"))).toMap
+    val nt = ops.Text.tokenStats(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n_tokens")).toMap
+    nf.foreach { case (d, (feats, _)) =>
+      assert(feats == 2L * nt(d) - 1, s"doc $d: $feats feats for ${nt(d)} tokens")
+    }
+    // directional (the Gibbs-inequality property DSIR relies on): the
+    // per-feature average log-ratio over TARGET docs must not fall
+    // below the corpus-wide average — the target sample is the very
+    // distribution λ was trained to upweight
+    val srcOf = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def avg(docs: Iterable[Long]): Double = {
+      val rows = docs.map(nf)
+      rows.map(_._2).sum.toDouble / rows.map(_._1).sum
+    }
+    val target = nf.keys.filter(d =>
+      ops.Text.DsirTargetSources.contains(srcOf(d)))
+    val aT = avg(target); val aAll = avg(nf.keys)
+    info(f"per-feature avg weight_e4: target $aT%.1f corpus $aAll%.1f")
+    assert(aT >= aAll, s"target domain must score at least the corpus mean: $aT vs $aAll")
+  }
+
   test("repetition: degenerate doc flags, varied doc passes") {
     import spark.implicits._
     Seq((1L, "spam spam spam spam spam spam"),
