@@ -191,6 +191,66 @@ object EventsStream {
          AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 30 MINUTE
        GROUP BY c_uid ORDER BY user_id"""
 
+  /** `stream_left_join`: watermarked stream-stream LEFT OUTER interval
+    * join — every click emits, attributed purchases attach, and an
+    * unmatched click is emitted WITH NULLS only once the watermark
+    * proves no purchase can still arrive for its window (state
+    * eviction = emission, the outer-join contract that makes funnel
+    * analysis possible on unbounded streams). Both sides watermarked,
+    * state bounded exactly as the inner variant.
+    *
+    * Determinism at the history's tail: a click whose join window the
+    * final watermark has NOT passed holds its unmatched row in state,
+    * so AvailableNow output near max(ts) is watermark-dependent. The
+    * contract row therefore restricts to clicks at least 2 h before
+    * max(ts): watermark delay (1 h) + interval (30 min) + 30 min
+    * margin — every such click is provably flushed (matched or not),
+    * making the streaming result equal the batch left join the oracle
+    * runs. The horizon is computed as a broadcast scalar, not a
+    * driver-side collect. */
+  def streamLeftJoin(spark: SparkSession, sfDir: String): DataFrame =
+    withStreamingParts(spark, 8) {
+      def side(t: String, pfx: String) =
+        spark.readStream.schema(rawSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+          .withColumn("ts", expr(s"timestamp_micros(${graft.Tables.tsToMicrosSql(sfDir)})"))
+          .filter(col("event_type") === t)
+          .select(col("event_id").as(s"${pfx}_id"),
+            col("user_id").as(s"${pfx}_uid"), col("ts").as(s"${pfx}_ts"))
+          .withWatermark(s"${pfx}_ts", "1 hour")
+      val joined = side("click", "c").join(side("purchase", "p"),
+        expr("c_uid = p_uid AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 30 MINUTES"),
+        "leftOuter")
+      val out = runToMemory(spark, joined,
+        s"graft_stream_lj_${runSeq.incrementAndGet()}", OutputMode.Append())
+      val horizon = graft.Tables.events(spark, sfDir)
+        .agg((max(col("ts")) - expr("INTERVAL 2 HOURS")).as("h"))
+      out.crossJoin(broadcast(horizon))
+        .filter(col("c_ts") <= col("h"))
+        .groupBy(col("c_uid").as("user_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("p_id").isNull.cast("long")).as("n_unmatched"),
+          countDistinct(col("p_id")).as("n_purchases"))
+        .orderBy(col("user_id"))
+    }
+  /** Batch left join over the same horizon — unmatched rows included. */
+  val streamLeftJoinSql: String =
+    """WITH e AS (SELECT event_id, user_id, event_type,
+                    date_trunc('microseconds', ts) AS ts FROM events),
+       h AS (SELECT max(ts) - INTERVAL 2 HOUR AS h FROM e),
+       c AS (SELECT event_id AS c_id, user_id AS c_uid, ts AS c_ts
+             FROM e WHERE event_type = 'click'),
+       p AS (SELECT event_id AS p_id, user_id AS p_uid, ts AS p_ts
+             FROM e WHERE event_type = 'purchase')
+       SELECT c_uid AS user_id, count(1) AS n_rows,
+         CAST(sum(CASE WHEN p_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_unmatched,
+         count(DISTINCT p_id) AS n_purchases
+       FROM c LEFT JOIN p ON c_uid = p_uid
+         AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 30 MINUTE
+       CROSS JOIN h WHERE c_ts <= h
+       GROUP BY c_uid ORDER BY user_id"""
+
   /** `stream_dedup`: exactly-once counts from at-least-once delivery.
     * The source is deliberately DOUBLED (two file streams over the
     * same events union'd — every event id observed twice in the
@@ -266,6 +326,7 @@ object EventsStream {
     "stream_sessionize" -> streamSessionize,
     "stream_running_counts" -> streamRunningCounts,
     "stream_interval_join" -> streamIntervalJoin,
+    "stream_left_join" -> streamLeftJoin,
     "stream_dedup" -> streamDedup)
   val oracles: Map[String, String] = Map(
     "stream_static_enrich" -> streamStaticEnrichSql,
@@ -273,6 +334,7 @@ object EventsStream {
     "stream_sessionize" -> streamSessionizeSql,
     "stream_running_counts" -> streamRunningCountsSql,
     "stream_interval_join" -> streamIntervalJoinSql,
+    "stream_left_join" -> streamLeftJoinSql,
     "stream_dedup" -> streamDedupSql)
 
   // -- transformWithState (Spark 4 arbitrary-state API) --------------------

@@ -490,6 +490,44 @@ class ScaleSpec extends SparkSuite {
     assert(graft.ops.Text.hashSampleFixed(small, "doc_id", 2048L).count() == 500L)
   }
 
+  test("dsir weights: lambda table broadcasts, no shuffle carries text") {
+    // The DSIR model is two <=256-row bucket-count vectors; the per-doc
+    // scoring join must be a BROADCAST of the lambda table (a shuffle
+    // join keyed on bucket would funnel the corpus through 256 keys),
+    // and no exchange may carry the text column — features leave the
+    // scan as (doc_id, source, bucket) only.
+    graft.Util.withConf(spark, "spark.sql.adaptive.enabled", "false") {
+      val plan = graft.ops.Text.dsirWeights(spark, sf).queryExecution.executedPlan
+      val bhj = plan.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+      }
+      assert(bhj.nonEmpty, s"lambda join must broadcast:\n${plan.toString.take(1500)}")
+      val shuffled = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          e.output.map(_.name.toLowerCase)
+      }.flatten
+      assert(shuffled.nonEmpty, "guard: exchanges must be visible")
+      assert(!shuffled.exists(_.startsWith("text")),
+        s"feature exchanges must not carry document text: $shuffled")
+    }
+  }
+
+  test("mm_pair_dedup: no exchange carries pixels or captions") {
+    // Cross-modal band join moves (file, phash, fp, band) — binary
+    // content dies in the decode scan and raw caption text reduces to
+    // its 32-hex fingerprint before any exchange.
+    graft.Util.withConf(spark, "spark.sql.adaptive.enabled", "false") {
+      val plan = graft.ops.Multimodal.mmPairDedup(spark, sf)
+        .queryExecution.executedPlan
+      val shuffled = (plan +: plan.subqueries).flatMap(_.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          e.output.map(_.name.toLowerCase)
+      }.flatten)
+      assert(!shuffled.exists(c => c.startsWith("content") || c.startsWith("caption")),
+        s"exchanges must carry fingerprints, not payloads: $shuffled")
+    }
+  }
+
   test("dedup_semantic gate contains no corpus-wide banded self-join") {
     // The r6 gate re-ran dedupEmbeddingCosine (sign-LSH band
     // self-join over the WHOLE corpus) just to measure cell coverage —
