@@ -547,11 +547,15 @@ object Relational {
     * (group, value) — map-side combined — cumulative count over the
     * DISTINCT values (window input = value-domain cardinality, not row
     * count), then the two order statistics bracketing 0-based rank
-    * h = q·(n−1) interpolate as lo + (hi−lo)·(h−⌊h⌋) — the identical
-    * arithmetic `percentile()` / DuckDB `quantile_cont` evaluate, so
-    * results stay bit-equal and the oracle needs no tolerance gate.
-    * (Continuous domains with unbounded distinct values go through the
-    * approx_percentile_check gate pattern instead.) */
+    * h = q·(n−1) interpolate as lo + (hi−lo)·(h−⌊h⌋).
+    * Oracle parity: DuckDB's `quantile_cont` interpolates with a
+    * DIFFERENT fp association that can differ in the last ulp when
+    * q·(n−1) carries binary residue (bit for bit at sf0.01, off by
+    * 6e-14 at sf0.001 — the r7 tri-scale sweep catch), so oracles for
+    * fractional q must REPLAY this formula in SQL rather than call
+    * quantile_cont; q = 0.5 is safe (h and the interpolation are exact
+    * in binary). (Continuous domains with unbounded distinct values go
+    * through the approx_percentile_check gate pattern instead.) */
   private def exactQuantiles(rows: DataFrame, grp: String, v: String,
       qs: Seq[(String, Double)]): DataFrame = {
     val counts = rows.filter(col(v).isNotNull)
@@ -1189,18 +1193,42 @@ object Relational {
           .as("clipped"))
       .orderBy(col("event_id"))
   }
+  /** Oracle replays [[exactQuantiles]]' interpolation verbatim —
+    * quantile_cont's own fp association diverges in the last ulp for
+    * fractional ranks (see the exactQuantiles scaladoc). */
   val winsorizeValuesSql: String =
     """WITH ev AS (
          SELECT event_id, event_type,
            CAST(floor(value * 100.0) AS BIGINT) AS vc
          FROM events),
-       b AS (
-         SELECT event_type, quantile_cont(vc, 0.05) AS p05,
-           quantile_cont(vc, 0.95) AS p95
-         FROM ev GROUP BY event_type)
+       hist AS (SELECT event_type, vc, count(1) AS c FROM ev GROUP BY 1, 2),
+       cc AS (SELECT event_type, vc,
+                sum(c) OVER (PARTITION BY event_type ORDER BY vc) AS cum
+              FROM hist),
+       tot AS (SELECT event_type, count(1) AS n FROM ev GROUP BY 1),
+       hh AS (SELECT cc.event_type, vc, cum,
+                0.05 * CAST(n - 1 AS DOUBLE) AS h05,
+                0.95 * CAST(n - 1 AS DOUBLE) AS h95
+              FROM cc JOIN tot ON cc.event_type = tot.event_type),
+       b AS (SELECT event_type,
+               min(CASE WHEN cum > floor(h05) THEN vc END) AS lo05,
+               min(CASE WHEN cum > floor(h05) + 1 THEN vc END) AS hi05,
+               max(h05) AS h05,
+               min(CASE WHEN cum > floor(h95) THEN vc END) AS lo95,
+               min(CASE WHEN cum > floor(h95) + 1 THEN vc END) AS hi95,
+               max(h95) AS h95
+             FROM hh GROUP BY 1),
+       q AS (SELECT event_type,
+               CAST(lo05 AS DOUBLE) +
+                 (CAST(COALESCE(hi05, lo05) AS DOUBLE) -
+                  CAST(lo05 AS DOUBLE)) * (h05 - floor(h05)) AS p05,
+               CAST(lo95 AS DOUBLE) +
+                 (CAST(COALESCE(hi95, lo95) AS DOUBLE) -
+                  CAST(lo95 AS DOUBLE)) * (h95 - floor(h95)) AS p95
+             FROM b)
        SELECT event_id, ev.event_type, vc,
          least(greatest(CAST(vc AS DOUBLE), p05), p95) AS clipped
-       FROM ev JOIN b ON ev.event_type = b.event_type
+       FROM ev JOIN q ON ev.event_type = q.event_type
        WHERE vc < p05 OR vc > p95
        ORDER BY event_id"""
 

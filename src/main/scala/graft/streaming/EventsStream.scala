@@ -201,13 +201,18 @@ object EventsStream {
     *
     * Determinism at the history's tail: a click whose join window the
     * final watermark has NOT passed holds its unmatched row in state,
-    * so AvailableNow output near max(ts) is watermark-dependent. The
-    * contract row therefore restricts to clicks at least 2 h before
-    * max(ts): watermark delay (1 h) + interval (30 min) + 30 min
-    * margin — every such click is provably flushed (matched or not),
-    * making the streaming result equal the batch left join the oracle
-    * runs. The horizon is computed as a broadcast scalar, not a
-    * driver-side collect. */
+    * so AvailableNow output near the watermark is watermark-dependent.
+    * The global watermark is the MIN over both watermark nodes — each
+    * tracks only the rows passing ITS side's filter, so the anchor is
+    * min(max click ts, max purchase ts), NOT max(ts) over all events
+    * (at sparse SF the two sides' maxima diverge by hours; anchoring
+    * on the global max over-included held-back clicks). The contract
+    * row restricts to clicks at least 2 h before that anchor:
+    * watermark delay (1 h) + interval (30 min) + 30 min margin —
+    * every such click is provably flushed (matched or not), making
+    * the streaming result equal the batch left join the oracle runs.
+    * The horizon is computed as a broadcast scalar, not a driver-side
+    * collect. */
   def streamLeftJoin(spark: SparkSession, sfDir: String): DataFrame =
     withStreamingParts(spark, 8) {
       def side(t: String, pfx: String) =
@@ -224,7 +229,9 @@ object EventsStream {
       val out = runToMemory(spark, joined,
         s"graft_stream_lj_${runSeq.incrementAndGet()}", OutputMode.Append())
       val horizon = graft.Tables.events(spark, sfDir)
-        .agg((max(col("ts")) - expr("INTERVAL 2 HOURS")).as("h"))
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy(col("event_type")).agg(max(col("ts")).as("m"))
+        .agg((min(col("m")) - expr("INTERVAL 2 HOURS")).as("h"))
       out.crossJoin(broadcast(horizon))
         .filter(col("c_ts") <= col("h"))
         .groupBy(col("c_uid").as("user_id"))
@@ -237,7 +244,10 @@ object EventsStream {
   val streamLeftJoinSql: String =
     """WITH e AS (SELECT event_id, user_id, event_type,
                     date_trunc('microseconds', ts) AS ts FROM events),
-       h AS (SELECT max(ts) - INTERVAL 2 HOUR AS h FROM e),
+       h AS (SELECT min(m) - INTERVAL 2 HOUR AS h
+             FROM (SELECT max(ts) AS m FROM e
+                   WHERE event_type IN ('click', 'purchase')
+                   GROUP BY event_type)),
        c AS (SELECT event_id AS c_id, user_id AS c_uid, ts AS c_ts
              FROM e WHERE event_type = 'click'),
        p AS (SELECT event_id AS p_id, user_id AS p_uid, ts AS p_ts
