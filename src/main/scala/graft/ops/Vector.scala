@@ -303,6 +303,58 @@ object Vector {
     topk(pairs, 10)
   }
 
+  /** `ann_index_persist`: the index-as-artifact path — the trained
+    * quantizer's centroids AND the corpus cell assignment are written
+    * to parquet once per (session, dataset) and the probe reads the
+    * PERSISTED assignment, never retraining. This is the 100 TB
+    * contract: the index build is a batch job producing tables
+    * (centroids a k-row dim-wide table, assignments one row per
+    * vector, partitionable by cell), and every later probe is a read —
+    * search cost decouples from training cost. The gate re-runs the
+    * in-memory probe ([[annIvfKmeans]]) and asserts row-for-row
+    * agreement: a drifting artifact (stale assignment, lossy
+    * roundtrip) breaks `same_as_live`. */
+  def annIndexPersist(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ann_index_" +
+      spark.sparkContext.applicationId + "_" +
+      java.lang.Integer.toHexString(dataKey(sfDir).hashCode)
+    if (!new java.io.File(s"$dir/assign.parquet").exists()) {
+      kmeansCentroids(spark, sfDir, k = 8, iters = 3).toSeq
+        .map { case (c, v) => (c, v.toSeq) }
+        .toDF("cell", "centroid")
+        .write.mode("overwrite").parquet(s"$dir/centroids.parquet")
+      kmeansAssign(spark, sfDir, k = 8, iters = 3)
+        .write.mode("overwrite").parquet(s"$dir/assign.parquet")
+    }
+    val cells = spark.read.parquet(s"$dir/assign.parquet")
+    val emb = withNorm2(spark, sfDir).join(cells, "vec_id")
+    val qs = emb.filter(col("vec_id").isin(QueryIds.map(Int.box): _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("cell").as("qcell"), col("nrm2").as("na"))
+    val pairs = emb.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("qid") && col("cell") === col("qcell"))
+      .withColumn("dot", dot("qv", "embedding"))
+      .withColumn("sim", col("dot") / (sqrt(col("na")) * sqrt(col("nrm2"))))
+    val persisted = topk(pairs, 10)
+    val live = annIvfKmeans(spark, sfDir)
+      .select(col("qid"), col("rank"), col("vec_id").as("live_vec_id"),
+        col("sim_e4").as("live_sim_e4"))
+    persisted.join(live, Seq("qid", "rank"), "full_outer")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum((col("vec_id") === col("live_vec_id") &&
+            col("sim_e4") === col("live_sim_e4")).cast("long")), lit(0L))
+          .as("n_agree"))
+      .select(col("qid"), least(col("n"), lit(10L)).as("n_capped"),
+        (col("n") === col("n_agree")).as("same_as_live"))
+      .orderBy(col("qid"))
+  }
+  val annIndexPersistSql: String =
+    s"""SELECT vec_id AS qid, CAST(10 AS BIGINT) AS n_capped,
+       true AS same_as_live FROM embeddings
+       WHERE vec_id IN (${QueryIds.mkString(", ")}) ORDER BY qid"""
+
   // -- embedding-cosine near-dup -------------------------------------------
 
   /** Deterministic random hyperplanes for sign-LSH (fixed-seed LCG →
@@ -1024,6 +1076,7 @@ object Vector {
     "ann_pq_recall_gate" -> annPqRecallGate,
     "ann_ivfpq_recall_gate" -> annIvfPqRecallGate,
     "ann_ivf_kmeans_recall_gate" -> annIvfKmeansRecallGate,
+    "ann_index_persist" -> annIndexPersist,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
     "dedup_semantic" -> dedupSemantic)
 
@@ -1040,6 +1093,7 @@ object Vector {
     "ann_pq_recall_gate" -> annRecallGateSql(6),
     "ann_ivfpq_recall_gate" -> annRecallGateSql(6),
     "ann_ivf_kmeans_recall_gate" -> annRecallGateSql(5),
+    "ann_index_persist" -> annIndexPersistSql,
     "dedup_embedding_cosine" -> dedupEmbeddingCosineSql,
     "dedup_semantic" -> dedupSemanticSql)
 }
