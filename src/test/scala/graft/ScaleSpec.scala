@@ -528,6 +528,28 @@ class ScaleSpec extends SparkSuite {
     }
   }
 
+  test("ann_index_persist probes from the parquet artifact, not a retrain") {
+    // build-once/probe-many: after the artifact exists, the persisted
+    // probe's plan must SCAN assign.parquet — a plan that re-derives
+    // cells through the typed assignment stage would re-train on every
+    // probe, the cost decoupling the artifact exists to provide.
+    graft.ops.Vector.annIndexPersist(spark, sf).collect()
+    val plan = graft.ops.Vector.annIndexPersist(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("assign.parquet"),
+      s"probe must read the persisted assignment:\n${plan.take(1500)}")
+  }
+
+  test("cross-modal pair dedup reuses the persisted phash scan") {
+    // The decode stage is the expensive corpus pass; every phash
+    // consumer must read the ONE persisted (file, phash) projection.
+    graft.ops.Multimodal.mmPhashNear(spark, sf).collect()
+    val plan = graft.ops.Multimodal.mmPairDedup(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan"),
+      s"pair dedup must reuse the persisted phash stage:\n${plan.take(1200)}")
+  }
+
   test("dedup_semantic gate contains no corpus-wide banded self-join") {
     // The r6 gate re-ran dedupEmbeddingCosine (sign-LSH band
     // self-join over the WHOLE corpus) just to measure cell coverage —
