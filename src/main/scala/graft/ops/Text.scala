@@ -1363,7 +1363,43 @@ object Text {
        FROM fb JOIN lam USING (bucket)
        GROUP BY doc_id ORDER BY doc_id"""
 
+  // Character-entropy quality signal (the C4/Gopher-family heuristic:
+  // near-zero entropy flags boilerplate/degenerate text, anomalously
+  // high flags random noise — a cut applied alongside the length/
+  // punctuation ratios of t_quality_score). Exact integer arithmetic:
+  // per-(doc, char) counts, each term floor((nc/n)·ln(n/nc)·1e8)
+  // summed — order-independent under any partitioning, so the DuckDB
+  // oracle replays it bit-equal (the sourceKl parity pattern). One
+  // shuffle on (doc_id, ch) with map-side combine; char counts bound
+  // the window, not raw text length.
+  def charEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .filter(col("ch") =!= "")
+      .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("nc"))
+    val totals = counts.groupBy(col("doc_id")).agg(sum(col("nc")).as("n"))
+    counts.join(totals, "doc_id")
+      .withColumn("term_e8", floor((lit(1.0) * col("nc") / col("n")) *
+        log(lit(1.0) * col("n") / col("nc")) * lit(1e8)).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_distinct_chars"),
+        sum(col("term_e8")).as("entropy_e8"))
+      .orderBy(col("doc_id"))
+  }
+  val charEntropySql: String =
+    """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+         FROM documents),
+       f AS (SELECT doc_id, ch, count(1) AS nc FROM ch
+             WHERE ch <> '' GROUP BY 1, 2),
+       t AS (SELECT doc_id, sum(nc) AS n FROM f GROUP BY 1)
+       SELECT doc_id, count(1) AS n_distinct_chars,
+         CAST(sum(CAST(floor((1.0 * nc / n) * ln(1.0 * n / nc) * 1e8)
+           AS BIGINT)) AS BIGINT) AS entropy_e8
+       FROM f JOIN t USING (doc_id)
+       GROUP BY doc_id ORDER BY doc_id"""
+
   val queries: Map[String, QFn] = Map(
+    "t_char_entropy" -> charEntropy,
     "t_dsir_weights" -> dsirWeights,
     "t_split_assign" -> splitAssign,
     "corpus_filter_funnel" -> corpusFilterFunnel,
@@ -1395,6 +1431,7 @@ object Text {
     "t_fingerprint" -> fingerprint)
 
   val oracles: Map[String, String] = Map(
+    "t_char_entropy" -> charEntropySql,
     "t_dsir_weights" -> dsirWeightsSql,
     "t_split_assign" -> splitAssignSql,
     "corpus_filter_funnel" -> corpusFilterFunnelSql,

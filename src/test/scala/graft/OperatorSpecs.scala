@@ -431,6 +431,25 @@ class TextOpsSpec extends SparkSuite {
     assert(aT >= aAll, s"target domain must score at least the corpus mean: $aT vs $aAll")
   }
 
+  test("char entropy: zero for degenerate text, ln(k) for uniform chars") {
+    import spark.implicits._
+    Seq((1L, "aaaaaaaa"),          // single symbol: H = 0 exactly
+      (2L, "abcdefgh"),            // 8 uniform chars: H = ln 8
+      (3L, "aab"))                 // H = 2/3 ln(3/2) + 1/3 ln 3
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet("/tmp/graft_test_ent/documents.parquet")
+    val rows = ops.Text.charEntropy(spark, "/tmp/graft_test_ent").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_distinct_chars"), r.getAs[Long]("entropy_e8"))).toMap
+    assert(rows(1L) == ((1L, 0L)))
+    assert(rows(2L)._1 == 8L)
+    val ln8e8 = (8 * math.floor((1.0 / 8) * math.log(8.0) * 1e8)).toLong
+    assert(rows(2L)._2 == ln8e8, s"uniform-8 entropy ${rows(2L)._2} != $ln8e8")
+    val h3 = math.floor((2.0 / 3) * math.log(3.0 / 2) * 1e8).toLong +
+      math.floor((1.0 / 3) * math.log(3.0) * 1e8).toLong
+    assert(rows(3L)._2 == h3)
+  }
+
   test("repetition: degenerate doc flags, varied doc passes") {
     import spark.implicits._
     Seq((1L, "spam spam spam spam spam spam"),
