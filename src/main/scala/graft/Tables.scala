@@ -47,13 +47,35 @@ object Tables {
     tsToMicrosSqlAt(s"$dir/events.parquet")
 
   /** Same, for a path that IS the parquet file/part-dir itself (the
-    * streaming sources' staged dirs). */
+    * streaming sources' staged dirs). The directory is re-listed on
+    * EVERY call and the footer sniff is memoized per part-file
+    * (path, length, mtime) — so a path declared before any files land
+    * (the declare-then-stage streaming pattern) is re-probed once
+    * files exist, and a re-staged file with different precision
+    * invalidates its cache entry instead of serving a stale unit.
+    * Only the first part file (by name) is consulted: a directory
+    * accumulating MIXED-annotation files is normalized by that file's
+    * unit — don't do that. */
   def tsToMicrosSqlAt(path: String): String =
-    tsUnitCache.getOrElseUpdate(path, sniffTsUnit(path))
-      .getOrElse(TsToMicrosSql)
+    partFile(path) match {
+      case None => TsToMicrosSql // nothing staged yet — nothing to lock in
+      case Some(f) =>
+        val key = s"${f.getAbsolutePath}:${f.length}:${f.lastModified}"
+        tsUnitCache.getOrElseUpdate(key, sniffTsUnit(f.getPath))
+          .getOrElse(TsToMicrosSql)
+    }
 
   private val tsUnitCache =
     scala.collection.concurrent.TrieMap.empty[String, Option[String]]
+
+  /** First parquet part file under `path` (or `path` itself if a file). */
+  private def partFile(path: String): Option[java.io.File] = {
+    val root = new java.io.File(path)
+    if (root.isFile) Some(root)
+    else Option(root.listFiles()).flatMap(_.filter(f =>
+      f.isFile && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName).headOption)
+  }
 
   /** The µs-normalization expression the parquet footer's `ts`
     * annotation dictates, or None when the file/field/annotation is
@@ -61,13 +83,7 @@ object Tables {
     * be a single parquet file or a directory of part files. */
   private[graft] def sniffTsUnit(path: String): Option[String] = try {
     import org.apache.parquet.schema.LogicalTypeAnnotation
-    val root = new java.io.File(path)
-    val part =
-      if (root.isFile) Some(root)
-      else Option(root.listFiles()).flatMap(_.filter(f =>
-        f.isFile && f.getName.endsWith(".parquet"))
-        .sortBy(_.getName).headOption)
-    part.flatMap { f =>
+    partFile(path).flatMap { f =>
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(f.getAbsolutePath),
         new org.apache.hadoop.conf.Configuration())

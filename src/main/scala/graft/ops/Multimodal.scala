@@ -522,9 +522,12 @@ object Multimodal {
       d = java.lang.Long.bitCount(ph(fa) ^ ph(fb))
       if d <= 3
     } yield s"('$fa', '$fb', $d)"
-    s"""SELECT fa, fb, CAST(hamming AS INT) AS hamming
-        FROM (VALUES ${pairs.mkString(", ")}) AS t(fa, fb, hamming)
-        ORDER BY fa, fb"""
+    if (pairs.isEmpty)
+      "SELECT '' AS fa, '' AS fb, 0 AS hamming WHERE false"
+    else
+      s"""SELECT fa, fb, CAST(hamming AS INT) AS hamming
+          FROM (VALUES ${pairs.mkString(", ")}) AS t(fa, fb, hamming)
+          ORDER BY fa, fb"""
   }
 
   /** One temporal-difference row per frame transition of an animated

@@ -1201,11 +1201,12 @@ object Relational {
          SELECT event_id, event_type,
            CAST(floor(value * 100.0) AS BIGINT) AS vc
          FROM events),
-       hist AS (SELECT event_type, vc, count(1) AS c FROM ev GROUP BY 1, 2),
+       hist AS (SELECT event_type, vc, count(1) AS c FROM ev
+                WHERE vc IS NOT NULL GROUP BY 1, 2),
        cc AS (SELECT event_type, vc,
                 sum(c) OVER (PARTITION BY event_type ORDER BY vc) AS cum
               FROM hist),
-       tot AS (SELECT event_type, count(1) AS n FROM ev GROUP BY 1),
+       tot AS (SELECT event_type, count(vc) AS n FROM ev GROUP BY 1),
        hh AS (SELECT cc.event_type, vc, cum,
                 0.05 * CAST(n - 1 AS DOUBLE) AS h05,
                 0.95 * CAST(n - 1 AS DOUBLE) AS h95

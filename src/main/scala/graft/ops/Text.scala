@@ -1307,13 +1307,19 @@ object Text {
           .cast("long"),
         lit(DsirBuckets.toLong)))
       .select(col("doc_id"), col("source"), col("bucket"))
-    val cr = feats.groupBy(col("bucket")).agg(count(lit(1)).as("cr"))
-    val ct = feats.filter(col("source").isin(DsirTargetSources: _*))
-      .groupBy(col("bucket")).agg(count(lit(1)).as("ct"))
-    val totals = cr.agg(sum(col("cr")).as("r"))
-      .crossJoin(broadcast(ct.agg(coalesce(sum(col("ct")), lit(0L)).as("t"))))
+    // cr and ct come from ONE aggregation pass over feats (conditional
+    // count for the target side) — a separate filtered groupBy would
+    // re-run the tokenize + lag-window lineage a third time (r7 review
+    // finding); the remaining two evaluations of feats (model build,
+    // scoring join) are the scale-safe re-scan default — at 100 TB you
+    // checkpoint the featurized table instead of caching it.
+    val bucketCounts = feats.groupBy(col("bucket")).agg(
+      count(lit(1)).as("cr"),
+      sum(col("source").isin(DsirTargetSources: _*).cast("long")).as("ct"))
+    val totals = bucketCounts.agg(sum(col("cr")).as("r"),
+      coalesce(sum(col("ct")), lit(0L)).as("t"))
     val lam = spark.range(DsirBuckets.toLong).select(col("id").as("bucket"))
-      .join(cr, Seq("bucket"), "left").join(ct, Seq("bucket"), "left")
+      .join(bucketCounts, Seq("bucket"), "left")
       .na.fill(0L, Seq("cr", "ct"))
       .crossJoin(broadcast(totals))
       .withColumn("lam_e4", floor(
@@ -1373,8 +1379,14 @@ object Text {
   // shuffle on (doc_id, ch) with map-side combine; char counts bound
   // the window, not raw text length.
   def charEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    // regexp_extract_all('(?s).') splits into CODE POINTS (Java regex
+    // '.' matches a full surrogate pair), matching DuckDB's
+    // string_split(text, '') on supplementary-plane characters —
+    // split(text, "") would emit UTF-16 code units and diverge on any
+    // non-BMP char (r7 review finding).
     val counts = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .select(col("doc_id"),
+        explode(expr("regexp_extract_all(text, '(?s).', 0)")).as("ch"))
       .filter(col("ch") =!= "")
       .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("nc"))
     val totals = counts.groupBy(col("doc_id")).agg(sum(col("nc")).as("n"))

@@ -290,8 +290,15 @@ object Vector {
   /** ANN through the trained quantizer: query probes only its own cell.
     * Implementation-specific float iteration makes this rows-only (no
     * SQL oracle); recall vs. brute force is asserted in VectorSpec. */
-  def annIvfKmeans(spark: SparkSession, sfDir: String): DataFrame = {
-    val cells = kmeansAssign(spark, sfDir, k = 8, iters = 3)
+  def annIvfKmeans(spark: SparkSession, sfDir: String): DataFrame =
+    probeCells(spark, sfDir, kmeansAssign(spark, sfDir, k = 8, iters = 3))
+
+  /** The IVF probe given a (vec_id, cell) assignment — shared by the
+    * in-memory path ([[annIvfKmeans]]) and the persisted-artifact path
+    * ([[annIndexPersist]]) so the two can never drift apart (the
+    * agreement gate compares THEM, not two copies of the same code). */
+  private def probeCells(spark: SparkSession, sfDir: String,
+      cells: DataFrame): DataFrame = {
     val emb = withNorm2(spark, sfDir).join(cells, "vec_id")
     val qs = emb.filter(col("vec_id").isin(QueryIds.map(Int.box): _*))
       .select(col("vec_id").as("qid"), col("embedding").as("qv"),
@@ -320,6 +327,10 @@ object Vector {
       spark.sparkContext.applicationId + "_" +
       java.lang.Integer.toHexString(dataKey(sfDir).hashCode)
     if (!new java.io.File(s"$dir/assign.parquet").exists()) {
+      // centroids.parquet is not read back by THIS probe (the contract
+      // queries are corpus members, so the persisted assignment covers
+      // them) but is part of the artifact on purpose: an out-of-corpus
+      // query vector needs the centroids to pick its probe cell.
       kmeansCentroids(spark, sfDir, k = 8, iters = 3).toSeq
         .map { case (c, v) => (c, v.toSeq) }
         .toDF("cell", "centroid")
@@ -327,16 +338,8 @@ object Vector {
       kmeansAssign(spark, sfDir, k = 8, iters = 3)
         .write.mode("overwrite").parquet(s"$dir/assign.parquet")
     }
-    val cells = spark.read.parquet(s"$dir/assign.parquet")
-    val emb = withNorm2(spark, sfDir).join(cells, "vec_id")
-    val qs = emb.filter(col("vec_id").isin(QueryIds.map(Int.box): _*))
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
-        col("cell").as("qcell"), col("nrm2").as("na"))
-    val pairs = emb.crossJoin(broadcast(qs))
-      .filter(col("vec_id") =!= col("qid") && col("cell") === col("qcell"))
-      .withColumn("dot", dot("qv", "embedding"))
-      .withColumn("sim", col("dot") / (sqrt(col("na")) * sqrt(col("nrm2"))))
-    val persisted = topk(pairs, 10)
+    val persisted =
+      probeCells(spark, sfDir, spark.read.parquet(s"$dir/assign.parquet"))
     val live = annIvfKmeans(spark, sfDir)
       .select(col("qid"), col("rank"), col("vec_id").as("live_vec_id"),
         col("sim_e4").as("live_sim_e4"))

@@ -197,11 +197,20 @@ class LiveHttpScan(schema: StructType, options: java.util.Map[String, String],
       case other => throw new IllegalArgumentException(
         s"LiveHttpSource: unknown authMode '$other'")
     }
+    // Short-page termination is armed ONLY when the page size was
+    // actually COMMUNICATED to the server (pageSizeParam rendered into
+    // the URL): a pageSize the server never saw — or a server that
+    // clamps per_page below it — would otherwise read every page as
+    // "short" and stop after page 1. Against a clamping server, set
+    // pageSize to the server's REAL page length.
+    val shortPageSize =
+      if (opt("pageSizeParam", "").nonEmpty) opt("pageSize", "0").toLong
+      else 0L
     new LiveHttpReaderFactory(schema, filters, limit, headers,
       opt("transport", "jdk"), opt("timeoutMs", "10000").toLong,
       opt("permissive", "false").toBoolean,
       PageWalk(opt("pageParam", ""), opt("pageStart", "1").toLong,
-        opt("pageSize", "0").toLong, opt("maxPages", "10000").toLong))
+        shortPageSize, opt("maxPages", "10000").toLong))
   }
 
   /** Streaming facet: each micro-batch is one POLL ROUND over the
@@ -322,43 +331,55 @@ class LiveHttpReader(schema: StructType, filters: Array[Filter], limit: Int,
   private val eqFilters: Map[String, String] =
     filters.collect { case EqualTo(a, v: String) => a -> v }.toMap
 
-  private def fetchLines(u: String): Seq[String] =
-    try LiveTransports(transportName).fetch(u, headers, timeoutMs)
+  private def fetchStrict(u: String): Seq[String] =
+    LiveTransports(transportName).fetch(u, headers, timeoutMs)
       .linesIterator.filter(_.trim.nonEmpty).toSeq
-    catch {
-      // S4 soft-fail: this endpoint contributes nothing; others proceed
-      case _: Exception if permissive => Nil
-    }
 
-  /** Executor-side page-cursor walk: fetch `pageParam=N`, N from
-    * `pageStart`, LAZILY — a pushed LIMIT satisfied by page 1 never
-    * requests page 2. Terminates on an empty page, a page shorter
-    * than `pageSize` (when configured), or the `maxPages` backstop.
-    * Without a pageParam this is the single fetch of round 6. */
-  private lazy val lines: Iterator[String] =
-    if (!pages.enabled) fetchLines(url).iterator
-    else new Iterator[String] {
-      private val sep = if (url.contains("?")) "&" else "?"
-      private var page = pages.start
-      private var done = false
-      private var cur: Iterator[String] = Iterator.empty
-      private def advance(): Unit =
-        while (!done && !cur.hasNext) {
-          if (page - pages.start >= pages.maxPages) done = true
+  /** The lazy page walk: fetch `pageParam=N`, N from `pageStart`;
+    * terminates on an empty page, a page shorter than `pageSize`
+    * (when armed), or the `maxPages` backstop. Fetch failures
+    * PROPAGATE — the caller decides the failure contract. */
+  private def pageIter(): Iterator[String] = new Iterator[String] {
+    private val sep = if (url.contains("?")) "&" else "?"
+    private var page = pages.start
+    private var done = false
+    private var cur: Iterator[String] = Iterator.empty
+    private def advance(): Unit =
+      while (!done && !cur.hasNext) {
+        if (page - pages.start >= pages.maxPages) done = true
+        else {
+          val got = fetchStrict(s"$url$sep${pages.param}=$page")
+          page += 1
+          if (got.isEmpty) done = true
           else {
-            val got = fetchLines(s"$url$sep${pages.param}=$page")
-            page += 1
-            if (got.isEmpty) done = true
-            else {
-              cur = got.iterator
-              // short page ⇒ serve it, then stop without re-fetching
-              if (pages.size > 0 && got.size < pages.size) done = true
-            }
+            cur = got.iterator
+            // short page ⇒ serve it, then stop without re-fetching
+            if (pages.size > 0 && got.size < pages.size) done = true
           }
         }
-      override def hasNext: Boolean = { advance(); cur.hasNext }
-      override def next(): String = { advance(); cur.next() }
-    }
+      }
+    override def hasNext: Boolean = { advance(); cur.hasNext }
+    override def next(): String = { advance(); cur.next() }
+  }
+
+  /** Executor-side fetch. Strict + paged walks LAZILY — a pushed LIMIT
+    * satisfied by page 1 never requests page 2, and a failed page
+    * fails the task (all-or-nothing via query failure). Permissive +
+    * paged walks EAGERLY: lazy emission cannot recall pages already
+    * served when a LATER page fails, so the S4 contract ("this
+    * endpoint contributes nothing; others proceed") is preserved by
+    * materializing the walk up front and dropping the WHOLE endpoint
+    * on any page failure — partial data must never masquerade as
+    * complete (r7 review finding). Without a pageParam this is the
+    * single fetch of round 6. */
+  private lazy val lines: Iterator[String] =
+    if (!pages.enabled)
+      try fetchStrict(url).iterator
+      catch { case _: Exception if permissive => Iterator.empty }
+    else if (permissive)
+      try pageIter().toSeq.iterator
+      catch { case _: Exception => Iterator.empty }
+    else pageIter()
   private var emitted = 0
   private var current: InternalRow = _
 

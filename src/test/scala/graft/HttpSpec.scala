@@ -519,6 +519,60 @@ class HttpSpec extends SparkSuite {
     }
   }
 
+  test("permissive page walk is all-or-nothing: a mid-walk failure drops the endpoint") {
+    // pages 1-2 succeed, page 3 returns 500: a lazy permissive walk
+    // would emit pages 1-2 as a seemingly complete result — partial
+    // data masquerading as a full dataset. The S4 contract is
+    // per-endpoint isolation, so the endpoint must contribute ZERO
+    // rows (and a strict walk must fail the query instead).
+    withServer(Map("/paged" -> { ex =>
+      val page = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+        .split("&").collectFirst {
+          case kv if kv.startsWith("page=") => kv.stripPrefix("page=").toInt
+        }.getOrElse(1)
+      if (page >= 3) respond(ex, 500, "boom")
+      else respond(ex, 200, s"""{"id": "p$page"}""" + "\n")
+    })) { base =>
+      def rd(perm: Boolean) = spark.read
+        .format("graft.sources.v2.LiveHttpSource")
+        .option("url", s"$base/paged")
+        .option("schemaDDL", "id STRING")
+        .option("pageParam", "page")
+        .option("permissive", perm.toString)
+        .load()
+      assert(rd(perm = true).count() == 0,
+        "mid-walk failure must drop the WHOLE endpoint, not truncate")
+      val e = intercept[Throwable] { rd(perm = false).count() }
+      def chain(t: Throwable): Seq[String] =
+        if (t == null) Nil else String.valueOf(t.getMessage) +: chain(t.getCause)
+      assert(chain(e).exists(_.contains("500")), s"strict walk must surface the 500: ${chain(e)}")
+    }
+  }
+
+  test("short-page stop is armed only when the size was sent to the server") {
+    // pageSize set WITHOUT pageSizeParam: the server never saw the
+    // size, so a 2-line default page must NOT read as "short" — the
+    // walk continues to the empty page.
+    withServer(Map("/paged" -> { ex =>
+      val page = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+        .split("&").collectFirst {
+          case kv if kv.startsWith("page=") => kv.stripPrefix("page=").toInt
+        }.getOrElse(1)
+      val body = if (page <= 2)
+        s"""{"id": "p$page-a"}""" + "\n" + s"""{"id": "p$page-b"}""" + "\n"
+        else ""
+      respond(ex, 200, body)
+    })) { base =>
+      val df = spark.read.format("graft.sources.v2.LiveHttpSource")
+        .option("url", s"$base/paged")
+        .option("schemaDDL", "id STRING")
+        .option("pageParam", "page")
+        .option("pageSize", "3") // NOT communicated: no pageSizeParam
+        .load()
+      assert(df.count() == 4, "uncommunicated pageSize must not truncate the walk")
+    }
+  }
+
   test("page walk terminates on an EMPTY page when sizes are unknown") {
     // No pageSize configured: the only termination signal is the empty
     // page — exactly one extra probe past the end, never a runaway.
@@ -548,13 +602,14 @@ class HttpSpec extends SparkSuite {
     val out = graft.ops.Semi.s11LivePaginated(spark, sf).collect()
     assert(out.length == 7)
     assert(out.map(_.getString(0)).toSeq == (1 to 7).map(i => f"rec-$i%02d"))
-    // The global orderBy costs two scan passes (RangePartitioner
-    // sampling, then the exchange), so fetches arrive in WALKS of
-    // exactly 3 pages — a page=4 probe or a page-1-only fetch breaks
-    // the multiple.
+    // At least one full 3-page walk happened (a single-fetch connector
+    // would need only 1 request per scan pass). The exact per-walk
+    // page sequence — stop AT the short page, no page=4 probe — is
+    // pinned by the withServer tests above; asserting a multiple here
+    // would couple the contract to Spark's internal scan-pass count
+    // (retries, AQE, RangePartitioner sampling all change it).
     val fetched = graft.sources.FixtureServer.hitCount("/records") - before
-    assert(fetched > 0 && fetched % 3 == 0,
-      s"each scan pass walks exactly 3 pages, got $fetched fetches")
+    assert(fetched >= 3, s"a full page walk needs >= 3 fetches, got $fetched")
   }
 
   test("alert delivery retries a flaky webhook; exhausted retries dead-letter") {
