@@ -219,7 +219,38 @@ object Sinks {
        FROM events WHERE event_id % 10 = 0
        GROUP BY event_type ORDER BY event_type"""
 
+  // K9 — ORC format roundtrip: a lineitem projection written as ORC
+  // (Spark's built-in columnar alternative to parquet — the format a
+  // warehouse migration or a Hive-era estate hands you) and read back
+  // through the ORC reader into an aggregation. The oracle aggregates
+  // the same projection straight from the parquet table, so any
+  // loss/mangling in the ORC writer/reader path breaks the hash.
+  // Fixed-point cents keep the double column exact across the format
+  // hop. Per-session output dir (same race lesson as k8).
+  def k9OrcRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_orc_gate_" +
+      spark.sparkContext.applicationId
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_orderkey") % 7 === 0)
+      .select(col("l_orderkey"), col("l_returnflag"),
+        cents(col("l_extendedprice")).as("pc"))
+      .write.mode("overwrite").orc(out)
+    spark.read.orc(out)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(col("pc")).as("sum_pc"),
+        min(col("l_orderkey")).as("min_ok"), max(col("l_orderkey")).as("max_ok"))
+      .orderBy(col("l_returnflag"))
+  }
+  val k9Sql: String =
+    """SELECT l_returnflag, count(1) AS n,
+       CAST(sum(CAST(floor(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT)
+         AS sum_pc,
+       min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok
+       FROM lineitem WHERE l_orderkey % 7 = 0
+       GROUP BY 1 ORDER BY l_returnflag"""
+
   val queries: Map[String, QFn] = Map(
+    "k9_orc_roundtrip" -> k9OrcRoundtrip,
     "k8_dsv2_roundtrip" -> k8Dsv2Roundtrip,
     "k7_partitioned_write" -> k7PartitionedWrite,
     "k1_post_params" -> k1PostParams,
@@ -229,6 +260,7 @@ object Sinks {
     "k5_alert_render" -> k5AlertRender)
 
   val oracles: Map[String, String] = Map(
+    "k9_orc_roundtrip" -> k9Sql,
     "k8_dsv2_roundtrip" -> k8Sql,
     "k7_partitioned_write" -> k7Sql,
     "k1_post_params" -> k1Sql,
