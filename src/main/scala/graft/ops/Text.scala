@@ -1292,16 +1292,25 @@ object Text {
   val DsirTargetSources: Seq[String] = Seq("src0", "src1")
 
   def dsirWeights(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
-    val toks = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("source"), posexplode(tokens).as(Seq("pos", "w")))
-      .filter(col("w") =!= "")
-      .withColumn("prev", lag(col("w"), 1).over(w))
-    val feats = toks.select(col("doc_id"), col("source"), col("w").as("f"))
-      .unionByName(toks.filter(col("prev").isNotNull)
-        .select(col("doc_id"), col("source"),
-          concat(col("prev"), lit(" "), col("w")).as("f")))
+    // Featurization is ARRAY arithmetic inside the scan stage — no
+    // per-doc window, so the corpus's tokens are NEVER shuffled (the
+    // r7 first cut lag-windowed bigrams, which re-partitioned every
+    // token by doc_id before any aggregation; at 100 TB that shuffle
+    // dwarfs the model). Bigrams pair consecutive tokens of the
+    // FILTERED array, exactly matching the oracle's
+    // row_number-after-filter join. Each doc's features explode within
+    // its input partition, so both downstream groupBys partial-combine
+    // to one row per key before their exchanges.
+    val ws = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        expr("filter(split(lower(text), ' '), w -> w <> '')").as("ws"))
+    val uni = ws.select(col("doc_id"), col("source"),
+      explode(col("ws")).as("f"))
+    val bi = ws.select(col("doc_id"), col("source"),
+      explode(expr("""CASE WHEN size(ws) < 2 THEN array()
+        ELSE transform(sequence(0, size(ws) - 2),
+                       i -> concat(ws[i], ' ', ws[i + 1])) END""")).as("f"))
+    val feats = uni.unionByName(bi)
       .withColumn("bucket", pmod(
         conv(substring(md5(encode(col("f"), "utf-8")), 1, 4), 16, 10)
           .cast("long"),

@@ -502,6 +502,14 @@ class ScaleSpec extends SparkSuite {
         case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
       }
       assert(bhj.nonEmpty, s"lambda join must broadcast:\n${plan.toString.take(1500)}")
+      // featurization is array arithmetic in the scan stage: a Window
+      // operator would mean the corpus's tokens shuffle by doc_id
+      // before any aggregation (the r7 first-cut bigram shape)
+      val windows = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.isEmpty,
+        s"no per-doc window in the feature stage:\n${plan.toString.take(1500)}")
       val shuffled = plan.collect {
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
           e.output.map(_.name.toLowerCase)
