@@ -53,6 +53,30 @@ object Util {
     }
   }
 
+  /** Session-scoped staging root under java.io.tmpdir, deleted
+    * recursively on JVM exit. Every operator that persists artifacts
+    * across calls within one session (streaming checkpoints, ANN index,
+    * the k7/k8/k9 sink gates) allocates under this root, so sessions
+    * never accumulate orphaned per-applicationId directories across
+    * runs (r7 advice). One shutdown hook per distinct root. */
+  def sessionTmpDir(spark: SparkSession, prefix: String): String = {
+    val root = s"${System.getProperty("java.io.tmpdir")}/${prefix}_" +
+      spark.sparkContext.applicationId
+    if (cleanupRoots.add(root)) {
+      val f = new java.io.File(root)
+      Runtime.getRuntime.addShutdownHook(
+        new Thread(() => deleteRecursively(f), s"graft-tmp-cleanup"))
+    }
+    root
+  }
+  private val cleanupRoots =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRecursively)
+    f.delete(); ()
+  }
+
   /** The materialized RDD behind a `localCheckpoint(true)`'d Dataset.
     * `Dataset.unpersist()` does NOT release checkpointed blocks, so
     * iterative loops (PageRank, connected components) must free each
