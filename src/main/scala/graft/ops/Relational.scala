@@ -1341,6 +1341,25 @@ object Relational {
     }
   }
 
+  /** Conf key bounding the node count up to which the PageRank rank
+    * vector is broadcast each iteration (default 4M ≈ 64 MB of
+    * (node, rank) longs); above it the iteration joins by shuffle
+    * against the hash-partitioned edge table. */
+  val PagerankBroadcastMaxKey = "spark.graft.pagerank.broadcastMaxNodes"
+
+  /** One PageRank iteration's contribution aggregation — the rank-side
+    * join is broadcast iff the node count is within `bcastMax`.
+    * Factored out so PlansSpec can assert both physical shapes. */
+  private[graft] def pagerankContribs(edgesDeg: DataFrame, ranks: DataFrame,
+      n: Long, bcastMax: Long): DataFrame = {
+    val rankSide = ranks.withColumnRenamed("node", "src")
+    edgesDeg
+      .join(if (n <= bcastMax) broadcast(rankSide) else rankSide, "src")
+      .select(col("dst").as("node"),
+        expr("(r * 85) div (100 * deg)").as("c"))
+      .groupBy(col("node")).agg(sum(col("c")).as("in_r"))
+  }
+
   private def graphPagerankInner(spark: SparkSession, sfDir: String): DataFrame = {
     val iters = 6
     // (l_orderkey, l_linenumber) is NOT unique in this testdata — the
@@ -1355,21 +1374,33 @@ object Relational {
       .select(col("src"), col("dst"))
       .persist()
     // degree folds into the edge table ONCE; every iteration then needs
-    // only a broadcast of the 20k-node rank vector against the cached
-    // edge scan plus one tiny contribution shuffle
+    // only a rank-vector join against the cached edge scan plus one
+    // tiny contribution shuffle.
     // The iteration data is small (600k edges, 20k nodes at sf0.1), so
     // it lives in 8 partitions: per-iteration jobs are scheduling-bound
     // and 32-way task overhead measurably dominates the arithmetic. On
     // a real cluster this constant sizes tasks to tens of MB each.
+    // Hash-partitioned on src (not round-robin): the sub-threshold
+    // broadcast path doesn't care, but the shuffle-join path above the
+    // threshold then re-shuffles only the rank side each iteration —
+    // the cached edge partitioning is reused by every join.
     val iterParts = 8
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val edgesDeg = edges.join(deg, "src")
       .select(col("src"), col("dst"), col("deg"))
-      .repartition(iterParts).persist()
+      .repartition(iterParts, col("src")).persist()
     val nodes = edgesDeg.select(col("src").as("node"))
       .union(edgesDeg.select(col("dst").as("node"))).distinct()
-      .coalesce(iterParts).persist()
+      .repartition(iterParts, col("node")).persist()
     val n = nodes.count()
+    // The rank vector is one row per node — broadcast is right up to a
+    // few million nodes and a driver/executor-memory bottleneck past
+    // that (r7 verdict). Size-conditional: broadcast below the bound,
+    // plain shuffle join (against the pre-partitioned edge/node tables)
+    // above it. Conf override exists so the shuffle path is plan-testable
+    // at testdata scale.
+    val bcastMax = spark.conf.getOption(PagerankBroadcastMaxKey)
+      .map(_.toLong).getOrElse(4000000L)
     val base = 1000000000L / n // floor(1e9 / N), exact in both engines
     val teleport = 150000000L / n // floor(0.15e9 / N)
     val ranks0 = nodes.withColumn("r", lit(base)).persist()
@@ -1378,11 +1409,7 @@ object Relational {
     // Dataset.unpersist() cannot free them (graft.Util.checkpointRdd)
     var prevCk: Option[org.apache.spark.rdd.RDD[_]] = None
     for (i <- 1 to iters) {
-      val contribs = edgesDeg
-        .join(broadcast(ranks.withColumnRenamed("node", "src")), "src")
-        .select(col("dst").as("node"),
-          expr("(r * 85) div (100 * deg)").as("c"))
-        .groupBy(col("node")).agg(sum(col("c")).as("in_r"))
+      val contribs = pagerankContribs(edgesDeg, ranks, n, bcastMax)
       // localCheckpoint TRUNCATES the logical plan (persist alone does
       // not): without it each iteration re-analyzes the whole unrolled
       // lineage and driver-side planning time grows superlinearly —
@@ -1393,7 +1420,9 @@ object Relational {
       // a cluster this becomes checkpoint() to reliable storage every
       // few iterations, same shape). The final iteration always
       // checkpoints so the returned plan stays truncated.
-      val step = nodes.join(broadcast(contribs), Seq("node"), "left")
+      val step = nodes
+        .join(if (n <= bcastMax) broadcast(contribs) else contribs,
+          Seq("node"), "left")
         .select(col("node"),
           (lit(teleport) + coalesce(col("in_r"), lit(0L))).as("r"))
       val next =

@@ -165,4 +165,36 @@ class PlansSpec extends SparkSuite {
       SparkSession.setDefaultSession(spark)
     }
   }
+
+  test("pagerank rank join broadcasts below the node bound, shuffles above") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec,
+      ShuffledHashJoinExec, SortMergeJoinExec}
+    val edgesDeg = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 1L, 2L),
+      (3L, 2L, 2L)).toDF("src", "dst", "deg")
+    val ranks = Seq((1L, 100L), (2L, 100L), (3L, 100L)).toDF("node", "r")
+    // AQE off so executedPlan is inspectable (see verify-skill gotcha);
+    // auto-broadcast off so the observed broadcast can only come from
+    // the size-conditional hint under test.
+    graft.Util.withConf(spark, "spark.sql.adaptive.enabled", "false") {
+      graft.Util.withConf(spark, "spark.sql.autoBroadcastJoinThreshold", "-1") {
+        def joins(df: org.apache.spark.sql.DataFrame) =
+          df.queryExecution.executedPlan.collect {
+            case j: BroadcastHashJoinExec => "broadcast"
+            case j: ShuffledHashJoinExec => "shuffle"
+            case j: SortMergeJoinExec => "shuffle"
+          }
+        val below = ops.Relational.pagerankContribs(edgesDeg, ranks,
+          n = 3L, bcastMax = 4000000L)
+        val above = ops.Relational.pagerankContribs(edgesDeg, ranks,
+          n = 3L, bcastMax = 2L)
+        assert(joins(below) == Seq("broadcast"), s"below: ${joins(below)}")
+        assert(joins(above) == Seq("shuffle"), s"above: ${joins(above)}")
+        // both physical shapes compute the same exact integer ranks
+        def vals(df: org.apache.spark.sql.DataFrame) =
+          df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(vals(below) == vals(above) && vals(below).nonEmpty)
+      }
+    }
+  }
 }
