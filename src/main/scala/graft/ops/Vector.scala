@@ -209,6 +209,30 @@ object Vector {
     best
   }
 
+  /** Target per-cell cardinality for the coarse quantizer. SemDeDup's
+    * whole point (arXiv:2303.09540 §3) is that within-cell pair volume
+    * stays bounded because k grows with the corpus; with k fixed,
+    * cells grow ∝ n and the within-cell self-join is ~n²/k — the
+    * quadratic blowup the operator exists to avoid (r7 verdict #2). */
+  val QuantizerCellTarget = 4096L
+
+  /** Corpus-proportional quantizer cell count: k = max(8, ⌈n/target⌉).
+    * Exactly 8 at every testdata scale (n ≤ 32768), so oracles are
+    * unmoved; past that it grows linearly, capping MEAN cell size at
+    * [[QuantizerCellTarget]] at any corpus size. */
+  private[graft] def quantizerK(n: Long): Int =
+    math.max(8L, (n + QuantizerCellTarget - 1) / QuantizerCellTarget).toInt
+
+  /** [[quantizerK]] for the embeddings corpus at `sfDir`; the count is
+    * memoized per (application, dataset) so the k lookup costs one
+    * count() job per session, not one per query. */
+  private val corpusNCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Long]
+  private[graft] def corpusK(spark: SparkSession, sfDir: String): Int =
+    quantizerK(corpusNCache.getOrElseUpdate(
+      (spark.sparkContext.applicationId, dataKey(sfDir)),
+      Tables.embeddings(spark, sfDir).count()))
+
   /** Trained coarse-quantizer centroids, memoized per (application,
     * sfDir, k, iters) like the PQ codebooks — the persisted half of the
     * index. Keys are the applicationId string, not the SparkSession, so
@@ -291,7 +315,7 @@ object Vector {
     * Implementation-specific float iteration makes this rows-only (no
     * SQL oracle); recall vs. brute force is asserted in VectorSpec. */
   def annIvfKmeans(spark: SparkSession, sfDir: String): DataFrame =
-    probeCells(spark, sfDir, kmeansAssign(spark, sfDir, k = 8, iters = 3))
+    probeCells(spark, sfDir, kmeansAssign(spark, sfDir, k = corpusK(spark, sfDir), iters = 3))
 
   /** The IVF probe given a (vec_id, cell) assignment — shared by the
     * in-memory path ([[annIvfKmeans]]) and the persisted-artifact path
@@ -331,11 +355,11 @@ object Vector {
       // queries are corpus members, so the persisted assignment covers
       // them) but is part of the artifact on purpose: an out-of-corpus
       // query vector needs the centroids to pick its probe cell.
-      kmeansCentroids(spark, sfDir, k = 8, iters = 3).toSeq
+      kmeansCentroids(spark, sfDir, k = corpusK(spark, sfDir), iters = 3).toSeq
         .map { case (c, v) => (c, v.toSeq) }
         .toDF("cell", "centroid")
         .write.mode("overwrite").parquet(s"$dir/centroids.parquet")
-      kmeansAssign(spark, sfDir, k = 8, iters = 3)
+      kmeansAssign(spark, sfDir, k = corpusK(spark, sfDir), iters = 3)
         .write.mode("overwrite").parquet(s"$dir/assign.parquet")
     }
     val persisted =
@@ -446,7 +470,7 @@ object Vector {
     * flag row per vector. */
   private[graft] def dedupSemanticFlags(spark: SparkSession, sfDir: String,
       tau: Double = 0.9): DataFrame = {
-    val cells = kmeansAssign(spark, sfDir, k = 8, iters = 3)
+    val cells = kmeansAssign(spark, sfDir, k = corpusK(spark, sfDir), iters = 3)
     val emb = withNorm2(spark, sfDir).join(cells, "vec_id")
     val a = emb.select(col("cell"), col("vec_id").as("a_id"),
       col("embedding").as("a_v"), col("nrm2").as("a_n"))
@@ -497,7 +521,7 @@ object Vector {
     val sb = samp.select(col("vec_id").as("db"), col("embedding").as("eb"),
       col("nrm2").as("nb"))
     // Sample self-join: ~256 rows a side, broadcast — never a shuffle.
-    val cellsOf = kmeansAssign(spark, sfDir, k = 8, iters = 3)
+    val cellsOf = kmeansAssign(spark, sfDir, k = corpusK(spark, sfDir), iters = 3)
     val spairs = sa.join(broadcast(sb), col("da") < col("db"))
       .filter(dot("ea", "eb") / (sqrt(col("na")) * sqrt(col("nb"))) >= 0.9)
       .join(cellsOf.select(col("vec_id").as("da"), col("cell").as("ca")), "da")
@@ -919,7 +943,7 @@ object Vector {
   def annIvfPqTopk(spark: SparkSession, sfDir: String, nProbe: Int = 3,
       candC: Int = 150, k: Int = 10): DataFrame = {
     import spark.implicits._
-    val cents = kmeansCentroids(spark, sfDir, k = 8, iters = 3)
+    val cents = kmeansCentroids(spark, sfDir, k = corpusK(spark, sfDir), iters = 3)
     val books = pqTrain(spark, sfDir, iters = 3)
     val index = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"))

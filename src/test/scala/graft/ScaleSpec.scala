@@ -595,4 +595,44 @@ class ScaleSpec extends SparkSuite {
       }
     }
   }
+
+  test("quantizer k grows with the corpus: mean cell bounded at any n") {
+    import graft.ops.Vector
+    // arithmetic contract: mean cell cardinality n/k never exceeds the
+    // target, k never shrinks below 8, and k is exactly 8 at every
+    // testdata scale (so the registered oracles are unmoved).
+    for (n <- Seq(1L, 500L, 2000L, 32768L, 100000L, 10000000L, 2000000000L)) {
+      val k = Vector.quantizerK(n)
+      assert(k >= 8, s"n=$n k=$k")
+      assert(n.toDouble / k <= Vector.QuantizerCellTarget, s"n=$n k=$k")
+    }
+    assert(Vector.quantizerK(500) == 8 && Vector.quantizerK(2000) == 8)
+    assert(Vector.quantizerK(2000000000L) >= 488281,
+      "k must scale linearly past the testdata range")
+  }
+
+  test("quantizer k flows into training under a synthetic corpus blowup") {
+    // 20× replica of the sf0.1 embeddings (40k vectors > the 32768
+    // fixed-k ceiling): the assignment must train with the grown k and
+    // actually use more than 8 cells — the within-cell pair volume
+    // fix of r7 verdict #2 exercised end-to-end, not just arithmetic.
+    val dir = java.nio.file.Files.createTempDirectory("graft_blowup")
+    // replica ids ABOVE the originals (r * 10_000_000 + vec_id) keep
+    // the k lowest ids = distinct original vectors, so the k-means
+    // seeds stay distinct.
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val blown = emb.crossJoin(spark.range(20).select(col("id").as("rep")))
+      .withColumn("vec_id", col("rep") * 10000000L + col("vec_id"))
+      .drop("rep")
+    blown.write.mode("overwrite")
+      .parquet(dir.resolve("embeddings.parquet").toString)
+    val n = blown.count()
+    val k = graft.ops.Vector.quantizerK(n)
+    assert(n == 40000L && k == 10, s"n=$n k=$k")
+    val assign = graft.ops.Vector.kmeansAssign(spark, dir.toString, k, iters = 3)
+      .groupBy(col("cell")).count().collect()
+    assert(assign.map(_.getLong(1)).sum == n)
+    assert(assign.length > 8,
+      s"grown k must reach training: ${assign.length} cells used")
+  }
 }
