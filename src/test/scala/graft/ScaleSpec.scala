@@ -596,6 +596,55 @@ class ScaleSpec extends SparkSuite {
     }
   }
 
+  test("k-means executor-side merge is bit-identical to a driver sorted fold") {
+    // Reference: the pre-r8 merge — collect every (cell, pid) partial
+    // to the driver, sort by pid, left-fold. The executor-side per-cell
+    // merge must reproduce it EXACTLY (same fold order → same IEEE
+    // association → identical bits) while shipping only k merged rows.
+    import spark.implicits._
+    import graft.ops.Vector.{Dim, nearest}
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    val k = 8
+    var ref: Array[(Int, Array[Double])] = vecs
+      .filter(_._1 < k).collect().sortBy(_._1)
+      .map { case (id, v) => (id.toInt, v.map(_.toDouble)) }
+    for (_ <- 0 until 3) {
+      val cs = ref
+      val parts = vecs.rdd.mapPartitionsWithIndex { (pid, it) =>
+        val accs = new java.util.HashMap[Int, (Array[Double], Array[Long])]()
+        it.foreach { case (_, v) =>
+          val c = nearest(cs)(v)
+          var e = accs.get(c)
+          if (e == null) { e = (new Array[Double](Dim), new Array[Long](1)); accs.put(c, e) }
+          var i = 0
+          while (i < Dim) { e._1(i) += v(i); i += 1 }
+          e._2(0) += 1L
+        }
+        import scala.jdk.CollectionConverters._
+        accs.entrySet().iterator().asScala
+          .map(en => (en.getKey.intValue, pid, en.getValue._1, en.getValue._2(0)))
+      }.collect()
+      ref = parts.groupBy(_._1).toArray.map { case (c, ps) =>
+        val acc = new Array[Double](Dim)
+        var n = 0L
+        ps.sortBy(_._2).foreach { case (_, _, s, pn) =>
+          var i = 0
+          while (i < Dim) { acc(i) += s(i); i += 1 }
+          n += pn
+        }
+        (c, acc.map(_ / n))
+      }.sortBy(_._1)
+    }
+    val got = graft.ops.Vector.kmeansCentroids(spark, sf, k, iters = 3)
+    assert(got.length == ref.length)
+    got.zip(ref).foreach { case ((gc, gv), (rc, rv)) =>
+      assert(gc == rc)
+      assert(java.util.Arrays.equals(gv, rv),
+        s"cell $gc centroid drifted from the driver-fold reference")
+    }
+  }
+
   test("quantizer k grows with the corpus: mean cell bounded at any n") {
     import graft.ops.Vector
     // arithmetic contract: mean cell cardinality n/k never exceeds the
