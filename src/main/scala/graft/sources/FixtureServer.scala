@@ -101,7 +101,18 @@ object FixtureServer {
       val from = math.max(0, (page - 1) * per)
       val slice = if (from >= lines.size()) Seq.empty[String]
         else (from until math.min(lines.size(), from + per)).map(lines.get)
-      val bytes = slice.map(_ + "\n").mkString.getBytes(StandardCharsets.UTF_8)
+      // `include_total=1` opts into the Cloudflare-style result_info
+      // envelope (total_pages etc.) as a trailer line on every page —
+      // the metadata a cursor walk uses to stop without probing past
+      // the end. Opt-in so schema-only consumers never see it.
+      val trailer =
+        if (params.get("include_total").contains("1")) {
+          val totalPages = math.max(1, (lines.size() + per - 1) / per)
+          Seq(s"""{"result_info": {"page": $page, "per_page": $per, """ +
+            s""""total_pages": $totalPages, "total_count": ${lines.size()}}}""")
+        } else Seq.empty[String]
+      val bytes = (slice ++ trailer).map(_ + "\n").mkString
+        .getBytes(StandardCharsets.UTF_8)
       ex.sendResponseHeaders(200, if (bytes.isEmpty) -1 else bytes.length)
       if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
     } catch {

@@ -171,8 +171,11 @@ class LiveHttpScan(schema: StructType, options: java.util.Map[String, String],
     val limitParam = if (limit >= 0) Seq("limit" -> limit.toString) else Nil
     def render(params: Seq[(String, String)]): String =
       if (params.isEmpty) base
-      else base + "?" + params.map { case (k, v) =>
-        s"${URLEncoder.encode(k, "UTF-8")}=${URLEncoder.encode(v, "UTF-8")}"
+      // a base URL may legitimately carry its own query string (server
+      // feature flags like include_total=1) — extend it, don't break it
+      else base + (if (base.contains("?")) "&" else "?") + params.map {
+        case (k, v) =>
+          s"${URLEncoder.encode(k, "UTF-8")}=${URLEncoder.encode(v, "UTF-8")}"
       }.mkString("&")
     // Page-size param (e.g. per_page=50) is static per request; the
     // page CURSOR itself is appended by the reader as it walks.
@@ -210,7 +213,8 @@ class LiveHttpScan(schema: StructType, options: java.util.Map[String, String],
       opt("transport", "jdk"), opt("timeoutMs", "10000").toLong,
       opt("permissive", "false").toBoolean,
       PageWalk(opt("pageParam", ""), opt("pageStart", "1").toLong,
-        shortPageSize, opt("maxPages", "10000").toLong))
+        shortPageSize, opt("maxPages", "10000").toLong,
+        opt("totalPagesField", "")))
   }
 
   /** Streaming facet: each micro-batch is one POLL ROUND over the
@@ -304,8 +308,15 @@ case class LiveEndpointPartition(url: String) extends InputPartition
   * rows than `size` must be the last (the reference's Cloudflare
   * helpers page `result` arrays the same way —
   * plugins/cloudflare/cloudflare_api.py:120-137); an EMPTY page always
-  * terminates. `maxPages` is the runaway-server backstop. */
-case class PageWalk(param: String, start: Long, size: Long, maxPages: Long) {
+  * terminates. `maxPages` is the runaway-server backstop.
+  * `totalPagesField` (dotted path, e.g. "result_info.total_pages")
+  * arms METADATA-driven termination: a response line where the path
+  * resolves is consumed as the Cloudflare-style `result_info` envelope
+  * rather than a row, and the walk stops after that many pages without
+  * probing past the end — one fewer wasted fetch than the empty-page
+  * probe when the last page is full. */
+case class PageWalk(param: String, start: Long, size: Long, maxPages: Long,
+    totalPagesField: String = "") {
   def enabled: Boolean = param.nonEmpty
 }
 
@@ -335,10 +346,24 @@ class LiveHttpReader(schema: StructType, filters: Array[Filter], limit: Int,
     LiveTransports(transportName).fetch(u, headers, timeoutMs)
       .linesIterator.filter(_.trim.nonEmpty).toSeq
 
+  /** Resolve the dotted `totalPagesField` path against a parsed line;
+    * Some(n) iff every segment exists and the leaf is numeric. */
+  private def totalPagesOf(line: String): Option[Long] =
+    try {
+      var node: JsonNode = mapper.readTree(line)
+      pages.totalPagesField.split("\\.").foreach { seg =>
+        node = if (node == null) null else node.get(seg)
+      }
+      if (node != null && node.isNumber) Some(node.asLong()) else None
+    } catch { case _: Exception => None }
+
   /** The lazy page walk: fetch `pageParam=N`, N from `pageStart`;
     * terminates on an empty page, a page shorter than `pageSize`
-    * (when armed), or the `maxPages` backstop. Fetch failures
-    * PROPAGATE — the caller decides the failure contract. */
+    * (when armed), the server's declared `total_pages` (when
+    * `totalPagesField` is armed and a metadata line carries it), or
+    * the `maxPages` backstop. Metadata lines are consumed, never
+    * emitted as rows. Fetch failures PROPAGATE — the caller decides
+    * the failure contract. */
   private def pageIter(): Iterator[String] = new Iterator[String] {
     private val sep = if (url.contains("?")) "&" else "?"
     private var page = pages.start
@@ -350,11 +375,19 @@ class LiveHttpReader(schema: StructType, filters: Array[Filter], limit: Int,
         else {
           val got = fetchStrict(s"$url$sep${pages.param}=$page")
           page += 1
-          if (got.isEmpty) done = true
+          val (meta, rows) =
+            if (pages.totalPagesField.isEmpty) (Seq.empty[String], got)
+            else got.partition(l => totalPagesOf(l).isDefined)
+          // the declared page count stops the walk WITHOUT probing past
+          // the end (page already advanced past the one just fetched)
+          meta.iterator.flatMap(totalPagesOf).nextOption().foreach { tp =>
+            if (page - pages.start >= tp) done = true
+          }
+          if (rows.isEmpty) done = true
           else {
-            cur = got.iterator
+            cur = rows.iterator
             // short page ⇒ serve it, then stop without re-fetching
-            if (pages.size > 0 && got.size < pages.size) done = true
+            if (pages.size > 0 && rows.size < pages.size) done = true
           }
         }
       }
@@ -371,7 +404,14 @@ class LiveHttpReader(schema: StructType, filters: Array[Filter], limit: Int,
     * materializing the walk up front and dropping the WHOLE endpoint
     * on any page failure — partial data must never masquerade as
     * complete (r7 review finding). Without a pageParam this is the
-    * single fetch of round 6. */
+    * single fetch of round 6.
+    *
+    * MEMORY BOUND (permissive + paged): the eager walk buffers the
+    * whole endpoint — up to maxPages × pageSize lines — in this
+    * task's heap before emitting a row. That is the price of the
+    * all-or-nothing contract; against a large endpoint set `maxPages`
+    * to a realistic ceiling (the 10000 default × a 50-row page is
+    * ~500k lines) or use strict mode, which streams lazily. */
   private lazy val lines: Iterator[String] =
     if (!pages.enabled)
       try fetchStrict(url).iterator

@@ -597,6 +597,60 @@ class HttpSpec extends SparkSuite {
     }
   }
 
+  test("metadata total_pages stops the walk without probing past the end") {
+    // 4 FULL pages of 2 rows, each carrying a Cloudflare-style
+    // result_info trailer (plugins/cloudflare/cloudflare_api.py's
+    // response shape). With totalPagesField armed the walk must fetch
+    // exactly pages 1-4 — the declared count replaces the empty page-5
+    // probe that full-last-page termination otherwise costs — and the
+    // metadata line must never surface as a row.
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    withServer(Map("/paged" -> { ex =>
+      val page = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+        .split("&").collectFirst {
+          case kv if kv.startsWith("page=") => kv.stripPrefix("page=").toInt
+        }.getOrElse(1)
+      seen.add(page)
+      val rows = if (page <= 4)
+        Seq(s"""{"id": "p$page-a"}""", s"""{"id": "p$page-b"}""")
+      else Seq.empty[String]
+      val meta = s"""{"result_info": {"page": $page, "total_pages": 4}}"""
+      respond(ex, 200, (rows :+ meta).map(_ + "\n").mkString)
+    })) { base =>
+      val df = spark.read.format("graft.sources.v2.LiveHttpSource")
+        .option("url", s"$base/paged")
+        .option("schemaDDL", "id STRING")
+        .option("pageParam", "page")
+        .option("totalPagesField", "result_info.total_pages")
+        .load()
+      val ids = df.collect().map(_.getString(0))
+      assert(ids.length == 8 && !ids.contains(null),
+        s"metadata line must not become a row: ${ids.toSeq}")
+      assert(seen.asScala.toSeq.sorted == Seq(1, 2, 3, 4),
+        s"declared total_pages must stop the walk at page 4: ${seen.asScala.toSeq.sorted}")
+    }
+  }
+
+  test("fixture server result_info envelope drives a single-fetch-exact walk") {
+    // /records?include_total=1 with per_page covering the whole file:
+    // the armed walk learns total_pages=1 from the first response and
+    // issues exactly ONE fetch — no page-2 probe.
+    val before = graft.sources.FixtureServer.hitCount("/records")
+    val df = spark.read.format("graft.sources.v2.LiveHttpSource")
+      .option("url", s"${graft.sources.FixtureServer.base}/records?include_total=1")
+      .option("schemaDDL", "id STRING, name STRING, type STRING, content STRING")
+      .option("authMode", "basic").option("user", "admin")
+      .option("secret", "secret")
+      .option("pageParam", "page")
+      .option("pageSizeParam", "per_page").option("pageSize", "7")
+      .option("totalPagesField", "result_info.total_pages")
+      .load()
+    assert(df.count() == 7)
+    val fetched = graft.sources.FixtureServer.hitCount("/records") - before
+    assert(fetched == 1,
+      s"declared single page must cost exactly one fetch, got $fetched")
+  }
+
   test("contract query s11_live_paginated walks the fixture's three pages") {
     val before = graft.sources.FixtureServer.hitCount("/records")
     val out = graft.ops.Semi.s11LivePaginated(spark, sf).collect()
