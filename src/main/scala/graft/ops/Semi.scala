@@ -371,10 +371,36 @@ object Semi {
     val session =
       if (spark.sparkContext.isStopped) ("session", 0L, false)
       else ("session", 1L, true)
-    val fixed = Seq(http, session).toDF("component", "probe", "healthy")
+    // Streaming machinery rows — the scheduler/triggerer half of the
+    // reference's healthcheck (config/healthcheck.sh:20-41 probes
+    // component STATUS, not just data): one summary row (probe =
+    // active query count, healthy = every active query progressed
+    // within the staleness bound) plus one row per active query.
+    // During a batch Verify pass no queries are live, so the summary
+    // row is the constant (0, true) the oracle pins; the per-query
+    // rows are exercised by StreamingSpec against a live query.
+    val now = System.currentTimeMillis()
+    val active = spark.streams.active.toSeq.sortBy(_.id.toString)
+    val queryRows = active.map { q =>
+      val lastMs = Option(q.lastProgress).map(p =>
+        java.time.Instant.parse(p.timestamp).toEpochMilli)
+      // no progress yet = just started, within grace; else age-bounded
+      val fresh = lastMs.forall(now - _ <= StreamStaleMs)
+      (s"streaming:query:${Option(q.name).getOrElse(q.id.toString)}",
+        if (q.isActive) 1L else 0L, q.isActive && fresh)
+    }
+    val streamSummary = ("streaming", active.size.toLong,
+      queryRows.forall(_._3))
+    val fixed = (Seq(http, session, streamSummary) ++ queryRows)
+      .toDF("component", "probe", "healthy")
     (tableRows :+ fixed).reduce(_ unionByName _)
       .orderBy(col("component"))
   }
+
+  /** An active StreamingQuery whose last progress is older than this is
+    * reported unhealthy by [[s12HealthProbe]] — the triggerer-stall
+    * analog of the reference's component healthcheck. */
+  val StreamStaleMs: Long = 5 * 60 * 1000L
   val s12Sql: String = {
     val tables = graft.Tables.Names.map(t =>
       s"""SELECT 'table:$t' AS component,
@@ -382,7 +408,8 @@ object Semi {
           (SELECT count(1) FROM $t) > 0 AS healthy""")
     val fixed = Seq(
       "SELECT 'http:fixture' AS component, 1 AS probe, true AS healthy",
-      "SELECT 'session' AS component, 1 AS probe, true AS healthy")
+      "SELECT 'session' AS component, 1 AS probe, true AS healthy",
+      "SELECT 'streaming' AS component, 0 AS probe, true AS healthy")
     (tables ++ fixed).mkString("SELECT component, CAST(probe AS BIGINT) AS probe, healthy FROM (",
       " UNION ALL ", ") ORDER BY component")
   }

@@ -219,4 +219,31 @@ class StreamingSpec extends SparkSuite {
     assert(SparkEntry.queries.size == perModule.map(_.size).sum,
       "a module query name shadows another module's")
   }
+
+  test("health probe reports live streaming queries with freshness") {
+    // the scheduler/triggerer analogy (config/healthcheck.sh:20-41):
+    // while a query is live the probe must carry a fresh per-query row
+    // and count it in the summary; after stop() both disappear and the
+    // summary returns to the oracle's constant (0, true) shape.
+    val q = spark.readStream.format("rate").option("rowsPerSecond", "1")
+      .load()
+      .writeStream.format("memory").queryName("graft_health_live")
+      .outputMode("append").start()
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      while (q.lastProgress == null && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      val rows = graft.ops.Semi.s12HealthProbe(spark, sf).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+      val summary = rows.find(_._1 == "streaming").get
+      assert(summary._2 >= 1L && summary._3,
+        s"live query must be counted fresh: $summary")
+      assert(rows.exists(r => r._1 == "streaming:query:graft_health_live" &&
+        r._2 == 1L && r._3), s"missing live query row: ${rows.toSeq}")
+    } finally q.stop()
+    val after = graft.ops.Semi.s12HealthProbe(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    assert(after.exists(r => r._1 == "streaming" && r._2 == 0L && r._3),
+      s"stopped query must leave the constant summary: ${after.toSeq}")
+  }
 }
