@@ -383,11 +383,16 @@ object Vector {
             col("sim_e4") === col("live_sim_e4")).cast("long")), lit(0L))
           .as("n_agree"))
       .select(col("qid"), least(col("n"), lit(10L)).as("n_capped"),
+        // measured agreement, capped at the gate floor (the hits_capped
+        // pattern): a future breach names its magnitude instead of
+        // collapsing to a bare false (r7 verdict #7)
+        least(col("n_agree"), lit(10L)).as("n_agree_capped"),
         (col("n") === col("n_agree")).as("same_as_live"))
       .orderBy(col("qid"))
   }
   val annIndexPersistSql: String =
     s"""SELECT vec_id AS qid, CAST(10 AS BIGINT) AS n_capped,
+       CAST(10 AS BIGINT) AS n_agree_capped,
        true AS same_as_live FROM embeddings
        WHERE vec_id IN (${QueryIds.mkString(", ")}) ORDER BY qid"""
 
@@ -542,6 +547,12 @@ object Vector {
         sum(col("dropped").cast("long")).as("n_dropped"))
       .crossJoin(broadcast(sampleAgg))
       .select(col("n_vecs"), col("n_sample_pairs"),
+        // measured within-cell coverage, capped at the 60% gate floor
+        // ceil(0.6·n): equal to the floor exactly when the gate holds,
+        // below it by the measured shortfall when it breaches — the
+        // oracle can pin it because n_sample_pairs is oracle-exact
+        least(col("n_covered"), expr("(n_sample_pairs * 6 + 9) div 10"))
+          .as("n_covered_capped"),
         (col("n_dropped") < col("n_vecs") &&
           (col("n_sample_pairs") === 0L || col("n_dropped") > 0L))
           .as("drops_ok"),
@@ -564,7 +575,9 @@ object Vector {
                (sqrt(${dotDuck("a.embedding", "a.embedding")}) *
                 sqrt(${dotDuck("b.embedding", "b.embedding")})) >= 0.9)
        SELECT (SELECT count(1) FROM embeddings) AS n_vecs,
-         n_sample_pairs, true AS drops_ok, true AS coverage_ok
+         n_sample_pairs,
+         CAST((n_sample_pairs * 6 + 9) // 10 AS BIGINT) AS n_covered_capped,
+         true AS drops_ok, true AS coverage_ok
        FROM sp"""
 
   val dedupEmbeddingCosineSql: String =
