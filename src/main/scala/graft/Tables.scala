@@ -28,15 +28,22 @@ object Tables {
     * (which Spark 4 refuses to read as TimestampType) and
     * TIMESTAMP(MICROS). Read the raw INT64 via an explicit schema
     * (works under any session config, any annotation) and normalize to
-    * µs. LAST-RESORT normalization is by magnitude: epochs ≥ 1e17 can
-    * only be nanoseconds (1e17 µs is year 5138; 1e17 ns is 1973), so
-    * divide those by 1000 — integer division, never double (ns epochs
-    * exceed 2^53). The heuristic silently misreads a ns epoch before
-    * ~1973-03 (r6 advice), so [[tsToMicrosSql]] consults the file's
-    * actual logical-type ANNOTATION first and only falls back to
-    * magnitude when no annotation is present. */
+    * µs. LAST-RESORT normalization is by magnitude, three tiers:
+    * |ts| ≥ 1e17 can only be nanoseconds (1e17 µs is year 5138; 1e17
+    * ns is 1973-03), 1e14 ≤ |ts| < 1e17 is microseconds (1e14 µs is
+    * 1973-03; 1e14 ms is year 5138), |ts| < 1e14 is milliseconds —
+    * so ANY of ns/µs/ms epochs after ~1973-03 route correctly even
+    * when the annotation is unavailable (the r7 advice case: a stream
+    * DECLARED before its files are staged bakes this fallback into the
+    * plan, and a late-arriving MILLIS file must still read right).
+    * Integer arithmetic only, never double (ns epochs exceed 2^53).
+    * The blind spots left are epochs before 1973-03 in ns/µs (r6
+    * advice — covered by the annotation path) and second-precision
+    * epochs, which no parquet writer annotates. */
   val TsToMicrosSql: String =
-    "(CASE WHEN abs(ts) >= 100000000000000000 THEN ts div 1000 ELSE ts END)"
+    """(CASE WHEN abs(ts) >= 100000000000000000 THEN ts div 1000
+             WHEN abs(ts) >= 100000000000000 THEN ts
+             ELSE ts * 1000 END)"""
 
   /** µs-normalization SQL for the raw INT64 `ts` of the events table
     * under `dir`, from the parquet TIMESTAMP annotation (NANOS/MICROS/
@@ -49,10 +56,15 @@ object Tables {
   /** Same, for a path that IS the parquet file/part-dir itself (the
     * streaming sources' staged dirs). The directory is re-listed on
     * EVERY call and the footer sniff is memoized per part-file
-    * (path, length, mtime) — so a path declared before any files land
-    * (the declare-then-stage streaming pattern) is re-probed once
-    * files exist, and a re-staged file with different precision
-    * invalidates its cache entry instead of serving a stale unit.
+    * (path, length, mtime) — so a re-staged file with different
+    * precision invalidates its cache entry instead of serving a stale
+    * unit. NOTE the expression is resolved at DataFrame-CONSTRUCTION
+    * time: a stream declared before any files land bakes the magnitude
+    * fallback into its plan permanently (a fresh readEvents call after
+    * staging re-probes; an already-declared stream does not). That is
+    * safe because the three-tier fallback routes ns/µs/ms epochs after
+    * ~1973-03 identically to the annotation path — only pre-1973
+    * ns/µs data requires declaring the stream after staging.
     * Only the first part file (by name) is consulted: a directory
     * accumulating MIXED-annotation files is normalized by that file's
     * unit — don't do that. */

@@ -189,8 +189,8 @@ object Sinks {
     // Verify runs) each get a private staging dir — a shared fixed
     // path would let one session's recursive wipe race the other's
     // committed output (r5/r6 finding).
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_dsv2_gate_" +
-      spark.sparkContext.applicationId
+    // session-scoped root (shutdown-hook cleaned, r7 advice)
+    val out = graft.Util.sessionTmpDir(spark, "graft_dsv2_gate")
     def wipe(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(wipe)
       f.delete(); ()
@@ -228,8 +228,8 @@ object Sinks {
   // Fixed-point cents keep the double column exact across the format
   // hop. Per-session output dir (same race lesson as k8).
   def k9OrcRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_orc_gate_" +
-      spark.sparkContext.applicationId
+    // session-scoped root (shutdown-hook cleaned, r7 advice)
+    val out = graft.Util.sessionTmpDir(spark, "graft_orc_gate")
     Tables.lineitem(spark, sfDir)
       .filter(col("l_orderkey") % 7 === 0)
       .select(col("l_orderkey"), col("l_returnflag"),

@@ -356,8 +356,9 @@ object Vector {
     * roundtrip) breaks `same_as_live`. */
   def annIndexPersist(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ann_index_" +
-      spark.sparkContext.applicationId + "_" +
+    // session-scoped root (shutdown-hook cleaned, r7 advice); one
+    // subdirectory per dataset fingerprint
+    val dir = graft.Util.sessionTmpDir(spark, "graft_ann_index") + "/" +
       java.lang.Integer.toHexString(dataKey(sfDir).hashCode)
     if (!new java.io.File(s"$dir/assign.parquet").exists()) {
       // centroids.parquet is not read back by THIS probe (the contract

@@ -6,6 +6,14 @@ import org.apache.spark.sql.Row
 import graft.ops._
 import graft.sources.{Auth, Sources}
 
+/** Per-JVM unique fixture root: two concurrent test JVMs each stage
+  * staged-table fixtures under their own temp dir, so a shared fixed
+  * /tmp path can never race another JVM's overwrite (r7 advice). */
+private[graft] object TestFixtureRoot {
+  val T: String =
+    java.nio.file.Files.createTempDirectory("graft_test").toString
+}
+
 class ValidateSpec extends SparkSuite {
   test("v1 freshness: every user present, stale is monotone in bound") {
     val df = Validate.v1Freshness(spark, sf)
@@ -32,16 +40,16 @@ class ValidateSpec extends SparkSuite {
     val shifted = (1L to 200L).map(i => (i, jan + i, i, "click", 15.0, "{}")) ++
       (201L to 400L).map(i => (i, mar + i, i, "click", 85.0, "{}"))
     shifted.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      .write.mode("overwrite").parquet("/tmp/graft_test_psi/events.parquet")
-    val drift = Validate.v12PsiDrift(spark, "/tmp/graft_test_psi")
+      .write.mode("overwrite").parquet(s"${TestFixtureRoot.T}/psi/events.parquet")
+    val drift = Validate.v12PsiDrift(spark, s"${TestFixtureRoot.T}/psi")
       .filter(col("bin_drifted")).collect().map(_.getAs[Int]("bin")).toSet
     assert(drift == Set(1, 8), "mass moved from bin 1 to bin 8; both flag")
     // stable corpus: same value mix in both windows → no drifted bin
     val stable = (1L to 200L).map(i => (i, jan + i, i, "click", (i % 100).toDouble, "{}")) ++
       (201L to 400L).map(i => (i, mar + i, i, "click", (i % 100).toDouble, "{}"))
     stable.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      .write.mode("overwrite").parquet("/tmp/graft_test_psi2/events.parquet")
-    assert(Validate.v12PsiDrift(spark, "/tmp/graft_test_psi2")
+      .write.mode("overwrite").parquet(s"${TestFixtureRoot.T}/psi2/events.parquet")
+    assert(Validate.v12PsiDrift(spark, s"${TestFixtureRoot.T}/psi2")
       .filter(col("bin_drifted")).isEmpty)
   }
 
@@ -167,8 +175,8 @@ class DedupSpec extends SparkSuite {
       (2L, "the quick brown fox jumps over the lazy dog again and again"),
       (3L, "completely different words that share nothing at all here friend"))
       .toDF("doc_id", "text")
-    docs.write.mode("overwrite").parquet("/tmp/graft_test_docs/documents.parquet")
-    val pairs = Dedup.simhash(spark, "/tmp/graft_test_docs").collect()
+    docs.write.mode("overwrite").parquet(s"${TestFixtureRoot.T}/docs/documents.parquet")
+    val pairs = Dedup.simhash(spark, s"${TestFixtureRoot.T}/docs").collect()
     assert(pairs.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet ==
       Set((1L, 2L, 0)))
   }
@@ -178,8 +186,8 @@ class DedupSpec extends SparkSuite {
     Seq((1L, "the cat sat!"), (2L, "the cat sat"), (3L, "THE CAT SAT"),
       (4L, "another doc entirely"))
       .toDF("doc_id", "text")
-      .write.mode("overwrite").parquet("/tmp/graft_test_kb/documents.parquet")
-    val kept = Dedup.keepBest(spark, "/tmp/graft_test_kb").collect()
+      .write.mode("overwrite").parquet(s"${TestFixtureRoot.T}/kb/documents.parquet")
+    val kept = Dedup.keepBest(spark, s"${TestFixtureRoot.T}/kb").collect()
       .map(r => (r.getAs[Long]("keeper"), r.getAs[Long]("n_dropped"))).toSet
     // docs 1-3 share the canonical form "the cat sat"; doc 1 is longest raw
     assert(kept == Set((1L, 2L), (4L, 0L)))
@@ -309,8 +317,8 @@ class RelationalOpsSpec extends SparkSuite {
       (5L, 1 * h, 12L, "error", 0.0, "{}"),
       (6L, 2 * h, 12L, "view", 4.0, "{}"))    // user 12: resurrected after delete
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      .write.mode("overwrite").parquet("/tmp/graft_test_cdc/events.parquet")
-    val rows = ops.Relational.cdcMerge(spark, "/tmp/graft_test_cdc").collect()
+      .write.mode("overwrite").parquet(s"${TestFixtureRoot.T}/cdc/events.parquet")
+    val rows = ops.Relational.cdcMerge(spark, s"${TestFixtureRoot.T}/cdc").collect()
       .map(r => r.getAs[Long]("user_id") -> r.getAs[String]("last_op")).toMap
     assert(rows == Map(10L -> "click", 12L -> "view"))
   }
@@ -435,10 +443,18 @@ class TextOpsSpec extends SparkSuite {
     import spark.implicits._
     Seq((1L, "aaaaaaaa"),          // single symbol: H = 0 exactly
       (2L, "abcdefgh"),            // 8 uniform chars: H = ln 8
-      (3L, "aab"))                 // H = 2/3 ln(3/2) + 1/3 ln 3
+      (3L, "aab"),                 // H = 2/3 ln(3/2) + 1/3 ln 3
+      // NFD combining sequence: "é" as e + U+0301. Both Java's
+      // '(?s).' and DuckDB's string_split(text, '') split CODE
+      // POINTS, not grapheme clusters, so this doc has TWO distinct
+      // symbols (verified against DuckDB 1.x: string_split('e'||
+      // chr(769), '') = ['e', chr(769)]) — pinning the
+      // code-point-vs-grapheme assumption the oracle parity
+      // hinges on (r7 advice).
+      (4L, "e\u0301e\u0301"))   // 2 symbols × 2 → H = ln 2
       .toDF("doc_id", "text")
-      .write.mode("overwrite").parquet("/tmp/graft_test_ent/documents.parquet")
-    val rows = ops.Text.charEntropy(spark, "/tmp/graft_test_ent").collect()
+      .write.mode("overwrite").parquet(s"${TestFixtureRoot.T}/ent/documents.parquet")
+    val rows = ops.Text.charEntropy(spark, s"${TestFixtureRoot.T}/ent").collect()
       .map(r => r.getAs[Long]("doc_id") ->
         (r.getAs[Long]("n_distinct_chars"), r.getAs[Long]("entropy_e8"))).toMap
     assert(rows(1L) == ((1L, 0L)))
@@ -448,6 +464,9 @@ class TextOpsSpec extends SparkSuite {
     val h3 = math.floor((2.0 / 3) * math.log(3.0 / 2) * 1e8).toLong +
       math.floor((1.0 / 3) * math.log(3.0) * 1e8).toLong
     assert(rows(3L)._2 == h3)
+    val ln2e8 = (2 * math.floor(0.5 * math.log(2.0) * 1e8)).toLong
+    assert(rows(4L) == ((2L, ln2e8)),
+      s"NFD combining sequence must count code points: ${rows(4L)}")
   }
 
   test("repetition: degenerate doc flags, varied doc passes") {
@@ -456,8 +475,8 @@ class TextOpsSpec extends SparkSuite {
       (2L, "one two three four five six seven eight"),
       (3L, "solo"))
       .toDF("doc_id", "text")
-      .write.mode("overwrite").parquet("/tmp/graft_test_rep/documents.parquet")
-    val rows = ops.Text.repetition(spark, "/tmp/graft_test_rep").collect()
+      .write.mode("overwrite").parquet(s"${TestFixtureRoot.T}/rep/documents.parquet")
+    val rows = ops.Text.repetition(spark, s"${TestFixtureRoot.T}/rep").collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap
     assert(rows(1L).getAs[Long]("top_token_frac_e4") == 10000L)
     assert(rows(1L).getAs[Boolean]("repetitive"))
@@ -475,8 +494,8 @@ class TextOpsSpec extends SparkSuite {
       (6L, "zeta eta theta iota"),
       (7L, "too short"))
       .toDF("doc_id", "text")
-      .write.mode("overwrite").parquet("/tmp/graft_test_dc/documents.parquet")
-    val rows = ops.Text.decontam(spark, "/tmp/graft_test_dc").collect()
+      .write.mode("overwrite").parquet(s"${TestFixtureRoot.T}/dc/documents.parquet")
+    val rows = ops.Text.decontam(spark, s"${TestFixtureRoot.T}/dc").collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap
     assert(rows.keySet == Set(5L, 6L))
     assert(rows(5L).getAs[Boolean]("contaminated"))
@@ -489,8 +508,8 @@ class TextOpsSpec extends SparkSuite {
     // corpus: "a a a b" → p(a)=3/4, p(b)=1/4
     Seq((1L, "a a a"), (2L, "b"))
       .toDF("doc_id", "text")
-      .write.mode("overwrite").parquet("/tmp/graft_test_ug/documents.parquet")
-    val rows = ops.Text.unigramLogprob(spark, "/tmp/graft_test_ug").collect()
+      .write.mode("overwrite").parquet(s"${TestFixtureRoot.T}/ug/documents.parquet")
+    val rows = ops.Text.unigramLogprob(spark, s"${TestFixtureRoot.T}/ug").collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap
     val sA = math.floor(-math.log(3.0 / 4.0) * 10000.0).toLong
     val sB = math.floor(-math.log(1.0 / 4.0) * 10000.0).toLong
@@ -505,8 +524,8 @@ class TextOpsSpec extends SparkSuite {
     // c1: a=4, b=2, T=6; c2: (a,b)=2, (b,a)=1, (a,a)=1
     Seq((1L, "a b a b"), (2L, "a a"))
       .toDF("doc_id", "text")
-      .write.mode("overwrite").parquet("/tmp/graft_test_bg/documents.parquet")
-    val rows = ops.Text.bigramLogprob(spark, "/tmp/graft_test_bg").collect()
+      .write.mode("overwrite").parquet(s"${TestFixtureRoot.T}/bg/documents.parquet")
+    val rows = ops.Text.bigramLogprob(spark, s"${TestFixtureRoot.T}/bg").collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap
     def s(p: Double) = math.floor(-math.log(p) * 10000.0).toLong
     // doc1: first 'a' = -ln(4/6); 'b'|a = -ln(2/4); 'a'|b = -ln(1/2); 'b'|a
@@ -523,8 +542,8 @@ class TextOpsSpec extends SparkSuite {
     Seq((1L, "x y z", "same1"), (2L, "x y z", "same2"),
       (3L, "x x x x x x", "skewed"))
       .toDF("doc_id", "text", "source")
-      .write.mode("overwrite").parquet("/tmp/graft_test_kl/documents.parquet")
-    val rows = ops.Text.sourceKl(spark, "/tmp/graft_test_kl").collect()
+      .write.mode("overwrite").parquet(s"${TestFixtureRoot.T}/kl/documents.parquet")
+    val rows = ops.Text.sourceKl(spark, s"${TestFixtureRoot.T}/kl").collect()
       .map(r => r.getAs[String]("source") -> r.getAs[Long]("kl_e8")).toMap
     assert(rows("skewed") > rows("same1"), "skewed shard diverges most")
     assert(rows("same1") == rows("same2"), "identical shards score identically")
@@ -680,8 +699,8 @@ class VectorSpec extends SparkSuite {
     Seq((0L, v.toSeq, 0))
       .toDF("vec_id", "embedding", "label")
       .select(col("vec_id"), col("embedding").cast("array<float>"), col("label"))
-      .write.mode("overwrite").parquet("/tmp/graft_test_q8/embeddings.parquet")
-    val row = ops.Vector.embQuantizeInt8(spark, "/tmp/graft_test_q8").collect()(0)
+      .write.mode("overwrite").parquet(s"${TestFixtureRoot.T}/q8/embeddings.parquet")
+    val row = ops.Vector.embQuantizeInt8(spark, s"${TestFixtureRoot.T}/q8").collect()(0)
     // scale = 1.0; codes = [127, -63, 32]; checksum = 127*1 - 63*2 + 32*3
     val codes = v.map(x => math.floor(x / 1.0 * 127.0 + 0.5).toLong)
     val want = codes.zipWithIndex.map { case (c, i) => c * (i + 1) }.sum
@@ -697,8 +716,8 @@ class VectorSpec extends SparkSuite {
     Seq((0L, base.toSeq, 0), (1L, twin.toSeq, 0), (2L, far.toSeq, 1))
       .toDF("vec_id", "embedding", "label")
       .select(col("vec_id"), col("embedding").cast("array<float>"), col("label"))
-      .write.mode("overwrite").parquet("/tmp/graft_test_emb/embeddings.parquet")
-    val pairs = Vector.dedupEmbeddingCosine(spark, "/tmp/graft_test_emb").collect()
+      .write.mode("overwrite").parquet(s"${TestFixtureRoot.T}/emb/embeddings.parquet")
+    val pairs = Vector.dedupEmbeddingCosine(spark, s"${TestFixtureRoot.T}/emb").collect()
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((0L, 1L)))
     assert(pairs(0).getAs[Long]("cos_e4") >= 9999L)
   }

@@ -34,9 +34,12 @@ class TablesSpec extends SparkSuite {
   test("unannotated INT64 ts falls back to the magnitude heuristic") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_tsraw").toString
-    // plain BIGINT ts (no timestamp annotation): one µs-range and one
-    // ns-range epoch — the CASE must route each correctly
-    Seq((1L, 1706659200000000L), (2L, 1706659200000000000L))
+    // plain BIGINT ts (no timestamp annotation): ms-, µs- and ns-range
+    // epochs of the same instant — the three-tier CASE must route each
+    // correctly (the ms tier is the r7-advice case: a MILLIS file
+    // staged after a stream was declared reads through this fallback)
+    Seq((1L, 1706659200000000L), (2L, 1706659200000000000L),
+      (3L, 1706659200000L))
       .toDF("event_id", "ts")
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     assert(Tables.sniffTsUnit(s"$dir/events.parquet").isEmpty)
