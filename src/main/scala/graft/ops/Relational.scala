@@ -1774,6 +1774,68 @@ object Relational {
         GROUP BY 1 ORDER BY bucket"""
   }
 
+  /** Data-skipping gain of the z-order layout vs a single-column sort —
+    * the acceptance test for [[layoutZorder]]'s manifest. Both layouts
+    * cut the same rows into 64 "files" (z-order: top 6 Morton bits;
+    * linear: the x sort key's top 6 bits), each file carrying min/max
+    * stats per dimension exactly like parquet row-group footers. A
+    * y-selective box query (x unconstrained) then consults only the
+    * stats: a file is read iff its [min_y, max_y] intersects the box.
+    * The linear-by-x layout leaves y unclustered, so nearly every file
+    * intersects and `rows_scanned` approaches the full table; z-order
+    * bounds BOTH dimensions per file, so the same query touches
+    * O(√files). The emitted row pair (layout, files touched, rows
+    * scanned vs matched) is the read-amplification number a 100 TB
+    * table layout decision is made on. Everything is exact integer
+    * arithmetic shared with the DuckDB oracle; the two aggregations
+    * reuse one scan's worth of derived columns and shuffle only
+    * 64-row bucket stats. */
+  def layoutSkippingGain(spark: SparkSession, sfDir: String): DataFrame = {
+    val boxLo = 256; val boxHi = 287 // y10 box, ~3 % of the y range
+    val d = Tables.lineitem(spark, sfDir)
+      .select(pmod(col("l_orderkey"), lit(1024)).as("x"),
+        pmod(col("l_partkey"), lit(1024)).as("y"))
+      .withColumn("z", expr(zOrderExpr("div")))
+      .withColumn("b_z", expr(s"z div ${1 << 14}"))
+      .withColumn("b_lin", expr("x div 16"))
+    def gain(bucketCol: String, name: String): DataFrame =
+      d.groupBy(col(bucketCol).as("bucket"))
+        .agg(min(col("y")).as("min_y"), max(col("y")).as("max_y"),
+          count(lit(1)).as("n_rows"),
+          sum((col("y") >= boxLo && col("y") <= boxHi).cast("long")).as("n_match"))
+        .agg(count(lit(1)).as("n_files"),
+          sum((col("min_y") <= boxHi && col("max_y") >= boxLo).cast("long"))
+            .as("files_touched"),
+          sum(when(col("min_y") <= boxHi && col("max_y") >= boxLo,
+            col("n_rows")).otherwise(0L)).as("rows_scanned"),
+          sum(col("n_match")).as("rows_matched"))
+        .select(lit(name).as("layout"), col("n_files"), col("files_touched"),
+          col("rows_scanned"), col("rows_matched"))
+    gain("b_lin", "linear_x").unionByName(gain("b_z", "zorder"))
+      .orderBy(col("layout"))
+  }
+  val layoutSkippingGainSql: String = {
+    val z = zOrderExpr("//")
+    def gain(bucket: String, name: String): String =
+      s"""SELECT '$name' AS layout, count(1) AS n_files,
+          CAST(sum(CASE WHEN min_y <= 287 AND max_y >= 256 THEN 1 ELSE 0 END)
+            AS BIGINT) AS files_touched,
+          CAST(sum(CASE WHEN min_y <= 287 AND max_y >= 256 THEN n_rows ELSE 0 END)
+            AS BIGINT) AS rows_scanned,
+          CAST(sum(n_match) AS BIGINT) AS rows_matched
+          FROM (SELECT $bucket AS bucket, min(y) AS min_y, max(y) AS max_y,
+                  count(1) AS n_rows,
+                  sum(CASE WHEN y BETWEEN 256 AND 287 THEN 1 ELSE 0 END) AS n_match
+                FROM (SELECT x, y, ($z) AS z
+                      FROM (SELECT l_orderkey % 1024 AS x, l_partkey % 1024 AS y
+                            FROM lineitem))
+                GROUP BY 1)"""
+    s"""${gain("(x // 16)", "linear_x")}
+        UNION ALL
+        ${gain(s"(z // ${1 << 14})", "zorder")}
+        ORDER BY layout"""
+  }
+
   /** TPC-H Q8-shaped market share — the deepest join tree in the
     * engine (8 relations): PROMO-part lineitems joined through
     * supplier→nation (numerator tag) and orders→customer→nation→
@@ -1976,6 +2038,7 @@ object Relational {
     "resample_interp" -> resampleInterp,
     "sketch_union_rollup" -> sketchUnionRollup,
     "layout_zorder" -> layoutZorder,
+    "layout_skipping_gain" -> layoutSkippingGain,
     "agg_decimal_exact" -> aggDecimalExact,
     "sessionize_native" -> sessionizeNative,
     "graph_pagerank" -> graphPagerank,
@@ -2044,6 +2107,7 @@ object Relational {
     "resample_interp" -> resampleInterpSql,
     "sketch_union_rollup" -> sketchUnionRollupSql,
     "layout_zorder" -> layoutZorderSql,
+    "layout_skipping_gain" -> layoutSkippingGainSql,
     "agg_decimal_exact" -> aggDecimalExactSql,
     "sessionize_native" -> sessionizeNativeSql,
     "graph_pagerank" -> graphPagerankSql,
