@@ -364,7 +364,39 @@ object EventsStream {
        FROM events JOIN nation ON user_id % 25 = n_nationkey
        GROUP BY 1, 2 ORDER BY day_start, n_name"""
 
+  /** `stream_session_window`: NATIVE streaming session windows — the
+    * session_window() grouping running as a stateful streaming
+    * operator (SessionWindowStateStore: per-key sorted window state
+    * with gap-merge on every batch), the engine-managed alternative to
+    * the hand-rolled flatMapGroupsWithState sessionizer above. Batch
+    * twin: Relational.sessionizeNative — same oracle, because
+    * AvailableNow + Complete replays the whole history and the final
+    * merged windows equal the batch grouping. At scale the operator
+    * runs in Append mode with the 1 h watermark bounding state (a
+    * session evicts/emits once the watermark passes its end); Complete
+    * is the gate's replay mode, not the production mode. */
+  def streamSessionWindow(spark: SparkSession, sfDir: String): DataFrame =
+    withStreamingParts(spark, 8) {
+      val src = spark.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+        .withColumn("ts", expr(s"timestamp_micros(${graft.Tables.tsToMicrosSql(sfDir)})"))
+      val agg = src
+        .withWatermark("ts", "1 hour")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("session_window.start").as("ws"),
+          col("session_window.end").as("we"), col("n_events"))
+      val out = runIncremental(spark, agg, "sw", sfDir)
+      out.select(col("user_id"),
+          graft.Util.fmtTs(col("ws")).as("session_start"),
+          graft.Util.fmtTs(col("we")).as("session_end"), col("n_events"))
+        .orderBy(col("user_id"), col("session_start"))
+    }
+  val streamSessionWindowSql: String =
+    graft.ops.Relational.sessionizeNativeSql
+
   val queries: Map[String, graft.Util.QFn] = Map(
+    "stream_session_window" -> streamSessionWindow,
     "stream_static_enrich" -> streamStaticEnrich,
     "stream_windowed_counts" -> streamWindowedCounts,
     "stream_sessionize" -> streamSessionize,
@@ -373,6 +405,7 @@ object EventsStream {
     "stream_left_join" -> streamLeftJoin,
     "stream_dedup" -> streamDedup)
   val oracles: Map[String, String] = Map(
+    "stream_session_window" -> streamSessionWindowSql,
     "stream_static_enrich" -> streamStaticEnrichSql,
     "stream_windowed_counts" -> streamWindowedCountsSql,
     "stream_sessionize" -> streamSessionizeSql,

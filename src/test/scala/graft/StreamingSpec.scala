@@ -22,6 +22,17 @@ class StreamingSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("native streaming session_window equals the batch session grouping") {
+    // AvailableNow + Complete replays the whole history, so the final
+    // gap-merged windows must equal Relational.sessionizeNative row
+    // for row (same start/end/count — the stateful operator's merge
+    // logic agrees with the batch grouping).
+    val got = EventsStream.streamSessionWindow(spark, sf).collect().toSeq
+    val want = Relational.sessionizeNative(spark, sf).collect().toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("transformWithState running counts equal batch groupBy (RocksDB store)") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
