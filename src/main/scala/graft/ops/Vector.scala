@@ -260,14 +260,32 @@ object Vector {
 
   def kmeansCentroids(spark: SparkSession, sfDir: String, k: Int,
       iters: Int): Array[(Int, Array[Double])] =
-    centCache.getOrElseUpdate((spark.sparkContext.applicationId, dataKey(sfDir), k, iters), {
+    kmeansCentroidsOn(spark, sfDir, k, iters, None)
+
+  /** The k-means kernel over an optionally FILTERED slice of the
+    * corpus (the [[annIndexAppend]] base slice trains here). The
+    * unfiltered path keeps its original seeding (vec_id < k) and cache
+    * key bit-for-bit; a filtered slice seeds from its k smallest
+    * vec_ids instead, so seeding never silently shrinks when the
+    * predicate excludes an id below k. `tag` keys the cache per
+    * distinct predicate (Column equality is not value equality). */
+  private[graft] def kmeansCentroidsOn(spark: SparkSession, sfDir: String,
+      k: Int, iters: Int,
+      pred: Option[org.apache.spark.sql.Column], tag: String = "")
+      : Array[(Int, Array[Double])] =
+    centCache.getOrElseUpdate(
+      (spark.sparkContext.applicationId, dataKey(sfDir) + tag, k, iters), {
     import spark.implicits._
-    val vecs = Tables.embeddings(spark, sfDir)
+    val base = Tables.embeddings(spark, sfDir)
+    val vecs = pred.fold(base)(base.filter)
       .select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
-    var centroids: Array[(Int, Array[Double])] = vecs
-      .filter(_._1 < k).collect().sortBy(_._1)
-      .map { case (id, v) => (id.toInt, v.map(_.toDouble)) }
+    var centroids: Array[(Int, Array[Double])] =
+      (pred match {
+        case None => vecs.filter(_._1 < k).collect()
+        case Some(_) => vecs.orderBy(col("vec_id")).limit(k).collect()
+      }).sortBy(_._1)
+        .map { case (id, v) => (id.toInt, v.map(_.toDouble)) }
 
     for (_ <- 0 until iters) {
       val cs = centroids
@@ -396,6 +414,99 @@ object Vector {
        CAST(10 AS BIGINT) AS n_agree_capped,
        true AS same_as_live FROM embeddings
        WHERE vec_id IN (${QueryIds.mkString(", ")}) ORDER BY qid"""
+
+  /** Late-batch predicate for [[annIndexAppend]] (~1 % of the corpus
+    * stands in for a freshly ingested delta). Chosen so no quantizer
+    * seed (vec_id < k) lands in the delta at any testdata scale. */
+  private val IncrDeltaMod = 101L
+  private def isIncrDelta = pmod(col("vec_id"), lit(IncrDeltaMod)) === 13
+
+  /** `ann_index_append`: incremental maintenance of the persisted IVF
+    * index. The reference pipeline's world (and any 100 TB corpus) is
+    * append-mostly: new vectors arrive long after the quantizer was
+    * trained, and retraining + full reassignment per delivery is a
+    * full-corpus job. The incremental contract instead: (1) train the
+    * quantizer and assign the BASE corpus once, persisting both as the
+    * index artifact; (2) for a late delta batch, READ the persisted
+    * centroids (the append job needs no state from the training job),
+    * assign only the delta rows, and APPEND them to the assignment
+    * table — base files are asserted byte-identical afterwards, so the
+    * append costs O(|delta|), never O(|corpus|). The probe then reads
+    * the unioned assignment. Gates per query: single-cell probe recall
+    * vs the exact cosine top-10 over the FULL corpus ≥ 5 (the same
+    * floor as the retrained-quantizer gate — assigning the delta into
+    * stale cells must not cost recall at this scale), and
+    * assign_complete — every corpus vector is assigned exactly once
+    * (no loss, no duplication across the two writes). */
+  def annIndexAppend(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val k = corpusK(spark, sfDir)
+    val dir = graft.Util.sessionTmpDir(spark, "graft_ann_index") + "/" +
+      java.lang.Integer.toHexString(dataKey(sfDir).hashCode) + "_incr"
+    val assignDir = s"$dir/assign.parquet"
+    def listFiles() = Option(new java.io.File(assignDir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.length, f.lastModified)).sortBy(_._1).toSeq
+    if (!new java.io.File(assignDir).exists()) {
+      // Deterministic shared kernel over the base slice (same
+      // executor-merged, ascending-partition-fold association as the
+      // full-corpus trainer).
+      val cs = kmeansCentroidsOn(spark, sfDir, k, iters = 3,
+        Some(!isIncrDelta), tag = "#base")
+      // phase 1 — the index build: centroids + base assignment
+      cs.toSeq.map { case (c, v) => (c, v.toSeq) }.toDF("cell", "centroid")
+        .write.mode("overwrite").parquet(s"$dir/centroids.parquet")
+      Tables.embeddings(spark, sfDir).filter(!isIncrDelta)
+        .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+        .map { case (id, v) => (id, nearest(cs)(v)) }.toDF("vec_id", "cell")
+        .write.mode("overwrite").parquet(assignDir)
+      val baseFiles = listFiles()
+      // phase 2 — the append job: centroids come from the ARTIFACT,
+      // only delta rows are scored, the write is an append
+      val persistedCs = spark.read.parquet(s"$dir/centroids.parquet")
+        .as[(Int, Seq[Double])].collect().sortBy(_._1)
+        .map { case (c, v) => (c, v.toArray) }
+      Tables.embeddings(spark, sfDir).filter(isIncrDelta)
+        .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+        .map { case (id, v) => (id, nearest(persistedCs)(v)) }.toDF("vec_id", "cell")
+        .write.mode("append").parquet(assignDir)
+      // append-only contract: every base file survives byte-identical
+      val after = listFiles().toSet
+      val rewritten = baseFiles.filterNot(after.contains)
+      require(rewritten.isEmpty,
+        s"index append rewrote base files: ${rewritten.map(_._1).mkString(", ")}")
+    }
+    val assigned = spark.read.parquet(assignDir)
+    val nCorpus = Tables.embeddings(spark, sfDir).count()
+    val completeness = assigned
+      .agg(count(lit(1)).as("n_total"),
+        countDistinct(col("vec_id")).as("n_distinct"))
+      .select(least(col("n_total"), lit(nCorpus)).as("n_assigned_capped"),
+        (col("n_total") === nCorpus && col("n_distinct") === nCorpus)
+          .as("assign_complete"))
+    val probe = probeCells(spark, sfDir, assigned)
+      .select(col("qid"), col("vec_id"))
+    val brute = cosineBruteCache.getOrElseUpdate(
+      (spark.sparkContext.applicationId, dataKey(sfDir)),
+      annBruteTopk(spark, sfDir).select(col("qid"), col("vec_id"))
+        .as[(Long, Long)].collect().toSeq)
+      .toDF("qid", "vec_id")
+    probe.join(brute, Seq("qid", "vec_id"))
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("hits"))
+      .select(col("qid"), least(col("hits"), lit(5L)).as("hits_capped"),
+        (col("hits") >= 5L).as("recall_ok"))
+      .crossJoin(broadcast(completeness))
+      .orderBy(col("qid"))
+  }
+  val annIndexAppendSql: String =
+    s"""SELECT e.vec_id AS qid, CAST(5 AS BIGINT) AS hits_capped,
+       true AS recall_ok,
+       (SELECT count(1) FROM embeddings) AS n_assigned_capped,
+       true AS assign_complete
+       FROM embeddings e WHERE e.vec_id IN (${QueryIds.mkString(", ")})
+       ORDER BY qid"""
 
   // -- embedding-cosine near-dup -------------------------------------------
 
@@ -1127,6 +1238,7 @@ object Vector {
     "ann_ivfpq_recall_gate" -> annIvfPqRecallGate,
     "ann_ivf_kmeans_recall_gate" -> annIvfKmeansRecallGate,
     "ann_index_persist" -> annIndexPersist,
+    "ann_index_append" -> annIndexAppend,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
     "dedup_semantic" -> dedupSemantic)
 
@@ -1144,6 +1256,7 @@ object Vector {
     "ann_ivfpq_recall_gate" -> annRecallGateSql(6),
     "ann_ivf_kmeans_recall_gate" -> annRecallGateSql(5),
     "ann_index_persist" -> annIndexPersistSql,
+    "ann_index_append" -> annIndexAppendSql,
     "dedup_embedding_cosine" -> dedupEmbeddingCosineSql,
     "dedup_semantic" -> dedupSemanticSql)
 }

@@ -410,6 +410,16 @@ class RelationalOpsSpec extends SparkSuite {
 }
 
 class TextOpsSpec extends SparkSuite {
+  test("bloom decontam is row-identical to the exact broadcast-set path") {
+    // The bloom only PRUNES (exact verify decides), so the two plans
+    // must agree bit-for-bit on every doc — including contam_frac_e4,
+    // which would drift if a false positive ever survived the verify.
+    val exact = ops.Text.decontam(spark, sf).collect().toSeq
+    val bloom = ops.Text.decontamBloom(spark, sf).collect().toSeq
+    assert(bloom == exact)
+    assert(exact.nonEmpty)
+  }
+
   test("dsir weights: feature accounting exact, target domain scores higher") {
     // structural: features = unigrams + consecutive bigrams, so
     // n_feats == 2*n_tokens - 1 for every tokenized doc
@@ -637,6 +647,25 @@ class TextOpsSpec extends SparkSuite {
 }
 
 class VectorSpec extends SparkSuite {
+  test("incremental index append: gates green, delta assigned, corpus covered once") {
+    val rows = Vector.annIndexAppend(spark, sf).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("recall_ok"), s"recall floor: $r")
+      assert(r.getAs[Boolean]("assign_complete"), s"coverage: $r")
+    }
+    // the persisted assignment really contains the late batch (the
+    // append happened) — read it back through the same session root
+    val dir = graft.Util.sessionTmpDir(spark, "graft_ann_index") + "/" +
+      java.lang.Integer.toHexString(Vector.dataKey(sf).hashCode) + "_incr"
+    val assigned = spark.read.parquet(s"$dir/assign.parquet")
+    val nDelta = assigned.filter(pmod(col("vec_id"), lit(101)) === 13).count()
+    val nExpect = Tables.embeddings(spark, sf)
+      .filter(pmod(col("vec_id"), lit(101)) === 13).count()
+    assert(nDelta == nExpect && nDelta > 0,
+      s"delta rows in assignment: $nDelta of $nExpect")
+  }
+
   test("brute-force top-k ranks by true cosine (spot-check qid 0 rank 1)") {
     val rows = Vector.annBruteTopk(spark, sf)
       .filter(col("qid") === 0).collect()
