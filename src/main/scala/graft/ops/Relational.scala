@@ -914,6 +914,48 @@ object Relational {
        WHERE p_size <= 10
        GROUP BY p_brand ORDER BY p_brand"""
 
+  // Bucketed CO-LOCATED fact⋈fact join — the third leg of the join
+  // strategy triad (broadcast for small dims, shuffle for ad-hoc,
+  // BUCKETING for the recurring big⋈big join). Both tables are written
+  // ONCE per (session, dataset) bucketed into 8 buckets on the join
+  // key (`bucketBy` + saveAsTable — Spark's hash-bucketed layout, the
+  // managed-table analog of Hive bucketing); every later join on that
+  // key reads bucket i against bucket i directly and plans NO exchange
+  // under the SortMergeJoin (plan-asserted in ScaleSpec). At 100 TB
+  // this is how the nightly lineitem⋈orders spine avoids re-shuffling
+  // two fact tables every run: the shuffle is paid once at write time
+  // and amortized over every subsequent query on the bucket key.
+  // Bench note: run 1 per session pays the bucketed write; runs 2+
+  // measure the co-located read path, which is the steady state.
+  def joinBucketed(spark: SparkSession, sfDir: String): DataFrame = {
+    val tag = java.lang.Integer.toHexString(sfDir.hashCode)
+    val tl = s"graft_li_bkt_$tag"
+    val to = s"graft_ord_bkt_$tag"
+    if (!spark.catalog.tableExists(tl)) {
+      val root = graft.Util.sessionTmpDir(spark, "graft_bucketed")
+      Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"),
+          revenueCents("l_extendedprice", "l_discount").cast("long").as("rev_cents"))
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$root/$tl").saveAsTable(tl)
+      Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$root/$to").saveAsTable(to)
+    }
+    spark.table(tl)
+      .join(spark.table(to), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("rev_cents")).as("revenue_cents"))
+      .orderBy(col("o_orderpriority"))
+  }
+  val joinBucketedSql: String =
+    """SELECT o_orderpriority, count(1) AS n_lines,
+       CAST(sum(CAST(floor((l_extendedprice * (1.0 - l_discount)) * 100.0)
+         AS BIGINT)) AS BIGINT) AS revenue_cents
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
   // SCD2 build: collapse each user's event stream to state-change rows,
   // then emit [valid_from, valid_to) validity intervals with an
   // is_current flag — the slowly-changing-dimension compaction of a
@@ -2057,6 +2099,7 @@ object Relational {
     "agg_grouping_sets" -> aggGroupingSets,
     "exists_subquery" -> existsSubquery,
     "broadcast_join" -> broadcastJoin,
+    "join_bucketed" -> joinBucketed,
     "q1_agg" -> q1Agg,
     "window_ntile" -> windowNtile,
     "q3_top_orders" -> q3TopOrders,
@@ -2126,6 +2169,7 @@ object Relational {
     "agg_grouping_sets" -> aggGroupingSetsSql,
     "exists_subquery" -> existsSubquerySql,
     "broadcast_join" -> broadcastJoinSql,
+    "join_bucketed" -> joinBucketedSql,
     "q1_agg" -> q1Sql,
     "window_ntile" -> windowNtileSql,
     "q3_top_orders" -> q3Sql,

@@ -8,6 +8,40 @@ import graft.streaming.EventsStream
   * story (bucketed co-located joins, streaming dedup, skew salting). */
 class ScaleSpec extends SparkSuite {
 
+  test("join_bucketed: SMJ over bucketed scans, zero exchange below the join") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    graft.Util.withConf(spark, "spark.sql.adaptive.enabled", "false") {
+      graft.Util.withConf(spark, "spark.sql.autoBroadcastJoinThreshold", "-1") {
+        val plan = graft.ops.Relational.joinBucketed(spark, sf)
+          .queryExecution.executedPlan
+        val smjs = plan.collect { case j: SortMergeJoinExec => j }
+        assert(smjs.nonEmpty, s"expected a sort-merge join:\n$plan")
+        val below = smjs.flatMap(_.collect { case e: ShuffleExchangeExec => e })
+        assert(below.isEmpty,
+          s"bucketed join must not shuffle its inputs:\n$plan")
+        // non-vacuous: the agg above the join still exchanges, so the
+        // collector demonstrably sees exchanges in this plan tree
+        val all = plan.collect { case e: ShuffleExchangeExec => e }
+        assert(all.nonEmpty, "collector saw no exchanges at all — vacuous")
+      }
+    }
+  }
+
+  test("k7_pruned_read: day predicate reaches the scan as a partition filter") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    graft.Util.withConf(spark, "spark.sql.adaptive.enabled", "false") {
+      val df = graft.ops.Sinks.k7PrunedRead(spark, sf)
+      val plan = df.queryExecution.executedPlan
+      val scans = plan.collect { case s: FileSourceScanExec => s }
+      assert(scans.nonEmpty, s"no file scans:\n$plan")
+      val sinkScan = scans.find(_.partitionFilters.exists(
+        _.references.exists(_.name == "day")))
+      assert(sinkScan.isDefined,
+        s"no scan carries a partition filter on day:\n$plan")
+    }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_customer")
