@@ -154,13 +154,21 @@ object Sinks {
   // The read-back manifest checks per-day row counts exactly and
   // files-per-day ∈ [1, Salt]. Exercises the actual writer path
   // inside the oracle gate.
-  def k7PartitionedWrite(spark: SparkSession, sfDir: String): DataFrame = {
-    val salt = 4
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_part_sink"
+  /** The k7 writer body: salted day-partitioned parquet at `out`. */
+  private def writeDayPartitioned(spark: SparkSession, sfDir: String,
+      out: String, salt: Int): Unit =
     graft.Tables.events(spark, sfDir)
       .withColumn("day", to_date(col("ts")).cast("string"))
       .repartition(col("day"), pmod(hash(col("event_id")), lit(salt)))
       .write.partitionBy("day").mode("overwrite").parquet(out)
+
+  def k7PartitionedWrite(spark: SparkSession, sfDir: String): DataFrame = {
+    val salt = 4
+    // session-scoped root (same concurrent-session race lesson as
+    // k8/k9: a fixed path lets one session's overwrite race another's
+    // read-back; shutdown-hook cleaned)
+    val out = graft.Util.sessionTmpDir(spark, "graft_part_sink")
+    writeDayPartitioned(spark, sfDir, out, salt)
     val files = spark.read.format("binaryFile")
       .option("recursiveFileLookup", "true").load(out)
       .filter(col("path").endsWith(".parquet"))
@@ -178,6 +186,38 @@ object Sinks {
     """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
        count(1) AS n_rows, true AS files_bounded
        FROM events GROUP BY 1 ORDER BY day"""
+
+  // K7b — partition-PRUNED read of the day-partitioned sink: the
+  // consumer half of k7's contract. A query for one day must reach
+  // only that day's directory — the scan carries the day predicate as
+  // a PartitionFilter (asserted plan-level in ScaleSpec) so at 100 TB
+  // a daily job reads 1/365th of the table, not all of it and filter
+  // later. The gate row proves the pruned read returns exactly the
+  // oracle's rows for that day; the target day is the corpus minimum,
+  // computed as a broadcast scalar (no driver collect).
+  def k7PrunedRead(spark: SparkSession, sfDir: String): DataFrame = {
+    // own dataset-keyed sink, written once per (session, dataset) —
+    // sharing k7's dir would read whichever dataset k7 staged last
+    val out = graft.Util.sessionTmpDir(spark, "graft_part_sink") + "/pruned_" +
+      java.lang.Integer.toHexString(sfDir.hashCode)
+    if (!new java.io.File(s"$out/_SUCCESS").exists())
+      writeDayPartitioned(spark, sfDir, out, salt = 4)
+    val target = graft.Tables.events(spark, sfDir)
+      .agg(min(to_date(col("ts")).cast("string")).as("target_day"))
+    spark.read.parquet(out)
+      .withColumn("day", col("day").cast("string"))
+      .join(broadcast(target), col("day") === col("target_day"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("event_id")).as("n_distinct_ids"))
+      .orderBy(col("day"))
+  }
+  val k7PrunedReadSql: String =
+    """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+       count(1) AS n_rows, count(DISTINCT event_id) AS n_distinct_ids
+       FROM events
+       WHERE CAST(ts AS DATE) = (SELECT min(CAST(ts AS DATE)) FROM events)
+       GROUP BY 1 ORDER BY day"""
 
   // K8 — DSv2 write connector in the gate: push a projected event set
   // through JsonDirSink's two-phase commit, read the committed output
@@ -253,6 +293,7 @@ object Sinks {
     "k9_orc_roundtrip" -> k9OrcRoundtrip,
     "k8_dsv2_roundtrip" -> k8Dsv2Roundtrip,
     "k7_partitioned_write" -> k7PartitionedWrite,
+    "k7_pruned_read" -> k7PrunedRead,
     "k1_post_params" -> k1PostParams,
     "k2_patch_payload" -> k2PatchPayload,
     "k3_put_payload" -> k3PutPayload,
@@ -263,6 +304,7 @@ object Sinks {
     "k9_orc_roundtrip" -> k9Sql,
     "k8_dsv2_roundtrip" -> k8Sql,
     "k7_partitioned_write" -> k7Sql,
+    "k7_pruned_read" -> k7PrunedReadSql,
     "k1_post_params" -> k1Sql,
     "k2_patch_payload" -> k2Sql,
     "k3_put_payload" -> k3Sql,
