@@ -607,6 +607,55 @@ object Text {
   // verify join shuffles |matches| + fpp·|corpus shingles| rows
   // instead of the whole corpus side — the decontamination shape that
   // survives both a big corpus AND a big benchmark suite.
+  // HTML main-content extraction: the boilerplate-removal front door
+  // of a web-corpus build (jusText/trafilatura's job, reduced to its
+  // relationally-expressible core). The synthetic corpus is plain
+  // text, so — exactly like t_pii_redact — the query first wraps each
+  // doc in a deterministic page template (nav chrome, ad block,
+  // <article> payload, footer) and the OPERATOR under test is the
+  // extraction pipeline: pull the article span, strip residual tags,
+  // and score content density (content chars / page chars — the
+  // text-density signal boilerplate classifiers threshold on).
+  // Pure per-row codegen'd expression work, no shuffle but the
+  // presentation sort — linear at 100 TB. Patterns stay in the
+  // Java-regex ∩ RE2 dialect so Spark and DuckDB match identically;
+  // content_ok proves extraction returned the payload byte-for-byte.
+  def htmlExtract(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("page", concat(
+        lit("<html><head><title>Doc "), col("doc_id"),
+        lit("</title></head><body><nav>Home | Products | About</nav>"),
+        lit("<div class=\"ad\">SALE! Click now!</div><article>"),
+        col("text"),
+        lit("</article><footer>(c) 2024 Example Corp</footer></body></html>")))
+      .select(col("doc_id"), col("text"),
+        length(col("page")).as("page_chars"),
+        regexp_extract(col("page"), "(?s)<article>(.*)</article>", 1)
+          .as("content"))
+      .select(col("doc_id"), col("page_chars"),
+        length(col("content")).as("content_chars"),
+        e4(lit(1.0) * length(col("content")) / col("page_chars"))
+          .cast("long").as("content_ratio_e4"),
+        (col("content") === col("text")).as("content_ok"))
+      .orderBy(col("doc_id"))
+  val htmlExtractSql: String =
+    """WITH p AS (
+         SELECT doc_id, text,
+           '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+           '</title></head><body><nav>Home | Products | About</nav>' ||
+           '<div class="ad">SALE! Click now!</div><article>' || text ||
+           '</article><footer>(c) 2024 Example Corp</footer></body></html>'
+             AS page
+         FROM documents),
+       x AS (SELECT doc_id, text, CAST(length(page) AS INT) AS page_chars,
+               regexp_extract(page, '(?s)<article>(.*)</article>', 1) AS content
+             FROM p)
+       SELECT doc_id, page_chars, CAST(length(content) AS INT) AS content_chars,
+         CAST(floor(1.0 * length(content) / page_chars * 10000.0) AS BIGINT)
+           AS content_ratio_e4,
+         content = text AS content_ok
+       FROM x ORDER BY doc_id"""
+
   private val bloomCache = scala.collection.concurrent.TrieMap
     .empty[(String, String), org.apache.spark.util.sketch.BloomFilter]
   /** Fingerprint of the documents table files (name, size, mtime) —
@@ -1514,6 +1563,7 @@ object Text {
     "t_repetition" -> repetition,
     "t_decontam" -> decontam,
     "t_decontam_bloom" -> decontamBloom,
+    "t_html_extract" -> htmlExtract,
     "t_pii_redact" -> piiRedact,
     "t_inverted_index" -> invertedIndex,
     "t_pmi_bigrams" -> pmiBigrams,
@@ -1547,6 +1597,7 @@ object Text {
     "t_repetition" -> repetitionSql,
     "t_decontam" -> decontamSql,
     "t_decontam_bloom" -> decontamSql,
+    "t_html_extract" -> htmlExtractSql,
     "t_pii_redact" -> piiRedactSql,
     "t_inverted_index" -> invertedIndexSql,
     "t_pmi_bigrams" -> pmiBigramsSql,
