@@ -86,7 +86,12 @@ object EventsStream {
       }
       .start()
     q.awaitTermination()
-    if (new java.io.File(outDir).exists()) spark.read.parquet(outDir)
+    // Hadoop FS, not java.io.File: the output root is local here but
+    // an object store on a cluster — the existence probe must go
+    // through the same filesystem abstraction the writer used.
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(outPath)) spark.read.parquet(outDir)
     else spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), df.schema)
   }
