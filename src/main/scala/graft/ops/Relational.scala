@@ -931,17 +931,20 @@ object Relational {
     val tag = java.lang.Integer.toHexString(sfDir.hashCode)
     val tl = s"graft_li_bkt_$tag"
     val to = s"graft_ord_bkt_$tag"
-    if (!spark.catalog.tableExists(tl)) {
+    // check BOTH tables: a failure between the two writes must not
+    // leave a half-built pair that later calls treat as complete
+    if (!spark.catalog.tableExists(tl) || !spark.catalog.tableExists(to)) {
+      Seq(tl, to).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
       val root = graft.Util.sessionTmpDir(spark, "graft_bucketed")
       Tables.lineitem(spark, sfDir)
         .select(col("l_orderkey"),
           revenueCents("l_extendedprice", "l_discount").cast("long").as("rev_cents"))
         .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .option("path", s"$root/$tl").saveAsTable(tl)
+        .mode("overwrite").option("path", s"$root/$tl").saveAsTable(tl)
       Tables.orders(spark, sfDir)
         .select(col("o_orderkey"), col("o_orderpriority"))
         .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .option("path", s"$root/$to").saveAsTable(to)
+        .mode("overwrite").option("path", s"$root/$to").saveAsTable(to)
     }
     spark.table(tl)
       .join(spark.table(to), col("l_orderkey") === col("o_orderkey"))

@@ -196,9 +196,12 @@ object Sinks {
   // oracle's rows for that day; the target day is the corpus minimum,
   // computed as a broadcast scalar (no driver collect).
   def k7PrunedRead(spark: SparkSession, sfDir: String): DataFrame = {
-    // own dataset-keyed sink, written once per (session, dataset) —
-    // sharing k7's dir would read whichever dataset k7 staged last
-    val out = graft.Util.sessionTmpDir(spark, "graft_part_sink") + "/pruned_" +
+    // own dataset-keyed sink under its OWN session root, written once
+    // per (session, dataset). Sharing k7's dir would be doubly wrong:
+    // k7 stages whichever dataset ran last, and k7's mode(overwrite)
+    // write wipes the root — nesting under it would delete this copy
+    // on every k7 run and pollute k7's partition discovery in between.
+    val out = graft.Util.sessionTmpDir(spark, "graft_part_pruned") + "/" +
       java.lang.Integer.toHexString(sfDir.hashCode)
     if (!new java.io.File(s"$out/_SUCCESS").exists())
       writeDayPartitioned(spark, sfDir, out, salt = 4)
