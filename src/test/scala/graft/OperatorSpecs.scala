@@ -420,6 +420,31 @@ class TextOpsSpec extends SparkSuite {
     assert(exact.nonEmpty)
   }
 
+  test("bloom prefilter passes true matches plus at most the fpp sliver") {
+    // The scale claim is that the verify join sees |matches| +
+    // fpp·|non-matches| rows, never the whole corpus side. Rebuild the
+    // same filter the operator builds and measure its pass rate: every
+    // true match MUST pass (no false negatives, or correctness dies),
+    // and non-matching shingles pass at ≲ 3× the 1 % fpp.
+    import spark.implicits._
+    val shingled = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) =>
+        graft.functions.TextHash.shingles(t).map(s => (id, s)) }
+      .toDF("doc_id", "s")
+    val bench = shingled.filter(col("doc_id") % 97 === 0)
+      .select("s").distinct()
+    val benchSet = bench.as[String].collect().toSet
+    val bf = bench.stat.bloomFilter("s", math.max(benchSet.size, 1), 0.01)
+    val scan = shingled.filter(col("doc_id") % 97 =!= 0)
+      .select("s").as[String].collect()
+    val (matches, nonMatches) = scan.partition(benchSet.contains)
+    assert(matches.forall(bf.mightContain), "bloom false negative")
+    val fpRate =
+      nonMatches.count(bf.mightContain).toDouble / math.max(nonMatches.length, 1)
+    assert(fpRate <= 0.03, s"fp rate $fpRate exceeds 3x the 1% target")
+  }
+
   test("dsir weights: feature accounting exact, target domain scores higher") {
     // structural: features = unigrams + consecutive bigrams, so
     // n_feats == 2*n_tokens - 1 for every tokenized doc
