@@ -71,6 +71,33 @@ final case class Cron(
   /** Lazy stream of fire times strictly after `after`. */
   def fireTimes(after: Instant): LazyList[Instant] =
     LazyList.iterate(nextFire(after))(nextFire)
+
+  /** Compile this cron to a SQL boolean predicate over timestamp
+    * column `c` — the RELATIONAL form of [[matches]], so a schedule
+    * can be applied to a whole tick spine in one codegen'd filter
+    * instead of a per-row driver callback, and the DuckDB oracle can
+    * evaluate the identical semantics. Field sets render as IN lists
+    * (full-range fields collapse to `true`); the Vixie either-match
+    * rule on dom/dow renders as OR exactly as [[dayMatches]] applies
+    * it. `dialect` splits only on day-of-week numbering: Spark's
+    * dayofweek() is 1-based (Sunday = 1), DuckDB's 0-based
+    * (Sunday = 0); both normalize here to cron's 0 = Sunday. */
+  def predicateSql(c: String, dialect: String): String = {
+    def inSet(e: String, s: Set[Int], lo: Int, hi: Int): String =
+      if ((lo to hi).forall(s)) "true"
+      else s"$e IN (${s.toSeq.sorted.mkString(", ")})"
+    val dowExpr =
+      if (dialect == "spark") s"(dayofweek($c) - 1)" else s"dayofweek($c)"
+    val m = inSet(s"minute($c)", minutes, 0, 59)
+    val h = inSet(s"hour($c)", hours, 0, 23)
+    val mon = inSet(s"month($c)", months, 1, 12)
+    val dom = inSet(s"day($c)", daysOfMonth, 1, 31)
+    val dow = inSet(dowExpr, daysOfWeek, 0, 6)
+    val dayPred =
+      if (!domRestricted || !dowRestricted) s"($dom AND $dow)"
+      else s"($dom OR $dow)"
+    s"($m AND $h AND $mon AND $dayPred)"
+  }
 }
 
 object Cron {

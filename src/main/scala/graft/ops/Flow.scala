@@ -349,10 +349,74 @@ object Flow {
                      date_trunc('microseconds', ts) AS ts FROM events))))
        GROUP BY user_id, sess_idx ORDER BY user_id, sess_idx"""
 
+  /** D4 catchup/backfill planner — the enumeration half of Airflow's
+    * scheduler. Given a schedule and a backfill window, Airflow
+    * (catchup=True) creates one run per completed DATA INTERVAL: the
+    * run with logical date t covers [t, next_tick) and only becomes
+    * schedulable once that interval has fully elapsed, so the final
+    * tick in the window enumerates no run. This query plans the
+    * reference's 6-hourly Speedtest schedule (dags/Speedtest.py:23)
+    * over the events month and sizes each run's interval by its event
+    * count — the "how much data does each backfill run cover" report a
+    * data-aware backfill starts from.
+    *
+    * Relational throughout: the cron compiles to a codegen'd predicate
+    * over a minute-grain tick spine ([[Cron.predicateSql]] — no
+    * per-row driver callback, and the DuckDB oracle evaluates the
+    * identical semantics); the interval sizing is an INNER range join
+    * the RangeJoinBinning rule rewrites to a binned hash join (its
+    * third consumer), then a tiny left join re-attaches zero-event
+    * runs. The lead() window is global but over the TICK SPINE —
+    * bounded by the plan horizon (minutes in the window), never by
+    * data volume. */
+  def d4BackfillPlan(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.plans.Plans.install(spark)
+    val cron = Cron.parse("0 */6 * * *")
+    val (start, end) = ("2024-01-01 00:00:00", "2024-02-01 00:00:00")
+    val ticks = spark.range(1).select(explode(expr(
+        s"sequence(timestamp'$start', timestamp'$end', interval 1 minute)"))
+        .as("tick"))
+      .filter(expr(cron.predicateSql("tick", "spark")))
+    val w = Window.orderBy(col("tick"))
+    val runs = ticks
+      .withColumn("hi", lead(col("tick"), 1).over(w))
+      .filter(col("hi").isNotNull)
+      .select(col("tick").as("lo"), col("hi"))
+    val counts = runs
+      .join(Tables.events(spark, sfDir).select(col("ts")),
+        col("ts") >= col("lo") && col("ts") < col("hi"))
+      .groupBy(col("lo"), col("hi")).agg(count(lit(1)).as("n_events"))
+    runs.join(counts, Seq("lo", "hi"), "left")
+      .select(fmtTs(col("lo")).as("interval_start"),
+        fmtTs(col("hi")).as("interval_end"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+      .orderBy(col("interval_start"))
+  }
+  val d4BackfillPlanSql: String = {
+    val pred = Cron.parse("0 */6 * * *").predicateSql("tick", "duckdb")
+    s"""WITH ticks AS (
+         SELECT ts AS tick FROM generate_series(
+           TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-02-01 00:00:00',
+           INTERVAL 1 MINUTE) t(ts)
+         WHERE $pred),
+       runs AS (SELECT tick AS lo, lead(tick) OVER (ORDER BY tick) AS hi
+                FROM ticks),
+       r AS (SELECT lo, hi FROM runs WHERE hi IS NOT NULL),
+       c AS (SELECT lo, hi, count(1) AS n FROM r
+             JOIN events e ON e.ts >= r.lo AND e.ts < r.hi
+             GROUP BY lo, hi)
+       SELECT strftime(r.lo, '%Y-%m-%d %H:%M:%S') AS interval_start,
+         strftime(r.hi, '%Y-%m-%d %H:%M:%S') AS interval_end,
+         CAST(coalesce(c.n, 0) AS BIGINT) AS n_events
+       FROM r LEFT JOIN c ON r.lo = c.lo AND r.hi = c.hi
+       ORDER BY interval_start"""
+  }
+
   val queries: Map[String, QFn] = Map(
     "d1_fanout_isolation" -> d1FanoutIsolation,
     "d2_sequential_gate" -> d2SequentialGate,
     "d3_shared_reuse" -> d3SharedReuse,
+    "d4_backfill_plan" -> d4BackfillPlan,
     "d7_env_gate" -> d7EnvGate,
     "sessionize" -> sessionize)
 
@@ -360,6 +424,7 @@ object Flow {
     "d1_fanout_isolation" -> d1Sql,
     "d2_sequential_gate" -> d2Sql,
     "d3_shared_reuse" -> d3Sql,
+    "d4_backfill_plan" -> d4BackfillPlanSql,
     "d7_env_gate" -> d7Sql,
     "sessionize" -> sessionizeSql)
 }

@@ -131,6 +131,50 @@ class CronSpec extends AnyFunSuite {
     assert(body == "run cleanup for 2024-03-01 (prev 2024-02-29)")
   }
 
+  test("predicateSql agrees with matches() minute-by-minute (both dialects)") {
+    // The relational compile must be semantics-identical to the
+    // imperative matcher — including the Vixie either-match dom/dow
+    // rule and the 0=Sunday normalization, where the dialects differ.
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    import java.time.Instant
+    val exprs = Seq("0 */6 * * *", "*/5 * * * *", "0 * * * *", "@daily",
+      "30 8 * * 1-5", "0 0 1,15 * 3", "15 12 */2 * *")
+    val t0 = Instant.parse("2024-01-28T00:00:00Z") // spans a month edge + weekdays
+    val ticks = (0 until 10080).map(i => t0.plusSeconds(i * 60L)) // one week
+    exprs.foreach { ex =>
+      val cron = Cron.parse(ex)
+      val want = ticks.filter(cron.matches).map(_.toString).toSet
+      val got = spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            ticks.map(t => org.apache.spark.sql.Row(
+              java.sql.Timestamp.from(t))), 4),
+          new org.apache.spark.sql.types.StructType()
+            .add("tick", org.apache.spark.sql.types.TimestampType))
+        .filter(org.apache.spark.sql.functions.expr(
+          cron.predicateSql("tick", "spark")))
+        .collect().map(_.getTimestamp(0).toInstant.toString).toSet
+      assert(got == want, s"spark dialect diverges for '$ex'")
+      // DuckDB dialect differs only in dayofweek numbering (0-based).
+      // Translate its dow expression into Spark's equivalent 0-based
+      // form and EVALUATE it — the translated predicate must match the
+      // imperative matcher too, proving the shift is the one real
+      // dialect difference.
+      val duckInSpark = cron.predicateSql("tick", "duckdb")
+        .replace("dayofweek(tick)", "(dayofweek(tick) - 1)")
+      val gotDuck = spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            ticks.map(t => org.apache.spark.sql.Row(
+              java.sql.Timestamp.from(t))), 4),
+          new org.apache.spark.sql.types.StructType()
+            .add("tick", org.apache.spark.sql.types.TimestampType))
+        .filter(org.apache.spark.sql.functions.expr(duckInSpark))
+        .collect().map(_.getTimestamp(0).toInstant.toString).toSet
+      assert(gotDuck == want, s"duck dialect diverges for '$ex'")
+    }
+  }
+
   test("runRecurringCron ticks at schedule fire times with no catchup") {
     // virtual clock: starts 22:58:30, each sleep advances it; the job
     // on the first tick "runs long" past the 23:30 fire, which must be

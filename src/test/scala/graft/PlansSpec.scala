@@ -64,6 +64,31 @@ class PlansSpec extends SparkSuite {
     assert(plan.contains("graft_bin"), s"bin key missing:\n$plan")
   }
 
+  test("backfill plan's interval join is binned (third consumer)") {
+    val df = graft.ops.Flow.d4BackfillPlan(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"event-in-interval sizing join must be binned:\n${plan.take(1500)}")
+    assert(plan.contains("graft_bin"), "rule fired for the third consumer")
+    // interval algebra: runs tile the window — every adjacent pair
+    // abuts (this run's end = next run's start) and counts sum to the
+    // events inside the window
+    val rows = df.collect()
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[String]("interval_end") ==
+          b.getAs[String]("interval_start"), "runs must tile the window")
+      case _ =>
+    }
+    val total = rows.map(_.getAs[Long]("n_events")).sum
+    val expect = Tables.events(spark, sf)
+      .filter(col("ts") >= org.apache.spark.sql.functions.lit("2024-01-01")
+        .cast("timestamp") &&
+        col("ts") < org.apache.spark.sql.functions.lit("2024-02-01")
+          .cast("timestamp")).count()
+    assert(total == expect, s"interval counts must cover the window: $total vs $expect")
+  }
+
   test("session concurrency is binned (no nested loop) and counts exactly") {
     Plans.install(spark)
     val df = Plans.sessionConcurrency(spark, sf)
