@@ -77,6 +77,24 @@ object Util {
     f.delete(); ()
   }
 
+  /** Cheap content fingerprint of a parquet table path (file name,
+    * size, mtime of every part file, recursively) — the cache-key
+    * component every per-session artifact must carry so an in-place
+    * dataset regeneration REBUILDS the artifact instead of serving a
+    * stale copy (the Tables.tsToMicrosSqlAt / Vector.dataKey pattern,
+    * shared here so new artifacts can't forget it). */
+  def fileFingerprint(path: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] = {
+      if (f.isFile) Seq(f)
+      else Option(f.listFiles()).map(_.toSeq).getOrElse(Nil)
+        .sortBy(_.getName).flatMap(walk)
+    }
+    val fp = walk(new java.io.File(path))
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString("|").hashCode
+    java.lang.Integer.toHexString(fp)
+  }
+
   /** The materialized RDD behind a `localCheckpoint(true)`'d Dataset.
     * `Dataset.unpersist()` does NOT release checkpointed blocks, so
     * iterative loops (PageRank, connected components) must free each

@@ -37,7 +37,7 @@ object Dedup {
     *    Filter by InferFiltersFromGenerate — minutes instead of
     *    seconds).
     */
-  private def shingled(spark: SparkSession, sfDir: String): DataFrame =
+  private[ops] def shingled(spark: SparkSession, sfDir: String): DataFrame =
     Flow.sharedScan(spark, s"shingled:$sfDir") {
       import spark.implicits._
       val parallelism = spark.sparkContext.defaultParallelism

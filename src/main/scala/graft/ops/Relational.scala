@@ -928,7 +928,11 @@ object Relational {
   // Bench note: run 1 per session pays the bucketed write; runs 2+
   // measure the co-located read path, which is the steady state.
   def joinBucketed(spark: SparkSession, sfDir: String): DataFrame = {
-    val tag = java.lang.Integer.toHexString(sfDir.hashCode)
+    // dataset-CONTENT tag (file fingerprint of both join inputs, not
+    // the path): regenerated data at the same sfDir must rebuild the
+    // bucketed pair, never join the stale copies
+    val tag = graft.Util.fileFingerprint(s"$sfDir/lineitem.parquet") +
+      graft.Util.fileFingerprint(s"$sfDir/orders.parquet")
     val tl = s"graft_li_bkt_$tag"
     val to = s"graft_ord_bkt_$tag"
     // check BOTH tables: a failure between the two writes must not
@@ -1832,31 +1836,37 @@ object Relational {
     * O(√files). The emitted row pair (layout, files touched, rows
     * scanned vs matched) is the read-amplification number a 100 TB
     * table layout decision is made on. Everything is exact integer
-    * arithmetic shared with the DuckDB oracle; the two aggregations
-    * reuse one scan's worth of derived columns and shuffle only
-    * 64-row bucket stats. */
+    * arithmetic shared with the DuckDB oracle; both layouts aggregate
+    * from ONE scan (rows stacked into both (layout, bucket) keys) and
+    * only 2 × 64 rows of bucket stats ever shuffle. */
   def layoutSkippingGain(spark: SparkSession, sfDir: String): DataFrame = {
     val boxLo = 256; val boxHi = 287 // y10 box, ~3 % of the y range
-    val d = Tables.lineitem(spark, sfDir)
+    // ONE lineitem scan: each row is stacked into both layouts'
+    // (layout, bucket) keys before a single two-level aggregation —
+    // a union of per-layout branches would rescan the table and
+    // recompute the 20-term Morton expression per branch.
+    val stacked = Tables.lineitem(spark, sfDir)
       .select(pmod(col("l_orderkey"), lit(1024)).as("x"),
         pmod(col("l_partkey"), lit(1024)).as("y"))
       .withColumn("z", expr(zOrderExpr("div")))
-      .withColumn("b_z", expr(s"z div ${1 << 14}"))
-      .withColumn("b_lin", expr("x div 16"))
-    def gain(bucketCol: String, name: String): DataFrame =
-      d.groupBy(col(bucketCol).as("bucket"))
-        .agg(min(col("y")).as("min_y"), max(col("y")).as("max_y"),
-          count(lit(1)).as("n_rows"),
-          sum((col("y") >= boxLo && col("y") <= boxHi).cast("long")).as("n_match"))
-        .agg(count(lit(1)).as("n_files"),
-          sum((col("min_y") <= boxHi && col("max_y") >= boxLo).cast("long"))
-            .as("files_touched"),
-          sum(when(col("min_y") <= boxHi && col("max_y") >= boxLo,
-            col("n_rows")).otherwise(0L)).as("rows_scanned"),
-          sum(col("n_match")).as("rows_matched"))
-        .select(lit(name).as("layout"), col("n_files"), col("files_touched"),
-          col("rows_scanned"), col("rows_matched"))
-    gain("b_lin", "linear_x").unionByName(gain("b_z", "zorder"))
+      .select(col("y"), explode(array(
+        struct(lit("linear_x").as("layout"), expr("x div 16").as("bucket")),
+        struct(lit("zorder").as("layout"),
+          expr(s"z div ${1 << 14}").as("bucket")))).as("lb"))
+      .select(col("lb.layout").as("layout"), col("lb.bucket").as("bucket"),
+        col("y"))
+    stacked
+      .groupBy(col("layout"), col("bucket"))
+      .agg(min(col("y")).as("min_y"), max(col("y")).as("max_y"),
+        count(lit(1)).as("n_rows"),
+        sum((col("y") >= boxLo && col("y") <= boxHi).cast("long")).as("n_match"))
+      .groupBy(col("layout"))
+      .agg(count(lit(1)).as("n_files"),
+        sum((col("min_y") <= boxHi && col("max_y") >= boxLo).cast("long"))
+          .as("files_touched"),
+        sum(when(col("min_y") <= boxHi && col("max_y") >= boxLo,
+          col("n_rows")).otherwise(0L)).as("rows_scanned"),
+        sum(col("n_match")).as("rows_matched"))
       .orderBy(col("layout"))
   }
   val layoutSkippingGainSql: String = {

@@ -384,8 +384,17 @@ object Semi {
     val queryRows = active.map { q =>
       val lastMs = Option(q.lastProgress).map(p =>
         java.time.Instant.parse(p.timestamp).toEpochMilli)
-      // no progress yet = just started, within grace; else age-bounded
-      val fresh = lastMs.forall(now - _ <= StreamStaleMs)
+      // A query with NO progress yet gets a bounded startup grace, not
+      // an unconditional pass: the StreamingQuery API carries no start
+      // time, so the probe records first-sight and ages against that —
+      // a query wedged before its first micro-batch (hung source,
+      // stuck state-store open) goes unhealthy after the same bound as
+      // a stalled one, which is exactly the triggerer-stall case this
+      // probe exists to catch.
+      val sinceMs: Long = lastMs.getOrElse(
+        firstSeen.computeIfAbsent(q.runId.toString, _ => Long.box(now))
+          .longValue)
+      val fresh = now - sinceMs <= StreamStaleMs
       (s"streaming:query:${Option(q.name).getOrElse(q.id.toString)}",
         if (q.isActive) 1L else 0L, q.isActive && fresh)
     }
@@ -401,6 +410,11 @@ object Semi {
     * reported unhealthy by [[s12HealthProbe]] — the triggerer-stall
     * analog of the reference's component healthcheck. */
   val StreamStaleMs: Long = 5 * 60 * 1000L
+  /** First time the probe saw each runId with no progress yet —
+    * bounds the startup grace (keyed on runId so a RESTARTED query
+    * gets a fresh grace window; dead runIds are a few bytes each). */
+  private val firstSeen =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   val s12Sql: String = {
     val tables = graft.Tables.Names.map(t =>
       s"""SELECT 'table:$t' AS component,

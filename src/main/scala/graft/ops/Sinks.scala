@@ -197,12 +197,15 @@ object Sinks {
   // computed as a broadcast scalar (no driver collect).
   def k7PrunedRead(spark: SparkSession, sfDir: String): DataFrame = {
     // own dataset-keyed sink under its OWN session root, written once
-    // per (session, dataset). Sharing k7's dir would be doubly wrong:
-    // k7 stages whichever dataset ran last, and k7's mode(overwrite)
-    // write wipes the root — nesting under it would delete this copy
-    // on every k7 run and pollute k7's partition discovery in between.
+    // per (session, dataset CONTENT). Sharing k7's dir would be doubly
+    // wrong: k7 stages whichever dataset ran last, and k7's
+    // mode(overwrite) write wipes the root — nesting under it would
+    // delete this copy on every k7 run and pollute k7's partition
+    // discovery in between. The key is a file FINGERPRINT, not the
+    // path: a regenerated events table must rebuild the sink, never
+    // serve the stale one (the Vector.dataKey artifact rule).
     val out = graft.Util.sessionTmpDir(spark, "graft_part_pruned") + "/" +
-      java.lang.Integer.toHexString(sfDir.hashCode)
+      graft.Util.fileFingerprint(s"$sfDir/events.parquet")
     if (!new java.io.File(s"$out/_SUCCESS").exists())
       writeDayPartitioned(spark, sfDir, out, salt = 4)
     val target = graft.Tables.events(spark, sfDir)

@@ -555,15 +555,20 @@ object Text {
   // only the per-doc count aggregation shuffles, on doc_id. Shingling
   // runs in the typed TextHash stage (see its scaladoc for why not a
   // SQL expression pipeline).
+  /** Flattened (doc_id, s) distinct-shingle rows, derived from the
+    * dedup family's persist-once array-form shingle stage
+    * ([[Dedup.shingled]]): the corpus-wide text pass runs AT MOST ONCE
+    * per session across the dedup AND decontamination families — every
+    * consumer's explode reads the cached arrays, so decontam's two
+    * aggregation passes cost two cheap cache reads, not two corpus
+    * text scans (the shingle table as a job artifact, which is how a
+    * 100 TB pipeline materializes it anyway). */
+  private def shingledFlat(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.shingled(spark, sfDir)
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
+
   def decontam(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val shingled = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("text"))
-      .repartition(spark.sparkContext.defaultParallelism)
-      .as[(Long, String)]
-      .flatMap { case (id, text) =>
-        graft.functions.TextHash.shingles(text).map(s => (id, s)) }
-      .toDF("doc_id", "s")
+    val shingled = shingledFlat(spark, sfDir)
     val bench = shingled.filter(col("doc_id") % 97 === 0)
       .select(col("s")).distinct()
     val scan = shingled.filter(col("doc_id") % 97 =!= 0)
@@ -670,14 +675,7 @@ object Text {
   }
 
   def decontamBloom(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val shingled = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("text"))
-      .repartition(spark.sparkContext.defaultParallelism)
-      .as[(Long, String)]
-      .flatMap { case (id, text) =>
-        graft.functions.TextHash.shingles(text).map(s => (id, s)) }
-      .toDF("doc_id", "s")
+    val shingled = shingledFlat(spark, sfDir)
     // Benchmark set persists for its three uses (sizing count, bloom
     // build, exact verify) — one shingling pass, not three. Left
     // cached for the session: CacheManager keys on the canonicalized

@@ -228,10 +228,15 @@ object Vector {
     * count() job per session, not one per query. */
   private val corpusNCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), Long]
-  private[graft] def corpusK(spark: SparkSession, sfDir: String): Int =
-    quantizerK(corpusNCache.getOrElseUpdate(
+  /** Corpus row count, memoized per (application, dataset content) —
+    * one count() job per session, shared by the k derivation and every
+    * gate needing the corpus size. */
+  private[graft] def corpusN(spark: SparkSession, sfDir: String): Long =
+    corpusNCache.getOrElseUpdate(
       (spark.sparkContext.applicationId, dataKey(sfDir)),
-      Tables.embeddings(spark, sfDir).count()))
+      Tables.embeddings(spark, sfDir).count())
+  private[graft] def corpusK(spark: SparkSession, sfDir: String): Int =
+    quantizerK(corpusN(spark, sfDir))
 
   /** Trained coarse-quantizer centroids, memoized per (application,
     * sfDir, k, iters) like the PQ codebooks — the persisted half of the
@@ -478,7 +483,7 @@ object Vector {
         s"index append rewrote base files: ${rewritten.map(_._1).mkString(", ")}")
     }
     val assigned = spark.read.parquet(assignDir)
-    val nCorpus = Tables.embeddings(spark, sfDir).count()
+    val nCorpus = corpusN(spark, sfDir) // memoized — no per-call scan
     val completeness = assigned
       .agg(count(lit(1)).as("n_total"),
         countDistinct(col("vec_id")).as("n_distinct"))

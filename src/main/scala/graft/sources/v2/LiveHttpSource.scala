@@ -346,16 +346,22 @@ class LiveHttpReader(schema: StructType, filters: Array[Filter], limit: Int,
     LiveTransports(transportName).fetch(u, headers, timeoutMs)
       .linesIterator.filter(_.trim.nonEmpty).toSeq
 
-  /** Resolve the dotted `totalPagesField` path against a parsed line;
-    * Some(n) iff every segment exists and the leaf is numeric. */
-  private def totalPagesOf(line: String): Option[Long] =
+  /** Resolve the dotted `totalPagesField` path against an already
+    * PARSED line; Some(n) iff every segment exists and the leaf is
+    * numeric. Takes the JsonNode, not the raw string, so the walk
+    * parses each response line exactly once (meta classification and
+    * value extraction share the parse). */
+  private def totalPagesOf(parsed: JsonNode): Option[Long] =
     try {
-      var node: JsonNode = mapper.readTree(line)
+      var node: JsonNode = parsed
       pages.totalPagesField.split("\\.").foreach { seg =>
         node = if (node == null) null else node.get(seg)
       }
       if (node != null && node.isNumber) Some(node.asLong()) else None
     } catch { case _: Exception => None }
+
+  private def parseQuiet(line: String): Option[JsonNode] =
+    try Option(mapper.readTree(line)) catch { case _: Exception => None }
 
   /** The lazy page walk: fetch `pageParam=N`, N from `pageStart`;
     * terminates on an empty page, a page shorter than `pageSize`
@@ -375,12 +381,18 @@ class LiveHttpReader(schema: StructType, filters: Array[Filter], limit: Int,
         else {
           val got = fetchStrict(s"$url$sep${pages.param}=$page")
           page += 1
-          val (meta, rows) =
-            if (pages.totalPagesField.isEmpty) (Seq.empty[String], got)
-            else got.partition(l => totalPagesOf(l).isDefined)
+          // one parse per line: classify meta vs row on the parsed
+          // node, extracting the declared page count in the same pass
+          val (metaVals, rows) =
+            if (pages.totalPagesField.isEmpty) (Seq.empty[Long], got)
+            else {
+              val tagged = got.map(l =>
+                (l, parseQuiet(l).flatMap(totalPagesOf)))
+              (tagged.flatMap(_._2), tagged.collect { case (l, None) => l })
+            }
           // the declared page count stops the walk WITHOUT probing past
           // the end (page already advanced past the one just fetched)
-          meta.iterator.flatMap(totalPagesOf).nextOption().foreach { tp =>
+          metaVals.headOption.foreach { tp =>
             if (page - pages.start >= tp) done = true
           }
           if (rows.isEmpty) done = true

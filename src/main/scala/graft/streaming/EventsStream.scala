@@ -65,9 +65,18 @@ object EventsStream {
     *
     * Output-mode contract: Complete batches carry the full result and
     * OVERWRITE the output table; Append/Update batches carry only
-    * new/updated rows and APPEND (the gates' downstream aggregation —
-    * max per key for Update, pure accumulation for Append — makes the
-    * read-back equal the batch result on every invocation). */
+    * new/updated rows, each landing in its own `batch=<id>` partition
+    * (the gates' downstream aggregation — max per key for Update, pure
+    * accumulation for Append — makes the read-back equal the batch
+    * result on every invocation).
+    *
+    * Exactly-once: foreachBatch is at-least-once — a crash between the
+    * parquet commit and the streaming checkpoint commit REPLAYS that
+    * batch on the next trigger. Complete mode is naturally idempotent
+    * (full overwrite); Append/Update get idempotence by writing each
+    * batch to its batchId-keyed partition with overwrite, so a replay
+    * rewrites the same partition instead of double-appending rows
+    * (the classic foreachBatch dedup-by-batchId contract). */
   def runIncremental(spark: SparkSession, df: DataFrame, name: String,
       srcDir: String, mode: OutputMode = OutputMode.Complete()): DataFrame = {
     val key = java.lang.Integer.toHexString(
@@ -79,9 +88,9 @@ object EventsStream {
       .outputMode(mode)
       .option("checkpointLocation", s"$base/ckpt")
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        batch.write.mode(if (isComplete) "overwrite" else "append")
-          .parquet(outDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (isComplete) batch.write.mode("overwrite").parquet(outDir)
+        else batch.write.mode("overwrite").parquet(s"$outDir/batch=$id")
         ()
       }
       .start()
