@@ -22,6 +22,61 @@ class StreamingSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("incremental runner is idempotent under micro-batch replay") {
+    import org.apache.spark.sql.streaming.OutputMode
+    // foreachBatch is at-least-once: simulate the crash window (parquet
+    // committed, checkpoint commit lost) by deleting the newest commit
+    // file and re-triggering — the engine replays the batch through
+    // foreachBatch with the SAME batchId, which must overwrite its own
+    // partition, not append a second copy of every row.
+    val dir = java.nio.file.Files.createTempDirectory("graft_replay")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    def run(name: String) = {
+      val src = spark.readStream.schema(EventsStream.rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir.toString)
+        .select(col("event_id"), col("event_type"))
+      EventsStream.runIncremental(spark, src, name, dir.toString,
+        OutputMode.Append())
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("event_id")).collect().map(_.getLong(0)).sorted.toSeq
+    val first = rows(run("replay_a"))
+    assert(first.nonEmpty && first.distinct == first)
+    // Clone the runner's state (checkpoint + output) to the path a
+    // runner named replay_b would use, then drop the newest commit
+    // record in the CLONE — the crashed-before-checkpoint-commit
+    // image. (Spark 4 refuses in-place commit-log tampering on a
+    // checkpoint this session already ran — the clone sidesteps the
+    // guard without weakening the scenario.)
+    val key = java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dir.toString))
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_stream_" +
+      spark.sparkContext.applicationId
+    def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+      java.nio.file.Files.walk(src).forEach { p =>
+        val t = dst.resolve(src.relativize(p))
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(p, t)
+        ()
+      }
+    }
+    copyTree(java.nio.file.Paths.get(s"$root/replay_a_$key"),
+      java.nio.file.Paths.get(s"$root/replay_b_$key"))
+    val commits = new java.io.File(s"$root/replay_b_$key/ckpt/commits")
+    val latest = commits.listFiles().filter(_.getName.forall(_.isDigit))
+      .maxBy(_.getName.toLong)
+    assert(latest.delete(), "failed to drop the commit record")
+    // and its Hadoop ChecksumFS sidecar — a stale .crc makes the
+    // replay's commit rename fail as a phantom concurrent writer
+    new java.io.File(commits, s".${latest.getName}.crc").delete()
+    val second = rows(run("replay_b"))
+    assert(second == first,
+      s"replayed batch must not change the output: ${second.size} vs ${first.size}")
+  }
+
   test("native streaming session_window equals the batch session grouping") {
     // AvailableNow + Complete replays the whole history, so the final
     // gap-merged windows must equal Relational.sessionizeNative row
