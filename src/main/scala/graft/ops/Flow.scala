@@ -82,11 +82,33 @@ object Flow {
     * Catalyst does not cache across actions; this does. */
   private val shared = TrieMap.empty[String, DataFrame]
   /** Keyed per session so a cached frame from a stopped session is
-    * never handed to a new one. */
+    * never handed to a new one. Callers whose upstream is a DATASET
+    * (not a fixed fixture) must use [[sharedScanOf]] so the key
+    * carries a content fingerprint. */
   def sharedScan(spark: SparkSession, key: String)(
       mk: => DataFrame): DataFrame =
     shared.getOrElseUpdate(
       s"${System.identityHashCode(spark)}:$key", mk.persist())
+
+  /** Content-aware persist-once: `prefix` names the derived frame,
+    * `contentKey` fingerprints its input files
+    * ([[graft.Util.fileFingerprint]]). An in-place dataset
+    * regeneration rotates the key, which REBUILDS the frame and
+    * unpersists every superseded same-prefix entry — the cache can
+    * neither serve stale data nor accumulate dead persisted copies
+    * across regenerations. */
+  def sharedScanOf(spark: SparkSession, prefix: String, contentKey: String)(
+      mk: => DataFrame): DataFrame = {
+    val sid = System.identityHashCode(spark)
+    val full = s"$sid:$prefix:$contentKey"
+    if (!shared.contains(full))
+      shared.keys.filter(k => k.startsWith(s"$sid:$prefix:") && k != full)
+        .foreach { k =>
+          shared.remove(k).foreach(df =>
+            try df.unpersist() catch { case _: IllegalStateException => () })
+        }
+    shared.getOrElseUpdate(full, mk.persist())
+  }
   def clearShared(): Unit = {
     shared.values.foreach(df =>
       try df.unpersist() catch { case _: IllegalStateException => () })
@@ -95,7 +117,8 @@ object Flow {
 
   // D3 — two branches over one persisted upstream.
   def d3SharedReuse(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = sharedScan(spark, s"events:$sfDir")(
+    val base = sharedScanOf(spark, s"events:$sfDir",
+      graft.Util.fileFingerprint(s"$sfDir/events.parquet"))(
       Tables.events(spark, sfDir)
         .select(col("user_id"), col("event_type"), col("ts")))
     val errs = base.filter(col("event_type") === "error")

@@ -394,7 +394,8 @@ object Multimodal {
     // the band self-join and any later consumer read the persisted
     // (file, phash) projection — the decode stage must never re-run
     // per join side (at scale that is re-decoding the corpus)
-    val ph = Flow.sharedScan(spark, s"mm_phash:${MultimodalFixtures.Dir}")(
+    val ph = Flow.sharedScanOf(spark, s"mm_phash:${MultimodalFixtures.Dir}",
+      graft.Util.fileFingerprint(MultimodalFixtures.Dir))(
       decoded(spark).select(col("file"), col("phash")))
     val bands = ph.select(col("file"), col("phash"),
       posexplode(array((0 until 4).map(i =>
@@ -473,7 +474,8 @@ object Multimodal {
     * the shared (file, phash) projection is the same persisted scan
     * all phash consumers read. */
   def mmPairDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val ph = Flow.sharedScan(spark, s"mm_phash:${MultimodalFixtures.Dir}")(
+    val ph = Flow.sharedScanOf(spark, s"mm_phash:${MultimodalFixtures.Dir}",
+      graft.Util.fileFingerprint(MultimodalFixtures.Dir))(
       decoded(spark).select(col("file"), col("phash")))
     val paired = ph.join(captions(spark), "file")
       .select(col("file"), col("phash"), captionFp(col("caption")).as("fp"))

@@ -938,8 +938,22 @@ object Relational {
     // check BOTH tables: a failure between the two writes must not
     // leave a half-built pair that later calls treat as complete
     if (!spark.catalog.tableExists(tl) || !spark.catalog.tableExists(to)) {
-      Seq(tl, to).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
       val root = graft.Util.sessionTmpDir(spark, "graft_bucketed")
+      // drop SUPERSEDED copies (other content tags) along with the
+      // fresh pair's own leftovers: repeated in-place regenerations
+      // must not multiply full-table bucketed copies on disk
+      spark.sessionState.catalog.listTables("default").map(_.table)
+        .filter(t => t.startsWith("graft_li_bkt_") ||
+          t.startsWith("graft_ord_bkt_"))
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+        .foreach { f =>
+          def rm(x: java.io.File): Unit = {
+            Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+            x.delete(); ()
+          }
+          rm(f)
+        }
       Tables.lineitem(spark, sfDir)
         .select(col("l_orderkey"),
           revenueCents("l_extendedprice", "l_discount").cast("long").as("rev_cents"))

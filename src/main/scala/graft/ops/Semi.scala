@@ -381,6 +381,11 @@ object Semi {
     // rows are exercised by StreamingSpec against a live query.
     val now = System.currentTimeMillis()
     val active = spark.streams.active.toSeq.sortBy(_.id.toString)
+    // bound the grace map: drop first-sight records for runs that are
+    // gone (a crash-looping query mints a fresh runId per restart and
+    // would otherwise leak one entry per loop forever)
+    val liveRunIds = active.map(_.runId.toString).toSet
+    firstSeen.keySet.removeIf(k => !liveRunIds.contains(k))
     val queryRows = active.map { q =>
       val lastMs = Option(q.lastProgress).map(p =>
         java.time.Instant.parse(p.timestamp).toEpochMilli)

@@ -204,10 +204,24 @@ object Sinks {
     // discovery in between. The key is a file FINGERPRINT, not the
     // path: a regenerated events table must rebuild the sink, never
     // serve the stale one (the Vector.dataKey artifact rule).
-    val out = graft.Util.sessionTmpDir(spark, "graft_part_pruned") + "/" +
-      graft.Util.fileFingerprint(s"$sfDir/events.parquet")
-    if (!new java.io.File(s"$out/_SUCCESS").exists())
+    val root = graft.Util.sessionTmpDir(spark, "graft_part_pruned")
+    val tag = graft.Util.fileFingerprint(s"$sfDir/events.parquet")
+    val out = s"$root/$tag"
+    if (!new java.io.File(s"$out/_SUCCESS").exists()) {
+      // a rotated fingerprint (in-place regeneration) supersedes every
+      // sibling copy — drop them so repeated regenerations don't
+      // multiply full-table sinks on disk
+      Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName != tag)
+        .foreach { f =>
+          def rm(x: java.io.File): Unit = {
+            Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+            x.delete(); ()
+          }
+          rm(f)
+        }
       writeDayPartitioned(spark, sfDir, out, salt = 4)
+    }
     val target = graft.Tables.events(spark, sfDir)
       .agg(min(to_date(col("ts")).cast("string")).as("target_day"))
     spark.read.parquet(out)

@@ -663,16 +663,10 @@ object Text {
 
   private val bloomCache = scala.collection.concurrent.TrieMap
     .empty[(String, String), org.apache.spark.util.sketch.BloomFilter]
-  /** Fingerprint of the documents table files (name, size, mtime) —
-    * the [[graft.ops.Vector.dataKey]] pattern for this table. */
-  private def docsKey(sfDir: String): String = {
-    val fs = Option(new java.io.File(s"$sfDir/documents.parquet").listFiles())
-      .map(_.toSeq.filter(_.isFile)).getOrElse(
-        Seq(new java.io.File(s"$sfDir/documents.parquet")))
-    sfDir + "#" + fs.sortBy(_.getPath)
-      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
-      .mkString("|").hashCode
-  }
+  /** Content key of the documents table — the shared
+    * [[graft.Util.fileFingerprint]] artifact-key primitive. */
+  private def docsKey(sfDir: String): String =
+    s"$sfDir#${graft.Util.fileFingerprint(s"$sfDir/documents.parquet")}"
 
   def decontamBloom(spark: SparkSession, sfDir: String): DataFrame = {
     val shingled = shingledFlat(spark, sfDir)

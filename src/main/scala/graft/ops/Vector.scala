@@ -251,17 +251,8 @@ object Vector {
     * mtime). If data at sfDir is regenerated within the same
     * application, the fingerprint changes and the artifact retrains
     * instead of silently validating against stale ground truth. */
-  private[graft] def dataKey(sfDir: String): String = {
-    def walk(d: java.io.File): Seq[java.io.File] = {
-      val kids = Option(d.listFiles()).map(_.toSeq).getOrElse(Nil)
-      kids.filter(_.isFile) ++ kids.filter(_.isDirectory).flatMap(walk)
-    }
-    val fp = walk(new java.io.File(s"$sfDir/embeddings.parquet"))
-      .sortBy(_.getPath)
-      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
-      .mkString("|").hashCode
-    s"$sfDir#$fp"
-  }
+  private[graft] def dataKey(sfDir: String): String =
+    s"$sfDir#${graft.Util.fileFingerprint(s"$sfDir/embeddings.parquet")}"
 
   def kmeansCentroids(spark: SparkSession, sfDir: String, k: Int,
       iters: Int): Array[(Int, Array[Double])] =

@@ -1142,6 +1142,37 @@ class SinksSpec extends SparkSuite {
 }
 
 class FlowSpec extends SparkSuite {
+  test("sharedScanOf serves the cache on a stable key, rebuilds and evicts on rotation") {
+    import spark.implicits._
+    val v1 = Flow.sharedScanOf(spark, "t_rot", "k1")(Seq(1).toDF("v"))
+    assert(v1.storageLevel.useMemory)
+    // stable content key: the maker is NOT re-invoked (cached copy served)
+    val again = Flow.sharedScanOf(spark, "t_rot", "k1")(Seq(2).toDF("v"))
+    assert(again.collect().map(_.getInt(0)).toSeq == Seq(1))
+    // rotated content key (an in-place regeneration): rebuilt fresh,
+    // and the superseded persisted copy is released
+    val v2 = Flow.sharedScanOf(spark, "t_rot", "k2")(Seq(3).toDF("v"))
+    assert(v2.collect().map(_.getInt(0)).toSeq == Seq(3))
+    assert(v1.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "superseded entry must be unpersisted")
+  }
+
+  test("decontamination rebuilds its shared shingles after in-place regeneration") {
+    val dir = s"${TestFixtureRoot.T}/regen"
+    def stage(n: Int): Unit =
+      spark.range(n).selectExpr("id AS doc_id",
+        "concat('alpha beta gamma delta epsilon doc ', id) AS text",
+        "'src' AS source")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+    stage(10)
+    assert(ops.Text.decontamBloom(spark, dir).count() ==
+      10 - 1) // doc_id 0 is the benchmark slice (0 % 97 == 0)
+    stage(20) // regenerate IN PLACE with more docs
+    assert(ops.Text.decontamBloom(spark, dir).count() == 20 - 1,
+      "shared shingle stage must rotate with the dataset content")
+  }
+
   test("fan-out isolates the poison item to an error row") {
     val rows = Flow.d1FanoutIsolation(spark, sf).collect()
     assert(rows.length == 4)
