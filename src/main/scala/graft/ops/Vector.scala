@@ -506,53 +506,132 @@ object Vector {
 
   // -- embedding-cosine near-dup -------------------------------------------
 
-  /** Deterministic random hyperplanes for sign-LSH (fixed-seed LCG →
-    * components in [-1, 1)). 128 planes = 16 bands × 8 bits: 256 keys
-    * per band keeps buckets small (candidates ∝ n²/256 per band), with
-    * recall ≈ 99.6% at cos = 0.9 and > 99.99% at cos ≥ 0.95 — verified
-    * candidates only, so precision is exact. */
-  private val planes: Array[Array[Double]] = {
-    var x = 1234567L
-    def next(): Double = {
-      x = x * 6364136223846793005L + 1442695040888963407L
-      (x >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
-    }
-    Array.fill(128, Dim)(next())
+  /** Cosine threshold of [[dedupEmbeddingCosine]] and the recall the
+    * band geometry is sized for AT that threshold (pairs above it
+    * collide with strictly higher probability). */
+  val CosThreshold = 0.9
+  val LshRecallTarget = 0.995
+
+  /** Per-(band,key) posting cap for [[dedupEmbeddingCosine]]'s
+    * candidate stage — the [[graft.ops.Dedup.MaxShingleDf]] mechanism
+    * transplanted to sign-LSH. Buckets holding more postings than this
+    * are dropped before the self-join, bounding candidate volume at
+    * bands·n·cap/2 — LINEAR in corpus size — instead of Σ|bucket|²
+    * (quadratic once correlated mass collapses buckets). A true pair
+    * is lost to the cap only if EVERY band bucket it collides in is
+    * over-full, i.e. the pair sits inside a ≥cap-sized near-duplicate
+    * cluster — and a cluster of m near-dups has m²/2 true pairs, so
+    * pair ENUMERATION is the wrong output shape for it regardless;
+    * [[dedupSemanticFlags]] / keep-best are the operators for
+    * mega-clusters (cluster-representative output, cell-bounded). */
+  val MaxBucketPostings = 1024
+
+  /** Sign-LSH geometry scaled to corpus size: `bits` per band grows
+    * with log₂ n (clamped to [16, 24]) so the per-band key space 2^bits
+    * stays ≥ ~16× the corpus and average bucket occupancy is O(1) —
+    * the r8-flagged defect was a CONSTANT 256-key space, making
+    * candidates ∝ n²/256 per band. `bands` is then derived from the
+    * collision probability p = 1 − acos(τ)/π at τ = [[CosThreshold]]:
+    * recall = 1 − (1 − p^bits)^bands ≥ [[LshRecallTarget]], i.e.
+    * bands = ⌈ln(1−target)/ln(1−p^bits)⌉ (61 bands @16 bits, 216 @24).
+    * Candidates above τ are verified exactly, so precision stays 1. */
+  private[graft] def lshGeometry(n: Long): (Int, Int) = {
+    val log2n = 64 - java.lang.Long.numberOfLeadingZeros(math.max(n, 2L) - 1L)
+    val bits = math.max(16, math.min(24, log2n + 4))
+    val p = 1.0 - math.acos(CosThreshold) / math.Pi
+    val pBand = math.pow(p, bits)
+    val bands = math.ceil(
+      math.log(1.0 - LshRecallTarget) / math.log(1.0 - pBand)).toInt
+    (bits, bands)
   }
 
-  /** Sign-LSH band keys for one embedding. */
-  def cosineBands(v: Array[Float]): Seq[String] = {
-    val bits = planes.map { p =>
-      var s = 0.0
-      var i = 0
-      while (i < Dim) { s += p(i) * v(i); i += 1 }
-      if (s >= 0) 1 else 0
-    }
-    (0 until 16).map { bd =>
-      var k = 0
+  /** Deterministic random hyperplanes for sign-LSH (fixed-seed
+    * splitmix64 → components in [-1, 1)), generated lazily per plane
+    * count and memoized per JVM — each executor materializes them once
+    * from the seed instead of shipping a multi-MB closure. splitmix64,
+    * not a raw LCG: an LCG's successive 64-tuples lie on lattice
+    * hyperplanes (measured mean pairwise plane cosine 0.43 with the
+    * old 128-plane generator), which correlates band bits and quietly
+    * shrinks the effective key space the [[lshGeometry]] math assumes. */
+  private val planesCache =
+    scala.collection.concurrent.TrieMap.empty[Int, Array[Array[Double]]]
+  private def planesFor(nPlanes: Int): Array[Array[Double]] =
+    planesCache.getOrElseUpdate(nPlanes, {
+      var x = 1234567L
+      def next(): Double = {
+        x += -7046029254386353131L // 0x9E3779B97F4A7C15
+        var z = x
+        z = (z ^ (z >>> 30)) * -4658895280553007687L // 0xBF58476D1CE4E5B9
+        z = (z ^ (z >>> 27)) * -7723592293110705685L // 0x94D049BB133111EB
+        z ^= z >>> 31
+        // >>> 12 leaves 52 bits → [0,1) → [-1,1). (The old generator's
+        // >>> 11 left 53 bits → [0,2) → [-1,3): a +1 DC offset on every
+        // component that correlated all planes at mean cosine ~0.43.)
+        (z >>> 12).toDouble / (1L << 52).toDouble * 2.0 - 1.0
+      }
+      Array.fill(nPlanes, Dim)(next())
+    })
+
+  /** Sign-LSH band keys for one embedding under the given geometry:
+    * key = band << 25 | bits-wide sign pattern (bits ≤ 24, so the
+    * packed Long is collision-free across bands). */
+  def cosineBandKeys(v: Array[Float], bits: Int, bands: Int): Array[Long] = {
+    val pl = planesFor(bands * bits)
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var k = 0L
       var j = 0
-      while (j < 8) { k = (k << 1) | bits(8 * bd + j); j += 1 }
-      s"$bd-$k"
+      while (j < bits) {
+        val p = pl(b * bits + j)
+        var s = 0.0
+        var i = 0
+        while (i < Dim) { s += p(i) * v(i); i += 1 }
+        k = (k << 1) | (if (s >= 0) 1L else 0L)
+        j += 1
+      }
+      out(b) = (b.toLong << 25) | k
+      b += 1
     }
+    out
   }
 
-  /** Embedding-cosine near-dup pairs (cos ≥ 0.9): sign-LSH bucket
-    * candidates (typed stage — see graft.functions.TextHash scaladoc
-    * for why typed), then exact cosine verification with the same
-    * bitwise-identical formula as the oracle. Never an all-pairs
-    * cross-join. */
-  def dedupEmbeddingCosine(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Candidate pairs for [[dedupEmbeddingCosine]]: corpus-scaled
+    * sign-LSH buckets (see [[lshGeometry]]), df-capped per bucket (see
+    * [[MaxBucketPostings]]), bucket self-join, distinct. Exposed for
+    * the ScaleSpec candidate-volume bound. */
+  private[graft] def cosineCandidates(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    val (bits, bands) = lshGeometry(corpusN(spark, sfDir))
     val emb = Tables.embeddings(spark, sfDir)
     val buckets = emb.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
-      .flatMap { case (id, v) => cosineBands(v).map(b => (id, b)) }
+      .flatMap { case (id, v) => cosineBandKeys(v, bits, bands).map(b => (id, b)) }
       .toDF("vec_id", "bucket")
-    val cand = buckets.as("x")
-      .join(buckets.as("y"),
+    // df via a count window, not groupBy + join-back — the keptPostings
+    // shape: one exchange on bucket instead of an aggregate plus a join
+    // back onto the full posting stream.
+    val wB = org.apache.spark.sql.expressions.Window.partitionBy(col("bucket"))
+    val kept = buckets
+      .withColumn("bn", count(lit(1)).over(wB))
+      .filter(col("bn") <= MaxBucketPostings)
+      .select(col("vec_id"), col("bucket"))
+    kept.as("x")
+      .join(kept.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("da"), col("y.vec_id").as("db"))
       .distinct()
+  }
+
+  /** Embedding-cosine near-dup pairs (cos ≥ [[CosThreshold]]):
+    * corpus-scaled sign-LSH bucket candidates (typed stage — see
+    * graft.functions.TextHash scaladoc for why typed), then exact
+    * cosine verification with the same bitwise-identical formula as
+    * the oracle. Never an all-pairs cross-join; candidate volume is
+    * linear in corpus size by the [[MaxBucketPostings]] cap. */
+  def dedupEmbeddingCosine(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cand = cosineCandidates(spark, sfDir)
     // Exact verification in a typed stage: candidate volume can be
     // large when the corpus is clustered (sign buckets collapse per
     // cluster), and a JVM loop is ~10× cheaper per pair than the
@@ -574,7 +653,7 @@ object Vector {
           i += 1
         }
         val cos = dot / (math.sqrt(na) * math.sqrt(nb))
-        if (cos >= 0.9) Some((da, db, math.floor(cos * 10000.0).toLong))
+        if (cos >= CosThreshold) Some((da, db, math.floor(cos * 10000.0).toLong))
         else None
       }
       .toDF("da", "db", "cos_e4")

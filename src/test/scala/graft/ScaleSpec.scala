@@ -234,6 +234,61 @@ class ScaleSpec extends SparkSuite {
       s"boilerplate-only overlap must yield no pairs, rare-shingle dup must survive: $pairs")
   }
 
+  test("sign-LSH bucket cap bounds hot-bucket candidate volume") {
+    import spark.implicits._
+    // Adversarial corpus, the ngram stop-shingle shape transplanted to
+    // embeddings: a 10×-cap tight cluster (10,240 copies of ONE
+    // direction — worst-case correlated mass; every band collapses it
+    // into a single bucket of 10,240 > MaxBucketPostings, so without
+    // the cap the self-join would emit C(10240,2) ≈ 52M candidates
+    // per band × ~84 bands), plus background randoms, plus one genuine
+    // near-dup twin pair in its own direction whose buckets hold 2
+    // postings and must survive the cap. The cluster's own pairs are
+    // the documented exclusion: a ≥cap near-dup cluster has quadratic
+    // TRUE pair output, which pair enumeration cannot serve — that
+    // mass belongs to dedup_semantic / keep-best (see the
+    // MaxBucketPostings scaladoc).
+    val cap = graft.ops.Vector.MaxBucketPostings
+    val m = 10 * cap
+    val dim = graft.ops.Vector.Dim
+    val base = Array.tabulate(dim)(i => math.sin(i + 1.0).toFloat)
+    val twinA = Array.tabulate(dim)(i => math.cos(3.0 * i + 2.0).toFloat)
+    val twinB = twinA.clone(); twinB(0) = twinB(0) + 0.01f
+    // splitmix64 — a raw LCG's successive 64-tuples lie on lattice
+    // hyperplanes (measured mean pairwise cos 0.43), which would make
+    // the "random" background itself collide in buckets
+    var x = 99L
+    def rnd(): Float = {
+      x += -7046029254386353131L // 0x9E3779B97F4A7C15
+      var z = x
+      z = (z ^ (z >>> 30)) * -4658895280553007687L // 0xBF58476D1CE4E5B9
+      z = (z ^ (z >>> 27)) * -7723592293110705685L // 0x94D049BB133111EB
+      z ^= z >>> 31
+      ((z >>> 12).toDouble / (1L << 52).toDouble * 2.0 - 1.0).toFloat
+    }
+    val rand = (0 until 200).map(i =>
+      (100000L + i, Array.fill(dim)(rnd()).toSeq, 2))
+    val rows = (0 until m).map(i => (i.toLong, base.toSeq, 0)) ++
+      Seq((90000L, twinA.toSeq, 1), (90001L, twinB.toSeq, 1)) ++ rand
+    val dir = "/tmp/graft_hotbucket"
+    rows.toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"), col("embedding").cast("array<float>"), col("label"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // geometry sanity: bits scale with corpus, bands hit the recall target
+    assert(graft.ops.Vector.lshGeometry(500L) == (16, 61))
+    assert(graft.ops.Vector.lshGeometry(1L << 30) == (24, 216))
+    // candidate volume: the 52M-per-band cluster blowup must be gone —
+    // far fewer candidates than one cluster's pair count, let alone m²/2
+    val nCand = graft.ops.Vector.cosineCandidates(spark, dir).count()
+    assert(nCand < m.toLong,
+      s"hot-bucket cap failed to bound candidates: $nCand")
+    // the rare twin pair must survive the cap with its exact cosine
+    val pairs = graft.ops.Vector.dedupEmbeddingCosine(spark, dir)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((90000L, 90001L)),
+      s"capped mega-cluster must yield no pairs, rare twin must survive: $pairs")
+  }
+
   test("transformWithState at 100k keys: state rows = keys, not events") {
     // Adversarial many-key run through the RocksDB-backed processor:
     // 100k distinct users x 5 events each. The store must hold exactly
