@@ -69,9 +69,9 @@ object Util {
     }
     root
   }
-  private val cleanupRoots =
+  private[graft] val cleanupRoots =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  private def deleteRecursively(f: java.io.File): Unit = {
+  private[graft] def deleteRecursively(f: java.io.File): Unit = {
     val children = f.listFiles()
     if (children != null) children.foreach(deleteRecursively)
     f.delete(); ()
@@ -89,11 +89,21 @@ object Util {
       else Option(f.listFiles()).map(_.toSeq).getOrElse(Nil)
         .sortBy(_.getName).flatMap(walk)
     }
-    val fp = walk(new java.io.File(path))
+    val joined = walk(new java.io.File(path))
       .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
-      .mkString("|").hashCode
-    java.lang.Integer.toHexString(fp)
+      .mkString("|")
+    // 128-bit digest, not String.hashCode: a 32-bit fingerprint makes
+    // accidental collisions (→ silently served stale artifacts)
+    // plausible at fleet scale, and its short hex also concatenated
+    // ambiguously when callers combine two fingerprints (r8 advice).
+    md5Hex(joined)
   }
+
+  /** Hex MD5 of a string — the shared digest for artifact keys. */
+  def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
 
   /** The materialized RDD behind a `localCheckpoint(true)`'d Dataset.
     * `Dataset.unpersist()` does NOT release checkpointed blocks, so

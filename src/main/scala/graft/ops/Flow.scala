@@ -80,38 +80,50 @@ object Flow {
   /** D3 — persist-once registry: one shared upstream scan feeds many
     * downstream branches without re-reading (dags/Backups.py:142-153).
     * Catalyst does not cache across actions; this does. */
-  private val shared = TrieMap.empty[String, DataFrame]
+  private val shared = TrieMap.empty[String, (String, DataFrame)]
+  private val sharedLocks = TrieMap.empty[String, Object]
   /** Keyed per session so a cached frame from a stopped session is
     * never handed to a new one. Callers whose upstream is a DATASET
     * (not a fixed fixture) must use [[sharedScanOf]] so the key
     * carries a content fingerprint. */
   def sharedScan(spark: SparkSession, key: String)(
-      mk: => DataFrame): DataFrame =
-    shared.getOrElseUpdate(
-      s"${System.identityHashCode(spark)}:$key", mk.persist())
+      mk: => DataFrame): DataFrame = sharedScanOf(spark, key, "")(mk)
 
   /** Content-aware persist-once: `prefix` names the derived frame,
     * `contentKey` fingerprints its input files
     * ([[graft.Util.fileFingerprint]]). An in-place dataset
     * regeneration rotates the key, which REBUILDS the frame and
-    * unpersists every superseded same-prefix entry — the cache can
-    * neither serve stale data nor accumulate dead persisted copies
-    * across regenerations. */
+    * unpersists the superseded entry — the cache can neither serve
+    * stale data nor accumulate dead persisted copies across
+    * regenerations. The slot is (session, prefix) → (contentKey,
+    * frame), mutated under a per-slot lock, so evict + insert is one
+    * atomic replace: a concurrent caller still building under a
+    * superseded key can never resurrect its stale frame after the
+    * rotation's sweep (the r8-flagged check-then-act race). An
+    * in-flight query reading the superseded frame recomputes from the
+    * regenerated files — inherent to content rotation; correctness is
+    * preserved because the content key it returns data FOR is gone. */
   def sharedScanOf(spark: SparkSession, prefix: String, contentKey: String)(
       mk: => DataFrame): DataFrame = {
-    val sid = System.identityHashCode(spark)
-    val full = s"$sid:$prefix:$contentKey"
-    if (!shared.contains(full))
-      shared.keys.filter(k => k.startsWith(s"$sid:$prefix:") && k != full)
-        .foreach { k =>
-          shared.remove(k).foreach(df =>
-            try df.unpersist() catch { case _: IllegalStateException => () })
-        }
-    shared.getOrElseUpdate(full, mk.persist())
+    val slot = s"${System.identityHashCode(spark)}:$prefix"
+    val lock = sharedLocks.getOrElseUpdate(slot, new Object)
+    lock.synchronized {
+      shared.get(slot) match {
+        case Some((ck, df)) if ck == contentKey => df
+        case prev =>
+          prev.foreach { case (_, df) =>
+            try df.unpersist() catch { case _: IllegalStateException => () }
+          }
+          val df = mk.persist()
+          shared.put(slot, (contentKey, df))
+          df
+      }
+    }
   }
   def clearShared(): Unit = {
-    shared.values.foreach(df =>
-      try df.unpersist() catch { case _: IllegalStateException => () })
+    shared.values.foreach { case (_, df) =>
+      try df.unpersist() catch { case _: IllegalStateException => () }
+    }
     shared.clear()
   }
 

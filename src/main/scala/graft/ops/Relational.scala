@@ -927,26 +927,40 @@ object Relational {
   // and amortized over every subsequent query on the bucket key.
   // Bench note: run 1 per session pays the bucketed write; runs 2+
   // measure the co-located read path, which is the steady state.
+  private val bucketedLocks =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
   def joinBucketed(spark: SparkSession, sfDir: String): DataFrame = {
-    // dataset-CONTENT tag (file fingerprint of both join inputs, not
-    // the path): regenerated data at the same sfDir must rebuild the
-    // bucketed pair, never join the stale copies
-    val tag = graft.Util.fileFingerprint(s"$sfDir/lineitem.parquet") +
-      graft.Util.fileFingerprint(s"$sfDir/orders.parquet")
+    // dataset-CONTENT tag: a dataset-identity component (so the
+    // superseded-copy sweep below never touches a DIFFERENT dataset's
+    // live tables — pre-r9 it wiped every graft_*_bkt_* table, so
+    // alternating queries across two datasets rebuilt both pairs on
+    // every switch) plus the file fingerprint of both join inputs,
+    // '_'-separated (regenerated data at the same sfDir must rebuild,
+    // never join the stale copies)
+    val dsKey = graft.Util.md5Hex(sfDir).take(8)
+    val tag = dsKey + "_" +
+      graft.Util.fileFingerprint(s"$sfDir/lineitem.parquet").take(16) + "_" +
+      graft.Util.fileFingerprint(s"$sfDir/orders.parquet").take(16)
     val tl = s"graft_li_bkt_$tag"
     val to = s"graft_ord_bkt_$tag"
+    // per-dataset JVM lock: two sessions of one application share the
+    // catalog and the applicationId-keyed tmp root, so an unguarded
+    // tableExists/drop/write sequence can race itself
+    val lock = bucketedLocks.getOrElseUpdate(dsKey, new Object)
+    lock.synchronized {
     // check BOTH tables: a failure between the two writes must not
     // leave a half-built pair that later calls treat as complete
     if (!spark.catalog.tableExists(tl) || !spark.catalog.tableExists(to)) {
       val root = graft.Util.sessionTmpDir(spark, "graft_bucketed")
-      // drop SUPERSEDED copies (other content tags) along with the
-      // fresh pair's own leftovers: repeated in-place regenerations
-      // must not multiply full-table bucketed copies on disk
+      // drop THIS dataset's superseded copies (other content tags):
+      // repeated in-place regenerations must not multiply full-table
+      // bucketed copies on disk
       spark.sessionState.catalog.listTables("default").map(_.table)
-        .filter(t => t.startsWith("graft_li_bkt_") ||
-          t.startsWith("graft_ord_bkt_"))
+        .filter(t => (t.startsWith(s"graft_li_bkt_${dsKey}_") ||
+          t.startsWith(s"graft_ord_bkt_${dsKey}_")) && t != tl && t != to)
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
       Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.contains(s"_bkt_${dsKey}_"))
         .foreach { f =>
           def rm(x: java.io.File): Unit = {
             Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
@@ -964,6 +978,7 @@ object Relational {
         .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
         .mode("overwrite").option("path", s"$root/$to").saveAsTable(to)
     }
+    } // lock.synchronized
     spark.table(tl)
       .join(spark.table(to), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderpriority"))

@@ -418,19 +418,52 @@ class LiveHttpReader(schema: StructType, filters: Array[Filter], limit: Int,
     * complete (r7 review finding). Without a pageParam this is the
     * single fetch of round 6.
     *
-    * MEMORY BOUND (permissive + paged): the eager walk buffers the
-    * whole endpoint — up to maxPages × pageSize lines — in this
-    * task's heap before emitting a row. That is the price of the
-    * all-or-nothing contract; against a large endpoint set `maxPages`
-    * to a realistic ceiling (the 10000 default × a 50-row page is
-    * ~500k lines) or use strict mode, which streams lazily. */
+    * MEMORY BOUND (permissive + paged): the eager walk SPOOLS to
+    * executor-local disk — heap holds one page at a time; the spool
+    * file becomes the row source only after the LAST page commits, so
+    * any page failure still drops the whole endpoint (nothing was
+    * emitted yet) and partial data never masquerades as complete.
+    * Pre-r9 this buffered the entire endpoint (maxPages × pageSize
+    * lines) in task heap. */
+  private def spooledWalk(): Iterator[String] = {
+    val tmp = java.nio.file.Files.createTempFile("graft_live_spool", ".jsonl")
+    tmp.toFile.deleteOnExit() // backstop for a never-exhausted iterator
+    try {
+      val w = java.nio.file.Files.newBufferedWriter(
+        tmp, java.nio.charset.StandardCharsets.UTF_8)
+      try {
+        val it = pageIter()
+        while (it.hasNext) { w.write(it.next()); w.newLine() }
+      } finally w.close()
+      LiveHttpReader.spooledFiles.incrementAndGet()
+      LiveHttpReader.spooledBytes.addAndGet(java.nio.file.Files.size(tmp))
+      val rd = java.nio.file.Files.newBufferedReader(
+        tmp, java.nio.charset.StandardCharsets.UTF_8)
+      new Iterator[String] {
+        private var nextLine: String = rd.readLine()
+        private var open = true
+        override def hasNext: Boolean = {
+          if (open && nextLine == null) {
+            rd.close(); java.nio.file.Files.deleteIfExists(tmp); open = false
+          }
+          nextLine != null
+        }
+        override def next(): String = {
+          val l = nextLine; nextLine = rd.readLine(); l
+        }
+      }
+    } catch {
+      case _: Exception =>
+        java.nio.file.Files.deleteIfExists(tmp)
+        Iterator.empty
+    }
+  }
+
   private lazy val lines: Iterator[String] =
     if (!pages.enabled)
       try fetchStrict(url).iterator
       catch { case _: Exception if permissive => Iterator.empty }
-    else if (permissive)
-      try pageIter().toSeq.iterator
-      catch { case _: Exception => Iterator.empty }
+    else if (permissive) spooledWalk()
     else pageIter()
   private var emitted = 0
   private var current: InternalRow = _
@@ -493,4 +526,12 @@ class LiveHttpReader(schema: StructType, filters: Array[Filter], limit: Int,
   }
   override def get(): InternalRow = current
   override def close(): Unit = ()
+}
+
+/** Test-visible evidence that the permissive paged walk spools to
+  * executor-local disk instead of buffering the endpoint in heap:
+  * successful walks bump these counters with the spool file's size. */
+object LiveHttpReader {
+  val spooledFiles = new java.util.concurrent.atomic.AtomicLong(0L)
+  val spooledBytes = new java.util.concurrent.atomic.AtomicLong(0L)
 }

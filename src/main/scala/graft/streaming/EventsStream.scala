@@ -100,7 +100,13 @@ object EventsStream {
     // through the same filesystem abstraction the writer used.
     val outPath = new org.apache.hadoop.fs.Path(outDir)
     val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(outPath)) spark.read.parquet(outDir)
+    // project to the DECLARED schema: in Append/Update modes the
+    // read-back discovers the batch=<id> directories as a surprise
+    // 'batch' partition column, which the empty-output branch below
+    // (df.schema) would not carry — both branches and all modes must
+    // return the same shape (r8 advice)
+    if (fs.exists(outPath))
+      spark.read.parquet(outDir).select(df.columns.map(col).toSeq: _*)
     else spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), df.schema)
   }

@@ -549,6 +549,47 @@ class HttpSpec extends SparkSuite {
     }
   }
 
+  test("permissive page walk spools to disk: bounded heap, cleaned up after") {
+    // 400 pages × 50 rows stream through a spool file on executor-local
+    // disk — the pre-r9 walk buffered all of it in task heap before
+    // emitting a row. Evidence: the spool counters record one file of
+    // the full payload size, and no graft_live_spool file survives
+    // consumption (the all-or-nothing contract is upheld by the
+    // companion mid-walk-failure test above).
+    val nPages = 400; val perPage = 50
+    withServer(Map("/paged" -> { ex =>
+      val page = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+        .split("&").collectFirst {
+          case kv if kv.startsWith("page=") => kv.stripPrefix("page=").toInt
+        }.getOrElse(1)
+      val body =
+        if (page > nPages) ""
+        else (1 to perPage)
+          .map(i => s"""{"id": "p$page-r$i", "v": ${page * 1000 + i}}""" + "\n")
+          .mkString
+      respond(ex, 200, body)
+    })) { base =>
+      val files0 = graft.sources.v2.LiveHttpReader.spooledFiles.get()
+      val bytes0 = graft.sources.v2.LiveHttpReader.spooledBytes.get()
+      val df = spark.read.format("graft.sources.v2.LiveHttpSource")
+        .option("url", s"$base/paged")
+        .option("schemaDDL", "id STRING, v LONG")
+        .option("pageParam", "page")
+        .option("permissive", "true")
+        .load()
+      assert(df.count() == nPages.toLong * perPage)
+      assert(graft.sources.v2.LiveHttpReader.spooledFiles.get() > files0,
+        "permissive paged walk must take the disk-spool path")
+      val spooled = graft.sources.v2.LiveHttpReader.spooledBytes.get() - bytes0
+      assert(spooled > nPages.toLong * perPage * 20,
+        s"spool must carry the full payload, got $spooled bytes")
+      val leftovers = new java.io.File(System.getProperty("java.io.tmpdir"))
+        .listFiles((_, n) => n.startsWith("graft_live_spool"))
+      assert(leftovers == null || leftovers.isEmpty,
+        s"spool files must be deleted on exhaustion: ${leftovers.toSeq}")
+    }
+  }
+
   test("short-page stop is armed only when the size was sent to the server") {
     // pageSize set WITHOUT pageSizeParam: the server never saw the
     // size, so a 2-line default page must NOT read as "short" — the

@@ -1260,6 +1260,23 @@ class FlowSpec extends SparkSuite {
 class Round5OpsSpec extends SparkSuite {
   import org.apache.spark.sql.functions._
 
+  test("sessionTmpDir registers its root for shutdown cleanup, exactly once") {
+    val a = graft.Util.sessionTmpDir(spark, "graft_cleanup_probe")
+    val b = graft.Util.sessionTmpDir(spark, "graft_cleanup_probe")
+    assert(a == b, "same (prefix, session) must resolve to one root")
+    assert(a.contains(spark.sparkContext.applicationId),
+      "root must be per-application so concurrent sessions never share")
+    assert(graft.Util.cleanupRoots.contains(a),
+      "root must be registered for the shutdown-hook wipe")
+    // the wipe itself: deleteRecursively clears a populated tree
+    val f = new java.io.File(s"$a/probe/nested")
+    f.mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(s"$a/probe/nested/x.txt"), "x")
+    graft.Util.deleteRecursively(new java.io.File(a))
+    assert(!new java.io.File(a).exists(), "wipe must remove the whole root")
+  }
+
   test("resample_interp: observed hours pass through; gaps blend linearly") {
     val out = ops.Relational.resampleInterp(spark, sf).collect()
     assert(out.nonEmpty)
