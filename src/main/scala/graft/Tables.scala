@@ -59,26 +59,37 @@ object Tables {
     * (path, length, mtime) — so a re-staged file with different
     * precision invalidates its cache entry instead of serving a stale
     * unit. NOTE the expression is resolved at DataFrame-CONSTRUCTION
-    * time: a stream declared before any files land bakes the magnitude
-    * fallback into its plan permanently (a fresh readEvents call after
-    * staging re-probes; an already-declared stream does not). That is
-    * safe because the three-tier fallback routes ns/µs/ms epochs after
-    * ~1973-03 identically to the annotation path — only pre-1973
-    * ns/µs data requires declaring the stream after staging.
+    * time — batch readers plan when their files exist, so this is
+    * fine; STREAMING readers must use
+    * [[graft.functions.TsExpr.tsToMicrosLazy]], which defers the same
+    * mode lookup to task runtime so a stream declared before any files
+    * land still normalizes by the annotation of files staged later
+    * (the r8 item #4 case).
     * Only the first part file (by name) is consulted: a directory
     * accumulating MIXED-annotation files is normalized by that file's
     * unit — don't do that. */
   def tsToMicrosSqlAt(path: String): String =
+    tsUnitModeAt(path) match {
+      case 1 => "(ts div 1000)"
+      case 2 => "ts"
+      case 3 => "(ts * 1000)"
+      case _ => TsToMicrosSql
+    }
+
+  /** Normalization mode of the CURRENT first part file under `path`:
+    * 1 = NANOS, 2 = MICROS, 3 = MILLIS (from the parquet footer
+    * annotation, memoized per file identity), 0 = magnitude fallback
+    * (nothing staged, no ts field, or unannotated INT64). */
+  private[graft] def tsUnitModeAt(path: String): Int =
     partFile(path) match {
-      case None => TsToMicrosSql // nothing staged yet — nothing to lock in
+      case None => 0 // nothing staged yet — nothing to lock in
       case Some(f) =>
         val key = s"${f.getAbsolutePath}:${f.length}:${f.lastModified}"
-        tsUnitCache.getOrElseUpdate(key, sniffTsUnit(f.getPath))
-          .getOrElse(TsToMicrosSql)
+        tsUnitCache.getOrElseUpdate(key, sniffTsMode(f.getPath)).getOrElse(0)
     }
 
   private val tsUnitCache =
-    scala.collection.concurrent.TrieMap.empty[String, Option[String]]
+    scala.collection.concurrent.TrieMap.empty[String, Option[Int]]
 
   /** First parquet part file under `path` (or `path` itself if a file). */
   private def partFile(path: String): Option[java.io.File] = {
@@ -89,11 +100,12 @@ object Tables {
       .sortBy(_.getName).headOption)
   }
 
-  /** The µs-normalization expression the parquet footer's `ts`
-    * annotation dictates, or None when the file/field/annotation is
-    * absent (caller falls back to the magnitude heuristic). `path` may
-    * be a single parquet file or a directory of part files. */
-  private[graft] def sniffTsUnit(path: String): Option[String] = try {
+  /** The µs-normalization mode the parquet footer's `ts` annotation
+    * dictates (1/2/3 = NANOS/MICROS/MILLIS), or None when the file/
+    * field/annotation is absent (caller falls back to the magnitude
+    * heuristic). `path` may be a single parquet file or a directory of
+    * part files. */
+  private[graft] def sniffTsMode(path: String): Option[Int] = try {
     import org.apache.parquet.schema.LogicalTypeAnnotation
     partFile(path).flatMap { f =>
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
@@ -106,12 +118,9 @@ object Tables {
         else schema.getType(schema.getFieldIndex("ts"))
             .getLogicalTypeAnnotation match {
           case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
-            if (t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS)
-              Some("(ts div 1000)")
-            else if (t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS)
-              Some("ts")
-            else if (t.getUnit == LogicalTypeAnnotation.TimeUnit.MILLIS)
-              Some("(ts * 1000)")
+            if (t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS) Some(1)
+            else if (t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS) Some(2)
+            else if (t.getUnit == LogicalTypeAnnotation.TimeUnit.MILLIS) Some(3)
             else None
           case _ => None
         }

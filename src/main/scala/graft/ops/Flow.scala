@@ -447,11 +447,56 @@ object Flow {
        ORDER BY interval_start"""
   }
 
+  /** D4 backfill EXECUTION — the other half of the scheduler:
+    * [[d4BackfillPlan]] enumerates the runs; this query executes them
+    * through the crash-replay-idempotent incremental runner
+    * ([[graft.streaming.EventsStream.runIncremental]]) and returns the
+    * MATERIALIZED table, proving plan = execution. The events source
+    * streams through the runner (AvailableNow), each micro-batch
+    * folding into per-interval counts via a stream-static join against
+    * the planned spine; Complete-mode materialization makes a replayed
+    * batch rewrite rather than double-count (the runner's foreachBatch
+    * contract), so a crashed backfill resumes idempotently. Zero-event
+    * intervals are re-attached at read-back exactly like the planner.
+    * State is bounded by the plan horizon (one row per interval),
+    * never by event volume. The oracle is the PLANNER's SQL — any
+    * divergence between enumerated plan and executed result breaks the
+    * hash match. */
+  def d4BackfillRun(spark: SparkSession, sfDir: String): DataFrame = {
+    val cron = Cron.parse("0 */6 * * *")
+    val (start, end) = ("2024-01-01 00:00:00", "2024-02-01 00:00:00")
+    val ticks = spark.range(1).select(explode(expr(
+        s"sequence(timestamp'$start', timestamp'$end', interval 1 minute)"))
+        .as("tick"))
+      .filter(expr(cron.predicateSql("tick", "spark")))
+    val w = Window.orderBy(col("tick"))
+    val runs = ticks
+      .withColumn("hi", lead(col("tick"), 1).over(w))
+      .filter(col("hi").isNotNull)
+      .select(col("tick").as("lo"), col("hi"))
+    val src = spark.readStream
+      .schema(graft.streaming.EventsStream.rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", expr(s"timestamp_micros(${Tables.tsToMicrosSql(sfDir)})"))
+    val counts = src.select(col("ts"))
+      .join(runs, col("ts") >= col("lo") && col("ts") < col("hi"))
+      .groupBy(col("lo"), col("hi")).agg(count(lit(1)).as("n_events"))
+    val mat = graft.streaming.EventsStream.runIncremental(
+      spark, counts, "d4bf", sfDir)
+    runs.join(mat, Seq("lo", "hi"), "left")
+      .select(fmtTs(col("lo")).as("interval_start"),
+        fmtTs(col("hi")).as("interval_end"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+      .orderBy(col("interval_start"))
+  }
+
   val queries: Map[String, QFn] = Map(
     "d1_fanout_isolation" -> d1FanoutIsolation,
     "d2_sequential_gate" -> d2SequentialGate,
     "d3_shared_reuse" -> d3SharedReuse,
     "d4_backfill_plan" -> d4BackfillPlan,
+    "d4_backfill_run" -> d4BackfillRun,
     "d7_env_gate" -> d7EnvGate,
     "sessionize" -> sessionize)
 
@@ -460,6 +505,7 @@ object Flow {
     "d2_sequential_gate" -> d2Sql,
     "d3_shared_reuse" -> d3Sql,
     "d4_backfill_plan" -> d4BackfillPlanSql,
+    "d4_backfill_run" -> d4BackfillPlanSql,
     "d7_env_gate" -> d7Sql,
     "sessionize" -> sessionizeSql)
 }

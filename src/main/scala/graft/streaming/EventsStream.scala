@@ -20,10 +20,15 @@ object EventsStream {
     .add("event_type", StringType).add("value", DoubleType)
     .add("props", StringType)
 
-  /** Streaming read of the staged events directory/file. */
+  /** Streaming read of the staged events directory/file. The ts unit
+    * resolves at TASK runtime ([[graft.functions.TsExpr.tsToMicrosLazy]])
+    * so declaring the stream before any files land does not bake the
+    * magnitude fallback into the plan — a late-staged annotated file
+    * is normalized by its own footer. */
   def readEvents(spark: SparkSession, path: String): DataFrame =
     spark.readStream.schema(rawSchema).parquet(path)
-      .withColumn("ts", expr(s"timestamp_micros(${graft.Tables.tsToMicrosSqlAt(path)})"))
+      .withColumn("ts",
+        timestamp_micros(graft.functions.TsExpr.tsToMicrosLazy(col("ts"), path)))
 
   /** Watermarked tumbling-window aggregation (the streaming twin of
     * Relational.tumblingWindowAgg). */
@@ -476,7 +481,8 @@ object EventsStream {
     val src = spark.readStream.schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(srcPath)
-      .select(col("user_id"), expr(graft.Tables.tsToMicrosSqlAt(srcPath)).as("tsMicros"))
+      .select(col("user_id"),
+        graft.functions.TsExpr.tsToMicrosLazy(col("ts"), srcPath).as("tsMicros"))
       .as[Ev]
     val counted = src.groupByKey(_.user_id)
       .transformWithState(new RunningCountProcessor,
@@ -503,7 +509,8 @@ object EventsStream {
     val src = spark.readStream.schema(rawSchema)
       .option("maxFilesPerTrigger", "1") // source option: one file per micro-batch
       .parquet(srcPath)
-      .withColumn("ts", expr(s"timestamp_micros(${graft.Tables.tsToMicrosSqlAt(srcPath)})"))
+      .withColumn("ts",
+        timestamp_micros(graft.functions.TsExpr.tsToMicrosLazy(col("ts"), srcPath)))
     val q = src
       .writeStream
       .trigger(Trigger.AvailableNow())

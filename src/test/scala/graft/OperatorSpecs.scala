@@ -420,6 +420,17 @@ class TextOpsSpec extends SparkSuite {
     assert(exact.nonEmpty)
   }
 
+  test("decontam bloom probe is codegen'd: might_contain in plan, no UDF node") {
+    graft.Util.withConf(spark, "spark.sql.adaptive.enabled", "false") {
+      val plan = ops.Text.decontamBloom(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"probe must be the native BloomFilterMightContain:\n${plan.take(1500)}")
+      assert(!plan.contains("UDF"),
+        s"probe stage must not box through a UDF:\n${plan.take(1500)}")
+    }
+  }
+
   test("bloom prefilter passes true matches plus at most the fpp sliver") {
     // The scale claim is that the verify join sees |matches| +
     // fpp·|non-matches| rows, never the whole corpus side. Rebuild the
@@ -1142,6 +1153,19 @@ class SinksSpec extends SparkSuite {
 }
 
 class FlowSpec extends SparkSuite {
+  test("d4 backfill execution equals the plan, and re-running is idempotent") {
+    // plan = execution: the materialized table the runner produces must
+    // be row-identical to the planner's enumeration; a second run
+    // (re-triggering the checkpointed stream with no new files) must
+    // not double-count.
+    val plan = Flow.d4BackfillPlan(spark, sf).collect().toSeq
+    val run1 = Flow.d4BackfillRun(spark, sf).collect().toSeq
+    assert(run1 == plan, "executed backfill must equal the planned intervals")
+    val run2 = Flow.d4BackfillRun(spark, sf).collect().toSeq
+    assert(run2 == plan, "replayed backfill must be idempotent")
+    assert(plan.nonEmpty)
+  }
+
   test("sharedScanOf serves the cache on a stable key, rebuilds and evicts on rotation") {
     import spark.implicits._
     val v1 = Flow.sharedScanOf(spark, "t_rot", "k1")(Seq(1).toDF("v"))

@@ -22,6 +22,41 @@ class StreamingSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("declare-then-stage: late MILLIS-annotated file parses by its annotation") {
+    import spark.implicits._
+    // The r8 item-4 scenario, impossible before the lazy ts expression:
+    // the stream is DECLARED over an empty directory (construction-time
+    // unit resolution would bake the magnitude fallback into the plan),
+    // THEN a MILLIS-annotated file lands whose epoch the fallback
+    // misroutes: 1e14 ms (year ~5138) has |ts| >= 1e14, so the
+    // magnitude tiers read it as MICROSECONDS → 1973. The annotation
+    // must win: the first batch returns the year-5138 instant.
+    val dir = java.nio.file.Files.createTempDirectory("graft_late_millis")
+      .toString
+    val declared = EventsStream.readEvents(spark, dir)
+      .select(col("event_id"), col("ts"))
+    val ms = 100000000000000L // 1e14 ms
+    graft.Util.withConf(spark,
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MILLIS") {
+      Seq((1L, new java.sql.Timestamp(ms), 7L, "click", 1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$dir/staged.parquet")
+      // flatten the part files up into the watched dir
+      val part = Option(new java.io.File(s"$dir/staged.parquet").listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Path.of(s"$dir/events.parquet"))
+    }
+    val out = EventsStream.runIncremental(spark, declared, "late_millis",
+      dir, org.apache.spark.sql.streaming.OutputMode.Append())
+    val got = out.select(col("event_id"), col("ts")).collect()
+    assert(got.length == 1)
+    assert(got(0).getAs[java.sql.Timestamp]("ts").getTime == ms,
+      s"late-staged MILLIS annotation must win over the magnitude " +
+        s"fallback: ${got(0)}")
+  }
+
   test("incremental runner is idempotent under micro-batch replay") {
     import org.apache.spark.sql.streaming.OutputMode
     // foreachBatch is at-least-once: simulate the crash window (parquet

@@ -10,12 +10,12 @@ class TablesSpec extends SparkSuite {
   private val fx = Tables.FixturesDir
 
   test("ts unit comes from the parquet annotation, not magnitude") {
-    assert(Tables.sniffTsUnit(s"$fx/ts_nanos.parquet") == Some("(ts div 1000)"))
-    assert(Tables.sniffTsUnit(s"$fx/ts_millis.parquet") == Some("(ts * 1000)"))
+    assert(Tables.sniffTsMode(s"$fx/ts_nanos.parquet") == Some(1))
+    assert(Tables.sniffTsMode(s"$fx/ts_millis.parquet") == Some(3))
     // the driver testdata is annotated too — whichever unit, never None
-    assert(Tables.sniffTsUnit(s"$sf/events.parquet").isDefined)
+    assert(Tables.sniffTsMode(s"$sf/events.parquet").isDefined)
     // no ts field / no file → None → magnitude fallback
-    assert(Tables.sniffTsUnit(s"$fx/does_not_exist.parquet").isEmpty)
+    assert(Tables.sniffTsMode(s"$fx/does_not_exist.parquet").isEmpty)
   }
 
   test("pre-1973 nanosecond epoch reads correctly via the annotation") {
@@ -42,7 +42,7 @@ class TablesSpec extends SparkSuite {
       (3L, 1706659200000L))
       .toDF("event_id", "ts")
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
-    assert(Tables.sniffTsUnit(s"$dir/events.parquet").isEmpty)
+    assert(Tables.sniffTsMode(s"$dir/events.parquet").isEmpty)
     val got = spark.read.parquet(s"$dir/events.parquet")
       .withColumn("us", expr(Tables.tsToMicrosSql(dir)))
       .select(col("us")).collect().map(_.getLong(0)).toSet
