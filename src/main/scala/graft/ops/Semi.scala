@@ -530,22 +530,52 @@ object Semi {
   // Compaction planner: assign small files to merge bins by target
   // output size — the "rewrite 10M tiny files into 128 MB objects"
   // maintenance pass of a 100 TB table. Bin id = floor(preceding
-  // cumulative size / target) via ONE ordered window over the
-  // manifest; no pairwise packing search, so the plan is a single sort
-  // at any file count. Oracle = the same arithmetic over the dump-time
-  // staging manifest (s6 pattern).
+  // cumulative size / target), i.e. an EXCLUSIVE prefix sum over the
+  // manifest in file order. The prefix sum is distributed two-phase
+  // (range-partition by file → per-partition exclusive window + a
+  // broadcast map of per-partition offsets, the classic scan
+  // decomposition): a naive global Window.orderBy would funnel the
+  // whole manifest through ONE partition — fine at fixture scale,
+  // single-task at the 10M-file manifest this op exists for. The
+  // offsets collect is bounded by the partition count, never the file
+  // count. No pairwise packing search. Oracle = the same arithmetic
+  // over the dump-time staging manifest (s6 pattern).
   def compactionPlan(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val target = 512L
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("file"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    Sources.fsScan(spark, graft.Tables.FixturesDir)
+    val nParts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val parts = Sources.fsScan(spark, graft.Tables.FixturesDir)
       .select(regexp_extract(col("path"), "[^/]+$", 0).as("file"),
         col("length"))
-      .withColumn("bin",
-        floor(coalesce(sum(col("length")).over(w), lit(0L)) / lit(target)))
+      .repartitionByRange(nParts, col("file"))
+      .sortWithinPartitions(col("file"))
+      .withColumn("pid", spark_partition_id())
+      // persist: the offsets pass and the result pass must see the SAME
+      // physical partitioning (range sampling re-rolls on recompute)
+      .persist()
+    // phase 1: per-partition totals → exclusive running offsets. Range
+    // partitions are assigned in key order, so pid ascending == file
+    // ascending; absent (empty) pids contribute zero.
+    val totals = parts.groupBy(col("pid")).agg(sum(col("length")).as("tot"))
+      .collect().map(r => (r.getAs[Int]("pid"), r.getAs[Long]("tot")))
+      .sortBy(_._1)
+    val offsets = totals.scanLeft((Int.MinValue, 0L)) {
+      case ((_, acc), (pid, tot)) => (pid, acc + tot)
+    }.sliding(2).collect { case Array((_, acc), (pid, _)) => (pid, acc) }
+      .toMap
+    val offsetOf = typedLit(offsets)
+    // phase 2: within-partition exclusive window + the partition offset
+    val wP = Window.partitionBy(col("pid")).orderBy(col("file"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val planned = parts
+      .withColumn("prefix",
+        coalesce(sum(col("length")).over(wP), lit(0L)) +
+          coalesce(element_at(offsetOf, col("pid")), lit(0L)))
+      .withColumn("bin", floor(col("prefix") / lit(target)))
+      .drop("pid", "prefix")
+    planned
       .withColumn("bin_bytes",
-        sum(col("length")).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("bin"))))
+        sum(col("length")).over(Window.partitionBy(col("bin"))))
       .orderBy(col("file"))
   }
   def compactionPlanSql: String = {

@@ -234,6 +234,33 @@ class ScaleSpec extends SparkSuite {
       s"boilerplate-only overlap must yield no pairs, rare-shingle dup must survive: $pairs")
   }
 
+  test("compaction plan prefix sum is distributed: no global window, same bins") {
+    import org.apache.spark.sql.expressions.Window
+    graft.Util.withConf(spark, "spark.sql.adaptive.enabled", "false") {
+      val planned = graft.ops.Semi.compactionPlan(spark, sf)
+      // every window in the plan is partitioned — the manifest never
+      // funnels through a single-partition global sort (the 10M-file
+      // failure mode the two-phase scan decomposition exists for)
+      val wins = planned.queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(wins.nonEmpty, "guard: window nodes must be visible")
+      assert(wins.forall(_.partitionSpec.nonEmpty),
+        s"global (unpartitioned) window in plan:\n${wins.mkString("\n").take(800)}")
+      // bit-identical to the naive single-partition prefix sum
+      val naive = graft.sources.Sources.fsScan(spark, graft.Tables.FixturesDir)
+        .select(regexp_extract(col("path"), "[^/]+$", 0).as("file"),
+          col("length"))
+        .withColumn("bin", floor(coalesce(sum(col("length")).over(
+          Window.orderBy(col("file"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)) / lit(512L)))
+        .withColumn("bin_bytes",
+          sum(col("length")).over(Window.partitionBy(col("bin"))))
+        .orderBy(col("file"))
+      assert(planned.collect().toSeq == naive.collect().toSeq)
+    }
+  }
+
   test("sign-LSH bucket cap bounds hot-bucket candidate volume") {
     import spark.implicits._
     // Adversarial corpus, the ngram stop-shingle shape transplanted to
