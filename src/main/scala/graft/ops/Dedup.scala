@@ -572,7 +572,99 @@ object Dedup {
        FROM (SELECT doc_id, ${canonUrlExpr(rawUrlExpr)} AS url FROM documents)
        GROUP BY 1 HAVING count(1) >= 2 ORDER BY url"""
 
+  // -- exact substring-span dedup ------------------------------------------
+
+  /** Exact substring-level duplication (the suffix-array dedup shape
+    * from the training-data-dedup literature, re-expressed for Spark):
+    * find maximal character spans that are duplicated ACROSS documents,
+    * reported per document as `[span_start, span_end)` with the number
+    * of stride windows that witnessed the duplication.
+    *
+    * Pipeline: stride windows (W=40 chars, S=10) → per-window 128-bit
+    * key (two independent xxhash64 of the window text, computed
+    * MAP-SIDE so only `(k1,k2,doc_id,pos)` ever cross an exchange — the
+    * corpus text never shuffles) → cross-doc duplication test as
+    * `min(doc_id) ≠ max(doc_id)` over a (k1,k2) window → per-doc
+    * gaps-and-islands merge of overlapping/adjacent windows into
+    * maximal spans.
+    *
+    * 100 TB shape: window volume is `len/S` per doc (linear in corpus),
+    * and the whole query is ONE corpus scan plus two metadata-only
+    * exchanges (by window key, then by doc_id). Duplication fans out
+    * one row per *occurrence*, never per pair, so a boilerplate 40-gram
+    * shared by 10⁸ docs costs 10⁸ 28-byte rows in one spill-capable
+    * sort partition — linear — where a pair-join would cost 10¹⁶. The
+    * oracle groups by the raw window text; the 128-bit double-hash
+    * grouping is therefore cross-checked (collision odds ~2⁻¹²⁸/pair).
+    */
+  def substringSpans(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val W = 40
+    val S = 10
+    val wins = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .filter(length(col("text")) >= W)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0), length(col("text")) - W, lit(S))).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        col("text").substr(col("pos") + 1, lit(W)).as("w"))
+      .select(col("doc_id"), col("pos"),
+        xxhash64(col("w")).as("k1"), xxhash64(col("w"), lit(0x9E37L)).as("k2"))
+    // "≥ 2 distinct docs" as min≠max doc_id over a (k1,k2) window: ONE
+    // corpus scan and ONE metadata-only exchange. The groupBy+self-join
+    // alternative needs the window stage twice (its partial aggregate
+    // sits below the exchange, so ReuseExchange cannot unify the
+    // build and probe subtrees — two corpus scans), and countDistinct
+    // would add a third (k1,k2,doc_id)-keyed shuffle. Hot-key bound:
+    // a boilerplate 40-gram with B occurrences puts B rows of 28 bytes
+    // in one spill-capable sort partition — linear in occurrences,
+    // never pairwise.
+    val byKey = Window.partitionBy(col("k1"), col("k2"))
+    val hits = wins
+      .withColumn("mn", min(col("doc_id")).over(byKey))
+      .withColumn("mx", max(col("doc_id")).over(byKey))
+      .filter(col("mn") =!= col("mx"))
+      .select(col("doc_id"), col("pos"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    hits
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) <= W, lit(0)).otherwise(lit(1)))
+      .withColumn("grp_id",
+        sum(col("brk")).over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("grp_id"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + W).cast("long").as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_start"), col("span_end"), col("n_windows"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+  val substringSpansSql: String =
+    """WITH wins AS (
+         SELECT d.doc_id, gs.pos AS pos,
+                substr(d.text, CAST(gs.pos + 1 AS INT), 40) AS w
+         FROM documents d, LATERAL (
+           SELECT unnest(generate_series(0, CAST(length(d.text) AS BIGINT) - 40, 10)) AS pos) gs
+         WHERE length(d.text) >= 40
+       ), dup AS (
+         SELECT w FROM wins GROUP BY w HAVING count(DISTINCT doc_id) >= 2
+       ), hits AS (
+         SELECT doc_id, pos FROM wins WHERE w IN (SELECT w FROM dup)
+       ), islands AS (
+         SELECT doc_id, pos,
+           CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 40
+                THEN 0 ELSE 1 END AS brk
+         FROM hits
+       ), grp AS (
+         SELECT doc_id, pos,
+           sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp_id
+         FROM islands
+       )
+       SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+              CAST(max(pos) + 40 AS BIGINT) AS span_end, count(*) AS n_windows
+       FROM grp GROUP BY doc_id, grp_id ORDER BY doc_id, span_start"""
+
   val queries: Map[String, QFn] = Map(
+    "dedup_substring_spans" -> substringSpans,
     "dedup_url" -> urlDedup,
     "dedup_keep_best" -> keepBest,
     "dedup_exact" -> exactDedup,
@@ -585,6 +677,7 @@ object Dedup {
     "dedup_clusters" -> dedupClusters)
 
   val oracles: Map[String, String] = Map(
+    "dedup_substring_spans" -> substringSpansSql,
     "dedup_url" -> urlDedupSql,
     "dedup_keep_best" -> keepBestSql,
     "dedup_exact" -> exactDedupSql,

@@ -476,6 +476,25 @@ class ScaleSpec extends SparkSuite {
     }
   }
 
+  test("substring-span dedup: one corpus scan, metadata-only exchanges") {
+    // The suffix-array-style dedup must touch the corpus ONCE: the
+    // window formulation (min/max doc_id over the window key) keeps
+    // both the duplication test and the probe in one subtree. The
+    // groupBy+self-join shape silently plans TWO corpus scans (its
+    // partial aggregate below the exchange defeats ReuseExchange) —
+    // this pins the regression.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    graft.Util.withConf(spark, "spark.sql.adaptive.enabled", "false") {
+      graft.Util.withConf(spark, "spark.sql.autoBroadcastJoinThreshold", "-1") {
+        val plan = graft.ops.Dedup.substringSpans(spark, sf)
+          .queryExecution.executedPlan
+        val scans = plan.collect { case s: FileSourceScanExec => s }
+        assert(scans.size == 1,
+          s"substring-span dedup must scan the corpus once, saw ${scans.size}:\n${plan.toString.take(1500)}")
+      }
+    }
+  }
+
   test("no shuffle carries wide payloads: bodies, chunks, and pixels stay put") {
     // The structural scale invariant behind the dedup/multimodal
     // family: exchanges move digests and counters, never document
@@ -497,12 +516,14 @@ class ScaleSpec extends SparkSuite {
     val noBody = Map[String, () => org.apache.spark.sql.DataFrame](
       "dedup_exact" -> (() => graft.ops.Dedup.exactDedup(spark, sf)),
       "dedup_keep_best" -> (() => graft.ops.Dedup.keepBest(spark, sf)),
+      "dedup_substring_spans" -> (() => graft.ops.Dedup.substringSpans(spark, sf)),
       "t_chunk_dedup" -> (() => graft.ops.Text.chunkDedup(spark, sf)))
     noBody.foreach { case (name, mk) =>
       val cols = shuffledCols(mk())
       assert(cols.nonEmpty, s"$name: guard must see the exchanges")
-      assert(!cols.exists(c => c.startsWith("text") || c.startsWith("chunk_text")),
-        s"$name must not shuffle document/chunk text: $cols")
+      assert(!cols.exists(c => c.startsWith("text") || c.startsWith("chunk_text")
+          || c == "w"),
+        s"$name must not shuffle document/chunk/window text: $cols")
     }
     val mm = Map[String, () => org.apache.spark.sql.DataFrame](
       "mm_metadata" -> (() => graft.ops.Multimodal.mmMetadata(spark, sf)),
