@@ -2019,6 +2019,172 @@ object Relational {
        JOIN customer ON o_custkey = c_custkey
        ORDER BY price_cents DESC, o_orderkey LIMIT 50"""
 
+  /** TPC-H Q7-shaped cross-nation volume: revenue flowing between two
+    * named nations (both directions) per ship-year. The nation-pair
+    * disjunction `((s=A ∧ c=B) ∨ (s=B ∧ c=A))` implies `s ∈ {A,B}` and
+    * `c ∈ {A,B}`, but Catalyst does not decompose disjunctions into
+    * per-side implied predicates — so both nation dims are PRE-FILTERED
+    * to the pair explicitly. At 100 TB that is the difference between
+    * the supplier/customer joins semi-pruning the fact spine early (two
+    * 2-row broadcast dims) and carrying every nation through the joins
+    * to a post-hoc filter. */
+  def q7NationVolume(spark: SparkSession, sfDir: String): DataFrame = {
+    val pair = Seq("NATION_1", "NATION_2")
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).cast("long").as("yr"),
+        revenueCents("l_extendedprice", "l_discount").cast("long").as("rev_cents"))
+    val supp = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val n1 = Tables.nation(spark, sfDir).filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val ord = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val n2 = Tables.nation(spark, sfDir).filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+    li.join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(n1, col("s_nationkey") === col("sn_key"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(n2, col("c_nationkey") === col("cn_key"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("yr"))
+      .agg(sum(col("rev_cents")).as("rev_cents"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("yr"))
+  }
+  val q7NationVolumeSql: String =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS BIGINT) AS yr,
+         CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0)
+           AS BIGINT)) AS BIGINT) AS rev_cents
+       FROM lineitem
+       JOIN supplier ON l_suppkey = s_suppkey
+       JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         AND n1.n_name IN ('NATION_1', 'NATION_2')
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         AND n2.n_name IN ('NATION_1', 'NATION_2')
+       WHERE n1.n_name <> n2.n_name
+       GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, yr"""
+
+  /** TPC-H Q10-shaped returned-item ranking: revenue lost to returns
+    * ('R' lines) per customer over one quarter, top 20. The fact side
+    * is aggregated to customer grain BEFORE the customer-dim join — at
+    * scale the dim join input is O(customers with returns), not
+    * O(return lines). */
+  def q10Returned(spark: SparkSession, sfDir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, sfDir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        revenueCents("l_extendedprice", "l_discount").cast("long").as("rev_cents"))
+      .join(Tables.orders(spark, sfDir)
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("rev_cents")).as("rev_cents"))
+    rev.join(Tables.customer(spark, sfDir),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, sfDir),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("rev_cents"),
+        cents(col("c_acctbal")).cast("long").as("acctbal_cents"),
+        col("n_name"))
+      .orderBy(col("rev_cents").desc, col("c_custkey")).limit(20)
+  }
+  val q10ReturnedSql: String =
+    """SELECT c_custkey, c_name, rev_cents,
+         CAST(floor(c_acctbal * 100.0) AS BIGINT) AS acctbal_cents, n_name
+       FROM (
+         SELECT o_custkey, CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+           * 100.0) AS BIGINT)) AS BIGINT) AS rev_cents
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_returnflag = 'R'
+           AND o_orderdate >= TIMESTAMP '1997-01-01'
+           AND o_orderdate < TIMESTAMP '1997-04-01'
+         GROUP BY 1) r
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation ON c_nationkey = n_nationkey
+       ORDER BY rev_cents DESC, c_custkey LIMIT 20"""
+
+  /** TPC-H Q13-shaped customer order-count distribution: LEFT join
+    * customers to (filtered) orders, count per customer — nulls from
+    * the left join count as zero — then histogram the counts. Two
+    * aggregates; the second runs over O(customers) rows and the
+    * histogram itself is O(distinct counts). */
+  def q13CustDist(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir).select(col("c_custkey"))
+      .join(Tables.orders(spark, sfDir)
+          .filter(col("o_orderpriority") =!= "1-URGENT")
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_custkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  val q13CustDistSql: String =
+    """SELECT c_count, count(1) AS custdist
+       FROM (
+         SELECT c_custkey, count(o_custkey) AS c_count
+         FROM customer LEFT JOIN (
+           SELECT o_custkey FROM orders WHERE o_orderpriority <> '1-URGENT') o
+           ON c_custkey = o_custkey
+         GROUP BY 1)
+       GROUP BY 1 ORDER BY custdist DESC, c_count DESC"""
+
+  /** TPC-H Q17-shaped small-quantity revenue: lines of one brand whose
+    * quantity is below 20% of that part's average quantity. The
+    * correlated `avg(l_quantity) per part` subquery is DECORRELATED
+    * into a per-part aggregate joined back on partkey — both sides
+    * pre-pruned by the brand dim, and expressed as a WINDOW over
+    * `l_partkey` rather than an aggregate-and-join-back: the join-back
+    * shape plans the (brand-pruned) fact scan twice — its partial
+    * aggregate below the exchange defeats ReuseExchange — where the
+    * window is one scan and one exchange, with per-part row counts
+    * bounding the sort groups. The threshold compare is EXACT integer
+    * arithmetic (`5·qty·n < sum_qty` over longs, quantities are
+    * integral), not `qty < 0.2·avg(...)` — a float avg differs in the
+    * last ulp between engines when the sum order differs, and a
+    * boundary row flipping sides is a wrong answer, not noise. */
+  def q17SmallQty(spark: SparkSession, sfDir: String): DataFrame = {
+    val brand = Tables.part(spark, sfDir)
+      .filter(col("p_brand") === "Brand#1").select(col("p_partkey"))
+    val byPart = Window.partitionBy(col("l_partkey"))
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+        cents(col("l_extendedprice")).cast("long").as("price_cents"))
+      .join(brand, col("l_partkey") === col("p_partkey"))
+      .withColumn("sum_qty", sum(col("qty")).over(byPart))
+      .withColumn("n_li", count(lit(1)).over(byPart))
+      .filter(col("qty") * 5L * col("n_li") < col("sum_qty"))
+      .agg(sum(col("price_cents")).as("total_cents"),
+        count(lit(1)).as("n_lines"))
+      .select(col("total_cents"), col("n_lines"),
+        floor(col("total_cents") / lit(7.0)).cast("long").as("avg_yearly_cents"))
+  }
+  val q17SmallQtySql: String =
+    """SELECT CAST(sum(price_cents) AS BIGINT) AS total_cents,
+         count(1) AS n_lines,
+         CAST(floor(sum(price_cents) / 7.0) AS BIGINT) AS avg_yearly_cents
+       FROM (
+         SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+           CAST(floor(l_extendedprice * 100.0) AS BIGINT) AS price_cents
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_brand = 'Brand#1') l
+       JOIN (
+         SELECT l_partkey AS ap_key, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           count(1) AS n_li
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_brand = 'Brand#1'
+         GROUP BY 1) a
+         ON l_partkey = ap_key
+       WHERE qty * 5 * n_li < sum_qty"""
+
   /** Rolling 7-day distinct users — the dedup-aware rolling metric a
     * naive sliding window can't give (distinct does not decompose over
     * overlapping windows). Exact two-stage shape: collapse events to
@@ -2116,7 +2282,11 @@ object Relational {
   val queries: Map[String, QFn] = Map(
     "q12_priority" -> q12Priority,
     "q14_promo_effect" -> q14PromoEffect,
+    "q7_nation_volume" -> q7NationVolume,
     "q8_market_share" -> q8MarketShare,
+    "q10_returned" -> q10Returned,
+    "q13_cust_dist" -> q13CustDist,
+    "q17_small_qty" -> q17SmallQty,
     "q18_big_orders" -> q18BigOrders,
     "rolling_distinct_users" -> rollingDistinctUsers,
     "resample_interp" -> resampleInterp,
@@ -2186,7 +2356,11 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "q12_priority" -> q12PrioritySql,
     "q14_promo_effect" -> q14PromoEffectSql,
+    "q7_nation_volume" -> q7NationVolumeSql,
     "q8_market_share" -> q8MarketShareSql,
+    "q10_returned" -> q10ReturnedSql,
+    "q13_cust_dist" -> q13CustDistSql,
+    "q17_small_qty" -> q17SmallQtySql,
     "q18_big_orders" -> q18BigOrdersSql,
     "rolling_distinct_users" -> rollingDistinctUsersSql,
     "resample_interp" -> resampleInterpSql,
