@@ -709,6 +709,121 @@ object Relational {
     """SELECT l_returnflag, count(1) AS n, true AS within_2pct
        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
+  /** Exact heavy hitters via a distributed Misra–Gries prefilter: all
+    * keys with frequency > φ = 1% of the stream, with EXACT counts.
+    *
+    * Pass 1 runs MG(⌈1/φ⌉) per partition in a typed `mapPartitions`
+    * (bounded state: 100 counters/task, no shuffle) and emits each
+    * partition's surviving candidates plus its row count. Any key with
+    * global frequency > φ·n must exceed φ·n_p in at least one
+    * partition (averaging argument), so the union of local candidates
+    * is a SUPERSET of the true heavy hitters — the bounded collect
+    * (≤ partitions × 100 keys) broadcasts back as a map-side semi
+    * filter for pass 2, which computes exact counts for candidates
+    * only and applies the integer-exact threshold `100·c > n`.
+    *
+    * Two corpus scans total, O(1/φ) state per task, and the final
+    * aggregate keys on the candidate set, not the key universe — the
+    * shape that works when the key space (URLs, IPs) dwarfs memory at
+    * 100 TB. The key here is a Zipf-law fold of the uniform synthetic
+    * part key (integer `div`, exact in both engines); the operator
+    * itself never looks at how the key was made. */
+  def heavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val phiInv = 100
+    val keyed = Tables.lineitem(spark, sfDir)
+      .select(expr("1000 div ((l_partkey % 1000) + 1)").as("k"))
+    val summary = keyed.as[Long].mapPartitions { it =>
+      var counters = scala.collection.mutable.LongMap.empty[Long]
+      var n = 0L
+      it.foreach { k =>
+        n += 1
+        counters.get(k) match {
+          case Some(c) => counters(k) = c + 1
+          case None if counters.size < phiInv => counters(k) = 1L
+          case None => // MG decrement-all; zeroed counters drop out
+            val keep = scala.collection.mutable.LongMap.empty[Long]
+            counters.foreachEntry((kk, cc) => if (cc > 1L) keep(kk) = cc - 1L)
+            counters = keep
+        }
+      }
+      counters.keysIterator.map(k => (0, k)) ++ Iterator.single((1, n))
+    }.collect() // bounded: ≤ partitions × (1/φ) candidates + partition counts
+    val nTotal = summary.collect { case (1, c) => c }.sum
+    val cands = summary.collect { case (0, k) => k }.distinct.toSeq
+    keyed.join(broadcast(cands.toDF("k")), Seq("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") * phiInv > nTotal)
+      .orderBy(col("n_occ").desc, col("k"))
+  }
+  val heavyHittersSql: String =
+    """WITH keyed AS (
+         SELECT 1000 // ((l_partkey % 1000) + 1) AS k FROM lineitem)
+       SELECT k, count(1) AS n_occ FROM keyed
+       GROUP BY k HAVING 100 * count(1) > (SELECT count(1) FROM keyed)
+       ORDER BY n_occ DESC, k"""
+
+  /** Keyed snapshot diff — the data-versioning compare (what a
+    * Delta/Iceberg table-diff does): classify rows of two snapshots of
+    * the orders table as added / removed / changed by primary key.
+    *
+    * The "old" snapshot is derived deterministically (keys ≡ 3 mod 50
+    * absent — they will read as added; keys ≡ 7 mod 20 carry a stale
+    * status 'P' — they will read as changed); "new" is the table
+    * as-is. Change detection compares a 128-bit row digest (two-seed
+    * xxhash64 over the FULL value tuple) computed MAP-SIDE, so the
+    * full-outer-join exchange carries (key, 16-byte digest, display
+    * cols) — never wide rows — which is the 100 TB shape for diffing
+    * two table versions. The oracle classifies by comparing the raw
+    * columns, cross-checking the digest scheme end-to-end. */
+  def snapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.orders(spark, sfDir)
+    val oldSnap = base.filter(col("o_orderkey") % 50 =!= 3)
+      .withColumn("o_orderstatus",
+        when(col("o_orderkey") % 20 === 7, lit("P")).otherwise(col("o_orderstatus")))
+    def digested(df: DataFrame, side: String): DataFrame = {
+      val vals = struct(col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderdate"), col("o_custkey"), col("o_orderpriority"))
+      df.select(col("o_orderkey").as(s"${side}_key"),
+        col("o_orderstatus").as(s"${side}_status"),
+        xxhash64(vals).as(s"${side}_d1"),
+        xxhash64(vals, lit(0x9E37L)).as(s"${side}_d2"))
+    }
+    digested(oldSnap, "old")
+      .join(digested(base, "new"), col("old_key") === col("new_key"), "full_outer")
+      .withColumn("change",
+        when(col("old_key").isNull, "added")
+          .when(col("new_key").isNull, "removed")
+          .when(col("old_d1") =!= col("new_d1") || col("old_d2") =!= col("new_d2"),
+            "changed"))
+      .filter(col("change").isNotNull)
+      .select(coalesce(col("new_key"), col("old_key")).as("o_orderkey"),
+        col("change"), col("old_status"), col("new_status"))
+      .orderBy(col("change"), col("o_orderkey"))
+  }
+  val snapshotDiffSql: String =
+    """WITH old AS (
+         SELECT o_orderkey,
+           CASE WHEN o_orderkey % 20 = 7 THEN 'P' ELSE o_orderstatus END
+             AS o_orderstatus,
+           o_totalprice, o_orderdate, o_custkey, o_orderpriority
+         FROM orders WHERE o_orderkey % 50 <> 3),
+       new AS (SELECT * FROM orders)
+       SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+         CASE WHEN o.o_orderkey IS NULL THEN 'added'
+              WHEN n.o_orderkey IS NULL THEN 'removed'
+              ELSE 'changed' END AS change,
+         o.o_orderstatus AS old_status, n.o_orderstatus AS new_status
+       FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+       WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+          OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+          OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+          OR o.o_orderdate IS DISTINCT FROM n.o_orderdate
+          OR o.o_custkey IS DISTINCT FROM n.o_custkey
+          OR o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+       ORDER BY change, o_orderkey"""
+
   // Correlated scalar subquery (Catalyst decorrelates it into an agg +
   // join): customers above their own nation's mean balance. Exact-cents
   // average: bigint sum / count is one double division with identical
@@ -2304,6 +2419,8 @@ object Relational {
     "udaf_geomean" -> udafGeomean,
     "fk_check" -> fkCheck,
     "cdc_merge" -> cdcMerge,
+    "heavy_hitters" -> heavyHitters,
+    "snapshot_diff" -> snapshotDiff,
     "resample_ffill" -> resampleFfill,
     "nullsafe_join" -> nullsafeJoin,
     "scd2_intervals" -> scd2Intervals,
@@ -2378,6 +2495,8 @@ object Relational {
     "udaf_geomean" -> udafGeomeanSql,
     "fk_check" -> fkCheckSql,
     "cdc_merge" -> cdcMergeSql,
+    "heavy_hitters" -> heavyHittersSql,
+    "snapshot_diff" -> snapshotDiffSql,
     "resample_ffill" -> resampleFfillSql,
     "nullsafe_join" -> nullsafeJoinSql,
     "scd2_intervals" -> scd2IntervalsSql,

@@ -495,6 +495,28 @@ class ScaleSpec extends SparkSuite {
     }
   }
 
+  test("heavy hitters: candidate prefilter sits below the exact-count exchange") {
+    // The Misra–Gries candidate set must filter the stream MAP-SIDE
+    // (broadcast semi join) before the exact-count aggregate's
+    // exchange — the whole point of the sketch is never shuffling the
+    // raw key universe. A refactor that counts first and filters after
+    // would still pass the oracle; this pins the plan shape.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    graft.Util.withConf(spark, "spark.sql.adaptive.enabled", "false") {
+      val plan = graft.ops.Relational.heavyHitters(spark, sf)
+        .queryExecution.executedPlan
+      val hashEx = plan.collect {
+        case e: ShuffleExchangeExec if e.outputPartitioning.toString.contains("hashpartitioning") => e
+      }
+      assert(hashEx.nonEmpty, s"expected the exact-count exchange:\n$plan")
+      hashEx.foreach { e =>
+        assert(e.collectFirst { case j: BroadcastHashJoinExec => j }.nonEmpty,
+          s"candidate broadcast filter must sit below the exchange:\n$plan")
+      }
+    }
+  }
+
   test("no shuffle carries wide payloads: bodies, chunks, and pixels stay put") {
     // The structural scale invariant behind the dedup/multimodal
     // family: exchanges move digests and counters, never document
