@@ -354,6 +354,89 @@ object Text {
          FROM scored)
        WHERE rk <= 3 ORDER BY doc_id, rk"""
 
+  /** BM25 retrieval: top-10 docs per query for a fixed query set — the
+    * classic lexical-retrieval baseline TF-IDF lacks (term-frequency
+    * saturation via k1, doc-length normalization via b). One term
+    * explode feeds tf / df / dl in bounded-key aggregates; the query
+    * set broadcasts and prunes the tf table to query terms BEFORE the
+    * scoring joins, so the scored row count is O(query-term matches),
+    * not O(corpus postings). Corpus scalars (N, Σdl) ride a one-row
+    * broadcast. Per-(doc,term) contributions floor to e4 and SUM AS
+    * INTEGERS per doc — partition-order-independent, and the oracle
+    * replays the identically-parenthesized arithmetic (the t_tfidf
+    * ln-parity precedent). k1 = 1.2, b = 0.75. */
+  def bm25Topk(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val qset = Seq(
+      ("q1", "hash"), ("q1", "join"),
+      ("q2", "window"), ("q2", "agg"),
+      ("q3", "stream"), ("q3", "batch"),
+      ("q4", "sort"), ("q4", "merge"), ("q4", "join"))
+    val qdf = broadcast(qset.toDF("query_id", "term"))
+    val terms = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(tokens).as("term"))
+      .filter(col("term") =!= "")
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dft = terms.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dl = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("dl_total"))
+    val contrib = tf.join(qdf, Seq("term"))
+      .join(dft, Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("score_e4",
+        floor(lit(10000.0) *
+          log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75) +
+            lit(0.75) * col("dl") * col("n_docs") / col("dl_total"))))
+          .cast("long"))
+    val scored = contrib.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("score_e4")).as("score_e4"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score_e4").desc, col("doc_id"))
+    scored.withColumn("rk", row_number().over(w).cast("int"))
+      .filter(col("rk") <= 10)
+      .select(col("query_id"), col("rk"), col("doc_id"), col("score_e4"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+  val bm25TopkSql: String =
+    """WITH q(query_id, term) AS (VALUES
+         ('q1', 'hash'), ('q1', 'join'),
+         ('q2', 'window'), ('q2', 'agg'),
+         ('q3', 'stream'), ('q3', 'batch'),
+         ('q4', 'sort'), ('q4', 'merge'), ('q4', 'join')),
+       terms AS (
+         SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+         FROM documents),
+       tf AS (SELECT doc_id, term, count(1) AS tf FROM terms
+              WHERE term <> '' GROUP BY doc_id, term),
+       dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms
+               WHERE term <> '' GROUP BY term),
+       dl AS (SELECT doc_id, count(1) AS dl FROM terms
+              WHERE term <> '' GROUP BY doc_id),
+       stats AS (SELECT count(1) AS n_docs, sum(dl) AS dl_total FROM dl),
+       contrib AS (
+         SELECT q.query_id, tf.doc_id,
+           CAST(floor(10000.0 *
+             ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5)) *
+             (tf.tf * 2.2) /
+             (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl * s.n_docs / s.dl_total)))
+             AS BIGINT) AS score_e4
+         FROM tf JOIN q USING (term) JOIN dft USING (term)
+         JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s),
+       scored AS (
+         SELECT query_id, doc_id, CAST(sum(score_e4) AS BIGINT) AS score_e4
+         FROM contrib GROUP BY 1, 2)
+       SELECT query_id, rk, doc_id, score_e4 FROM (
+         SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY score_e4 DESC, doc_id) AS INT) AS rk
+         FROM scored)
+       WHERE rk <= 10 ORDER BY query_id, rk"""
+
   // Stratified sampling: per-language hash thresholds (downsample the
   // majority class, keep all of the rarest) — the class-rebalancing
   // step of a corpus build. Same md5-threshold determinism as
@@ -1575,6 +1658,7 @@ object Text {
     "sample_hash" -> sampleHash,
     "sample_stratified" -> sampleStratified,
     "t_tfidf_topk" -> tfidfTopk,
+    "t_bm25_topk" -> bm25Topk,
     "t_chunk" -> chunk,
     "t_pack_sequences" -> packSequences,
     "t_normalize" -> normalize,
@@ -1609,6 +1693,7 @@ object Text {
     "sample_hash" -> sampleHashSql,
     "sample_stratified" -> sampleStratifiedSql,
     "t_tfidf_topk" -> tfidfTopkSql,
+    "t_bm25_topk" -> bm25TopkSql,
     "t_chunk" -> chunkSql,
     "t_pack_sequences" -> packSequencesSql,
     "t_normalize" -> normalizeSql,
