@@ -824,6 +824,41 @@ object Relational {
           OR o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
        ORDER BY change, o_orderkey"""
 
+  /** Incremental materialized-view maintenance: refresh an aggregate
+    * MV from a delta WITHOUT re-touching the base facts. The MV state
+    * (per (year, priority): order count + cents total) aggregates the
+    * standing 90% partition; the delta (keys ≡ 0 mod 10 — the newly
+    * ingested batch) aggregates at the same grain and MERGES by
+    * partial-state addition under a full-outer grain join (groups can
+    * exist in either side alone). Work is O(delta) + O(MV grain) —
+    * the decomposable-aggregate contract that makes a 100 TB MV
+    * refresh a delta-sized job instead of a table-sized one. The
+    * oracle recomputes the full aggregate from scratch, proving
+    * merge(MV, delta) ≡ recompute. */
+  def mvIncrementalMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    def grainAgg(df: DataFrame): DataFrame =
+      df.groupBy(year(col("o_orderdate")).cast("long").as("yr"),
+          col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(cents(col("o_totalprice")).cast("long")).as("total_cents"))
+    val base = Tables.orders(spark, sfDir)
+    val mv = grainAgg(base.filter(col("o_orderkey") % 10 =!= 0))
+      .withColumnsRenamed(Map("n_orders" -> "mv_n", "total_cents" -> "mv_c"))
+    val delta = grainAgg(base.filter(col("o_orderkey") % 10 === 0))
+      .withColumnsRenamed(Map("n_orders" -> "d_n", "total_cents" -> "d_c"))
+    mv.join(delta, Seq("yr", "o_orderpriority"), "full_outer")
+      .select(col("yr"), col("o_orderpriority"),
+        (coalesce(col("mv_n"), lit(0L)) + coalesce(col("d_n"), lit(0L))).as("n_orders"),
+        (coalesce(col("mv_c"), lit(0L)) + coalesce(col("d_c"), lit(0L))).as("total_cents"))
+      .orderBy(col("yr"), col("o_orderpriority"))
+  }
+  val mvIncrementalMergeSql: String =
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, o_orderpriority,
+         count(1) AS n_orders,
+         CAST(sum(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+           AS total_cents
+       FROM orders GROUP BY 1, 2 ORDER BY yr, o_orderpriority"""
+
   // Correlated scalar subquery (Catalyst decorrelates it into an agg +
   // join): customers above their own nation's mean balance. Exact-cents
   // average: bigint sum / count is one double division with identical
@@ -2421,6 +2456,7 @@ object Relational {
     "cdc_merge" -> cdcMerge,
     "heavy_hitters" -> heavyHitters,
     "snapshot_diff" -> snapshotDiff,
+    "mv_incremental_merge" -> mvIncrementalMerge,
     "resample_ffill" -> resampleFfill,
     "nullsafe_join" -> nullsafeJoin,
     "scd2_intervals" -> scd2Intervals,
@@ -2497,6 +2533,7 @@ object Relational {
     "cdc_merge" -> cdcMergeSql,
     "heavy_hitters" -> heavyHittersSql,
     "snapshot_diff" -> snapshotDiffSql,
+    "mv_incremental_merge" -> mvIncrementalMergeSql,
     "resample_ffill" -> resampleFfillSql,
     "nullsafe_join" -> nullsafeJoinSql,
     "scd2_intervals" -> scd2IntervalsSql,

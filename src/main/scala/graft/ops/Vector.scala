@@ -1232,7 +1232,10 @@ object Vector {
     * tolerance gates the oracle states as constants: the residual
     * ‖Gv − λv‖ ≤ 1e-9·λ‖v‖ proves the iteration converged, and
     * λ ≤ trace is the spectral sanity bound (λ₁ ≤ tr G exactly). */
-  def embSpectrumGate(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Exact e4-snapped Gram matrix: one d×d partial buffer per
+    * partition (O(d²) shuffle, never O(rows)), summed on the driver.
+    * Shared by the spectrum gate and the PCA projection. */
+  private def gramE4(spark: SparkSession, sfDir: String): (Long, Array[Long]) = {
     import spark.implicits._
     val d = Dim
     val partials = Tables.embeddings(spark, sfDir)
@@ -1252,11 +1255,17 @@ object Vector {
         }
         if (n == 0) Iterator.empty else Iterator((n, buf))
       }.collect()
-    val nVecs = partials.map(_._1).sum
     val g = new Array[Long](d * d)
     partials.foreach { case (_, b) =>
       var k = 0; while (k < d * d) { g(k) += b(k); k += 1 }
     }
+    (partials.map(_._1).sum, g)
+  }
+
+  def embSpectrumGate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val d = Dim
+    val (nVecs, g) = gramE4(spark, sfDir)
     val trace = (0 until d).map(i => g(i * d + i)).sum
     // driver-side power iteration on the exact Gram (doubles are fine
     // here: the gate is a relative residual, not a value compare). The
@@ -1300,8 +1309,97 @@ object Vector {
        FROM (SELECT CAST(floor(CAST(x AS DOUBLE) * 10000.0) AS BIGINT) AS xe4
              FROM (SELECT unnest(embedding) AS x FROM embeddings))"""
 
+  /** PCA projection of the corpus onto its top-2 principal components
+    * — the trained-transform "apply" step (whitening / dimensionality
+    * reduction before clustering or ANN). Train: exact e4 Gram
+    * ([[gramE4]], O(d²) shuffle) → driver power iteration with
+    * deflation for (λ₁,v₁), (λ₂,v₂). Apply: the eigenvectors broadcast
+    * back and every vector projects DISTRIBUTED over the same
+    * e4-snapped components, which makes Σpᵢ² = vᵢᵀGvᵢ = λᵢ an exact
+    * linear-algebra identity up to double rounding — the contract row
+    * gates the measured projected energies against the trained
+    * eigenvalues at 1e-6, plus orthonormality and a row-conservation
+    * check. Eigen floats never enter the oracle; the exact integers
+    * (trace, n) and identity-backed booleans do. */
+  def embPcaProject(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val d = Dim
+    val (nVecs, g) = gramE4(spark, sfDir)
+    val trace = (0 until d).map(i => g(i * d + i)).sum
+    def mulG(m: Array[Double], v: Array[Double]): Array[Double] =
+      Array.tabulate(d) { i =>
+        var s = 0.0; var j = 0
+        while (j < d) { s += m(i * d + j) * v(j); j += 1 }; s
+      }
+    def powerIter(m: Array[Double]): (Double, Array[Double]) = {
+      var v = Array.fill(d)(1.0 / math.sqrt(d))
+      var lambda = 0.0
+      var resid = Double.MaxValue
+      var iters = 0
+      while (resid > 1e-10 * math.max(lambda, 1.0) && iters < 20000) {
+        var k = 0
+        while (k < 100) {
+          val gv = mulG(m, v)
+          lambda = math.sqrt(gv.map(x => x * x).sum)
+          if (lambda == 0.0) return (0.0, v)
+          v = gv.map(_ / lambda)
+          k += 1
+        }
+        iters += 100
+        val gv = mulG(m, v)
+        resid = math.sqrt(
+          (0 until d).map(i => { val r = gv(i) - lambda * v(i); r * r }).sum)
+      }
+      (lambda, v)
+    }
+    val gd = g.map(_.toDouble)
+    val (l1, v1) = if (trace == 0L) (0.0, Array.fill(d)(0.0)) else powerIter(gd)
+    val deflated = Array.tabulate(d * d)(k => gd(k) - l1 * v1(k / d) * v1(k % d))
+    val (l2, v2) = if (trace == 0L) (0.0, Array.fill(d)(0.0)) else powerIter(deflated)
+    val bv = spark.sparkContext.broadcast((v1, v2))
+    val proj = Tables.embeddings(spark, sfDir)
+      .select(col("embedding")).as[Array[Float]]
+      .mapPartitions { it =>
+        val (w1, w2) = bv.value
+        var n = 0L; var e1 = 0.0; var e2 = 0.0
+        it.foreach { x =>
+          var p1 = 0.0; var p2 = 0.0; var i = 0
+          while (i < d) {
+            val xe = math.floor(x(i).toDouble * 10000.0)
+            p1 += xe * w1(i); p2 += xe * w2(i); i += 1
+          }
+          e1 += p1 * p1; e2 += p2 * p2; n += 1
+        }
+        if (n == 0) Iterator.empty else Iterator((n, e1, e2))
+      }.collect() // bounded: one triple per partition
+    val nProj = proj.map(_._1).sum
+    val en1 = proj.map(_._2).sum
+    val en2 = proj.map(_._3).sum
+    val zero = trace == 0L
+    val energy1Ok = zero || math.abs(en1 - l1) <= 1e-6 * l1
+    // v2 is an eigenvector of the DEFLATED Gram; its energy under the
+    // original G differs by the (near-zero) v1-component leak, so the
+    // gate tolerance absorbs deflation error, not just rounding.
+    val energy2Ok = zero || math.abs(en2 - l2) <= 1e-6 * math.max(l2, 1.0)
+    val orthoOk = zero ||
+      math.abs((0 until d).map(i => v1(i) * v2(i)).sum) <= 1e-6
+    val orderOk = l2 <= l1 * (1 + 1e-12)
+    Seq((d, nVecs, trace, nProj == nVecs, energy1Ok, energy2Ok, orthoOk, orderOk))
+      .toDF("d", "n_vecs", "trace_e8", "rows_ok", "energy1_ok", "energy2_ok",
+        "ortho_ok", "order_ok")
+  }
+  val embPcaProjectSql: String =
+    s"""SELECT CAST($Dim AS INT) AS d,
+       (SELECT count(1) FROM embeddings) AS n_vecs,
+       COALESCE(CAST(sum(xe4 * xe4) AS BIGINT), 0) AS trace_e8,
+       true AS rows_ok, true AS energy1_ok, true AS energy2_ok,
+       true AS ortho_ok, true AS order_ok
+       FROM (SELECT CAST(floor(CAST(x AS DOUBLE) * 10000.0) AS BIGINT) AS xe4
+             FROM (SELECT unnest(embedding) AS x FROM embeddings))"""
+
   val queries: Map[String, QFn] = Map(
     "emb_spectrum_gate" -> embSpectrumGate,
+    "emb_pca_project" -> embPcaProject,
     "emb_centroids" -> embCentroids,
     "emb_dim_stats" -> embDimStats,
     "emb_quantize_int8" -> embQuantizeInt8,
@@ -1319,6 +1417,7 @@ object Vector {
 
   val oracles: Map[String, String] = Map(
     "emb_spectrum_gate" -> embSpectrumGateSql,
+    "emb_pca_project" -> embPcaProjectSql,
     "emb_centroids" -> embCentroidsSql,
     "emb_dim_stats" -> embDimStatsSql,
     "emb_quantize_int8" -> embQuantizeInt8Sql,
