@@ -663,7 +663,50 @@ object Dedup {
               CAST(max(pos) + 40 AS BIGINT) AS span_end, count(*) AS n_windows
        FROM grp GROUP BY doc_id, grp_id ORDER BY doc_id, span_start"""
 
+  /** Entity resolution by blocked fuzzy match — the record-linkage
+    * shape: collapse to DISTINCT names first (exact-dedup composition:
+    * 2,000 part rows → ~100 names, each carrying its support count),
+    * block on the head noun (last name token), then verify only
+    * within-block pairs with an edit-distance ≤ 2 gate.
+    *
+    * Never an all-pairs join: candidates are bounded by
+    * Σ_block |block|², and blocks are value-bounded (a vocabulary,
+    * not the corpus — at 100 TB the blocking key would be a
+    * phonetic/sorted-neighborhood key with a per-block posting cap,
+    * the dedup_ngram_jaccard mechanism). Levenshtein is the same
+    * integer DP in both engines, so the pair set is oracle-exact.
+    * Support counts ride the collapsed names, so downstream merge
+    * decisions (keep the higher-support spelling) need no second scan. */
+  def erFuzzyBlock(spark: SparkSession, sfDir: String): DataFrame = {
+    val names = Tables.part(spark, sfDir)
+      .groupBy(col("p_name")).agg(count(lit(1)).as("n_rows"))
+      .withColumn("blk", element_at(split(col("p_name"), " "), 2))
+    val a = names.select(col("blk"), col("p_name").as("a_name"),
+      col("n_rows").as("a_rows"))
+    val b = names.select(col("blk"), col("p_name").as("b_name"),
+      col("n_rows").as("b_rows"))
+    a.join(b, "blk").filter(col("a_name") < col("b_name"))
+      .withColumn("lev", levenshtein(col("a_name"), col("b_name")))
+      .filter(col("lev") <= 2)
+      .select(col("a_name"), col("b_name"), col("lev"),
+        col("a_rows"), col("b_rows"))
+      .orderBy(col("a_name"), col("b_name"))
+  }
+  val erFuzzyBlockSql: String =
+    """WITH names AS (
+         SELECT p_name, count(1) AS n_rows,
+           split_part(p_name, ' ', 2) AS blk
+         FROM part GROUP BY p_name)
+       SELECT a.p_name AS a_name, b.p_name AS b_name,
+         CAST(levenshtein(a.p_name, b.p_name) AS INT) AS lev,
+         a.n_rows AS a_rows, b.n_rows AS b_rows
+       FROM names a JOIN names b
+         ON a.blk = b.blk AND a.p_name < b.p_name
+       WHERE levenshtein(a.p_name, b.p_name) <= 2
+       ORDER BY a_name, b_name"""
+
   val queries: Map[String, QFn] = Map(
+    "er_fuzzy_block" -> erFuzzyBlock,
     "dedup_substring_spans" -> substringSpans,
     "dedup_url" -> urlDedup,
     "dedup_keep_best" -> keepBest,
@@ -677,6 +720,7 @@ object Dedup {
     "dedup_clusters" -> dedupClusters)
 
   val oracles: Map[String, String] = Map(
+    "er_fuzzy_block" -> erFuzzyBlockSql,
     "dedup_substring_spans" -> substringSpansSql,
     "dedup_url" -> urlDedupSql,
     "dedup_keep_best" -> keepBestSql,

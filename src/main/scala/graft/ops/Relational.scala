@@ -2429,7 +2429,108 @@ object Relational {
          GROUP BY 1)
        ORDER BY yr"""
 
+  /** Mergeable histogram-quantile rollup — the re-aggregation layer for
+    * percentiles that `approx_percentile` lacks (its sketch isn't
+    * SQL-mergeable across rollup grains): per-day fixed-bin integer
+    * histograms over order value, MERGED to the corpus histogram by
+    * summing counts — never re-touching base rows — then p50/p90/p99
+    * read off the merged cumulative counts as exact integer
+    * comparisons (smallest bin whose cum·100 ≥ pct·total).
+    *
+    * At 100 TB the day histograms are the stored artifact (≤256 rows
+    * per day); any ad-hoc grain (week, month, corpus) re-aggregates
+    * them in milliseconds. The only full-data pass is the day-grain
+    * build; the cumulative window runs over the ≤256-row merged
+    * histogram, not the data. Bin = value_cents div $2,000, capped at
+    * 255 — arithmetic identical in both engines, so unlike a sketch
+    * the result is oracle-EXACT (complement of `sketch_union_rollup`,
+    * which gates a tolerance). */
+  def histQuantileRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val binW = 200000L // $2,000 bins, in cents
+    val binned = Tables.orders(spark, sfDir)
+      .select(to_date(col("o_orderdate")).as("day"),
+        least(cents(col("o_totalprice")).cast("long") / lit(binW), lit(255L))
+          .cast("long").as("bin"))
+    val dayHist = binned.groupBy(col("day"), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    // the rollup: merge histograms, not rows
+    val merged = dayHist.groupBy(col("bin"))
+      .agg(sum(col("cnt")).as("cnt"))
+    // ≤256-row frame: the global window is bounded by the bin count
+    val cum = merged.withColumn("cum",
+        sum(col("cnt")).over(Window.orderBy(col("bin"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(merged.agg(sum(col("cnt")).as("total"))))
+    val pcts = spark.range(1).select(
+      explode(array(lit(50L), lit(90L), lit(99L))).as("pct"))
+    cum.crossJoin(broadcast(pcts))
+      .filter(col("cum") * 100 >= col("pct") * col("total"))
+      .groupBy(col("pct"))
+      .agg(min(col("bin")).as("bin"), max(col("total")).as("total"))
+      .select(col("pct"), col("bin"),
+        ((col("bin") + 1) * lit(binW)).as("upper_cents"), col("total"))
+      .orderBy(col("pct"))
+  }
+  val histQuantileRollupSql: String =
+    """WITH binned AS (
+         SELECT CAST(o_orderdate AS DATE) AS day,
+           least(CAST(floor(o_totalprice * 100.0) AS BIGINT) // 200000, 255)
+             AS bin
+         FROM orders),
+       day_hist AS (
+         SELECT day, bin, count(1) AS cnt FROM binned GROUP BY day, bin),
+       merged AS (
+         SELECT bin, CAST(sum(cnt) AS BIGINT) AS cnt
+         FROM day_hist GROUP BY bin),
+       cum AS (
+         SELECT bin, CAST(sum(cnt) OVER (ORDER BY bin) AS BIGINT) AS cum,
+           (SELECT CAST(sum(cnt) AS BIGINT) FROM merged) AS total
+         FROM merged)
+       SELECT pct, min(bin) AS bin,
+         (min(bin) + 1) * 200000 AS upper_cents, max(total) AS total
+       FROM cum CROSS JOIN (VALUES (CAST(50 AS BIGINT)), (90), (99)) p(pct)
+       WHERE cum * 100 >= pct * total
+       GROUP BY pct ORDER BY pct"""
+
+  /** Shuffle-skew planner — DERIVES the per-key salt factors that
+    * `skew_salted_join` consumes. One aggregation pass computes per-key
+    * counts over the Zipf-folded part key (the `heavy_hitters` stream);
+    * each key's salt = ⌈cnt / target⌉ where target = ⌈total / 32⌉ is
+    * the even-split partition budget. Keys under budget salt to 1.
+    *
+    * This is the plan you compute BEFORE the big skewed join: the
+    * top-k hot keys (bounded collect, 20 rows) become the replicated
+    * side's salt map, everything else flows unsalted. AQE's skew-join
+    * handles sort-merge spills after the fact; an explicit salt plan is
+    * the shape that also fixes skewed aggregations and lets the hot-key
+    * map ship with the job config. All arithmetic integer-exact. */
+  def skewPlan(spark: SparkSession, sfDir: String): DataFrame = {
+    val keyed = Tables.lineitem(spark, sfDir)
+      .select(expr("1000 div ((l_partkey % 1000) + 1)").as("k"))
+    val counts = keyed.groupBy(col("k")).agg(count(lit(1)).as("n_occ"))
+    val tot = counts.agg(sum(col("n_occ")).as("total"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("target", expr("(total + 31) div 32"))
+      .withColumn("salt", expr("(n_occ + target - 1) div target"))
+      .withColumn("share_e4", expr("(n_occ * 10000) div total"))
+      .select(col("k"), col("n_occ"), col("salt"), col("share_e4"))
+      .orderBy(col("n_occ").desc, col("k"))
+      .limit(20)
+  }
+  val skewPlanSql: String =
+    """WITH keyed AS (
+         SELECT 1000 // ((l_partkey % 1000) + 1) AS k FROM lineitem),
+       counts AS (SELECT k, count(1) AS n_occ FROM keyed GROUP BY k),
+       tot AS (SELECT CAST(sum(n_occ) AS BIGINT) AS total FROM counts)
+       SELECT k, n_occ,
+         (n_occ + ((total + 31) // 32) - 1) // ((total + 31) // 32) AS salt,
+         (n_occ * 10000) // total AS share_e4
+       FROM counts CROSS JOIN tot
+       ORDER BY n_occ DESC, k LIMIT 20"""
+
   val queries: Map[String, QFn] = Map(
+    "hist_quantile_rollup" -> histQuantileRollup,
+    "skew_plan" -> skewPlan,
     "q12_priority" -> q12Priority,
     "q14_promo_effect" -> q14PromoEffect,
     "q7_nation_volume" -> q7NationVolume,
@@ -2507,6 +2608,8 @@ object Relational {
     "cohort_retention" -> cohortRetention)
 
   val oracles: Map[String, String] = Map(
+    "hist_quantile_rollup" -> histQuantileRollupSql,
+    "skew_plan" -> skewPlanSql,
     "q12_priority" -> q12PrioritySql,
     "q14_promo_effect" -> q14PromoEffectSql,
     "q7_nation_volume" -> q7NationVolumeSql,

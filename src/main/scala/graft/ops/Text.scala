@@ -306,6 +306,38 @@ object Text {
        WHERE md5(CAST(doc_id AS VARCHAR)) < '0d'
        ORDER BY doc_id"""
 
+  /** Weighted deterministic sampling (Poisson/Bernoulli design):
+    * include each doc with probability ∝ its length — the way a
+    * token-budget training mixture samples documents so that the
+    * EXPECTED token draw matches the mixture weights, without a global
+    * sort or a pass to normalize weights.
+    *
+    * Per row: u = first 8 md5 hex chars of the doc id (32 uniform
+    * bits), per-row threshold = min(n_chars, 4095)·2²⁰ rendered as
+    * 8-digit hex; keep iff u < threshold, i.e. P(keep) =
+    * min(n_chars, 4095)/4096. Pure map-side — no shuffle, no
+    * collect, reproducible across engines, runs, and partitionings
+    * (the sampleHash guarantee, weight-generalized). The comparison
+    * stays in hex-string space so both engines do the identical
+    * lexicographic compare — no float, no platform hash. */
+  def sampleWeighted(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("key",
+        substring(md5(encode(col("doc_id").cast("string"), "utf-8")), 1, 8))
+      .withColumn("thr",
+        lpad(lower(hex(least(col("n_chars"), lit(4095L)) * lit(1048576L))),
+          8, "0"))
+      .filter(col("key") < col("thr"))
+      .select(col("doc_id"), col("n_chars"), col("key"))
+      .orderBy(col("doc_id"))
+  val sampleWeightedSql: String =
+    """SELECT doc_id, n_chars,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS key
+       FROM documents
+       WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+         < lpad(lower(hex(least(n_chars, 4095) * 1048576)), 8, '0')
+       ORDER BY doc_id"""
+
   // TF-IDF: top-3 terms per document. Two shuffles, both on bounded
   // keys — (doc_id, term) for tf, term for df; the corpus size N joins
   // in as a broadcast scalar. Ranking uses the e4 fixed-point score
@@ -1656,6 +1688,7 @@ object Text {
     "t_inverted_index" -> invertedIndex,
     "t_pmi_bigrams" -> pmiBigrams,
     "sample_hash" -> sampleHash,
+    "sample_weighted" -> sampleWeighted,
     "sample_stratified" -> sampleStratified,
     "t_tfidf_topk" -> tfidfTopk,
     "t_bm25_topk" -> bm25Topk,
@@ -1691,6 +1724,7 @@ object Text {
     "t_inverted_index" -> invertedIndexSql,
     "t_pmi_bigrams" -> pmiBigramsSql,
     "sample_hash" -> sampleHashSql,
+    "sample_weighted" -> sampleWeightedSql,
     "sample_stratified" -> sampleStratifiedSql,
     "t_tfidf_topk" -> tfidfTopkSql,
     "t_bm25_topk" -> bm25TopkSql,

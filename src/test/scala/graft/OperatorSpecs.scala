@@ -1494,6 +1494,84 @@ class Round5OpsSpec extends SparkSuite {
     assert(heldOutBackoffs > 0L, "no held-out token ever backed off")
   }
 
+  test("hist rollup percentiles equal brute force over merged bins") {
+    val rows = ops.Relational.histQuantileRollup(spark, sf).collect()
+    val vals = Tables.orders(spark, sf).select(col("o_totalprice")).collect()
+      .map(r => math.min(math.floor(r.getDouble(0) * 100.0).toLong / 200000L, 255L))
+    val total = vals.length.toLong
+    val hist = vals.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bins = hist.keys.toSeq.sorted
+    def pctBin(p: Long): Long = {
+      var cum = 0L
+      bins.find { b => cum += hist(b); cum * 100 >= p * total }.get
+    }
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val p = r.getAs[Long]("pct")
+      assert(r.getAs[Long]("bin") == pctBin(p), s"p$p bin")
+      assert(r.getAs[Long]("upper_cents") == (pctBin(p) + 1) * 200000L)
+      assert(r.getAs[Long]("total") == total)
+    }
+  }
+
+  test("skew plan: salt = ceil(cnt/target) against brute-force counts") {
+    val rows = ops.Relational.skewPlan(spark, sf).collect()
+    val keys = Tables.lineitem(spark, sf).select(col("l_partkey")).collect()
+      .map(r => 1000L / ((r.getAs[Number](0).longValue % 1000) + 1))
+    val total = keys.length.toLong
+    val target = (total + 31) / 32
+    val counts = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val want = counts.toSeq.sortBy { case (k, n) => (-n, k) }.take(20)
+    assert(rows.length == math.min(want.length, 20))
+    rows.zip(want).foreach { case (r, (k, n)) =>
+      assert(r.getAs[Long]("k") == k)
+      assert(r.getAs[Long]("n_occ") == n)
+      assert(r.getAs[Long]("salt") == (n + target - 1) / target)
+      assert(r.getAs[Long]("share_e4") == n * 10000 / total)
+    }
+    assert(rows.exists(_.getAs[Long]("salt") > 1), "fixture has a hot key")
+    assert(rows.exists(_.getAs[Long]("salt") == 1), "and a cold tail")
+  }
+
+  test("weighted sample: inclusion is exactly the per-row hex threshold") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val got = ops.Text.sampleWeighted(spark, sf).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars")).collect()
+    val want = docs.filter { r =>
+      val u = md5hex(r.getAs[Long]("doc_id").toString).substring(0, 8)
+      val thr = f"${math.min(r.getAs[Long]("n_chars"), 4095L) * 1048576L}%08x"
+      u < thr
+    }.map(_.getAs[Long]("doc_id")).toSet
+    assert(got == want, "engine sample = brute-force predicate")
+    assert(got.nonEmpty && got.size < docs.length)
+  }
+
+  test("er fuzzy block: pairs match brute-force all-pairs within blocks") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val got = ops.Dedup.erFuzzyBlock(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Int]("lev"))).toSet
+    val names = Tables.part(spark, sf).select(col("p_name")).distinct()
+      .collect().map(_.getString(0))
+    val want = (for {
+      a <- names; b <- names
+      if a < b && a.split(" ")(1) == b.split(" ")(1) && lev(a, b) <= 2
+    } yield (a, b, lev(a, b))).toSet
+    assert(got == want)
+    assert(got.nonEmpty, "fixture vocabulary yields at least one near pair")
+  }
+
   test("stream_static_enrich equals the batch join it enriches") {
     val stream = streaming.EventsStream.streamStaticEnrich(spark, sf)
       .collect().map(_.toString)
