@@ -2528,9 +2528,152 @@ object Relational {
        FROM counts CROSS JOIN tot
        ORDER BY n_occ DESC, k LIMIT 20"""
 
+  /** Grouped top-k by bounded-heap selection — the distributed top-k
+    * that never sorts: per-partition heaps of size k per group (typed
+    * `mapPartitions`, O(n log k) work, O(groups·k) state), then only
+    * ≤ partitions·groups·k survivor rows cross the exchange for a
+    * final k-merge. Contrast `topk_orders`/`window_rank`: the window
+    * path shuffles EVERY row to its group and sorts it (Spark 4's
+    * WindowGroupLimit prunes partial-side but still pays per-partition
+    * sorts); here selection replaces sorting and the shuffle carries
+    * survivors only — the shape for "top 100 per key" over 100 TB when
+    * groups·k fits a task. Ties break to the lower order key, so the
+    * result is a total order and oracle-exact. */
+  def topkGroupedHeap(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val k = 5
+    val worstFirst =
+      Ordering.by[(Long, Long), (Long, Long)] { case (c, id) => (-c, id) }
+    def push(h: scala.collection.mutable.PriorityQueue[(Long, Long)],
+        e: (Long, Long)): Unit = {
+      h.enqueue(e); if (h.size > k) { h.dequeue(); () }
+    }
+    val rows = Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority"),
+        cents(col("o_totalprice")).cast("long").as("c"), col("o_orderkey"))
+      .as[(String, Long, Long)]
+    val partial = rows.mapPartitions { it =>
+      val heaps = scala.collection.mutable.Map
+        .empty[String, scala.collection.mutable.PriorityQueue[(Long, Long)]]
+      it.foreach { case (p, c, id) =>
+        push(heaps.getOrElseUpdate(p,
+          scala.collection.mutable.PriorityQueue.empty(worstFirst)), (c, id))
+      }
+      heaps.iterator.flatMap { case (p, h) =>
+        h.iterator.map { case (c, id) => (p, c, id) } }
+    }
+    partial.groupByKey(_._1).flatMapGroups { (p, it) =>
+      val h = scala.collection.mutable.PriorityQueue.empty(worstFirst)
+      it.foreach { case (_, c, id) => push(h, (c, id)) }
+      h.toSeq.sortBy { case (c, id) => (-c, id) }.zipWithIndex
+        .map { case ((c, id), i) => (p, i + 1L, id, c) }
+    }.toDF("o_orderpriority", "rank", "o_orderkey", "price_cents")
+      .orderBy(col("o_orderpriority"), col("rank"))
+  }
+  val topkGroupedHeapSql: String =
+    """SELECT o_orderpriority, CAST(rnk AS BIGINT) AS rank, o_orderkey,
+         price_cents
+       FROM (
+         SELECT o_orderpriority, o_orderkey,
+           CAST(floor(o_totalprice * 100.0) AS BIGINT) AS price_cents,
+           row_number() OVER (PARTITION BY o_orderpriority
+             ORDER BY floor(o_totalprice * 100.0) DESC, o_orderkey) AS rnk
+         FROM orders)
+       WHERE rnk <= 5 ORDER BY o_orderpriority, rank"""
+
+  /** Time-bounded sequence funnel (the ClickHouse-windowFunnel shape):
+    * furthest stage of click → view → purchase reached within a 72-HOUR
+    * window of the user's anchor (earliest) click — first view strictly after
+    * the anchor inside the window, first purchase strictly after that
+    * view inside the window. Greedy-from-earliest-anchor is the
+    * deterministic, SQL-expressible semantic (a later click could in
+    * principle anchor a chain the earliest misses — that variant needs
+    * per-user backtracking and is not relationally expressible;
+    * documented exclusion).
+    *
+    * ONE shuffle total: repartition by user, secondary-sort by time
+    * inside each partition, and a run-folding `mapPartitions` that
+    * carries O(1) state per user and streams output on key change —
+    * no per-user event buffering, no three-way self-join (the
+    * `funnel_stages` shape re-shuffles per stage; at 100 TB this is
+    * the same answer in one pass). Micro-second integer arithmetic
+    * end-to-end. */
+  def funnelWindowSeq(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val H = 72L * 3600L * 1000000L
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id").cast("long").as("u"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .repartition(col("u"))
+      .sortWithinPartitions(col("u"), col("us"))
+      .as[(Long, String, Long)]
+    val stages = ev.mapPartitions { it =>
+      new Iterator[(Long, Long)] {
+        private var cur = Long.MinValue
+        private var t1 = -1L; private var tv = -1L; private var tp = -1L
+        private var pending: Option[(Long, Long)] = None
+        private def stageOf: Long = if (tp >= 0) 3L else if (tv >= 0) 2L else 1L
+        private def advance(): Unit = {
+          while (pending.isEmpty && it.hasNext) {
+            val (u, typ, us) = it.next()
+            if (u != cur) {
+              if (cur != Long.MinValue && t1 >= 0) pending = Some((cur, stageOf))
+              cur = u; t1 = -1L; tv = -1L; tp = -1L
+            }
+            typ match {
+              case "click" if t1 < 0 => t1 = us
+              case "view" if t1 >= 0 && tv < 0 && us > t1 && us <= t1 + H =>
+                tv = us
+              case "purchase" if tv >= 0 && tp < 0 && us > tv && us <= t1 + H =>
+                tp = us
+              case _ =>
+            }
+          }
+          if (pending.isEmpty && !it.hasNext && cur != Long.MinValue && t1 >= 0) {
+            pending = Some((cur, stageOf)); cur = Long.MinValue
+          }
+        }
+        def hasNext: Boolean = { advance(); pending.nonEmpty }
+        def next(): (Long, Long) = {
+          advance(); val r = pending.get; pending = None; r
+        }
+      }
+    }
+    stages.toDF("user_id", "stage")
+      .groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("stage"))
+  }
+  val funnelWindowSeqSql: String =
+    """WITH ev AS (
+         SELECT user_id, event_type, date_trunc('microseconds', ts) AS ts
+         FROM events),
+       c AS (
+         SELECT user_id, min(ts) AS t1 FROM ev
+         WHERE event_type = 'click' GROUP BY user_id),
+       v AS (
+         SELECT e.user_id, min(e.ts) AS tv
+         FROM ev e JOIN c USING (user_id)
+         WHERE e.event_type = 'view' AND e.ts > c.t1
+           AND e.ts <= c.t1 + INTERVAL 72 HOUR
+         GROUP BY e.user_id),
+       p AS (
+         SELECT e.user_id, min(e.ts) AS tp
+         FROM ev e JOIN v USING (user_id) JOIN c USING (user_id)
+         WHERE e.event_type = 'purchase' AND e.ts > v.tv
+           AND e.ts <= c.t1 + INTERVAL 72 HOUR
+         GROUP BY e.user_id)
+       SELECT stage, count(1) AS n_users FROM (
+         SELECT c.user_id,
+           CASE WHEN p.user_id IS NOT NULL THEN CAST(3 AS BIGINT)
+                WHEN v.user_id IS NOT NULL THEN 2 ELSE 1 END AS stage
+         FROM c LEFT JOIN v USING (user_id) LEFT JOIN p USING (user_id))
+       GROUP BY stage ORDER BY stage"""
+
   val queries: Map[String, QFn] = Map(
     "hist_quantile_rollup" -> histQuantileRollup,
     "skew_plan" -> skewPlan,
+    "topk_grouped_heap" -> topkGroupedHeap,
+    "funnel_window_seq" -> funnelWindowSeq,
     "q12_priority" -> q12Priority,
     "q14_promo_effect" -> q14PromoEffect,
     "q7_nation_volume" -> q7NationVolume,
@@ -2610,6 +2753,8 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "hist_quantile_rollup" -> histQuantileRollupSql,
     "skew_plan" -> skewPlanSql,
+    "topk_grouped_heap" -> topkGroupedHeapSql,
+    "funnel_window_seq" -> funnelWindowSeqSql,
     "q12_priority" -> q12PrioritySql,
     "q14_promo_effect" -> q14PromoEffectSql,
     "q7_nation_volume" -> q7NationVolumeSql,

@@ -1572,6 +1572,48 @@ class Round5OpsSpec extends SparkSuite {
     assert(got.nonEmpty, "fixture vocabulary yields at least one near pair")
   }
 
+  test("grouped heap top-k equals the window-sort answer") {
+    val got = ops.Relational.topkGroupedHeap(spark, sf).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("rank"),
+        r.getAs[Long]("o_orderkey"), r.getAs[Long]("price_cents")))
+    val want = Tables.orders(spark, sf)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .collect()
+      .map(r => (r.getString(0), r.getAs[Long]("o_orderkey"),
+        math.floor(r.getAs[Double]("o_totalprice") * 100.0).toLong))
+      .groupBy(_._1).toSeq.flatMap { case (p, rows) =>
+        rows.sortBy { case (_, id, c) => (-c, id) }.take(5).zipWithIndex
+          .map { case ((_, id, c), i) => (p, i + 1L, id, c) }
+      }.sortBy(t => (t._1, t._2))
+    assert(got.toSeq == want)
+  }
+
+  test("window funnel: stage counts match min-chain brute force") {
+    val got = ops.Relational.funnelWindowSeq(spark, sf).collect()
+      .map(r => r.getAs[Long]("stage") -> r.getAs[Long]("n_users")).toMap
+    val H = 72L * 3600L * 1000000L
+    val byUser = Tables.events(spark, sf)
+      .select(col("user_id").cast("long"), col("event_type"),
+        unix_micros(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1)
+    val want = byUser.values.flatMap { evs =>
+      val clicks = evs.filter(_._2 == "click").map(_._3)
+      if (clicks.isEmpty) None
+      else {
+        val t1 = clicks.min
+        val tv = evs.filter(e => e._2 == "view" && e._3 > t1 && e._3 <= t1 + H)
+          .map(_._3).minOption
+        val tp = tv.flatMap(v => evs
+          .filter(e => e._2 == "purchase" && e._3 > v && e._3 <= t1 + H)
+          .map(_._3).minOption)
+        Some(if (tp.isDefined) 3L else if (tv.isDefined) 2L else 1L)
+      }
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got == want)
+    assert(got.keySet.contains(3L), "fixture reaches the full funnel")
+  }
+
   test("stream_static_enrich equals the batch join it enriches") {
     val stream = streaming.EventsStream.streamStaticEnrich(spark, sf)
       .collect().map(_.toString)
