@@ -2539,35 +2539,51 @@ object Relational {
     * survivors only — the shape for "top 100 per key" over 100 TB when
     * groups·k fits a task. Ties break to the lower order key, so the
     * result is a total order and oracle-exact. */
-  def topkGroupedHeap(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val k = 5
-    val worstFirst =
-      Ordering.by[(Long, Long), (Long, Long)] { case (c, id) => (-c, id) }
-    def push(h: scala.collection.mutable.PriorityQueue[(Long, Long)],
-        e: (Long, Long)): Unit = {
-      h.enqueue(e); if (h.size > k) { h.dequeue(); () }
-    }
-    val rows = Tables.orders(spark, sfDir)
-      .select(col("o_orderpriority"),
-        cents(col("o_totalprice")).cast("long").as("c"), col("o_orderkey"))
-      .as[(String, Long, Long)]
-    val partial = rows.mapPartitions { it =>
+  private val topkWorstFirst =
+    Ordering.by[(Long, Long), (Long, Long)] { case (c, id) => (-c, id) }
+  private def topkPush(k: Int,
+      h: scala.collection.mutable.PriorityQueue[(Long, Long)],
+      e: (Long, Long)): Unit = {
+    h.enqueue(e); if (h.size > k) { h.dequeue(); () }
+  }
+  /** Partial stage of [[topkGroupedHeap]]: per-partition k-heaps per
+    * group; output is ≤ partitions·groups·k survivor rows (the bound
+    * ScaleSpec pins). */
+  private[graft] def topkPartial(
+      rows: org.apache.spark.sql.Dataset[(String, Long, Long)], k: Int)
+      : org.apache.spark.sql.Dataset[(String, Long, Long)] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
       val heaps = scala.collection.mutable.Map
         .empty[String, scala.collection.mutable.PriorityQueue[(Long, Long)]]
       it.foreach { case (p, c, id) =>
-        push(heaps.getOrElseUpdate(p,
-          scala.collection.mutable.PriorityQueue.empty(worstFirst)), (c, id))
+        topkPush(k, heaps.getOrElseUpdate(p,
+          scala.collection.mutable.PriorityQueue.empty(topkWorstFirst)), (c, id))
       }
       heaps.iterator.flatMap { case (p, h) =>
         h.iterator.map { case (c, id) => (p, c, id) } }
     }
+  }
+  private[graft] def topkMerge(
+      partial: org.apache.spark.sql.Dataset[(String, Long, Long)], k: Int)
+      : org.apache.spark.sql.Dataset[(String, Long, Long, Long)] = {
+    import partial.sparkSession.implicits._
     partial.groupByKey(_._1).flatMapGroups { (p, it) =>
-      val h = scala.collection.mutable.PriorityQueue.empty(worstFirst)
-      it.foreach { case (_, c, id) => push(h, (c, id)) }
+      val h = scala.collection.mutable.PriorityQueue.empty(topkWorstFirst)
+      it.foreach { case (_, c, id) => topkPush(k, h, (c, id)) }
       h.toSeq.sortBy { case (c, id) => (-c, id) }.zipWithIndex
         .map { case ((c, id), i) => (p, i + 1L, id, c) }
-    }.toDF("o_orderpriority", "rank", "o_orderkey", "price_cents")
+    }
+  }
+  def topkGroupedHeap(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val k = 5
+    val rows = Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority"),
+        cents(col("o_totalprice")).cast("long").as("c"), col("o_orderkey"))
+      .as[(String, Long, Long)]
+    topkMerge(topkPartial(rows, k), k)
+      .toDF("o_orderpriority", "rank", "o_orderkey", "price_cents")
       .orderBy(col("o_orderpriority"), col("rank"))
   }
   val topkGroupedHeapSql: String =

@@ -843,4 +843,53 @@ class ScaleSpec extends SparkSuite {
     assert(assign.length > 8,
       s"grown k must reach training: ${assign.length} cells used")
   }
+
+  test("grouped heap top-k: exchange carries only partitions*groups*k survivors") {
+    // The whole point of the heap shape vs window row_number: the
+    // shuffle input is the partial-stage output, bounded by
+    // partitions·groups·k — NOT the corpus. Measured on a 100k-row
+    // synthetic with a known partitioning, then the merged result is
+    // checked against brute force so the bound isn't bought with
+    // wrong answers.
+    import spark.implicits._
+    val k = 5
+    val nParts = 16
+    val rows = spark.range(100000).repartition(nParts)
+      .select((col("id") % 7).cast("string").as("g"),
+        (col("id") * 2654435761L % 1000000L).as("c"), col("id"))
+      .as[(String, Long, Long)]
+    val partial = graft.ops.Relational.topkPartial(rows, k)
+    val survivors = partial.count()
+    assert(survivors <= nParts.toLong * 7 * k,
+      s"partial stage leaked $survivors rows past the bound")
+    val got = graft.ops.Relational.topkMerge(partial, k).collect()
+      .map { case (g, r, id, c) => (g, r, id, c) }.sortBy(t => (t._1, t._2))
+    val want = rows.collect().groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+      rs.map { case (_, c, id) => (c, id) }
+        .sortBy { case (c, id) => (-c, id) }.take(k).zipWithIndex
+        .map { case ((c, id), i) => (g, i + 1L, id, c) }
+    }.sortBy(t => (t._1, t._2))
+    assert(got.toSeq == want)
+  }
+
+  test("funnel window: single event-bearing exchange, keyed on the user") {
+    // funnel_stages pays one shuffle per stage (three agg+join
+    // rounds); the windowed sequence funnel must do ONE pass — a
+    // single user-keyed exchange feeding the sorted run-fold, plus
+    // only the 3-row stage aggregate behind it. AQE off so the
+    // exchanges are visible (see the wide-payload test above).
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    graft.Util.withConf(spark, "spark.sql.adaptive.enabled", "false") {
+      val plan = graft.ops.Relational.funnelWindowSeq(spark, sf)
+        .queryExecution.executedPlan
+      val ex = plan.collect { case e: ShuffleExchangeExec => e }
+      assert(ex.nonEmpty, s"exchanges must be visible:\n$plan")
+      val userKeyed = ex.filter(
+        _.outputPartitioning.toString.contains("u#"))
+      assert(userKeyed.size == 1,
+        s"exactly one user-keyed event exchange:\n$plan")
+      assert(ex.size <= 3,
+        s"one event pass + bounded stage agg, not per-stage re-shuffles:\n$plan")
+    }
+  }
 }
