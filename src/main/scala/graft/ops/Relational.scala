@@ -2685,7 +2685,72 @@ object Relational {
          FROM c LEFT JOIN v USING (user_id) LEFT JOIN p USING (user_id))
        GROUP BY stage ORDER BY stage"""
 
+  /** Linear (equal-credit) multi-touch attribution — the complement of
+    * `asof_attribution`'s last-touch model: each purchase splits
+    * 10000 credit units equally across ALL the user's clicks in the
+    * preceding 72 h, integer remainder to the earliest click so every
+    * purchase's credit sums to exactly 10000 (conservation is the spec
+    * assertion, and what floating credit shares can't promise).
+    *
+    * One user-keyed shuffle joins purchases to their candidate clicks
+    * (per-user fan-out, never a cross join); the per-purchase count
+    * and earliest-click rank are windows over the purchase key that
+    * reuse the join's partitioning; the final rollup keys on the
+    * 24-value click hour. All integer arithmetic, µs precision. */
+  def attributionLinear(spark: SparkSession, sfDir: String): DataFrame = {
+    val H = 72L * 3600L * 1000000L
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("us").as("p_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("c_id"), col("us").as("c_us"),
+        hour(col("ts")).cast("long").as("c_hr"))
+    val wP = Window.partitionBy(col("p_id"))
+    val wR = Window.partitionBy(col("p_id"))
+      .orderBy(col("c_us"), col("c_id"))
+    purchases.join(clicks, "user_id")
+      .filter(col("c_us") < col("p_us") && col("c_us") >= col("p_us") - H)
+      .withColumn("n", count(lit(1)).over(wP))
+      .withColumn("rk", row_number().over(wR))
+      .withColumn("credit_e4",
+        expr("10000 div n") +
+          when(col("rk") === 1, lit(10000L) - col("n") * expr("10000 div n"))
+            .otherwise(0L))
+      .groupBy(col("c_hr"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(col("credit_e4")).as("credit_e4"))
+      .orderBy(col("c_hr"))
+  }
+  val attributionLinearSql: String =
+    """WITH ev AS (
+         SELECT user_id, event_id, event_type,
+           date_trunc('microseconds', ts) AS ts
+         FROM events),
+       j AS (
+         SELECT p.event_id AS p_id, c.event_id AS c_id,
+           CAST(hour(c.ts) AS BIGINT) AS c_hr, c.ts AS c_ts
+         FROM (SELECT * FROM ev WHERE event_type = 'purchase') p
+         JOIN (SELECT * FROM ev WHERE event_type = 'click') c
+           USING (user_id)
+         WHERE c.ts < p.ts AND c.ts >= p.ts - INTERVAL 72 HOUR),
+       cr AS (
+         SELECT c_hr,
+           (10000 // n) + CASE WHEN rk = 1 THEN 10000 - n * (10000 // n)
+                               ELSE 0 END AS credit_e4
+         FROM (
+           SELECT c_hr,
+             count(1) OVER (PARTITION BY p_id) AS n,
+             row_number() OVER (PARTITION BY p_id
+               ORDER BY c_ts, c_id) AS rk
+           FROM j) t)
+       SELECT c_hr, count(1) AS n_touches,
+         CAST(sum(credit_e4) AS BIGINT) AS credit_e4
+       FROM cr GROUP BY c_hr ORDER BY c_hr"""
+
   val queries: Map[String, QFn] = Map(
+    "attribution_linear" -> attributionLinear,
     "hist_quantile_rollup" -> histQuantileRollup,
     "skew_plan" -> skewPlan,
     "topk_grouped_heap" -> topkGroupedHeap,
@@ -2767,6 +2832,7 @@ object Relational {
     "cohort_retention" -> cohortRetention)
 
   val oracles: Map[String, String] = Map(
+    "attribution_linear" -> attributionLinearSql,
     "hist_quantile_rollup" -> histQuantileRollupSql,
     "skew_plan" -> skewPlanSql,
     "topk_grouped_heap" -> topkGroupedHeapSql,

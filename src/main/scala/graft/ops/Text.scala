@@ -1261,6 +1261,74 @@ object Text {
            AS sel_checksum
        FROM h GROUP BY doc_id ORDER BY doc_id"""
 
+  /** Winnowing fingerprints (the MOSS selection rule, contrast
+    * `t_kgram_sample`'s 0-mod-p): every 4-window of consecutive 3-gram
+    * hashes contributes its MINIMUM, so any shared run of ≥ 6 tokens
+    * is guaranteed a shared fingerprint — the coverage guarantee
+    * 0-mod-p sampling cannot give (a long match can simply contain no
+    * 0-mod-p hash). Fingerprint = the distinct window-min hash VALUES
+    * per doc; density ≈ 2/(w+1).
+    *
+    * Scale shape: positioned shingle hashes stream out of one typed
+    * flatMap (see the object scaladoc in [[graft.functions.TextHash]]
+    * for why typed, not exploded SQL); the window min runs per-doc
+    * (doc-keyed exchange, in-partition sort); the per-doc aggregate
+    * reuses the same key — one shuffle total, state bounded by the
+    * window width. Truncated trailing windows (frame clips at the
+    * partition end) keep short docs represented identically in both
+    * engines. */
+  def winnowingFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("i")).rowsBetween(0, 3)
+    val cnt = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val ws = graft.functions.TextHash.tokens(text)
+        if (ws.length < 3) Iterator.empty
+        else ws.sliding(3).zipWithIndex.map { case (g, i) =>
+          (id, i + 1L, graft.functions.TextHash.h32(g.mkString(" "))) }
+      }
+      .toDF("doc_id", "i", "h")
+      .withColumn("m", min(col("h")).over(w))
+      .withColumn("n", count(lit(1)).over(cnt))
+      .filter(col("i") <= greatest(col("n") - 3, lit(1L)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        countDistinct(col("m")).as("n_fps"),
+        sum_distinct(col("m")).as("fp_checksum"))
+      .orderBy(col("doc_id"))
+  }
+  val winnowingFingerprintSql: String =
+    """WITH toks AS (
+         SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok,
+                generate_subscripts(string_split(lower(text), ' '), 1) AS ti
+         FROM documents),
+       arr AS (SELECT doc_id, list(tok ORDER BY ti) AS ws FROM toks GROUP BY 1),
+       shp AS (
+         SELECT doc_id, i,
+           list_extract(ws, i) || ' ' || list_extract(ws, i+1) || ' ' ||
+           list_extract(ws, i+2) AS s
+         FROM arr, LATERAL unnest(range(1, len(ws) - 1)) AS t(i)
+         WHERE len(ws) >= 3),
+       h AS (SELECT doc_id, i,
+               CAST(('0x' || substr(md5(s), 1, 8))::UBIGINT AS BIGINT) AS h
+             FROM shp),
+       wm AS (
+         SELECT doc_id, i,
+           min(h) OVER (PARTITION BY doc_id ORDER BY i
+             ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
+           count(1) OVER (PARTITION BY doc_id) AS n
+         FROM h)
+       SELECT doc_id, count(1) AS n_windows,
+         CAST(count(DISTINCT m) AS BIGINT) AS n_fps,
+         CAST(sum(DISTINCT m) AS BIGINT) AS fp_checksum
+       FROM wm WHERE i <= greatest(n - 3, 1)
+       GROUP BY doc_id ORDER BY doc_id"""
+
   // Document-overlap estimation from the sampled fingerprints (the
   // MOSS shape): docs sharing ≥2 selected k-gram hashes, scored by
   // estimated Jaccard over the samples. Pairs come from a self-join on
@@ -1673,6 +1741,7 @@ object Text {
     "sample_temperature" -> sampleTemperature,
     "t_doc_overlap_pairs" -> docOverlapPairs,
     "t_kgram_sample" -> kgramSample,
+    "t_winnowing_fps" -> winnowingFingerprint,
     "t_unigram_logprob" -> unigramLogprob,
     "t_bigram_logprob" -> bigramLogprob,
     "t_trigram_logprob" -> trigramLogprob,
@@ -1709,6 +1778,7 @@ object Text {
     "sample_temperature" -> sampleTemperatureSql,
     "t_doc_overlap_pairs" -> docOverlapPairsSql,
     "t_kgram_sample" -> kgramSampleSql,
+    "t_winnowing_fps" -> winnowingFingerprintSql,
     "t_unigram_logprob" -> unigramLogprobSql,
     "t_bigram_logprob" -> bigramLogprobSql,
     "t_trigram_logprob" -> trigramLogprobSql,

@@ -1614,6 +1614,69 @@ class Round5OpsSpec extends SparkSuite {
     assert(got.keySet.contains(3L), "fixture reaches the full funnel")
   }
 
+  test("winnowing: window minima match brute force; density near 2/(w+1)") {
+    val got = ops.Text.winnowingFingerprint(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_windows"), r.getAs[Long]("n_fps"),
+          r.getAs[Long]("fp_checksum"))).toMap
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+    var want = Map.empty[Long, (Long, Long, Long)]
+    docs.foreach { r =>
+      val ws = graft.functions.TextHash.tokens(r.getString(1))
+      if (ws.length >= 3) {
+        val hs = ws.sliding(3).map(g =>
+          graft.functions.TextHash.h32(g.mkString(" "))).toArray
+        val nWin = math.max(hs.length - 3, 1)
+        val minima = (0 until nWin)
+          .map(i => hs.slice(i, math.min(i + 4, hs.length)).min).distinct
+        want += r.getAs[Long]("doc_id") ->
+          ((nWin.toLong, minima.length.toLong, minima.sum))
+      }
+    }
+    assert(got == want)
+    // selection density: expected ~2/(w+1)=0.4 of windows yield a
+    // distinct fingerprint; sanity-band it loosely
+    val (wins, fps) = got.values.foldLeft((0L, 0L)) {
+      case ((a, b), (nw, nf, _)) => (a + nw, b + nf) }
+    assert(fps * 10 > wins * 2 && fps * 10 < wins * 7,
+      s"density ${fps.toDouble / wins} outside (0.2, 0.7)")
+  }
+
+  test("linear attribution: per-purchase credit conserves to 10000") {
+    val H = 72L * 3600L * 1000000L
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("event_type"), unix_micros(col("ts")), hour(col("ts")).cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4)))
+    val byUser = evs.groupBy(_._1)
+    var perHour = Map.empty[Long, (Long, Long)].withDefaultValue((0L, 0L))
+    var purchasesCredited = 0L
+    byUser.values.foreach { us =>
+      val clicks = us.filter(_._3 == "click")
+      us.filter(_._3 == "purchase").foreach { case (_, _, _, pUs, _) =>
+        val cand = clicks.filter(c => c._4 < pUs && c._4 >= pUs - H)
+          .sortBy(c => (c._4, c._2))
+        if (cand.nonEmpty) {
+          purchasesCredited += 1
+          val n = cand.length
+          cand.zipWithIndex.foreach { case ((_, _, _, _, hr), i) =>
+            val credit = 10000L / n + (if (i == 0) 10000L - n * (10000L / n) else 0L)
+            val (t, c) = perHour(hr); perHour += hr -> (t + 1, c + credit)
+          }
+        }
+      }
+    }
+    val got = ops.Relational.attributionLinear(spark, sf).collect()
+      .map(r => r.getAs[Long]("c_hr") ->
+        (r.getAs[Long]("n_touches"), r.getAs[Long]("credit_e4"))).toMap
+    assert(got == perHour.toMap.filter(_._2._1 > 0))
+    assert(got.values.map(_._2).sum == purchasesCredited * 10000L,
+      "credit conservation: exactly 10000 per credited purchase")
+  }
+
   test("stream_static_enrich equals the batch join it enriches") {
     val stream = streaming.EventsStream.streamStaticEnrich(spark, sf)
       .collect().map(_.toString)
