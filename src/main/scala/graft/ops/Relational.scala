@@ -2749,8 +2749,89 @@ object Relational {
          CAST(sum(credit_e4) AS BIGINT) AS credit_e4
        FROM cr GROUP BY c_hr ORDER BY c_hr"""
 
+  /** TPC-H Q19-shaped disjunctive join predicate: revenue over three
+    * (brand, size-band, quantity-band) disjuncts. Catalyst keeps the
+    * whole OR as a post-join residual — it derives NO single-side
+    * implied predicates from a disjunction (same blind spot q7 works
+    * around) — so the engine adds the disjunction's per-side ENVELOPE
+    * by hand: part pre-filtered to the union of brands/sizes, lineitem
+    * to the union of quantity bands. Both envelopes reach the parquet
+    * scans as PushedFilters; at 100 TB that is the difference between
+    * joining 3 brands' parts and joining every part. Exact-cents
+    * revenue; the oracle states the plain disjunction. */
+  def q19BrandQty(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_quantity") >= 1 && col("l_quantity") <= 30) // envelope
+      .select(col("l_partkey"), col("l_quantity"),
+        revenueCents("l_extendedprice", "l_discount").cast("long").as("rev"))
+    val pt = Tables.part(spark, sfDir)
+      .filter(col("p_brand").isin("Brand#3", "Brand#12", "Brand#21") &&
+        col("p_size") >= 1 && col("p_size") <= 40) // envelope
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    li.join(pt, col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(1, 10)) ||
+        (col("p_brand") === "Brand#12" && col("p_size").between(5, 25) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#21" && col("p_size").between(20, 40) &&
+          col("l_quantity").between(20, 30)))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"), sum(col("rev")).as("revenue_cents"))
+      .orderBy(col("p_brand"))
+  }
+  val q19BrandQtySql: String =
+    """SELECT p_brand, count(1) AS n_items,
+         CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0)
+           AS BIGINT)) AS BIGINT) AS revenue_cents
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       WHERE (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 10
+                AND l_quantity BETWEEN 1 AND 10)
+          OR (p_brand = 'Brand#12' AND p_size BETWEEN 5 AND 25
+                AND l_quantity BETWEEN 10 AND 20)
+          OR (p_brand = 'Brand#21' AND p_size BETWEEN 20 AND 40
+                AND l_quantity BETWEEN 20 AND 30)
+       GROUP BY p_brand ORDER BY p_brand"""
+
+  /** TPC-H Q15-shaped top supplier: revenue per supplier over one
+    * ship-quarter, keep every supplier tied at the maximum. The max is
+    * a single broadcast scalar joined back (a 1-row crossJoin), not a
+    * window over all suppliers — the aggregate-then-filter shape that
+    * keeps the second pass on the ≤ |suppliers| aggregate, never
+    * re-scanning the fact. Exact cents make "tied at max" well-defined
+    * (float revenue would make the tie engine-dependent). */
+  def q15TopSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(revenueCents("l_extendedprice", "l_discount")).as("revenue_cents"))
+    val top = rev.agg(max(col("revenue_cents")).as("mx"))
+    rev.crossJoin(broadcast(top))
+      .filter(col("revenue_cents") === col("mx"))
+      .join(Tables.supplier(spark, sfDir),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("revenue_cents"))
+      .orderBy(col("s_suppkey"))
+  }
+  val q15TopSupplierSql: String =
+    """WITH rev AS (
+         SELECT l_suppkey,
+           CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0)
+             AS BIGINT)) AS BIGINT) AS revenue_cents
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1996-04-01'
+         GROUP BY l_suppkey)
+       SELECT s_suppkey, s_name, revenue_cents
+       FROM rev JOIN supplier ON l_suppkey = s_suppkey
+       WHERE revenue_cents = (SELECT max(revenue_cents) FROM rev)
+       ORDER BY s_suppkey"""
+
   val queries: Map[String, QFn] = Map(
     "attribution_linear" -> attributionLinear,
+    "q19_brand_qty" -> q19BrandQty,
+    "q15_top_supplier" -> q15TopSupplier,
     "hist_quantile_rollup" -> histQuantileRollup,
     "skew_plan" -> skewPlan,
     "topk_grouped_heap" -> topkGroupedHeap,
@@ -2833,6 +2914,8 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "attribution_linear" -> attributionLinearSql,
+    "q19_brand_qty" -> q19BrandQtySql,
+    "q15_top_supplier" -> q15TopSupplierSql,
     "hist_quantile_rollup" -> histQuantileRollupSql,
     "skew_plan" -> skewPlanSql,
     "topk_grouped_heap" -> topkGroupedHeapSql,

@@ -872,6 +872,22 @@ class ScaleSpec extends SparkSuite {
     assert(got.toSeq == want)
   }
 
+  test("q19 disjunction envelopes reach both parquet scans") {
+    // Catalyst derives no implied single-side predicates from the OR;
+    // the hand-added envelopes (brand IN-list + size band on part,
+    // quantity band on lineitem) must land in PushedFilters so each
+    // scan reads its slice, not the table. Asserted on the formatted
+    // plan string (scan-level detail survives AQE there).
+    val plan = graft.ops.Relational.q19BrandQty(spark, sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("In(p_brand") || plan.contains("p_brand IN"),
+      s"brand IN-list must push to the part scan:\n${plan.take(3000)}")
+    assert(plan.contains("GreaterThanOrEqual(l_quantity,1.0)") &&
+      plan.contains("LessThanOrEqual(l_quantity,30.0)"),
+      s"quantity envelope must push to the lineitem scan:\n${plan.take(3000)}")
+  }
+
   test("funnel window: single event-bearing exchange, keyed on the user") {
     // funnel_stages pays one shuffle per stage (three agg+join
     // rounds); the windowed sequence funnel must do ONE pass — a
