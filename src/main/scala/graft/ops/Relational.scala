@@ -2828,10 +2828,110 @@ object Relational {
        WHERE revenue_cents = (SELECT max(revenue_cents) FROM rev)
        ORDER BY s_suppkey"""
 
+  /** Per-group OLS fit from exact integer moments (the closed-form
+    * complement of `agg_corr`): slope = (n·Σxy − ΣxΣy)/(n·Σxx − Σx²),
+    * intercept = (Σy·Σxx − ΣxΣxy)/(n·Σxx − Σx²) — one aggregation
+    * pass collects the five moments per group as exact integers
+    * (DECIMAL(38) products so 100 TB-scale sums can't overflow the
+    * int64 cross terms), and only the two final ratios touch doubles,
+    * identically in both engines. The "fit a trend per key" pass of a
+    * monitoring pipeline: no per-group iteration, no ML library, state
+    * = 5 numbers per group under any partitioning. Zero-variance
+    * groups yield NULL via nullif, not NaN. */
+  def fitLinregGroups(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = Tables.events(spark, sfDir)
+      .select(col("event_type"), hour(col("ts")).cast("long").as("x"),
+        cents(col("value")).cast("long").as("y"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+    m.select(col("event_type"), col("n"),
+        expr("""CAST(floor(
+            CAST(CAST(n AS DECIMAL(38,0)) * sxy
+                 - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+            / nullif(CAST(CAST(n AS DECIMAL(38,0)) * sxx
+                 - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE), 0.0D)
+            * 10000.0) AS BIGINT)""").as("slope_e4"),
+        expr("""CAST(floor(
+            CAST(CAST(sy AS DECIMAL(38,0)) * sxx
+                 - CAST(sx AS DECIMAL(38,0)) * sxy AS DOUBLE)
+            / nullif(CAST(CAST(n AS DECIMAL(38,0)) * sxx
+                 - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE), 0.0D)
+            * 10000.0) AS BIGINT)""").as("intercept_e4"))
+      .orderBy(col("event_type"))
+  }
+  val fitLinregGroupsSql: String =
+    """SELECT event_type, n,
+       CAST(floor(
+         CAST(n * sxy - sx * sy AS DOUBLE)
+         / nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0.0)
+         * 10000.0) AS BIGINT) AS slope_e4,
+       CAST(floor(
+         CAST(sy * sxx - sx * sxy AS DOUBLE)
+         / nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0.0)
+         * 10000.0) AS BIGINT) AS intercept_e4
+       FROM (
+         SELECT event_type, count(1) AS n,
+           CAST(sum(x) AS DECIMAL(38,0)) AS sx,
+           CAST(sum(y) AS DECIMAL(38,0)) AS sy,
+           CAST(sum(x * x) AS DECIMAL(38,0)) AS sxx,
+           CAST(sum(x * y) AS DECIMAL(38,0)) AS sxy
+         FROM (SELECT event_type, CAST(hour(ts) AS BIGINT) AS x,
+                 CAST(floor(value * 100.0) AS BIGINT) AS y
+               FROM events)
+         GROUP BY event_type)
+       ORDER BY event_type"""
+
+  /** TPC-H Q22-shaped "windfall" audit: customers whose balance beats
+    * the global positive-balance average AND who have placed no order
+    * since 2001 (lapsed high-balance accounts), rolled up per market
+    * segment. The global average never becomes a
+    * float: the filter cross-multiplies (cents·n_pos > sum_pos) so the
+    * comparison is integer-exact — the float-free form of the scalar
+    * subquery. The order check is a broadcast-scalar crossJoin + anti
+    * join on the customer key (one fact-side shuffle); at 100 TB the
+    * anti join's build side is the distinct custkey projection, not
+    * the orders table. */
+  def q22Windfall(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        cents(col("c_acctbal")).cast("long").as("bal_cents"))
+    val stats = cust.filter(col("bal_cents") > 0)
+      .agg(count(lit(1)).as("n_pos"), sum(col("bal_cents")).as("sum_pos"))
+    val orderedKeys = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+      .select(col("o_custkey")).distinct()
+    cust.crossJoin(broadcast(stats))
+      .filter(col("bal_cents") * col("n_pos") > col("sum_pos"))
+      .join(orderedKeys, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"), sum(col("bal_cents")).as("bal_cents"))
+      .orderBy(col("c_mktsegment"))
+  }
+  val q22WindfallSql: String =
+    """WITH cust AS (
+         SELECT c_custkey, c_mktsegment,
+           CAST(floor(c_acctbal * 100.0) AS BIGINT) AS bal_cents
+         FROM customer),
+       stats AS (
+         SELECT count(1) AS n_pos, CAST(sum(bal_cents) AS BIGINT) AS sum_pos
+         FROM cust WHERE bal_cents > 0)
+       SELECT c_mktsegment, count(1) AS n_cust,
+         CAST(sum(bal_cents) AS BIGINT) AS bal_cents
+       FROM cust CROSS JOIN stats
+       WHERE bal_cents * n_pos > sum_pos
+         AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                           AND o_orderdate >= TIMESTAMP '2001-01-01')
+       GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
   val queries: Map[String, QFn] = Map(
     "attribution_linear" -> attributionLinear,
     "q19_brand_qty" -> q19BrandQty,
     "q15_top_supplier" -> q15TopSupplier,
+    "fit_linreg_groups" -> fitLinregGroups,
+    "q22_windfall" -> q22Windfall,
     "hist_quantile_rollup" -> histQuantileRollup,
     "skew_plan" -> skewPlan,
     "topk_grouped_heap" -> topkGroupedHeap,
@@ -2916,6 +3016,8 @@ object Relational {
     "attribution_linear" -> attributionLinearSql,
     "q19_brand_qty" -> q19BrandQtySql,
     "q15_top_supplier" -> q15TopSupplierSql,
+    "fit_linreg_groups" -> fitLinregGroupsSql,
+    "q22_windfall" -> q22WindfallSql,
     "hist_quantile_rollup" -> histQuantileRollupSql,
     "skew_plan" -> skewPlanSql,
     "topk_grouped_heap" -> topkGroupedHeapSql,

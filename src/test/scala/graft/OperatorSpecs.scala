@@ -1677,6 +1677,51 @@ class Round5OpsSpec extends SparkSuite {
       "credit conservation: exactly 10000 per credited purchase")
   }
 
+  test("per-group OLS matches brute-force closed form") {
+    val xy = Tables.events(spark, sf)
+      .select(col("event_type"), hour(col("ts")).cast("long"),
+        graft.Util.cents(col("value")).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = xy.groupBy(_._1).map { case (t, rows) =>
+      val n = rows.length.toLong
+      val sx = rows.map(_._2).sum; val sy = rows.map(_._3).sum
+      val sxx = rows.map(r => r._2 * r._2).sum
+      val sxy = rows.map(r => r._2 * r._3).sum
+      val den = (BigInt(n) * sxx - BigInt(sx) * sx).toDouble
+      val slope = math.floor((BigInt(n) * sxy - BigInt(sx) * sy).toDouble
+        / den * 10000.0).toLong
+      val icept = math.floor((BigInt(sy) * sxx - BigInt(sx) * sxy).toDouble
+        / den * 10000.0).toLong
+      t -> ((n, slope, icept))
+    }
+    val got = ops.Relational.fitLinregGroups(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("n"),
+        r.getAs[Long]("slope_e4"), r.getAs[Long]("intercept_e4")))).toMap
+    assert(got == want)
+  }
+
+  test("q22 windfall: integer cross-multiplied average, anti-joined orders") {
+    val cust = Tables.customer(spark, sf)
+      .select(col("c_custkey").cast("long"), col("c_mktsegment"),
+        graft.Util.cents(col("c_acctbal")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val ordered = Tables.orders(spark, sf)
+      .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+      .select(col("o_custkey").cast("long"))
+      .collect().map(_.getLong(0)).toSet
+    val pos = cust.filter(_._3 > 0)
+    val (nPos, sumPos) = (pos.length.toLong, pos.map(_._3).sum)
+    val want = cust
+      .filter(c => c._3 * nPos > sumPos && !ordered.contains(c._1))
+      .groupBy(_._2).view
+      .mapValues(cs => (cs.length.toLong, cs.map(_._3).sum)).toMap
+    val got = ops.Relational.q22Windfall(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_cust"), r.getAs[Long]("bal_cents")))).toMap
+    assert(got == want)
+    assert(got.nonEmpty, "fixture has order-less windfall customers")
+  }
+
   test("stream_static_enrich equals the batch join it enriches") {
     val stream = streaming.EventsStream.streamStaticEnrich(spark, sf)
       .collect().map(_.toString)
