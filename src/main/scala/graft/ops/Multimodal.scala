@@ -793,6 +793,98 @@ object Multimodal {
        ORDER BY file, win_idx"""
   }
 
+  /** Fixed-256-frame loudness contour: per-window floor-isqrt RMS,
+    * then ONSET bit j = 1 iff window j+1 is ≥ 10 % louder than window
+    * j (rms(j+1)·10 > rms(j)·11), packed into ≤ 63 bits. The dead zone
+    * makes the bit amplitude-invariant in practice: a gain-adjusted
+    * copy scales both windows together, so a ≥ 10 % step stays a step
+    * and near-equal windows stay below the threshold — strict
+    * comparison would flip on rounding-level margins. Every byte,
+    * digest, and sample value of the copy still differs. */
+  def audioContour(ch: Int, samples: Array[Short]): (Int, Long) = {
+    val winFrames = 256
+    val nFrames = samples.length / ch
+    val nWin = (nFrames + winFrames - 1) / winFrames
+    val rms = new Array[Long](nWin)
+    var w = 0
+    while (w < nWin) {
+      val from = w * winFrames
+      val until = math.min(from + winFrames, nFrames)
+      var sumSq = 0L; var i = from * ch
+      while (i < until * ch) { val s = samples(i).toLong; sumSq += s * s; i += 1 }
+      rms(w) = isqrt(sumSq / ((until - from).toLong * ch))
+      w += 1
+    }
+    var contour = 0L
+    var j = 0
+    while (j < nWin - 1 && j < 63) {
+      if (rms(j + 1) * 10L > rms(j) * 11L) contour |= (1L << j)
+      j += 1
+    }
+    (nWin, contour)
+  }
+
+  /** `mm_audio_contour_dedup`: robust (amplitude-invariant) audio
+    * near-dup over the contour corpus — ten originals plus three 90 %
+    * gain-scaled twins whose bytes and digests all differ (exact dedup
+    * structurally misses them). Fingerprint = (rate, channels,
+    * n_windows, contour); grouping is a window over that compound key,
+    * exactly the digest-groupBy shape of `dedup_exact_hash` with a
+    * perceptual key instead of a cryptographic one. Samples die in the
+    * scan stage; only (file, 4 ints) rows move. The oracle replays the
+    * generator's arithmetic per spec — decode-independent ground
+    * truth, like every mm_* oracle. */
+  def mmAudioContourDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = MultimodalFixtures.ensureAudioContour()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("sample_rate"), col("channels"),
+        col("n_windows"), col("contour"))
+    spark.read.format("binaryFile").load(dir)
+      .select(regexp_extract(col("path"), "[^/]+$", 0).as("file"),
+        col("content"))
+      .as[ImgBin]
+      .mapPartitions(_.map { d =>
+        val (rate, ch, samples) = wavSamples(d.file, d.content)
+        val (nw, contour) = audioContour(ch, samples)
+        (d.file, rate, ch, nw, contour)
+      })
+      .toDF("file", "sample_rate", "channels", "n_windows", "contour")
+      .withColumn("group_size", count(lit(1)).over(w))
+      .withColumn("dup_peer", min(col("file")).over(w))
+      .withColumn("is_dup", col("group_size") > 1)
+      .orderBy(col("file"))
+  }
+  def mmAudioContourDedupSql: String = {
+    val rows = MultimodalFixtures.audioContourSpecs.map { case (name, id, sc) =>
+      val ch = MultimodalFixtures.channelsOf(id)
+      val nf = MultimodalFixtures.audioFramesOf(id)
+      val nWin = (nf + 255) / 256
+      val rms = (0 until nWin).map { w =>
+        val from = w * 256; val until = math.min(from + 256, nf)
+        var sumSq = 0L
+        for (i <- from until until; c <- 0 until ch) {
+          val s = MultimodalFixtures.contourSampleOf(id, c, i, sc).toLong
+          sumSq += s * s
+        }
+        isqrt(sumSq / ((until - from).toLong * ch))
+      }
+      val contour = (0 until math.min(nWin - 1, 63)).foldLeft(0L) { (acc, j) =>
+        if (rms(j + 1) * 10L > rms(j) * 11L) acc | (1L << j) else acc }
+      s"('$name', ${MultimodalFixtures.rateOf(id)}, $ch, $nWin, $contour)"
+    }
+    s"""SELECT file, CAST(sample_rate AS INT) AS sample_rate,
+         CAST(channels AS INT) AS channels, CAST(n_windows AS INT) AS n_windows,
+         CAST(contour AS BIGINT) AS contour,
+         count(1) OVER w AS group_size,
+         min(file) OVER w AS dup_peer,
+         (count(1) OVER w) > 1 AS is_dup
+       FROM (VALUES ${rows.mkString(", ")})
+         AS t(file, sample_rate, channels, n_windows, contour)
+       WINDOW w AS (PARTITION BY sample_rate, channels, n_windows, contour)
+       ORDER BY file"""
+  }
+
   /** `mm_audio_stats`: binary scan over the WAV fixtures → one-pass
     * per-partition parse (no handle state needed — the RIFF walk is
     * allocation-light) → exact integer loudness/clip audit. Same
@@ -846,6 +938,7 @@ object Multimodal {
     "mm_phash_near" -> mmPhashNear,
     "mm_pair_dedup" -> mmPairDedup,
     "mm_audio_stats" -> mmAudioStats,
+    "mm_audio_contour_dedup" -> mmAudioContourDedup,
     "mm_audio_windows" -> mmAudioWindows,
     "mm_scene_cuts" -> mmSceneCuts,
     "mm_thumbnail" -> mmThumbnail,
@@ -859,6 +952,7 @@ object Multimodal {
     "mm_phash_near" -> mmPhashNearSql,
     "mm_pair_dedup" -> mmPairDedupSql,
     "mm_audio_stats" -> mmAudioStatsSql,
+    "mm_audio_contour_dedup" -> mmAudioContourDedupSql,
     "mm_audio_windows" -> mmAudioWindowsSql,
     "mm_scene_cuts" -> mmSceneCutsSql,
     "mm_thumbnail" -> mmThumbnailSql,

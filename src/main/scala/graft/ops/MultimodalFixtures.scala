@@ -240,12 +240,44 @@ object MultimodalFixtures {
     dir.mkdirs()
     audioSpecs.foreach { case (name, id) =>
       val f = new File(dir, name)
-      if (!f.exists()) writeWav(f, id)
+      if (!f.exists()) writeWav(f, id, sampleOf(id, _, _))
     }
     AudioDir
   }
 
-  private def writeWav(f: File, id: Int): Unit = {
+  /** Contour-dedup corpus: the ten originals PLUS amplitude-scaled
+    * twins (90 %) of three of them. A twin's bytes, digests, and
+    * sample values all differ from its original — exact dedup misses
+    * it — but its loudness CONTOUR (direction of change between
+    * fixed-length windows) is amplitude-invariant. Separate dir so the
+    * mm_audio_stats/windows oracles (which enumerate audioSpecs) stay
+    * untouched. */
+  val AudioContourDir: String = s"${graft.Tables.FixturesDir}/audio_contour"
+  def audioContourSpecs: Seq[(String, Int, Int)] =
+    audioSpecs.map { case (n, id) => (n, id, 100) } ++
+      Seq(1, 4, 7).map(id => (f"aud$id%02d_twin.wav", id, 90))
+  /** Per-256-frame-window loudness envelope: a deterministic loud/quiet
+    * (100 % / 50 %) pattern in (id, window). The ±2× steps between
+    * windows are what a contour fingerprint keys on; flat noise (the
+    * plain audioSpecs corpus) has no envelope and its window RMS
+    * margins sit at rounding level, where a 90 % gain twin can flip a
+    * strict comparison. */
+  def contourEnvOf(id: Int, w: Int): Int =
+    if (Math.floorMod((w + 1L) * 2654435761L * (id + 7), 2L) == 0L) 50 else 100
+  def contourSampleOf(id: Int, ch: Int, i: Int, scalePct: Int): Int =
+    math.max(-10000, math.min(10000,
+      rawSample(id, ch, i) * contourEnvOf(id, i / 256) / 100 * scalePct / 100))
+  def ensureAudioContour(): String = synchronized {
+    val dir = new File(AudioContourDir)
+    dir.mkdirs()
+    audioContourSpecs.foreach { case (name, id, sc) =>
+      val f = new File(dir, name)
+      if (!f.exists()) writeWav(f, id, contourSampleOf(id, _, _, sc))
+    }
+    AudioContourDir
+  }
+
+  private def writeWav(f: File, id: Int, sample: (Int, Int) => Int): Unit = {
     val ch = channelsOf(id)
     val n = audioFramesOf(id)
     val rate = rateOf(id)
@@ -259,7 +291,7 @@ object MultimodalFixtures {
       .putInt(rate * ch * 2).putShort((ch * 2).toShort).putShort(16)
     bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
     for (i <- 0 until n; c <- 0 until ch)
-      bb.putShort(sampleOf(id, c, i).toShort)
+      bb.putShort(sample(c, i).toShort)
     java.nio.file.Files.write(f.toPath, bb.array())
   }
 

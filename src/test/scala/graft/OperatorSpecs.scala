@@ -928,6 +928,29 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("audio contour dedup: gain-scaled twins collide, originals don't") {
+    val rows = Multimodal.mmAudioContourDedup(spark, sf).collect()
+      .map(r => r.getAs[String]("file") ->
+        ((r.getAs[Long]("group_size"), r.getAs[String]("dup_peer"),
+          r.getAs[Boolean]("is_dup")))).toMap
+    assert(rows.size == MultimodalFixtures.audioContourSpecs.size)
+    val twinned = Set(1, 4, 7)
+    MultimodalFixtures.audioContourSpecs.foreach { case (name, id, sc) =>
+      val (gs, peer, dup) = rows(name)
+      if (twinned(id)) {
+        assert(gs == 2L && dup, s"$name must pair with its gain twin")
+        assert(peer == f"aud$id%02d.wav", s"$name groups to the original")
+      } else assert(gs == 1L && !dup, s"$name has no twin")
+    }
+    // and the twin really is byte-distinct: exact digests differ
+    val dir = MultimodalFixtures.ensureAudioContour()
+    def sha(n: String) = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, n))).toSeq
+    assert(sha("aud01.wav") != sha("aud01_twin.wav"),
+      "twin must defeat exact dedup to make the contour meaningful")
+  }
+
   test("phash dedup recovers the generator's duplicate structure") {
     val rows = Multimodal.mmPhashDedup(spark, sf).collect()
     val expected = (MultimodalFixtures.PairIds.map(i =>
