@@ -2456,7 +2456,14 @@ object Relational {
     // the rollup: merge histograms, not rows
     val merged = dayHist.groupBy(col("bin"))
       .agg(sum(col("cnt")).as("cnt"))
-    // ≤256-row frame: the global window is bounded by the bin count
+    histPercentiles(spark, merged, binW)
+  }
+  /** p50/p90/p99 read off a merged (bin, cnt) histogram: exact integer
+    * cum-count comparisons; the global window is bounded by the ≤256
+    * bin rows, never the data. Shared by the batch rollup and the
+    * streaming-maintained artifact (`stream_hist_rollup`). */
+  private[graft] def histPercentiles(spark: SparkSession, merged: DataFrame,
+      binW: Long): DataFrame = {
     val cum = merged.withColumn("cum",
         sum(col("cnt")).over(Window.orderBy(col("bin"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))

@@ -152,6 +152,54 @@ object EventsStream {
        CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
        FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"""
 
+  /** `stream_hist_rollup`: streaming maintenance of the MERGEABLE
+    * histogram artifact (`hist_quantile_rollup`'s shape over the
+    * events value stream): the incremental run keeps per-(day, bin)
+    * counts — state bounded by days × 256 bins, never by rows — and
+    * the percentile read-off runs as a tiny batch pass over the
+    * materialized artifact (shared `histPercentiles` helper, so the
+    * streaming and batch paths cannot drift). At scale this is the
+    * always-on latency/size monitor: each micro-batch touches only its
+    * own day-bins; any grain's p50/p90/p99 reads ≤256 rows. Durable
+    * per-(session,dataset) checkpoint → a re-trigger with no new files
+    * plans zero micro-batches. */
+  def streamHistRollup(spark: SparkSession, sfDir: String): DataFrame =
+    withStreamingParts(spark, 8) {
+      val binW = 50L // 50-cent bins over the bounded event value
+      val src = spark.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir)
+        .withColumn("ts", expr(s"timestamp_micros(${graft.Tables.tsToMicrosSql(sfDir)})"))
+      val dayHist = src
+        .select(to_date(col("ts")).as("day"),
+          least(graft.Util.cents(col("value")).cast("long") / lit(binW),
+            lit(255L)).cast("long").as("bin"))
+        .groupBy(col("day"), col("bin"))
+        .agg(count(lit(1)).as("cnt"))
+      val artifact = runIncremental(spark, dayHist, "hist", sfDir)
+      val merged = artifact.groupBy(col("bin")).agg(sum(col("cnt")).as("cnt"))
+      graft.ops.Relational.histPercentiles(spark, merged, binW)
+    }
+  val streamHistRollupSql: String =
+    """WITH binned AS (
+         SELECT CAST(ts AS DATE) AS day,
+           least(CAST(floor(value * 100.0) AS BIGINT) // 50, 255) AS bin
+         FROM events),
+       day_hist AS (
+         SELECT day, bin, count(1) AS cnt FROM binned GROUP BY day, bin),
+       merged AS (
+         SELECT bin, CAST(sum(cnt) AS BIGINT) AS cnt
+         FROM day_hist GROUP BY bin),
+       cum AS (
+         SELECT bin, CAST(sum(cnt) OVER (ORDER BY bin) AS BIGINT) AS cum,
+           (SELECT CAST(sum(cnt) AS BIGINT) FROM merged) AS total
+         FROM merged)
+       SELECT pct, min(bin) AS bin, (min(bin) + 1) * 50 AS upper_cents,
+         max(total) AS total
+       FROM cum CROSS JOIN (VALUES (CAST(50 AS BIGINT)), (90), (99)) p(pct)
+       WHERE cum * 100 >= pct * total
+       GROUP BY pct ORDER BY pct"""
+
   /** `stream_sessionize`: the stateful-streaming path —
     * flatMapGroupsWithState over a file stream, Append mode,
     * AvailableNow — flushed to a batch result. The whole history
@@ -428,7 +476,8 @@ object EventsStream {
     "stream_running_counts" -> streamRunningCounts,
     "stream_interval_join" -> streamIntervalJoin,
     "stream_left_join" -> streamLeftJoin,
-    "stream_dedup" -> streamDedup)
+    "stream_dedup" -> streamDedup,
+    "stream_hist_rollup" -> streamHistRollup)
   val oracles: Map[String, String] = Map(
     "stream_session_window" -> streamSessionWindowSql,
     "stream_static_enrich" -> streamStaticEnrichSql,
@@ -437,7 +486,8 @@ object EventsStream {
     "stream_running_counts" -> streamRunningCountsSql,
     "stream_interval_join" -> streamIntervalJoinSql,
     "stream_left_join" -> streamLeftJoinSql,
-    "stream_dedup" -> streamDedupSql)
+    "stream_dedup" -> streamDedupSql,
+    "stream_hist_rollup" -> streamHistRollupSql)
 
   // -- transformWithState (Spark 4 arbitrary-state API) --------------------
 

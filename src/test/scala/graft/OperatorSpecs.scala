@@ -1745,6 +1745,18 @@ class Round5OpsSpec extends SparkSuite {
     assert(got.nonEmpty, "fixture has order-less windfall customers")
   }
 
+  test("stream_hist_rollup equals the batch histogram read-off") {
+    val stream = streaming.EventsStream.streamHistRollup(spark, sf)
+      .collect().map(_.toString)
+    val merged = Tables.events(spark, sf)
+      .select(least(graft.Util.cents(col("value")).cast("long") / lit(50L),
+        lit(255L)).cast("long").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+    val batch = ops.Relational.histPercentiles(spark, merged, 50L)
+      .collect().map(_.toString)
+    assert(stream.sameElements(batch))
+  }
+
   test("stream_static_enrich equals the batch join it enriches") {
     val stream = streaming.EventsStream.streamStaticEnrich(spark, sf)
       .collect().map(_.toString)
