@@ -253,9 +253,12 @@ object MultimodalFixtures {
     * mm_audio_stats/windows oracles (which enumerate audioSpecs) stay
     * untouched. */
   val AudioContourDir: String = s"${graft.Tables.FixturesDir}/audio_contour"
+  // basenames are UNIQUE across the whole staging tree (caudNN vs the
+  // audio dir's audNN) — the fs-manifest operators (s6/compaction/
+  // vacuum) key on basenames and assume tree-wide uniqueness
   def audioContourSpecs: Seq[(String, Int, Int)] =
-    audioSpecs.map { case (n, id) => (n, id, 100) } ++
-      Seq(1, 4, 7).map(id => (f"aud$id%02d_twin.wav", id, 90))
+    AudioIds.map(id => (f"caud$id%02d.wav", id, 100)) ++
+      Seq(1, 4, 7).map(id => (f"caud$id%02dt.wav", id, 90))
   /** Per-256-frame-window loudness envelope: a deterministic loud/quiet
     * (100 % / 50 %) pattern in (id, window). The ±2× steps between
     * windows are what a contour fingerprint keys on; flat noise (the

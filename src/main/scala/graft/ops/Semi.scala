@@ -618,6 +618,37 @@ object Semi {
        WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 = 0
        ORDER BY event_id"""
 
+  // Vacuum planner — the third table-maintenance pass next to
+  // compaction (rewrite small files) and retention (age out data): find
+  // ORPHAN files on disk that no manifest row claims, classify the
+  // whole listing, and size the reclaim. The manifest here is the
+  // registered set (md5(name) >= '2' — a deterministic ~1/8 of the
+  // staging tree plays unregistered, the way failed writes and killed
+  // compactions leave claims-less files behind an Iceberg/Delta
+  // manifest). Shape: one fs listing anti-joined against the manifest
+  // — at 10M files both sides are (name, length) metadata, never
+  // content; the summary is a bounded aggregate of the same pass.
+  def vacuumPlan(spark: SparkSession, sfDir: String): DataFrame = {
+    val listed = Sources.fsScan(spark, graft.Tables.FixturesDir)
+      .select(regexp_extract(col("path"), "[^/]+$", 0).as("file"),
+        col("length"))
+    val registered = listed
+      .filter(md5(encode(col("file"), "utf-8")) >= "2")
+      .select(col("file").as("m_file"))
+    listed.join(registered, col("file") === col("m_file"), "left")
+      .select(col("file"), col("length"),
+        col("m_file").isNull.as("orphan"))
+      .orderBy(col("file"))
+  }
+  def vacuumPlanSql: String = {
+    val rows = manifest
+      .map(f => s"('${f.getName}', CAST(${f.length()} AS BIGINT))")
+      .mkString(", ")
+    s"""SELECT file, length, md5(file) < '2' AS orphan
+        FROM (VALUES $rows) AS t(file, length)
+        ORDER BY file"""
+  }
+
   // S7 — disk-usage probe (dags/Airflow_Cleanup.py:62-72: used/total
   // ratio vs a 75 % ceiling). The live `shutil.disk_usage` analogue
   // (`Sources.diskUsage`) stays as a driver-side utility, but the
@@ -673,6 +704,7 @@ object Semi {
     "s11_live_paginated" -> s11LivePaginated,
     "s12_health_probe" -> s12HealthProbe,
     "s6_fs_scan" -> s6FsScan,
+    "vacuum_plan" -> vacuumPlan,
     "s8_csv_read" -> s8CsvRead,
     "s10_jsonl_corrupt" -> s10JsonlCorrupt,
     "s7_usage_ratio" -> s7UsageRatio,
@@ -700,6 +732,7 @@ object Semi {
     "s11_live_paginated" -> s11Sql,
     "s12_health_probe" -> s12Sql,
     "s6_fs_scan" -> s6Sql,
+    "vacuum_plan" -> vacuumPlanSql,
     "s8_csv_read" -> s8Sql,
     "s10_jsonl_corrupt" -> s10Sql,
     "s7_usage_ratio" -> s7Sql,

@@ -204,6 +204,36 @@ object Validate {
         ('chicago', 'Documents', false), ('backup-server', 'Media', false))
        AS t(device, label, paused)"""
 
+  // V14 — primary-key uniqueness audit, the DQ gate every warehouse
+  // table runs before publish: is (l_orderkey, l_linenumber) a key of
+  // lineitem? (In this synthetic corpus it is NOT — the generator does
+  // not enforce the TPC-H PK — so the audit exercises its violation
+  // path for real: the row is the profile a publish gate would act on.) One count-distinct-free pass — group on the candidate
+  // key, count copies, aggregate the violation profile (a multi-column
+  // COUNT DISTINCT would Expand-multiply the scan; the two-level
+  // groupBy shuffles only (key, cnt) partials). The single-row result
+  // carries the quantities a publish gate needs: row count, key count,
+  // duplicated-key count, worst multiplicity, verdict.
+  def v14PkUnique(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(count(lit(1)).as("copies"))
+      .agg(sum(col("copies")).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        sum(when(col("copies") > 1, 1L).otherwise(0L)).as("n_dup_keys"),
+        max(col("copies")).as("max_copies"))
+      .select(col("n_rows"), col("n_keys"), col("n_dup_keys"),
+        col("max_copies"), (col("n_dup_keys") === 0L).as("pk_ok"))
+  val v14Sql: String =
+    """SELECT CAST(sum(copies) AS BIGINT) AS n_rows,
+         count(1) AS n_keys,
+         CAST(sum(CASE WHEN copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_keys,
+         CAST(max(copies) AS BIGINT) AS max_copies,
+         sum(CASE WHEN copies > 1 THEN 1 ELSE 0 END) = 0 AS pk_ok
+       FROM (SELECT l_orderkey, l_linenumber, count(1) AS copies
+             FROM lineitem GROUP BY 1, 2)"""
+
   // V11 — data-driven threshold: z-score outliers per event_type (the
   // V3 lower-bound check with the bound learned from the data itself —
   // what the reference's speedtest limits become once there is enough
@@ -355,6 +385,7 @@ object Validate {
        ORDER BY day, hr"""
 
   val queries: Map[String, QFn] = Map(
+    "v14_pk_unique" -> v14PkUnique,
     "v13_seasonal_baseline" -> v13SeasonalBaseline,
     "v12_psi_drift" -> v12PsiDrift,
     "v11_zscore_outliers" -> v11ZscoreOutliers,
@@ -370,6 +401,7 @@ object Validate {
     "v10_nonempty" -> v10NonEmpty)
 
   val oracles: Map[String, String] = Map(
+    "v14_pk_unique" -> v14Sql,
     "v13_seasonal_baseline" -> v13Sql,
     "v12_psi_drift" -> v12Sql,
     "v11_zscore_outliers" -> v11Sql,

@@ -939,7 +939,7 @@ class MultimodalSpec extends SparkSuite {
       val (gs, peer, dup) = rows(name)
       if (twinned(id)) {
         assert(gs == 2L && dup, s"$name must pair with its gain twin")
-        assert(peer == f"aud$id%02d.wav", s"$name groups to the original")
+        assert(peer == f"caud$id%02d.wav", s"$name groups to the original")
       } else assert(gs == 1L && !dup, s"$name has no twin")
     }
     // and the twin really is byte-distinct: exact digests differ
@@ -947,7 +947,7 @@ class MultimodalSpec extends SparkSuite {
     def sha(n: String) = java.security.MessageDigest.getInstance("SHA-256")
       .digest(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(dir, n))).toSeq
-    assert(sha("aud01.wav") != sha("aud01_twin.wav"),
+    assert(sha("caud01.wav") != sha("caud01t.wav"),
       "twin must defeat exact dedup to make the contour meaningful")
   }
 
@@ -1743,6 +1743,36 @@ class Round5OpsSpec extends SparkSuite {
         ((r.getAs[Long]("n_cust"), r.getAs[Long]("bal_cents")))).toMap
     assert(got == want)
     assert(got.nonEmpty, "fixture has order-less windfall customers")
+  }
+
+  test("vacuum plan: orphan = md5 threshold, both classes non-empty") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rows = ops.Semi.vacuumPlan(spark, sf).collect()
+      .map(r => (r.getString(0), r.getAs[Boolean]("orphan")))
+    rows.foreach { case (f, orphan) =>
+      assert(orphan == (md5hex(f) < "2"), s"$f classification")
+    }
+    assert(rows.exists(_._2) && rows.exists(!_._2),
+      "staging tree yields both orphans and registered files")
+    assert(rows.map(_._1).distinct.length == rows.length,
+      "basenames unique across the staging tree (manifest invariant)")
+  }
+
+  test("v14 pk audit reports the synthetic corpus's true violation profile") {
+    val r = ops.Validate.v14PkUnique(spark, sf).collect().head
+    val keys = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_linenumber")).collect()
+      .map(x => (x.getAs[Number](0).longValue, x.getAs[Number](1).longValue))
+    val counts = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(r.getAs[Long]("n_rows") == keys.length.toLong)
+    assert(r.getAs[Long]("n_keys") == counts.size.toLong)
+    assert(r.getAs[Long]("n_dup_keys") == counts.values.count(_ > 1).toLong)
+    assert(r.getAs[Long]("max_copies") == counts.values.max)
+    // the synthetic generator does NOT enforce the TPC-H PK — the audit
+    // must surface that honestly, not return a vacuous all-green row
+    assert(!r.getAs[Boolean]("pk_ok") && r.getAs[Long]("n_dup_keys") > 0L)
   }
 
   test("stream_hist_rollup equals the batch histogram read-off") {
