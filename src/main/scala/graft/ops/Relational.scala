@@ -2933,7 +2933,93 @@ object Relational {
                            AND o_orderdate >= TIMESTAMP '2001-01-01')
        GROUP BY c_mktsegment ORDER BY c_mktsegment"""
 
+  /** First-order Markov transition matrix over each user's event
+    * sequence: count (prev_type → type) transitions with the sequence
+    * order defined by (ts, event_id) — the behavioral-model estimation
+    * pass (next-action prediction, anomalous-flow detection). One
+    * user-keyed shuffle; the lag window reuses the shuffle's
+    * partitioning; the final aggregate keys on the ≤|types|² matrix
+    * cells. Row-normalized probabilities as exact e4 integers (floored
+    * count ratio), so the matrix is oracle-exact. */
+  def seqTransitionMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val trans = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val rowTot = Window.partitionBy(col("prev_type"))
+    trans.withColumn("row_total", sum(col("n")).over(rowTot))
+      .select(col("prev_type"), col("next_type"), col("n"),
+        expr("(n * 10000) div row_total").as("p_e4"))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+  val seqTransitionMatrixSql: String =
+    """WITH seq AS (
+         SELECT user_id, event_id, ts, event_type,
+           lag(event_type) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id) AS prev_type
+         FROM (SELECT * REPLACE (date_trunc('microseconds', ts) AS ts)
+               FROM events)),
+       trans AS (
+         SELECT prev_type, event_type AS next_type, count(1) AS n
+         FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+       SELECT prev_type, next_type, n,
+         (n * 10000) // CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT)
+           AS p_e4
+       FROM trans ORDER BY prev_type, next_type"""
+
+  /** OHLC bars — the canonical time-series downsample (open/high/low/
+    * close per 6-hour bar per event type). Open/close are argmin/argmax
+    * by the total sequence order (ts, event_id), taken WITHOUT a sort:
+    * min/max over a packed struct whose leading fields are the order
+    * key — partial-aggregatable, so the bar build is one map-side
+    * combinable shuffle on (bar, type), never a per-bar window sort.
+    * Values in exact cents; bar boundaries are whole hours (µs-safe). */
+  def resampleOhlc(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        (floor(unix_seconds(col("ts")) / 21600L) * 21600L).as("bar_start"),
+        unix_micros(col("ts")).as("us"), col("event_id"),
+        cents(col("value")).cast("long").as("v"))
+      .groupBy(col("bar_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        min(struct(col("us"), col("event_id"), col("v"))).as("o"),
+        max(struct(col("us"), col("event_id"), col("v"))).as("c"),
+        max(col("v")).as("high"), min(col("v")).as("low"))
+      .select(
+        from_unixtime(col("bar_start"), "yyyy-MM-dd HH:mm:ss").as("bar"),
+        col("event_type"), col("n"), col("o.v").as("open"),
+        col("high"), col("low"), col("c.v").as("close"))
+      .orderBy(col("bar"), col("event_type"))
+  val resampleOhlcSql: String =
+    """WITH ev AS (
+         SELECT event_type,
+           CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) AS bar_start,
+           date_trunc('microseconds', ts) AS uts, event_id,
+           CAST(floor(value * 100.0) AS BIGINT) AS v
+         FROM events),
+       ranked AS (
+         SELECT event_type, bar_start, v,
+           row_number() OVER (PARTITION BY bar_start, event_type
+             ORDER BY uts, event_id) AS rn_a,
+           row_number() OVER (PARTITION BY bar_start, event_type
+             ORDER BY uts DESC, event_id DESC) AS rn_d
+         FROM ev)
+       SELECT strftime(make_timestamp(bar_start * 1000000),
+                '%Y-%m-%d %H:%M:%S') AS bar,
+         event_type, count(1) AS n,
+         CAST(max(CASE WHEN rn_a = 1 THEN v END) AS BIGINT) AS open,
+         CAST(max(v) AS BIGINT) AS high, CAST(min(v) AS BIGINT) AS low,
+         CAST(max(CASE WHEN rn_d = 1 THEN v END) AS BIGINT) AS close
+       FROM ranked GROUP BY bar_start, event_type
+       ORDER BY bar, event_type"""
+
   val queries: Map[String, QFn] = Map(
+    "seq_transition_matrix" -> seqTransitionMatrix,
+    "resample_ohlc" -> resampleOhlc,
     "attribution_linear" -> attributionLinear,
     "q19_brand_qty" -> q19BrandQty,
     "q15_top_supplier" -> q15TopSupplier,
@@ -3020,6 +3106,8 @@ object Relational {
     "cohort_retention" -> cohortRetention)
 
   val oracles: Map[String, String] = Map(
+    "seq_transition_matrix" -> seqTransitionMatrixSql,
+    "resample_ohlc" -> resampleOhlcSql,
     "attribution_linear" -> attributionLinearSql,
     "q19_brand_qty" -> q19BrandQtySql,
     "q15_top_supplier" -> q15TopSupplierSql,

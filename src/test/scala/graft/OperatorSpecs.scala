@@ -1745,6 +1745,48 @@ class Round5OpsSpec extends SparkSuite {
     assert(got.nonEmpty, "fixture has order-less windfall customers")
   }
 
+  test("transition matrix: rows sum to totals, probs floor-normalize") {
+    val rows = ops.Relational.seqTransitionMatrix(spark, sf).collect()
+    val byPrev = rows.groupBy(_.getString(0))
+    byPrev.foreach { case (_, rs) =>
+      val tot = rs.map(_.getAs[Long]("n")).sum
+      rs.foreach { r =>
+        assert(r.getAs[Long]("p_e4") == r.getAs[Long]("n") * 10000 / tot)
+      }
+      // floor normalization: row sums to ≤ 10000, within |row| of it
+      val pSum = rs.map(_.getAs[Long]("p_e4")).sum
+      assert(pSum <= 10000 && pSum > 10000 - rs.length)
+    }
+    val nTrans = rows.map(_.getAs[Long]("n")).sum
+    val users = Tables.events(spark, sf).groupBy(col("user_id")).count()
+      .collect().map(_.getLong(1))
+    assert(nTrans == users.map(_ - 1).sum, "transitions = Σ(events−1) per user")
+  }
+
+  test("ohlc bars: open/close follow the (ts, event_id) total order") {
+    val bars = ops.Relational.resampleOhlc(spark, sf).collect()
+    val evs = Tables.events(spark, sf)
+      .select(col("event_type"), unix_seconds(col("ts")),
+        unix_micros(col("ts")), col("event_id").cast("long"),
+        graft.Util.cents(col("value")).cast("long"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1) / 21600 * 21600, r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val grouped = evs.groupBy(e => (e._2, e._1))
+    assert(bars.length == grouped.size)
+    bars.foreach { b =>
+      val key = (java.time.LocalDateTime.parse(b.getString(0),
+        java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+        .toEpochSecond(java.time.ZoneOffset.UTC), b.getString(1))
+      val rs = grouped(key).sortBy(e => (e._3, e._4))
+      assert(b.getAs[Long]("open") == rs.head._5 &&
+        b.getAs[Long]("close") == rs.last._5)
+      assert(b.getAs[Long]("high") == rs.map(_._5).max &&
+        b.getAs[Long]("low") == rs.map(_._5).min)
+      assert(b.getAs[Long]("n") == rs.length.toLong)
+    }
+  }
+
   test("vacuum plan: orphan = md5 threshold, both classes non-empty") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
