@@ -1261,6 +1261,79 @@ object Text {
            AS sel_checksum
        FROM h GROUP BY doc_id ORDER BY doc_id"""
 
+  /** N-gram novelty score — the curation signal that ranks documents
+    * by how much UNSEEN content they contribute: the share of a doc's
+    * distinct 3-grams appearing in no other document (df = 1 across
+    * the corpus). High novelty → keep first; near-zero novelty → the
+    * doc is assembled from corpus-common material even when no single
+    * near-dup pair flags it (dedup ranks pairs; novelty ranks docs).
+    *
+    * Same two bounded shuffles as tf-idf: (doc, shingle-hash) distinct
+    * then df per hash; the novelty join streams the doc's own shingles
+    * against the broadcast-scale df side keyed identically. e4 integer
+    * ratio — oracle-exact. */
+  def ngramNovelty(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sh = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        graft.functions.TextHash.shingles(text)
+          .map(s => (id, graft.functions.TextHash.h32(s))) }
+      .toDF("doc_id", "h")
+    val df = sh.groupBy(col("h")).agg(countDistinct(col("doc_id")).as("df"))
+    sh.join(df, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("doc_id"), col("n_shingles"), col("n_unique"),
+        expr("(n_unique * 10000) div n_shingles").as("novelty_e4"))
+      .orderBy(col("doc_id"))
+  }
+  val ngramNoveltySql: String =
+    s"""WITH $shingleCte,
+       h AS (SELECT doc_id,
+               CAST(('0x' || substr(md5(s), 1, 8))::UBIGINT AS BIGINT) AS h
+             FROM sh),
+       df AS (SELECT h, count(DISTINCT doc_id) AS df FROM h GROUP BY h)
+       SELECT doc_id, count(1) AS n_shingles,
+         CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+         (CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) * 10000)
+           // count(1) AS novelty_e4
+       FROM h JOIN df USING (h)
+       GROUP BY doc_id ORDER BY doc_id"""
+
+  /** Per-source quota subsample — the balanced-corpus cap: keep at
+    * most N docs per source, chosen by md5 rank so the draw is
+    * reproducible across engines, runs, and partitionings (the
+    * sampleHash guarantee applied per group). At fixture scale the
+    * rank is a per-source window; at 100 TB the same selection runs
+    * through the bounded-heap shape (`topk_grouped_heap`) — the
+    * semantics (md5 total order per source) are identical, which is
+    * the point of hash-ranked selection: the keep-set is a property of
+    * the DATA, not of the plan that computed it. */
+  def sampleQuota(spark: SparkSession, sfDir: String): DataFrame = {
+    val quota = 40
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("key"), col("doc_id"))
+    Tables.documents(spark, sfDir)
+      .withColumn("key", md5(encode(col("doc_id").cast("string"), "utf-8")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= quota)
+      .select(col("source"), col("rk").cast("long").as("rk"),
+        col("doc_id"), col("key"))
+      .orderBy(col("source"), col("rk"))
+  }
+  val sampleQuotaSql: String =
+    """SELECT source, CAST(rk AS BIGINT) AS rk, doc_id, key FROM (
+         SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR)) AS key,
+           row_number() OVER (PARTITION BY source
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+         FROM documents)
+       WHERE rk <= 40 ORDER BY source, rk"""
+
   /** Winnowing fingerprints (the MOSS selection rule, contrast
     * `t_kgram_sample`'s 0-mod-p): every 4-window of consecutive 3-gram
     * hashes contributes its MINIMUM, so any shared run of ≥ 6 tokens
@@ -1742,6 +1815,8 @@ object Text {
     "t_doc_overlap_pairs" -> docOverlapPairs,
     "t_kgram_sample" -> kgramSample,
     "t_winnowing_fps" -> winnowingFingerprint,
+    "t_ngram_novelty" -> ngramNovelty,
+    "sample_quota" -> sampleQuota,
     "t_unigram_logprob" -> unigramLogprob,
     "t_bigram_logprob" -> bigramLogprob,
     "t_trigram_logprob" -> trigramLogprob,
@@ -1779,6 +1854,8 @@ object Text {
     "t_doc_overlap_pairs" -> docOverlapPairsSql,
     "t_kgram_sample" -> kgramSampleSql,
     "t_winnowing_fps" -> winnowingFingerprintSql,
+    "t_ngram_novelty" -> ngramNoveltySql,
+    "sample_quota" -> sampleQuotaSql,
     "t_unigram_logprob" -> unigramLogprobSql,
     "t_bigram_logprob" -> bigramLogprobSql,
     "t_trigram_logprob" -> trigramLogprobSql,

@@ -1745,6 +1745,43 @@ class Round5OpsSpec extends SparkSuite {
     assert(got.nonEmpty, "fixture has order-less windfall customers")
   }
 
+  test("ngram novelty: df=1 share matches brute force across the corpus") {
+    val got = ops.Text.ngramNovelty(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_shingles"), r.getAs[Long]("n_unique"),
+          r.getAs[Long]("novelty_e4")))).toMap
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        graft.functions.TextHash.shingles(r.getString(1))
+          .map(graft.functions.TextHash.h32).toSet)
+    val dfm = docs.flatMap { case (id, hs) => hs.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    docs.filter(_._2.nonEmpty).foreach { case (id, hs) =>
+      val uniq = hs.count(dfm(_) == 1).toLong
+      assert(got(id) == ((hs.size.toLong, uniq, uniq * 10000 / hs.size)), s"doc $id")
+    }
+    assert(got.values.exists(_._3 > 0) && got.values.exists(_._3 < 10000),
+      "corpus has both novel and common material")
+  }
+
+  test("quota sample: per-source md5 rank caps at 40, reproducibly") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val got = ops.Text.sampleQuota(spark, sf).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("rk"), r.getAs[Long]("doc_id")))
+    val want = Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id")).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("doc_id")))
+      .groupBy(_._1).toSeq.flatMap { case (src, ds) =>
+        ds.map(_._2).sortBy(id => (md5hex(id.toString), id)).take(40)
+          .zipWithIndex.map { case (id, i) => (src, i + 1L, id) }
+      }.sortBy(t => (t._1, t._2))
+    assert(got.toSeq == want)
+    assert(got.groupBy(_._1).values.forall(_.length <= 40))
+  }
+
   test("transition matrix: rows sum to totals, probs floor-normalize") {
     val rows = ops.Relational.seqTransitionMatrix(spark, sf).collect()
     val byPrev = rows.groupBy(_.getString(0))
