@@ -1269,9 +1269,10 @@ object Text {
     * near-dup pair flags it (dedup ranks pairs; novelty ranks docs).
     *
     * Same two bounded shuffles as tf-idf: (doc, shingle-hash) distinct
-    * then df per hash; the novelty join streams the doc's own shingles
-    * against the broadcast-scale df side keyed identically. e4 integer
-    * ratio — oracle-exact. */
+    * then df per hash; the novelty join is keyed on the hash, so it
+    * co-partitions with the df aggregate's own output — no extra
+    * exchange on the df side, and only (doc_id, h, df) ever moves.
+    * e4 integer ratio — oracle-exact. */
   def ngramNovelty(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val sh = Tables.documents(spark, sfDir)
