@@ -3017,7 +3017,55 @@ object Relational {
        FROM ranked GROUP BY bar_start, event_type
        ORDER BY bar, event_type"""
 
+  /** Trailing-window z-score anomaly detector — `v11_zscore_outliers`'s
+    * streaming-shaped sibling: each event judged against the trailing
+    * 24 h of its OWN event type (a time-RANGE frame, so the baseline
+    * adapts to drift the way a global fit can't). The 3σ verdict never
+    * touches a square root or a float: z² > 9 ⇔ (v·n − s)² > 9·(n·ss −
+    * s²) — integer moments cross-multiplied (DECIMAL(38) cross terms,
+    * so billion-row frames can't overflow the int64 products), bit-
+    * identical in both engines. One exchange on event_type; the range
+    * frame runs inside it. Output = the flagged rows only, with a ≥10
+    * frame-size floor so cold-start frames don't fire. */
+  def windowZscoreTrailing(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("secs")).rangeBetween(-86400L, 0L)
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"),
+        unix_seconds(col("ts")).as("secs"),
+        cents(col("value")).cast("long").as("v"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s", sum(col("v")).over(w))
+      .withColumn("ss", sum(col("v") * col("v")).over(w))
+      .filter(col("n") >= 10 && expr(
+        """CAST((CAST(v AS DECIMAL(38,0)) * n - s) *
+                (CAST(v AS DECIMAL(38,0)) * n - s) AS DECIMAL(38,0)) >
+           CAST(9 * (CAST(n AS DECIMAL(38,0)) * ss
+                - CAST(s AS DECIMAL(38,0)) * s) AS DECIMAL(38,0))"""))
+      .select(col("event_id"), col("event_type"), col("v"), col("n"))
+      .orderBy(col("event_id"))
+  }
+  val windowZscoreTrailingSql: String =
+    """SELECT event_id, event_type, v, n FROM (
+         SELECT event_id, event_type, v,
+           count(1) OVER w AS n,
+           CAST(sum(v) OVER w AS BIGINT) AS s,
+           CAST(sum(v * v) OVER w AS BIGINT) AS ss
+         FROM (
+           SELECT event_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS secs,
+             CAST(floor(value * 100.0) AS BIGINT) AS v
+           FROM events)
+         WINDOW w AS (PARTITION BY event_type ORDER BY secs
+           RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW))
+       WHERE n >= 10
+         AND (CAST(v AS DECIMAL(38,0)) * n - s)
+             * (CAST(v AS DECIMAL(38,0)) * n - s)
+             > 9 * (CAST(n AS DECIMAL(38,0)) * ss - CAST(s AS DECIMAL(38,0)) * s)
+       ORDER BY event_id"""
+
   val queries: Map[String, QFn] = Map(
+    "window_zscore_trailing" -> windowZscoreTrailing,
     "seq_transition_matrix" -> seqTransitionMatrix,
     "resample_ohlc" -> resampleOhlc,
     "attribution_linear" -> attributionLinear,
@@ -3106,6 +3154,7 @@ object Relational {
     "cohort_retention" -> cohortRetention)
 
   val oracles: Map[String, String] = Map(
+    "window_zscore_trailing" -> windowZscoreTrailingSql,
     "seq_transition_matrix" -> seqTransitionMatrixSql,
     "resample_ohlc" -> resampleOhlcSql,
     "attribution_linear" -> attributionLinearSql,

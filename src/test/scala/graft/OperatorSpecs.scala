@@ -1745,6 +1745,45 @@ class Round5OpsSpec extends SparkSuite {
     assert(got.nonEmpty, "fixture has order-less windfall customers")
   }
 
+  test("trailing z-score: flags match the brute-force 3-sigma rule") {
+    // sf0.01: the sf0.001 slice is too sparse to clear 3σ at the n≥10
+    // floor (verified: 0 flags there, in both engines). Prefix sums +
+    // binary search keep the brute force O(n log n).
+    val dir = "/root/testdata/sf0.01"
+    val evs = Tables.events(spark, dir)
+      .select(col("event_id").cast("long"), col("event_type"),
+        unix_seconds(col("ts")), graft.Util.cents(col("value")).cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val want = evs.groupBy(_._2).values.flatMap { rows =>
+      val sorted = rows.sortBy(_._3)
+      val secs = sorted.map(_._3)
+      val ps = sorted.scanLeft(0L)(_ + _._4)
+      val pss = sorted.scanLeft(0L)((a, r) => a + r._4 * r._4)
+      def lowerBound(x: Long): Int = {
+        var (lo, hi) = (0, secs.length)
+        while (lo < hi) { val m = (lo + hi) / 2
+          if (secs(m) < x) lo = m + 1 else hi = m }
+        lo
+      }
+      sorted.flatMap { case (id, _, sec, v) =>
+        val from = lowerBound(sec - 86400)
+        val until = lowerBound(sec + 1) // peers of the current sec included
+        val n = (until - from).toLong
+        val s = ps(until) - ps(from)
+        val ss = pss(until) - pss(from)
+        val lhs = (BigInt(v) * n - s).pow(2)
+        val rhs = 9 * (BigInt(n) * ss - BigInt(s) * s)
+        if (n >= 10 && lhs > rhs) Some(id) else None
+      }
+    }.toSet
+    val got = ops.Relational.windowZscoreTrailing(spark, dir).collect()
+      .map(_.getAs[Long]("event_id")).toSet
+    assert(got == want)
+    assert(got.nonEmpty && got.size < evs.length / 10,
+      s"plausible anomaly rate, got ${got.size}/${evs.length}")
+  }
+
   test("ngram novelty: df=1 share matches brute force across the corpus") {
     val got = ops.Text.ngramNovelty(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") ->
