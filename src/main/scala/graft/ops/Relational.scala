@@ -3025,7 +3025,11 @@ object Relational {
     * s²) — integer moments cross-multiplied (DECIMAL(38) cross terms,
     * so billion-row frames can't overflow the int64 products), bit-
     * identical in both engines. One exchange on event_type; the range
-    * frame runs inside it. Output = the flagged rows only, with a ≥10
+    * frame runs inside it. Parallelism at this grain is |types|; at
+    * 100 TB the same frame arithmetic runs over (type, day) slices,
+    * each task carrying a 1-day overlap of its left neighbor so every
+    * frame is complete — embarrassingly parallel at the slice grain,
+    * identical output. Output = the flagged rows only, with a ≥10
     * frame-size floor so cold-start frames don't fire. */
   def windowZscoreTrailing(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy(col("event_type"))
