@@ -3068,7 +3068,54 @@ object Relational {
              > 9 * (CAST(n AS DECIMAL(38,0)) * ss - CAST(s AS DECIMAL(38,0)) * s)
        ORDER BY event_id"""
 
+  /** NEAREST-in-time as-of join — the sensor-alignment variant of
+    * `asof_attribution`'s backward-only rule: each purchase pairs with
+    * the closest click of the same user within ±24 h, either side,
+    * ties (equidistant before/after) to the earlier click then the
+    * lower id — a total order, so the match set is oracle-exact.
+    * Backward-only as-of misaligns any reading that arrives just
+    * AFTER the reference tick; nearest fixes that at the cost of
+    * needing the window buffered on both sides, which is why it's a
+    * separate operator and not a flag. One user-keyed shuffle; the
+    * per-purchase argmin is a window over the join's own partitioning
+    * (candidates are the per-user fan-in, never a cross join). */
+  def asofNearest(spark: SparkSession, sfDir: String): DataFrame = {
+    val H = 24L * 3600L * 1000000L
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("us").as("p_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("c_id"), col("us").as("c_us"))
+    val w = Window.partitionBy(col("p_id"))
+      .orderBy(abs(col("c_us") - col("p_us")), col("c_us"), col("c_id"))
+    purchases.join(clicks, "user_id")
+      .filter(abs(col("c_us") - col("p_us")) <= H)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("p_id"), col("c_id"),
+        (col("c_us") - col("p_us")).as("gap_us"))
+      .orderBy(col("p_id"))
+  }
+  val asofNearestSql: String =
+    """WITH ev AS (
+         SELECT user_id, event_id, event_type,
+           CAST(epoch_us(date_trunc('microseconds', ts)) AS BIGINT) AS us
+         FROM events),
+       j AS (
+         SELECT p.event_id AS p_id, c.event_id AS c_id,
+           c.us - p.us AS gap_us,
+           row_number() OVER (PARTITION BY p.event_id
+             ORDER BY abs(c.us - p.us), c.us, c.event_id) AS rn
+         FROM (SELECT * FROM ev WHERE event_type = 'purchase') p
+         JOIN (SELECT * FROM ev WHERE event_type = 'click') c
+           USING (user_id)
+         WHERE abs(c.us - p.us) <= 86400000000)
+       SELECT p_id, c_id, gap_us FROM j WHERE rn = 1 ORDER BY p_id"""
+
   val queries: Map[String, QFn] = Map(
+    "asof_nearest" -> asofNearest,
     "window_zscore_trailing" -> windowZscoreTrailing,
     "seq_transition_matrix" -> seqTransitionMatrix,
     "resample_ohlc" -> resampleOhlc,
@@ -3158,6 +3205,7 @@ object Relational {
     "cohort_retention" -> cohortRetention)
 
   val oracles: Map[String, String] = Map(
+    "asof_nearest" -> asofNearestSql,
     "window_zscore_trailing" -> windowZscoreTrailingSql,
     "seq_transition_matrix" -> seqTransitionMatrixSql,
     "resample_ohlc" -> resampleOhlcSql,

@@ -1745,6 +1745,33 @@ class Round5OpsSpec extends SparkSuite {
     assert(got.nonEmpty, "fixture has order-less windfall customers")
   }
 
+  test("asof nearest: picks the min-|gap| click, ties to the earlier") {
+    val H = 24L * 3600L * 1000000L
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("event_type"), unix_micros(col("ts")))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val byUser = evs.groupBy(_._1)
+    val want = byUser.values.flatMap { us =>
+      val clicks = us.filter(_._3 == "click")
+      us.filter(_._3 == "purchase").flatMap { case (_, pId, _, pUs) =>
+        val cand = clicks.filter(c => math.abs(c._4 - pUs) <= H)
+        if (cand.isEmpty) None
+        else {
+          val best = cand.minBy(c => (math.abs(c._4 - pUs), c._4, c._2))
+          Some((pId, best._2, best._4 - pUs))
+        }
+      }
+    }.toSet
+    val got = ops.Relational.asofNearest(spark, sf).collect()
+      .map(r => (r.getAs[Long]("p_id"), r.getAs[Long]("c_id"),
+        r.getAs[Long]("gap_us"))).toSet
+    assert(got == want)
+    assert(got.exists(_._3 > 0) && got.exists(_._3 < 0),
+      "nearest matches land on both sides of the purchase")
+  }
+
   test("trailing z-score: flags match the brute-force 3-sigma rule") {
     // sf0.01: the sf0.001 slice is too sparse to clear 3σ at the n≥10
     // floor (verified: 0 flags there, in both engines). Prefix sums +
