@@ -18,6 +18,7 @@ import graft.functions.DotF32
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => RangeJoinBinning)
+    ext.injectPlannerStrategy(_ => GroupTopKStrategy)
     ext.injectFunction((
       FunctionIdentifier("dot_f32"),
       new ExpressionInfo(classOf[DotF32].getName, "dot_f32"),

@@ -1,0 +1,89 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** Whole-operator Catalyst extension (the (c) extension point of the
+  * build plan, completing the menu next to the `DotF32` Expression,
+  * the `RangeJoinBinning` optimizer rule, the `GeoMeanE2` UDAF, and
+  * the DSv2 connectors): grouped top-k as a first-class PHYSICAL
+  * operator.
+  *
+  * Logical contract: keep the first `k` rows per group under
+  * `ordering` (a total order — callers include a tiebreak). The
+  * strategy plans it as TWO execs of the same operator — a partial
+  * pass running k-heaps per group inside each input partition, then a
+  * final pass whose `requiredChildDistribution` clusters on the group
+  * columns, so `EnsureRequirements` inserts the hash exchange BETWEEN
+  * them and the exchange carries only the partial stage's
+  * ≤ partitions·groups·k survivors. This is `topk_grouped_heap`'s
+  * typed-Dataset shape promoted to the planner: any caller (or a
+  * future rewrite rule matching filter-over-rank patterns) gets the
+  * survivors-only exchange without hand-writing the two phases, and
+  * the plan SHOWS the shape (`TopKPerGroupExec(partial=…)`) instead of
+  * hiding it in opaque lambdas.
+  */
+case class GroupTopK(groupCols: Seq[Expression], ordering: Seq[SortOrder],
+    k: Int, child: LogicalPlan) extends UnaryNode {
+  require(k > 0, s"k must be positive, got $k")
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): GroupTopK =
+    copy(child = newChild)
+}
+
+/** Plans [[GroupTopK]] as partial → (exchange) → final. Installed per
+  * session via [[Plans.install]] or cluster-wide via
+  * [[GraftExtensions]]. */
+object GroupTopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case GroupTopK(g, o, k, child) =>
+      val partial = TopKPerGroupExec(g, o, k, partial = true, planLater(child))
+      TopKPerGroupExec(g, o, k, partial = false, partial) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Bounded-state grouped top-k: one k-heap per group key per
+  * partition, O(n log k) work, O(groups·k) memory, no sort. The same
+  * operator serves both phases; only the required distribution
+  * differs. Output order within a group is heap order (unspecified) —
+  * [[GroupTopK]]'s contract is the SET of survivors, and callers
+  * needing ranks sort the ≤ groups·k result. */
+case class TopKPerGroupExec(groupCols: Seq[Expression],
+    ordering: Seq[SortOrder], k: Int, partial: Boolean, child: SparkPlan)
+    extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(groupCols) :: Nil
+  override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
+    copy(child = newChild)
+  override protected def doExecute(): RDD[InternalRow] = {
+    val grp = groupCols
+    val ord = ordering
+    val attrs = child.output
+    val kk = k
+    child.execute().mapPartitions({ it =>
+      val keyProj = UnsafeProjection.create(grp, attrs)
+      // PriorityQueue pops the MAX of this ordering = the LAST row in
+      // sort order among the kept = the worst survivor — exactly what
+      // a better candidate replaces.
+      val rowOrd: Ordering[InternalRow] = RowOrdering.create(ord, attrs)
+      val heaps = scala.collection.mutable.HashMap
+        .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]
+      it.foreach { row =>
+        val h = heaps.getOrElseUpdate(keyProj(row).copy(),
+          scala.collection.mutable.PriorityQueue.empty(rowOrd))
+        h.enqueue(row.copy())
+        if (h.size > kk) { h.dequeue(); () }
+      }
+      heaps.valuesIterator.flatMap(_.iterator)
+    }, preservesPartitioning = true)
+  }
+}

@@ -150,6 +150,9 @@ object Plans {
     val cur = spark.experimental.extraOptimizations
     if (!cur.contains(RangeJoinBinning))
       spark.experimental.extraOptimizations = cur :+ RangeJoinBinning
+    val strats = spark.experimental.extraStrategies
+    if (!strats.contains(GroupTopKStrategy))
+      spark.experimental.extraStrategies = strats :+ GroupTopKStrategy
   }
 
   /** Events joined to 6-hour daily maintenance windows on a pure range
@@ -228,10 +231,50 @@ object Plans {
        FROM spine JOIN sess ON h >= lo AND h < hi
        GROUP BY h ORDER BY hour"""
 
+  /** `topk_grouped_heap`'s semantics through the PHYSICAL operator
+    * ([[GroupTopK]] → [[GroupTopKStrategy]] → [[TopKPerGroupExec]]):
+    * top-5 orders by price per priority class. The plan shows
+    * partial → exchange → final with only survivors crossing (PlansSpec
+    * asserts the node pair and the exchange position); the rank column
+    * is a window over the ≤ 25 survivor rows, not the input. */
+  def topkGroupedExec(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
+    install(spark)
+    val base = Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority"),
+        Util.cents(col("o_totalprice")).cast("long").as("price_cents"),
+        col("o_orderkey"))
+    val lp = base.queryExecution.analyzed
+    val Seq(prio, cents, okey) = lp.output
+    val survivors = org.apache.spark.sql.graftbridge.ColumnBridge.ofRows(
+      spark, GroupTopK(Seq(prio),
+        Seq(SortOrder(cents, Descending), SortOrder(okey, Ascending)),
+        k = 5, lp))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderpriority"))
+      .orderBy(col("price_cents").desc, col("o_orderkey"))
+    survivors.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("o_orderpriority"), col("rank"), col("o_orderkey"),
+        col("price_cents"))
+      .orderBy(col("o_orderpriority"), col("rank"))
+  }
+  val topkGroupedExecSql: String =
+    """SELECT o_orderpriority, CAST(rnk AS BIGINT) AS rank, o_orderkey,
+         price_cents
+       FROM (
+         SELECT o_orderpriority, o_orderkey,
+           CAST(floor(o_totalprice * 100.0) AS BIGINT) AS price_cents,
+           row_number() OVER (PARTITION BY o_orderpriority
+             ORDER BY floor(o_totalprice * 100.0) DESC, o_orderkey) AS rnk
+         FROM orders)
+       WHERE rnk <= 5 ORDER BY o_orderpriority, rank"""
+
   val queries: Map[String, Util.QFn] = Map(
     "range_join_binned" -> rangeJoinBinned,
-    "session_concurrency" -> sessionConcurrency)
+    "session_concurrency" -> sessionConcurrency,
+    "topk_grouped_exec" -> topkGroupedExec)
   val oracles: Map[String, String] = Map(
     "range_join_binned" -> rangeJoinBinnedSql,
-    "session_concurrency" -> sessionConcurrencySql)
+    "session_concurrency" -> sessionConcurrencySql,
+    "topk_grouped_exec" -> topkGroupedExecSql)
 }

@@ -222,4 +222,31 @@ class PlansSpec extends SparkSuite {
       }
     }
   }
+
+  test("GroupTopK plans partial -> exchange -> final; result exact") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    graft.Util.withConf(spark, "spark.sql.adaptive.enabled", "false") {
+      val df = graft.plans.Plans.topkGroupedExec(spark, sf)
+      val plan = df.queryExecution.executedPlan
+      val nodes = plan.collect { case t: graft.plans.TopKPerGroupExec => t }
+      assert(nodes.map(_.partial).sorted == Seq(false, true),
+        s"one partial + one final operator:\n$plan")
+      // the exchange must sit BETWEEN them: the final node's subtree
+      // contains an exchange whose subtree contains the partial node —
+      // i.e. only partial-stage survivors ever cross the wire
+      val fin = nodes.find(!_.partial).get
+      val ex = fin.collectFirst { case e: ShuffleExchangeExec => e }
+      assert(ex.nonEmpty, s"exchange below the final top-k:\n$plan")
+      assert(ex.get.collectFirst {
+        case t: graft.plans.TopKPerGroupExec if t.partial => t }.nonEmpty,
+        s"partial top-k below the exchange:\n$plan")
+      // and the operator answers exactly the window-sort question
+      val got = df.collect().map(r => (r.getString(0), r.getAs[Long]("rank"),
+        r.getAs[Long]("o_orderkey"), r.getAs[Long]("price_cents"))).toSeq
+      val want = ops.Relational.topkGroupedHeap(spark, sf).collect()
+        .map(r => (r.getString(0), r.getAs[Long]("rank"),
+          r.getAs[Long]("o_orderkey"), r.getAs[Long]("price_cents"))).toSeq
+      assert(got == want)
+    }
+  }
 }
