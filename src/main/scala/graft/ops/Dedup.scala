@@ -678,9 +678,14 @@ object Dedup {
     * Support counts ride the collapsed names, so downstream merge
     * decisions (keep the higher-support spelling) need no second scan. */
   def erFuzzyBlock(spark: SparkSession, sfDir: String): DataFrame = {
+    // head noun = 2nd token; names are "adjective noun" by schema. A
+    // 1-token name would blk=null and silently drop from the inner
+    // join while split_part gives '' in the oracle — filter the
+    // malformed rows on BOTH sides instead (none exist in the data).
     val names = Tables.part(spark, sfDir)
       .groupBy(col("p_name")).agg(count(lit(1)).as("n_rows"))
       .withColumn("blk", element_at(split(col("p_name"), " "), 2))
+      .filter(col("blk").isNotNull)
     val a = names.select(col("blk"), col("p_name").as("a_name"),
       col("n_rows").as("a_rows"))
     val b = names.select(col("blk"), col("p_name").as("b_name"),
@@ -696,7 +701,8 @@ object Dedup {
     """WITH names AS (
          SELECT p_name, count(1) AS n_rows,
            split_part(p_name, ' ', 2) AS blk
-         FROM part GROUP BY p_name)
+         FROM part GROUP BY p_name
+         HAVING split_part(p_name, ' ', 2) <> '')
        SELECT a.p_name AS a_name, b.p_name AS b_name,
          CAST(levenshtein(a.p_name, b.p_name) AS INT) AS lev,
          a.n_rows AS a_rows, b.n_rows AS b_rows

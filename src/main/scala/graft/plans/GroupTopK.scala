@@ -51,7 +51,11 @@ object GroupTopKStrategy extends SparkStrategy {
 /** Bounded-state grouped top-k: one k-heap per group key per
   * partition, O(n log k) work, O(groups·k) memory, no sort. The same
   * operator serves both phases; only the required distribution
-  * differs. Output order within a group is heap order (unspecified) —
+  * differs. The per-task heap map sizes with the DISTINCT group count
+  * seen by that task — the operator's domain is "groups·k fits a
+  * task" (dashboards, per-class leaders); a key-cardinality explosion
+  * belongs to the window path (WindowGroupLimit prunes it) or a
+  * sort-based spill variant, not here. Output order within a group is heap order (unspecified) —
   * [[GroupTopK]]'s contract is the SET of survivors, and callers
   * needing ranks sort the ≤ groups·k result. */
 case class TopKPerGroupExec(groupCols: Seq[Expression],
