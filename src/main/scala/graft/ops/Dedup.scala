@@ -711,9 +711,61 @@ object Dedup {
        WHERE levenshtein(a.p_name, b.p_name) <= 2
        ORDER BY a_name, b_name"""
 
+  /** The ACTION half of substring-level dedup (`dedup_substring_spans`
+    * detects; this scrubs): per doc, total characters the merged
+    * duplicated spans would cut, the kept remainder, and the e4
+    * reduction ratio — the number a curation run reports ("exact
+    * substring dedup removed 7.2 % of the corpus", the suffix-array
+    * pipeline's headline stat). Consumes the SAME span table the
+    * detector emits (plan = execution, like d4_backfill_run), so the
+    * two can never disagree about what was cut. Spans are merged
+    * non-overlapping by construction (gaps-and-islands), so the cut
+    * is Σ(span_end − span_start) with no double counting; docs with
+    * no duplicated span keep everything and report 0. */
+  def spanScrub(spark: SparkSession, sfDir: String): DataFrame = {
+    val spans = substringSpans(spark, sfDir)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("span_end") - col("span_start")).as("cut_chars"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+      .join(spans, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_spans", "cut_chars"))
+      // a span's tail window can overrun the text end by < stride;
+      // clamp so kept_chars is never negative on short tails
+      .withColumn("cut_chars", least(col("cut_chars"), col("n_chars")))
+      .select(col("doc_id"), col("n_chars"), col("n_spans"),
+        col("cut_chars"), (col("n_chars") - col("cut_chars")).as("kept_chars"),
+        expr("(cut_chars * 10000) div n_chars").as("reduction_e4"))
+      .orderBy(col("doc_id"))
+  }
+  val spanScrubSql: String = {
+    // the detector's own span CTE, aggregated — oracle replays the
+    // same arithmetic end-to-end
+    val inner = substringSpansSql
+      .replaceAll("ORDER BY doc_id, span_start\\s*$", "")
+    s"""WITH spans AS ($inner),
+       agg AS (
+         SELECT doc_id, count(1) AS n_spans,
+           CAST(sum(span_end - span_start) AS BIGINT) AS cut0
+         FROM spans GROUP BY doc_id)
+       SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+         coalesce(a.n_spans, 0) AS n_spans,
+         least(coalesce(a.cut0, 0), CAST(length(d.text) AS BIGINT))
+           AS cut_chars,
+         CAST(length(d.text) AS BIGINT)
+           - least(coalesce(a.cut0, 0), CAST(length(d.text) AS BIGINT))
+           AS kept_chars,
+         (least(coalesce(a.cut0, 0), CAST(length(d.text) AS BIGINT)) * 10000)
+           // CAST(length(d.text) AS BIGINT) AS reduction_e4
+       FROM documents d LEFT JOIN agg a USING (doc_id)
+       ORDER BY d.doc_id"""
+  }
+
   val queries: Map[String, QFn] = Map(
     "er_fuzzy_block" -> erFuzzyBlock,
     "dedup_substring_spans" -> substringSpans,
+    "dedup_span_scrub" -> spanScrub,
     "dedup_url" -> urlDedup,
     "dedup_keep_best" -> keepBest,
     "dedup_exact" -> exactDedup,
@@ -728,6 +780,7 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "er_fuzzy_block" -> erFuzzyBlockSql,
     "dedup_substring_spans" -> substringSpansSql,
+    "dedup_span_scrub" -> spanScrubSql,
     "dedup_url" -> urlDedupSql,
     "dedup_keep_best" -> keepBestSql,
     "dedup_exact" -> exactDedupSql,
