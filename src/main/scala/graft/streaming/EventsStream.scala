@@ -257,6 +257,45 @@ object EventsStream {
     """SELECT user_id, count(1) AS n_events
        FROM events GROUP BY user_id ORDER BY user_id"""
 
+  /** `stream_latest_state`: the streaming CDC-apply — a continuously
+    * maintained latest-state table (one row per user carrying their
+    * most recent event), `cdc_merge`'s production twin. State = one
+    * max-struct per key, bounded by |users|, not the stream; Update
+    * mode emits only keys that changed in each micro-batch, landing in
+    * batchId partitions whose read-back max-of-struct equals the
+    * global argmax (the struct's leading (us, event_id) fields make
+    * the lexicographic max the latest event, associatively — replay
+    * and cross-batch merge are both just max again). */
+  def streamLatestState(spark: SparkSession, sfDir: String): DataFrame =
+    withStreamingParts(spark, 8) {
+      val src = spark.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+        .withColumn("ts", expr(s"timestamp_micros(${graft.Tables.tsToMicrosSql(sfDir)})"))
+      val st = src.select(col("user_id"),
+          struct(unix_micros(col("ts")).as("us"),
+            col("event_id").as("eid"), col("event_type").as("typ"),
+            graft.Util.cents(col("value")).cast("long").as("v")).as("s"))
+        .groupBy(col("user_id")).agg(max(col("s")).as("s"))
+      val out = runIncremental(spark, st, "latest", sfDir, OutputMode.Update())
+      out.groupBy(col("user_id")).agg(max(col("s")).as("s"))
+        .select(col("user_id"), col("s.eid").as("event_id"),
+          col("s.typ").as("event_type"), col("s.v").as("value_cents"),
+          graft.Util.fmtTs(timestamp_micros(col("s.us"))).as("last_seen"))
+        .orderBy(col("user_id"))
+    }
+  val streamLatestStateSql: String =
+    """SELECT user_id, event_id, event_type, v AS value_cents,
+         strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_seen
+       FROM (
+         SELECT user_id, event_id, event_type,
+           CAST(floor(value * 100.0) AS BIGINT) AS v,
+           date_trunc('microseconds', ts) AS ts,
+           row_number() OVER (PARTITION BY user_id
+             ORDER BY date_trunc('microseconds', ts) DESC,
+               event_id DESC) AS rn
+         FROM events)
+       WHERE rn = 1 ORDER BY user_id"""
+
   /** `stream_interval_join`: watermarked stream-stream interval join —
     * purchases attributed to same-user clicks within 30 minutes, both
     * sides watermarked so join state is bounded (rows evict past
@@ -477,7 +516,8 @@ object EventsStream {
     "stream_interval_join" -> streamIntervalJoin,
     "stream_left_join" -> streamLeftJoin,
     "stream_dedup" -> streamDedup,
-    "stream_hist_rollup" -> streamHistRollup)
+    "stream_hist_rollup" -> streamHistRollup,
+    "stream_latest_state" -> streamLatestState)
   val oracles: Map[String, String] = Map(
     "stream_session_window" -> streamSessionWindowSql,
     "stream_static_enrich" -> streamStaticEnrichSql,
@@ -487,7 +527,8 @@ object EventsStream {
     "stream_interval_join" -> streamIntervalJoinSql,
     "stream_left_join" -> streamLeftJoinSql,
     "stream_dedup" -> streamDedupSql,
-    "stream_hist_rollup" -> streamHistRollupSql)
+    "stream_hist_rollup" -> streamHistRollupSql,
+    "stream_latest_state" -> streamLatestStateSql)
 
   // -- transformWithState (Spark 4 arbitrary-state API) --------------------
 
