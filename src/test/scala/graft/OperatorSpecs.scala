@@ -1920,6 +1920,23 @@ class Round5OpsSpec extends SparkSuite {
     assert(!r.getAs[Boolean]("pk_ok") && r.getAs[Long]("n_dup_keys") > 0L)
   }
 
+  test("stream_latest_state equals the batch per-user argmax") {
+    val stream = streaming.EventsStream.streamLatestState(spark, sf)
+      .collect().map(_.toString)
+    val batch = Tables.events(spark, sf)
+      .select(col("user_id"),
+        struct(unix_micros(col("ts")).as("us"), col("event_id").as("eid"),
+          col("event_type").as("typ"),
+          graft.Util.cents(col("value")).cast("long").as("v")).as("s"))
+      .groupBy(col("user_id")).agg(max(col("s")).as("s"))
+      .select(col("user_id"), col("s.eid").as("event_id"),
+        col("s.typ").as("event_type"), col("s.v").as("value_cents"),
+        graft.Util.fmtTs(timestamp_micros(col("s.us"))).as("last_seen"))
+      .orderBy(col("user_id"))
+      .collect().map(_.toString)
+    assert(stream.sameElements(batch))
+  }
+
   test("stream_hist_rollup equals the batch histogram read-off") {
     val stream = streaming.EventsStream.streamHistRollup(spark, sf)
       .collect().map(_.toString)
