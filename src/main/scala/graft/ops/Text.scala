@@ -106,6 +106,48 @@ object Text {
         ORDER BY doc_id"""
   }
 
+  /** Classifier evaluation at corpus scale — the confusion matrix of
+    * the n-gram language identifier against the labeled `lang` column,
+    * with per-class precision/recall on the diagonal cells (e4
+    * integers, floor division). The matrix is one bounded groupBy
+    * (≤ |langs|² cells — metadata, whatever the corpus size); the
+    * marginals are windows over those cells, not the data. This is the
+    * QA loop every heuristic filter needs before it gates a 100 TB
+    * corpus: how often does the cheap model disagree with ground
+    * truth, and in which direction. */
+  def langIdEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val cm = langId(spark, sfDir)
+      .groupBy(col("labeled_lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+    cm.withColumn("support",
+        sum(col("n")).over(w.partitionBy(col("labeled_lang"))))
+      .withColumn("predicted",
+        sum(col("n")).over(w.partitionBy(col("pred_lang"))))
+      .select(col("labeled_lang"), col("pred_lang"), col("n"),
+        col("support"), col("predicted"),
+        when(col("labeled_lang") === col("pred_lang"),
+          expr("(n * 10000) div support")).as("recall_e4"),
+        when(col("labeled_lang") === col("pred_lang"),
+          expr("(n * 10000) div predicted")).as("precision_e4"))
+      .orderBy(col("labeled_lang"), col("pred_lang"))
+  }
+  val langIdEvalSql: String =
+    s"""WITH pred AS (${langIdSql.replaceAll("ORDER BY doc_id\\s*$", "")}),
+       cm AS (
+         SELECT labeled_lang, pred_lang, count(1) AS n
+         FROM pred GROUP BY 1, 2)
+       SELECT labeled_lang, pred_lang, n,
+         CAST(sum(n) OVER (PARTITION BY labeled_lang) AS BIGINT) AS support,
+         CAST(sum(n) OVER (PARTITION BY pred_lang) AS BIGINT) AS predicted,
+         CASE WHEN labeled_lang = pred_lang THEN (n * 10000)
+           // CAST(sum(n) OVER (PARTITION BY labeled_lang) AS BIGINT)
+           END AS recall_e4,
+         CASE WHEN labeled_lang = pred_lang THEN (n * 10000)
+           // CAST(sum(n) OVER (PARTITION BY pred_lang) AS BIGINT)
+           END AS precision_e4
+       FROM cm ORDER BY labeled_lang, pred_lang"""
+
   // Quality scoring: length / stopword-ratio gates (the "does this text
   // look like prose" pre-filter of a training-data pipeline).
   def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1843,6 +1885,7 @@ object Text {
     "t_token_stats" -> tokenStats,
     "t_token_count" -> tokenCount,
     "t_lang_id" -> langId,
+    "t_langid_eval" -> langIdEval,
     "t_quality_score" -> qualityScore,
     "t_fingerprint" -> fingerprint)
 
@@ -1882,6 +1925,7 @@ object Text {
     "t_token_stats" -> tokenStatsSql,
     "t_token_count" -> tokenCountSql,
     "t_lang_id" -> langIdSql,
+    "t_langid_eval" -> langIdEvalSql,
     "t_quality_score" -> qualityScoreSql,
     "t_fingerprint" -> fingerprintSql)
 }
