@@ -82,10 +82,23 @@ case class TopKPerGroupExec(groupCols: Seq[Expression],
       val heaps = scala.collection.mutable.HashMap
         .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]
       it.foreach { row =>
-        val h = heaps.getOrElseUpdate(keyProj(row).copy(),
-          scala.collection.mutable.PriorityQueue.empty(rowOrd))
-        h.enqueue(row.copy())
-        if (h.size > kk) { h.dequeue(); () }
+        // probe with the projection's reused row; copy the key only on
+        // first insert — one allocation per GROUP, not per row
+        val probe = keyProj(row)
+        val h = heaps.get(probe) match {
+          case Some(found) => found
+          case None =>
+            val fresh = scala.collection.mutable.PriorityQueue.empty(rowOrd)
+            heaps.put(probe.copy(), fresh)
+            fresh
+        }
+        // copy a row only when it actually joins the survivor set: a
+        // full heap rejects anything not strictly better than its
+        // worst (head) without allocating
+        if (h.size < kk) h.enqueue(row.copy())
+        else if (rowOrd.compare(row, h.head) < 0) {
+          h.dequeue(); h.enqueue(row.copy())
+        }
       }
       heaps.valuesIterator.flatMap(_.iterator)
     }, preservesPartitioning = true)
