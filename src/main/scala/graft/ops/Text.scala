@@ -1389,8 +1389,9 @@ object Text {
     * flatMap (see the object scaladoc in [[graft.functions.TextHash]]
     * for why typed, not exploded SQL); the window min runs per-doc
     * (doc-keyed exchange, in-partition sort); the per-doc aggregate
-    * reuses the same key — one shuffle total, state bounded by the
-    * window width. Truncated trailing windows (frame clips at the
+    * reuses the same key — one doc-keyed shuffle (plus the
+    * parallelizing round-robin before the flatMap), state bounded by
+    * the window width. Truncated trailing windows (frame clips at the
     * partition end) keep short docs represented identically in both
     * engines. */
   def winnowingFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
