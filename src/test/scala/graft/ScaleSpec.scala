@@ -872,6 +872,26 @@ class ScaleSpec extends SparkSuite {
     assert(got.toSeq == want)
   }
 
+  test("bitmap semi join: build side is the broadcast word table") {
+    // the probe must be a BroadcastHashJoin on the 64-keys-per-row
+    // bitmap table — the fact side never shuffles, and the build side
+    // is ⌈domain/64⌉ rows, not the key set
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    graft.Util.withConf(spark, "spark.sql.adaptive.enabled", "false") {
+      val df = graft.ops.Relational.bitmapSemiJoin(spark, sf)
+      val bc = df.queryExecution.executedPlan.collect {
+        case b: BroadcastHashJoinExec => b }
+      assert(bc.nonEmpty, s"expected a broadcast probe:\n${df.queryExecution}")
+    }
+    val maxKey = Tables.lineitem(spark, sf)
+      .filter(col("l_returnflag") === "R")
+      .agg(max(col("l_orderkey"))).collect().head.getAs[Number](0).longValue
+    val words = Tables.lineitem(spark, sf)
+      .filter(col("l_returnflag") === "R")
+      .select(expr("l_orderkey div 64").as("w")).distinct().count()
+    assert(words <= maxKey / 64 + 1, "bitmap rows bounded by domain/64")
+  }
+
   test("q19 disjunction envelopes reach both parquet scans") {
     // Catalyst derives no implied single-side predicates from the OR;
     // the hand-added envelopes (brand IN-list + size band on part,
