@@ -618,6 +618,69 @@ object Semi {
        WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 = 0
        ORDER BY event_id"""
 
+  /** Compaction EXECUTED — the action half of [[compactionPlan]] (the
+    * d4_backfill_run / dedup_span_scrub pattern applied to table
+    * maintenance): each planned bin's files are read, concatenated in
+    * file-name order (bins are ≤ target + one file by construction, so
+    * the in-memory sort and the merged blob are both bounded), written
+    * as one object into a per-(session, staging-fingerprint) dir, and
+    * the OUTPUT DIRECTORY is re-scanned so the reported bytes are what
+    * landed on disk, not what the plan promised. The oracle states the
+    * plan's own per-bin arithmetic — rows match exactly iff every
+    * planned byte was written, proving plan = execution. Writes are
+    * whole-file overwrites keyed by bin id: a retried task rewrites
+    * its bin instead of double-appending. */
+  def compactionRun(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val outDir = s"${graft.Util.sessionTmpDir(spark, "graft_compact")}/" +
+      graft.Util.fileFingerprint(graft.Tables.FixturesDir)
+    new java.io.File(outDir).mkdirs()
+    val plan = compactionPlan(spark, sfDir).select(col("file"), col("bin"))
+    val bytes = spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .load(graft.Tables.FixturesDir)
+      .select(regexp_extract(col("path"), "[^/]+$", 0).as("file"),
+        col("content"))
+      .join(plan, "file")
+    val written = bytes.select(col("bin"), col("file"), col("content"))
+      .as[(Long, String, Array[Byte])]
+      .groupByKey(_._1)
+      .mapGroups { (bin, it) =>
+        val parts = it.toSeq.sortBy(_._2)
+        val merged = new java.io.ByteArrayOutputStream()
+        parts.foreach(p => merged.write(p._3))
+        val f = new java.io.File(outDir, f"bin_$bin%05d.merged")
+        java.nio.file.Files.write(f.toPath, merged.toByteArray)
+        (bin, parts.length.toLong)
+      }
+      .toDF("bin", "n_files")
+      .persist()
+    // materialize: the write-side action must finish BEFORE the output
+    // dir is listed — a file scan indexes its directory eagerly, so a
+    // lazy one-plan formulation would list an empty dir
+    written.count()
+    written
+      .join(Sources.fsScan(spark, outDir)
+          .select(regexp_extract(col("path"), "bin_(\\d+)", 1)
+            .cast("long").as("bin"), col("length").as("written_bytes")),
+        "bin")
+      .orderBy(col("bin"))
+  }
+  def compactionRunSql: String = {
+    val rows = manifest
+      .map(f => s"('${f.getName}', CAST(${f.length()} AS BIGINT))")
+      .mkString(", ")
+    s"""SELECT bin, count(1) AS n_files,
+        CAST(sum(length) AS BIGINT) AS written_bytes
+        FROM (
+          SELECT file, length,
+            CAST(floor(coalesce(sum(length) OVER (ORDER BY file
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512)
+              AS BIGINT) AS bin
+          FROM (VALUES $rows) AS t(file, length))
+        GROUP BY bin ORDER BY bin"""
+  }
+
   // Vacuum planner — the third table-maintenance pass next to
   // compaction (rewrite small files) and retention (age out data): find
   // ORPHAN files on disk that no manifest row claims, classify the
@@ -705,6 +768,7 @@ object Semi {
     "s12_health_probe" -> s12HealthProbe,
     "s6_fs_scan" -> s6FsScan,
     "vacuum_plan" -> vacuumPlan,
+    "compaction_run" -> compactionRun,
     "s8_csv_read" -> s8CsvRead,
     "s10_jsonl_corrupt" -> s10JsonlCorrupt,
     "s7_usage_ratio" -> s7UsageRatio,
@@ -733,6 +797,7 @@ object Semi {
     "s12_health_probe" -> s12Sql,
     "s6_fs_scan" -> s6Sql,
     "vacuum_plan" -> vacuumPlanSql,
+    "compaction_run" -> compactionRunSql,
     "s8_csv_read" -> s8Sql,
     "s10_jsonl_corrupt" -> s10Sql,
     "s7_usage_ratio" -> s7Sql,
