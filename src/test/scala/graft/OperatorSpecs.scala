@@ -1890,6 +1890,24 @@ class Round5OpsSpec extends SparkSuite {
     }
   }
 
+  test("compaction run: idempotent, bytes equal the plan's bins") {
+    val run1 = ops.Semi.compactionRun(spark, sf).collect()
+      .map(r => (r.getAs[Long]("bin"), r.getAs[Long]("n_files"),
+        r.getAs[Long]("written_bytes")))
+    val run2 = ops.Semi.compactionRun(spark, sf).collect()
+      .map(r => (r.getAs[Long]("bin"), r.getAs[Long]("n_files"),
+        r.getAs[Long]("written_bytes")))
+    assert(run1.sameElements(run2), "re-running rewrites, never appends")
+    val plan = ops.Semi.compactionPlan(spark, sf).collect()
+      .map(r => r.getAs[Long]("bin") -> r.getAs[Long]("length"))
+      .groupBy(_._1).view
+      .mapValues(v => (v.length.toLong, v.map(_._2).sum)).toMap
+    assert(run1.length == plan.size)
+    run1.foreach { case (bin, n, bytes) =>
+      assert(plan(bin) == ((n, bytes)), s"bin $bin on-disk = planned")
+    }
+  }
+
   test("vacuum plan: orphan = md5 threshold, both classes non-empty") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
