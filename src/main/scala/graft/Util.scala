@@ -115,4 +115,23 @@ object Util {
     df.queryExecution.analyzed.collectFirst {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
     }
+
+  /** Java-serializable Hadoop Configuration carrier: Configuration is
+    * Writable but not Serializable, so executor-side FileSystem writes
+    * (compaction bins, retention deletes) capture the DRIVER's resolved
+    * hadoopConfiguration through this wrapper instead of silently
+    * falling back to `new Configuration()` defaults on the task side —
+    * on a cluster those defaults may lack the object-store credentials
+    * and fs.* bindings the session was built with. */
+  class SerHadoopConf(@transient var conf: org.apache.hadoop.conf.Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject(); conf.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      conf = new org.apache.hadoop.conf.Configuration(false)
+      conf.readFields(in)
+    }
+  }
 }

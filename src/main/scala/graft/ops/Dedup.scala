@@ -679,12 +679,14 @@ object Dedup {
     * decisions (keep the higher-support spelling) need no second scan. */
   def erFuzzyBlock(spark: SparkSession, sfDir: String): DataFrame = {
     // head noun = 2nd token; names are "adjective noun" by schema. A
-    // 1-token name would blk=null and silently drop from the inner
-    // join while split_part gives '' in the oracle — filter the
-    // malformed rows on BOTH sides instead (none exist in the data).
+    // 1-token name must blk=null and drop via the isNotNull filter on
+    // BOTH sides (none exist in the data) — try_element_at, not
+    // element_at: under ANSI mode (Spark 4 default) element_at throws
+    // INVALID_ARRAY_INDEX out-of-bounds, so the null-drop guard would
+    // be dead code and one malformed name would fail the whole query.
     val names = Tables.part(spark, sfDir)
       .groupBy(col("p_name")).agg(count(lit(1)).as("n_rows"))
-      .withColumn("blk", element_at(split(col("p_name"), " "), 2))
+      .withColumn("blk", expr("try_element_at(split(p_name, ' '), 2)"))
       .filter(col("blk").isNotNull)
     val a = names.select(col("blk"), col("p_name").as("a_name"),
       col("n_rows").as("a_rows"))

@@ -634,7 +634,17 @@ object Semi {
     import spark.implicits._
     val outDir = s"${graft.Util.sessionTmpDir(spark, "graft_compact")}/" +
       graft.Util.fileFingerprint(graft.Tables.FixturesDir)
-    new java.io.File(outDir).mkdirs()
+    // Writes go through the Hadoop FileSystem resolved from the
+    // session's hadoopConfiguration (serialized to the tasks), not
+    // java.nio on a driver-derived local path: on a cluster the
+    // executor-local java.io write would land on the wrong disk (or
+    // fail outright for an object-store outDir) and the read-back join
+    // below would silently drop bins. Local mode resolves to the same
+    // local path as before.
+    val serConf = new graft.Util.SerHadoopConf(
+      spark.sparkContext.hadoopConfiguration)
+    val outP = new org.apache.hadoop.fs.Path(outDir)
+    outP.getFileSystem(serConf.conf).mkdirs(outP)
     val plan = compactionPlan(spark, sfDir).select(col("file"), col("bin"))
     val bytes = spark.read.format("binaryFile")
       .option("recursiveFileLookup", "true")
@@ -642,24 +652,27 @@ object Semi {
       .select(regexp_extract(col("path"), "[^/]+$", 0).as("file"),
         col("content"))
       .join(plan, "file")
-    val written = bytes.select(col("bin"), col("file"), col("content"))
+    // One (bin, n_files) row per bin — manifest-scale by construction
+    // (bins = corpus bytes / target), so collecting the write-side
+    // RESULT is bounded; crucially it also MATERIALIZES the writes
+    // before the output dir is listed below, with no persist() left
+    // behind to age the session cache (r9 advice: the old
+    // persist-count-join shape leaked a cached plan per invocation).
+    val binRows = bytes.select(col("bin"), col("file"), col("content"))
       .as[(Long, String, Array[Byte])]
       .groupByKey(_._1)
       .mapGroups { (bin, it) =>
         val parts = it.toSeq.sortBy(_._2)
-        val merged = new java.io.ByteArrayOutputStream()
-        parts.foreach(p => merged.write(p._3))
-        val f = new java.io.File(outDir, f"bin_$bin%05d.merged")
-        java.nio.file.Files.write(f.toPath, merged.toByteArray)
+        val p = new org.apache.hadoop.fs.Path(outDir, f"bin_$bin%05d.merged")
+        val fs = p.getFileSystem(serConf.conf)
+        // whole-file overwrite keyed by bin id: a retried task
+        // rewrites its bin instead of double-appending
+        val os = fs.create(p, true)
+        try parts.foreach(x => os.write(x._3)) finally os.close()
         (bin, parts.length.toLong)
       }
-      .toDF("bin", "n_files")
-      .persist()
-    // materialize: the write-side action must finish BEFORE the output
-    // dir is listed — a file scan indexes its directory eagerly, so a
-    // lazy one-plan formulation would list an empty dir
-    written.count()
-    written
+      .collect()
+    binRows.toSeq.toDF("bin", "n_files")
       .join(Sources.fsScan(spark, outDir)
           .select(regexp_extract(col("path"), "bin_(\\d+)", 1)
             .cast("long").as("bin"), col("length").as("written_bytes")),

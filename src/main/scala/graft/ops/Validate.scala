@@ -147,13 +147,17 @@ object Validate {
        ORDER BY path"""
 
   // V7 — ratio threshold (dags/Airflow_Cleanup.py:63-72): share of total
-  // volume per user > 0.9%. Total via an empty-frame window aggregate —
-  // no second scan, no collect.
+  // volume per user > 0.9%. The grand total rides a broadcast
+  // crossJoin of the 1-row re-aggregate (the histPercentiles shape),
+  // NOT an empty-frame window: Window.partitionBy() funnels every
+  // per-user row through ONE task's sort for a single number — bounded
+  // by |users| here, a single-task straggler at 10⁹ users. The extra
+  // scan is of the already-aggregated frame, not the corpus.
   def v7Ratio(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.partitionBy()
-    Tables.events(spark, sfDir)
+    val perUser = Tables.events(spark, sfDir)
       .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
-      .withColumn("total", sum(col("n")).over(w))
+    perUser
+      .crossJoin(broadcast(perUser.agg(sum(col("n")).as("total"))))
       .select(col("user_id"), col("n"),
         e4(lit(1.0) * col("n") / col("total")).as("share_e4"),
         (lit(1.0) * col("n") / col("total") > 0.009).as("over_threshold"))
