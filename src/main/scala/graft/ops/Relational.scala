@@ -160,8 +160,13 @@ object Relational {
        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
        GROUP BY c_custkey ORDER BY c_custkey"""
 
-  // Window rank: each customer's single most expensive order.
+  // Window rank: each customer's single most expensive order. With
+  // the RankFilterToGroupTopK rule installed, the rn=1 filter rewrites
+  // to the GroupTopK heap operator — the exchange carries one survivor
+  // per (partition, customer) instead of every order, and no map-side
+  // sort runs (PlansSpec pins the rewrite and its equality).
   def windowRank(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.plans.Plans.install(spark)
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     Tables.orders(spark, sfDir)

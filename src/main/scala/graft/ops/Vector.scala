@@ -62,40 +62,29 @@ object Vector {
       .withColumn("sim", col("dot") / (sqrt(col("na")) * sqrt(col("nrm2"))))
   }
 
-  /** Partition-local exact top-k pruning: every input partition keeps a
-    * bounded heap per qid, so the per-query window below sorts at most
-    * partitions × queries × k survivor rows instead of shuffling the
-    * whole scored corpus into q partitions. Survivors are a superset of
-    * the true top-k (each true top-k row wins its own partition's heap),
-    * and ties break on vec_id exactly like the final window — output is
-    * bit-identical to the unpruned formulation. `asc` = smaller score
-    * is better (distances); descending = similarities. */
+  /** Per-query exact top-k through the [[graft.plans.GroupTopK]]
+    * PHYSICAL operator (r9 verdict #5: one mechanism, not two): the
+    * strategy plans a partial k-heap pass per input partition — the
+    * hand-written typed mapPartitions heap this replaces — then a
+    * final k-heap behind an exchange that carries only
+    * partitions × queries × k survivors. Where the old map-side-only
+    * prune returned a SUPERSET (the window after it did the final
+    * cut), this returns the exact top-k set, so the ranking window
+    * downstream sorts ≤ queries × k rows. Ties break on vec_id (total
+    * order) — output is bit-identical to the unpruned window
+    * formulation. `asc` = smaller score is better (distances);
+    * descending = similarities. */
   private[graft] def topkLocal(df: DataFrame, scoreCol: String, k: Int,
       asc: Boolean): DataFrame = {
-    import df.sparkSession.implicits._
-    val sign = if (asc) 1.0 else -1.0
-    df.select(col("qid"), col("vec_id"), col(scoreCol))
-      .as[(Long, Long, Double)]
-      .mapPartitions { it =>
-        // head = worst kept row (largest (sign*score, vec_id))
-        val worstFirst = Ordering.Tuple2[Double, Long].on[(Double, Long, Long)] {
-          case (s, id, _) => (sign * s, id)
-        }
-        val heaps = scala.collection.mutable.HashMap
-          .empty[Long, scala.collection.mutable.PriorityQueue[(Double, Long, Long)]]
-        it.foreach { case (qid, id, s) =>
-          val h = heaps.getOrElseUpdate(qid,
-            scala.collection.mutable.PriorityQueue.empty(worstFirst))
-          if (h.size < k) h.enqueue((s, id, qid))
-          else if (worstFirst.lt((s, id, qid), h.head)) {
-            h.dequeue(); h.enqueue((s, id, qid))
-          }
-        }
-        heaps.iterator.flatMap { case (qid, h) =>
-          h.iterator.map { case (s, id, _) => (qid, id, s) }
-        }
-      }
-      .toDF("qid", "vec_id", scoreCol)
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
+    graft.plans.Plans.install(df.sparkSession)
+    val proj = df.select(col("qid"), col("vec_id"), col(scoreCol))
+    val lp = proj.queryExecution.analyzed
+    val Seq(qid, vid, score) = lp.output
+    val dir = if (asc) Ascending else Descending
+    org.apache.spark.sql.graftbridge.ColumnBridge.ofRows(df.sparkSession,
+      graft.plans.GroupTopK(Seq(qid),
+        Seq(SortOrder(score, dir), SortOrder(vid, Ascending)), k, lp))
   }
 
   private def topk(df: DataFrame, k: Int): DataFrame = {

@@ -18,6 +18,7 @@ import graft.functions.DotF32
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => RangeJoinBinning)
+    ext.injectOptimizerRule(_ => RankFilterToGroupTopK)
     ext.injectPlannerStrategy(_ => GroupTopKStrategy)
     ext.injectFunction((
       FunctionIdentifier("dot_f32"),

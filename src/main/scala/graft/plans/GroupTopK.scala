@@ -36,6 +36,75 @@ case class GroupTopK(groupCols: Seq[Expression], ordering: Seq[SortOrder],
     copy(child = newChild)
 }
 
+/** Rewrites `Filter(row_number() <= k)` over a grouped window into the
+  * [[GroupTopK]] operator, so any rank-filter query (window_rank, the
+  * ANN per-query top-k windows, user SQL) gets the survivors-only
+  * exchange and heap-based partial pass WITHOUT hand-writing the two
+  * phases — the rewrite the [[GroupTopK]] scaladoc anticipated.
+  *
+  * Shape matched: `Filter(cmp(rn, lit), Window([rn := row_number()
+  * over (partition by ps order by os)], child))` with ps and os
+  * non-empty and the bound k ∈ [1, MaxK]. Spark's own
+  * InferWindowGroupLimit usually fires first and leaves
+  * `WindowGroupLimit` under the Window; we REPLACE that node (its
+  * partial exec sorts every input partition on os — O(n log n) per
+  * task — where the heap is O(n log k) and sortless; both exchange
+  * only survivors, so the heap strictly wins the map side).
+  *
+  * Soundness: survivors are exactly a valid top-k set under (os) per
+  * group; the Window above recomputes row_number over survivors, so
+  * ranks 1..k are preserved and the kept Filter re-applies the bound.
+  * With ties at the boundary row_number is nondeterministic in which
+  * row gets rank k — the rewrite picks the same answer CLASS the
+  * unrewritten plan could pick (callers wanting determinism already
+  * carry a total-order tiebreak, as every registered query here does).
+  * RANK/DENSE_RANK are NOT rewritten: their boundary semantics keep
+  * all tied rows, which a k-bounded heap cannot represent. */
+object RankFilterToGroupTopK extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions._
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, Window, WindowGroupLimit}
+
+  /** Heap state is O(groups·k) per task — the operator's contract.
+    * Bounds k so a `rank <= 10^6` filter stays on the sort-based
+    * WindowGroupLimit path instead of ballooning task heaps. */
+  val MaxK = 1000
+
+  private def bound(cond: Expression, rn: Attribute): Option[Int] = {
+    object L { def unapply(e: Expression): Option[Int] = e match {
+      case Literal(v: Int, _: org.apache.spark.sql.types.IntegerType) => Some(v)
+      case _ => None
+    }}
+    cond match {
+      case LessThanOrEqual(a: Attribute, L(k)) if a.semanticEquals(rn) => Some(k)
+      case LessThan(a: Attribute, L(k)) if a.semanticEquals(rn) => Some(k - 1)
+      case EqualTo(a: Attribute, L(k)) if a.semanticEquals(rn) => Some(k)
+      case GreaterThanOrEqual(L(k), a: Attribute) if a.semanticEquals(rn) => Some(k)
+      case GreaterThan(L(k), a: Attribute) if a.semanticEquals(rn) => Some(k - 1)
+      case _ => None
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond,
+        w @ Window(Seq(a @ Alias(WindowExpression(_: RowNumber, spec), _)),
+          ps, os, wchild, _))
+        if ps.nonEmpty && os.nonEmpty &&
+          spec.frameSpecification.isInstanceOf[SpecifiedWindowFrame] &&
+          !wchild.isInstanceOf[GroupTopK] =>
+      val rn = a.toAttribute
+      bound(cond, rn).filter(k => k >= 1 && k <= MaxK).map { k =>
+        val inner = wchild match {
+          // InferWindowGroupLimit already inserted its sort-based
+          // limiter for this same (ps, os, k): take its child — the
+          // heap subsumes it (never loosen a tighter existing limit)
+          case WindowGroupLimit(_, _, _, limit, gc) if limit >= k => gc
+          case _ => wchild
+        }
+        f.copy(child = w.copy(child = GroupTopK(ps, os, k, inner)))
+      }.getOrElse(f)
+  }
+}
+
 /** Plans [[GroupTopK]] as partial → (exchange) → final. Installed per
   * session via [[Plans.install]] or cluster-wide via
   * [[GraftExtensions]]. */

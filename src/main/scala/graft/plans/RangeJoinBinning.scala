@@ -148,8 +148,9 @@ object Plans {
 
   def install(spark: SparkSession): Unit = synchronized {
     val cur = spark.experimental.extraOptimizations
-    if (!cur.contains(RangeJoinBinning))
-      spark.experimental.extraOptimizations = cur :+ RangeJoinBinning
+    val want = Seq(RangeJoinBinning, RankFilterToGroupTopK)
+    spark.experimental.extraOptimizations =
+      cur ++ want.filterNot(cur.contains)
     val strats = spark.experimental.extraStrategies
     if (!strats.contains(GroupTopKStrategy))
       spark.experimental.extraStrategies = strats :+ GroupTopKStrategy

@@ -249,4 +249,81 @@ class PlansSpec extends SparkSuite {
       assert(got == want)
     }
   }
+
+  test("rank-filter rewrite: window_rank plans through GroupTopK, result exact") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    graft.Util.withConf(spark, "spark.sql.adaptive.enabled", "false") {
+      val df = ops.Relational.windowRank(spark, sf) // calls Plans.install
+      val plan = df.queryExecution.executedPlan
+      val nodes = plan.collect { case t: graft.plans.TopKPerGroupExec => t }
+      assert(nodes.map(_.partial).sorted == Seq(false, true),
+        s"rewrite must plan partial + final heap operators:\n$plan")
+      assert(nodes.forall(_.k == 1), "rn = 1 filter must bound k at 1")
+      // survivors-only exchange between the two phases
+      val fin = nodes.find(!_.partial).get
+      val ex = fin.collectFirst { case e: ShuffleExchangeExec => e }
+      assert(ex.nonEmpty && ex.get.collectFirst {
+        case t: graft.plans.TopKPerGroupExec if t.partial => t }.nonEmpty,
+        s"exchange must sit between partial and final:\n$plan")
+      // and sortless on the map side: no Sort below the exchange (the
+      // WindowGroupLimit path this replaces sorts every input
+      // partition; the final Window's sort above sees only survivors)
+      assert(ex.get.collectFirst {
+        case s: org.apache.spark.sql.execution.SortExec => s }.isEmpty,
+        s"heap partial pass must not sort the input:\n$plan")
+      // equality against the un-rewritten window plan
+      val saved = spark.experimental.extraOptimizations
+      val want =
+        try {
+          spark.experimental.extraOptimizations =
+            saved.filterNot(_ == graft.plans.RankFilterToGroupTopK)
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("o_custkey"))
+            .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          Tables.orders(spark, sf).withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1)
+            .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+            .toSet
+        } finally spark.experimental.extraOptimizations = saved
+      val got = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == want, "rewritten plan must answer the window question")
+    }
+  }
+
+  test("rank-filter rewrite leaves rank()/unpartitioned/big-k windows alone") {
+    graft.plans.Plans.install(spark)
+    def hasTopK(df: org.apache.spark.sql.DataFrame): Boolean =
+      graft.Util.withConf(spark, "spark.sql.adaptive.enabled", "false") {
+        df.queryExecution.executedPlan.collectFirst {
+          case t: graft.plans.TopKPerGroupExec => t }.nonEmpty
+      }
+    val base = Tables.orders(spark, sf)
+    // rank(): boundary ties keep ALL tied rows — a k-heap cannot
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderpriority")).orderBy(col("o_totalprice").desc)
+    assert(!hasTopK(base.withColumn("r", rank().over(wr))
+      .filter(col("r") <= 5)))
+    // k beyond the heap-domain cap stays on the sort-based path
+    val wt = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    assert(!hasTopK(base.withColumn("r", row_number().over(wt))
+      .filter(col("r") <= graft.plans.RankFilterToGroupTopK.MaxK + 1)))
+    // and the in-domain row_number shape DOES rewrite (guards above
+    // are non-vacuous)
+    assert(hasTopK(base.withColumn("r", row_number().over(wt))
+      .filter(col("r") <= 5)))
+  }
+
+  test("ANN topk path plans through TopKPerGroupExec (one mechanism)") {
+    graft.Util.withConf(spark, "spark.sql.adaptive.enabled", "false") {
+      val plan = ops.Vector.annBruteTopk(spark, sf)
+        .queryExecution.executedPlan
+      val nodes = plan.collect { case t: graft.plans.TopKPerGroupExec => t }
+      assert(nodes.exists(_.partial) && nodes.exists(!_.partial),
+        s"brute top-k must run the physical heap operator:\n${plan.toString.take(2000)}")
+    }
+  }
 }
