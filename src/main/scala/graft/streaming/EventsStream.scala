@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming surface (SURVEY.md §3/§2.4 D4): the reference's
@@ -517,7 +517,8 @@ object EventsStream {
     "stream_left_join" -> streamLeftJoin,
     "stream_dedup" -> streamDedup,
     "stream_hist_rollup" -> streamHistRollup,
-    "stream_latest_state" -> streamLatestState)
+    "stream_latest_state" -> streamLatestState,
+    "stream_heavy_hitters" -> streamHeavyHitters)
   val oracles: Map[String, String] = Map(
     "stream_session_window" -> streamSessionWindowSql,
     "stream_static_enrich" -> streamStaticEnrichSql,
@@ -528,7 +529,8 @@ object EventsStream {
     "stream_left_join" -> streamLeftJoinSql,
     "stream_dedup" -> streamDedupSql,
     "stream_hist_rollup" -> streamHistRollupSql,
-    "stream_latest_state" -> streamLatestStateSql)
+    "stream_latest_state" -> streamLatestStateSql,
+    "stream_heavy_hitters" -> streamHeavyHittersSql)
 
   // -- transformWithState (Spark 4 arbitrary-state API) --------------------
 
@@ -581,6 +583,101 @@ object EventsStream {
       .toDF("user_id", "n_events")
     runIncremental(spark, counted, "rc", srcPath, OutputMode.Update())
   }
+
+  /** Counter budget (⌈1/φ⌉, φ = 1 %) and shard fan-out for
+    * [[streamHeavyHitters]] — state is ≤ HHShards · HHPhiInv counters
+    * TOTAL, independent of the key universe and the stream length. */
+  val HHPhiInv = 100
+  val HHShards = 16L
+  /** Zipf-law key fold shared by the stream and its oracle (the same
+    * fold as the batch `heavy_hitters`, applied to events.user_id). */
+  val HHFoldSql = "1000 div ((user_id % 1000) + 1)"
+
+  /** Per-shard Misra–Gries maintenance on the arbitrary-state API:
+    * MapState carries the shard's ≤ [[HHPhiInv]] counters across
+    * micro-batches (MG is a one-pass stream algorithm, so resuming
+    * from persisted counters IS processing the unbroken stream), and
+    * each batch emits the shard's current candidate keys. Keying on
+    * shard = f(key), not key, is the point: per-key ValueState would
+    * grow with the key universe (URLs, IPs at 100 TB); MG state is
+    * O(1/φ) per shard regardless. */
+  class MGSummaryProcessor
+      extends StatefulProcessor[Long, (Long, Long), (Long, Long)] {
+    @transient private var mg: MapState[Long, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      mg = getHandle.getMapState[Long, Long]("mg",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(shard: Long, rows: Iterator[(Long, Long)],
+        timers: TimerValues): Iterator[(Long, Long)] = {
+      var counters = scala.collection.mutable.LongMap.empty[Long]
+      mg.iterator().foreach { case (k, c) => counters(k) = c }
+      rows.foreach { case (_, k) =>
+        counters.get(k) match {
+          case Some(c) => counters(k) = c + 1
+          case None if counters.size < HHPhiInv => counters(k) = 1L
+          case None => // MG decrement-all; zeroed counters drop out
+            val keep = scala.collection.mutable.LongMap.empty[Long]
+            counters.foreachEntry((kk, cc) => if (cc > 1L) keep(kk) = cc - 1L)
+            counters = keep
+        }
+      }
+      mg.clear()
+      counters.foreachEntry((k, c) => mg.updateValue(k, c))
+      counters.keysIterator.map(k => (shard, k))
+    }
+  }
+
+  /** `stream_heavy_hitters`: the batch Misra–Gries prefilter's
+    * streaming sibling (r9 verdict #6) — candidates maintained
+    * INCREMENTALLY with bounded state, exact counts by one batch
+    * recount of the bounded candidate set.
+    *
+    * Soundness at any horizon: all occurrences of a key land in its
+    * one shard, and a key with global frequency > φ·n has in-shard
+    * frequency > φ·n ≥ φ·n_shard, so it survives that shard's
+    * MG(1/φ) summary — the union of emitted candidates (each batch
+    * re-emits its shard's live set, so the final batch contributes
+    * the horizon summary) is a SUPERSET of the true heavy hitters.
+    * The recount joins candidates broadcast against the staged table
+    * and applies the exact integer threshold, so output equals the
+    * all-batch SQL answer — the oracle — while streaming state stays
+    * ≤ shards·(1/φ) counters no matter how many keys or rows flow. */
+  def streamHeavyHitters(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Util.withConf(spark, "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+      withStreamingParts(spark, 8) { streamHeavyHittersInner(spark, sfDir) }
+    }
+
+  private def streamHeavyHittersInner(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    import spark.implicits._
+    val src = spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      .select(expr(HHFoldSql).as("k"))
+      .select((col("k") % HHShards).as("shard"), col("k"))
+      .as[(Long, Long)]
+    val cands = src.groupByKey(_._1)
+      .transformWithState(new MGSummaryProcessor,
+        TimeMode.None(), OutputMode.Update())
+      .toDF("shard", "k")
+    val out = runIncremental(spark, cands, "hh", sfDir, OutputMode.Update())
+    val keyed = graft.Tables.events(spark, sfDir).select(expr(HHFoldSql).as("k"))
+    keyed.join(broadcast(out.select(col("k")).distinct()), "k")
+      .groupBy(col("k")).agg(count(lit(1)).as("n_occ"))
+      .crossJoin(broadcast(keyed.agg(count(lit(1)).as("total"))))
+      .filter(col("n_occ") * HHPhiInv > col("total"))
+      .select(col("k"), col("n_occ"))
+      .orderBy(col("n_occ").desc, col("k"))
+  }
+  // def, not val: the oracles map above this section builds at object
+  // init and would read a not-yet-initialized val as null
+  def streamHeavyHittersSql: String =
+    """WITH keyed AS (
+         SELECT 1000 // ((user_id % 1000) + 1) AS k FROM events)
+       SELECT k, count(1) AS n_occ FROM keyed
+       GROUP BY k HAVING 100 * count(1) > (SELECT count(1) FROM keyed)
+       ORDER BY n_occ DESC, k"""
 
   // -- foreachBatch CDC upsert sink ---------------------------------------
 

@@ -143,6 +143,32 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("stream heavy hitters: exact vs batch, candidate state bounded") {
+    // equality with the batch SQL answer (the oracle's shape)
+    val got = EventsStream.streamHeavyHitters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val keyed = Tables.events(spark, sf)
+      .select(expr(EventsStream.HHFoldSql).as("k"))
+    val n = keyed.count()
+    val want = keyed.groupBy(col("k")).count()
+      .filter(col("count") * EventsStream.HHPhiInv > n)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (k, c) => (-c, k) }.toSeq
+    assert(got == want, s"stream HH must equal batch exact counts")
+    assert(got.nonEmpty, "fixture fold must yield at least one heavy hitter")
+    // the bounded-state contract: the incremental stage's total emitted
+    // candidate set (a superset of what ever lived in MG state) stays
+    // within shards x (1/phi) per batch — independent of |keys| and n
+    val candDir = s"${graft.Util.sessionTmpDir(spark, "graft_stream")}/" +
+      s"hh_${java.lang.Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(sf))}/out"
+    val perBatch = spark.read.parquet(candDir)
+      .groupBy(col("batch")).count().collect().map(_.getLong(1))
+    assert(perBatch.nonEmpty, "guard: candidate dump must exist")
+    perBatch.foreach(c =>
+      assert(c <= EventsStream.HHShards * EventsStream.HHPhiInv,
+        s"a batch emitted $c candidates — MG state bound violated"))
+  }
+
   test("foreachBatch upsert: incremental state equals batch latest-wins") {
     val src = java.nio.file.Files.createTempDirectory("graft_upsert_src")
     val state = java.nio.file.Files.createTempDirectory("graft_upsert_state")
