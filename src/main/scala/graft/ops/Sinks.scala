@@ -126,6 +126,80 @@ object Sinks {
        (ts < TIMESTAMP '2024-01-24 00:00:00') AND NOT true AS will_delete
        FROM events ORDER BY path"""
 
+  // K4 EXECUTED — the retention story end-to-end (r9 verdict #7, the
+  // d4_backfill_run / dedup_span_scrub / compaction_run pattern applied
+  // to the delete sink): K4's eligibility predicate drives a REAL
+  // vacuum over staged files, through the reference's env-gate
+  // (dags/Airflow_Cleanup.py:56-59 runs the delete only when
+  // env == "dev"). Two legs prove gate AND execution: a dry-run pass
+  // whose post-scan shows every file survived (will_delete =
+  // eligible AND NOT dry_run, identically false), then an executing
+  // pass whose post-scan shows exactly the eligible set gone. The
+  // staged corpus is a deterministic sample (event_id % 499) so the
+  // file fan-out stays manifest-scale at every SF; deletes and file
+  // creation run executor-side through the Hadoop FileSystem resolved
+  // from the session conf — the cluster shape, not driver java.io.
+  // Output joins the plan to both post-scans: any disagreement row
+  // (file deleted under dry-run, or surviving the executed vacuum)
+  // breaks the oracle hash.
+  def k4RetentionRun(spark: SparkSession, sfDir: String): DataFrame = {
+    val stageDir = s"${graft.Util.sessionTmpDir(spark, "graft_retain")}/" +
+      java.lang.Integer.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(sfDir))
+    val serConf = new graft.Util.SerHadoopConf(
+      spark.sparkContext.hadoopConfiguration)
+    val plan = Tables.events(spark, sfDir)
+      .filter(col("event_id") % 499 === 0)
+      .select(format_string("log_%d.log", col("event_id")).as("file"),
+        (col("ts") < lit("2024-01-24 00:00:00").cast("timestamp"))
+          .as("eligible"))
+    val sd = stageDir
+    // (re)stage every scoped file — overwrite, so re-runs are idempotent
+    plan.select("file").foreachPartition { it: Iterator[Row] =>
+      val fs = new org.apache.hadoop.fs.Path(sd).getFileSystem(serConf.conf)
+      it.foreach { r =>
+        val p = new org.apache.hadoop.fs.Path(sd, r.getString(0))
+        val os = fs.create(p, true)
+        try os.write(r.getString(0).getBytes("UTF-8")) finally os.close()
+      }
+    }
+    // the vacuum executor: delete set = eligible AND NOT dryRun — the
+    // reference's env gate made data, executed per partition
+    def vacuum(dryRun: Boolean): Unit =
+      plan.filter(col("eligible") && lit(!dryRun)).select("file")
+        .foreachPartition { it: Iterator[Row] =>
+          val fs = new org.apache.hadoop.fs.Path(sd).getFileSystem(serConf.conf)
+          it.foreach(r =>
+            fs.delete(new org.apache.hadoop.fs.Path(sd, r.getString(0)), false))
+        }
+    def basenames(alias: String): DataFrame =
+      // eager localCheckpoint: the scan must SNAPSHOT the directory at
+      // this point in the leg sequence — binaryFile re-stats its files
+      // at execution time, so a lazy plan evaluated after the next
+      // vacuum leg would fail on (or silently drop) deleted files.
+      // The materialized rows are the sample-scale basename manifest.
+      Sources.fsScan(spark, stageDir)
+        .select(regexp_extract(col("path"), "[^/]+$", 0).as("file"),
+          lit(true).as(alias))
+        .localCheckpoint(true)
+    vacuum(dryRun = true)
+    val afterDry = basenames("survived_dry")
+    vacuum(dryRun = false)
+    val afterExec = basenames("present")
+    plan.join(afterDry, Seq("file"), "left")
+      .join(afterExec, Seq("file"), "left")
+      .select(col("file"), col("eligible"),
+        coalesce(col("survived_dry"), lit(false)).as("survived_dry"),
+        coalesce(col("present"), lit(false)).as("exists_after"))
+      .orderBy(col("file"))
+  }
+  val k4RunSql: String =
+    """SELECT 'log_' || CAST(event_id AS VARCHAR) || '.log' AS file,
+       ts < TIMESTAMP '2024-01-24 00:00:00' AS eligible,
+       true AS survived_dry,
+       NOT (ts < TIMESTAMP '2024-01-24 00:00:00') AS exists_after
+       FROM events WHERE event_id % 499 = 0 ORDER BY file"""
+
   // K5/D8 — templated alert rendering over the failure set
   // (dags/DNS_Requests.py:34-40): "The dag {{ dag.dag_id }} failed".
   def k5AlertRender(spark: SparkSession, sfDir: String): DataFrame =
@@ -318,6 +392,7 @@ object Sinks {
     "k2_patch_payload" -> k2PatchPayload,
     "k3_put_payload" -> k3PutPayload,
     "k4_retention_plan" -> k4RetentionPlan,
+    "k4_retention_run" -> k4RetentionRun,
     "k5_alert_render" -> k5AlertRender)
 
   val oracles: Map[String, String] = Map(
@@ -329,6 +404,7 @@ object Sinks {
     "k2_patch_payload" -> k2Sql,
     "k3_put_payload" -> k3Sql,
     "k4_retention_plan" -> k4Sql,
+    "k4_retention_run" -> k4RunSql,
     "k5_alert_render" -> k5Sql)
 }
 

@@ -1173,6 +1173,22 @@ class SinksSpec extends SparkSuite {
     assert(RetentionSink.delete(df, "path", dryRun = false) == 3)
     assert(files.forall(!new java.io.File(_).exists()))
   }
+
+  test("k4 retention run: dry-run leaves all, exec deletes exactly eligible; idempotent") {
+    def run() = ops.Sinks.k4RetentionRun(spark, sf).collect()
+      .map(r => (r.getString(0), r.getBoolean(1), r.getBoolean(2),
+        r.getBoolean(3)))
+    val r1 = run()
+    assert(r1.nonEmpty)
+    assert(r1.exists(_._2) && r1.exists(!_._2),
+      "fixture scope must carry both eligible and surviving files")
+    r1.foreach { case (f, eligible, survivedDry, existsAfter) =>
+      assert(survivedDry, s"$f deleted under dry-run")
+      assert(existsAfter == !eligible, s"$f: executed vacuum must equal plan")
+    }
+    // re-running restages and re-executes to the same verdict
+    assert(run().sameElements(r1), "second invocation must be identical")
+  }
 }
 
 class FlowSpec extends SparkSuite {
