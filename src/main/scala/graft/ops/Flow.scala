@@ -109,7 +109,16 @@ object Flow {
     val lock = sharedLocks.getOrElseUpdate(slot, new Object)
     lock.synchronized {
       shared.get(slot) match {
-        case Some((ck, df)) if ck == contentKey => df
+        case Some((ck, df)) if ck == contentKey =>
+          // self-heal: an external spark.catalog.clearCache() (the
+          // bench's session-aging guard, a user tidying the session)
+          // evicts our blocks behind this registry's back — without a
+          // re-persist every later consumer would silently recompute
+          // the shared stage per action (r10: t_decontam read 3× its
+          // baseline exactly this way)
+          if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+            df.persist()
+          df
         case prev =>
           prev.foreach { case (_, df) =>
             try df.unpersist() catch { case _: IllegalStateException => () }
@@ -412,6 +421,8 @@ object Flow {
         s"sequence(timestamp'$start', timestamp'$end', interval 1 minute)"))
         .as("tick"))
       .filter(expr(cron.predicateSql("tick", "spark")))
+    // global-order window is fine HERE: it sorts the cron-filtered
+    // tick spine (plan-horizon/interval rows, ~hundreds), never data
     val w = Window.orderBy(col("tick"))
     val runs = ticks
       .withColumn("hi", lead(col("tick"), 1).over(w))
@@ -469,6 +480,7 @@ object Flow {
         s"sequence(timestamp'$start', timestamp'$end', interval 1 minute)"))
         .as("tick"))
       .filter(expr(cron.predicateSql("tick", "spark")))
+    // tick-spine-bounded global window, as in [[d4BackfillPlan]]
     val w = Window.orderBy(col("tick"))
     val runs = ticks
       .withColumn("hi", lead(col("tick"), 1).over(w))

@@ -3043,9 +3043,25 @@ object Relational {
     * states the unsliced window). Output = the flagged rows only, with
     * a ≥10 frame-size floor so cold-start frames don't fire. */
   def windowZscoreTrailing(spark: SparkSession, sfDir: String): DataFrame = {
+    // Trailing-frame moments via a merged ARRIVAL/EXPIRY delta stream,
+    // not a sliding RANGE frame: Spark rebuilds a sliding frame's
+    // aggregate buffer for every row (no retraction), which is
+    // O(rows × frame) — the measured 97% of this query's wall. Instead
+    // each row contributes +(1, v, v²) at secs and its carry copy
+    // contributes −(1, v, v²) at secs + 86401 (the instant it leaves a
+    // trailing frame), and ONE cumulative window (growing frame, O(n))
+    // over the merged stream reads exactly the 24 h-frame moments at
+    // every arrival: a row j is in row i's frame iff secs_j + 86401 >
+    // secs_i, i.e. its expiry sorts strictly after i's read; the RANGE
+    // cumulative frame takes ties of BOTH kinds at time t, which is
+    // precisely frame semantics (arrivals at t are in, expiries at t
+    // are out). Within a home slice only CARRY rows can expire
+    // (86401 > a day, so a home row's expiry lands in the next slice),
+    // so the stream is 3 rows per event — integer deltas, bit-exact.
     val w = Window.partitionBy(col("event_type"), col("slice"))
-      .orderBy(col("secs")).rangeBetween(-86400L, 0L)
-    Tables.events(spark, sfDir)
+      .orderBy(col("t"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val sliced = Tables.events(spark, sfDir)
       .select(col("event_id"), col("event_type"),
         unix_seconds(col("ts")).as("secs"),
         cents(col("value")).cast("long").as("v"))
@@ -3053,10 +3069,20 @@ object Relational {
       // day's slice so frames anchored there see their full 24 h
       .select(col("*"), explode(array(lit(0L), lit(1L))).as("off"))
       .withColumn("slice", floor(col("secs") / 86400L).cast("long") + col("off"))
-      .withColumn("n", count(lit(1)).over(w))
-      .withColumn("s", sum(col("v")).over(w))
-      .withColumn("ss", sum(col("v") * col("v")).over(w))
-      .filter(col("off") === 0L)
+    val arrivals = sliced.select(col("event_type"), col("slice"),
+      col("secs").as("t"), col("event_id"), col("v"), col("off"),
+      lit(1L).as("dn"), col("v").as("ds"), (col("v") * col("v")).as("dss"),
+      lit(true).as("is_arrival"))
+    val expiries = sliced.filter(col("off") === 1L)
+      .select(col("event_type"), col("slice"),
+        (col("secs") + 86401L).as("t"), col("event_id"), col("v"), col("off"),
+        lit(-1L).as("dn"), (-col("v")).as("ds"),
+        (-col("v") * col("v")).as("dss"), lit(false).as("is_arrival"))
+    arrivals.unionByName(expiries)
+      .withColumn("n", sum(col("dn")).over(w))
+      .withColumn("s", sum(col("ds")).over(w))
+      .withColumn("ss", sum(col("dss")).over(w))
+      .filter(col("is_arrival") && col("off") === 0L)
       .filter(col("n") >= 10 && expr(
         """CAST((CAST(v AS DECIMAL(38,0)) * n - s) *
                 (CAST(v AS DECIMAL(38,0)) * n - s) AS DECIMAL(38,0)) >
