@@ -3042,29 +3042,29 @@ object Relational {
     * output is bit-identical to the unsliced formulation (the oracle
     * states the unsliced window). Output = the flagged rows only, with
     * a ≥10 frame-size floor so cold-start frames don't fire. */
-  def windowZscoreTrailing(spark: SparkSession, sfDir: String): DataFrame = {
-    // Trailing-frame moments via a merged ARRIVAL/EXPIRY delta stream,
-    // not a sliding RANGE frame: Spark rebuilds a sliding frame's
-    // aggregate buffer for every row (no retraction), which is
-    // O(rows × frame) — the measured 97% of this query's wall. Instead
-    // each row contributes +(1, v, v²) at secs and its carry copy
-    // contributes −(1, v, v²) at secs + 86401 (the instant it leaves a
-    // trailing frame), and ONE cumulative window (growing frame, O(n))
-    // over the merged stream reads exactly the 24 h-frame moments at
-    // every arrival: a row j is in row i's frame iff secs_j + 86401 >
-    // secs_i, i.e. its expiry sorts strictly after i's read; the RANGE
-    // cumulative frame takes ties of BOTH kinds at time t, which is
-    // precisely frame semantics (arrivals at t are in, expiries at t
-    // are out). Within a home slice only CARRY rows can expire
-    // (86401 > a day, so a home row's expiry lands in the next slice),
-    // so the stream is 3 rows per event — integer deltas, bit-exact.
+  /** Trailing-24 h frame moments (n, s, ss) per input row via a merged
+    * ARRIVAL/EXPIRY delta stream over (type, day)-sliced partitions —
+    * NOT a sliding RANGE frame: Spark rebuilds a sliding frame's
+    * aggregate buffer for every row (no retraction), which is
+    * O(rows × frame) — measured as 97% of the z-score query's wall.
+    * Instead each row contributes +(1, v, v²) at secs and its carry
+    * copy contributes −(1, v, v²) at secs + 86401 (the instant it
+    * leaves a trailing frame), and ONE cumulative window (growing
+    * frame, O(n)) over the merged stream reads exactly the 24 h-frame
+    * moments at every arrival: a row j is in row i's frame iff
+    * secs_j + 86401 > secs_i, i.e. its expiry sorts strictly after
+    * i's read; the RANGE cumulative frame takes ties of BOTH kinds at
+    * time t, which is precisely frame semantics (arrivals at t are
+    * in, expiries at t are out — boundary cases pinned against a
+    * brute-force frame in spec). Within a home slice only CARRY rows
+    * can expire (86401 > a day, so a home row's expiry lands in the
+    * next slice), so the stream is 3 rows per event — integer deltas,
+    * bit-exact. Input: (event_id, event_type, secs, v). */
+  private[graft] def trailingMoments(ev: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("event_type"), col("slice"))
       .orderBy(col("t"))
       .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-    val sliced = Tables.events(spark, sfDir)
-      .select(col("event_id"), col("event_type"),
-        unix_seconds(col("ts")).as("secs"),
-        cents(col("value")).cast("long").as("v"))
+    val sliced = ev
       // off=0 → the row's home slice; off=1 → carried into the next
       // day's slice so frames anchored there see their full 24 h
       .select(col("*"), explode(array(lit(0L), lit(1L))).as("off"))
@@ -3083,6 +3083,15 @@ object Relational {
       .withColumn("s", sum(col("ds")).over(w))
       .withColumn("ss", sum(col("dss")).over(w))
       .filter(col("is_arrival") && col("off") === 0L)
+      .select(col("event_id"), col("event_type"), col("t").as("secs"),
+        col("v"), col("n"), col("s"), col("ss"))
+  }
+
+  def windowZscoreTrailing(spark: SparkSession, sfDir: String): DataFrame = {
+    trailingMoments(Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"),
+        unix_seconds(col("ts")).as("secs"),
+        cents(col("value")).cast("long").as("v")))
       .filter(col("n") >= 10 && expr(
         """CAST((CAST(v AS DECIMAL(38,0)) * n - s) *
                 (CAST(v AS DECIMAL(38,0)) * n - s) AS DECIMAL(38,0)) >

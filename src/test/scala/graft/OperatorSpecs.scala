@@ -1611,6 +1611,33 @@ class Round5OpsSpec extends SparkSuite {
     assert(got.nonEmpty, "fixture vocabulary yields at least one near pair")
   }
 
+  test("trailingMoments delta stream equals brute-force frames at every boundary") {
+    import spark.implicits._
+    // adversarial timeline the parquet fixtures don't guarantee:
+    // same-second ties, exactly-86400 separations (IN frame by RANGE
+    // semantics), 86401 (just OUT), rows at and straddling the
+    // day-slice boundary, a second type interleaved
+    val rows = Seq(
+      (1L, "a", 0L, 10L), (2L, "a", 0L, 20L),
+      (3L, "a", 86399L, 30L),
+      (4L, "a", 86400L, 40L), // rows 1-2 exactly 86400 old -> still IN
+      (5L, "a", 86401L, 50L), // rows 1-2 now out; 3-5 in
+      (6L, "a", 172799L, 60L), (7L, "a", 172800L, 70L),
+      (8L, "a", 200000L, 80L),
+      (9L, "b", 86400L, 15L), (10L, "b", 90000L, 25L))
+    val got = ops.Relational.trailingMoments(
+        rows.toDF("event_id", "event_type", "secs", "v")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    val want = rows.map { case (id, typ, secs, _) =>
+      val frame = rows.filter { case (_, t2, s2, _) =>
+        t2 == typ && s2 >= secs - 86400L && s2 <= secs }
+      id -> ((frame.size.toLong, frame.map(_._4).sum,
+        frame.map(x => x._4 * x._4).sum))
+    }.toMap
+    assert(got == want, s"per-row moments diverge: got $got want $want")
+  }
+
   test("grouped heap top-k equals the window-sort answer") {
     val got = ops.Relational.topkGroupedHeap(spark, sf).collect()
       .map(r => (r.getString(0), r.getAs[Long]("rank"),
