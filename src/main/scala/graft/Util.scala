@@ -116,22 +116,15 @@ object Util {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
     }
 
-  /** Java-serializable Hadoop Configuration carrier: Configuration is
-    * Writable but not Serializable, so executor-side FileSystem writes
-    * (compaction bins, retention deletes) capture the DRIVER's resolved
-    * hadoopConfiguration through this wrapper instead of silently
-    * falling back to `new Configuration()` defaults on the task side —
-    * on a cluster those defaults may lack the object-store credentials
-    * and fs.* bindings the session was built with. */
-  class SerHadoopConf(@transient var conf: org.apache.hadoop.conf.Configuration)
-      extends Serializable {
-    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
-      out.defaultWriteObject(); conf.write(out)
-    }
-    private def readObject(in: java.io.ObjectInputStream): Unit = {
-      in.defaultReadObject()
-      conf = new org.apache.hadoop.conf.Configuration(false)
-      conf.readFields(in)
-    }
-  }
+  /** Serializable Hadoop Configuration carrier for executor-side
+    * FileSystem access (compaction bins, retention deletes): tasks
+    * must see the DRIVER's resolved hadoopConfiguration, not `new
+    * Configuration()` defaults — on a cluster the defaults may lack
+    * the object-store credentials and fs.* bindings the session was
+    * built with. Spark 4 ships this publicly (`@DeveloperApi`); the
+    * alias pins the one blessed mechanism for it in this codebase. */
+  type SerHadoopConf = org.apache.spark.util.SerializableConfiguration
+  def serHadoopConf(spark: SparkSession): SerHadoopConf =
+    new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
 }

@@ -641,10 +641,9 @@ object Semi {
     // fail outright for an object-store outDir) and the read-back join
     // below would silently drop bins. Local mode resolves to the same
     // local path as before.
-    val serConf = new graft.Util.SerHadoopConf(
-      spark.sparkContext.hadoopConfiguration)
+    val serConf = graft.Util.serHadoopConf(spark)
     val outP = new org.apache.hadoop.fs.Path(outDir)
-    outP.getFileSystem(serConf.conf).mkdirs(outP)
+    outP.getFileSystem(serConf.value).mkdirs(outP)
     val plan = compactionPlan(spark, sfDir).select(col("file"), col("bin"))
     val bytes = spark.read.format("binaryFile")
       .option("recursiveFileLookup", "true")
@@ -664,7 +663,7 @@ object Semi {
       .mapGroups { (bin, it) =>
         val parts = it.toSeq.sortBy(_._2)
         val p = new org.apache.hadoop.fs.Path(outDir, f"bin_$bin%05d.merged")
-        val fs = p.getFileSystem(serConf.conf)
+        val fs = p.getFileSystem(serConf.value)
         // whole-file overwrite keyed by bin id: a retried task
         // rewrites its bin instead of double-appending
         val os = fs.create(p, true)

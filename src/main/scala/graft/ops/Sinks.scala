@@ -146,17 +146,25 @@ object Sinks {
     val stageDir = s"${graft.Util.sessionTmpDir(spark, "graft_retain")}/" +
       java.lang.Integer.toHexString(
         scala.util.hashing.MurmurHash3.stringHash(sfDir))
-    val serConf = new graft.Util.SerHadoopConf(
-      spark.sparkContext.hadoopConfiguration)
+    val serConf = graft.Util.serHadoopConf(spark)
+    val sd = stageDir
+    val sdPath = new org.apache.hadoop.fs.Path(sd)
+    // explicit mkdirs: with an empty sample (tiny dataset) the staging
+    // writes below never run and the post-scans would fail on a
+    // nonexistent directory instead of returning the empty verdict
+    sdPath.getFileSystem(serConf.value).mkdirs(sdPath)
+    // the events scan runs ONCE (eager localCheckpoint of the
+    // manifest-scale sample); staging, both vacuum legs, and the final
+    // join all read the pinned rows instead of re-scanning the corpus
     val plan = Tables.events(spark, sfDir)
       .filter(col("event_id") % 499 === 0)
       .select(format_string("log_%d.log", col("event_id")).as("file"),
         (col("ts") < lit("2024-01-24 00:00:00").cast("timestamp"))
           .as("eligible"))
-    val sd = stageDir
+      .localCheckpoint(true)
     // (re)stage every scoped file — overwrite, so re-runs are idempotent
     plan.select("file").foreachPartition { it: Iterator[Row] =>
-      val fs = new org.apache.hadoop.fs.Path(sd).getFileSystem(serConf.conf)
+      val fs = new org.apache.hadoop.fs.Path(sd).getFileSystem(serConf.value)
       it.foreach { r =>
         val p = new org.apache.hadoop.fs.Path(sd, r.getString(0))
         val os = fs.create(p, true)
@@ -168,7 +176,7 @@ object Sinks {
     def vacuum(dryRun: Boolean): Unit =
       plan.filter(col("eligible") && lit(!dryRun)).select("file")
         .foreachPartition { it: Iterator[Row] =>
-          val fs = new org.apache.hadoop.fs.Path(sd).getFileSystem(serConf.conf)
+          val fs = new org.apache.hadoop.fs.Path(sd).getFileSystem(serConf.value)
           it.foreach(r =>
             fs.delete(new org.apache.hadoop.fs.Path(sd, r.getString(0)), false))
         }

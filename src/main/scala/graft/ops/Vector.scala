@@ -62,18 +62,18 @@ object Vector {
       .withColumn("sim", col("dot") / (sqrt(col("na")) * sqrt(col("nrm2"))))
   }
 
-  /** Per-query exact top-k through the [[graft.plans.GroupTopK]]
-    * PHYSICAL operator (r9 verdict #5: one mechanism, not two): the
-    * strategy plans a partial k-heap pass per input partition — the
-    * hand-written typed mapPartitions heap this replaces — then a
-    * final k-heap behind an exchange that carries only
-    * partitions × queries × k survivors. Where the old map-side-only
-    * prune returned a SUPERSET (the window after it did the final
-    * cut), this returns the exact top-k set, so the ranking window
-    * downstream sorts ≤ queries × k rows. Ties break on vec_id (total
-    * order) — output is bit-identical to the unpruned window
-    * formulation. `asc` = smaller score is better (distances);
-    * descending = similarities. */
+  /** Per-query top-k prune through the [[graft.plans.GroupTopK]]
+    * PHYSICAL operator in pruneOnly form (r9 verdict #5: one
+    * mechanism, not two): the strategy plans a flush-capped partial
+    * k-heap pass per input partition — the hand-written typed
+    * mapPartitions heap this replaces — retaining a SUPERSET of each
+    * query's true top-k (each true top-k row wins its own segment's
+    * heap), so the per-query ranking window every caller applies
+    * afterwards sorts ≤ partitions × queries × k survivor rows and
+    * makes the final cut. Ties break on vec_id exactly like that
+    * window — output is bit-identical to the unpruned formulation.
+    * `asc` = smaller score is better (distances); descending =
+    * similarities. */
   private[graft] def topkLocal(df: DataFrame, scoreCol: String, k: Int,
       asc: Boolean): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
@@ -84,7 +84,8 @@ object Vector {
     val dir = if (asc) Ascending else Descending
     org.apache.spark.sql.graftbridge.ColumnBridge.ofRows(df.sparkSession,
       graft.plans.GroupTopK(Seq(qid),
-        Seq(SortOrder(score, dir), SortOrder(vid, Ascending)), k, lp))
+        Seq(SortOrder(score, dir), SortOrder(vid, Ascending)), k, lp,
+        pruneOnly = true))
   }
 
   private def topk(df: DataFrame, k: Int): DataFrame = {

@@ -29,7 +29,7 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * hiding it in opaque lambdas.
   */
 case class GroupTopK(groupCols: Seq[Expression], ordering: Seq[SortOrder],
-    k: Int, child: LogicalPlan) extends UnaryNode {
+    k: Int, child: LogicalPlan, pruneOnly: Boolean = false) extends UnaryNode {
   require(k > 0, s"k must be positive, got $k")
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(newChild: LogicalPlan): GroupTopK =
@@ -51,15 +51,25 @@ case class GroupTopK(groupCols: Seq[Expression], ordering: Seq[SortOrder],
   * task — where the heap is O(n log k) and sortless; both exchange
   * only survivors, so the heap strictly wins the map side).
   *
-  * Soundness: survivors are exactly a valid top-k set under (os) per
-  * group; the Window above recomputes row_number over survivors, so
-  * ranks 1..k are preserved and the kept Filter re-applies the bound.
-  * With ties at the boundary row_number is nondeterministic in which
-  * row gets rank k — the rewrite picks the same answer CLASS the
-  * unrewritten plan could pick (callers wanting determinism already
-  * carry a total-order tiebreak, as every registered query here does).
-  * RANK/DENSE_RANK are NOT rewritten: their boundary semantics keep
-  * all tied rows, which a k-bounded heap cannot represent. */
+  * The inserted node is the PRUNE-ONLY form: a map-side superset
+  * prune with flush-capped state and NO final phase — the Window
+  * above owns the exchange and its spillable sort restores exact
+  * ranks over ≤ partitions·groups·k survivors. That keeps the
+  * rewrite safe at ANY group cardinality (a per-doc_id rank filter
+  * over 10⁹ docs flushes instead of growing an unbounded heap map),
+  * matching the memory posture of the WindowGroupLimit path it
+  * replaces.
+  *
+  * Soundness: the pruned stream retains a superset of every group's
+  * top-k under (os); the Window above recomputes row_number over it,
+  * so ranks 1..k are preserved and the kept Filter re-applies the
+  * bound. With ties at the boundary row_number is nondeterministic in
+  * which row gets rank k — the rewrite picks the same answer CLASS
+  * the unrewritten plan could pick (callers wanting determinism
+  * already carry a total-order tiebreak, as every registered query
+  * here does). RANK/DENSE_RANK are NOT rewritten: their boundary
+  * semantics keep all tied rows, which a k-bounded heap cannot
+  * represent. */
 object RankFilterToGroupTopK extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
   import org.apache.spark.sql.catalyst.expressions._
   import org.apache.spark.sql.catalyst.plans.logical.{Filter, Window, WindowGroupLimit}
@@ -100,7 +110,8 @@ object RankFilterToGroupTopK extends org.apache.spark.sql.catalyst.rules.Rule[Lo
           case WindowGroupLimit(_, _, _, limit, gc) if limit >= k => gc
           case _ => wchild
         }
-        f.copy(child = w.copy(child = GroupTopK(ps, os, k, inner)))
+        f.copy(child = w.copy(child =
+          GroupTopK(ps, os, k, inner, pruneOnly = true)))
       }.getOrElse(f)
   }
 }
@@ -110,23 +121,37 @@ object RankFilterToGroupTopK extends org.apache.spark.sql.catalyst.rules.Rule[Lo
   * [[GraftExtensions]]. */
 object GroupTopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case GroupTopK(g, o, k, child) =>
+    case GroupTopK(g, o, k, child, pruneOnly) =>
       val partial = TopKPerGroupExec(g, o, k, partial = true, planLater(child))
-      TopKPerGroupExec(g, o, k, partial = false, partial) :: Nil
+      // pruneOnly = a pure map-side SUPERSET prune: no final phase, no
+      // required distribution, flush-capped state — for callers whose
+      // own downstream operator (a window + rank filter) restores
+      // exactness. The two-phase form stays the exact-set operator for
+      // bounded group domains.
+      if (pruneOnly) partial :: Nil
+      else TopKPerGroupExec(g, o, k, partial = false, partial) :: Nil
     case _ => Nil
   }
 }
 
 /** Bounded-state grouped top-k: one k-heap per group key per
-  * partition, O(n log k) work, O(groups·k) memory, no sort. The same
-  * operator serves both phases; only the required distribution
-  * differs. The per-task heap map sizes with the DISTINCT group count
-  * seen by that task — the operator's domain is "groups·k fits a
-  * task" (dashboards, per-class leaders); a key-cardinality explosion
-  * belongs to the window path (WindowGroupLimit prunes it) or a
-  * sort-based spill variant, not here. Output order within a group is heap order (unspecified) —
+  * partition, O(n log k) work, no sort. The same operator serves both
+  * phases; only the required distribution differs.
+  *
+  * Memory contract: the PARTIAL pass flush-caps its heap map — when a
+  * task has seen [[TopKPerGroupExec.FlushGroups]] distinct groups it
+  * emits every retained row and starts a fresh map, so partial-pass
+  * state is O(FlushGroups · k) REGARDLESS of group cardinality (a
+  * group whose rows straddle a flush contributes the union of
+  * per-segment top-ks — still a superset of its true top-k, which is
+  * all the partial phase promises). The FINAL pass never flushes
+  * (exactness) — its memory is the result itself, so the TWO-PHASE
+  * form's domain is "groups·k fits a task" (dashboards, per-class
+  * leaders); key-cardinality explosions use the pruneOnly form under
+  * a window, where the spillable sort above restores exactness.
+  * Output order within a group is heap order (unspecified) —
   * [[GroupTopK]]'s contract is the SET of survivors, and callers
-  * needing ranks sort the ≤ groups·k result. */
+  * needing ranks sort the result. */
 case class TopKPerGroupExec(groupCols: Seq[Expression],
     ordering: Seq[SortOrder], k: Int, partial: Boolean, child: SparkPlan)
     extends UnaryExecNode {
@@ -142,6 +167,7 @@ case class TopKPerGroupExec(groupCols: Seq[Expression],
     val ord = ordering
     val attrs = child.output
     val kk = k
+    val isPartial = partial
     child.execute().mapPartitions({ it =>
       val keyProj = UnsafeProjection.create(grp, attrs)
       // PriorityQueue pops the MAX of this ordering = the LAST row in
@@ -150,7 +176,7 @@ case class TopKPerGroupExec(groupCols: Seq[Expression],
       val rowOrd: Ordering[InternalRow] = RowOrdering.create(ord, attrs)
       val heaps = scala.collection.mutable.HashMap
         .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]
-      it.foreach { row =>
+      def insert(row: InternalRow): Unit = {
         // probe with the projection's reused row; copy the key only on
         // first insert — one allocation per GROUP, not per row
         val probe = keyProj(row)
@@ -169,7 +195,35 @@ case class TopKPerGroupExec(groupCols: Seq[Expression],
           h.dequeue(); h.enqueue(row.copy())
         }
       }
-      heaps.valuesIterator.flatMap(_.iterator)
+      def drain(): Iterator[InternalRow] = {
+        val rows = heaps.valuesIterator.flatMap(_.iterator).toArray
+        heaps.clear()
+        rows.iterator
+      }
+      new Iterator[InternalRow] {
+        private var pending: Iterator[InternalRow] = Iterator.empty
+        private var exhausted = false
+        private def refill(): Unit =
+          while (!pending.hasNext && !exhausted) {
+            if (!it.hasNext) { pending = drain(); exhausted = true }
+            else {
+              insert(it.next())
+              if (isPartial && heaps.size >= TopKPerGroupExec.FlushGroups)
+                pending = drain()
+            }
+          }
+        override def hasNext: Boolean = { refill(); pending.hasNext }
+        override def next(): InternalRow = { refill(); pending.next() }
+      }
     }, preservesPartitioning = true)
   }
+}
+
+object TopKPerGroupExec {
+  /** Distinct-group cap per partial-pass task before a flush: bounds
+    * task state at FlushGroups · (k + 1) retained rows while keeping
+    * the prune effective (a flush only costs pruning power when one
+    * task genuinely sees more groups than this, at which point the
+    * exchange above was already carrying near-input volume). */
+  val FlushGroups = 1 << 16
 }

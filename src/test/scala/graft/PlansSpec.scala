@@ -256,18 +256,23 @@ class PlansSpec extends SparkSuite {
       val df = ops.Relational.windowRank(spark, sf) // calls Plans.install
       val plan = df.queryExecution.executedPlan
       val nodes = plan.collect { case t: graft.plans.TopKPerGroupExec => t }
-      assert(nodes.map(_.partial).sorted == Seq(false, true),
-        s"rewrite must plan partial + final heap operators:\n$plan")
+      // prune-only form: ONE flush-capped partial heap below the
+      // window's own exchange, no final phase (the window's spillable
+      // sort restores exact ranks over survivors at any cardinality)
+      assert(nodes.map(_.partial) == Seq(true),
+        s"rewrite must plan exactly the partial prune:\n$plan")
       assert(nodes.forall(_.k == 1), "rn = 1 filter must bound k at 1")
-      // survivors-only exchange between the two phases
-      val fin = nodes.find(!_.partial).get
-      val ex = fin.collectFirst { case e: ShuffleExchangeExec => e }
+      // the window's exchange must sit ABOVE the prune: only
+      // partial-stage survivors cross the wire
+      val win = plan.collectFirst {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w }.get
+      val ex = win.collectFirst { case e: ShuffleExchangeExec => e }
       assert(ex.nonEmpty && ex.get.collectFirst {
         case t: graft.plans.TopKPerGroupExec if t.partial => t }.nonEmpty,
-        s"exchange must sit between partial and final:\n$plan")
+        s"exchange must sit between the prune and the window:\n$plan")
       // and sortless on the map side: no Sort below the exchange (the
       // WindowGroupLimit path this replaces sorts every input
-      // partition; the final Window's sort above sees only survivors)
+      // partition; the window's sort above sees only survivors)
       assert(ex.get.collectFirst {
         case s: org.apache.spark.sql.execution.SortExec => s }.isEmpty,
         s"heap partial pass must not sort the input:\n$plan")
@@ -317,13 +322,38 @@ class PlansSpec extends SparkSuite {
       .filter(col("r") <= 5)))
   }
 
+  test("prune-only partial flushes past the group cap and stays exact") {
+    // one task sees FlushGroups + 5000 distinct groups (coalesce(1)),
+    // so the flush path genuinely runs; each group has rows v = g and
+    // v = g + n, so exact top-1 per group is v = g — any row lost
+    // across a flush boundary or a duplicate surviving the window
+    // breaks the counts
+    graft.plans.Plans.install(spark)
+    graft.Util.withConf(spark, "spark.sql.adaptive.enabled", "false") {
+      val n = graft.plans.TopKPerGroupExec.FlushGroups + 5000
+      val df = spark.range(2L * n)
+        .select((col("id") % n).as("g"), col("id").as("v"))
+        .coalesce(1)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("g")).orderBy(col("v"))
+      val out = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select(col("g"), col("v"))
+      assert(out.queryExecution.executedPlan.collectFirst {
+        case t: graft.plans.TopKPerGroupExec => t }.nonEmpty,
+        "guard: the rewrite must fire on this plan")
+      assert(out.count() == n, "exactly one survivor per group")
+      assert(out.filter(col("g") =!= col("v")).count() == 0,
+        "each group's survivor must be its true minimum")
+    }
+  }
+
   test("ANN topk path plans through TopKPerGroupExec (one mechanism)") {
     graft.Util.withConf(spark, "spark.sql.adaptive.enabled", "false") {
       val plan = ops.Vector.annBruteTopk(spark, sf)
         .queryExecution.executedPlan
       val nodes = plan.collect { case t: graft.plans.TopKPerGroupExec => t }
-      assert(nodes.exists(_.partial) && nodes.exists(!_.partial),
-        s"brute top-k must run the physical heap operator:\n${plan.toString.take(2000)}")
+      assert(nodes.nonEmpty && nodes.forall(_.partial),
+        s"brute top-k must run the prune-only heap operator:\n${plan.toString.take(2000)}")
     }
   }
 }
