@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming surface (SURVEY.md §3/§2.4 D4): the reference's
@@ -518,7 +518,8 @@ object EventsStream {
     "stream_dedup" -> streamDedup,
     "stream_hist_rollup" -> streamHistRollup,
     "stream_latest_state" -> streamLatestState,
-    "stream_heavy_hitters" -> streamHeavyHitters)
+    "stream_heavy_hitters" -> streamHeavyHitters,
+    "stream_zscore_anomaly" -> streamZscoreAnomaly)
   val oracles: Map[String, String] = Map(
     "stream_session_window" -> streamSessionWindowSql,
     "stream_static_enrich" -> streamStaticEnrichSql,
@@ -530,7 +531,8 @@ object EventsStream {
     "stream_dedup" -> streamDedupSql,
     "stream_hist_rollup" -> streamHistRollupSql,
     "stream_latest_state" -> streamLatestStateSql,
-    "stream_heavy_hitters" -> streamHeavyHittersSql)
+    "stream_heavy_hitters" -> streamHeavyHittersSql,
+    "stream_zscore_anomaly" -> streamZscoreAnomalySql)
 
   // -- transformWithState (Spark 4 arbitrary-state API) --------------------
 
@@ -678,6 +680,115 @@ object EventsStream {
        SELECT k, count(1) AS n_occ FROM keyed
        GROUP BY k HAVING 100 * count(1) > (SELECT count(1) FROM keyed)
        ORDER BY n_occ DESC, k"""
+
+  /** Input row for [[TrailingZProcessor]]. */
+  case class ZEv(event_type: String, secs: Long, event_id: Long, v: Long)
+
+  /** Per-type trailing-24 h z-score anomaly detection on the
+    * arbitrary-state API — `window_zscore_trailing`'s streaming
+    * sibling, sharing its EXACT integer verdict ((v·n−s)² > 9(n·ss−s²)
+    * with n ≥ 10, here in BigInt so billion-row frames can't overflow).
+    * ListState holds only the type's last 24 h of (secs, v) — each
+    * timestamp cohort evicts everything older than its own frame
+    * before folding in, so state is bounded by the type's 24 h event
+    * RATE, not the stream. Cohorts (all rows at one secs) fold in
+    * together before any of them is judged, because a trailing RANGE
+    * frame includes same-second ties regardless of tiebreak order —
+    * the one place a naive row-at-a-time stream diverges from the
+    * batch window. */
+  class TrailingZProcessor
+      extends StatefulProcessor[String, ZEv, (Long, String, Long, Long)] {
+    @transient private var buf: ListState[(Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      buf = getHandle.getListState[(Long, Long)]("buf",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong), TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[ZEv],
+        timers: TimerValues): Iterator[(Long, String, Long, Long)] = {
+      val incoming = rows.toArray.sortBy(r => (r.secs, r.event_id))
+      val window = scala.collection.mutable.Queue.empty[(Long, Long)]
+      buf.get().foreach(window.enqueue(_))
+      var n = window.size.toLong
+      var s = window.iterator.map(_._2).sum
+      var ss = window.iterator.map(x => x._2 * x._2).sum
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, String, Long, Long)]
+      var i = 0
+      while (i < incoming.length) {
+        val t = incoming(i).secs
+        var j = i
+        while (j < incoming.length && incoming(j).secs == t) j += 1
+        // evict strictly-older-than-frame rows, then fold the whole
+        // cohort in BEFORE judging any of its rows (tie semantics)
+        while (window.nonEmpty && window.head._1 < t - 86400L) {
+          val (_, v0) = window.dequeue()
+          n -= 1; s -= v0; ss -= v0 * v0
+        }
+        var c = i
+        while (c < j) {
+          val v = incoming(c).v
+          window.enqueue((t, v)); n += 1; s += v; ss += v * v
+          c += 1
+        }
+        c = i
+        while (c < j) {
+          val r = incoming(c)
+          if (n >= 10) {
+            val bn = BigInt(n); val bs = BigInt(s)
+            val d = BigInt(r.v) * bn - bs
+            if (d * d > 9 * (bn * BigInt(ss) - bs * bs))
+              out += ((r.event_id, key, r.v, n))
+          }
+          c += 1
+        }
+        i = j
+      }
+      buf.clear()
+      if (window.nonEmpty) buf.put(window.toArray)
+      out.iterator
+    }
+  }
+
+  /** `stream_zscore_anomaly`: run [[TrailingZProcessor]] over the
+    * staged events (AvailableNow, RocksDB store) — with the whole
+    * history replayed the flagged set equals the batch trailing-window
+    * query, so it shares `window_zscore_trailing`'s oracle; in
+    * production the same processor runs incrementally, carrying each
+    * type's 24 h buffer across micro-batches. Verdict parity note:
+    * cohorts split across micro-batches judge the early rows against
+    * a frame missing their later same-second siblings — the staged
+    * gate stages whole files, so every cohort is batch-complete. */
+  def streamZscoreAnomaly(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Util.withConf(spark, "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+      withStreamingParts(spark, 8) { streamZscoreAnomalyInner(spark, sfDir) }
+    }
+
+  private def streamZscoreAnomalyInner(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    import spark.implicits._
+    val src = spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      .select(col("event_type"),
+        // identical integer path to the batch query's unix_seconds
+        // over Tables.events' µs timestamps — bit-exact secs
+        unix_seconds(timestamp_micros(
+          graft.functions.TsExpr.tsToMicrosLazy(col("ts"), sfDir))).as("secs"),
+        col("event_id"),
+        floor(col("value") * lit(100.0)).cast("long").as("v"))
+      .as[ZEv]
+    val flagged = src.groupByKey(_.event_type)
+      .transformWithState(new TrailingZProcessor,
+        TimeMode.None(), OutputMode.Append())
+      .toDF("event_id", "event_type", "v", "n")
+    runIncremental(spark, flagged, "zs", sfDir, OutputMode.Append())
+      .orderBy(col("event_id"))
+  }
+  /** Shares the batch trailing-window oracle — the two paths cannot
+    * drift. */
+  def streamZscoreAnomalySql: String =
+    graft.ops.Relational.windowZscoreTrailingSql
 
   // -- foreachBatch CDC upsert sink ---------------------------------------
 
