@@ -577,7 +577,12 @@ object EventsStream {
       .option("pathGlobFilter", "events.parquet")
       .parquet(srcPath)
       .select(col("user_id"),
-        graft.functions.TsExpr.tsToMicrosLazy(col("ts"), srcPath).as("tsMicros"))
+        // sniff the EVENTS file, not the dataset dir: partFile on a
+        // multi-table dir picks the alphabetically-first parquet
+        // (customer), which has no ts field, silently demoting the
+        // footer-annotation routing to the magnitude fallback
+        graft.functions.TsExpr.tsToMicrosLazy(col("ts"),
+          s"$srcPath/events.parquet").as("tsMicros"))
       .as[Ev]
     val counted = src.groupByKey(_.user_id)
       .transformWithState(new RunningCountProcessor,
@@ -688,14 +693,22 @@ object EventsStream {
     * arbitrary-state API — `window_zscore_trailing`'s streaming
     * sibling, sharing its EXACT integer verdict ((v·n−s)² > 9(n·ss−s²)
     * with n ≥ 10, here in BigInt so billion-row frames can't overflow).
-    * ListState holds only the type's last 24 h of (secs, v) — each
-    * timestamp cohort evicts everything older than its own frame
-    * before folding in, so state is bounded by the type's 24 h event
-    * RATE, not the stream. Cohorts (all rows at one secs) fold in
-    * together before any of them is judged, because a trailing RANGE
-    * frame includes same-second ties regardless of tiebreak order —
-    * the one place a naive row-at-a-time stream diverges from the
-    * batch window. */
+    * ListState holds only the type's trailing window of (secs, v) —
+    * retained down to max-seen-secs − 86400 after each batch, a
+    * watermark-style horizon, so state is bounded by the type's 24 h
+    * event RATE, not the stream. Each batch re-sorts state + batch
+    * into ONE timeline and walks it with two pointers, so a LATE
+    * micro-batch (older than buffered rows) interleaves correctly
+    * instead of corrupting head-only eviction; late rows older than
+    * the retention horizon get best-effort frames (missing
+    * already-dropped peers), the same contract a watermark gives.
+    * Cohorts (all rows at one secs) fold in together before any of
+    * them is judged, because a trailing RANGE frame includes
+    * same-second ties regardless of tiebreak order — the one place a
+    * naive row-at-a-time stream diverges from the batch window.
+    * Moment sums are Int64 like the batch window's sum(v·v) — exact
+    * while frame·v² < 2⁶³ (v ≤ 10⁵ cents → frames to ~9·10⁸ rows);
+    * the BigInt CROSS terms mirror the batch DECIMAL(38) compare. */
   class TrailingZProcessor
       extends StatefulProcessor[String, ZEv, (Long, String, Long, Long)] {
     @transient private var buf: ListState[(Long, Long)] = _
@@ -707,46 +720,48 @@ object EventsStream {
     override def handleInputRows(key: String, rows: Iterator[ZEv],
         timers: TimerValues): Iterator[(Long, String, Long, Long)] = {
       val incoming = rows.toArray.sortBy(r => (r.secs, r.event_id))
-      val window = scala.collection.mutable.Queue.empty[(Long, Long)]
-      buf.get().foreach(window.enqueue(_))
-      var n = window.size.toLong
-      var s = window.iterator.map(_._2).sum
-      var ss = window.iterator.map(x => x._2 * x._2).sum
-      val out = scala.collection.mutable.ArrayBuffer
-        .empty[(Long, String, Long, Long)]
-      var i = 0
-      while (i < incoming.length) {
-        val t = incoming(i).secs
-        var j = i
-        while (j < incoming.length && incoming(j).secs == t) j += 1
-        // evict strictly-older-than-frame rows, then fold the whole
-        // cohort in BEFORE judging any of its rows (tie semantics)
-        while (window.nonEmpty && window.head._1 < t - 86400L) {
-          val (_, v0) = window.dequeue()
-          n -= 1; s -= v0; ss -= v0 * v0
-        }
-        var c = i
-        while (c < j) {
-          val v = incoming(c).v
-          window.enqueue((t, v)); n += 1; s += v; ss += v * v
-          c += 1
-        }
-        c = i
-        while (c < j) {
-          val r = incoming(c)
-          if (n >= 10) {
-            val bn = BigInt(n); val bs = BigInt(s)
-            val d = BigInt(r.v) * bn - bs
-            if (d * d > 9 * (bn * BigInt(ss) - bs * bs))
-              out += ((r.event_id, key, r.v, n))
+      if (incoming.isEmpty) Iterator.empty
+      else {
+        // one sorted timeline of buffered + incoming observations:
+        // frames read off it with monotone lo/hi pointers (incoming
+        // cohorts ascend), O(m log m) in buffer+batch size
+        val merged = (buf.get().toArray ++
+          incoming.map(r => (r.secs, r.v))).sortBy(_._1)
+        var lo = 0; var hi = 0
+        var n = 0L; var s = 0L; var ss = 0L
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, String, Long, Long)]
+        var i = 0
+        while (i < incoming.length) {
+          val t = incoming(i).secs
+          var j = i
+          while (j < incoming.length && incoming(j).secs == t) j += 1
+          while (hi < merged.length && merged(hi)._1 <= t) {
+            val v = merged(hi)._2; n += 1; s += v; ss += v * v; hi += 1
           }
-          c += 1
+          while (lo < merged.length && merged(lo)._1 < t - 86400L) {
+            val v = merged(lo)._2; n -= 1; s -= v; ss -= v * v; lo += 1
+          }
+          var c = i
+          while (c < j) {
+            val r = incoming(c)
+            if (n >= 10) {
+              val bn = BigInt(n); val bs = BigInt(s)
+              val d = BigInt(r.v) * bn - bs
+              if (d * d > 9 * (bn * BigInt(ss) - bs * bs))
+                out += ((r.event_id, key, r.v, n))
+            }
+            c += 1
+          }
+          i = j
         }
-        i = j
+        // retention horizon: anything a frame anchored at >= max-seen
+        // secs could still reach
+        val keep = merged.dropWhile(_._1 < merged.last._1 - 86400L)
+        buf.clear()
+        if (keep.nonEmpty) buf.put(keep)
+        out.iterator
       }
-      buf.clear()
-      if (window.nonEmpty) buf.put(window.toArray)
-      out.iterator
     }
   }
 
@@ -772,11 +787,14 @@ object EventsStream {
       .option("pathGlobFilter", "events.parquet").parquet(sfDir)
       .select(col("event_type"),
         // identical integer path to the batch query's unix_seconds
-        // over Tables.events' µs timestamps — bit-exact secs
+        // over Tables.events' µs timestamps — bit-exact secs; sniff
+        // the events FILE (a bare dataset dir would footer-sniff the
+        // alphabetically-first table instead)
         unix_seconds(timestamp_micros(
-          graft.functions.TsExpr.tsToMicrosLazy(col("ts"), sfDir))).as("secs"),
+          graft.functions.TsExpr.tsToMicrosLazy(col("ts"),
+            s"$sfDir/events.parquet"))).as("secs"),
         col("event_id"),
-        floor(col("value") * lit(100.0)).cast("long").as("v"))
+        graft.Util.cents(col("value")).cast("long").as("v"))
       .as[ZEv]
     val flagged = src.groupByKey(_.event_type)
       .transformWithState(new TrailingZProcessor,
