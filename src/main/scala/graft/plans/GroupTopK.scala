@@ -79,7 +79,8 @@ object RankFilterToGroupTopK extends org.apache.spark.sql.catalyst.rules.Rule[Lo
     * WindowGroupLimit path instead of ballooning task heaps. */
   val MaxK = 1000
 
-  private def bound(cond: Expression, rn: Attribute): Option[Int] = {
+  /** Upper bound on `rn` implied by ONE comparison conjunct, if any. */
+  private def conjunctBound(cond: Expression, rn: Attribute): Option[Int] = {
     object L { def unapply(e: Expression): Option[Int] = e match {
       case Literal(v: Int, _: org.apache.spark.sql.types.IntegerType) => Some(v)
       case _ => None
@@ -88,9 +89,25 @@ object RankFilterToGroupTopK extends org.apache.spark.sql.catalyst.rules.Rule[Lo
       case LessThanOrEqual(a: Attribute, L(k)) if a.semanticEquals(rn) => Some(k)
       case LessThan(a: Attribute, L(k)) if a.semanticEquals(rn) => Some(k - 1)
       case EqualTo(a: Attribute, L(k)) if a.semanticEquals(rn) => Some(k)
+      case EqualTo(L(k), a: Attribute) if a.semanticEquals(rn) => Some(k)
       case GreaterThanOrEqual(L(k), a: Attribute) if a.semanticEquals(rn) => Some(k)
       case GreaterThan(L(k), a: Attribute) if a.semanticEquals(rn) => Some(k - 1)
       case _ => None
+    }
+  }
+
+  /** Tightest rank bound over the condition's AND-conjuncts. The other
+    * conjuncts don't block the rewrite: the kept Filter re-applies
+    * them over the window output, and pruning to rank survivors first
+    * only ever removes rows the rank conjunct would reject anyway. */
+  private def bound(cond: Expression, rn: Attribute): Option[Int] = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    conjuncts(cond).flatMap(conjunctBound(_, rn)) match {
+      case Seq() => None
+      case ks => Some(ks.min)
     }
   }
 

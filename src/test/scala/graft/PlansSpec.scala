@@ -320,6 +320,25 @@ class PlansSpec extends SparkSuite {
     // are non-vacuous)
     assert(hasTopK(base.withColumn("r", row_number().over(wt))
       .filter(col("r") <= 5)))
+    // conjunctive filters rewrite too (the rank bound prunes; the kept
+    // Filter re-applies the other predicate over the window output) —
+    // and the result equals the un-pruned evaluation
+    val conj = base.withColumn("r", row_number().over(wt))
+      .filter(col("r") <= 5 && col("o_orderstatus") === "F")
+    assert(hasTopK(conj), "AND-filter with a rank bound must rewrite")
+    val saved = spark.experimental.extraOptimizations
+    val want =
+      try {
+        spark.experimental.extraOptimizations =
+          saved.filterNot(_ == graft.plans.RankFilterToGroupTopK)
+        base.withColumn("r", row_number().over(wt))
+          .filter(col("r") <= 5 && col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("r")).collect()
+          .map(r => (r.getLong(0), r.getInt(1))).toSet
+      } finally spark.experimental.extraOptimizations = saved
+    val got = conj.select(col("o_orderkey"), col("r")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got == want, "conjunctive rewrite must preserve the answer")
   }
 
   test("prune-only partial flushes past the group cap and stays exact") {

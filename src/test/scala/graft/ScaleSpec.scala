@@ -634,6 +634,33 @@ class ScaleSpec extends SparkSuite {
     }
   }
 
+  test("stream_heavy_hitters recount: candidates broadcast, corpus unshuffled") {
+    // pass 2 of the streaming heavy hitters must be a BROADCAST of
+    // the bounded candidate set probing the corpus map-side — a
+    // shuffle join keyed on k would funnel the corpus through the
+    // candidate key domain, the exact shape the MG prefilter exists
+    // to avoid
+    graft.Util.withConf(spark, "spark.sql.adaptive.enabled", "false") {
+      val plan = EventsStream.streamHeavyHitters(spark, sf)
+        .queryExecution.executedPlan
+      val bhj = plan.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+      }
+      assert(bhj.nonEmpty, s"candidate probe must broadcast:\n${plan.toString.take(1500)}")
+      // the bounded candidate set may shuffle on its own (its distinct
+      // is candidate-scale); the CORPUS — the streamed side — must not
+      assert(bhj.exists { b =>
+        val streamed = b.buildSide match {
+          case org.apache.spark.sql.catalyst.optimizer.BuildRight => b.left
+          case _ => b.right
+        }
+        streamed.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }.isEmpty
+      }, "corpus must reach the probe without a shuffle")
+    }
+  }
+
   test("window_zscore_trailing partitions on (type, day-slice), not types") {
     // The trailing-24h range frame must run inside (event_type, slice)
     // partitions: keying on the 5-value type domain alone caps
