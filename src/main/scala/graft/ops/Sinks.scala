@@ -391,7 +391,42 @@ object Sinks {
        FROM lineitem WHERE l_orderkey % 7 = 0
        GROUP BY 1 ORDER BY l_returnflag"""
 
+  // K10 — XML format roundtrip on Spark 4's NATIVE xml datasource (the
+  // spark-xml package folded into core): the enterprise-feed format the
+  // reference's HTTP integrations would meet next. Same contract as the
+  // ORC/DSv2 roundtrips — write a projection, read it back through the
+  // format's own reader with a declared schema (XML is stringly typed
+  // on disk), aggregate, and oracle-check against the parquet source
+  // directly, so any loss or type mangling across the format hop
+  // breaks the hash. Fixed-point cents keep the money column exact
+  // through the string encoding. Per-session output dir (k8's race
+  // lesson); overwrite mode keeps re-runs idempotent.
+  def k10XmlRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = graft.Util.sessionTmpDir(spark, "graft_xml_gate")
+    Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") % 11 === 0)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        cents(col("o_totalprice")).as("pc"))
+      .write.mode("overwrite").option("rowTag", "order")
+      .format("xml").save(out)
+    spark.read.format("xml").option("rowTag", "order")
+      .schema("o_orderkey LONG, o_orderpriority STRING, pc LONG")
+      .load(out)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(col("pc")).as("sum_pc"),
+        min(col("o_orderkey")).as("min_ok"), max(col("o_orderkey")).as("max_ok"))
+      .orderBy(col("o_orderpriority"))
+  }
+  val k10Sql: String =
+    """SELECT o_orderpriority, count(1) AS n,
+       CAST(sum(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+         AS sum_pc,
+       min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
+       FROM orders WHERE o_orderkey % 11 = 0
+       GROUP BY 1 ORDER BY o_orderpriority"""
+
   val queries: Map[String, QFn] = Map(
+    "k10_xml_roundtrip" -> k10XmlRoundtrip,
     "k9_orc_roundtrip" -> k9OrcRoundtrip,
     "k8_dsv2_roundtrip" -> k8Dsv2Roundtrip,
     "k7_partitioned_write" -> k7PartitionedWrite,
@@ -404,6 +439,7 @@ object Sinks {
     "k5_alert_render" -> k5AlertRender)
 
   val oracles: Map[String, String] = Map(
+    "k10_xml_roundtrip" -> k10Sql,
     "k9_orc_roundtrip" -> k9Sql,
     "k8_dsv2_roundtrip" -> k8Sql,
     "k7_partitioned_write" -> k7Sql,

@@ -1638,6 +1638,36 @@ class Round5OpsSpec extends SparkSuite {
     assert(got == want, s"per-row moments diverge: got $got want $want")
   }
 
+  test("trailingMoments equals brute force on random tie-heavy timelines") {
+    import spark.implicits._
+    val rng = new scala.util.Random(0x5eed)
+    (1 to 5).foreach { round =>
+      // clustered secs (mod small ranges) force many exact ties and
+      // many exact-frame-width gaps; two interleaved types
+      val rows = (1 to 300).map { i =>
+        val base = rng.nextInt(4) match {
+          case 0 => rng.nextInt(200) * 43200L      // half-day lattice
+          case 1 => rng.nextInt(50) * 86400L       // exact day lattice
+          case 2 => rng.nextInt(20000).toLong      // dense start
+          case _ => rng.nextInt(300000).toLong     // spread
+        }
+        (i.toLong + round * 1000L, if (rng.nextBoolean()) "a" else "b",
+          base, (rng.nextInt(200) - 100).toLong)
+      }
+      val got = ops.Relational.trailingMoments(
+          rows.toDF("event_id", "event_type", "secs", "v")).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+      val want = rows.map { case (id, typ, secs, _) =>
+        val fr = rows.filter { case (_, t2, s2, _) =>
+          t2 == typ && s2 >= secs - 86400L && s2 <= secs }
+        id -> ((fr.size.toLong, fr.map(_._4).sum,
+          fr.map(x => x._4 * x._4).sum))
+      }.toMap
+      assert(got == want, s"round $round: moments diverge")
+    }
+  }
+
   test("grouped heap top-k equals the window-sort answer") {
     val got = ops.Relational.topkGroupedHeap(spark, sf).collect()
       .map(r => (r.getString(0), r.getAs[Long]("rank"),
