@@ -773,7 +773,18 @@ object EventsStream {
     * type's 24 h buffer across micro-batches. Verdict parity note:
     * cohorts split across micro-batches judge the early rows against
     * a frame missing their later same-second siblings — the staged
-    * gate stages whole files, so every cohort is batch-complete. */
+    * gate stages whole files, so every cohort is batch-complete.
+    *
+    * Scale domain, stated honestly: a per-event trailing verdict needs
+    * the key's FULL frame, so state and compute are serial per key —
+    * parallelism is |event_types|, which is the right shape when the
+    * keyed domain is wide (per-device, per-tenant monitoring) or
+    * per-key rate fits one task. For a LOW-cardinality key domain at
+    * extreme rate, this operator is the wrong tool by construction;
+    * the scale route is the batch query's (type, day)-sliced
+    * delta-stream form run on an incremental cadence (the
+    * `d4_backfill_run` runner pattern), which parallelizes by
+    * days × types with identical output. */
   def streamZscoreAnomaly(spark: SparkSession, sfDir: String): DataFrame =
     graft.Util.withConf(spark, "spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
