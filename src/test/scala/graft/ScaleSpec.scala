@@ -648,16 +648,19 @@ class ScaleSpec extends SparkSuite {
       }
       assert(bhj.nonEmpty, s"candidate probe must broadcast:\n${plan.toString.take(1500)}")
       // the bounded candidate set may shuffle on its own (its distinct
-      // is candidate-scale); the CORPUS — the streamed side — must not
-      assert(bhj.exists { b =>
+      // is candidate-scale); the CORPUS — the streamed side — must
+      // not. forall, not exists: a second broadcast join appearing in
+      // a future refactor must not let a shuffled corpus probe hide
+      // behind the other join's clean streamed side
+      bhj.foreach { b =>
         val streamed = b.buildSide match {
           case org.apache.spark.sql.catalyst.optimizer.BuildRight => b.left
           case _ => b.right
         }
-        streamed.collect {
+        assert(streamed.collect {
           case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
-        }.isEmpty
-      }, "corpus must reach the probe without a shuffle")
+        }.isEmpty, s"streamed side of $b must reach the probe unshuffled")
+      }
     }
   }
 
