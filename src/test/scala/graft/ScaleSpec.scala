@@ -664,6 +664,22 @@ class ScaleSpec extends SparkSuite {
     }
   }
 
+  test("rank-filter rewrite reaches t_tfidf_topk in its flush-safe form") {
+    // the per-DOCUMENT rank filter is the high-cardinality consumer:
+    // with the rule installed it must plan the prune-only heap (flush
+    // capped — bounded state at any doc count), never the two-phase
+    // exact operator whose final pass holds one heap per group
+    graft.plans.Plans.install(spark)
+    graft.Util.withConf(spark, "spark.sql.adaptive.enabled", "false") {
+      val plan = graft.ops.Text.tfidfTopk(spark, sf)
+        .queryExecution.executedPlan
+      val nodes = plan.collect { case t: graft.plans.TopKPerGroupExec => t }
+      assert(nodes.nonEmpty && nodes.forall(_.partial),
+        s"per-doc top-3 must run the prune-only heap:\n${plan.toString.take(1500)}")
+      assert(nodes.forall(_.k == 3), "bound must be the filter's k")
+    }
+  }
+
   test("window_zscore_trailing partitions on (type, day-slice), not types") {
     // The trailing-24h range frame must run inside (event_type, slice)
     // partitions: keying on the 5-value type domain alone caps
