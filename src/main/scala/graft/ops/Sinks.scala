@@ -425,7 +425,44 @@ object Sinks {
        FROM orders WHERE o_orderkey % 11 = 0
        GROUP BY 1 ORDER BY o_orderpriority"""
 
+  // K11 — parquet SCHEMA EVOLUTION read (the warehouse reader
+  // contract no other gate exercises): epoch-1 files carry
+  // (o_orderkey, pc), epoch-2 files add o_orderpriority; a
+  // mergeSchema read reconciles both epochs into the union schema
+  // with nulls for the legacy files' missing column. The aggregation
+  // buckets legacy rows under 'LEGACY' via coalesce, so exactly the
+  // null-filling behavior is what the oracle checks — a reader that
+  // dropped legacy rows, misaligned columns, or defaulted the new
+  // column to anything but null breaks the hash. Per-session dir,
+  // overwrite per epoch, idempotent re-runs.
+  def k11SchemaEvolution(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = graft.Util.sessionTmpDir(spark, "graft_evo_gate")
+    val base = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), cents(col("o_totalprice")).as("pc"),
+        col("o_orderpriority"))
+    base.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("pc"))
+      .write.mode("overwrite").parquet(s"$out/epoch1")
+    base.filter(col("o_orderkey") % 2 === 1)
+      .write.mode("overwrite").parquet(s"$out/epoch2")
+    spark.read.option("mergeSchema", "true")
+      .parquet(s"$out/epoch1", s"$out/epoch2")
+      .groupBy(coalesce(col("o_orderpriority"), lit("LEGACY")).as("prio"))
+      .agg(count(lit(1)).as("n"), sum(col("pc")).as("sum_pc"),
+        min(col("o_orderkey")).as("min_ok"), max(col("o_orderkey")).as("max_ok"))
+      .orderBy(col("prio"))
+  }
+  val k11Sql: String =
+    """SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'LEGACY'
+                   ELSE o_orderpriority END AS prio,
+       count(1) AS n,
+       CAST(sum(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+         AS sum_pc,
+       min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
+       FROM orders GROUP BY 1 ORDER BY prio"""
+
   val queries: Map[String, QFn] = Map(
+    "k11_schema_evolution" -> k11SchemaEvolution,
     "k10_xml_roundtrip" -> k10XmlRoundtrip,
     "k9_orc_roundtrip" -> k9OrcRoundtrip,
     "k8_dsv2_roundtrip" -> k8Dsv2Roundtrip,
@@ -439,6 +476,7 @@ object Sinks {
     "k5_alert_render" -> k5AlertRender)
 
   val oracles: Map[String, String] = Map(
+    "k11_schema_evolution" -> k11Sql,
     "k10_xml_roundtrip" -> k10Sql,
     "k9_orc_roundtrip" -> k9Sql,
     "k8_dsv2_roundtrip" -> k8Sql,
