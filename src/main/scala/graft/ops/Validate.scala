@@ -388,7 +388,39 @@ object Validate {
        FROM b JOIN s ON b.dow = s.dow AND b.hr = s.hr
        ORDER BY day, hr"""
 
+  // V15 — in-flight observe() metrics (Spark's CollectMetrics node):
+  // the data-quality counters a production pipeline attaches to the
+  // DATAFLOW ITSELF instead of paying a second audit scan — the
+  // Spark-native home for the reference's per-DAG alert counters.
+  // One pass computes the pipeline's real output (here the per-type
+  // aggregate, counted as the action) AND the audit row; the gate
+  // returns the observed metrics and oracle-checks them against
+  // direct SQL, so a metrics row that under-counted (dropped
+  // partitions, early-out) or drifted from the observed plan breaks
+  // the hash. Exact cents keep the sum integer.
+  def v15ObserveMetrics(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val obs = org.apache.spark.sql.Observation()
+    Tables.events(spark, sfDir)
+      .observe(obs, count(lit(1)).as("n_rows"),
+        sum(cents(col("value")).cast("long")).as("value_cents"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .count() // the pipeline's action — metrics ride it, no extra scan
+    val m = obs.get
+    Seq((m("n_rows").asInstanceOf[Long], m("value_cents").asInstanceOf[Long],
+      m("min_id").asInstanceOf[Long], m("max_id").asInstanceOf[Long]))
+      .toDF("n_rows", "value_cents", "min_id", "max_id")
+  }
+  val v15Sql: String =
+    """SELECT count(1) AS n_rows,
+       CAST(sum(CAST(floor(value * 100.0) AS BIGINT)) AS BIGINT)
+         AS value_cents,
+       min(event_id) AS min_id, max(event_id) AS max_id
+       FROM events"""
+
   val queries: Map[String, QFn] = Map(
+    "v15_observe_metrics" -> v15ObserveMetrics,
     "v14_pk_unique" -> v14PkUnique,
     "v13_seasonal_baseline" -> v13SeasonalBaseline,
     "v12_psi_drift" -> v12PsiDrift,
@@ -405,6 +437,7 @@ object Validate {
     "v10_nonempty" -> v10NonEmpty)
 
   val oracles: Map[String, String] = Map(
+    "v15_observe_metrics" -> v15Sql,
     "v14_pk_unique" -> v14Sql,
     "v13_seasonal_baseline" -> v13Sql,
     "v12_psi_drift" -> v12Sql,
