@@ -443,7 +443,14 @@ object Sinks {
     base.filter(col("o_orderkey") % 2 === 0)
       .select(col("o_orderkey"), col("pc"))
       .write.mode("overwrite").parquet(s"$out/epoch1")
-    base.filter(col("o_orderkey") % 2 === 1)
+    // epoch-2 rows must carry a NON-NULL priority: the read below
+    // buckets null as 'LEGACY', so a null here would collapse a
+    // current-epoch row into the legacy bucket while the oracle (which
+    // distinguishes epochs by key parity) would not — the filter makes
+    // null ⇔ epoch-1 an enforced invariant rather than a data
+    // assumption (it drops nothing on the TPC-H-ish generator)
+    base.filter(col("o_orderkey") % 2 === 1 &&
+        col("o_orderpriority").isNotNull)
       .write.mode("overwrite").parquet(s"$out/epoch2")
     spark.read.option("mergeSchema", "true")
       .parquet(s"$out/epoch1", s"$out/epoch2")

@@ -403,13 +403,22 @@ object Validate {
     val obs = org.apache.spark.sql.Observation()
     Tables.events(spark, sfDir)
       .observe(obs, count(lit(1)).as("n_rows"),
-        sum(cents(col("value")).cast("long")).as("value_cents"),
+        sum(cents(col("value"))).as("value_cents"),
         min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
       .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
       .count() // the pipeline's action — metrics ride it, no extra scan
+    // Option-wrap the nullable aggregates: over an empty table
+    // sum/min/max observe as null, and a bare asInstanceOf[Long]
+    // would silently unbox that to 0 — the row must carry the same
+    // NULLs the oracle's SQL aggregates produce. The returned frame
+    // is a driver-local row BY NATURE (observed metrics exist only on
+    // the driver); the pipeline whose plan matters is the observed
+    // scan above, which executes inside this call.
     val m = obs.get
-    Seq((m("n_rows").asInstanceOf[Long], m("value_cents").asInstanceOf[Long],
-      m("min_id").asInstanceOf[Long], m("max_id").asInstanceOf[Long]))
+    def opt(k: String): Option[Long] =
+      Option(m(k)).map(_.asInstanceOf[Long])
+    Seq((m("n_rows").asInstanceOf[Long], opt("value_cents"),
+      opt("min_id"), opt("max_id")))
       .toDF("n_rows", "value_cents", "min_id", "max_id")
   }
   val v15Sql: String =
