@@ -739,19 +739,10 @@ object Relational {
     val keyed = Tables.lineitem(spark, sfDir)
       .select(expr("1000 div ((l_partkey % 1000) + 1)").as("k"))
     val summary = keyed.as[Long].mapPartitions { it =>
-      var counters = scala.collection.mutable.LongMap.empty[Long]
       var n = 0L
-      it.foreach { k =>
-        n += 1
-        counters.get(k) match {
-          case Some(c) => counters(k) = c + 1
-          case None if counters.size < phiInv => counters(k) = 1L
-          case None => // MG decrement-all; zeroed counters drop out
-            val keep = scala.collection.mutable.LongMap.empty[Long]
-            counters.foreachEntry((kk, cc) => if (cc > 1L) keep(kk) = cc - 1L)
-            counters = keep
-        }
-      }
+      val counters = graft.functions.MisraGries.fold(
+        scala.collection.mutable.LongMap.empty[Long],
+        it.map { k => n += 1; k }, phiInv)
       counters.keysIterator.map(k => (0, k)) ++ Iterator.single((1, n))
     }.collect() // bounded: ≤ partitions × (1/φ) candidates + partition counts
     val nTotal = summary.collect { case (1, c) => c }.sum

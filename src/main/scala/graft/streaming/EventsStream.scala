@@ -617,18 +617,10 @@ object EventsStream {
         org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
     override def handleInputRows(shard: Long, rows: Iterator[(Long, Long)],
         timers: TimerValues): Iterator[(Long, Long)] = {
-      var counters = scala.collection.mutable.LongMap.empty[Long]
-      mg.iterator().foreach { case (k, c) => counters(k) = c }
-      rows.foreach { case (_, k) =>
-        counters.get(k) match {
-          case Some(c) => counters(k) = c + 1
-          case None if counters.size < HHPhiInv => counters(k) = 1L
-          case None => // MG decrement-all; zeroed counters drop out
-            val keep = scala.collection.mutable.LongMap.empty[Long]
-            counters.foreachEntry((kk, cc) => if (cc > 1L) keep(kk) = cc - 1L)
-            counters = keep
-        }
-      }
+      val prev = scala.collection.mutable.LongMap.empty[Long]
+      mg.iterator().foreach { case (k, c) => prev(k) = c }
+      val counters = graft.functions.MisraGries.fold(
+        prev, rows.map(_._2), HHPhiInv)
       mg.clear()
       counters.foreachEntry((k, c) => mg.updateValue(k, c))
       counters.keysIterator.map(k => (shard, k))

@@ -320,3 +320,50 @@ object WavMultiChunkProps extends Properties("ParseWavMultiChunk") {
       }
     }
 }
+
+/** The Misra–Gries superset guarantee both heavy-hitter paths lean on:
+  * any key with frequency > n/cap survives the summary, whether folded
+  * in one pass or resumed across arbitrary stream splits (the
+  * streaming processor's persisted-counters contract). */
+object MisraGriesProps extends Properties("MisraGries") {
+  import graft.functions.MisraGries
+
+  // zipfish streams: draw from a small skewed domain so heavy keys
+  // genuinely occur, plus uniform noise from a wide domain
+  private val stream: Gen[List[Long]] = for {
+    n <- Gen.choose(1, 400)
+    ks <- Gen.listOfN(n, Gen.frequency(
+      (4, Gen.choose(0L, 3L)),       // skew mass
+      (2, Gen.choose(0L, 30L)),      // mid
+      (1, Gen.choose(0L, 10000L)))) // noise tail
+  } yield ks
+
+  private val cap: Gen[Int] = Gen.choose(2, 20)
+
+  property("every > n/cap key survives a one-pass fold") =
+    forAll(stream, cap) { (ks, c) =>
+      val counters = MisraGries.fold(
+        scala.collection.mutable.LongMap.empty[Long], ks, c)
+      val freq = ks.groupBy(identity).view.mapValues(_.size.toLong)
+      freq.forall { case (k, f) =>
+        f * c <= ks.size || counters.contains(k)
+      }
+    }
+
+  property("state never exceeds cap") = forAll(stream, cap) { (ks, c) =>
+    MisraGries.fold(
+      scala.collection.mutable.LongMap.empty[Long], ks, c).size <= c
+  }
+
+  property("resuming from a split equals the unbroken stream") =
+    forAll(stream, cap, Gen.choose(0, 400)) { (ks, c, cut0) =>
+      val cut = math.min(cut0, ks.size)
+      val (a, b) = ks.splitAt(cut)
+      val whole = MisraGries.fold(
+        scala.collection.mutable.LongMap.empty[Long], ks, c)
+      val resumed = MisraGries.fold(
+        MisraGries.fold(
+          scala.collection.mutable.LongMap.empty[Long], a, c), b, c)
+      whole.toMap == resumed.toMap
+    }
+}
