@@ -3055,26 +3055,31 @@ object Relational {
     val w = Window.partitionBy(col("event_type"), col("slice"))
       .orderBy(col("t"))
       .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-    val sliced = ev
-      // off=0 → the row's home slice; off=1 → carried into the next
-      // day's slice so frames anchored there see their full 24 h
-      .select(col("*"), explode(array(lit(0L), lit(1L))).as("off"))
-      .withColumn("slice", floor(col("secs") / 86400L).cast("long") + col("off"))
-    val arrivals = sliced.select(col("event_type"), col("slice"),
-      col("secs").as("t"), col("event_id"), col("v"), col("off"),
-      lit(1L).as("dn"), col("v").as("ds"), (col("v") * col("v")).as("dss"),
-      lit(true).as("is_arrival"))
-    val expiries = sliced.filter(col("off") === 1L)
-      .select(col("event_type"), col("slice"),
-        (col("secs") + 86401L).as("t"), col("event_id"), col("v"), col("off"),
-        lit(-1L).as("dn"), (-col("v")).as("ds"),
-        (-col("v") * col("v")).as("dss"), lit(false).as("is_arrival"))
-    arrivals.unionByName(expiries)
+    // ONE generate emits all three delta rows per event (a two-branch
+    // union would scan the input twice): the home-slice arrival
+    // (off=0, read point), the next-day carry arrival (off=1, feeds
+    // frames anchored there so they see their full 24 h), and the
+    // carry's expiry at secs+86401 with negated sign. Home arrivals
+    // never expire inside their own slice (86401 > a day).
+    ev.select(col("*"), explode(array(
+        struct(lit(0L).as("off"), col("secs").as("t"),
+          lit(1L).as("sgn"), lit(true).as("is_arrival")),
+        struct(lit(1L).as("off"), col("secs").as("t"),
+          lit(1L).as("sgn"), lit(true).as("is_arrival")),
+        struct(lit(1L).as("off"), (col("secs") + 86401L).as("t"),
+          lit(-1L).as("sgn"), lit(false).as("is_arrival")))).as("d"))
+      .select(col("event_id"), col("event_type"), col("secs"), col("v"),
+        col("d.off").as("off"), col("d.t").as("t"),
+        col("d.is_arrival").as("is_arrival"),
+        col("d.sgn").as("dn"), (col("d.sgn") * col("v")).as("ds"),
+        (col("d.sgn") * col("v") * col("v")).as("dss"))
+      .withColumn("slice",
+        floor(col("secs") / 86400L).cast("long") + col("off"))
       .withColumn("n", sum(col("dn")).over(w))
       .withColumn("s", sum(col("ds")).over(w))
       .withColumn("ss", sum(col("dss")).over(w))
       .filter(col("is_arrival") && col("off") === 0L)
-      .select(col("event_id"), col("event_type"), col("t").as("secs"),
+      .select(col("event_id"), col("event_type"), col("secs"),
         col("v"), col("n"), col("s"), col("ss"))
   }
 
