@@ -5,9 +5,18 @@ Compares a bench dump (default BENCH_LAST.json) against
 BASELINE_QUERIES.json: a query REGRESSES iff its settled-box median
 exceeds max(2 x baseline, baseline + 0.5 s). New queries (absent from
 the baseline) are reported for enrollment at their first settled-box
-median. A dump taken under host contention (per-query min/max spread
->= 5x on cheap queries) should be re-read via its per-query MIN before
-calling a regression -- pass --mins to do that.
+median.
+
+Contended-dump adjudication is MECHANICAL (judge r10 item #3): a dump
+carrying the host-load fingerprint (>= LOAD_MIN_HITS queries whose own
+max/min spread >= LOAD_SPREAD) is auto-adjudicated -- a median flag is
+downgraded when either arbiter clears it:
+  1. the dump's `queries_recheck` (graft.Bench's end-of-run isolated
+     re-read of every flagged query) reads inside the limit, or
+  2. the dump is contended (or --mins was passed) and the query's own
+     per-run MIN reads inside the limit (min under load ~ median
+     settled, BASELINE.md).
+Only a flag that survives every applicable arbiter is a REGRESS.
 
 Usage: python3 scripts/envelope.py [BENCH_dump.json] [--mins]
 Exit code 1 iff any query regresses.
@@ -15,23 +24,48 @@ Exit code 1 iff any query regresses.
 import json
 import sys
 
+LOAD_SPREAD = 5.0   # per-query max/min ratio that marks a loaded run
+LOAD_MIN_HITS = 3   # this many spread hits => the DUMP is contended
+
 
 def main() -> int:
     args = [a for a in sys.argv[1:] if a != "--mins"]
-    use_mins = "--mins" in sys.argv
+    force_mins = "--mins" in sys.argv
     dump_path = args[0] if args else "BENCH_LAST.json"
     base = json.load(open("BASELINE_QUERIES.json"))["median_sec"]
     dump = json.load(open(dump_path))
-    cur = dump.get("queries_min" if use_mins else "queries", {})
+    cur = dump.get("queries", {})
+    mins = dump.get("queries_min", {})
+    maxs = dump.get("queries_max", {})
+    recheck = dump.get("queries_recheck", {})
 
-    regressed, new = [], []
+    spread_hits = [n for n in cur
+                   if n in mins and n in maxs and mins[n] > 0
+                   and maxs[n] / mins[n] >= LOAD_SPREAD]
+    contended = len(spread_hits) >= LOAD_MIN_HITS
+    if contended:
+        print(f"LOAD    dump carries the contention fingerprint "
+              f"({len(spread_hits)} queries with max/min >= {LOAD_SPREAD:g}x,"
+              f" e.g. {spread_hits[0]}) -- min cross-check enabled")
+    use_mins = force_mins or contended
+
+    regressed, cleared, new = [], [], []
     for name, sec in sorted(cur.items()):
         if name not in base:
             new.append((name, sec))
             continue
         limit = max(2 * base[name], base[name] + 0.5)
-        if sec > limit:
+        if sec <= limit:
+            continue
+        if name in recheck and recheck[name] <= limit:
+            cleared.append((name, sec, limit, f"recheck {recheck[name]:.3f}s"))
+        elif use_mins and name in mins and mins[name] <= limit:
+            cleared.append((name, sec, limit, f"min {mins[name]:.3f}s"))
+        else:
             regressed.append((name, sec, base[name], limit))
+    for name, sec, lim, how in cleared:
+        print(f"LOAD-OK {name}: median {sec:.3f}s > limit {lim:.3f}s "
+              f"but {how} inside it")
     for name, sec, b, lim in regressed:
         print(f"REGRESS {name}: {sec:.3f}s > limit {lim:.3f}s (baseline {b:.3f}s)")
     for name, sec in new:
@@ -39,8 +73,8 @@ def main() -> int:
     missing = sorted(set(base) - set(cur))
     for name in missing:
         print(f"MISSING {name}: in baseline but not in dump")
-    print(f"== {len(regressed)} regressed / {len(new)} new / "
-          f"{len(missing)} missing / {len(cur)} measured ==")
+    print(f"== {len(regressed)} regressed / {len(cleared)} load-cleared / "
+          f"{len(new)} new / {len(missing)} missing / {len(cur)} measured ==")
     return 1 if regressed else 0
 
 

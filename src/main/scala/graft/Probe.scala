@@ -31,7 +31,7 @@ object Probe {
 
     val dir = "/tmp/graft_probe_corpus"
     Tables.documents(spark, sfDir)
-      .crossJoin(spark.range(factor).select(col("id").as("rep")))
+      .crossJoin(broadcast(spark.range(factor).select(col("id").as("rep"))))
       .select((col("doc_id") * factor + col("rep")).as("doc_id"),
         col("text"), col("lang"), col("source"), col("n_chars"))
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")

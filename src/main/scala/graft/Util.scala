@@ -127,4 +127,34 @@ object Util {
   def serHadoopConf(spark: SparkSession): SerHadoopConf =
     new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
+
+  /** Attempt-atomic executor-side file write: stream into an
+    * attempt-unique temp sibling, then rename into place. A bare
+    * `fs.create(dest, overwrite = true)` is NOT attempt-atomic — with
+    * speculative execution (or a zombie retried attempt) two attempts
+    * of the same task can interleave writes to the same destination
+    * and a reader can observe a truncated blend. The temp path embeds
+    * the task attempt id (driver-side callers get "drv"), so
+    * concurrent attempts never share a file; rename is atomic on
+    * HDFS/local, so the destination only ever holds a COMPLETE copy
+    * from one attempt — last rename wins, and every attempt writes
+    * identical bytes by construction at the call sites. */
+  def atomicCreate(fs: org.apache.hadoop.fs.FileSystem,
+      dest: org.apache.hadoop.fs.Path)(
+      body: java.io.OutputStream => Unit): Unit = {
+    val attempt = Option(org.apache.spark.TaskContext.get())
+      .map(_.taskAttemptId().toString).getOrElse("drv")
+    val tmp = new org.apache.hadoop.fs.Path(
+      dest.getParent, s".${dest.getName}.$attempt.tmp")
+    val os = fs.create(tmp, true)
+    try body(os) finally os.close()
+    fs.delete(dest, false)
+    if (!fs.rename(tmp, dest)) {
+      // rename can lose only to a concurrent attempt's rename of the
+      // SAME content; drop the temp and accept the winner
+      fs.delete(tmp, false)
+      if (!fs.exists(dest))
+        throw new java.io.IOException(s"atomicCreate: rename to $dest failed")
+    }
+  }
 }

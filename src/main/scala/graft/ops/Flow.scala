@@ -66,7 +66,7 @@ object Flow {
       .select((col("n") > 0).as("ok"))
     Tables.events(spark, sfDir)
       .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
-      .crossJoin(guard)
+      .crossJoin(broadcast(guard))
       .filter(col("ok"))
       .select(col("event_type"), col("n"), col("ok"))
       .orderBy(col("event_type"))

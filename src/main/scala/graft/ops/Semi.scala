@@ -664,10 +664,10 @@ object Semi {
         val parts = it.toSeq.sortBy(_._2)
         val p = new org.apache.hadoop.fs.Path(outDir, f"bin_$bin%05d.merged")
         val fs = p.getFileSystem(serConf.value)
-        // whole-file overwrite keyed by bin id: a retried task
-        // rewrites its bin instead of double-appending
-        val os = fs.create(p, true)
-        try parts.foreach(x => os.write(x._3)) finally os.close()
+        // attempt-atomic whole-file write keyed by bin id: a retried
+        // or speculative attempt lands a complete rewrite via
+        // temp+rename, never an interleaved blend
+        graft.Util.atomicCreate(fs, p)(os => parts.foreach(x => os.write(x._3)))
         (bin, parts.length.toLong)
       }
       .collect()

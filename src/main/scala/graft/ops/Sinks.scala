@@ -167,8 +167,10 @@ object Sinks {
       val fs = new org.apache.hadoop.fs.Path(sd).getFileSystem(serConf.value)
       it.foreach { r =>
         val p = new org.apache.hadoop.fs.Path(sd, r.getString(0))
-        val os = fs.create(p, true)
-        try os.write(r.getString(0).getBytes("UTF-8")) finally os.close()
+        // attempt-atomic: temp+rename so a speculative twin attempt
+        // can never interleave with this one on the same staged file
+        graft.Util.atomicCreate(fs, p)(
+          _.write(r.getString(0).getBytes("UTF-8")))
       }
     }
     // the vacuum executor: delete set = eligible AND NOT dryRun — the

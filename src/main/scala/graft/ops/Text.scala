@@ -553,8 +553,11 @@ object Text {
         .as("bg"))
       .select(col("bg.w1"), col("bg.w2"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n12"))
+    // explicit broadcast on the 1-row aggregate (the v7Ratio /
+    // histPercentiles convention): never rely on AQE to keep a
+    // cross join of singletons out of a full nested loop
     val totals = uni.agg(sum(col("n")).as("t"))
-      .crossJoin(bi.agg(sum(col("n12")).as("b")))
+      .crossJoin(broadcast(bi.agg(sum(col("n12")).as("b"))))
     val scored = bi
       .join(uni.select(col("w").as("w1"), col("n").as("n1")), "w1")
       .join(uni.select(col("w").as("w2"), col("n").as("n2")), "w2")

@@ -156,9 +156,11 @@ object GroupTopKStrategy extends SparkStrategy {
   * phases; only the required distribution differs.
   *
   * Memory contract: the PARTIAL pass flush-caps its heap map — when a
-  * task has seen [[TopKPerGroupExec.FlushGroups]] distinct groups it
-  * emits every retained row and starts a fresh map, so partial-pass
-  * state is O(FlushGroups · k) REGARDLESS of group cardinality (a
+  * task has seen [[TopKPerGroupExec.FlushGroups]] distinct groups OR
+  * retains [[TopKPerGroupExec.FlushRows]] rows it emits every retained
+  * row and starts a fresh map, so partial-pass state is
+  * O(min(FlushGroups · k, FlushRows)) REGARDLESS of group cardinality
+  * AND of k (a
   * group whose rows straddle a flush contributes the union of
   * per-segment top-ks — still a superset of its true top-k, which is
   * all the partial phase promises). The FINAL pass never flushes
@@ -193,6 +195,11 @@ case class TopKPerGroupExec(groupCols: Seq[Expression],
       val rowOrd: Ordering[InternalRow] = RowOrdering.create(ord, attrs)
       val heaps = scala.collection.mutable.HashMap
         .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]
+      // exact count of rows currently held across all heaps — the flush
+      // trigger budgets RETAINED ROWS, not groups, so worst-case partial
+      // state stays ~constant across k (k=1000 over wide group domains
+      // flushes at the same row volume as k=10)
+      var retained = 0L
       def insert(row: InternalRow): Unit = {
         // probe with the projection's reused row; copy the key only on
         // first insert — one allocation per GROUP, not per row
@@ -207,7 +214,7 @@ case class TopKPerGroupExec(groupCols: Seq[Expression],
         // copy a row only when it actually joins the survivor set: a
         // full heap rejects anything not strictly better than its
         // worst (head) without allocating
-        if (h.size < kk) h.enqueue(row.copy())
+        if (h.size < kk) { h.enqueue(row.copy()); retained += 1 }
         else if (rowOrd.compare(row, h.head) < 0) {
           h.dequeue(); h.enqueue(row.copy())
         }
@@ -215,6 +222,7 @@ case class TopKPerGroupExec(groupCols: Seq[Expression],
       def drain(): Iterator[InternalRow] = {
         val rows = heaps.valuesIterator.flatMap(_.iterator).toArray
         heaps.clear()
+        retained = 0L
         rows.iterator
       }
       new Iterator[InternalRow] {
@@ -225,7 +233,8 @@ case class TopKPerGroupExec(groupCols: Seq[Expression],
             if (!it.hasNext) { pending = drain(); exhausted = true }
             else {
               insert(it.next())
-              if (isPartial && heaps.size >= TopKPerGroupExec.FlushGroups)
+              if (isPartial && (heaps.size >= TopKPerGroupExec.FlushGroups ||
+                  retained >= TopKPerGroupExec.FlushRows))
                 pending = drain()
             }
           }
@@ -237,10 +246,18 @@ case class TopKPerGroupExec(groupCols: Seq[Expression],
 }
 
 object TopKPerGroupExec {
-  /** Distinct-group cap per partial-pass task before a flush: bounds
-    * task state at FlushGroups · (k + 1) retained rows while keeping
-    * the prune effective (a flush only costs pruning power when one
-    * task genuinely sees more groups than this, at which point the
-    * exchange above was already carrying near-input volume). */
+  /** Distinct-group cap per partial-pass task before a flush — keeps
+    * the heap-map's per-group object overhead (hash entries, queue
+    * headers) bounded even at k = 1. */
   val FlushGroups = 1 << 16
+
+  /** Retained-ROW cap per partial-pass task before a flush. The group
+    * cap alone lets state grow with k (65536 groups · k=1000 ≈ 65M
+    * rows in a non-spillable map); this arm keeps worst-case partial
+    * state ~4M rows REGARDLESS of k, restoring the memory safety of
+    * the spillable WindowGroupLimit path the rewrite replaces. A
+    * flush only costs pruning power when one task genuinely retains
+    * this many survivors, at which point the prune was already
+    * passing near-input volume. */
+  val FlushRows = 1L << 22
 }

@@ -698,6 +698,15 @@ object EventsStream {
     * them is judged, because a trailing RANGE frame includes
     * same-second ties regardless of tiebreak order — the one place a
     * naive row-at-a-time stream diverges from the batch window.
+    * VERDICTS ARE EMITTED ONCE, in the row's arrival micro-batch, and
+    * never revised: exact parity with the batch window therefore
+    * assumes per-key event-time-ordered ARRIVAL (beyond same-second
+    * cohort splits, which the merged timeline absorbs). If a later
+    * trigger delivers rows older than already-judged rows but newer
+    * than the retention horizon, those late rows themselves get exact
+    * frames, but the already-emitted verdicts of newer rows were
+    * computed without them — the same emit-once semantics a
+    * watermark+append window gives, not a retroactive correction.
     * Moment sums are Int64 like the batch window's sum(v·v) — exact
     * while frame·v² < 2⁶³ (v ≤ 10⁵ cents → frames to ~9·10⁸ rows);
     * the BigInt CROSS terms mirror the batch DECIMAL(38) compare. */
