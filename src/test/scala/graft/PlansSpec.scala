@@ -366,6 +366,56 @@ class PlansSpec extends SparkSuite {
     }
   }
 
+  test("partial pass flushes on the retained-ROW budget when k is large") {
+    // r10 advice (medium): the group cap alone let task state grow to
+    // FlushGroups·(k+1) rows at large k. Force the ROW arm: k high
+    // enough that the row budget trips long before 65536 groups —
+    // groups × (k+1) > FlushRows with groups ≪ FlushGroups — and
+    // assert the result is still the exact top-k per group.
+    graft.plans.Plans.install(spark)
+    graft.Util.withConf(spark, "spark.sql.adaptive.enabled", "false") {
+      val k = 900
+      val groups = 5000L // 5000 · 901 ≈ 4.5M retained > FlushRows (4.2M)
+      assert(groups * (k + 1) > graft.plans.TopKPerGroupExec.FlushRows,
+        "guard: this shape must trip the row budget")
+      val rowsPerGroup = 903L
+      val df = spark.range(groups * rowsPerGroup)
+        .select((col("id") % groups).as("g"), col("id").as("v"))
+        .coalesce(1)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("g")).orderBy(col("v"))
+      val out = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k).select(col("g"), col("v"))
+      assert(out.queryExecution.executedPlan.collectFirst {
+        case t: graft.plans.TopKPerGroupExec => t }.nonEmpty,
+        "guard: the rewrite must fire on this plan")
+      assert(out.count() == groups * k, "exactly k survivors per group")
+    }
+  }
+
+  test("one-row-aggregate cross joins broadcast even with AQE off") {
+    // codebase convention (v7Ratio, histPercentiles, sourceKl): a
+    // cross join against a singleton aggregate carries an explicit
+    // broadcast() hint so the plan can never degrade to a full
+    // nested-loop when AQE is disabled. Pins the r10-audited sites.
+    graft.Util.withConf(spark, "spark.sql.adaptive.enabled", "false") {
+      Seq(
+        ops.Text.pmiBigrams(spark, sf),
+        ops.Flow.d2SequentialGate(spark, sf)
+      ).foreach { df =>
+        val plan = df.queryExecution.executedPlan
+        val bnl = plan.collect {
+          case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+        }
+        val cart = plan.collect {
+          case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+        }
+        assert(bnl.nonEmpty, s"expected a broadcast cross join:\n${plan.toString.take(1500)}")
+        assert(cart.isEmpty, "cartesian product must never appear at these sites")
+      }
+    }
+  }
+
   test("ANN topk path plans through TopKPerGroupExec (one mechanism)") {
     graft.Util.withConf(spark, "spark.sql.adaptive.enabled", "false") {
       val plan = ops.Vector.annBruteTopk(spark, sf)
