@@ -162,14 +162,23 @@ object Dedup {
     * exact-verified like [[minhashLsh]], so the output hash-matches
     * the batch-vs-index all-pairs oracle. */
   def incrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = shingled(spark, sfDir)
     val buckets = minhashBuckets(spark, sfDir)
     val isNew = col("doc_id") % 10 === 0
     val cand = buckets.filter(isNew).as("x")
       .join(buckets.filter(!isNew).as("y"), col("x.bucket") === col("y.bucket"))
       .select(col("x.doc_id").as("new_id"), col("y.doc_id").as("index_id"))
       .distinct()
-    val sets = base.select(col("doc_id"), col("shingles"))
+    verifyJaccardPairs(spark, sfDir, cand)
+  }
+
+  /** Exact-verification tail shared by the batch incremental dedup and
+    * its streaming sibling (`stream_dedup_index`): candidate
+    * (new_id, index_id) pairs joined to their shingle sets, Jaccard
+    * ≥ 0.7 kept, e4-floored. One verifier ⇒ batch and stream CANNOT
+    * drift — they differ only in how candidates were discovered. */
+  private[graft] def verifyJaccardPairs(spark: SparkSession, sfDir: String,
+      cand: DataFrame): DataFrame = {
+    val sets = shingled(spark, sfDir).select(col("doc_id"), col("shingles"))
     cand
       .join(sets.select(col("doc_id").as("new_id"), col("shingles").as("sa")),
         "new_id")

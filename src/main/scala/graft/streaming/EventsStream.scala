@@ -519,7 +519,8 @@ object EventsStream {
     "stream_hist_rollup" -> streamHistRollup,
     "stream_latest_state" -> streamLatestState,
     "stream_heavy_hitters" -> streamHeavyHitters,
-    "stream_zscore_anomaly" -> streamZscoreAnomaly)
+    "stream_zscore_anomaly" -> streamZscoreAnomaly,
+    "stream_dedup_index" -> streamDedupIndex)
   val oracles: Map[String, String] = Map(
     "stream_session_window" -> streamSessionWindowSql,
     "stream_static_enrich" -> streamStaticEnrichSql,
@@ -532,7 +533,10 @@ object EventsStream {
     "stream_hist_rollup" -> streamHistRollupSql,
     "stream_latest_state" -> streamLatestStateSql,
     "stream_heavy_hitters" -> streamHeavyHittersSql,
-    "stream_zscore_anomaly" -> streamZscoreAnomalySql)
+    "stream_zscore_anomaly" -> streamZscoreAnomalySql,
+    // the batch incremental dedup's oracle, verbatim: one verifier,
+    // one truth — the stream only changes candidate discovery
+    "stream_dedup_index" -> graft.ops.Dedup.incrementalDedupSql)
 
   // -- transformWithState (Spark 4 arbitrary-state API) --------------------
 
@@ -669,6 +673,90 @@ object EventsStream {
       .select(col("k"), col("n_occ"))
       .orderBy(col("n_occ").desc, col("k"))
   }
+  /** One LSH posting flowing into [[LshIndexProcessor]]: a doc's
+    * membership in one minhash band bucket, tagged with its side of
+    * the batch query's new-vs-index split. */
+  case class BandDoc(bucket: String, doc_id: Long, is_new: Boolean)
+
+  /** Per-bucket incremental LSH index on the arbitrary-state API —
+    * `dedup_incremental`'s streaming sibling (r10 verdict #5).
+    * ListState holds the bucket's postings (doc_id, is_new); each
+    * arriving posting pairs against stored + earlier-in-cohort
+    * postings of the OPPOSITE side, so every cross-side pair sharing
+    * a bucket is emitted exactly once — when its LATER member arrives
+    * — regardless of arrival order or micro-batch boundaries. State
+    * IS the index (that is the product: an incremental dedup index
+    * retains what it indexes); it shards across state-store
+    * partitions by bucket, and per-bucket volume is governed by
+    * minhash band uniformity — the same skew contract the batch
+    * LSH bucket join lives with. */
+  class LshIndexProcessor
+      extends StatefulProcessor[String, BandDoc, (Long, Long)] {
+    @transient private var postings: ListState[(Long, Boolean)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      postings = getHandle.getListState[(Long, Boolean)]("postings",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaBoolean), TTLConfig.NONE)
+    override def handleInputRows(bucket: String, rows: Iterator[BandDoc],
+        timers: TimerValues): Iterator[(Long, Long)] = {
+      val stored = postings.get().toArray
+      val cohort = scala.collection.mutable.ArrayBuffer.empty[(Long, Boolean)]
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      rows.foreach { r =>
+        (stored.iterator ++ cohort.iterator).foreach { case (id, isNew) =>
+          if (isNew != r.is_new)
+            out += (if (r.is_new) (r.doc_id, id) else (id, r.doc_id))
+        }
+        cohort += ((r.doc_id, r.is_new))
+      }
+      cohort.foreach(postings.appendValue)
+      out.iterator
+    }
+  }
+
+  /** `stream_dedup_index`: near-dup detection against a CONTINUOUSLY
+    * MAINTAINED LSH index — the streaming sibling of
+    * `dedup_incremental`, sharing its exact-verification tail
+    * ([[graft.ops.Dedup.verifyJaccardPairs]]) and therefore its
+    * oracle verbatim. The stream shingles + minhashes each staged
+    * document with the SAME TextHash functions the batch signature
+    * stage uses, keys by band bucket, and the stateful processor
+    * emits candidate cross-side pairs incrementally; the bounded
+    * candidate set is then exactly verified batch-side (Jaccard
+    * ≥ 0.7 on shingle sets), so output equals the batch query at
+    * every flushed horizon. Cost per arriving doc is O(its bucket
+    * postings), not O(corpus) — no corpus self-join ever runs. */
+  def streamDedupIndex(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Util.withConf(spark, "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+      withStreamingParts(spark, 8) { streamDedupIndexInner(spark, sfDir) }
+    }
+
+  private def streamDedupIndexInner(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docSchema = new StructType()
+      .add("doc_id", LongType).add("text", StringType)
+    val src = spark.readStream.schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val hs = graft.functions.TextHash.shingles(text)
+          .map(graft.functions.TextHash.h32)
+        if (hs.isEmpty) Nil
+        else graft.functions.TextHash.minhashBands(hs)
+          .map(b => BandDoc(b, id, id % 10 == 0))
+      }
+    val pairs = src.groupByKey(_.bucket)
+      .transformWithState(new LshIndexProcessor,
+        TimeMode.None(), OutputMode.Update())
+      .toDF("new_id", "index_id")
+    val cand = runIncremental(spark, pairs, "ldx", sfDir, OutputMode.Update())
+      .distinct() // the same pair can surface via several shared bands
+    graft.ops.Dedup.verifyJaccardPairs(spark, sfDir, cand)
+  }
+
   // def, not val: the oracles map above this section builds at object
   // init and would read a not-yet-initialized val as null
   def streamHeavyHittersSql: String =

@@ -169,6 +169,35 @@ class StreamingSpec extends SparkSuite {
         s"a batch emitted $c candidates — MG state bound violated"))
   }
 
+  test("stream dedup index equals batch incremental dedup; bucket state bounded") {
+    // one verifier (Dedup.verifyJaccardPairs) feeds both paths, so
+    // equality here proves candidate DISCOVERY matched — the stateful
+    // LSH index surfaced exactly the batch bucket-join's pairs
+    val got = EventsStream.streamDedupIndex(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = graft.ops.Dedup.incrementalDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want, "stream index must equal the batch incremental dedup")
+    // state-bound contract: per-bucket postings volume is governed by
+    // minhash band uniformity — pin the hottest bucket on the staged
+    // corpus (the ListState for a bucket holds exactly these postings)
+    val maxBucket = {
+      import spark.implicits._
+      Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val hs = graft.functions.TextHash.shingles(text)
+            .map(graft.functions.TextHash.h32)
+          if (hs.isEmpty) Nil
+          else graft.functions.TextHash.minhashBands(hs).map(b => (b, id))
+        }
+        .groupByKey(_._1).count().collect().map(_._2).max
+    }
+    assert(maxBucket <= 64,
+      s"hottest LSH bucket holds $maxBucket postings — band hash is not " +
+        "spreading; the per-bucket state contract would degrade")
+  }
+
   test("stream z-score anomaly equals the batch trailing window") {
     val got = EventsStream.streamZscoreAnomaly(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
