@@ -8,15 +8,22 @@ the baseline) are reported for enrollment at their first settled-box
 median.
 
 Contended-dump adjudication is MECHANICAL (judge r10 item #3): a dump
-carrying the host-load fingerprint (>= LOAD_MIN_HITS queries whose own
-max/min spread >= LOAD_SPREAD) is auto-adjudicated -- a median flag is
-downgraded when either arbiter clears it:
-  1. the dump's `queries_recheck` (graft.Bench's end-of-run isolated
-     re-read of every flagged query) reads inside the limit, or
+carrying the host-load fingerprint (>= LOAD_MIN_HITS CHEAP queries --
+baseline median <= CHEAP_SEC, so naturally-high-variance heavy queries
+cannot trip it -- whose own max/min spread >= LOAD_SPREAD) is
+auto-adjudicated; a median flag is downgraded when either arbiter
+clears it:
+  1. the dump's `queries_recheck` / `queries_recheck_median`
+     (graft.Bench's end-of-run isolated re-read of every flagged
+     query) reads inside the limit -- the recheck MIN clears only a
+     contended dump (min under load ~ median settled); a settled dump
+     requires the recheck MEDIAN inside the limit, so a marginal real
+     regression can't be cleared by one lucky fast run, or
   2. the dump is contended (or --mins was passed) and the query's own
-     per-run MIN reads inside the limit (min under load ~ median
-     settled, BASELINE.md).
-Only a flag that survives every applicable arbiter is a REGRESS.
+     per-run MIN reads inside the limit (BASELINE.md).
+A recheck that itself FAILED (Bench's -1.0 sentinel) never clears --
+it is reported and the flag stands. Only a flag that survives every
+applicable arbiter is a REGRESS.
 
 Usage: python3 scripts/envelope.py [BENCH_dump.json] [--mins]
 Exit code 1 iff any query regresses.
@@ -25,7 +32,8 @@ import json
 import sys
 
 LOAD_SPREAD = 5.0   # per-query max/min ratio that marks a loaded run
-LOAD_MIN_HITS = 3   # this many spread hits => the DUMP is contended
+LOAD_MIN_HITS = 3   # this many CHEAP spread hits => the DUMP is contended
+CHEAP_SEC = 1.0     # only queries this cheap at baseline count as hits
 
 
 def main() -> int:
@@ -38,15 +46,21 @@ def main() -> int:
     mins = dump.get("queries_min", {})
     maxs = dump.get("queries_max", {})
     recheck = dump.get("queries_recheck", {})
+    recheck_med = dump.get("queries_recheck_median", {})
 
+    # Contention fingerprint counts only CHEAP queries: a heavy query
+    # (iterative graph, staged I/O) has legitimate run-to-run spread
+    # even on a settled box; a sub-second scan spreading 5x is load.
     spread_hits = [n for n in cur
-                   if n in mins and n in maxs and mins[n] > 0
+                   if base.get(n, mins.get(n, CHEAP_SEC + 1)) <= CHEAP_SEC
+                   and n in mins and n in maxs and mins[n] > 0
                    and maxs[n] / mins[n] >= LOAD_SPREAD]
     contended = len(spread_hits) >= LOAD_MIN_HITS
     if contended:
         print(f"LOAD    dump carries the contention fingerprint "
-              f"({len(spread_hits)} queries with max/min >= {LOAD_SPREAD:g}x,"
-              f" e.g. {spread_hits[0]}) -- min cross-check enabled")
+              f"({len(spread_hits)} cheap queries with max/min >= "
+              f"{LOAD_SPREAD:g}x, e.g. {spread_hits[0]}) "
+              f"-- min cross-check enabled")
     use_mins = force_mins or contended
 
     regressed, cleared, new = [], [], []
@@ -57,8 +71,20 @@ def main() -> int:
         limit = max(2 * base[name], base[name] + 0.5)
         if sec <= limit:
             continue
-        if name in recheck and recheck[name] <= limit:
-            cleared.append((name, sec, limit, f"recheck {recheck[name]:.3f}s"))
+        # A -1.0 recheck means the isolated re-run FAILED: that must
+        # surface as a regression, never auto-clear as LOAD-OK.
+        re_min = recheck.get(name)
+        re_med = recheck_med.get(name, re_min)  # old dumps: min only
+        if re_min is not None and re_min < 0:
+            regressed.append((name, sec, base[name], limit))
+            print(f"RECHECK-FAIL {name}: isolated re-run failed "
+                  f"(sentinel {re_min}) -- flag stands")
+        elif re_med is not None and 0 <= re_med <= limit:
+            cleared.append((name, sec, limit,
+                            f"recheck median {re_med:.3f}s"))
+        elif use_mins and re_min is not None and 0 <= re_min <= limit:
+            cleared.append((name, sec, limit,
+                            f"recheck min {re_min:.3f}s (contended dump)"))
         elif use_mins and name in mins and mins[name] <= limit:
             cleared.append((name, sec, limit, f"min {mins[name]:.3f}s"))
         else:

@@ -147,7 +147,15 @@ object Util {
     val tmp = new org.apache.hadoop.fs.Path(
       dest.getParent, s".${dest.getName}.$attempt.tmp")
     val os = fs.create(tmp, true)
-    try body(os) finally os.close()
+    try { try body(os) finally os.close() }
+    catch { case e: Throwable =>
+      // a failed attempt must not leak its attempt-unique temp file:
+      // retries would otherwise accumulate orphan .*.tmp siblings
+      // (invisible to Spark listings, real disk growth on long-running
+      // stores). Best-effort delete, then rethrow the real failure.
+      try fs.delete(tmp, false) catch { case _: Exception => () }
+      throw e
+    }
     fs.delete(dest, false)
     if (!fs.rename(tmp, dest)) {
       // rename can lose only to a concurrent attempt's rename of the
