@@ -678,6 +678,20 @@ object EventsStream {
     * the batch query's new-vs-index split. */
   case class BandDoc(bucket: String, doc_id: Long, is_new: Boolean)
 
+  /** Per-bucket posting cap for [[LshIndexProcessor]] — the streaming
+    * mirror of the batch df-capped-postings convention
+    * ([[graft.ops.Dedup.MaxShingleDf]], the `dedup_ngram_jaccard`
+    * index): a bucket hotter than this is a degenerate band (minhash
+    * uniformity broken by boilerplate collapse), and retaining it
+    * unboundedly would degrade pairing to O(bucket²) forever. Chosen
+    * at the ≤64 hottest-bucket volume StreamingSpec pins on the real
+    * corpus, so on a well-spread corpus the cap NEVER binds and
+    * stream == batch equality is exact; past it, arrivals still PAIR
+    * against the retained head but are not themselves retained — a
+    * documented recall trade identical in kind to the batch index
+    * dropping shingles with df > [[graft.ops.Dedup.MaxShingleDf]]. */
+  val MaxBucketPostings = 64
+
   /** Per-bucket incremental LSH index on the arbitrary-state API —
     * `dedup_incremental`'s streaming sibling (r10 verdict #5).
     * ListState holds the bucket's postings (doc_id, is_new); each
@@ -687,9 +701,14 @@ object EventsStream {
     * — regardless of arrival order or micro-batch boundaries. State
     * IS the index (that is the product: an incremental dedup index
     * retains what it indexes); it shards across state-store
-    * partitions by bucket, and per-bucket volume is governed by
-    * minhash band uniformity — the same skew contract the batch
-    * LSH bucket join lives with. */
+    * partitions by bucket, bounded per bucket by
+    * [[MaxBucketPostings]] (r11 verdict nit #1: previously a hot
+    * bucket retained forever AND was re-materialized wholesale per
+    * batch). Stored postings are now iterated LAZILY per arriving row
+    * — a fresh `postings.get()` cursor streamed from the state store,
+    * never `toArray` — so heap cost per row is O(1) and read cost is
+    * O(min(bucket, cap)), both bounded regardless of how hot a bucket
+    * ever got in an earlier software version's state. */
   class LshIndexProcessor
       extends StatefulProcessor[String, BandDoc, (Long, Long)] {
     @transient private var postings: ListState[(Long, Boolean)] = _
@@ -700,17 +719,31 @@ object EventsStream {
           org.apache.spark.sql.Encoders.scalaBoolean), TTLConfig.NONE)
     override def handleInputRows(bucket: String, rows: Iterator[BandDoc],
         timers: TimerValues): Iterator[(Long, Long)] = {
-      val stored = postings.get().toArray
       val cohort = scala.collection.mutable.ArrayBuffer.empty[(Long, Boolean)]
       val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var nStored = -1L // discovered while pairing; -1 until a row arrives
       rows.foreach { r =>
-        (stored.iterator ++ cohort.iterator).foreach { case (id, isNew) =>
+        var n = 0L
+        val it = postings.get()
+        while (it.hasNext) {
+          val (id, isNew) = it.next()
+          n += 1
+          if (isNew != r.is_new)
+            out += (if (r.is_new) (r.doc_id, id) else (id, r.doc_id))
+        }
+        nStored = n
+        cohort.foreach { case (id, isNew) =>
           if (isNew != r.is_new)
             out += (if (r.is_new) (r.doc_id, id) else (id, r.doc_id))
         }
         cohort += ((r.doc_id, r.is_new))
       }
-      cohort.foreach(postings.appendValue)
+      // retain first-come postings up to the cap; later arrivals were
+      // paired above but are not indexed (the recall trade the cap buys)
+      if (nStored >= 0) {
+        val room = (MaxBucketPostings - nStored).max(0L).toInt
+        cohort.take(room).foreach(postings.appendValue)
+      }
       out.iterator
     }
   }

@@ -196,6 +196,54 @@ class StreamingSpec extends SparkSuite {
     assert(maxBucket <= 64,
       s"hottest LSH bucket holds $maxBucket postings — band hash is not " +
         "spreading; the per-bucket state contract would degrade")
+    // the equality above ran on this uncapped regime: ≤64 postings per
+    // bucket means MaxBucketPostings never binds on the real corpus
+    assert(maxBucket <= EventsStream.MaxBucketPostings)
+  }
+
+  test("LSH index bucket cap binds on a planted hot bucket") {
+    // a degenerate band bucket (boilerplate collapse) must not grow
+    // state past MaxBucketPostings: arrivals beyond the cap pair but
+    // are not retained (r11 verdict nit #1)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("lshcap").toString
+    graft.Util.withConf(spark,
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+      val input = MemoryStream[EventsStream.BandDoc]
+      val q = input.toDS().groupByKey(_.bucket)
+        .transformWithState(new EventsStream.LshIndexProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+        .toDF("new_id", "index_id")
+        .writeStream.format("memory").queryName("lshcap")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .start()
+      try {
+        // batch 1: 100 index-side postings into ONE bucket (> cap)
+        input.addData((1L to 100L).map(i =>
+          EventsStream.BandDoc("hot", i, is_new = false)))
+        q.processAllAvailable()
+        assert(spark.table("lshcap").count() == 0,
+          "same-side postings must not pair")
+        // batch 2: one new-side arrival — pairs against the RETAINED
+        // head only: exactly MaxBucketPostings pairs, not 100
+        input.addData(Seq(EventsStream.BandDoc("hot", 9999L, is_new = true)))
+        q.processAllAvailable()
+        val pairs = spark.table("lshcap").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq
+        assert(pairs.size == EventsStream.MaxBucketPostings,
+          s"capped bucket paired ${pairs.size} times — state grew past the cap")
+        // first-come retention: the retained head is doc_ids 1..cap
+        assert(pairs.map(_._2).sorted ==
+          (1L to EventsStream.MaxBucketPostings.toLong))
+        assert(pairs.forall(_._1 == 9999L))
+      } finally q.stop()
+    }
   }
 
   test("stream z-score anomaly equals the batch trailing window") {
