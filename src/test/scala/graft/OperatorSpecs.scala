@@ -926,6 +926,11 @@ class MultimodalSpec extends SparkSuite {
         MultimodalFixtures.GifH, MultimodalFixtures.framesOf(id))),
         s"gif $name must decode ${MultimodalFixtures.framesOf(id)} frames")
     }
+    // JPEG: lossy in pixels, exact in the decode-tolerant invariants
+    MultimodalFixtures.jpegSpecs.foreach { case (name, id) =>
+      assert(got(name) == (("jpeg", MultimodalFixtures.widthOf(id),
+        MultimodalFixtures.heightOf(id), 1)), s"jpeg $name")
+    }
   }
 
   test("audio contour dedup: gain-scaled twins collide, originals don't") {
@@ -956,11 +961,36 @@ class MultimodalSpec extends SparkSuite {
     val expected = (MultimodalFixtures.PairIds.map(i =>
       f"img$i%02da.png" -> f"img$i%02da.png,img$i%02db.png") ++
       MultimodalFixtures.NearIds.map(i =>
-        f"img$i%02da.png" -> f"img$i%02da.png,img$i%02dn.png")).toMap
+        f"img$i%02da.png" -> f"img$i%02da.png,img$i%02dn.png") ++
+      MultimodalFixtures.JpegPairIds.map(i =>
+        f"jpg$i%02da.jpg" -> f"jpg$i%02da.jpg,jpg$i%02db.jpg")).toMap
     assert(rows.length == expected.size, "exactly the generated groups")
     rows.foreach { r =>
       assert(r.getAs[Long]("n_copies") == 2L)
       assert(expected(r.getAs[String]("keeper")) == r.getAs[String]("members"))
+    }
+  }
+
+  test("jpeg quality twins: distinct bytes, banded near-dup at hamming 1..3") {
+    val sha = Multimodal.mmMetadata(spark, sf).collect()
+      .map(r => r.getAs[String]("file") -> r.getAs[String]("sha256")).toMap
+    // byte-identical pairs really are byte-identical
+    MultimodalFixtures.JpegPairIds.foreach { i =>
+      assert(sha(f"jpg$i%02da.jpg") == sha(f"jpg$i%02db.jpg"))
+    }
+    // quality twins: different bytes (exact dedup misses them)...
+    MultimodalFixtures.JpegNearIds.foreach { i =>
+      assert(sha(f"jpg$i%02da.jpg") != sha(f"jpg$i%02dq.jpg"))
+    }
+    // ...but the banded phash near-join recovers every one at the
+    // fixture-enforced hamming 1..3 (the lossy-format dedup contract)
+    val near = Multimodal.mmPhashNear(spark, sf).collect()
+      .map(r => (r.getAs[String]("fa"), r.getAs[String]("fb")) ->
+        r.getAs[Int]("hamming")).toMap
+    MultimodalFixtures.JpegNearIds.foreach { i =>
+      val d = near.get((f"jpg$i%02da.jpg", f"jpg$i%02dq.jpg"))
+      assert(d.exists(h => h >= 1 && h <= 3),
+        s"jpeg twin $i must band-join at hamming 1..3, got $d")
     }
   }
 
