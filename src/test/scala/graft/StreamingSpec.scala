@@ -201,6 +201,35 @@ class StreamingSpec extends SparkSuite {
     assert(maxBucket <= EventsStream.MaxBucketPostings)
   }
 
+  test("stream ANN append equals the batch index append; state bounded by cells") {
+    // same assignment kernel + same gates tail = structural equality;
+    // this pins it row-for-row at the flushed horizon
+    def shape(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        r.getLong(3), r.getBoolean(4))).toSeq
+    val got = shape(graft.ops.Vector.streamAnnAppend(spark, sf))
+    val want = shape(graft.ops.Vector.annIndexAppend(spark, sf))
+    assert(got == want, "stream append must equal the batch append's gates")
+    assert(got.nonEmpty && got.forall(r => r._3 && r._5),
+      "recall and completeness gates must hold")
+    // cells-not-corpus state bound: the staged delta artifact carries
+    // the processor's occupancy emissions — per cell, the max
+    // occupancy equals that cell's delta count (ONE counter per cell
+    // is the whole state), and the touched-cell count is bounded by k
+    val key = java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(sf))
+    val staged = spark.read.parquet(
+      s"${graft.Util.sessionTmpDir(spark, "graft_stream")}/annx_$key/out")
+    val perCell = staged.groupBy(col("cell"))
+      .agg(max(col("cell_occupancy")).as("mx"), count(lit(1)).as("n"))
+      .collect()
+    assert(perCell.nonEmpty, "guard: staged delta must exist")
+    perCell.foreach(r => assert(r.getAs[Long]("mx") == r.getAs[Long]("n"),
+      s"cell ${r.get(0)}: occupancy ${r.get(1)} != postings ${r.get(2)}"))
+    assert(perCell.length <= graft.ops.Vector.corpusK(spark, sf),
+      "touched cells must be bounded by the quantizer size")
+  }
+
   test("LSH index bucket cap binds on a planted hot bucket") {
     // a degenerate band bucket (boilerplate collapse) must not grow
     // state past MaxBucketPostings: arrivals beyond the cap pair but
