@@ -138,18 +138,30 @@ object Dedup {
         e4(lit(1.0) * col("i") / col("u")).as("j_e4"))
       .orderBy(col("da"), col("db"))
   }
-  val minhashLshSql: String =
-    s"""WITH ${Text.shingleCte},
-       cnt AS (SELECT doc_id, count(1) AS n FROM sh GROUP BY 1),
+  /** The near-dup acceptance threshold (3-word-shingle Jaccard) —
+    * one constant for the Spark verify, the LSH oracle, and the
+    * pipeline oracle's drop set. */
+  val JaccardThreshold = 0.7
+
+  /** All-pairs shingle intersection CTEs over the shared `sh` table —
+    * ONE SQL definition for [[minhashLshSql]] and
+    * [[graft.ops.Text.corpusBuildPipelineSql]]'s drop set: defines
+    * `cnt(doc_id, n)` and `inter(da, db, i)`. */
+  val jaccardPairCtes: String =
+    """cnt AS (SELECT doc_id, count(1) AS n FROM sh GROUP BY 1),
        inter AS (
          SELECT a.doc_id AS da, b.doc_id AS db, count(1) AS i
          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-         GROUP BY 1, 2)
+         GROUP BY 1, 2)"""
+
+  def minhashLshSql: String =
+    s"""WITH ${Text.shingleCte},
+       $jaccardPairCtes
        SELECT da, db,
          CAST(floor((1.0 * i / (ca.n + cb.n - i)) * 10000.0) AS BIGINT) AS j_e4
        FROM inter
        JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
-       WHERE 1.0 * i / (ca.n + cb.n - i) >= 0.7
+       WHERE 1.0 * i / (ca.n + cb.n - i) >= $JaccardThreshold
        ORDER BY da, db"""
 
   /** Incremental near-dedup: a NEW batch checked against the existing

@@ -154,24 +154,33 @@ object MultimodalFixtures {
     * lands at Hamming 1..3 from the committed base — the lossy-format
     * analogue of the PNG corner-pin ladder. */
   def ensureJpeg(dir: File): Unit = {
+    // siblings regenerate TOGETHER: a missing base must not be
+    // re-encoded next to a stale committed twin (byte-identity and
+    // the Hamming pin are pairwise invariants of one encode run)
     JpegPairIds.foreach { id =>
       val a = new File(dir, f"jpg$id%02da.jpg")
       val b = new File(dir, f"jpg$id%02db.jpg")
-      if (!a.exists()) writeJpeg(a, pngImage(id, 0), 0.9f)
-      if (!b.exists())
+      if (!a.exists() || !b.exists()) {
+        a.delete(); b.delete()
+        writeJpeg(a, pngImage(id, 0), 0.9f)
         java.nio.file.Files.copy(a.toPath, b.toPath)
+      }
     }
     JpegNearIds.foreach { id =>
       val a = new File(dir, f"jpg$id%02da.jpg")
       val q = new File(dir, f"jpg$id%02dq.jpg")
-      if (!a.exists()) writeJpeg(a, pngImage(id, 0), 0.9f)
-      if (!q.exists()) {
+      if (!a.exists() || !q.exists()) {
+        a.delete(); q.delete()
+        writeJpeg(a, pngImage(id, 0), 0.9f)
         val baseHash = decodedHash(a)
         val accepted = Seq(0.4f, 0.5f, 0.3f, 0.6f, 0.2f, 0.7f).exists { ql =>
           writeJpeg(q, pngImage(id, 0), ql)
           val d = java.lang.Long.bitCount(baseHash ^ decodedHash(q))
           d >= 1 && d <= 3
         }
+        // a failed ladder must not leave an out-of-band candidate
+        // behind: the next run's exists() check would accept it
+        if (!accepted) q.delete()
         require(accepted, s"no jpeg quality yields hamming 1..3 for id $id")
       }
     }

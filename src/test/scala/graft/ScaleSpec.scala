@@ -513,13 +513,20 @@ class ScaleSpec extends SparkSuite {
     // partial aggregate below the exchange defeats ReuseExchange) —
     // this pins the regression.
     import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
     graft.Util.withConf(spark, "spark.sql.adaptive.enabled", "false") {
       graft.Util.withConf(spark, "spark.sql.autoBroadcastJoinThreshold", "-1") {
         val plan = graft.ops.Dedup.substringSpans(spark, sf)
           .queryExecution.executedPlan
+        // one corpus access TOTAL: a direct file scan, or — when a
+        // prior query's registry artifact (the pipeline's docbase)
+        // is cached and Spark substitutes it — one in-memory scan.
+        // Either way, TWO accesses is the pinned regression.
         val scans = plan.collect { case s: FileSourceScanExec => s }
-        assert(scans.size == 1,
-          s"substring-span dedup must scan the corpus once, saw ${scans.size}:\n${plan.toString.take(1500)}")
+        val memScans = plan.collect { case m: InMemoryTableScanExec => m }
+        assert(scans.size + memScans.size == 1,
+          s"substring-span dedup must touch the corpus once, saw " +
+            s"${scans.size} file + ${memScans.size} cached:\n${plan.toString.take(1500)}")
       }
     }
   }
