@@ -51,8 +51,20 @@ def main() -> int:
     # Contention fingerprint counts only CHEAP queries: a heavy query
     # (iterative graph, staged I/O) has legitimate run-to-run spread
     # even on a settled box; a sub-second scan spreading 5x is load.
+    # Cheapness comes from the baseline; for queries not yet enrolled,
+    # fall back to the isolated recheck min, else treat as
+    # unknown-but-eligible -- judging a new query's cheapness by its
+    # own min from the very dump under load-suspicion would let the
+    # load being detected suppress its detectors (r12 ADVICE).
+    def cheap(n):
+        if n in base:
+            return base[n] <= CHEAP_SEC
+        rc = recheck.get(n)
+        if rc is not None and rc >= 0:
+            return rc <= CHEAP_SEC
+        return True
     spread_hits = [n for n in cur
-                   if base.get(n, mins.get(n, CHEAP_SEC + 1)) <= CHEAP_SEC
+                   if cheap(n)
                    and n in mins and n in maxs and mins[n] > 0
                    and maxs[n] / mins[n] >= LOAD_SPREAD]
     contended = len(spread_hits) >= LOAD_MIN_HITS

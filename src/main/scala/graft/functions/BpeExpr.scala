@@ -72,7 +72,17 @@ object BpeVocab {
       else ""
     if (have != want) {
       f.getParentFile.mkdirs()
-      java.nio.file.Files.write(f.toPath, want.getBytes("UTF-8"))
+      // Temp-sibling + atomic rename (the Util.atomicCreate convention):
+      // a concurrently running oracle process read_csv-ing this absolute
+      // path must never observe a truncated half-write.
+      val tmp = java.nio.file.Files.createTempFile(
+        f.getParentFile.toPath, ".bpe_vocab", ".tmp")
+      try {
+        java.nio.file.Files.write(tmp, want.getBytes("UTF-8"))
+        java.nio.file.Files.move(tmp, f.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } finally java.nio.file.Files.deleteIfExists(tmp)
     }
   }
 

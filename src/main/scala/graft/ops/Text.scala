@@ -1841,19 +1841,39 @@ object Text {
     * build must compose (each stage re-scanning the corpus would
     * multiply the dominant I/O cost by the stage count).
     *
-    * Gate order is presentational (the verdict columns are pure
-    * per-doc functions of corpus-wide artifacts, so conjunction order
-    * cannot change the surviving set): html content gate (the
-    * synthetic page wrap extracts back to the original text by
-    * construction — the gate proves the extraction, it does not prune
-    * this corpus), then pred_lang = 'en', funnel verdict `5_keep`,
-    * exact keeper (corpus-wide min-doc_id per sha256(text) group),
-    * near-dup drop (the larger member of every verified J ≥ 0.7
-    * pair), held-out benchmark exclusion (doc_id % 97 = 0, the
-    * decontam convention) and contamination drop. Survivors get the
-    * deterministic md5 split, shard = doc_id % 16, and first-fit
-    * cumulative packing per (split, shard) under the 2048
-    * BPE-token budget — bins never mix splits. */
+    * Exchange contract (the r12 fix): NO exchange in the pipeline's
+    * plan carries the `text` column — ScaleSpec asserts it node by
+    * node. The exact keeper is a digest-keyed aggregate (min doc_id
+    * per sha2(text), the [[Dedup.exactHashDedup]] convention: 32-byte
+    * digests cross the exchange, never bodies), and every gate join
+    * runs over doc_id-only frames: the per-doc gates (html extract,
+    * lang id) AND the BPE token count are evaluated in ONE map-side
+    * projection over the cached base BEFORE any join, so what flows
+    * into the join/window exchanges is (doc_id, n_tokens) metadata.
+    * The trade is explicit: `bpe_count` runs on every per-doc-gate
+    * survivor rather than only on funnel survivors — map-side CPU on
+    * the corpus scan, in exchange for never re-shuffling corpus text.
+    * At 100 TB a body-carrying exchange re-moves the whole corpus;
+    * the extra counts are embarrassingly parallel and free by
+    * comparison.
+    *
+    * Gate order is presentational for the per-doc AND gates (each
+    * verdict is a pure per-doc function of corpus-wide artifacts, so
+    * conjunction order cannot change the surviving set): html content
+    * gate (the synthetic page wrap extracts back to the original text
+    * by construction — the gate proves the extraction, it does not
+    * prune this corpus), then pred_lang = 'en', funnel verdict
+    * `5_keep`, exact keeper (corpus-wide min-doc_id per sha256(text)
+    * group), near-dup drop (the larger member of every verified
+    * J ≥ 0.7 pair), held-out benchmark exclusion (doc_id % 97 = 0,
+    * the decontam convention) and contamination drop — a left_anti
+    * against the CONTAMINATED set (mirroring the oracle's `NOT IN
+    * contam`), not a left_semi on decontam's clean rows: the two
+    * differ on docs with zero 3-word shingles, which the anti-join
+    * keeps regardless of where the funnel's token floor sits.
+    * Survivors get the deterministic md5 split, shard = doc_id % 16,
+    * and first-fit cumulative packing per (split, shard) under the
+    * 2048 BPE-token budget — bins never mix splits. */
   def corpusBuildPipeline(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.BpeVocab.ensureFixture()
     val W = org.apache.spark.sql.expressions.Window
@@ -1864,25 +1884,30 @@ object Text {
     // corpus-wide stage artifacts (each shared with its standalone query)
     val verdicts = filterVerdictsFrom(base)
     val keepers = base
-      .withColumn("keeper",
-        min(col("doc_id")).over(W.partitionBy(sha2(col("text"), 256))))
-      .filter(col("doc_id") === col("keeper")).select(col("doc_id"))
+      .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+      .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
     val nearDrops = Dedup.minhashLsh(spark, sfDir)
       .select(col("db").as("doc_id")).distinct()
-    val contamOk = decontam(spark, sfDir)
-      .filter(!col("contaminated")).select(col("doc_id"))
-    val survivors = withLangPred(base.withColumn("ws", tokens))
+    val contam = decontam(spark, sfDir)
+      .filter(col("contaminated")).select(col("doc_id"))
+    // Per-doc gates + the BPE count in one map-side projection over the
+    // cached base: everything downstream is (doc_id, n_tokens) metadata,
+    // so no join/window exchange ever carries document text.
+    val docMeta = withLangPred(base.withColumn("ws", tokens))
       .withColumn("page", pageWrap)
       .filter(regexp_extract(col("page"), ArticleRe, 1)
         === col("text"))                                 // html_extract gate
       .filter(col("pred_lang") === "en")                 // lang_id gate
+      .select(col("doc_id"),
+        graft.functions.BpeExpr.bpe_count(lower(col("text"))).as("n_tokens"))
+    val survivors = docMeta
       .join(verdicts.filter(col("verdict") === "5_keep"),
         Seq("doc_id"), "left_semi")                      // quality/repetition
       .join(keepers, Seq("doc_id"), "left_semi")         // exact dedup
       .join(nearDrops, Seq("doc_id"), "left_anti")       // near dedup
       .filter(col("doc_id") % 97 =!= 0)                  // held-out bench docs
-      .join(contamOk, Seq("doc_id"), "left_semi")        // decontamination
-      .select(col("doc_id"), col("text"))
+      .join(contam, Seq("doc_id"), "left_anti")          // decontamination
     val cum = W.partitionBy(col("split"), col("shard")).orderBy(col("doc_id"))
       .rowsBetween(W.unboundedPreceding, -1)
     survivors
@@ -1892,8 +1917,6 @@ object Text {
           .when(col("key") < "e6", "val")
           .otherwise("test"))
       .withColumn("shard", col("doc_id") % 16)
-      .withColumn("n_tokens",
-        graft.functions.BpeExpr.bpe_count(lower(col("text"))))
       .withColumn("bin",
         floor(coalesce(sum(col("n_tokens")).over(cum), lit(0L)) / lit(2048L)))
       .select(col("doc_id"), col("split"), col("shard"), col("bin"),

@@ -48,9 +48,16 @@ class BpeSpec extends SparkSuite {
   }
 
   test("committed fixture equals the learned pieces (oracle contract)") {
-    BpeVocab.ensureFixture()
-    val onDisk = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(BpeVocab.fixturePath)), "UTF-8")
+    // Read the COMMITTED bytes before any ensureFixture() call from this
+    // suite can repair them — calling it first would make the assert a
+    // tautology (r12 ADVICE). Residual hazard: another suite in the same
+    // sbt-test JVM may have run a BPE query (which self-heals the file)
+    // before this test; a standalone `testOnly graft.BpeSpec` from a
+    // fresh checkout exercises the committed artifact itself.
+    val f = java.nio.file.Paths.get(BpeVocab.fixturePath)
+    assert(java.nio.file.Files.isRegularFile(f),
+      "fixtures/bpe_vocab.txt is not committed")
+    val onDisk = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
       .split("\n").filter(_.nonEmpty).toVector
     assert(onDisk == BpeVocab.pieces.sorted,
       "fixtures/bpe_vocab.txt drifted from BpeVocab.pieces")
@@ -115,15 +122,33 @@ class BpeSpec extends SparkSuite {
     // (the r11 dense nodes x 91 layout would be megabytes here)
     assert(BpeRuntime.trieBytes < 512 * 1024,
       s"trie ballooned to ${BpeRuntime.trieBytes} bytes")
-    // throughput floor: generous (measured ~90 MB/s on this box) — the
-    // pin catches an accidental O(n^2) walk, not box-speed variance
-    val text = UTF8String.fromString(
-      ("the customer table joined a stream window " * 3000))
-    val t0 = System.nanoTime()
-    var i = 0; var s = 0L
-    while (i < 20) { s += BpeRuntime.count(text); i += 1 }
-    val mbps = 20.0 * text.numBytes / ((System.nanoTime() - t0) / 1e9) / 1e6
-    assert(s > 0 && mbps > 5.0, f"byte-walk throughput $mbps%.1f MB/s")
+    // Linearity pin instead of a wall-clock floor (r12 ADVICE: absolute
+    // MB/s asserts flake under host load). Time the walk at 1x and 8x
+    // input inside one test: a linear walk scales ~8x, an accidental
+    // O(n^2) ~64x — the ratio is load-resistant because both arms see
+    // the same box. Absolute throughput is reported advisory-only.
+    val unit = "the customer table joined a stream window " * 3000
+    def timeCount(t: UTF8String, reps: Int): (Long, Long) = {
+      var i = 0; var s = 0L
+      val t0 = System.nanoTime()
+      while (i < reps) { s += BpeRuntime.count(t); i += 1 }
+      (System.nanoTime() - t0, s)
+    }
+    val small = UTF8String.fromString(unit)
+    val big = UTF8String.fromString(unit * 8)
+    timeCount(big, 2) // JIT warmup on the larger arm
+    // best-of-3 per arm: min discards GC/scheduler spikes
+    val (tSmall, sSmall) = (1 to 3).map(_ => timeCount(small, 16)).minBy(_._1)
+    val (tBig, sBig) = (1 to 3).map(_ => timeCount(big, 2)).minBy(_._1)
+    // equal total bytes per arm and the unit ends in whitespace, so the
+    // two sums must agree exactly (counts are additive over the repeat)
+    assert(sSmall > 0 && sBig == sSmall,
+      s"count not additive over concatenation: $sSmall vs $sBig")
+    val ratio = tBig.toDouble / tSmall.toDouble // equal bytes/arm -> ~1.0
+    assert(ratio < 6.0,
+      f"byte walk no longer linear: 8x-input/equal-bytes ratio $ratio%.2f")
+    val mbps = 16.0 * small.numBytes / (tSmall / 1e9) / 1e6
+    info(f"advisory byte-walk throughput: $mbps%.1f MB/s")
   }
 
   test("t_token_bpe exposes the ws-vs-bpe divergence the budgets need") {

@@ -497,6 +497,22 @@ class ScaleSpec extends SparkSuite {
       // non-vacuous: the artifact reads are visibly InMemoryTableScans
       assert(plan.toString.contains("InMemoryTableScan"),
         "expected registry-cached artifact reads in the pipeline plan")
+      // r12 verdict #1: no exchange may carry document bodies. The
+      // exact keeper is a digest aggregate and every gate join runs on
+      // (doc_id, n_tokens) metadata, so every shuffle/broadcast in the
+      // plan must be text-free — a body-carrying exchange re-moves the
+      // whole corpus at 100 TB.
+      import org.apache.spark.sql.execution.exchange.{
+        BroadcastExchangeExec, ShuffleExchangeExec}
+      val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+      val bcasts = plan.collect { case e: BroadcastExchangeExec => e }
+      assert(shuffles.nonEmpty,
+        "expected shuffle exchanges in the pipeline plan (non-vacuous)")
+      (shuffles ++ bcasts).foreach { e =>
+        assert(!e.output.exists(_.name == "text"),
+          s"exchange carries document text: ${e.output.map(_.name)}\n" +
+            e.toString.take(800))
+      }
     }
     // and the composition is live: survivors exist and are fewer than
     // the corpus (the gates really prune)
