@@ -1928,8 +1928,11 @@ object Text {
     * and shingle CTEs), near-dup and decontamination ride the shared
     * `sh` shingle CTE exactly like their standalone oracles, and the
     * packing tail joins `docbpe` (the t_token_bpe oracle's per-doc
-    * totals). */
-  def corpusBuildPipelineSql: String =
+    * totals). The WHOLE manifest derivation (ending in the `man` CTE)
+    * is shared verbatim with [[corpusBuildRunSql]], so the planner and
+    * its execution twin check against ONE definition and cannot
+    * drift. */
+  private def corpusBuildManifestCtes: String =
     s"""WITH RECURSIVE ${graft.functions.BpeVocab.sqlDocBpe},
        $shingleCte,
        ${funnelVerdictCtes("f")},
@@ -1973,14 +1976,120 @@ object Text {
                 ELSE 'test' END AS split,
            s.doc_id % 16 AS shard,
            b.bpe_tokens AS n_tokens
-         FROM surv s JOIN docbpe b ON b.doc_id = s.doc_id)
-       SELECT doc_id, split, CAST(shard AS BIGINT) AS shard,
-         CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY split, shard
-           ORDER BY doc_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048)
-           AS BIGINT) AS bin,
-         n_tokens
-       FROM sp ORDER BY doc_id"""
+         FROM surv s JOIN docbpe b ON b.doc_id = s.doc_id),
+       man AS (
+         SELECT doc_id, split, CAST(shard AS BIGINT) AS shard,
+           CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY split, shard
+             ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048)
+             AS BIGINT) AS bin,
+           n_tokens
+         FROM sp)"""
+
+  def corpusBuildPipelineSql: String =
+    s"""$corpusBuildManifestCtes
+       SELECT doc_id, split, shard, bin, n_tokens FROM man ORDER BY doc_id"""
+
+  /** Oracle for [[corpusBuildRun]]: the SAME manifest (shared `man`
+    * CTE — zero drift possible) with both reconciliation verdicts
+    * constant-true. Any document the writer lost, duplicated, or
+    * mangled breaks the row-count or hash match against this. */
+  def corpusBuildRunSql: String =
+    s"""$corpusBuildManifestCtes
+       SELECT doc_id, split, shard, bin, n_tokens,
+         true AS text_intact, true AS tokens_ok
+       FROM man ORDER BY doc_id"""
+
+  /** `corpus_build_run` — the execution twin of the capstone (the
+    * repo's plan=execution convention: `d4_backfill_run`,
+    * `k4_retention_run`, `dedup_span_scrub`). The pipeline emits a
+    * manifest; this query MATERIALIZES the packed corpus it
+    * describes and proves the written layout reconciles row-for-row
+    * with the planner's own manifest:
+    *
+    *  1. write: manifest joined back to the shared `docbase` scan on
+    *     doc_id (the one exchange that legitimately carries text —
+    *     co-locating each surviving document with its pack
+    *     coordinates), then laid out with the K7 salted-partitioned
+    *     convention — `repartition(split, shard, bin % salt)` +
+    *     `partitionBy(split, shard)`, so a hot (split, shard) cell
+    *     spreads over up to `salt` writer tasks while a pack bin
+    *     (the unit a trainer reads) never splits across files.
+    *     These two exchanges are the irreducible data movement of a
+    *     corpus materialization: the corpus must physically land in
+    *     its training layout. Everything upstream remains
+    *     metadata-only (the pipeline's exchange contract); ScaleSpec
+    *     pins that the run's plan contains EXACTLY these
+    *     text-carrying exchanges and no others.
+    *  2. read back from the partition layout (split/shard come from
+    *     directory names, not file payload) and reconcile: sha-256
+    *     of every written body must equal the source digest
+    *     (`text_intact`) and the BPE recount of the written bytes
+    *     must equal the manifest's `n_tokens` (`tokens_ok`) — the
+    *     written corpus tokenizes to exactly what the packing
+    *     budgeted.
+    *
+    * The sink is keyed on the dataset file FINGERPRINT (the
+    * `k7_pruned_read` / Vector.dataKey artifact rule) so an in-place
+    * regenerated documents table rebuilds the corpus rather than
+    * serving a stale copy; stale sibling fingerprints are vacuumed.
+    * At 100 TB: the write streams through `salt × |cells|` tasks
+    * with bounded files per cell, the reconciliation is one
+    * co-partitioned join of (doc_id, digest) metadata — text is
+    * never shuffled again after landing. */
+  val CorpusWriteSalt = 4
+
+  /** The frame [[corpusBuildRun]] writes: the manifest joined back to
+    * the shared docbase scan (text meets its pack coordinates), laid
+    * out K7-style. Extracted so ScaleSpec pins ITS plan — the write's
+    * text-carrying exchanges — against exactly this subtree. */
+  private[graft] def corpusWriteFrame(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val base = Flow.sharedScanOf(spark, s"docbase:$sfDir",
+        graft.Util.fileFingerprint(s"$sfDir/documents.parquet")) {
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    }
+    corpusBuildPipeline(spark, sfDir)
+      .join(base, Seq("doc_id"))
+      .repartition(col("split"), col("shard"),
+        pmod(col("bin"), lit(CorpusWriteSalt)))
+  }
+
+  def corpusBuildRun(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.BpeVocab.ensureFixture()
+    val base = Flow.sharedScanOf(spark, s"docbase:$sfDir",
+        graft.Util.fileFingerprint(s"$sfDir/documents.parquet")) {
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    }
+    val root = graft.Util.sessionTmpDir(spark, "graft_corpus_run")
+    val tag = graft.Util.fileFingerprint(s"$sfDir/documents.parquet")
+    val out = s"$root/$tag"
+    if (!new java.io.File(s"$out/_SUCCESS").exists()) {
+      Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName != tag)
+        .foreach { f =>
+          def rm(x: java.io.File): Unit = {
+            Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+            x.delete(); ()
+          }
+          rm(f)
+        }
+      corpusWriteFrame(spark, sfDir)
+        .write.partitionBy("split", "shard").mode("overwrite").parquet(out)
+    }
+    val srcDigest = base
+      .select(col("doc_id"), sha2(col("text"), 256).as("src_h"))
+    spark.read.parquet(out)
+      .select(col("doc_id"), col("split").cast("string").as("split"),
+        col("shard").cast("long").as("shard"), col("bin"), col("n_tokens"),
+        sha2(col("text"), 256).as("w_h"),
+        graft.functions.BpeExpr.bpe_count(lower(col("text"))).as("recount"))
+      .join(srcDigest, Seq("doc_id"))
+      .select(col("doc_id"), col("split"), col("shard"), col("bin"),
+        col("n_tokens"), (col("w_h") === col("src_h")).as("text_intact"),
+        (col("recount") === col("n_tokens")).as("tokens_ok"))
+      .orderBy(col("doc_id"))
+  }
 
   // DSIR-style importance weights (Xie et al. 2023, arXiv:2302.03169):
   // score every document by how much its hashed n-gram feature profile
@@ -2134,6 +2243,7 @@ object Text {
     "t_split_assign" -> splitAssign,
     "corpus_filter_funnel" -> corpusFilterFunnel,
     "corpus_build_pipeline" -> corpusBuildPipeline,
+    "corpus_build_run" -> corpusBuildRun,
     "sample_temperature" -> sampleTemperature,
     "t_doc_overlap_pairs" -> docOverlapPairs,
     "t_kgram_sample" -> kgramSample,
@@ -2177,6 +2287,7 @@ object Text {
     "t_split_assign" -> splitAssignSql,
     "corpus_filter_funnel" -> corpusFilterFunnelSql,
     "corpus_build_pipeline" -> corpusBuildPipelineSql,
+    "corpus_build_run" -> corpusBuildRunSql,
     "sample_temperature" -> sampleTemperatureSql,
     "t_doc_overlap_pairs" -> docOverlapPairsSql,
     "t_kgram_sample" -> kgramSampleSql,

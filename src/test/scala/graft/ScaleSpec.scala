@@ -521,6 +521,49 @@ class ScaleSpec extends SparkSuite {
     assert(n > 0 && n < total, s"pipeline kept $n of $total docs")
   }
 
+  test("corpus_build_run: write moves text at most twice; reconciliation is metadata-only") {
+    // The execution twin's data-movement contract. The WRITE may carry
+    // document text through at most two exchanges — the doc_id
+    // co-location join (manifest meets its body) and the (split,
+    // shard, bin%salt) layout repartition — because a corpus
+    // materialization must physically land in its training layout;
+    // anything beyond that re-moves the corpus for free at 100 TB.
+    // The READ-BACK reconciliation must be metadata-only: digests and
+    // BPE recounts are computed in the scan stage, so its joins
+    // exchange (doc_id, hash, count) tuples, never bodies.
+    import org.apache.spark.sql.execution.exchange.{
+      BroadcastExchangeExec, ShuffleExchangeExec}
+    graft.Util.withConf(spark, "spark.sql.adaptive.enabled", "false") {
+      val wplan = graft.ops.Text.corpusWriteFrame(spark, sf)
+        .queryExecution.executedPlan
+      val wshuffles = wplan.collect { case e: ShuffleExchangeExec => e }
+      assert(wshuffles.nonEmpty, "expected exchanges in the write plan")
+      val textMoves = wshuffles.filter(_.output.exists(_.name == "text"))
+      assert(textMoves.size <= 2,
+        s"write plan moves text ${textMoves.size}x (max 2: co-location " +
+          s"join + layout):\n${wplan.toString.take(1500)}")
+      // the layout repartition itself must carry text (non-vacuous:
+      // the write really is the place bodies move)
+      assert(textMoves.nonEmpty,
+        "expected the layout repartition to carry text")
+
+      val rplan = graft.ops.Text.corpusBuildRun(spark, sf)
+        .queryExecution.executedPlan
+      val rsh = rplan.collect { case e: ShuffleExchangeExec => e }
+      val rbc = rplan.collect { case e: BroadcastExchangeExec => e }
+      assert(rsh.nonEmpty, "expected exchanges in the reconciliation plan")
+      (rsh ++ rbc).foreach { e =>
+        assert(!e.output.exists(_.name == "text"),
+          s"reconciliation exchange carries text: ${e.output.map(_.name)}")
+      }
+    }
+    // the twin is live and clean: every written doc reconciles
+    val rows = graft.ops.Text.corpusBuildRun(spark, sf)
+    val bad = rows.filter(!col("text_intact") || !col("tokens_ok")).count()
+    assert(bad == 0, s"$bad written docs failed reconciliation")
+    assert(rows.count() > 0, "run produced an empty corpus")
+  }
+
   test("substring-span dedup: one corpus scan, metadata-only exchanges") {
     // The suffix-array-style dedup must touch the corpus ONCE: the
     // window formulation (min/max doc_id over the window key) keeps
