@@ -83,7 +83,23 @@ object Text {
     * distinct-word cache whose greedy step hash-joins the committed
     * vocab fixture written from the SAME vocab object
     * ([[graft.functions.BpeVocab.ensureFixture]]), so expression and
-    * oracle cannot drift. */
+    * oracle cannot drift.
+    *
+    * ==Multi-byte contract (scale-domain note)==
+    * The learned pieces are lowercase-ASCII; every code point outside
+    * them — digits handled as single-char fallback, punctuation,
+    * and ALL non-ASCII (é, CJK, emoji) — counts exactly ONE token,
+    * on both engines (the Spark walk skips the UTF-8 sequence, DuckDB
+    * substr is code-point based; BpeSpec pins the parity). That is
+    * the standard byte/char-fallback floor of a real BPE vocab, so
+    * counts on English-dominant corpora are tokenizer-faithful, but
+    * on multi-byte-heavy text (CJK) the count degrades to
+    * ~one-token-per-character — length-proportional, never
+    * merge-compressed. Budget arithmetic over such corpora
+    * OVERCOUNTS relative to a tokenizer whose vocab covers those
+    * scripts; lifting the trie to UTF-8 byte-level pieces (and the
+    * oracle to byte-piece fixtures) is the documented extension if
+    * that domain ever matters here. */
   def tokenBpe(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.BpeVocab.ensureFixture()
     Tables.documents(spark, sfDir)
