@@ -2093,6 +2093,20 @@ object Text {
       corpusWriteFrame(spark, sfDir)
         .write.partitionBy("split", "shard").mode("overwrite").parquet(out)
     }
+    // A zero-survivor corpus (every doc gated out — seen on saturated
+    // synthetic vocabs at scale) commits a layout with NO part files;
+    // schema inference would throw. Nothing written ⇒ nothing to
+    // reconcile: return the (empty) manifest with the verdict columns.
+    def anyPart(f: java.io.File): Boolean = {
+      val cs = Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+      cs.exists(c => c.isFile && c.getName.endsWith(".parquet")) ||
+        cs.exists(c => c.isDirectory && anyPart(c))
+    }
+    if (!anyPart(new java.io.File(out)))
+      return corpusBuildPipeline(spark, sfDir)
+        .withColumn("text_intact", lit(true))
+        .withColumn("tokens_ok", lit(true))
+        .limit(0)
     val srcDigest = base
       .select(col("doc_id"), sha2(col("text"), 256).as("src_h"))
     spark.read.parquet(out)
