@@ -77,6 +77,18 @@ object Util {
     f.delete(); ()
   }
 
+  /** Drop every sibling directory under `root` except `keep` — the
+    * stale-fingerprint vacuum every fingerprint-keyed session sink
+    * runs before (re)building, so in-place dataset regenerations
+    * don't multiply full-table copies on disk. One shared copy
+    * (k7_pruned_read, corpus_build_run) so a future hardening lands
+    * everywhere. */
+  private[graft] def vacuumSiblings(root: String, keep: String): Unit =
+    Option(new java.io.File(root).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName != keep)
+      .foreach(deleteRecursively)
+
   /** Cheap content fingerprint of a parquet table path (file name,
     * size, mtime of every part file, recursively) — the cache-key
     * component every per-session artifact must carry so an in-place

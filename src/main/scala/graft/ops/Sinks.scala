@@ -295,15 +295,7 @@ object Sinks {
       // a rotated fingerprint (in-place regeneration) supersedes every
       // sibling copy — drop them so repeated regenerations don't
       // multiply full-table sinks on disk
-      Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isDirectory && f.getName != tag)
-        .foreach { f =>
-          def rm(x: java.io.File): Unit = {
-            Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
-            x.delete(); ()
-          }
-          rm(f)
-        }
+      graft.Util.vacuumSiblings(root, tag)
       writeDayPartitioned(spark, sfDir, out, salt = 4)
     }
     val target = graft.Tables.events(spark, sfDir)

@@ -2081,15 +2081,7 @@ object Text {
     val tag = graft.Util.fileFingerprint(s"$sfDir/documents.parquet")
     val out = s"$root/$tag"
     if (!new java.io.File(s"$out/_SUCCESS").exists()) {
-      Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isDirectory && f.getName != tag)
-        .foreach { f =>
-          def rm(x: java.io.File): Unit = {
-            Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
-            x.delete(); ()
-          }
-          rm(f)
-        }
+      graft.Util.vacuumSiblings(root, tag)
       corpusWriteFrame(spark, sfDir)
         .write.partitionBy("split", "shard").mode("overwrite").parquet(out)
     }

@@ -537,8 +537,13 @@ class ScaleSpec extends SparkSuite {
       val wplan = graft.ops.Text.corpusWriteFrame(spark, sf)
         .queryExecution.executedPlan
       val wshuffles = wplan.collect { case e: ShuffleExchangeExec => e }
+      val wbcasts = wplan.collect { case e: BroadcastExchangeExec => e }
       assert(wshuffles.nonEmpty, "expected exchanges in the write plan")
-      val textMoves = wshuffles.filter(_.output.exists(_.name == "text"))
+      // broadcasts count as text moves too: at test scale Catalyst may
+      // broadcast the docbase side of the co-location join — that IS a
+      // body-carrying exchange and must stay inside the budget
+      val textMoves = (wshuffles ++ wbcasts)
+        .filter(_.output.exists(_.name == "text"))
       assert(textMoves.size <= 2,
         s"write plan moves text ${textMoves.size}x (max 2: co-location " +
           s"join + layout):\n${wplan.toString.take(1500)}")
