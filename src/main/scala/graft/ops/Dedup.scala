@@ -57,7 +57,7 @@ object Dedup {
     * batch LSH dedup and the incremental batch-vs-index variant — the
     * signature computation is the index artifact; neither consumer
     * re-runs the shingle stage. */
-  private def minhashBuckets(spark: SparkSession, sfDir: String): DataFrame =
+  private[ops] def minhashBuckets(spark: SparkSession, sfDir: String): DataFrame =
     Flow.sharedScanOf(spark, s"minhash_buckets:$sfDir",
         graft.Util.fileFingerprint(s"$sfDir/documents.parquet")) {
       import spark.implicits._

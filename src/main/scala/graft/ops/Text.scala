@@ -1725,7 +1725,18 @@ object Text {
     * [[corpusBuildPipeline]] (the gate view), so the two can never
     * drift. Corpus-wide statistics (the surprisal vocabulary) are
     * computed over the GIVEN docs DF, the funnel's contract. */
-  private[ops] def filterVerdictsFrom(docs: DataFrame): DataFrame = {
+  private[ops] def filterVerdictsFrom(docs: DataFrame): DataFrame =
+    filterVerdictsScored(docs, docs)
+
+  /** The funnel with the surprisal vocabulary decoupled from the
+    * scored set — [[corpusAppendPipeline]]'s contract: delta documents
+    * are scored against the vocabulary FROZEN at base-corpus build
+    * time (the production posture — the quality model trains once,
+    * arrivals are scored against it, the gate never drifts as deltas
+    * accumulate). `filterVerdictsFrom(d)` ≡
+    * `filterVerdictsScored(d, d)`. */
+  private[ops] def filterVerdictsScored(docs: DataFrame,
+      vocabDocs: DataFrame): DataFrame = {
     val stop = Seq("the", "a", "of", "and", "is", "to", "in")
       .map(w => s"'$w'").mkString(", ")
     val base = docs
@@ -1744,7 +1755,10 @@ object Text {
         e4(lit(1.0) * col("tc") / col("nt")).cast("long").as("top_frac_e4"),
         e4(lit(1.0) - lit(1.0) * col("nd") / col("nt")).cast("long")
           .as("dup_frac_e4"))
-    val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("n"))
+    val vtoks = vocabDocs
+      .select(col("doc_id"), explode(tokens).as("w"))
+      .filter(col("w") =!= "")
+    val vocab = vtoks.groupBy(col("w")).agg(count(lit(1)).as("n"))
     val total = vocab.agg(sum(col("n")).as("t"))
     val surp = toks.join(vocab, "w").crossJoin(broadcast(total))
       .withColumn("s_e4", floor(-log(lit(1.0) * col("n") / col("t")) * lit(10000.0)))
@@ -1762,22 +1776,31 @@ object Text {
   }
   /** The funnel's per-doc verdict as a CTE chain with a caller-chosen
     * name prefix — ONE SQL definition shared by
-    * [[corpusFilterFunnelSql]] (empty prefix) and
+    * [[corpusFilterFunnelSql]] (empty prefix),
     * [[corpusBuildPipelineSql]] (prefix `f`, because the pipeline's
-    * other CTE families own the bare `toks`/`vocab` names). The final
-    * clause is `<p>verdict(doc_id, verdict)`. */
-  private def funnelVerdictCtes(p: String): String =
+    * other CTE families own the bare `toks`/`vocab` names), and
+    * [[corpusAppendSql]] (scored/vocab sets decoupled, mirroring
+    * [[filterVerdictsScored]]). `from` is the scored doc set;
+    * `vocabFrom` (default: same) feeds the surprisal vocabulary. The
+    * final clause is `<p>verdict(doc_id, verdict)`. */
+  private def funnelVerdictCtes(p: String, from: String = "documents",
+      vocabFrom: String = ""): String =
     s"""${p}base AS (
          SELECT doc_id, CAST(length(text) AS INT) AS n_chars,
            CAST(len(string_split(lower(text), ' ')) AS INT) AS n_tokens,
            CAST(len(list_filter(string_split(lower(text), ' '),
              w -> list_contains(['the','a','of','and','is','to','in'], w)))
              AS INT) AS n_stop
-         FROM documents),
+         FROM $from),
        ${p}toks AS (
          SELECT doc_id, w FROM (
            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
-           FROM documents) WHERE w <> ''),
+           FROM $from) WHERE w <> ''),
+       ${p}vtoks AS (
+         SELECT doc_id, w FROM (
+           SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+           FROM ${if (vocabFrom.isEmpty) from else vocabFrom})
+         WHERE w <> ''),
        ${p}tc AS (SELECT doc_id, w, count(1) AS c FROM ${p}toks GROUP BY 1, 2),
        ${p}rep AS (
          SELECT doc_id,
@@ -1786,7 +1809,7 @@ object Text {
            CAST(floor((1.0 - 1.0 * count(1) / sum(c)) * 10000.0) AS BIGINT)
              AS dup_frac_e4
          FROM ${p}tc GROUP BY doc_id),
-       ${p}vocab AS (SELECT w, count(1) AS n FROM ${p}toks GROUP BY w),
+       ${p}vocab AS (SELECT w, count(1) AS n FROM ${p}vtoks GROUP BY w),
        ${p}total AS (SELECT sum(n) AS t FROM ${p}vocab),
        ${p}surp AS (
          SELECT doc_id,
@@ -1890,13 +1913,18 @@ object Text {
     * Survivors get the deterministic md5 split, shard = doc_id % 16,
     * and first-fit cumulative packing per (split, shard) under the
     * 2048 BPE-token budget — bins never mix splits. */
-  def corpusBuildPipeline(spark: SparkSession, sfDir: String): DataFrame = {
-    graft.functions.BpeVocab.ensureFixture()
-    val W = org.apache.spark.sql.expressions.Window
-    val base = Flow.sharedScanOf(spark, s"docbase:$sfDir",
+  /** The ONE persisted (doc_id, text) corpus scan every corpus-build
+    * stage branches from (the D3 registry artifact ScaleSpec pins the
+    * pipeline against). */
+  private def docbaseOf(spark: SparkSession, sfDir: String): DataFrame =
+    Flow.sharedScanOf(spark, s"docbase:$sfDir",
         graft.Util.fileFingerprint(s"$sfDir/documents.parquet")) {
       Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
     }
+
+  def corpusBuildPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.BpeVocab.ensureFixture()
+    val base = docbaseOf(spark, sfDir)
     // corpus-wide stage artifacts (each shared with its standalone query)
     val verdicts = filterVerdictsFrom(base)
     val keepers = base
@@ -1907,37 +1935,61 @@ object Text {
       .select(col("db").as("doc_id")).distinct()
     val contam = decontam(spark, sfDir)
       .filter(col("contaminated")).select(col("doc_id"))
-    // Per-doc gates + the BPE count in one map-side projection over the
-    // cached base: everything downstream is (doc_id, n_tokens) metadata,
-    // so no join/window exchange ever carries document text.
-    val docMeta = withLangPred(base.withColumn("ws", tokens))
-      .withColumn("page", pageWrap)
-      .filter(regexp_extract(col("page"), ArticleRe, 1)
-        === col("text"))                                 // html_extract gate
-      .filter(col("pred_lang") === "en")                 // lang_id gate
-      .select(col("doc_id"),
-        graft.functions.BpeExpr.bpe_count(lower(col("text"))).as("n_tokens"))
-    val survivors = docMeta
+    val survivors = docMetaFrom(base)
       .join(verdicts.filter(col("verdict") === "5_keep"),
         Seq("doc_id"), "left_semi")                      // quality/repetition
       .join(keepers, Seq("doc_id"), "left_semi")         // exact dedup
       .join(nearDrops, Seq("doc_id"), "left_anti")       // near dedup
       .filter(col("doc_id") % 97 =!= 0)                  // held-out bench docs
       .join(contam, Seq("doc_id"), "left_anti")          // decontamination
+    packManifest(survivors, None).orderBy(col("doc_id"))
+  }
+
+  /** Per-doc gates + the BPE count in ONE map-side projection over a
+    * docs frame — html content gate, lang gate, token count:
+    * everything downstream of this is (doc_id, n_tokens) metadata, so
+    * no join/window exchange ever carries document text. Shared by
+    * [[corpusBuildPipeline]] and [[corpusAppendPipeline]]. */
+  private def docMetaFrom(docs: DataFrame): DataFrame =
+    withLangPred(docs.withColumn("ws", tokens))
+      .withColumn("page", pageWrap)
+      .filter(regexp_extract(col("page"), ArticleRe, 1)
+        === col("text"))                                 // html_extract gate
+      .filter(col("pred_lang") === "en")                 // lang_id gate
+      .select(col("doc_id"),
+        graft.functions.BpeExpr.bpe_count(lower(col("text"))).as("n_tokens"))
+
+  /** Deterministic split/shard assignment + first-fit cumulative
+    * packing of survivor (doc_id, n_tokens) rows under the 2048
+    * BPE-token budget, optionally offset by per-cell token totals from
+    * an already-frozen manifest (`cellOffsets(split, shard,
+    * base_tok)`, ≤ 48 rows — broadcast at any corpus scale): the
+    * append contract packs arrivals AFTER the frozen base bins, never
+    * rewriting yesterday's shards. */
+  private def packManifest(surv: DataFrame,
+      cellOffsets: Option[DataFrame]): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
     val cum = W.partitionBy(col("split"), col("shard")).orderBy(col("doc_id"))
       .rowsBetween(W.unboundedPreceding, -1)
-    survivors
+    val cells = surv
       .withColumn("key", md5(encode(col("doc_id").cast("string"), "utf-8")))
       .withColumn("split",
         when(col("key") < "cc", "train")
           .when(col("key") < "e6", "val")
           .otherwise("test"))
       .withColumn("shard", col("doc_id") % 16)
+    val withOff = cellOffsets match {
+      case Some(off) => cells
+        .join(broadcast(off), Seq("split", "shard"), "left")
+        .withColumn("off", coalesce(col("base_tok"), lit(0L)))
+      case None => cells.withColumn("off", lit(0L))
+    }
+    withOff
       .withColumn("bin",
-        floor(coalesce(sum(col("n_tokens")).over(cum), lit(0L)) / lit(2048L)))
+        floor((col("off") + coalesce(sum(col("n_tokens")).over(cum), lit(0L)))
+          / lit(2048L)))
       .select(col("doc_id"), col("split"), col("shard"), col("bin"),
         col("n_tokens"))
-      .orderBy(col("doc_id"))
   }
   /** Oracle: the stage oracles composed as CTEs — the funnel clauses
     * carry an f-prefix (its `vocab`/`toks` names collide with the BPE
@@ -2061,10 +2113,7 @@ object Text {
     * text-carrying exchanges — against exactly this subtree. */
   private[graft] def corpusWriteFrame(spark: SparkSession,
       sfDir: String): DataFrame = {
-    val base = Flow.sharedScanOf(spark, s"docbase:$sfDir",
-        graft.Util.fileFingerprint(s"$sfDir/documents.parquet")) {
-      Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
-    }
+    val base = docbaseOf(spark, sfDir)
     corpusBuildPipeline(spark, sfDir)
       .join(base, Seq("doc_id"))
       .repartition(col("split"), col("shard"),
@@ -2073,10 +2122,7 @@ object Text {
 
   def corpusBuildRun(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.BpeVocab.ensureFixture()
-    val base = Flow.sharedScanOf(spark, s"docbase:$sfDir",
-        graft.Util.fileFingerprint(s"$sfDir/documents.parquet")) {
-      Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
-    }
+    val base = docbaseOf(spark, sfDir)
     val root = graft.Util.sessionTmpDir(spark, "graft_corpus_run")
     val tag = graft.Util.fileFingerprint(s"$sfDir/documents.parquet")
     val out = s"$root/$tag"
@@ -2112,6 +2158,285 @@ object Text {
         (col("recount") === col("n_tokens")).as("tokens_ok"))
       .orderBy(col("doc_id"))
   }
+
+  // -- corpus append: continuous maintenance of the packed corpus ----------
+
+  /** Append-contract delta: every doc with doc_id % 10 == 7 stands in
+    * for the newly-crawled shard arriving AFTER the base corpus froze
+    * (distinct from `dedup_incremental`'s % 10 == 0 cohort so the two
+    * contracts exercise different doc sets). */
+  private[ops] val isAppendDelta: Column = col("doc_id") % 10 === 7
+
+  /** The frozen base-corpus manifest — [[corpusBuildPipeline]]
+    * semantics applied to the base subset (delta excluded), computed
+    * ONCE per dataset through the D3 registry and then never
+    * rewritten: the append contract's ground truth. Every stage
+    * artifact derives from the SAME registry-persisted corpus stages
+    * the standalone queries share (docbase scan, shingle table,
+    * minhash bucket table) filtered to the base side — freezing the
+    * base costs filters over existing artifacts, not re-scans. */
+  private def appendBaseManifest(spark: SparkSession,
+      sfDir: String): DataFrame =
+    Flow.sharedScanOf(spark, s"corpus_append_base:$sfDir",
+        graft.Util.fileFingerprint(s"$sfDir/documents.parquet")) {
+      val base = docbaseOf(spark, sfDir).filter(!isAppendDelta)
+      val verdicts = filterVerdictsScored(base, base)
+      val keepers = base
+        .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+        .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      val bbk = Dedup.minhashBuckets(spark, sfDir).filter(!isAppendDelta)
+      val cand = bbk.as("x")
+        .join(bbk.as("y"),
+          col("x.bucket") === col("y.bucket") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("index_id"), col("y.doc_id").as("new_id"))
+        .distinct()
+      val nearDrops = Dedup.verifyJaccardPairs(spark, sfDir, cand)
+        .select(col("new_id").as("doc_id")).distinct()
+      val sh = Dedup.shingled(spark, sfDir).filter(!isAppendDelta)
+      val bench = sh.filter(col("doc_id") % 97 === 0)
+        .select(explode(col("shingles")).as("s")).distinct()
+      val contam = sh.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), explode(col("shingles")).as("s"))
+        .join(bench, Seq("s"), "left_semi")
+        .select(col("doc_id")).distinct()
+      val survivors = docMetaFrom(base)
+        .join(verdicts.filter(col("verdict") === "5_keep"),
+          Seq("doc_id"), "left_semi")
+        .join(keepers, Seq("doc_id"), "left_semi")
+        .join(nearDrops, Seq("doc_id"), "left_anti")
+        .filter(col("doc_id") % 97 =!= 0)
+        .join(contam, Seq("doc_id"), "left_anti")
+      packManifest(survivors, None)
+    }
+
+  /** The frozen n-gram contamination reference — the BASE bench docs'
+    * 3-word shingles. The eval suite freezes WITH the base corpus
+    * (the production posture: benchmarks are a fixed, bounded set —
+    * which is also why the stream twin may legitimately ship this as
+    * a task-closure set: it is eval-suite-sized, not corpus-sized).
+    * Delta docs that would be bench members (doc_id % 97 == 0) are
+    * excluded from the corpus but do NOT extend the frozen suite. */
+  private def appendBenchShingles(spark: SparkSession,
+      sfDir: String): DataFrame =
+    Dedup.shingled(spark, sfDir)
+      .filter(!isAppendDelta && col("doc_id") % 97 === 0)
+      .select(explode(col("shingles")).as("s")).distinct()
+
+  /** Batch-side delta gating for the append contract: every gate runs
+    * against BASE-FROZEN artifacts — funnel verdict scored on the
+    * base vocabulary, near-dup candidates probed against the base
+    * bucket index ([[Dedup.minhashBuckets]] filtered, the
+    * `dedup_incremental` batch-vs-index shape) and exact-verified
+    * with the shared [[Dedup.verifyJaccardPairs]] tail,
+    * contamination against [[appendBenchShingles]], and exact-dup
+    * against the base digest set plus the within-delta raw keeper
+    * (min doc_id per digest over the raw delta — the
+    * [[corpusBuildPipeline]] keeper convention; a STATIC frame, so
+    * the stream twin applies the identical gate as a stream-static
+    * semi join). Within-delta NEAR-dup pairing is deliberately OUT
+    * of this contract — that is `stream_dedup_index`'s operator (its
+    * capped posting index), and composing the two is a policy choice
+    * this query does not hide. Returns pack-ready survivors
+    * (doc_id, n_tokens); [[appendTail]] is pure packing, shared
+    * verbatim with the stream twin. */
+  private def appendDeltaCandidates(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val docs = docbaseOf(spark, sfDir)
+    val delta = docs.filter(isAppendDelta)
+    val baseDigests = docs.filter(!isAppendDelta)
+      .select(sha2(col("text"), 256).as("h")).distinct()
+    val deltaKeepers = delta
+      .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+      .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val verdicts = filterVerdictsScored(delta, docs.filter(!isAppendDelta))
+    val dbk = Dedup.minhashBuckets(spark, sfDir)
+    val cand = dbk.filter(isAppendDelta).as("x")
+      .join(dbk.filter(!isAppendDelta).as("y"),
+        col("x.bucket") === col("y.bucket"))
+      .select(col("x.doc_id").as("new_id"), col("y.doc_id").as("index_id"))
+      .distinct()
+    val nearDrops = Dedup.verifyJaccardPairs(spark, sfDir, cand)
+      .select(col("new_id").as("doc_id")).distinct()
+    val contam = Dedup.shingled(spark, sfDir).filter(isAppendDelta)
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
+      .join(appendBenchShingles(spark, sfDir), Seq("s"), "left_semi")
+      .select(col("doc_id")).distinct()
+    docMetaFrom(delta)
+      .join(delta.select(col("doc_id"), sha2(col("text"), 256).as("h")),
+        Seq("doc_id"))
+      .join(verdicts.filter(col("verdict") === "5_keep"),
+        Seq("doc_id"), "left_semi")
+      .join(baseDigests, Seq("h"), "left_anti")
+      .join(deltaKeepers, Seq("doc_id"), "left_semi")
+      .join(nearDrops, Seq("doc_id"), "left_anti")
+      .filter(col("doc_id") % 97 =!= 0)
+      .join(contam, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("n_tokens"))
+  }
+
+  /** Shared manifest tail of the append contract — batch twin and
+    * stream twin BOTH flow their gated delta survivors through this,
+    * so the two cannot drift in packing: survivors pack AFTER the
+    * frozen base bins (per-cell base token totals as offsets — ≤ 48
+    * broadcast rows), and the output is the maintained corpus
+    * manifest: frozen base rows plus appended delta rows. */
+  private def appendTail(spark: SparkSession, sfDir: String,
+      deltaSurv: DataFrame): DataFrame = {
+    val baseMan = appendBaseManifest(spark, sfDir)
+    val offsets = baseMan.groupBy(col("split"), col("shard"))
+      .agg(sum(col("n_tokens")).as("base_tok"))
+    baseMan.withColumn("is_delta", lit(false))
+      .unionByName(packManifest(deltaSurv
+          .select(col("doc_id"), col("n_tokens")), Some(offsets))
+        .withColumn("is_delta", lit(true)))
+      .orderBy(col("doc_id"))
+  }
+
+  /** `corpus_append_pipeline` — CONTINUOUS corpus maintenance, the
+    * production posture after the initial [[corpusBuildPipeline]]:
+    * the base corpus is built and FROZEN once (its bins never move —
+    * yesterday's shards are immutable training artifacts), and a
+    * newly-arrived shard is gated against base-frozen models and
+    * indexes, then packed strictly AFTER the frozen bins. A full
+    * rebuild would re-pack everything smaller; the append deliberately
+    * does not — re-packing 100 TB on every arriving crawl shard is
+    * exactly what this operator exists to avoid. Work per append is
+    * O(delta) joins against persisted base artifacts, never a corpus
+    * re-scan. [[streamCorpusAppend]] is the same contract with the
+    * delta arriving as a stream, sharing [[appendTail]] verbatim and
+    * this query's oracle. */
+  def corpusAppendPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.BpeVocab.ensureFixture()
+    appendTail(spark, sfDir, appendDeltaCandidates(spark, sfDir))
+  }
+
+  /** Oracle for [[corpusAppendPipeline]] AND [[streamCorpusAppend]] —
+    * one SQL definition for both twins. Base stages mirror the build
+    * pipeline restricted to `bdoc`; delta stages gate against the
+    * base-frozen artifacts (g-prefixed funnel scored on bdoc's
+    * vocabulary, near-dup pairs restricted to delta×base, the frozen
+    * base bench shingle suite) and pack after `btot` offsets. */
+  def corpusAppendSql: String =
+    s"""WITH RECURSIVE ${graft.functions.BpeVocab.sqlDocBpe},
+       $shingleCte,
+       bdoc AS (SELECT * FROM documents WHERE doc_id % 10 <> 7),
+       ddoc AS (SELECT * FROM documents WHERE doc_id % 10 = 7),
+       ${funnelVerdictCtes("f", "bdoc")},
+       ${funnelVerdictCtes("g", "ddoc", "bdoc")},
+       lang AS (
+         SELECT doc_id, $langCaseSql AS pred_lang
+         FROM (SELECT doc_id, $langCountsSql FROM documents)),
+       hx AS (
+         SELECT doc_id,
+           regexp_extract($PageWrapSqlExpr,
+             '$ArticleRe', 1) = text AS content_ok
+         FROM documents),
+       bex AS (
+         SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS keeper
+         FROM bdoc),
+       dex AS (
+         SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS keeper
+         FROM ddoc),
+       cnt AS (SELECT doc_id, count(1) AS n FROM sh GROUP BY 1),
+       binter AS (
+         SELECT a.doc_id AS da, b.doc_id AS db, count(1) AS i
+         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         WHERE a.doc_id % 10 <> 7 AND b.doc_id % 10 <> 7
+         GROUP BY 1, 2),
+       bndrops AS (
+         SELECT DISTINCT db AS doc_id FROM binter
+         JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+         WHERE 1.0 * i / (ca.n + cb.n - i) >= ${Dedup.JaccardThreshold}),
+       dinter AS (
+         SELECT d.doc_id AS dd, b.doc_id AS bb, count(1) AS i
+         FROM sh d JOIN sh b ON d.s = b.s
+         WHERE d.doc_id % 10 = 7 AND b.doc_id % 10 <> 7
+         GROUP BY 1, 2),
+       dndrops AS (
+         SELECT DISTINCT dd AS doc_id FROM dinter
+         JOIN cnt ca ON ca.doc_id = dd JOIN cnt cb ON cb.doc_id = bb
+         WHERE 1.0 * i / (ca.n + cb.n - i) >= ${Dedup.JaccardThreshold}),
+       bbench AS (
+         SELECT DISTINCT s FROM sh
+         WHERE doc_id % 10 <> 7 AND doc_id % 97 = 0),
+       bcontam AS (
+         SELECT DISTINCT doc_id FROM sh
+         WHERE doc_id % 10 <> 7 AND doc_id % 97 <> 0
+           AND s IN (SELECT s FROM bbench)),
+       dcontam AS (
+         SELECT DISTINCT doc_id FROM sh
+         WHERE doc_id % 10 = 7 AND s IN (SELECT s FROM bbench)),
+       bsurv AS (
+         SELECT d.doc_id AS doc_id
+         FROM bdoc d
+         JOIN hx ON hx.doc_id = d.doc_id
+         JOIN lang ON lang.doc_id = d.doc_id
+         JOIN bex ON bex.doc_id = d.doc_id
+         JOIN fverdict fv ON fv.doc_id = d.doc_id
+         WHERE hx.content_ok AND lang.pred_lang = 'en'
+           AND fv.verdict = '5_keep'
+           AND d.doc_id = bex.keeper
+           AND d.doc_id NOT IN (SELECT doc_id FROM bndrops)
+           AND d.doc_id % 97 <> 0
+           AND d.doc_id NOT IN (SELECT doc_id FROM bcontam)),
+       bsp AS (
+         SELECT s.doc_id AS doc_id,
+           CASE WHEN md5(CAST(s.doc_id AS STRING)) < 'cc' THEN 'train'
+                WHEN md5(CAST(s.doc_id AS STRING)) < 'e6' THEN 'val'
+                ELSE 'test' END AS split,
+           s.doc_id % 16 AS shard,
+           b.bpe_tokens AS n_tokens
+         FROM bsurv s JOIN docbpe b ON b.doc_id = s.doc_id),
+       bman AS (
+         SELECT doc_id, split, CAST(shard AS BIGINT) AS shard,
+           CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY split, shard
+             ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048)
+             AS BIGINT) AS bin,
+           n_tokens
+         FROM bsp),
+       btot AS (
+         SELECT split, shard, sum(n_tokens) AS t FROM bman GROUP BY 1, 2),
+       dsurv AS (
+         SELECT d.doc_id AS doc_id
+         FROM ddoc d
+         JOIN hx ON hx.doc_id = d.doc_id
+         JOIN lang ON lang.doc_id = d.doc_id
+         JOIN dex ON dex.doc_id = d.doc_id
+         JOIN gverdict gv ON gv.doc_id = d.doc_id
+         WHERE hx.content_ok AND lang.pred_lang = 'en'
+           AND gv.verdict = '5_keep'
+           AND d.text NOT IN (SELECT text FROM bdoc)
+           AND d.doc_id = dex.keeper
+           AND d.doc_id NOT IN (SELECT doc_id FROM dndrops)
+           AND d.doc_id % 97 <> 0
+           AND d.doc_id NOT IN (SELECT doc_id FROM dcontam)),
+       dsp AS (
+         SELECT s.doc_id AS doc_id,
+           CASE WHEN md5(CAST(s.doc_id AS STRING)) < 'cc' THEN 'train'
+                WHEN md5(CAST(s.doc_id AS STRING)) < 'e6' THEN 'val'
+                ELSE 'test' END AS split,
+           s.doc_id % 16 AS shard,
+           b.bpe_tokens AS n_tokens
+         FROM dsurv s JOIN docbpe b ON b.doc_id = s.doc_id),
+       dman AS (
+         SELECT doc_id, split, CAST(shard AS BIGINT) AS shard,
+           CAST(floor((coalesce(bt.t, 0) +
+             coalesce(sum(n_tokens) OVER (PARTITION BY split, shard
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)) / 2048)
+             AS BIGINT) AS bin,
+           n_tokens
+         FROM dsp LEFT JOIN btot bt USING (split, shard))
+       SELECT doc_id, split, shard, bin, n_tokens, false AS is_delta
+       FROM bman
+       UNION ALL
+       SELECT doc_id, split, shard, bin, n_tokens, true AS is_delta
+       FROM dman
+       ORDER BY doc_id"""
 
   // DSIR-style importance weights (Xie et al. 2023, arXiv:2302.03169):
   // score every document by how much its hashed n-gram feature profile
@@ -2266,6 +2591,7 @@ object Text {
     "corpus_filter_funnel" -> corpusFilterFunnel,
     "corpus_build_pipeline" -> corpusBuildPipeline,
     "corpus_build_run" -> corpusBuildRun,
+    "corpus_append_pipeline" -> corpusAppendPipeline,
     "sample_temperature" -> sampleTemperature,
     "t_doc_overlap_pairs" -> docOverlapPairs,
     "t_kgram_sample" -> kgramSample,
@@ -2310,6 +2636,7 @@ object Text {
     "corpus_filter_funnel" -> corpusFilterFunnelSql,
     "corpus_build_pipeline" -> corpusBuildPipelineSql,
     "corpus_build_run" -> corpusBuildRunSql,
+    "corpus_append_pipeline" -> corpusAppendSql,
     "sample_temperature" -> sampleTemperatureSql,
     "t_doc_overlap_pairs" -> docOverlapPairsSql,
     "t_kgram_sample" -> kgramSampleSql,
