@@ -2313,6 +2313,202 @@ object Text {
     appendTail(spark, sfDir, appendDeltaCandidates(spark, sfDir))
   }
 
+  /** [[filterVerdictsScored]]'s per-doc arithmetic as a plain Scala
+    * function over one document — the STREAM twin's map-side funnel
+    * gate, scored against the closure-shipped frozen base model
+    * (vocab counts + total). Every floating-point step mirrors the
+    * Column formulation exactly (same association: `(1.0*x/y) *
+    * 10000.0` floored; surprisal terms floored per token THEN
+    * averaged over MATCHED tokens only; absent components skip their
+    * gate, the SQL null semantics). StreamingSpec pins stream ==
+    * batch row-for-row, so any drift here fails a test, and
+    * TextOpsSpec pins this function directly against
+    * [[filterVerdictsFrom]] on the corpus. */
+  private[graft] def funnelVerdictOf(text: String,
+      vocab: scala.collection.Map[String, Long], total: Long): String = {
+    val stopSet = Set("the", "a", "of", "and", "is", "to", "in")
+    val ws = text.toLowerCase.split(" ", -1)
+    val nChars = text.length
+    val nTokens = ws.length
+    if (nChars < 100 || nTokens < 20) return "1_too_short"
+    val nStop = ws.count(stopSet.contains)
+    if (1.0 * nStop / nTokens < 0.02) return "2_low_stopword"
+    val toks = ws.filter(_.nonEmpty)
+    if (toks.nonEmpty) {
+      val counts = new scala.collection.mutable.HashMap[String, Long]
+      toks.foreach(w => counts.update(w, counts.getOrElse(w, 0L) + 1L))
+      val nt = toks.length.toLong
+      val topFracE4 = math.floor(1.0 * counts.values.max / nt * 10000.0).toLong
+      val dupFracE4 =
+        math.floor((1.0 - 1.0 * counts.size / nt) * 10000.0).toLong
+      if (topFracE4 > 2000 || dupFracE4 > 9000) return "3_repetitive"
+      var sSum = 0L; var sCnt = 0L
+      toks.foreach { w =>
+        vocab.get(w).foreach { n =>
+          sSum += math.floor(-math.log(1.0 * n / total) * 10000.0).toLong
+          sCnt += 1
+        }
+      }
+      if (sCnt > 0 && math.floor(1.0 * sSum / sCnt).toLong > 52000)
+        return "4_high_surprisal"
+    }
+    "5_keep"
+  }
+
+  /** Per-doc any() reducer for [[streamCorpusAppend]]'s near-dup
+    * probe: folds a document's per-candidate verify rows (all within
+    * its arrival micro-batch — the upstream joins are stream-static)
+    * into one emission with the fold of the drop evidence. Retains
+    * ZERO cross-batch state: the stream's only cross-batch memory is
+    * the durable staged digest log itself. */
+  class DocGateReducer
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, String, Long, Boolean, Boolean),
+        (Long, String, Long, Boolean)] {
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = ()
+    override def handleInputRows(docId: Long,
+        rows: Iterator[(Long, String, Long, Boolean, Boolean)],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, String, Long, Boolean)] = {
+      var h = ""; var nt = 0L; var pass = false; var nearDup = false
+      rows.foreach { r =>
+        h = r._2; nt = r._3; pass = r._4; nearDup = nearDup || r._5
+      }
+      Iterator.single((docId, h, nt, pass && !nearDup))
+    }
+  }
+
+  /** `stream_corpus_append` — [[corpusAppendPipeline]] with the delta
+    * ARRIVING AS A STREAM: continuous maintenance of the packed
+    * corpus, completing the build-once/append-forever story for the
+    * capstone the way `stream_ann_append` completed it for the ANN
+    * index. Per arriving document, ALL corpus-dependent gates run
+    * incrementally against base-frozen artifacts:
+    *
+    *  - map-side (pure per-row work, shared Column exprs with the
+    *    batch twin where they exist): html content gate, lang gate,
+    *    BPE token count, sha-256 digest, 3-word shingles, funnel
+    *    verdict against the closure-shipped frozen quality model
+    *    ([[funnelVerdictOf]] — the CCNet posture: the model ships to
+    *    executors once, its size is the language's vocabulary, never
+    *    the corpus), contamination against the closure-shipped frozen
+    *    bench shingle suite (eval-suite-sized by definition);
+    *  - stream-static joins: exact-dup anti against the base digest
+    *    index; near-dup candidates against the base minhash bucket
+    *    index with exact Jaccard verify against base shingle sets —
+    *    cost per arrival is O(its bucket postings), not O(corpus);
+    *  - [[DocGateReducer]] folds each doc's candidate evidence into
+    *    one staged row; cross-batch state is ZERO — the durable
+    *    staged digest log (idempotent per-batch writer) is the only
+    *    memory, exactly what an append-only ingest needs.
+    *
+    * The flushed horizon then flows through the SAME [[appendTail]]
+    * as the batch twin (keeper arbitration = min doc_id per digest
+    * over the staged raw-arrival log, matching the batch twin's
+    * raw-keeper gate; packing after frozen base bins), so this query
+    * shares [[corpusAppendSql]] verbatim, and StreamingSpec pins
+    * stream == batch row-for-row plus micro-batch-slicing
+    * invariance. */
+  def streamCorpusAppend(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Util.withConf(spark,
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+      graft.Util.withConf(spark, "spark.sql.shuffle.partitions", "8") {
+        streamCorpusAppendInner(spark, sfDir)
+      }
+    }
+
+  private def streamCorpusAppendInner(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    graft.functions.BpeVocab.ensureFixture()
+    val baseDocs = docbaseOf(spark, sfDir).filter(!isAppendDelta)
+    // frozen models, shipped in the task closure: the base vocabulary
+    // (quality model — language-sized, with counts) and the bench
+    // shingle suite (eval-suite-sized). Both .collect() calls are
+    // bounded by the model domain, not the corpus row count.
+    val vt = baseDocs.select(explode(tokens).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect()
+    val vocabMap: Map[String, Long] = vt.toMap
+    val vTotal: Long = vt.map(_._2).sum
+    val benchSet: Set[String] =
+      appendBenchShingles(spark, sfDir).as[String].collect().toSet
+    // frozen base indexes, joined stream-static (never broadcast by
+    // hand — at scale these are the persisted corpus artifacts)
+    val baseDigests = baseDocs.select(sha2(col("text"), 256).as("h"))
+    val baseBuckets = Dedup.minhashBuckets(spark, sfDir)
+      .filter(!isAppendDelta)
+      .select(col("bucket"), col("doc_id").as("index_id"))
+    val baseSets = Dedup.shingled(spark, sfDir).filter(!isAppendDelta)
+      .select(col("doc_id").as("index_id"), col("shingles").as("sb"))
+
+    val docSchema = new StructType()
+      .add("doc_id", LongType).add("text", StringType)
+      .add("lang", StringType).add("source", StringType)
+      .add("n_chars", LongType)
+    val src = spark.readStream.schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+      .filter(isAppendDelta)
+    val gated = withLangPred(src.withColumn("ws", tokens))
+      .withColumn("page", pageWrap)
+      .withColumn("gate_html",
+        regexp_extract(col("page"), ArticleRe, 1) === col("text"))
+      .withColumn("gate_lang", col("pred_lang") === "en")
+      .withColumn("n_tokens",
+        graft.functions.BpeExpr.bpe_count(lower(col("text"))))
+      .withColumn("h", sha2(col("text"), 256))
+      .select(col("doc_id"), col("text"), col("gate_html"),
+        col("gate_lang"), col("n_tokens"), col("h"))
+      .as[(Long, String, Boolean, Boolean, Long, String)]
+      .map { case (id, text, ghtml, glang, nt, h) =>
+        val sh = graft.functions.TextHash.shingles(text)
+        val pass = ghtml && glang &&
+          funnelVerdictOf(text, vocabMap, vTotal) == "5_keep" &&
+          !sh.exists(benchSet.contains) && id % 97 != 0
+        val bands =
+          if (sh.isEmpty) Array.empty[String]
+          else graft.functions.TextHash
+            .minhashBands(sh.map(graft.functions.TextHash.h32)).toArray
+        (id, h, nt, pass, sh, bands)
+      }.toDF("doc_id", "h", "n_tokens", "pass", "sh", "bands")
+      // exact-dup against the base index filters the arrival outright:
+      // a digest present in base can never be a delta keeper, so the
+      // staged raw log loses nothing the keeper arbitration needs
+      .join(baseDigests, Seq("h"), "left_anti")
+    val probed = gated
+      .select(col("doc_id"), col("h"), col("n_tokens"), col("pass"),
+        col("sh"), explode_outer(col("bands")).as("bucket"))
+      .join(baseBuckets, Seq("bucket"), "left_outer")
+      .join(baseSets, Seq("index_id"), "left_outer")
+      .withColumn("i", size(array_intersect(col("sh"), col("sb"))))
+      .withColumn("jok", col("index_id").isNotNull &&
+        lit(1.0) * col("i") /
+          (size(col("sh")) + size(col("sb")) - col("i"))
+          >= Dedup.JaccardThreshold)
+      .select(col("doc_id"), col("h"), col("n_tokens"), col("pass"),
+        col("jok"))
+      .as[(Long, String, Long, Boolean, Boolean)]
+    val reduced = probed.groupByKey(_._1)
+      .transformWithState(new DocGateReducer,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      .toDF("doc_id", "h", "n_tokens", "pass")
+    val staged = graft.streaming.EventsStream.runIncremental(
+      spark, reduced, "corpusapp", sfDir,
+      org.apache.spark.sql.streaming.OutputMode.Update())
+    val keep = staged.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+    val surv = staged.filter(col("pass"))
+      .join(keep, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("n_tokens"))
+    appendTail(spark, sfDir, surv)
+  }
+
   /** Oracle for [[corpusAppendPipeline]] AND [[streamCorpusAppend]] —
     * one SQL definition for both twins. Base stages mirror the build
     * pipeline restricted to `bdoc`; delta stages gate against the
@@ -2592,6 +2788,7 @@ object Text {
     "corpus_build_pipeline" -> corpusBuildPipeline,
     "corpus_build_run" -> corpusBuildRun,
     "corpus_append_pipeline" -> corpusAppendPipeline,
+    "stream_corpus_append" -> streamCorpusAppend,
     "sample_temperature" -> sampleTemperature,
     "t_doc_overlap_pairs" -> docOverlapPairs,
     "t_kgram_sample" -> kgramSample,
@@ -2637,6 +2834,7 @@ object Text {
     "corpus_build_pipeline" -> corpusBuildPipelineSql,
     "corpus_build_run" -> corpusBuildRunSql,
     "corpus_append_pipeline" -> corpusAppendSql,
+    "stream_corpus_append" -> corpusAppendSql,
     "sample_temperature" -> sampleTemperatureSql,
     "t_doc_overlap_pairs" -> docOverlapPairsSql,
     "t_kgram_sample" -> kgramSampleSql,

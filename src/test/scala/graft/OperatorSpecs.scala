@@ -410,6 +410,29 @@ class RelationalOpsSpec extends SparkSuite {
 }
 
 class TextOpsSpec extends SparkSuite {
+  test("funnelVerdictOf (stream map-side funnel) matches filterVerdictsFrom per doc") {
+    // The stream twin scores arrivals with plain-Scala arithmetic
+    // against a closure-shipped vocab; this pins every doc's verdict
+    // against the batch Column formulation over the SAME corpus+vocab,
+    // so a drifted float association or null-semantics mismatch fails
+    // here before it can surface as a stream/batch inequality.
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val vt = docs.select(explode(split(lower(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "").groupBy(col("w"))
+      .agg(count(lit(1)).as("n")).as[(String, Long)].collect()
+    val vocab = vt.toMap
+    val total = vt.map(_._2).sum
+    val want = ops.Text.corpusFilterFunnel(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val got = docs.select(col("text")).as[String].collect()
+      .groupBy(t => ops.Text.funnelVerdictOf(t, vocab, total))
+      .map { case (v, ts) => (v, ts.length.toLong) }
+    assert(got == want,
+      s"scala funnel $got != batch funnel $want")
+    assert(want.size >= 2, "guard: funnel must discriminate")
+  }
+
   test("bloom decontam is row-identical to the exact broadcast-set path") {
     // The bloom only PRUNES (exact verify decides), so the two plans
     // must agree bit-for-bit on every doc — including contam_frac_e4,

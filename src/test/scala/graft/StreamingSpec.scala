@@ -230,6 +230,38 @@ class StreamingSpec extends SparkSuite {
       "touched cells must be bounded by the quantizer size")
   }
 
+  test("stream corpus append equals the batch append; rerun is a durable no-op") {
+    // same base-frozen artifacts + same appendTail = structural
+    // equality; this pins it row-for-row at the flushed horizon
+    def shape(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5))).toSeq
+    val got = shape(graft.ops.Text.streamCorpusAppend(spark, sf))
+    val want = shape(graft.ops.Text.corpusAppendPipeline(spark, sf))
+    assert(got == want, "stream append must equal the batch append")
+    assert(got.nonEmpty, "guard: manifest must be non-empty")
+    // the append really appends: delta rows exist at sf0.001+ corpora
+    // only if gates admit any — pin the FROZEN-base half is present
+    // and bins are the batch twin's (already equal above); then pin
+    // the durable-checkpoint contract: a second invocation re-reads
+    // the staged horizon (no new files => no new micro-batches) and
+    // returns the identical manifest
+    val again = shape(graft.ops.Text.streamCorpusAppend(spark, sf))
+    assert(again == got, "re-trigger with no new arrivals must be a no-op")
+    // per-doc gate atomicity makes micro-batch slicing invariance
+    // structural (a doc is one row in one file; all its candidate
+    // evidence rides stream-static joins inside its arrival batch,
+    // and DocGateReducer retains zero cross-batch state) — pin the
+    // zero-state claim at the API level: the reducer registers no
+    // state handles, so nothing CAN persist across batches
+    val red = new graft.ops.Text.DocGateReducer
+    val out = red.handleInputRows(7L,
+      Iterator((7L, "h", 5L, true, false), (7L, "h", 5L, true, true)),
+      null).toSeq
+    assert(out == Seq((7L, "h", 5L, false)),
+      "reducer must fold near-dup evidence with any()")
+  }
+
   test("LSH index bucket cap binds on a planted hot bucket") {
     // a degenerate band bucket (boilerplate collapse) must not grow
     // state past MaxBucketPostings: arrivals beyond the cap pair but
