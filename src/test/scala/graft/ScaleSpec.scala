@@ -521,6 +521,53 @@ class ScaleSpec extends SparkSuite {
     assert(n > 0 && n < total, s"pipeline kept $n of $total docs")
   }
 
+  test("corpus_append_pipeline: zero direct documents scans, no text-carrying exchange") {
+    // The append contract's 100 TB posture: every base-frozen artifact
+    // (docbase scan, shingle table, minhash bucket table, base
+    // manifest) is a registry-persisted stage FILTERED to the base
+    // side — freezing the base costs filters over existing artifacts,
+    // never a re-scan — and, like the build pipeline, no exchange may
+    // carry document bodies (shingle-array exchanges are the dedup
+    // family's documented verify cost; raw text never moves).
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.{
+      BroadcastExchangeExec, ShuffleExchangeExec}
+    graft.Util.withConf(spark, "spark.sql.adaptive.enabled", "false") {
+      val plan = graft.ops.Text.corpusAppendPipeline(spark, sf)
+        .queryExecution.executedPlan
+      val docScans = plan.collect {
+        case s: FileSourceScanExec if s.relation.location.rootPaths
+          .exists(_.toString.contains("documents")) => s
+      }
+      assert(docScans.isEmpty,
+        s"append pipeline re-scans documents.parquet ${docScans.size}x:\n" +
+          plan.toString.take(1500))
+      assert(plan.toString.contains("InMemoryTableScan"),
+        "expected registry-cached artifact reads in the append plan")
+      val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+      val bcasts = plan.collect { case e: BroadcastExchangeExec => e }
+      assert(shuffles.nonEmpty, "expected exchanges (non-vacuous)")
+      (shuffles ++ bcasts).foreach { e =>
+        assert(!e.output.exists(_.name == "text"),
+          s"append exchange carries document text: ${e.output.map(_.name)}")
+      }
+    }
+    // the contract is live: base rows froze, delta rows packed after —
+    // within every (split, shard) cell, all delta bins >= max base bin
+    val rows = graft.ops.Text.corpusAppendPipeline(spark, sf).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(5)))
+    assert(rows.exists(_._4) && rows.exists(!_._4),
+      "guard: both frozen-base and appended-delta rows must exist")
+    rows.groupBy(t => (t._1, t._2)).foreach { case (cell, cellRows) =>
+      val baseBins = cellRows.filter(!_._4).map(_._3)
+      val deltaBins = cellRows.filter(_._4).map(_._3)
+      if (baseBins.nonEmpty && deltaBins.nonEmpty)
+        assert(deltaBins.min >= baseBins.max,
+          s"cell $cell: delta bin ${deltaBins.min} packed before frozen " +
+            s"base bin ${baseBins.max}")
+    }
+  }
+
   test("corpus_build_run: write moves text at most twice; reconciliation is metadata-only") {
     // The execution twin's data-movement contract. The WRITE may carry
     // document text through at most two exchanges — the doc_id
