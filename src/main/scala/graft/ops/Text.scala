@@ -1736,7 +1736,20 @@ object Text {
     * accumulate). `filterVerdictsFrom(d)` ≡
     * `filterVerdictsScored(d, d)`. */
   private[ops] def filterVerdictsScored(docs: DataFrame,
-      vocabDocs: DataFrame): DataFrame = {
+      vocabDocs: DataFrame): DataFrame =
+    filterVerdictsWithVocab(docs, vocabCountsFrom(vocabDocs))
+
+  /** Token frequencies (w, n) of a doc set — the funnel's trainable
+    * model state, separable so the append contract can persist it
+    * frozen ([[appendVocab]]) instead of re-aggregating the base
+    * corpus on every invocation. */
+  private[ops] def vocabCountsFrom(docs: DataFrame): DataFrame =
+    docs.select(explode(tokens).as("w")).filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+
+  /** The funnel scored against an explicit (w, n) vocabulary frame. */
+  private[ops] def filterVerdictsWithVocab(docs: DataFrame,
+      vocab: DataFrame): DataFrame = {
     val stop = Seq("the", "a", "of", "and", "is", "to", "in")
       .map(w => s"'$w'").mkString(", ")
     val base = docs
@@ -1755,10 +1768,6 @@ object Text {
         e4(lit(1.0) * col("tc") / col("nt")).cast("long").as("top_frac_e4"),
         e4(lit(1.0) - lit(1.0) * col("nd") / col("nt")).cast("long")
           .as("dup_frac_e4"))
-    val vtoks = vocabDocs
-      .select(col("doc_id"), explode(tokens).as("w"))
-      .filter(col("w") =!= "")
-    val vocab = vtoks.groupBy(col("w")).agg(count(lit(1)).as("n"))
     val total = vocab.agg(sum(col("n")).as("t"))
     val surp = toks.join(vocab, "w").crossJoin(broadcast(total))
       .withColumn("s_e4", floor(-log(lit(1.0) * col("n") / col("t")) * lit(10000.0)))
@@ -1935,15 +1944,27 @@ object Text {
       .select(col("db").as("doc_id")).distinct()
     val contam = decontam(spark, sfDir)
       .filter(col("contaminated")).select(col("doc_id"))
-    val survivors = docMetaFrom(base)
+    packManifest(gateSurvivors(base, verdicts, keepers, nearDrops, contam),
+      None).orderBy(col("doc_id"))
+  }
+
+  /** The shared conjunctive gate chain over a doc set — per-doc gates
+    * ([[docMetaFrom]]), funnel verdict, exact keeper, near-dup drop,
+    * held-out bench exclusion, decontamination. ONE definition for
+    * [[corpusBuildPipeline]] (full-corpus artifacts) and
+    * [[appendBaseManifest]] (base-filtered artifacts), so a gate
+    * tweak cannot silently diverge the frozen-base ground truth from
+    * the build semantics it mirrors. */
+  private def gateSurvivors(docs: DataFrame, verdicts: DataFrame,
+      keepers: DataFrame, nearDrops: DataFrame,
+      contam: DataFrame): DataFrame =
+    docMetaFrom(docs)
       .join(verdicts.filter(col("verdict") === "5_keep"),
         Seq("doc_id"), "left_semi")                      // quality/repetition
       .join(keepers, Seq("doc_id"), "left_semi")         // exact dedup
       .join(nearDrops, Seq("doc_id"), "left_anti")       // near dedup
       .filter(col("doc_id") % 97 =!= 0)                  // held-out bench docs
       .join(contam, Seq("doc_id"), "left_anti")          // decontamination
-    packManifest(survivors, None).orderBy(col("doc_id"))
-  }
 
   /** Per-doc gates + the BPE count in ONE map-side projection over a
     * docs frame — html content gate, lang gate, token count:
@@ -2194,21 +2215,32 @@ object Text {
         .distinct()
       val nearDrops = Dedup.verifyJaccardPairs(spark, sfDir, cand)
         .select(col("new_id").as("doc_id")).distinct()
-      val sh = Dedup.shingled(spark, sfDir).filter(!isAppendDelta)
-      val bench = sh.filter(col("doc_id") % 97 === 0)
-        .select(explode(col("shingles")).as("s")).distinct()
-      val contam = sh.filter(col("doc_id") % 97 =!= 0)
+      val contam = Dedup.shingled(spark, sfDir)
+        .filter(!isAppendDelta && col("doc_id") % 97 =!= 0)
         .select(col("doc_id"), explode(col("shingles")).as("s"))
-        .join(bench, Seq("s"), "left_semi")
+        .join(appendBenchShingles(spark, sfDir), Seq("s"), "left_semi")
         .select(col("doc_id")).distinct()
-      val survivors = docMetaFrom(base)
-        .join(verdicts.filter(col("verdict") === "5_keep"),
-          Seq("doc_id"), "left_semi")
-        .join(keepers, Seq("doc_id"), "left_semi")
-        .join(nearDrops, Seq("doc_id"), "left_anti")
-        .filter(col("doc_id") % 97 =!= 0)
-        .join(contam, Seq("doc_id"), "left_anti")
-      packManifest(survivors, None)
+      packManifest(
+        gateSurvivors(base, verdicts, keepers, nearDrops, contam), None)
+    }
+
+  /** The frozen base vocabulary (w, n) — the funnel's trained quality
+    * model, persisted once per dataset so neither twin re-aggregates
+    * the base corpus per invocation. */
+  private def appendVocab(spark: SparkSession, sfDir: String): DataFrame =
+    Flow.sharedScanOf(spark, s"append_vocab:$sfDir",
+        graft.Util.fileFingerprint(s"$sfDir/documents.parquet")) {
+      vocabCountsFrom(docbaseOf(spark, sfDir).filter(!isAppendDelta))
+    }
+
+  /** The frozen base digest index — every base doc's sha-256, the
+    * exact-dup reference both twins anti-join arrivals against. */
+  private def appendBaseDigests(spark: SparkSession,
+      sfDir: String): DataFrame =
+    Flow.sharedScanOf(spark, s"append_digests:$sfDir",
+        graft.Util.fileFingerprint(s"$sfDir/documents.parquet")) {
+      docbaseOf(spark, sfDir).filter(!isAppendDelta)
+        .select(sha2(col("text"), 256).as("h")).distinct()
     }
 
   /** The frozen n-gram contamination reference — the BASE bench docs'
@@ -2220,9 +2252,12 @@ object Text {
     * excluded from the corpus but do NOT extend the frozen suite. */
   private def appendBenchShingles(spark: SparkSession,
       sfDir: String): DataFrame =
-    Dedup.shingled(spark, sfDir)
-      .filter(!isAppendDelta && col("doc_id") % 97 === 0)
-      .select(explode(col("shingles")).as("s")).distinct()
+    Flow.sharedScanOf(spark, s"append_bench:$sfDir",
+        graft.Util.fileFingerprint(s"$sfDir/documents.parquet")) {
+      Dedup.shingled(spark, sfDir)
+        .filter(!isAppendDelta && col("doc_id") % 97 === 0)
+        .select(explode(col("shingles")).as("s")).distinct()
+    }
 
   /** Batch-side delta gating for the append contract: every gate runs
     * against BASE-FROZEN artifacts — funnel verdict scored on the
@@ -2245,13 +2280,13 @@ object Text {
       sfDir: String): DataFrame = {
     val docs = docbaseOf(spark, sfDir)
     val delta = docs.filter(isAppendDelta)
-    val baseDigests = docs.filter(!isAppendDelta)
-      .select(sha2(col("text"), 256).as("h")).distinct()
+    val baseDigests = appendBaseDigests(spark, sfDir)
     val deltaKeepers = delta
       .select(col("doc_id"), sha2(col("text"), 256).as("h"))
       .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
-    val verdicts = filterVerdictsScored(delta, docs.filter(!isAppendDelta))
+    val verdicts =
+      filterVerdictsWithVocab(delta, appendVocab(spark, sfDir))
     val dbk = Dedup.minhashBuckets(spark, sfDir)
     val cand = dbk.filter(isAppendDelta).as("x")
       .join(dbk.filter(!isAppendDelta).as("y"),
@@ -2328,7 +2363,10 @@ object Text {
       vocab: scala.collection.Map[String, Long], total: Long): String = {
     val stopSet = Set("the", "a", "of", "and", "is", "to", "in")
     val ws = text.toLowerCase.split(" ", -1)
-    val nChars = text.length
+    // code points, not UTF-16 units: Spark's length() and DuckDB's
+    // length() both count code points, and the too-short gate must
+    // agree with them on supplementary-plane text
+    val nChars = text.codePointCount(0, text.length)
     val nTokens = ws.length
     if (nChars < 100 || nTokens < 20) return "1_too_short"
     val nStop = ws.count(stopSet.contains)
@@ -2425,22 +2463,19 @@ object Text {
     import spark.implicits._
     import org.apache.spark.sql.types._
     graft.functions.BpeVocab.ensureFixture()
-    val baseDocs = docbaseOf(spark, sfDir).filter(!isAppendDelta)
     // frozen models, shipped in the task closure: the base vocabulary
     // (quality model — language-sized, with counts) and the bench
-    // shingle suite (eval-suite-sized). Both .collect() calls are
-    // bounded by the model domain, not the corpus row count.
-    val vt = baseDocs.select(explode(tokens).as("w"))
-      .filter(col("w") =!= "")
-      .groupBy(col("w")).agg(count(lit(1)).as("n"))
-      .as[(String, Long)].collect()
+    // shingle suite (eval-suite-sized). Both .collect() calls read
+    // registry-PERSISTED artifacts and are bounded by the model
+    // domain, not the corpus row count.
+    val vt = appendVocab(spark, sfDir).as[(String, Long)].collect()
     val vocabMap: Map[String, Long] = vt.toMap
     val vTotal: Long = vt.map(_._2).sum
     val benchSet: Set[String] =
       appendBenchShingles(spark, sfDir).as[String].collect().toSet
     // frozen base indexes, joined stream-static (never broadcast by
     // hand — at scale these are the persisted corpus artifacts)
-    val baseDigests = baseDocs.select(sha2(col("text"), 256).as("h"))
+    val baseDigests = appendBaseDigests(spark, sfDir)
     val baseBuckets = Dedup.minhashBuckets(spark, sfDir)
       .filter(!isAppendDelta)
       .select(col("bucket"), col("doc_id").as("index_id"))

@@ -431,6 +431,12 @@ class TextOpsSpec extends SparkSuite {
     assert(got == want,
       s"scala funnel $got != batch funnel $want")
     assert(want.size >= 2, "guard: funnel must discriminate")
+    // supplementary-plane parity: 21 tokens of a 2-code-point astral
+    // pair = 62 code points (engine length() semantics → too short)
+    // but 104 UTF-16 units — a String.length implementation would
+    // wrongly clear the gate
+    val astral = Array.fill(21)("𝄞𝄞").mkString(" ")
+    assert(ops.Text.funnelVerdictOf(astral, vocab, total) == "1_too_short")
   }
 
   test("bloom decontam is row-identical to the exact broadcast-set path") {
