@@ -1712,15 +1712,35 @@ object Relational {
        ORDER BY rank_e9 DESC, node LIMIT 20"""
   }
 
+  /** Size bound for [[graphTriangles]]' broadcast-adjacency path, in
+    * ORIENTED EDGES (the adjacency payload is one long per edge). Same
+    * size-conditional convention as [[PagerankBroadcastMaxKey]]:
+    * broadcast below, shuffle wedge join above, conf override so both
+    * physical shapes are plan-testable at testdata scale. */
+  val TrianglesBroadcastMaxKey = "spark.graft.triangles.broadcastMaxEdges"
+
   /** Degree-ordered triangle counting over the part-adjacency graph
     * (same edge derivation as [[graphPagerank]], undirected + simple).
     * Every edge is ORIENTED from its lower-(degree, id) endpoint to
     * the higher, so each node's out-degree is O(√m) no matter how
     * skewed the raw degrees are: a hub's triangles are enumerated
     * from its low-degree neighbors, never by fanning out the hub
-    * itself. Wedge join volume is then O(m^1.5) worst case — the
-    * standard distributed triangle shape (vs the naive all-neighbors
-    * self-join, which is Σdeg² and detonates on the first hot key).
+    * itself.
+    *
+    * Two physical shapes behind one semantics (r13 — the r12 drift
+    * audit turned into a plan win):
+    *  - edges ≤ [[TrianglesBroadcastMaxKey]] (default 4M ≈ 32 MB of
+    *    adjacency payload): the oriented adjacency lists broadcast,
+    *    each edge (u,v) intersects adj(u) ∩ adj(v) map-side
+    *    (compact-forward / Latapy intersection), and the only
+    *    exchanges left are the O(m) adjacency build and the final
+    *    per-node count of 3×|triangles| emitted rows. The O(m^1.5)
+    *    WEDGE SHUFFLE of the join formulation disappears — wedges
+    *    that close are found inside `array_intersect`, wedges that
+    *    don't are never materialized at all.
+    *  - above the bound (cluster-scale graphs): the distributed wedge
+    *    join — e1 ⋈ e2 on v, probe e3 on (u, w) — whose intermediate
+    *    is O(m^1.5) rows but needs no single-machine adjacency.
     * Output: top-20 nodes by triangle participation. */
   def graphTriangles(spark: SparkSession, sfDir: String): DataFrame = {
     // same persisted raw edge stream as pagerank (D3 registry) — the
@@ -1734,10 +1754,10 @@ object Relational {
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
     val lowFirst = col("da") < col("db") ||
       (col("da") === col("db") && col("a") < col("b"))
-    // The oriented edge table feeds all three legs of the wedge join;
-    // without materialization each leg re-runs the scan + window +
-    // distinct + degree joins (exchange reuse does not canonicalize
-    // across self-join clones — same measured 3× as ngram-jaccard).
+    // The oriented edge table feeds every downstream leg; without
+    // materialization each leg re-runs the scan + window + distinct +
+    // degree joins (exchange reuse does not canonicalize across
+    // self-join clones — same measured 3× as ngram-jaccard).
     val o = und
       .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
       .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
@@ -1745,24 +1765,58 @@ object Relational {
         when(lowFirst, col("b")).otherwise(col("a")).as("v"))
       .persist()
     try {
-      val tri = o.as("e1")
-        .join(o.as("e2"), col("e2.u") === col("e1.v"))
-        .join(o.as("e3"),
-          col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
-        .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))
+      val nEdges = o.count() // also materializes the persist
+      val bcastMax = spark.conf.getOption(TrianglesBroadcastMaxKey)
+        .map(_.toLong).getOrElse(4000000L)
       // top-20 is bounded: collect while o is cached, return a local
       // frame (the pagerank pattern — no persist leak, and a consumer
-      // writing the result doesn't re-run the wedge join uncached)
+      // writing the result doesn't re-run the counting uncached)
       import spark.implicits._
-      val top = tri
-        .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
-        .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+      val top = triangleCounts(o, nEdges, bcastMax)
         .orderBy(col("n_triangles").desc, col("node")).limit(20)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
       top.toDF("node", "n_triangles")
         .orderBy(col("n_triangles").desc, col("node"))
     } finally o.unpersist(false)
   }
+
+  /** Per-node triangle-participation counts over an oriented simple
+    * edge set `o(u, v)` (u before v in the degree-ordering — every
+    * triangle has exactly one "apex" edge (u,v) with the third node in
+    * adj(u) ∩ adj(v)). Size-conditional physical shape, see
+    * [[graphTriangles]]; both paths emit each triangle's three
+    * corners exactly once, so they agree row-for-row with the oracle's
+    * x/y/z union. */
+  private[graft] def triangleCounts(o: DataFrame, nEdges: Long,
+      bcastMax: Long): DataFrame =
+    if (nEdges <= bcastMax) {
+      // out-degree is O(√m) under the orientation, so each collected
+      // list is bounded even on power-law graphs; total payload is one
+      // long per edge — the broadcast size the conf bound gates on.
+      val adj = o.groupBy(col("u"))
+        .agg(sort_array(collect_list(col("v"))).as("nb"))
+      val emptyNb = typedLit(Array.empty[Long])
+      o.join(broadcast(adj.select(col("u"), col("nb").as("nu"))), Seq("u"))
+        .join(broadcast(adj.select(col("u").as("v"), col("nb").as("nv"))),
+          Seq("v"), "left") // a sink node has no out-edges -> no list
+        .select(col("u"), col("v"),
+          array_intersect(col("nu"), coalesce(col("nv"), emptyNb)).as("ws"))
+        // one emitted row per (triangle, corner): u and v once per
+        // closing w, each w once — empty intersections emit nothing
+        .select(explode(concat(
+          array_repeat(col("u"), size(col("ws"))),
+          array_repeat(col("v"), size(col("ws"))),
+          col("ws"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+    } else {
+      val tri = o.as("e1")
+        .join(o.as("e2"), col("e2.u") === col("e1.v"))
+        .join(o.as("e3"),
+          col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
+        .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))
+      tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+    }
   val graphTrianglesSql: String =
     """WITH raw AS (
          SELECT src, dst FROM (

@@ -223,6 +223,40 @@ class PlansSpec extends SparkSuite {
     }
   }
 
+  test("triangles: broadcast intersect below the edge bound, wedge join above") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec,
+      ShuffledHashJoinExec, SortMergeJoinExec}
+    // K4 minus one edge, oriented by (degree, id): triangles (1,2,3)
+    // and (1,2,4) share edge 1->2; node 3-4 edge absent.
+    val o = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L))
+      .toDF("u", "v")
+    graft.Util.withConf(spark, "spark.sql.adaptive.enabled", "false") {
+      graft.Util.withConf(spark, "spark.sql.autoBroadcastJoinThreshold", "-1") {
+        def joins(df: org.apache.spark.sql.DataFrame) =
+          df.queryExecution.executedPlan.collect {
+            case _: BroadcastHashJoinExec => "broadcast"
+            case _: ShuffledHashJoinExec => "shuffle"
+            case _: SortMergeJoinExec => "shuffle"
+          }
+        val below = ops.Relational.triangleCounts(o, nEdges = 5L,
+          bcastMax = 4000000L)
+        val above = ops.Relational.triangleCounts(o, nEdges = 5L,
+          bcastMax = 2L)
+        assert(joins(below).nonEmpty && joins(below).forall(_ == "broadcast"),
+          s"below: ${joins(below)}")
+        assert(joins(above).nonEmpty && joins(above).forall(_ == "shuffle"),
+          s"above: ${joins(above)}")
+        // both physical shapes emit identical per-node participation
+        def vals(df: org.apache.spark.sql.DataFrame) =
+          df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val want = Set((1L, 2L), (2L, 2L), (3L, 1L), (4L, 1L))
+        assert(vals(below) == want, s"below: ${vals(below)}")
+        assert(vals(above) == want, s"above: ${vals(above)}")
+      }
+    }
+  }
+
   test("GroupTopK plans partial -> exchange -> final; result exact") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     graft.Util.withConf(spark, "spark.sql.adaptive.enabled", "false") {
