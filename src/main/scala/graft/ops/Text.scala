@@ -542,14 +542,18 @@ object Text {
     * INTEGERS per doc — partition-order-independent, and the oracle
     * replays the identically-parenthesized arithmetic (the t_tfidf
     * ln-parity precedent). k1 = 1.2, b = 0.75. */
+  /** The fixed retrieval query set — shared by [[bm25Topk]] and both
+    * fusion legs of [[ragFusionRrf]], so the legs rank the same
+    * information needs by construction. */
+  val RetrievalQueries: Seq[(String, String)] = Seq(
+    ("q1", "hash"), ("q1", "join"),
+    ("q2", "window"), ("q2", "agg"),
+    ("q3", "stream"), ("q3", "batch"),
+    ("q4", "sort"), ("q4", "merge"), ("q4", "join"))
+
   def bm25Topk(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val qset = Seq(
-      ("q1", "hash"), ("q1", "join"),
-      ("q2", "window"), ("q2", "agg"),
-      ("q3", "stream"), ("q3", "batch"),
-      ("q4", "sort"), ("q4", "merge"), ("q4", "join"))
-    val qdf = broadcast(qset.toDF("query_id", "term"))
+    val qdf = broadcast(RetrievalQueries.toDF("query_id", "term"))
     val terms = Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(tokens).as("term"))
       .filter(col("term") =!= "")
@@ -580,12 +584,14 @@ object Text {
       .select(col("query_id"), col("rk"), col("doc_id"), col("score_e4"))
       .orderBy(col("query_id"), col("rk"))
   }
-  val bm25TopkSql: String =
-    """WITH q(query_id, term) AS (VALUES
-         ('q1', 'hash'), ('q1', 'join'),
-         ('q2', 'window'), ('q2', 'agg'),
-         ('q3', 'stream'), ('q3', 'batch'),
-         ('q4', 'sort'), ('q4', 'merge'), ('q4', 'join')),
+  /** BM25 CTE chain ending in `bm25rank(query_id, rk, doc_id,
+    * score_e4)` — ONE SQL definition for [[bm25TopkSql]] and the
+    * BM25 leg of [[ragFusionRrfSql]] (the jaccardPairCtes convention:
+    * a fusion leg cannot drift from the standalone ranker). */
+  val bm25Ctes: String =
+    s"""q(query_id, term) AS (VALUES
+         ${RetrievalQueries.map(p => s"('${p._1}', '${p._2}')")
+           .mkString(",\n         ")}),
        terms AS (
          SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
          FROM documents),
@@ -607,12 +613,244 @@ object Text {
          JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s),
        scored AS (
          SELECT query_id, doc_id, CAST(sum(score_e4) AS BIGINT) AS score_e4
-         FROM contrib GROUP BY 1, 2)
-       SELECT query_id, rk, doc_id, score_e4 FROM (
-         SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-           ORDER BY score_e4 DESC, doc_id) AS INT) AS rk
-         FROM scored)
+         FROM contrib GROUP BY 1, 2),
+       bm25rank AS (
+         SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY score_e4 DESC, doc_id) AS INT) AS rk, doc_id, score_e4
+         FROM scored)"""
+
+  val bm25TopkSql: String =
+    s"""WITH $bm25Ctes
+       SELECT query_id, rk, doc_id, score_e4 FROM bm25rank
        WHERE rk <= 10 ORDER BY query_id, rk"""
+
+  /** `rag_fusion_rrf` — reciprocal-rank fusion of two retrieval
+    * models over the same corpus and query set: the RAG front door
+    * once a corpus is built (retrieval feeds both RAG serving and
+    * retrieval-based decontamination/attribution audits). Leg A is
+    * [[bm25Topk]] verbatim; leg B is Dirichlet-smoothed query
+    * likelihood (Zhai–Lafferty, μ = 2000) — a genuinely different
+    * ranking family (generative LM vs probabilistic relevance), which
+    * is what makes fusion worth running. RRF (Cormack et al.):
+    * fused(d) = Σ_legs floor(1e6 / (60 + rank_leg(d))) — EXACT
+    * integer arithmetic, rank-only (score scales never mix, the whole
+    * point of RRF), missing-from-a-leg contributes 0. A dense leg is
+    * the same shape: swap leg B for an ANN ranking and the fusion
+    * join/window below is unchanged.
+    *
+    * Scale shape: each leg is a per-query top-10 over bounded query
+    * sets (the heavy work is the legs' own retrieval aggregates, both
+    * established shapes); the fusion itself joins two ≤ |Q|×10-row
+    * frames — metadata-sized at any corpus scale. QL candidates are
+    * docs matching ≥ 1 query term (scored over ALL the query's terms,
+    * absent ones at their smoothed floor); query terms with zero
+    * collection frequency drop out (P(t|C) = 0 has no finite ln). */
+  def ragFusionRrf(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val qdf = broadcast(RetrievalQueries.toDF("query_id", "term"))
+    val terms = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(tokens).as("term"))
+      .filter(col("term") =!= "")
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val cf = terms.groupBy(col("term")).agg(count(lit(1)).as("cf"))
+    val ctot = terms.agg(count(lit(1)).as("c_total"))
+    // query terms with their collection stats (zero-cf terms drop)
+    val qcf = qdf.join(cf, Seq("term"))
+    val cand = tf.join(qdf, Seq("term"))
+      .select(col("query_id"), col("doc_id")).distinct()
+    val contrib = cand
+      .join(broadcast(qcf), Seq("query_id"))
+      .join(tf, Seq("doc_id", "term"), "left")
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(ctot))
+      .withColumn("ql_term_e4",
+        floor(lit(10000.0) * log(
+          (coalesce(col("tf"), lit(0L)) +
+            lit(2000.0) * col("cf") / col("c_total")) /
+          (col("dl") + lit(2000.0)))).cast("long"))
+    val qlScored = contrib.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("ql_term_e4")).as("ql_e4"))
+    val wQl = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("ql_e4").desc, col("doc_id"))
+    val legB = qlScored
+      .withColumn("rk", row_number().over(wQl).cast("int"))
+      .filter(col("rk") <= 10)
+    val legA = bm25Topk(spark, sfDir)
+    // Spark's `/` is fractional even on longs; floor of the exact
+    // double quotient == DuckDB's integer `//` at these magnitudes
+    def rrf(c: Column): Column =
+      floor(lit(1000000.0) / (lit(60.0) + c)).cast("long")
+    val fused = legA
+      .select(col("query_id"), col("doc_id"), rrf(col("rk")).as("ca"))
+      .join(legB.select(col("query_id"), col("doc_id"),
+        rrf(col("rk")).as("cb")), Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        (coalesce(col("ca"), lit(0L)) + coalesce(col("cb"), lit(0L)))
+          .as("rrf_e6"))
+    val wF = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("rrf_e6").desc, col("doc_id"))
+    fused.withColumn("rk", row_number().over(wF).cast("int"))
+      .filter(col("rk") <= 10)
+      .select(col("query_id"), col("rk"), col("doc_id"), col("rrf_e6"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+  val ragFusionRrfSql: String =
+    s"""WITH $bm25Ctes,
+       cf AS (SELECT term, count(1) AS cf FROM terms
+              WHERE term <> '' GROUP BY term),
+       ctot AS (SELECT count(1) AS c_total FROM terms WHERE term <> ''),
+       qcf AS (SELECT q.query_id, q.term, cf.cf FROM q JOIN cf USING (term)),
+       qlcand AS (SELECT DISTINCT q.query_id, tf.doc_id
+                  FROM tf JOIN q USING (term)),
+       qlcontrib AS (
+         SELECT c.query_id, c.doc_id,
+           CAST(floor(10000.0 * ln(
+             (coalesce(tf.tf, 0) + 2000.0 * qc.cf / ct.c_total) /
+             (dl.dl + 2000.0))) AS BIGINT) AS ql_term_e4
+         FROM qlcand c
+         JOIN qcf qc ON qc.query_id = c.query_id
+         LEFT JOIN tf ON tf.doc_id = c.doc_id AND tf.term = qc.term
+         JOIN dl ON dl.doc_id = c.doc_id
+         CROSS JOIN ctot ct),
+       qlscored AS (
+         SELECT query_id, doc_id, CAST(sum(ql_term_e4) AS BIGINT) AS ql_e4
+         FROM qlcontrib GROUP BY 1, 2),
+       qlrank AS (
+         SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY ql_e4 DESC, doc_id) AS INT) AS rk, doc_id
+         FROM qlscored),
+       fused AS (
+         SELECT query_id, doc_id,
+           CAST(coalesce(1000000 // (60 + a.rk), 0) +
+                coalesce(1000000 // (60 + b.rk), 0) AS BIGINT) AS rrf_e6
+         FROM (SELECT query_id, doc_id, rk FROM bm25rank WHERE rk <= 10) a
+         FULL JOIN (SELECT query_id, doc_id, rk FROM qlrank WHERE rk <= 10) b
+         USING (query_id, doc_id))
+       SELECT query_id, CAST(rk AS INT) AS rk, doc_id, rrf_e6 FROM (
+         SELECT *, row_number() OVER (PARTITION BY query_id
+           ORDER BY rrf_e6 DESC, doc_id) AS rk
+         FROM fused)
+       WHERE rk <= 10 ORDER BY query_id, rk"""
+
+  /** `t_quality_classifier` — model-based quality filtering with a
+    * held-out eval, the FineWeb-Edu/DCLM posture: an expensive keep/
+    * drop rule (here the corpus funnel verdict, [[filterVerdictsFrom]]
+    * — in production an LLM judge) is DISTILLED into a cheap unigram
+    * multinomial Naive-Bayes classifier, and the output is the
+    * held-out CONFUSION MATRIX — the number a curation team actually
+    * reads before trusting the cheap model on the other 99 % of the
+    * corpus.
+    *
+    * Determinism and scale: the train/test split is the md5(doc_id)
+    * convention (re-runs never move a doc); per-term class counts are
+    * one vocab-bounded shuffle over the train half; the model — one
+    * e4-floored log-likelihood-ratio weight per train term (Laplace
+    * smoothing, the published NB arithmetic) — is language-sized and
+    * BROADCASTS to score the held-out half map-side (tf × floor'd
+    * integer weights summed per doc: partition-order-independent,
+    * the DSIR precedent); unseen terms score at the zero-count floor
+    * of the same formula. Model state scales with vocabulary, never
+    * with the corpus. Predict keep iff prior + evidence > 0. */
+  def qualityClassifier(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val lab = filterVerdictsFrom(docs)
+      .withColumn("is_keep", col("verdict") === "5_keep")
+      .select(col("doc_id"), col("is_keep"))
+    val ids = docs.select(col("doc_id")).withColumn("is_train",
+      md5(encode(col("doc_id").cast("string"), "utf-8")) < "80")
+    val toks = docs.select(col("doc_id"), explode(tokens).as("w"))
+      .filter(col("w") =!= "")
+    val trainIds = ids.filter(col("is_train")).select(col("doc_id"))
+    val testIds = ids.filter(!col("is_train")).select(col("doc_id"))
+    val model0 = toks.join(trainIds, Seq("doc_id")).join(lab, Seq("doc_id"))
+      .groupBy(col("w")).agg(
+        sum(when(col("is_keep"), 1L).otherwise(0L)).as("ck"),
+        sum(when(col("is_keep"), 0L).otherwise(1L)).as("cd"))
+    val tot = model0.agg(sum(col("ck")).as("nk"), sum(col("cd")).as("nd"),
+      count(lit(1)).as("v"))
+    val model = model0.crossJoin(broadcast(tot))
+      .withColumn("w_e4", floor(lit(10000.0) *
+        (log((col("ck") + lit(1.0)) / (col("nk") + col("v"))) -
+         log((col("cd") + lit(1.0)) / (col("nd") + col("v")))))
+        .cast("long"))
+      .select(col("w"), col("w_e4"))
+    val unseen = tot.select(floor(lit(10000.0) *
+      (log(lit(1.0) / (col("nk") + col("v"))) -
+       log(lit(1.0) / (col("nd") + col("v"))))).cast("long").as("unseen_e4"))
+    val prior = lab.join(trainIds, Seq("doc_id"))
+      .agg(floor(lit(10000.0) * log(
+        (sum(when(col("is_keep"), 1L).otherwise(0L)) + lit(1.0)) /
+        (sum(when(col("is_keep"), 0L).otherwise(1L)) + lit(1.0))))
+        .cast("long").as("prior_e4"))
+    val evidence = toks.join(testIds, Seq("doc_id"))
+      .join(broadcast(model), Seq("w"), "left")
+      .crossJoin(broadcast(unseen))
+      .groupBy(col("doc_id"))
+      .agg(sum(coalesce(col("w_e4"), col("unseen_e4"))).as("ev_e4"))
+    testIds
+      .join(evidence, Seq("doc_id"), "left")
+      .crossJoin(broadcast(prior))
+      .withColumn("score_e4",
+        coalesce(col("ev_e4"), lit(0L)) + col("prior_e4"))
+      .join(lab, Seq("doc_id"))
+      .select(
+        when(col("is_keep"), "keep").otherwise("drop").as("label"),
+        when(col("score_e4") > 0, "keep").otherwise("drop").as("pred"))
+      .groupBy(col("label"), col("pred"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("label"), col("pred"))
+  }
+  def qualityClassifierSql: String =
+    s"""WITH ${funnelVerdictCtes("")},
+       lab AS (SELECT doc_id, (verdict = '5_keep') AS is_keep FROM verdict),
+       ids AS (SELECT doc_id, md5(CAST(doc_id AS STRING)) < '80' AS is_train
+               FROM documents),
+       toksq AS (SELECT doc_id, w FROM (
+           SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+           FROM documents) t
+         WHERE w <> ''),
+       model0 AS (
+         SELECT w,
+           sum(CASE WHEN l.is_keep THEN 1 ELSE 0 END) AS ck,
+           sum(CASE WHEN l.is_keep THEN 0 ELSE 1 END) AS cd
+         FROM toksq t JOIN ids i USING (doc_id) JOIN lab l USING (doc_id)
+         WHERE i.is_train GROUP BY w),
+       tot AS (SELECT sum(ck) AS nk, sum(cd) AS nd, count(1) AS v
+               FROM model0),
+       model AS (
+         SELECT w, CAST(floor(10000.0 *
+           (ln((ck + 1.0) / (nk + v)) - ln((cd + 1.0) / (nd + v))))
+           AS BIGINT) AS w_e4
+         FROM model0 CROSS JOIN tot),
+       consts AS (
+         SELECT CAST(floor(10000.0 *
+           (ln(1.0 / (nk + v)) - ln(1.0 / (nd + v)))) AS BIGINT) AS unseen_e4
+         FROM tot),
+       prior AS (
+         SELECT CAST(floor(10000.0 * ln(
+           (sum(CASE WHEN l.is_keep THEN 1 ELSE 0 END) + 1.0) /
+           (sum(CASE WHEN l.is_keep THEN 0 ELSE 1 END) + 1.0)))
+           AS BIGINT) AS prior_e4
+         FROM lab l JOIN ids i USING (doc_id) WHERE i.is_train),
+       evidence AS (
+         SELECT t.doc_id,
+           CAST(sum(coalesce(m.w_e4, c.unseen_e4)) AS BIGINT) AS ev_e4
+         FROM toksq t JOIN ids i USING (doc_id)
+         LEFT JOIN model m ON m.w = t.w CROSS JOIN consts c
+         WHERE NOT i.is_train GROUP BY t.doc_id),
+       scoredq AS (
+         SELECT i.doc_id, coalesce(e.ev_e4, 0) + p.prior_e4 AS score_e4
+         FROM ids i LEFT JOIN evidence e USING (doc_id) CROSS JOIN prior p
+         WHERE NOT i.is_train)
+       SELECT CASE WHEN l.is_keep THEN 'keep' ELSE 'drop' END AS label,
+              CASE WHEN s.score_e4 > 0 THEN 'keep' ELSE 'drop' END AS pred,
+              count(1) AS n_docs
+       FROM scoredq s JOIN lab l USING (doc_id)
+       GROUP BY 1, 2 ORDER BY label, pred"""
 
   // Stratified sampling: per-language hash thresholds (downsample the
   // majority class, keep all of the rarest) — the class-rebalancing
@@ -2849,6 +3087,8 @@ object Text {
     "sample_stratified" -> sampleStratified,
     "t_tfidf_topk" -> tfidfTopk,
     "t_bm25_topk" -> bm25Topk,
+    "rag_fusion_rrf" -> ragFusionRrf,
+    "t_quality_classifier" -> qualityClassifier,
     "t_chunk" -> chunk,
     "t_pack_sequences" -> packSequences,
     "t_pack_bpe" -> packBpe,
@@ -2895,6 +3135,8 @@ object Text {
     "sample_stratified" -> sampleStratifiedSql,
     "t_tfidf_topk" -> tfidfTopkSql,
     "t_bm25_topk" -> bm25TopkSql,
+    "rag_fusion_rrf" -> ragFusionRrfSql,
+    "t_quality_classifier" -> qualityClassifierSql,
     "t_chunk" -> chunkSql,
     "t_pack_sequences" -> packSequencesSql,
     "t_pack_bpe" -> packBpeSql,

@@ -439,6 +439,52 @@ class TextOpsSpec extends SparkSuite {
     assert(ops.Text.funnelVerdictOf(astral, vocab, total) == "1_too_short")
   }
 
+  test("rag_fusion_rrf: consecutive ranks, monotone fused scores, leg floor") {
+    val rows = ops.Text.ragFusionRrf(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byQ = rows.groupBy(_.getString(0))
+    byQ.foreach { case (q, rs) =>
+      val ranks = rs.map(_.getInt(1)).toSeq
+      assert(ranks == (1 to rs.length), s"$q ranks: $ranks")
+      val scores = rs.sortBy(_.getInt(1)).map(_.getLong(3)).toSeq
+      assert(scores == scores.sorted.reverse, s"$q not monotone: $scores")
+      // RRF contributions are floor(1e6/(60+rk)), rk in 1..10 per leg:
+      // every fused score sits in [floor(1e6/70), 2*floor(1e6/61)]
+      assert(scores.forall(s => s >= 14285L && s <= 2 * 16393L), s"$q: $scores")
+      assert(rs.map(_.getLong(2)).distinct.length == rs.length)
+    }
+    // the bm25 leg's rank-1 doc must appear in the fusion with at
+    // least its own leg contribution
+    val bm1 = ops.Text.bm25Topk(spark, sf).collect()
+      .filter(_.getInt(1) == 1).map(r => (r.getString(0), r.getLong(2))).toSet
+    bm1.foreach { case (q, d) =>
+      val f = rows.find(r => r.getString(0) == q && r.getLong(2) == d)
+      assert(f.exists(_.getLong(3) >= 16393L), s"bm25 #1 ($q,$d) lost: $f")
+    }
+  }
+
+  test("t_quality_classifier: confusion matrix partitions the held-out half") {
+    import spark.implicits._
+    val cm = ops.Text.qualityClassifier(spark, sf).collect()
+    val cells = cm.map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+    assert(cells.forall { case ((l, p), n) =>
+      Set("keep", "drop")(l) && Set("keep", "drop")(p) && n > 0 })
+    val nTest = Tables.documents(spark, sf)
+      .filter(md5(encode(col("doc_id").cast("string"), "utf-8")) >= "80")
+      .count()
+    assert(cells.map(_._2).sum == nTest,
+      s"cells ${cells.toSeq} must partition the $nTest held-out docs")
+    // the model ships BROADCAST to the scoring side: with auto-broadcast
+    // off, the only hash-broadcast join in the plan is the hinted one
+    graft.Util.withConf(spark, "spark.sql.adaptive.enabled", "false") {
+      graft.Util.withConf(spark, "spark.sql.autoBroadcastJoinThreshold", "-1") {
+        val plan = ops.Text.qualityClassifier(spark, sf)
+          .queryExecution.executedPlan.toString
+        assert(plan.contains("BroadcastHashJoin"), plan.take(4000))
+      }
+    }
+  }
+
   test("bloom decontam is row-identical to the exact broadcast-set path") {
     // The bloom only PRUNES (exact verify decides), so the two plans
     // must agree bit-for-bit on every doc — including contam_frac_e4,
