@@ -2107,6 +2107,51 @@ object Text {
        FROM documents
        GROUP BY 1, 2 ORDER BY source, split"""
 
+  /** `corpus_shuffle` — the REPRODUCIBLE DATALOADER ORDER every
+    * training run needs after the corpus is packed: a two-level
+    * (shard, position) permutation per epoch, where a doc's place is
+    * a pure function of md5(epoch ':' doc_id). Properties a 100 TB
+    * run cares about, each pinned in spec:
+    *  - reproducible: re-runs, re-sharding, and adding sources never
+    *    change an existing doc's (epoch, shard, pos) — no plan state,
+    *    no RNG, the t_split_assign determinism convention;
+    *  - epoch-decorrelated: the hash includes the epoch, so epoch 1
+    *    is a fresh permutation, not epoch 0 re-read (the shuffle
+    *    quality a fixed order per epoch would destroy);
+    *  - NO GLOBAL SORT: the shard is the hash's leading hex nibble,
+    *    so (shard, pos) order IS the global hash order, but the plan
+    *    is one hash exchange on (epoch, shard) + a per-shard LOCAL
+    *    sort — at 100 TB each shard writer emits its file in final
+    *    order and no corpus-wide range exchange ever happens (the
+    *    presentation ORDER BY below exists only for the oracle's
+    *    total order). */
+  def corpusShuffle(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(array(lit(0), lit(1))).as("epoch"))
+      .withColumn("h", md5(encode(concat(col("epoch").cast("string"),
+        lit(":"), col("doc_id").cast("string")), "utf-8")))
+      .withColumn("shard", substring(col("h"), 1, 1))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("epoch"), col("shard"))
+      .orderBy(col("h"), col("doc_id"))
+    df.withColumn("pos", row_number().over(w))
+      .select(col("epoch"), col("shard"), col("pos"), col("doc_id"))
+      .orderBy(col("epoch"), col("shard"), col("pos"))
+  }
+  val corpusShuffleSql: String =
+    """SELECT epoch, shard,
+         CAST(row_number() OVER (PARTITION BY epoch, shard
+           ORDER BY h, doc_id) AS INT) AS pos,
+         doc_id
+       FROM (
+         SELECT doc_id, epoch,
+           md5(CAST(epoch AS STRING) || ':' || CAST(doc_id AS STRING)) AS h,
+           substr(md5(CAST(epoch AS STRING) || ':' ||
+             CAST(doc_id AS STRING)), 1, 1) AS shard
+         FROM documents, (SELECT unnest([0, 1]) AS epoch))
+       ORDER BY epoch, shard, pos"""
+
   /** `corpus_build_pipeline` — the capstone composition (judge r11
     * item #4): html_extract → lang_id → quality/repetition funnel →
     * exact dedup → minhash near-dedup → decontamination → split
@@ -3089,6 +3134,7 @@ object Text {
     "t_bm25_topk" -> bm25Topk,
     "rag_fusion_rrf" -> ragFusionRrf,
     "t_quality_classifier" -> qualityClassifier,
+    "corpus_shuffle" -> corpusShuffle,
     "t_chunk" -> chunk,
     "t_pack_sequences" -> packSequences,
     "t_pack_bpe" -> packBpe,
@@ -3137,6 +3183,7 @@ object Text {
     "t_bm25_topk" -> bm25TopkSql,
     "rag_fusion_rrf" -> ragFusionRrfSql,
     "t_quality_classifier" -> qualityClassifierSql,
+    "corpus_shuffle" -> corpusShuffleSql,
     "t_chunk" -> chunkSql,
     "t_pack_sequences" -> packSequencesSql,
     "t_pack_bpe" -> packBpeSql,

@@ -485,6 +485,25 @@ class TextOpsSpec extends SparkSuite {
     }
   }
 
+  test("corpus_shuffle: reproducible, epoch-decorrelated, shard = hash nibble") {
+    val a = ops.Text.corpusShuffle(spark, sf).collect()
+    val b = ops.Text.corpusShuffle(spark, sf).collect()
+    assert(a.toSeq == b.toSeq, "order must be a pure function of the data")
+    val n = Tables.documents(spark, sf).count()
+    assert(a.length == 2 * n)
+    // every (epoch, shard) sequence is 1..k consecutive
+    a.groupBy(r => (r.getInt(0), r.getString(1))).foreach { case (k, rs) =>
+      assert(rs.map(_.getInt(2)).sorted.toSeq == (1 to rs.length), s"$k")
+    }
+    // epochs are fresh permutations: most docs move (same (shard, pos)
+    // across epochs would mean the epoch salt does nothing)
+    val p0 = a.filter(_.getInt(0) == 0)
+      .map(r => r.getLong(3) -> (r.getString(1), r.getInt(2))).toMap
+    val same = a.filter(_.getInt(0) == 1)
+      .count(r => p0(r.getLong(3)) == (r.getString(1), r.getInt(2)))
+    assert(same < n / 4, s"$same of $n docs kept their slot across epochs")
+  }
+
   test("bloom decontam is row-identical to the exact broadcast-set path") {
     // The bloom only PRUNES (exact verify decides), so the two plans
     // must agree bit-for-bit on every doc — including contam_frac_e4,
