@@ -2424,9 +2424,10 @@ object Text {
         pmod(col("bin"), lit(CorpusWriteSalt)))
   }
 
-  def corpusBuildRun(spark: SparkSession, sfDir: String): DataFrame = {
-    graft.functions.BpeVocab.ensureFixture()
-    val base = docbaseOf(spark, sfDir)
+  /** Ensure the packed-corpus layout exists for this dataset (write
+    * once per session/dataset, fingerprint-keyed); returns its root.
+    * Shared by [[corpusBuildRun]] and [[corpusRetractRun]]. */
+  private def corpusRunLayout(spark: SparkSession, sfDir: String): String = {
     val root = graft.Util.sessionTmpDir(spark, "graft_corpus_run")
     val tag = graft.Util.fileFingerprint(s"$sfDir/documents.parquet")
     val out = s"$root/$tag"
@@ -2435,6 +2436,13 @@ object Text {
       corpusWriteFrame(spark, sfDir)
         .write.partitionBy("split", "shard").mode("overwrite").parquet(out)
     }
+    out
+  }
+
+  def corpusBuildRun(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.BpeVocab.ensureFixture()
+    val base = docbaseOf(spark, sfDir)
+    val out = corpusRunLayout(spark, sfDir)
     // A zero-survivor corpus (every doc gated out — seen on saturated
     // synthetic vocabs at scale) commits a layout with NO part files;
     // schema inference would throw. Nothing written ⇒ nothing to
@@ -2462,6 +2470,124 @@ object Text {
         (col("recount") === col("n_tokens")).as("tokens_ok"))
       .orderBy(col("doc_id"))
   }
+
+  /** Retract-list for [[corpusRetractRun]]: every surviving doc with
+    * doc_id % 89 == 3 stands in for a governance deletion request
+    * (takedown / opt-out / contamination discovered post-build). */
+  private[ops] val isRetracted: Column = col("doc_id") % 89 === 3
+
+  /** `corpus_retract_run` — the GOVERNANCE half of the corpus
+    * lifecycle (build → append → RETRACT → shuffle): execute a
+    * deletion request against the materialized packed corpus and
+    * prove the result, copy-on-write style.
+    *
+    * Semantics: retracted docs disappear; every SURVIVING doc keeps
+    * its frozen (split, shard, bin) coordinates — an unlearning scrub
+    * must not re-pack the corpus it is scrubbing (bins are immutable
+    * training artifacts, the append contract's invariant). The audit
+    * is per BIN: n/token counts before, retracted, after, with a
+    * verdict (intact / scrubbed / emptied) and a reconciliation bit.
+    *
+    * Scale shape (the Delta/Iceberg copy-on-write pattern,
+    * hand-rolled): only the (split, shard) cells CONTAINING a
+    * retracted doc are rewritten — the overlay write and the
+    * read-back audit are both partition-pruned to touched cells
+    * (plan-visible as partition filters), so rewrite and audit bytes
+    * scale with the retract list's cell footprint, never the corpus.
+    * Untouched cells' files are physically identical (nothing was
+    * written near them) — their after-counts are the manifest's own,
+    * which is exactly the trust boundary a CoW table format gives.
+    * The touched-cell list collects ≤ |splits|×|shards| = 48 rows —
+    * bounded by the layout grid, not the corpus. */
+  def corpusRetractRun(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.BpeVocab.ensureFixture()
+    val man = corpusBuildPipeline(spark, sfDir)
+    val plan = man.groupBy(col("split"), col("shard"), col("bin")).agg(
+      count(lit(1)).as("n_before"),
+      sum(col("n_tokens")).as("tok_before"),
+      sum(when(isRetracted, 1L).otherwise(0L)).as("n_retracted"),
+      sum(when(isRetracted, col("n_tokens")).otherwise(0L))
+        .as("tok_retracted"))
+    val touched = man.filter(isRetracted)
+      .select(col("split"), col("shard")).distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val withAfter =
+      if (touched.isEmpty) {
+        // nothing to scrub (or a zero-survivor corpus): no overlay, no
+        // read — after == before everywhere
+        plan
+          .withColumn("n_after", col("n_before"))
+          .withColumn("tok_after", col("tok_before"))
+          .withColumn("leftover", lit(0L))
+      } else {
+        val baseOut = corpusRunLayout(spark, sfDir)
+        val root = graft.Util.sessionTmpDir(spark, "graft_corpus_retract")
+        val tag = graft.Util.fileFingerprint(s"$sfDir/documents.parquet")
+        val over = s"$root/$tag"
+        val touchedPred = touched
+          .map { case (s, h) => col("split") === s && col("shard") === h }
+          .reduce(_ || _)
+        if (!new java.io.File(s"$over/_SUCCESS").exists()) {
+          graft.Util.vacuumSiblings(root, tag)
+          spark.read.parquet(baseOut)
+            .filter(touchedPred) // partition-pruned: touched cells only
+            .filter(!isRetracted)
+            .write.partitionBy("split", "shard").mode("overwrite")
+            .parquet(over)
+        }
+        // audit read: overlay cells only (untouched cells were never
+        // written near — their manifest numbers ARE their files)
+        val rb = spark.read.parquet(over)
+          .select(col("split").cast("string").as("split"),
+            col("shard").cast("long").as("shard"), col("bin"),
+            col("n_tokens"), col("doc_id"))
+          .groupBy(col("split"), col("shard"), col("bin"))
+          .agg(count(lit(1)).as("n_rb"), sum(col("n_tokens")).as("tok_rb"),
+            sum(when(isRetracted, 1L).otherwise(0L)).as("left_rb"))
+        plan
+          .join(rb, Seq("split", "shard", "bin"), "left")
+          .withColumn("in_touched", touchedPred)
+          .withColumn("n_after", when(col("in_touched"),
+            coalesce(col("n_rb"), lit(0L))).otherwise(col("n_before")))
+          .withColumn("tok_after", when(col("in_touched"),
+            coalesce(col("tok_rb"), lit(0L))).otherwise(col("tok_before")))
+          .withColumn("leftover", coalesce(col("left_rb"), lit(0L)))
+      }
+    withAfter
+      .select(col("split"), col("shard"), col("bin"),
+        col("n_before"), col("n_retracted"),
+        col("n_after"), col("tok_after"),
+        when(col("n_retracted") === 0, "intact")
+          .when(col("n_retracted") === col("n_before"), "emptied")
+          .otherwise("scrubbed").as("verdict"),
+        (col("n_after") === col("n_before") - col("n_retracted") &&
+          col("tok_after") === col("tok_before") - col("tok_retracted") &&
+          col("leftover") === 0L).as("retract_ok"))
+      .orderBy(col("split"), col("shard"), col("bin"))
+  }
+  /** Oracle: the shared `man` CTE aggregated per bin with the same
+    * retract predicate; the reconciliation bit is constant-true — any
+    * doc the scrub lost, kept, or double-counted breaks the hash. */
+  def corpusRetractRunSql: String =
+    s"""$corpusBuildManifestCtes,
+       ragg AS (
+         SELECT split, shard, bin,
+           count(1) AS n_before,
+           sum(n_tokens) AS tok_before,
+           sum(CASE WHEN doc_id % 89 = 3 THEN 1 ELSE 0 END) AS n_retracted,
+           sum(CASE WHEN doc_id % 89 = 3 THEN n_tokens ELSE 0 END)
+             AS tok_retracted
+         FROM man GROUP BY 1, 2, 3)
+       SELECT split, shard, bin,
+         CAST(n_before AS BIGINT) AS n_before,
+         CAST(n_retracted AS BIGINT) AS n_retracted,
+         CAST(n_before - n_retracted AS BIGINT) AS n_after,
+         CAST(tok_before - tok_retracted AS BIGINT) AS tok_after,
+         CASE WHEN n_retracted = 0 THEN 'intact'
+              WHEN n_retracted = n_before THEN 'emptied'
+              ELSE 'scrubbed' END AS verdict,
+         true AS retract_ok
+       FROM ragg ORDER BY split, shard, bin"""
 
   // -- corpus append: continuous maintenance of the packed corpus ----------
 
@@ -3135,6 +3261,7 @@ object Text {
     "rag_fusion_rrf" -> ragFusionRrf,
     "t_quality_classifier" -> qualityClassifier,
     "corpus_shuffle" -> corpusShuffle,
+    "corpus_retract_run" -> corpusRetractRun,
     "t_chunk" -> chunk,
     "t_pack_sequences" -> packSequences,
     "t_pack_bpe" -> packBpe,
@@ -3184,6 +3311,7 @@ object Text {
     "rag_fusion_rrf" -> ragFusionRrfSql,
     "t_quality_classifier" -> qualityClassifierSql,
     "corpus_shuffle" -> corpusShuffleSql,
+    "corpus_retract_run" -> corpusRetractRunSql,
     "t_chunk" -> chunkSql,
     "t_pack_sequences" -> packSequencesSql,
     "t_pack_bpe" -> packBpeSql,

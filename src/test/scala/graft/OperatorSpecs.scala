@@ -504,6 +504,38 @@ class TextOpsSpec extends SparkSuite {
     assert(same < n / 4, s"$same of $n docs kept their slot across epochs")
   }
 
+  test("corpus_retract_run: reconciled scrub, overlay rewrites touched cells only") {
+    val rows = ops.Text.corpusRetractRun(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getBoolean(8)), "every bin must reconcile")
+    rows.foreach { r =>
+      val (nb, nr, na, v) =
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getString(7))
+      assert(na == nb - nr, r.toString)
+      val want = if (nr == 0) "intact" else if (nr == nb) "emptied"
+        else "scrubbed"
+      assert(v == want, r.toString)
+    }
+    // minimal rewrite: the overlay holds EXACTLY the touched cells
+    val touched = ops.Text.corpusBuildPipeline(spark, sf)
+      .filter(col("doc_id") % 89 === 3)
+      .select(col("split"), col("shard")).distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    if (touched.nonEmpty) {
+      val root = graft.Util.sessionTmpDir(spark, "graft_corpus_retract")
+      val tag = graft.Util.fileFingerprint(s"$sf/documents.parquet")
+      val cells = for {
+        s <- Option(new java.io.File(s"$root/$tag").listFiles()).toSeq.flatten
+        if s.isDirectory && s.getName.startsWith("split=")
+        h <- Option(s.listFiles()).toSeq.flatten
+        if h.isDirectory && h.getName.startsWith("shard=")
+      } yield (s.getName.stripPrefix("split="),
+        h.getName.stripPrefix("shard=").toLong)
+      assert(cells.toSet == touched,
+        s"overlay cells ${cells.toSet} != touched $touched")
+    }
+  }
+
   test("bloom decontam is row-identical to the exact broadcast-set path") {
     // The bloom only PRUNES (exact verify decides), so the two plans
     // must agree bit-for-bit on every doc — including contam_frac_e4,
