@@ -257,6 +257,27 @@ class PlansSpec extends SparkSuite {
     }
   }
 
+  test("corpus_shuffle: one hash exchange; the only range sort is presentation") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.{HashPartitioning,
+      RangePartitioning}
+    graft.Util.withConf(spark, "spark.sql.adaptive.enabled", "false") {
+      val plan = ops.Text.corpusShuffle(spark, sf)
+        .queryExecution.executedPlan
+      val ex = plan.collect { case e: ShuffleExchangeExec => e.outputPartitioning }
+      assert(ex.nonEmpty, "exchanges must be visible (AQE off)")
+      val hashes = ex.collect { case h: HashPartitioning => h }
+      val ranges = ex.collect { case r: RangePartitioning => r }
+      // the WORK exchange hashes on (epoch, shard); per-shard order is a
+      // LOCAL sort under the window. The single range exchange is the
+      // presentation ORDER BY — at scale the shard writer replaces it.
+      assert(hashes.size == 1 && ranges.size == 1 && ex.size == 2,
+        s"exchanges: $ex")
+      assert(hashes.head.expressions.map(_.sql.toLowerCase).exists(_.contains("epoch")),
+        s"work exchange must key on epoch/shard: ${hashes.head}")
+    }
+  }
+
   test("GroupTopK plans partial -> exchange -> final; result exact") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     graft.Util.withConf(spark, "spark.sql.adaptive.enabled", "false") {
