@@ -404,14 +404,18 @@ object Multimodal {
     * per candidate inside codegen. Catches the corner-perturbed
     * renditions whose phash is close but NOT equal (where
     * [[mmPhashDedup]]'s exact grouping stops). */
-  def mmPhashNear(spark: SparkSession, sfDir: String): DataFrame = {
-    // fingerprint table materialized once (D3 registry): both sides of
-    // the band self-join and any later consumer read the persisted
-    // (file, phash) projection — the decode stage must never re-run
-    // per join side (at scale that is re-decoding the corpus)
-    val ph = Flow.sharedScanOf(spark, s"mm_phash:${MultimodalFixtures.Dir}",
+  /** The persisted (file, phash) fingerprint table (D3 registry):
+    * every consumer — both sides of the near-dup band self-join, the
+    * streaming ingest's frozen base index — reads this one artifact;
+    * the decode stage must never re-run per consumer (at scale that
+    * is re-decoding the corpus). */
+  private def phashIndex(spark: SparkSession): DataFrame =
+    Flow.sharedScanOf(spark, s"mm_phash:${MultimodalFixtures.Dir}",
       graft.Util.fileFingerprint(MultimodalFixtures.Dir))(
       decoded(spark).select(col("file"), col("phash")))
+
+  def mmPhashNear(spark: SparkSession, sfDir: String): DataFrame = {
+    val ph = phashIndex(spark)
     val bands = ph.select(col("file"), col("phash"),
       posexplode(array((0 until 4).map(i =>
         substring(col("phash"), i * 4 + 1, 4)): _*))
@@ -948,7 +952,156 @@ object Multimodal {
        ORDER BY file"""
   }
 
+  // -- streaming multimodal ingest ------------------------------------------
+
+  /** Canonical base assets for [[streamMmIngest]]: the 'a'-suffixed
+    * renditions are the frozen corpus; everything else (b/n twins,
+    * scene/video gifs) arrives as the stream. */
+  private val isMmBase: org.apache.spark.sql.Column =
+    col("file").rlike("^(img|jpg)[0-9]+a\\.(png|jpg)$")
+
+  /** Per-arrival fold for [[streamMmIngest]]: min (hamming,
+    * base_file) over an arrival's candidate rows. The binaryFile
+    * source emits ONE row per file, so all of an arrival's candidates
+    * live in its own micro-batch — the processor retains ZERO
+    * cross-batch state (the [[graft.ops.Text.DocGateReducer]]
+    * contract): the durable staged verdict log is the stream's only
+    * memory. */
+  class ArrivalFoldProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Int, String), (String, Int, String)] {
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = ()
+    override def handleInputRows(file: String,
+        rows: Iterator[(String, Int, String)],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(String, Int, String)] = {
+      var best = Int.MaxValue; var bestFile = ""
+      rows.foreach { r =>
+        if (r._2 >= 0 &&
+          (r._2 < best || (r._2 == best && r._3 < bestFile)))
+          { best = r._2; bestFile = r._3 }
+      }
+      Iterator.single(
+        if (best <= 3) (file, best, bestFile) else (file, -1, ""))
+    }
+  }
+
+  /** `stream_mm_ingest` — CONTINUOUS MULTIMODAL INGEST: newly-arrived
+    * image assets (the binary stream a crawler emits) are decoded
+    * map-side and gated against the FROZEN perceptual index of the
+    * canonical corpus — the image-modality sibling of
+    * `stream_dedup_index` / `stream_corpus_append`, completing the
+    * build-once/ingest-forever story for the mm_* family.
+    *
+    * Per arrival, all work is incremental: decode + 64-bit aHash in
+    * the scan stage (pixels never shuffle — the mm_* contract), the 4
+    * phash bands stream-static join the PERSISTED base band index
+    * ([[phashIndex]], the same registry artifact mm_phash_near
+    * reads), exact Hamming ≤ 3 verify inside codegen, and a
+    * zero-state per-batch fold ([[ArrivalFoldProcessor]]) emits one
+    * verdict row per arrival: `dup` (Hamming 0 — a byte-identical or
+    * brightness-shifted rendition), `near` (1–3, the corner-perturbed
+    * renditions), `novel` (no base asset within 3). Cost per arrival
+    * is O(its band postings), never O(corpus); the staged verdict log
+    * is idempotent per batch and re-triggers with no new files plan
+    * zero micro-batches. Oracle: dump-time replay of the identical
+    * decode + band + Hamming arithmetic over the committed fixture
+    * bytes (the mmPhashNearSql convention). */
+  def streamMmIngest(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Util.withConf(spark,
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+      graft.Util.withConf(spark, "spark.sql.shuffle.partitions", "8") {
+        streamMmIngestInner(spark)
+      }
+    }
+
+  private def streamMmIngestInner(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = MultimodalFixtures.ensure()
+    val baseBands = phashIndex(spark).filter(isMmBase)
+      .select(col("file").as("base_file"), col("phash").as("base_phash"),
+        posexplode(array((0 until 4).map(i =>
+          substring(col("phash"), i * 4 + 1, 4)): _*))
+          .as(Seq("band_idx", "band")))
+    val binSchema = new StructType()
+      .add("path", StringType).add("modificationTime", TimestampType)
+      .add("length", LongType).add("content", BinaryType)
+    val arrivals = spark.readStream.schema(binSchema)
+      .format("binaryFile").load(dir)
+      .select(regexp_extract(col("path"), "[^/]+$", 0).as("file"),
+        col("content"))
+      .filter(!isMmBase && col("file").rlike("\\.(png|gif|jpg)$"))
+      .as[ImgBin]
+      .mapPartitions(it => decodePartition(it).map(m => (m.file, m.phash)))
+      .toDF("file", "phash")
+    val hamming = (0 until 4).map { i =>
+      bit_count(
+        conv(substring(col("phash"), i * 4 + 1, 4), 16, 10).cast("int")
+          .bitwiseXOR(
+            conv(substring(col("base_phash"), i * 4 + 1, 4), 16, 10)
+              .cast("int")))
+    }.reduce(_ + _)
+    val scoredRows = arrivals
+      .select(col("file"), col("phash"),
+        posexplode(array((0 until 4).map(i =>
+          substring(col("phash"), i * 4 + 1, 4)): _*))
+          .as(Seq("band_idx", "band")))
+      .join(baseBands, Seq("band_idx", "band"), "left_outer")
+      .select(col("file"),
+        when(col("base_phash").isNull, lit(-1))
+          .otherwise(hamming.cast("int")).as("hamming"),
+        coalesce(col("base_file"), lit("")).as("base_file"))
+      .as[(String, Int, String)]
+    val folded = scoredRows.groupByKey(_._1)
+      .transformWithState(new ArrivalFoldProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      .toDF("file", "hamming", "match_file")
+    val staged = graft.streaming.EventsStream.runIncremental(
+      spark, folded, "mmingest", dir,
+      org.apache.spark.sql.streaming.OutputMode.Update())
+    staged.select(col("file"),
+      when(col("hamming") === 0, "dup")
+        .when(col("hamming") > 0, "near")
+        .otherwise("novel").as("verdict"),
+      col("match_file"), col("hamming"))
+      .orderBy(col("file"))
+  }
+  /** Dump-time twin: the identical decode + band + Hamming replay
+    * over the committed fixture bytes. */
+  def streamMmIngestSql: String = {
+    val ph = groundTruth.map { case (name, _, _, _, _) =>
+      val img = ImageIO.read(new ByteArrayInputStream(fileBytes(name)))
+      name -> aHash(img)
+    }
+    def isBase(n: String) = n.matches("^(img|jpg)[0-9]+a\\.(png|jpg)$")
+    def bands(h: Long): Seq[Int] =
+      (0 until 4).map(i => ((h >>> (48 - 16 * i)) & 0xffff).toInt)
+    val base = ph.filter(p => isBase(p._1))
+    val rows = ph.filterNot(p => isBase(p._1)).map { case (f, h) =>
+      val cands = base.filter { case (_, bh) =>
+        bands(h).zip(bands(bh)).exists { case (x, y) => x == y } }
+        .map { case (bf, bh) => (java.lang.Long.bitCount(h ^ bh), bf) }
+      val best = cands.sorted.headOption.filter(_._1 <= 3)
+      val (v, mf, d) = best match {
+        case Some((0, bf)) => ("dup", bf, 0)
+        case Some((d0, bf)) => ("near", bf, d0)
+        case None => ("novel", "", -1)
+      }
+      s"('$f', '$v', '$mf', $d)"
+    }
+    s"""SELECT file, verdict, match_file, CAST(hamming AS INT) AS hamming
+        FROM (VALUES ${rows.mkString(", ")}) AS t(file, verdict,
+          match_file, hamming)
+        ORDER BY file"""
+  }
+
   val queries: Map[String, QFn] = Map(
+    "stream_mm_ingest" -> streamMmIngest,
     "mm_phash_dedup" -> mmPhashDedup,
     "mm_phash_near" -> mmPhashNear,
     "mm_pair_dedup" -> mmPairDedup,
@@ -963,6 +1116,7 @@ object Multimodal {
     "mm_feature_extract" -> mmFeatureExtract)
 
   val oracles: Map[String, String] = Map(
+    "stream_mm_ingest" -> streamMmIngestSql,
     "mm_phash_dedup" -> mmPhashDedupSql,
     "mm_phash_near" -> mmPhashNearSql,
     "mm_pair_dedup" -> mmPairDedupSql,

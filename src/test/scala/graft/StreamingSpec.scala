@@ -262,6 +262,42 @@ class StreamingSpec extends SparkSuite {
       "reducer must fold near-dup evidence with any()")
   }
 
+  test("stream_mm_ingest: planted twins gate correctly, re-trigger no-op, zero-state fold") {
+    def run() = ops.Multimodal.streamMmIngest(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getInt(3)))
+      .toSeq
+    val got = run()
+    assert(got.nonEmpty)
+    // planted fixture structure: brightness-shifted 'b' PNG twins are
+    // exact perceptual dups of their 'a' base; corner-perturbed 'n'
+    // twins are near (Hamming 1..3); jpeg 'b' twins are byte-identical
+    val bs = got.filter(_._1.matches("img[0-9]+b\\.png"))
+    assert(bs.nonEmpty && bs.forall(g =>
+      g._2 == "dup" && g._4 == 0 && g._3 == g._1.replace("b.png", "a.png")),
+      bs.toString)
+    // 'n' twins land within Hamming 0..3 of their own base (some
+    // perturbations don't move the 8x8 block means — those are exact)
+    val ns = got.filter(_._1.matches("img[0-9]+n\\.png"))
+    assert(ns.nonEmpty && ns.forall(g =>
+      Set("dup", "near")(g._2) && g._4 >= 0 && g._4 <= 3 &&
+        g._3 == g._1.replace("n.png", "a.png")), ns.toString)
+    val js = got.filter(_._1.matches("jpg[0-9]+b\\.jpg"))
+    assert(js.nonEmpty && js.forall(g => g._2 == "dup" && g._4 == 0),
+      js.toString)
+    // durable checkpoint: a re-trigger with no new files reads back the
+    // identical staged verdicts (zero new micro-batches)
+    assert(run() == got, "re-trigger with no new arrivals must be a no-op")
+    // the fold retains no state across batches: pure per-batch reduction
+    val p = new ops.Multimodal.ArrivalFoldProcessor
+    val out = p.handleInputRows("f",
+      Iterator(("f", 2, "x"), ("f", -1, ""), ("f", 1, "y"), ("f", 1, "a")),
+      null).toSeq
+    assert(out == Seq(("f", 1, "a")), "min (hamming, file) fold")
+    val none = p.handleInputRows("g",
+      Iterator(("g", -1, ""), ("g", 9, "z")), null).toSeq
+    assert(none == Seq(("g", -1, "")), "no candidate within 3 -> novel")
+  }
+
   test("LSH index bucket cap binds on a planted hot bucket") {
     // a degenerate band bucket (boilerplate collapse) must not grow
     // state past MaxBucketPostings: arrivals beyond the cap pair but
