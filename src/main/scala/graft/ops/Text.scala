@@ -551,17 +551,30 @@ object Text {
     ("q3", "stream"), ("q3", "batch"),
     ("q4", "sort"), ("q4", "merge"), ("q4", "join"))
 
+  /** The corpus term-frequency table (doc_id, term, tf) — the lexical
+    * retrieval index artifact (D3 registry: ONE corpus explode per
+    * dataset). BM25's df/dl and query-likelihood's cf/collection
+    * totals all derive from it with bounded aggregates — tf rows are
+    * distinct (doc, term), so `count(1)` per term IS document
+    * frequency and `sum(tf)` per doc IS document length, exactly the
+    * quantities the un-factored formulation computed by re-exploding
+    * the corpus once per statistic per leg. */
+  private def termFreqs(spark: SparkSession, sfDir: String): DataFrame =
+    Flow.sharedScanOf(spark, s"retrieval_tf:$sfDir",
+        graft.Util.fileFingerprint(s"$sfDir/documents.parquet")) {
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), explode(tokens).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+    }
+
   def bm25Topk(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val qdf = broadcast(RetrievalQueries.toDF("query_id", "term"))
-    val terms = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), explode(tokens).as("term"))
-      .filter(col("term") =!= "")
-    val tf = terms.groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    val dft = terms.select(col("doc_id"), col("term")).distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val dl = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val tf = termFreqs(spark, sfDir)
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("dl_total"))
     val contrib = tf.join(qdf, Seq("term"))
       .join(dft, Seq("term"))
@@ -648,14 +661,10 @@ object Text {
   def ragFusionRrf(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val qdf = broadcast(RetrievalQueries.toDF("query_id", "term"))
-    val terms = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), explode(tokens).as("term"))
-      .filter(col("term") =!= "")
-    val tf = terms.groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    val dl = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-    val cf = terms.groupBy(col("term")).agg(count(lit(1)).as("cf"))
-    val ctot = terms.agg(count(lit(1)).as("c_total"))
+    val tf = termFreqs(spark, sfDir)
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val cf = tf.groupBy(col("term")).agg(sum(col("tf")).as("cf"))
+    val ctot = tf.agg(sum(col("tf")).as("c_total"))
     // query terms with their collection stats (zero-cf terms drop)
     val qcf = qdf.join(cf, Seq("term"))
     val cand = tf.join(qdf, Seq("term"))
@@ -2501,14 +2510,18 @@ object Text {
     * bounded by the layout grid, not the corpus. */
   def corpusRetractRun(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.BpeVocab.ensureFixture()
-    val man = corpusBuildPipeline(spark, sfDir)
-    val plan = man.groupBy(col("split"), col("shard"), col("bin")).agg(
-      count(lit(1)).as("n_before"),
-      sum(col("n_tokens")).as("tok_before"),
-      sum(when(isRetracted, 1L).otherwise(0L)).as("n_retracted"),
-      sum(when(isRetracted, col("n_tokens")).otherwise(0L))
-        .as("tok_retracted"))
-    val touched = man.filter(isRetracted)
+    // ONE manifest evaluation: the per-bin aggregate is ≤ |bins| rows,
+    // localCheckpointed so the touched-cell collect and the audit join
+    // below never re-run the pipeline
+    val plan = corpusBuildPipeline(spark, sfDir)
+      .groupBy(col("split"), col("shard"), col("bin")).agg(
+        count(lit(1)).as("n_before"),
+        sum(col("n_tokens")).as("tok_before"),
+        sum(when(isRetracted, 1L).otherwise(0L)).as("n_retracted"),
+        sum(when(isRetracted, col("n_tokens")).otherwise(0L))
+          .as("tok_retracted"))
+      .localCheckpoint(true)
+    val touched = plan.filter(col("n_retracted") > 0)
       .select(col("split"), col("shard")).distinct()
       .collect().map(r => (r.getString(0), r.getLong(1)))
     val withAfter =
@@ -2553,7 +2566,7 @@ object Text {
             coalesce(col("tok_rb"), lit(0L))).otherwise(col("tok_before")))
           .withColumn("leftover", coalesce(col("left_rb"), lit(0L)))
       }
-    withAfter
+    val out = withAfter
       .select(col("split"), col("shard"), col("bin"),
         col("n_before"), col("n_retracted"),
         col("n_after"), col("tok_after"),
@@ -2563,6 +2576,14 @@ object Text {
         (col("n_after") === col("n_before") - col("n_retracted") &&
           col("tok_after") === col("tok_before") - col("tok_retracted") &&
           col("leftover") === 0L).as("retract_ok"))
+      .orderBy(col("split"), col("shard"), col("bin"))
+    // the audit is ≤ |bins| rows: collect it so the checkpointed plan
+    // blocks can be freed before returning (no persist leak across the
+    // long-lived Verify/Bench session — the graph-query pattern)
+    val rows = out.collect().toSeq
+    graft.Util.checkpointRdd(plan).foreach(_.unpersist(false))
+    spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, out.schema)
       .orderBy(col("split"), col("shard"), col("bin"))
   }
   /** Oracle: the shared `man` CTE aggregated per bin with the same
