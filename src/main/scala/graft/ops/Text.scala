@@ -1955,6 +1955,101 @@ object Text {
          ((((2000000 * w_fp) // w_tot) * 10000) // tok_s) > 10000 AS upsampled
        FROM w CROSS JOIN s ORDER BY source"""
 
+  /** `t_mixture_draw` — the EXECUTION twin of [[mixturePlan]] (the
+    * plan=execution convention: d4_backfill_run, corpus_build_run,
+    * corpus_retract_run): the planner's per-source token allocations
+    * are actually DRAWN from the corpus and reconciled. Per source,
+    * the allocation decomposes exactly as `full_epochs × tok_s + rem`
+    * (integer div/mod on the planner's own numbers — upsampled
+    * sources repeat whole epochs, the small-high-quality-corpus
+    * case); the remainder is drawn as the maximal md5-ordered prefix
+    * of the source's docs whose preceding cumulative tokens stay
+    * under `rem` — deterministic (re-runs draw the same docs, the
+    * sample_hash convention) and closed (the prefix's sum lands in
+    * [rem, rem + max_doc)), so `tokens_drawn − planned ∈ [0,
+    * max_doc)` is a THEOREM the `draw_ok` bit verifies per source on
+    * both engines. One corpus scan to (doc_id, source, tok) metadata,
+    * one source-keyed window, |sources| output rows — at 100 TB the
+    * draw list itself would be written by the same window pass. */
+  def mixtureDraw(spark: SparkSession, sfDir: String): DataFrame = {
+    val budget = 2000000L
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        size(tokens).cast("long").as("tok"),
+        md5(encode(col("doc_id").cast("string"), "utf-8")).as("key"))
+    val stats = docs.groupBy(col("source")).agg(
+      sum(col("tok")).as("tok_s"), count(lit(1)).as("n_docs"),
+      max(col("tok")).as("max_tok"))
+      .withColumn("w_fp",
+        floor(pow(col("tok_s").cast("double"), lit(0.7)) * lit(65536.0))
+          .cast("long"))
+    val tot = stats.agg(sum(col("w_fp")).as("w_tot"))
+    val plan = stats.crossJoin(broadcast(tot))
+      .select(col("source"), col("tok_s"), col("n_docs"), col("max_tok"),
+        expr(s"($budget * w_fp) DIV w_tot").as("planned_tokens"))
+      .withColumn("n_full_epochs", expr("planned_tokens DIV tok_s"))
+      .withColumn("rem", expr("planned_tokens % tok_s"))
+    val W = org.apache.spark.sql.expressions.Window
+    val cumW = W.partitionBy(col("source")).orderBy(col("key"), col("doc_id"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val partial = docs
+      .join(broadcast(plan.select(col("source"), col("rem"))), "source")
+      .withColumn("cum", coalesce(sum(col("tok")).over(cumW), lit(0L)))
+      .filter(col("cum") < col("rem"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_partial"), sum(col("tok")).as("tok_partial"))
+    plan.join(partial, Seq("source"), "left")
+      .select(col("source"), col("n_full_epochs"),
+        (col("n_full_epochs") * col("n_docs") +
+          coalesce(col("n_partial"), lit(0L))).as("n_docs_drawn"),
+        (col("n_full_epochs") * col("tok_s") +
+          coalesce(col("tok_partial"), lit(0L))).as("tokens_drawn"),
+        col("planned_tokens"),
+        (col("n_full_epochs") * col("tok_s") +
+          coalesce(col("tok_partial"), lit(0L)) - col("planned_tokens"))
+          .between(0L, col("max_tok") - 1L).as("draw_ok"))
+      .orderBy(col("source"))
+  }
+  val mixtureDrawSql: String =
+    """WITH t AS (SELECT source,
+           CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS tok_s,
+           count(1) AS n_docs,
+           CAST(max(len(string_split(lower(text), ' '))) AS BIGINT) AS max_tok
+         FROM documents GROUP BY source),
+       w AS (SELECT source, tok_s, n_docs, max_tok,
+           CAST(floor(pow(CAST(tok_s AS DOUBLE), 0.7) * 65536.0) AS BIGINT)
+             AS w_fp
+         FROM t),
+       s AS (SELECT sum(w_fp) AS w_tot FROM w),
+       plan AS (SELECT source, tok_s, n_docs, max_tok,
+           CAST((2000000 * w_fp) // w_tot AS BIGINT) AS planned_tokens,
+           CAST(((2000000 * w_fp) // w_tot) // tok_s AS BIGINT)
+             AS n_full_epochs,
+           CAST(((2000000 * w_fp) // w_tot) % tok_s AS BIGINT) AS rem
+         FROM w CROSS JOIN s),
+       d AS (SELECT doc_id, source,
+           CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS tok,
+           md5(CAST(doc_id AS STRING)) AS key
+         FROM documents),
+       cumd AS (SELECT d.source, d.tok, p.rem,
+           coalesce(sum(d.tok) OVER (PARTITION BY d.source
+             ORDER BY d.key, d.doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+         FROM d JOIN plan p USING (source)),
+       part AS (SELECT source, count(1) AS n_partial,
+           CAST(sum(tok) AS BIGINT) AS tok_partial
+         FROM cumd WHERE cum < rem GROUP BY source)
+       SELECT p.source, p.n_full_epochs,
+         CAST(p.n_full_epochs * p.n_docs + coalesce(n_partial, 0) AS BIGINT)
+           AS n_docs_drawn,
+         CAST(p.n_full_epochs * p.tok_s + coalesce(tok_partial, 0) AS BIGINT)
+           AS tokens_drawn,
+         p.planned_tokens,
+         (p.n_full_epochs * p.tok_s + coalesce(tok_partial, 0)
+           - p.planned_tokens) BETWEEN 0 AND p.max_tok - 1 AS draw_ok
+       FROM plan p LEFT JOIN part USING (source)
+       ORDER BY source"""
+
   // The end-to-end corpus filter funnel: every doc gets a keep/drop
   // verdict with its FIRST failing gate (fixed precedence — the order
   // every production corpus filter documents), aggregated to per-reason
@@ -3283,6 +3378,7 @@ object Text {
     "t_quality_classifier" -> qualityClassifier,
     "corpus_shuffle" -> corpusShuffle,
     "corpus_retract_run" -> corpusRetractRun,
+    "t_mixture_draw" -> mixtureDraw,
     "t_chunk" -> chunk,
     "t_pack_sequences" -> packSequences,
     "t_pack_bpe" -> packBpe,
@@ -3333,6 +3429,7 @@ object Text {
     "t_quality_classifier" -> qualityClassifierSql,
     "corpus_shuffle" -> corpusShuffleSql,
     "corpus_retract_run" -> corpusRetractRunSql,
+    "t_mixture_draw" -> mixtureDrawSql,
     "t_chunk" -> chunkSql,
     "t_pack_sequences" -> packSequencesSql,
     "t_pack_bpe" -> packBpeSql,

@@ -536,6 +536,21 @@ class TextOpsSpec extends SparkSuite {
     }
   }
 
+  test("t_mixture_draw: executed draw reconciles with the planner per source") {
+    val draw = ops.Text.mixtureDraw(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    assert(draw.nonEmpty)
+    assert(draw.forall(_._6), s"every source must close its draw: ${draw.toSeq}")
+    // the twin uses the PLANNER's own allocations: planned_tokens equal
+    val plan = ops.Text.mixturePlan(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    draw.foreach { case (src, _, _, drawn, planned, _) =>
+      assert(plan(src) == planned, s"$src: plan ${plan(src)} != twin $planned")
+      assert(drawn >= planned, s"$src under-drew: $drawn < $planned")
+    }
+  }
+
   test("bloom decontam is row-identical to the exact broadcast-set path") {
     // The bloom only PRUNES (exact verify decides), so the two plans
     // must agree bit-for-bit on every doc — including contam_frac_e4,
