@@ -367,3 +367,66 @@ object MisraGriesProps extends Properties("MisraGries") {
       whole.toMap == resumed.toMap
     }
 }
+
+/** The BPE runtime's CSR-trie greedy walk vs an independent reference:
+  * the trie is an optimization of greedy longest-match over the vocab
+  * SET — any divergence for any input is a bug, whatever the fixtures
+  * happen to cover. Also pins the multi-byte contract (one token per
+  * non-ASCII code point) on arbitrary unicode. */
+object BpeRuntimeProps extends Properties("BpeRuntime") {
+  import graft.functions.{BpeRuntime, BpeVocab}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val vocabSet = BpeVocab.pieces.toSet
+  private val maxLen = BpeVocab.maxLen
+
+  /** Reference greedy longest-match per code point over a lowercase
+    * string — the definition, written without the trie. */
+  private def refCount(s: String): Long = {
+    var i = 0; var n = 0L
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (cp == ' ') i += 1
+      else if (cp > 127) { i += Character.charCount(cp); n += 1 }
+      else {
+        var step = 1
+        var l = math.min(maxLen, s.length - i)
+        var found = false
+        while (!found && l >= 2) {
+          val cand = s.substring(i, i + l)
+          if (cand.forall(c => c >= 'a' && c <= 'z') && vocabSet(cand)) {
+            step = l; found = true
+          } else l -= 1
+        }
+        i += step; n += 1
+      }
+    }
+    n
+  }
+
+  private val asciiText: Gen[String] = Gen.listOf(Gen.frequency(
+    (8, Gen.alphaLowerChar), (2, Gen.const(' ')),
+    (1, Gen.oneOf('0', '7', '-', '.')))).map(_.mkString)
+
+  property("trie walk equals reference greedy on ascii-ish text") =
+    forAll(asciiText) { t =>
+      BpeRuntime.count(UTF8String.fromString(t)) == refCount(t)
+    }
+
+  private val uniText: Gen[String] = Gen.listOf(Gen.frequency(
+    (6, Gen.alphaLowerChar), (2, Gen.const(' ')),
+    (2, Gen.oneOf('é', '中', 'Ж')),
+    (1, Gen.const(new String(Character.toChars(0x1d11e)))))) // astral
+    .map(_.mkString)
+
+  property("multi-byte contract: unicode counts match the reference") =
+    forAll(uniText) { t =>
+      BpeRuntime.count(UTF8String.fromString(t)) == refCount(t)
+    }
+
+  property("count bounded by [cp/maxLen, code points] on spaceless words") =
+    forAll(Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)) { w =>
+      val n = BpeRuntime.count(UTF8String.fromString(w))
+      n >= (w.length + maxLen - 1) / maxLen && n <= w.length
+    }
+}
