@@ -766,7 +766,7 @@ object Text {
     * with the corpus. Predict keep iff prior + evidence > 0. */
   def qualityClassifier(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val lab = filterVerdictsFrom(docs)
+    val lab = verdictArtifact(spark, sfDir)
       .withColumn("is_keep", col("verdict") === "5_keep")
       .select(col("doc_id"), col("is_keep"))
     val ids = docs.select(col("doc_id")).withColumn("is_train",
@@ -2058,9 +2058,22 @@ object Text {
   // the verdict is bit-stable. Three doc_id-keyed shuffles total — the
   // components share the (doc_id, token) explode where possible.
   def corpusFilterFunnel(spark: SparkSession, sfDir: String): DataFrame =
-    filterVerdictsFrom(Tables.documents(spark, sfDir))
+    verdictArtifact(spark, sfDir)
       .groupBy(col("verdict")).agg(count(lit(1)).as("n_docs"))
       .orderBy(col("verdict"))
+
+  /** The full-corpus funnel verdicts as a D3 registry artifact —
+    * computed once per dataset and shared by every consumer of the
+    * corpus-wide quality rule ([[corpusFilterFunnel]],
+    * [[corpusBuildPipeline]]'s quality gate,
+    * [[qualityClassifier]]'s training labels): the verdict derivation
+    * re-aggregates the corpus vocabulary, which no consumer should
+    * pay twice. */
+  private def verdictArtifact(spark: SparkSession, sfDir: String): DataFrame =
+    Flow.sharedScanOf(spark, s"funnel_verdicts:$sfDir",
+        graft.Util.fileFingerprint(s"$sfDir/documents.parquet")) {
+      filterVerdictsFrom(docbaseOf(spark, sfDir))
+    }
 
   /** Per-doc funnel verdict over a docs DF — shared verbatim between
     * [[corpusFilterFunnel]] (the aggregate view) and
@@ -2322,7 +2335,7 @@ object Text {
     graft.functions.BpeVocab.ensureFixture()
     val base = docbaseOf(spark, sfDir)
     // corpus-wide stage artifacts (each shared with its standalone query)
-    val verdicts = filterVerdictsFrom(base)
+    val verdicts = verdictArtifact(spark, sfDir)
     val keepers = base
       .select(col("doc_id"), sha2(col("text"), 256).as("h"))
       .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
