@@ -658,7 +658,10 @@ object Text {
     * docs matching ≥ 1 query term (scored over ALL the query's terms,
     * absent ones at their smoothed floor); query terms with zero
     * collection frequency drop out (P(t|C) = 0 has no finite ln). */
-  def ragFusionRrf(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The Dirichlet query-likelihood leg: per-query top-10
+    * (query_id, rk, doc_id). Shared by [[ragFusionRrf]] and
+    * [[ragEvalRecall]]. */
+  private def qlTopk(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val qdf = broadcast(RetrievalQueries.toDF("query_id", "term"))
     val tf = termFreqs(spark, sfDir)
@@ -684,9 +687,14 @@ object Text {
     val wQl = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("ql_e4").desc, col("doc_id"))
-    val legB = qlScored
+    qlScored
       .withColumn("rk", row_number().over(wQl).cast("int"))
       .filter(col("rk") <= 10)
+      .select(col("query_id"), col("rk"), col("doc_id"))
+  }
+
+  def ragFusionRrf(spark: SparkSession, sfDir: String): DataFrame = {
+    val legB = qlTopk(spark, sfDir)
     val legA = bm25Topk(spark, sfDir)
     // Spark's `/` is fractional even on longs; floor of the exact
     // double quotient == DuckDB's integer `//` at these magnitudes
@@ -707,8 +715,11 @@ object Text {
       .select(col("query_id"), col("rk"), col("doc_id"), col("rrf_e6"))
       .orderBy(col("query_id"), col("rk"))
   }
-  val ragFusionRrfSql: String =
-    s"""WITH $bm25Ctes,
+  /** QL-leg + fusion CTE chain on top of [[bm25Ctes]], ending in
+    * `fusedrank(query_id, rk, doc_id, rrf_e6)` — ONE definition for
+    * [[ragFusionRrfSql]] and [[ragEvalRecallSql]]. */
+  val ragFusionCtes: String =
+    s"""$bm25Ctes,
        cf AS (SELECT term, count(1) AS cf FROM terms
               WHERE term <> '' GROUP BY term),
        ctot AS (SELECT count(1) AS c_total FROM terms WHERE term <> ''),
@@ -738,12 +749,91 @@ object Text {
                 coalesce(1000000 // (60 + b.rk), 0) AS BIGINT) AS rrf_e6
          FROM (SELECT query_id, doc_id, rk FROM bm25rank WHERE rk <= 10) a
          FULL JOIN (SELECT query_id, doc_id, rk FROM qlrank WHERE rk <= 10) b
-         USING (query_id, doc_id))
-       SELECT query_id, CAST(rk AS INT) AS rk, doc_id, rrf_e6 FROM (
-         SELECT *, row_number() OVER (PARTITION BY query_id
-           ORDER BY rrf_e6 DESC, doc_id) AS rk
-         FROM fused)
+         USING (query_id, doc_id)),
+       fusedrank AS (
+         SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY rrf_e6 DESC, doc_id) AS INT) AS rk, doc_id, rrf_e6
+         FROM fused)"""
+
+  val ragFusionRrfSql: String =
+    s"""WITH $ragFusionCtes
+       SELECT query_id, rk, doc_id, rrf_e6 FROM fusedrank
        WHERE rk <= 10 ORDER BY query_id, rk"""
+
+  /** `rag_eval_recall` — the retrieval stack's QA metric (the
+    * t_langid_eval / t_quality_classifier convention: every model-ish
+    * component ships with its held-out eval): recall@10 of each leg
+    * and of the fusion against deterministic ground truth — a doc is
+    * RELEVANT to a query iff it contains ALL the query's terms
+    * (conjunctive boolean retrieval, the classic pooled-judgment
+    * stand-in both engines can compute exactly). Per query: relevant
+    * count, hits@10 for BM25 / query-likelihood / RRF, and the
+    * fusion's recall in e4. All inputs are the legs' own top-10
+    * tables joined against a relevance set derived from the SAME
+    * persisted term-frequency artifact — |Q|-row output, metadata
+    * joins only. */
+  def ragEvalRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val qdf = broadcast(RetrievalQueries.toDF("query_id", "term"))
+    val qsz = qdf.groupBy(col("query_id")).agg(count(lit(1)).as("n_terms"))
+    val tf = termFreqs(spark, sfDir)
+    // tf rows are distinct (doc, term), so count(1) counts matched terms
+    val rel = tf.join(qdf, Seq("term"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_hit"))
+      .join(broadcast(qsz), Seq("query_id"))
+      .filter(col("n_hit") === col("n_terms"))
+      .select(col("query_id"), col("doc_id"))
+    def hitsOf(top: DataFrame, name: String): DataFrame = top
+      .select(col("query_id"), col("doc_id"))
+      .join(rel, Seq("query_id", "doc_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as(name))
+    val relN = rel.groupBy(col("query_id")).agg(count(lit(1)).as("rel_n"))
+    qsz.select(col("query_id"))
+      .join(relN, Seq("query_id"), "left")
+      .join(hitsOf(bm25Topk(spark, sfDir), "hits_bm25"), Seq("query_id"), "left")
+      .join(hitsOf(qlTopk(spark, sfDir), "hits_ql"), Seq("query_id"), "left")
+      .join(hitsOf(ragFusionRrf(spark, sfDir), "hits_rrf"), Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("rel_n"), lit(0L)).as("rel_n"),
+        coalesce(col("hits_bm25"), lit(0L)).as("hits_bm25"),
+        coalesce(col("hits_ql"), lit(0L)).as("hits_ql"),
+        coalesce(col("hits_rrf"), lit(0L)).as("hits_rrf"))
+      .withColumn("recall_rrf_e4",
+        when(col("rel_n") > 0,
+          expr("(hits_rrf * 10000) DIV rel_n")).otherwise(lit(0L)))
+      .orderBy(col("query_id"))
+  }
+  val ragEvalRecallSql: String =
+    s"""WITH $ragFusionCtes,
+       qsz AS (SELECT query_id, count(1) AS n_terms FROM q GROUP BY 1),
+       rel AS (
+         SELECT j.query_id, j.doc_id FROM (
+           SELECT q.query_id, tf.doc_id, count(1) AS n_hit
+           FROM tf JOIN q USING (term) GROUP BY 1, 2) j
+         JOIN qsz USING (query_id) WHERE j.n_hit = qsz.n_terms),
+       reln AS (SELECT query_id, count(1) AS rel_n FROM rel GROUP BY 1),
+       hb AS (SELECT b.query_id, count(1) AS h FROM bm25rank b
+              JOIN rel r ON r.query_id = b.query_id AND r.doc_id = b.doc_id
+              WHERE b.rk <= 10 GROUP BY 1),
+       hq AS (SELECT b.query_id, count(1) AS h FROM qlrank b
+              JOIN rel r ON r.query_id = b.query_id AND r.doc_id = b.doc_id
+              WHERE b.rk <= 10 GROUP BY 1),
+       hf AS (SELECT b.query_id, count(1) AS h FROM fusedrank b
+              JOIN rel r ON r.query_id = b.query_id AND r.doc_id = b.doc_id
+              WHERE b.rk <= 10 GROUP BY 1)
+       SELECT qs.query_id,
+         CAST(coalesce(rel_n, 0) AS BIGINT) AS rel_n,
+         CAST(coalesce(hb.h, 0) AS BIGINT) AS hits_bm25,
+         CAST(coalesce(hq.h, 0) AS BIGINT) AS hits_ql,
+         CAST(coalesce(hf.h, 0) AS BIGINT) AS hits_rrf,
+         CAST(CASE WHEN coalesce(rel_n, 0) > 0
+           THEN (coalesce(hf.h, 0) * 10000) // rel_n ELSE 0 END AS BIGINT)
+           AS recall_rrf_e4
+       FROM qsz qs LEFT JOIN reln USING (query_id)
+       LEFT JOIN hb USING (query_id) LEFT JOIN hq USING (query_id)
+       LEFT JOIN hf USING (query_id)
+       ORDER BY query_id"""
 
   /** `t_quality_classifier` — model-based quality filtering with a
     * held-out eval, the FineWeb-Edu/DCLM posture: an expensive keep/
@@ -3388,6 +3478,7 @@ object Text {
     "t_tfidf_topk" -> tfidfTopk,
     "t_bm25_topk" -> bm25Topk,
     "rag_fusion_rrf" -> ragFusionRrf,
+    "rag_eval_recall" -> ragEvalRecall,
     "t_quality_classifier" -> qualityClassifier,
     "corpus_shuffle" -> corpusShuffle,
     "corpus_retract_run" -> corpusRetractRun,
@@ -3439,6 +3530,7 @@ object Text {
     "t_tfidf_topk" -> tfidfTopkSql,
     "t_bm25_topk" -> bm25TopkSql,
     "rag_fusion_rrf" -> ragFusionRrfSql,
+    "rag_eval_recall" -> ragEvalRecallSql,
     "t_quality_classifier" -> qualityClassifierSql,
     "corpus_shuffle" -> corpusShuffleSql,
     "corpus_retract_run" -> corpusRetractRunSql,

@@ -551,6 +551,17 @@ class TextOpsSpec extends SparkSuite {
     }
   }
 
+  test("rag_eval_recall: hits bounded by rel and 10; fusion >= lone-leg floor") {
+    val rows = ops.Text.ragEvalRecall(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.length == ops.Text.RetrievalQueries.map(_._1).distinct.length)
+    rows.foreach { case (q, rel, hb, hq, hr, re4) =>
+      assert(hb <= rel.min(10) && hq <= rel.min(10) && hr <= rel.min(10), q)
+      assert(re4 == (if (rel > 0) hr * 10000 / rel else 0L), q)
+    }
+  }
+
   test("bloom decontam is row-identical to the exact broadcast-set path") {
     // The bloom only PRUNES (exact verify decides), so the two plans
     // must agree bit-for-bit on every doc — including contam_frac_e4,
