@@ -51,23 +51,18 @@ def main() -> int:
     # Contention fingerprint counts only CHEAP queries: a heavy query
     # (iterative graph, staged I/O) has legitimate run-to-run spread
     # even on a settled box; a sub-second scan spreading 5x is load.
-    # Cheapness comes from the baseline; for queries not yet enrolled,
-    # fall back to the isolated recheck min; with NEITHER, the query
-    # is INELIGIBLE. Bench only rechecks baseline-enrolled names, so
-    # "unknown-but-eligible" (the first r12-ADVICE cut) made every
-    # un-enrolled query count unconditionally -- a heavy new query
-    # whose first run pays one-time staging (corpus_build_run's
-    # corpus write) has a structural >=5x spread and would flip a
-    # settled dump to CONTENDED, enabling min-clearing for real
-    # regressions. Exclusion costs little: the fingerprint has 240+
-    # enrolled candidates; enrollment happens within a round.
+    # Cheapness comes from the baseline; un-enrolled queries are
+    # INELIGIBLE (Bench only rechecks enrolled names, so there is no
+    # settled number to judge cheapness by). "Unknown-but-eligible"
+    # (the first r12-ADVICE cut) made every un-enrolled query count
+    # unconditionally -- a heavy new query whose first run pays
+    # one-time staging (corpus_build_run's corpus write) has a
+    # structural >=5x spread and would flip a settled dump to
+    # CONTENDED, enabling min-clearing for real regressions.
+    # Exclusion costs little: the fingerprint has 240+ enrolled
+    # candidates; enrollment happens within a round.
     def cheap(n):
-        if n in base:
-            return base[n] <= CHEAP_SEC
-        rc = recheck.get(n)
-        if rc is not None and rc >= 0:
-            return rc <= CHEAP_SEC
-        return False
+        return n in base and base[n] <= CHEAP_SEC
     spread_hits = [n for n in cur
                    if cheap(n)
                    and n in mins and n in maxs and mins[n] > 0

@@ -693,9 +693,15 @@ object Text {
       .select(col("query_id"), col("rk"), col("doc_id"))
   }
 
-  def ragFusionRrf(spark: SparkSession, sfDir: String): DataFrame = {
-    val legB = qlTopk(spark, sfDir)
-    val legA = bm25Topk(spark, sfDir)
+  def ragFusionRrf(spark: SparkSession, sfDir: String): DataFrame =
+    fuseLegs(bm25Topk(spark, sfDir), qlTopk(spark, sfDir))
+
+  /** RRF over two precomputed top-10 legs — shared by [[ragFusionRrf]]
+    * (legs built fresh) and [[ragEvalRecall]] (legs computed ONCE and
+    * localized, then reused for both the per-leg hit counts and the
+    * fusion — exchange reuse does not canonicalize across clones, so
+    * calling the leg builders twice genuinely doubles their work). */
+  private def fuseLegs(legA: DataFrame, legB: DataFrame): DataFrame = {
     // Spark's `/` is fractional even on longs; floor of the exact
     // double quotient == DuckDB's integer `//` at these magnitudes
     def rrf(c: Column): Column =
@@ -789,11 +795,18 @@ object Text {
       .join(rel, Seq("query_id", "doc_id"), "left_semi")
       .groupBy(col("query_id")).agg(count(lit(1)).as(name))
     val relN = rel.groupBy(col("query_id")).agg(count(lit(1)).as("rel_n"))
+    // each leg computes ONCE: the |Q|x10-row results localize to the
+    // driver and feed both their own hit counts and the fusion
+    def localized(df: DataFrame): DataFrame =
+      spark.createDataFrame(scala.jdk.CollectionConverters
+        .SeqHasAsJava(df.collect().toSeq).asJava, df.schema)
+    val legA = localized(bm25Topk(spark, sfDir))
+    val legB = localized(qlTopk(spark, sfDir))
     qsz.select(col("query_id"))
       .join(relN, Seq("query_id"), "left")
-      .join(hitsOf(bm25Topk(spark, sfDir), "hits_bm25"), Seq("query_id"), "left")
-      .join(hitsOf(qlTopk(spark, sfDir), "hits_ql"), Seq("query_id"), "left")
-      .join(hitsOf(ragFusionRrf(spark, sfDir), "hits_rrf"), Seq("query_id"), "left")
+      .join(hitsOf(legA, "hits_bm25"), Seq("query_id"), "left")
+      .join(hitsOf(legB, "hits_ql"), Seq("query_id"), "left")
+      .join(hitsOf(fuseLegs(legA, legB), "hits_rrf"), Seq("query_id"), "left")
       .select(col("query_id"),
         coalesce(col("rel_n"), lit(0L)).as("rel_n"),
         coalesce(col("hits_bm25"), lit(0L)).as("hits_bm25"),
@@ -861,14 +874,16 @@ object Text {
       .select(col("doc_id"), col("is_keep"))
     val ids = docs.select(col("doc_id")).withColumn("is_train",
       md5(encode(col("doc_id").cast("string"), "utf-8")) < "80")
-    val toks = docs.select(col("doc_id"), explode(tokens).as("w"))
-      .filter(col("w") =!= "")
+    // the persisted termFreqs artifact replaces a per-invocation corpus
+    // explode: class counts are tf-weighted sums (identical integers —
+    // tf IS the per-(doc, term) occurrence count)
+    val tf = termFreqs(spark, sfDir).withColumnRenamed("term", "w")
     val trainIds = ids.filter(col("is_train")).select(col("doc_id"))
     val testIds = ids.filter(!col("is_train")).select(col("doc_id"))
-    val model0 = toks.join(trainIds, Seq("doc_id")).join(lab, Seq("doc_id"))
+    val model0 = tf.join(trainIds, Seq("doc_id")).join(lab, Seq("doc_id"))
       .groupBy(col("w")).agg(
-        sum(when(col("is_keep"), 1L).otherwise(0L)).as("ck"),
-        sum(when(col("is_keep"), 0L).otherwise(1L)).as("cd"))
+        sum(when(col("is_keep"), col("tf")).otherwise(0L)).as("ck"),
+        sum(when(col("is_keep"), 0L).otherwise(col("tf"))).as("cd"))
     val tot = model0.agg(sum(col("ck")).as("nk"), sum(col("cd")).as("nd"),
       count(lit(1)).as("v"))
     val model = model0.crossJoin(broadcast(tot))
@@ -885,11 +900,12 @@ object Text {
         (sum(when(col("is_keep"), 1L).otherwise(0L)) + lit(1.0)) /
         (sum(when(col("is_keep"), 0L).otherwise(1L)) + lit(1.0))))
         .cast("long").as("prior_e4"))
-    val evidence = toks.join(testIds, Seq("doc_id"))
+    val evidence = tf.join(testIds, Seq("doc_id"))
       .join(broadcast(model), Seq("w"), "left")
       .crossJoin(broadcast(unseen))
       .groupBy(col("doc_id"))
-      .agg(sum(coalesce(col("w_e4"), col("unseen_e4"))).as("ev_e4"))
+      .agg(sum(col("tf") * coalesce(col("w_e4"), col("unseen_e4")))
+        .as("ev_e4"))
     testIds
       .join(evidence, Seq("doc_id"), "left")
       .crossJoin(broadcast(prior))
@@ -2942,15 +2958,22 @@ object Text {
 
   /** Shared manifest tail of the append contract — batch twin and
     * stream twin BOTH flow their gated delta survivors through this,
-    * so the two cannot drift in packing: survivors pack AFTER the
-    * frozen base bins (per-cell base token totals as offsets — ≤ 48
-    * broadcast rows), and the output is the maintained corpus
-    * manifest: frozen base rows plus appended delta rows. */
+    * so the two cannot drift in packing: survivors pack STRICTLY
+    * AFTER the frozen base bins — the per-cell offset rounds the base
+    * token total UP to the next 2048 boundary, so an append never
+    * tail-fills the base's last partial bin (bins are immutable
+    * training artifacts; tail-filling would rewrite one frozen bin
+    * file per cell on every append, exactly the rewrite this
+    * operator exists to avoid). Offsets are ≤ 48 broadcast rows; the
+    * output is the maintained corpus manifest: frozen base rows plus
+    * appended delta rows. */
   private def appendTail(spark: SparkSession, sfDir: String,
       deltaSurv: DataFrame): DataFrame = {
     val baseMan = appendBaseManifest(spark, sfDir)
     val offsets = baseMan.groupBy(col("split"), col("shard"))
-      .agg(sum(col("n_tokens")).as("base_tok"))
+      .agg(sum(col("n_tokens")).as("raw_tok"))
+      .select(col("split"), col("shard"),
+        expr("((raw_tok + 2047) DIV 2048) * 2048").as("base_tok"))
     baseMan.withColumn("is_delta", lit(false))
       .unionByName(packManifest(deltaSurv
           .select(col("doc_id"), col("n_tokens")), Some(offsets))
@@ -3258,7 +3281,9 @@ object Text {
            n_tokens
          FROM bsp),
        btot AS (
-         SELECT split, shard, sum(n_tokens) AS t FROM bman GROUP BY 1, 2),
+         SELECT split, shard,
+           ((sum(n_tokens) + 2047) // 2048) * 2048 AS t
+         FROM bman GROUP BY 1, 2),
        dsurv AS (
          SELECT d.doc_id AS doc_id
          FROM ddoc d

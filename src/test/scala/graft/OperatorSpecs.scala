@@ -453,13 +453,17 @@ class TextOpsSpec extends SparkSuite {
       assert(scores.forall(s => s >= 14285L && s <= 2 * 16393L), s"$q: $scores")
       assert(rs.map(_.getLong(2)).distinct.length == rs.length)
     }
-    // the bm25 leg's rank-1 doc must appear in the fusion with at
-    // least its own leg contribution
-    val bm1 = ops.Text.bm25Topk(spark, sf).collect()
-      .filter(_.getInt(1) == 1).map(r => (r.getString(0), r.getLong(2))).toSet
-    bm1.foreach { case (q, d) =>
-      val f = rows.find(r => r.getString(0) == q && r.getLong(2) == d)
-      assert(f.exists(_.getLong(3) >= 16393L), s"bm25 #1 ($q,$d) lost: $f")
+    // any doc fused from the bm25 leg carries at least that leg's
+    // contribution at its rank (RRF guarantees nothing about
+    // MEMBERSHIP of a single-leg doc in the fused top-10 — both-leg
+    // docs can legitimately crowd it out)
+    val bm = ops.Text.bm25Topk(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(2)) -> r.getInt(1)).toMap
+    rows.foreach { r =>
+      bm.get((r.getString(0), r.getLong(2))).foreach { rk =>
+        assert(r.getLong(3) >= 1000000L / (60 + rk),
+          s"fused below its bm25 contribution: $r (bm25 rk $rk)")
+      }
     }
   }
 

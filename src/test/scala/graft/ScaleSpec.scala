@@ -562,8 +562,11 @@ class ScaleSpec extends SparkSuite {
       val baseBins = cellRows.filter(!_._4).map(_._3)
       val deltaBins = cellRows.filter(_._4).map(_._3)
       if (baseBins.nonEmpty && deltaBins.nonEmpty)
-        assert(deltaBins.min >= baseBins.max,
-          s"cell $cell: delta bin ${deltaBins.min} packed before frozen " +
+        // STRICTLY after: the offset rounds up to the next bin
+        // boundary, so an append never tail-fills the base's last
+        // partial bin (immutable-bin-files contract)
+        assert(deltaBins.min > baseBins.max,
+          s"cell $cell: delta bin ${deltaBins.min} touches frozen " +
             s"base bin ${baseBins.max}")
     }
   }
