@@ -1061,9 +1061,21 @@ object Multimodal {
         org.apache.spark.sql.streaming.TimeMode.None(),
         org.apache.spark.sql.streaming.OutputMode.Update())
       .toDF("file", "hamming", "match_file")
-    val staged = graft.streaming.EventsStream.runIncremental(
+    val stagedRaw = graft.streaming.EventsStream.runIncremental(
       spark, folded, "mmingest", dir,
       org.apache.spark.sql.streaming.OutputMode.Update())
+    // Fold the Update-mode log to ONE row per file (the
+    // stream_dedup_index read-back convention, r13 advice): today each
+    // file lands in exactly one micro-batch, but any future multi-batch
+    // reprocessing of a path (source option changes, file-modification
+    // handling) would otherwise surface duplicate verdict rows. The
+    // decode+score replay is deterministic per file, so duplicate rows
+    // are identical and max-of-struct picks that row.
+    val staged = stagedRaw
+      .groupBy(col("file"))
+      .agg(max(struct(col("hamming"), col("match_file"))).as("s"))
+      .select(col("file"), col("s.hamming").as("hamming"),
+        col("s.match_file").as("match_file"))
     staged.select(col("file"),
       when(col("hamming") === 0, "dup")
         .when(col("hamming") > 0, "near")

@@ -2662,6 +2662,17 @@ object Text {
     out
   }
 
+  /** Does a committed parquet layout actually contain part files? A
+    * write whose every input row was filtered out commits _SUCCESS
+    * with ZERO parts — schema inference on read-back would throw, so
+    * every read of a maybe-empty layout probes this first (shared by
+    * [[corpusBuildRun]] and the retract/stream-retract overlays). */
+  private def anyParquetPart(f: java.io.File): Boolean = {
+    val cs = Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+    cs.exists(c => c.isFile && c.getName.endsWith(".parquet")) ||
+      cs.exists(c => c.isDirectory && anyParquetPart(c))
+  }
+
   def corpusBuildRun(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.BpeVocab.ensureFixture()
     val base = docbaseOf(spark, sfDir)
@@ -2670,12 +2681,7 @@ object Text {
     // synthetic vocabs at scale) commits a layout with NO part files;
     // schema inference would throw. Nothing written ⇒ nothing to
     // reconcile: return the (empty) manifest with the verdict columns.
-    def anyPart(f: java.io.File): Boolean = {
-      val cs = Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
-      cs.exists(c => c.isFile && c.getName.endsWith(".parquet")) ||
-        cs.exists(c => c.isDirectory && anyPart(c))
-    }
-    if (!anyPart(new java.io.File(out)))
+    if (!anyParquetPart(new java.io.File(out)))
       return corpusBuildPipeline(spark, sfDir)
         .withColumn("text_intact", lit(true))
         .withColumn("tokens_ok", lit(true))
@@ -2763,14 +2769,24 @@ object Text {
             .parquet(over)
         }
         // audit read: overlay cells only (untouched cells were never
-        // written near — their manifest numbers ARE their files)
-        val rb = spark.read.parquet(over)
-          .select(col("split").cast("string").as("split"),
-            col("shard").cast("long").as("shard"), col("bin"),
-            col("n_tokens"), col("doc_id"))
-          .groupBy(col("split"), col("shard"), col("bin"))
-          .agg(count(lit(1)).as("n_rb"), sum(col("n_tokens")).as("tok_rb"),
-            sum(when(isRetracted, 1L).otherwise(0L)).as("left_rb"))
+        // written near — their manifest numbers ARE their files). A
+        // scrub that retracts EVERY doc of all touched cells commits
+        // _SUCCESS with zero parts (the corpusBuildRun edge, r13
+        // advice) — a part-less overlay IS an empty read-back, not a
+        // schema-inference crash that would persist behind the
+        // _SUCCESS guard above.
+        val rb =
+          if (!anyParquetPart(new java.io.File(over)))
+            plan.limit(0).select(col("split"), col("shard"), col("bin"),
+              col("n_before").as("n_rb"), col("tok_before").as("tok_rb"),
+              col("n_before").as("left_rb"))
+          else spark.read.parquet(over)
+            .select(col("split").cast("string").as("split"),
+              col("shard").cast("long").as("shard"), col("bin"),
+              col("n_tokens"), col("doc_id"))
+            .groupBy(col("split"), col("shard"), col("bin"))
+            .agg(count(lit(1)).as("n_rb"), sum(col("n_tokens")).as("tok_rb"),
+              sum(when(isRetracted, 1L).otherwise(0L)).as("left_rb"))
         plan
           .join(rb, Seq("split", "shard", "bin"), "left")
           .withColumn("in_touched", touchedPred)
