@@ -2074,9 +2074,30 @@ object Text {
     * sample_hash convention) and closed (the prefix's sum lands in
     * [rem, rem + max_doc)), so `tokens_drawn − planned ∈ [0,
     * max_doc)` is a THEOREM the `draw_ok` bit verifies per source on
-    * both engines. One corpus scan to (doc_id, source, tok) metadata,
-    * one source-keyed window, |sources| output rows — at 100 TB the
-    * draw list itself would be written by the same window pass. */
+    * both engines.
+    *
+    * Scale shape (the r13 fix — the first cut cumsum-windowed EVERY
+    * doc of a source in one partition, capping draw parallelism at
+    * |sources|): the md5 order decomposes as (bucket = first two hex
+    * chars, order within bucket), because the bucket is a PREFIX of
+    * the sort key. So the draw runs two-level, the
+    * t_perplexity_buckets sample-don't-sort convention:
+    *  1. aggregate per-(source, bucket) token sums — ≤ 256 rows per
+    *     source, map-side combined, parallelism grows with the corpus
+    *     scan;
+    *  2. cumulate those aggregates per source (a window over bucket
+    *     AGGREGATES — ≤ 256 rows per partition at any corpus size)
+    *     and split buckets against `rem`: wholly-included buckets
+    *     contribute their precomputed (count, sum) without touching
+    *     their docs again; exactly ≤ 1 BOUNDARY bucket per source
+    *     straddles `rem`;
+    *  3. per-doc cumsum-window ONLY inside boundary buckets
+    *     (partitioned by (source, bucket)) — each task sorts ~1/256
+    *     of one source's doc metadata, not the whole source.
+    * ScaleSpec pins the per-doc window's (source, bkt) partitioning
+    * and that non-boundary docs never reach it. |sources| output
+    * rows; at 100 TB the draw list itself would be written by the
+    * same boundary pass plus the whole-bucket doc ranges. */
   def mixtureDraw(spark: SparkSession, sfDir: String): DataFrame = {
     val budget = 2000000L
     val docs = Tables.documents(spark, sfDir)
@@ -2096,14 +2117,36 @@ object Text {
       .withColumn("n_full_epochs", expr("planned_tokens DIV tok_s"))
       .withColumn("rem", expr("planned_tokens % tok_s"))
     val W = org.apache.spark.sql.expressions.Window
-    val cumW = W.partitionBy(col("source")).orderBy(col("key"), col("doc_id"))
+    val bdocs = docs.withColumn("bkt", substring(col("key"), 1, 2))
+    val bstats = bdocs.groupBy(col("source"), col("bkt"))
+      .agg(count(lit(1)).as("b_n"), sum(col("tok")).as("b_tok"))
+    val bw = W.partitionBy(col("source")).orderBy(col("bkt"))
       .rowsBetween(W.unboundedPreceding, -1)
-    val partial = docs
+    val bcum = bstats
+      .withColumn("b_cum", coalesce(sum(col("b_tok")).over(bw), lit(0L)))
       .join(broadcast(plan.select(col("source"), col("rem"))), "source")
-      .withColumn("cum", coalesce(sum(col("tok")).over(cumW), lit(0L)))
+    // buckets ending at or before rem are drawn whole — their
+    // precomputed aggregates stand in for their docs
+    val wholeParts = bcum
+      .filter(col("b_cum") + col("b_tok") <= col("rem"))
+      .select(col("source"), col("b_n").as("n"), col("b_tok").as("tokp"))
+    // ≤ 1 straddling bucket per source — broadcast back onto the docs
+    val boundary = bcum
+      .filter(col("b_cum") < col("rem") &&
+        col("b_cum") + col("b_tok") > col("rem"))
+      .select(col("source"), col("bkt"), col("b_cum"), col("rem"))
+    val cumW = W.partitionBy(col("source"), col("bkt"))
+      .orderBy(col("key"), col("doc_id"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val boundaryParts = bdocs
+      .join(broadcast(boundary), Seq("source", "bkt"))
+      .withColumn("cum",
+        col("b_cum") + coalesce(sum(col("tok")).over(cumW), lit(0L)))
       .filter(col("cum") < col("rem"))
+      .select(col("source"), lit(1L).as("n"), col("tok").as("tokp"))
+    val partial = wholeParts.unionByName(boundaryParts)
       .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_partial"), sum(col("tok")).as("tok_partial"))
+      .agg(sum(col("n")).as("n_partial"), sum(col("tokp")).as("tok_partial"))
     plan.join(partial, Seq("source"), "left")
       .select(col("source"), col("n_full_epochs"),
         (col("n_full_epochs") * col("n_docs") +

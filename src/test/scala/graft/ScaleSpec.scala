@@ -784,6 +784,43 @@ class ScaleSpec extends SparkSuite {
     }
   }
 
+  test("t_mixture_draw: per-doc cumsum window partitions by (source, bkt), boundary broadcast") {
+    // The remainder draw must be two-level (r13 verdict #1): bucket
+    // aggregates carry the wholly-included prefix, and the only
+    // per-DOC cumsum window (the one ordering by the md5 key) runs
+    // inside (source, bucket) — never a whole source in one partition,
+    // the straggler shape that capped draw parallelism at |sources|.
+    graft.Util.withConf(spark, "spark.sql.adaptive.enabled", "false") {
+      val plan = graft.ops.Text.mixtureDraw(spark, sf)
+        .queryExecution.executedPlan
+      val wins = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(wins.nonEmpty, "guard: window nodes must be visible")
+      var sawDocWindow = false
+      wins.foreach { w =>
+        val keys = w.partitionSpec.flatMap(_.references.map(_.name)).toSet
+        assert(keys.nonEmpty, s"unpartitioned window:\n$w")
+        val ord = w.orderSpec.flatMap(_.references.map(_.name)).toSet
+        if (ord.contains("key")) {
+          sawDocWindow = true
+          assert(keys.contains("source") && keys.contains("bkt"),
+            s"per-doc cumsum window must partition by (source, bkt), got $keys")
+        }
+      }
+      assert(sawDocWindow, "guard: the per-doc cumsum window must exist")
+      // only boundary-bucket docs reach that window: the ≤ |sources|-row
+      // boundary frame joins the docs as a BROADCAST keyed on bkt
+      val bhj = plan.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+            if b.leftKeys.exists(_.references.exists(_.name == "bkt")) ||
+              b.rightKeys.exists(_.references.exists(_.name == "bkt")) => b
+      }
+      assert(bhj.nonEmpty,
+        s"boundary buckets must broadcast onto the docs:\n${plan.toString.take(1500)}")
+    }
+  }
+
   test("stream_heavy_hitters recount: candidates broadcast, corpus unshuffled") {
     // pass 2 of the streaming heavy hitters must be a BROADCAST of
     // the bounded candidate set probing the corpus map-side — a
