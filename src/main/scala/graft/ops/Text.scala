@@ -2384,20 +2384,24 @@ object Text {
     *  - epoch-decorrelated: the hash includes the epoch, so epoch 1
     *    is a fresh permutation, not epoch 0 re-read (the shuffle
     *    quality a fixed order per epoch would destroy);
-    *  - NO GLOBAL SORT: the shard is the hash's leading hex nibble,
-    *    so (shard, pos) order IS the global hash order, but the plan
-    *    is one hash exchange on (epoch, shard) + a per-shard LOCAL
-    *    sort — at 100 TB each shard writer emits its file in final
-    *    order and no corpus-wide range exchange ever happens (the
-    *    presentation ORDER BY below exists only for the oracle's
-    *    total order). */
+    *  - NO GLOBAL SORT: the shard is the hash's leading two hex
+    *    nibbles (256 shards per epoch — r13 verdict #6 widened it
+    *    from one nibble, whose 2×16 cells capped writer parallelism
+    *    at 32 forever; the (shard, pos) = global-hash-order theorem
+    *    is nibble-width-independent because the shard is a PREFIX of
+    *    the sort key), so (shard, pos) order IS the global hash
+    *    order, but the plan is one hash exchange on (epoch, shard) +
+    *    a per-shard LOCAL sort — at 100 TB each shard writer emits
+    *    its file in final order and no corpus-wide range exchange
+    *    ever happens (the presentation ORDER BY below exists only
+    *    for the oracle's total order). */
   def corpusShuffle(spark: SparkSession, sfDir: String): DataFrame = {
     val df = Tables.documents(spark, sfDir)
       .select(col("doc_id"),
         explode(array(lit(0), lit(1))).as("epoch"))
       .withColumn("h", md5(encode(concat(col("epoch").cast("string"),
         lit(":"), col("doc_id").cast("string")), "utf-8")))
-      .withColumn("shard", substring(col("h"), 1, 1))
+      .withColumn("shard", substring(col("h"), 1, 2))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("epoch"), col("shard"))
       .orderBy(col("h"), col("doc_id"))
@@ -2414,7 +2418,7 @@ object Text {
          SELECT doc_id, epoch,
            md5(CAST(epoch AS STRING) || ':' || CAST(doc_id AS STRING)) AS h,
            substr(md5(CAST(epoch AS STRING) || ':' ||
-             CAST(doc_id AS STRING)), 1, 1) AS shard
+             CAST(doc_id AS STRING)), 1, 2) AS shard
          FROM documents, (SELECT unnest([0, 1]) AS epoch))
        ORDER BY epoch, shard, pos"""
 

@@ -489,7 +489,7 @@ class TextOpsSpec extends SparkSuite {
     }
   }
 
-  test("corpus_shuffle: reproducible, epoch-decorrelated, shard = hash nibble") {
+  test("corpus_shuffle: reproducible, epoch-decorrelated, shard = two hash nibbles") {
     val a = ops.Text.corpusShuffle(spark, sf).collect()
     val b = ops.Text.corpusShuffle(spark, sf).collect()
     assert(a.toSeq == b.toSeq, "order must be a pure function of the data")
