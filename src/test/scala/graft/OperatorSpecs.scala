@@ -448,9 +448,10 @@ class TextOpsSpec extends SparkSuite {
       assert(ranks == (1 to rs.length), s"$q ranks: $ranks")
       val scores = rs.sortBy(_.getInt(1)).map(_.getLong(3)).toSeq
       assert(scores == scores.sorted.reverse, s"$q not monotone: $scores")
-      // RRF contributions are floor(1e6/(60+rk)), rk in 1..10 per leg:
-      // every fused score sits in [floor(1e6/70), 2*floor(1e6/61)]
-      assert(scores.forall(s => s >= 14285L && s <= 2 * 16393L), s"$q: $scores")
+      // RRF contributions are floor(1e6/(60+rk)), rk in 1..10 per leg,
+      // three legs (bm25 / ql / dense): every fused score sits in
+      // [floor(1e6/70), 3*floor(1e6/61)]
+      assert(scores.forall(s => s >= 14285L && s <= 3 * 16393L), s"$q: $scores")
       assert(rs.map(_.getLong(2)).distinct.length == rs.length)
     }
     // any doc fused from the bm25 leg carries at least that leg's
@@ -570,10 +571,11 @@ class TextOpsSpec extends SparkSuite {
   test("rag_eval_recall: hits bounded by rel and 10; fusion >= lone-leg floor") {
     val rows = ops.Text.ragEvalRecall(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getLong(4), r.getLong(5)))
+        r.getLong(4), r.getLong(5), r.getLong(6)))
     assert(rows.length == ops.Text.RetrievalQueries.map(_._1).distinct.length)
-    rows.foreach { case (q, rel, hb, hq, hr, re4) =>
-      assert(hb <= rel.min(10) && hq <= rel.min(10) && hr <= rel.min(10), q)
+    rows.foreach { case (q, rel, hb, hq, hd, hr, re4) =>
+      assert(hb <= rel.min(10) && hq <= rel.min(10) &&
+        hd <= rel.min(10) && hr <= rel.min(10), q)
       assert(re4 == (if (rel > 0) hr * 10000 / rel else 0L), q)
     }
   }
