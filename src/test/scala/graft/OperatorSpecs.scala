@@ -509,6 +509,25 @@ class TextOpsSpec extends SparkSuite {
     assert(same < n / 4, s"$same of $n docs kept their slot across epochs")
   }
 
+  test("corpus_drop_lineage: total partition of docs; keep set equals the manifest") {
+    val lin = ops.Text.corpusDropLineage(spark, sf)
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(lin.count() == nDocs, "one lineage row per document")
+    val kept = lin.filter(col("gate") === "8_kept").select("doc_id")
+    val man = ops.Text.corpusBuildPipeline(spark, sf).select("doc_id")
+    assert(kept.exceptAll(man).count() == 0 &&
+      man.exceptAll(kept).count() == 0,
+      "8_kept must be exactly the build manifest's doc set")
+    // lineage refines the funnel aggregate: funnel-gate counts match
+    // corpus_filter_funnel's non-keep rows for docs passing html+lang
+    val gates = lin.groupBy("gate").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gates.keySet.subsetOf(Set("1_html", "2_lang",
+      "3_funnel_too_short", "3_funnel_low_stopword", "3_funnel_repetitive",
+      "3_funnel_high_surprisal", "4_exact", "5_near", "6_bench",
+      "7_contam", "8_kept")), gates.toString)
+  }
+
   test("corpus_retract_run: reconciled scrub, overlay rewrites touched cells only") {
     val rows = ops.Text.corpusRetractRun(spark, sf).collect()
     assert(rows.nonEmpty)
