@@ -262,6 +262,33 @@ class StreamingSpec extends SparkSuite {
       "reducer must fold near-dup evidence with any()")
   }
 
+  test("stream retract equals the batch retract; multi-batch CoW; rerun no-op") {
+    def shape(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getString(7),
+        r.getBoolean(8))).toSeq
+    val got = shape(graft.ops.Text.streamRetract(spark, sf))
+    val want = shape(graft.ops.Text.corpusRetractRun(spark, sf))
+    assert(got == want, "stream retract must equal the batch retract")
+    assert(got.nonEmpty, "guard: audit must be non-empty")
+    assert(got.forall(_._9), "every bin must reconcile")
+    // the feed is sliced into 3 files at maxFilesPerTrigger=1, so the
+    // scrub genuinely ran across MULTIPLE micro-batches (cumulative
+    // CoW, not a single-shot rewrite) whenever any doc was retracted
+    val tag = graft.Util.fileFingerprint(s"$sf/documents.parquet")
+    val logDir = new java.io.File(
+      s"${graft.Util.sessionTmpDir(spark, "graft_stream_retract")}/$tag/log")
+    val batches = Option(logDir.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+    if (got.exists(_._5 > 0))
+      assert(batches.length > 1,
+        s"expected multiple micro-batches, saw ${batches.map(_.getName)}")
+    // re-trigger with no new takedown files: zero micro-batches, the
+    // overlay is untouched, the audit re-reads the same state
+    val again = shape(graft.ops.Text.streamRetract(spark, sf))
+    assert(again == got, "re-trigger with no new arrivals must be a no-op")
+  }
+
   test("stream_mm_ingest: planted twins gate correctly, re-trigger no-op, zero-state fold") {
     def run() = ops.Multimodal.streamMmIngest(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getInt(3)))
