@@ -85,21 +85,23 @@ object Text {
     * ([[graft.functions.BpeVocab.ensureFixture]]), so expression and
     * oracle cannot drift.
     *
-    * ==Multi-byte contract (scale-domain note)==
-    * The learned pieces are lowercase-ASCII; every code point outside
-    * them — digits handled as single-char fallback, punctuation,
-    * and ALL non-ASCII (é, CJK, emoji) — counts exactly ONE token,
-    * on both engines (the Spark walk skips the UTF-8 sequence, DuckDB
-    * substr is code-point based; BpeSpec pins the parity). That is
-    * the standard byte/char-fallback floor of a real BPE vocab, so
-    * counts on English-dominant corpora are tokenizer-faithful, but
-    * on multi-byte-heavy text (CJK) the count degrades to
-    * ~one-token-per-character — length-proportional, never
-    * merge-compressed. Budget arithmetic over such corpora
-    * OVERCOUNTS relative to a tokenizer whose vocab covers those
-    * scripts; lifting the trie to UTF-8 byte-level pieces (and the
-    * oracle to byte-piece fixtures) is the documented extension if
-    * that domain ever matters here. */
+    * ==Multi-byte contract (byte-level since r14)==
+    * The vocab is BYTE-LEVEL (GPT-2 shape): pieces are UTF-8 byte
+    * sequences learned over an English-dominant mix with accented
+    * European, CJK, Cyrillic, and typographic-punctuation seeds
+    * ([[graft.functions.BpeLexicon]]); any byte no piece covers
+    * counts exactly ONE token (the 256-byte base alphabet every
+    * byte-level vocab carries), so tokenization is total over
+    * arbitrary text and tokenizer-faithful on the scripts the vocab
+    * budget covers — seeded characters/words (é, hiragana particles,
+    * 日本, katakana loans, smart quotes) merge to single pieces,
+    * unseeded scripts decompose to their UTF-8 bytes, exactly the
+    * budget a real fixed-vocab tokenizer charges them. The DuckDB
+    * oracle joins the committed fixture's ASCII slice (multi-byte
+    * pieces are committed \\xNN-escaped and can never match the
+    * all-ASCII corpus); the byte-level behavior itself is pinned by
+    * BpeSpec's and BpeRuntimeProps' independent byte-walk
+    * references over seeded and unseeded unicode. */
   def tokenBpe(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.BpeVocab.ensureFixture()
     Tables.documents(spark, sfDir)

@@ -13,20 +13,21 @@ import org.apache.spark.unsafe.types.UTF8String
 class BpeSpec extends SparkSuite {
   private def cnt(s: String): Long = BpeRuntime.count(UTF8String.fromString(s))
 
-  // the spec's own greedy longest-match oracle: per-position substring
-  // probe against the piece set — the DuckDB join, in Scala
-  private val pieceSet = BpeVocab.pieces.toSet
+  // the spec's own greedy longest-match oracle: per-BYTE-position
+  // substring probe against the raw byte-piece set — the DuckDB join
+  // (byte == code-point positions on its ASCII slice), in Scala.
+  // ISO-8859-1 decode is the byte-per-char embedding piecesRaw uses.
+  private val pieceSet = BpeVocab.piecesRaw.toSet
   private def ref(text: String): Long = {
+    val bs = text.getBytes("UTF-8")
     var i = 0; var n = 0L
-    val cps = text.codePoints().toArray
-    while (i < cps.length) {
-      if (cps(i) == ' ') i += 1
+    while (i < bs.length) {
+      if (bs(i) == ' ') i += 1
       else {
         var adv = 1
-        var l = math.min(BpeVocab.maxLen, cps.length - i)
+        var l = math.min(BpeVocab.maxLen, bs.length - i)
         while (l >= 2 && adv == 1) {
-          val sub = new String(cps, i, l)
-          if (pieceSet.contains(sub)) adv = l
+          if (pieceSet.contains(new String(bs, i, l, "ISO-8859-1"))) adv = l
           l -= 1
         }
         n += 1; i += adv
@@ -36,15 +37,19 @@ class BpeSpec extends SparkSuite {
   }
 
   test("vocab is realistic-size, merge-derived, and structurally sound") {
-    assert(BpeVocab.pieces.size >= 2000,
-      s"vocab must be thousands of pieces, got ${BpeVocab.pieces.size}")
+    assert(BpeVocab.piecesRaw.size >= 2000,
+      s"vocab must be thousands of pieces, got ${BpeVocab.piecesRaw.size}")
     assert(BpeVocab.maxLen >= 8 && BpeVocab.maxLen <= 20)
     // BPE's hallmark: the highest-weight suffixes and function words
     // fuse into pieces
     Seq("ing", "ed", "er", "the", "and").foreach(p =>
       assert(pieceSet.contains(p), s"expected learned piece '$p'"))
     // mid-frequency structure survives: not everything is whole-word
-    assert(BpeVocab.pieces.count(_.length == 2) >= 50)
+    assert(BpeVocab.piecesRaw.count(_.length == 2) >= 50)
+    // byte-level slice: a real share of the budget went to multi-byte
+    // merges (whole characters through whole words)
+    assert(BpeVocab.piecesRaw.count(_.exists(_ >= 0x80)) >= 20,
+      "expected learned multi-byte byte-sequence pieces")
   }
 
   test("committed fixture equals the learned pieces (oracle contract)") {
@@ -76,16 +81,25 @@ class BpeSpec extends SparkSuite {
     assert(cnt("customer") > 1L, "a ~2.5k vocab splits mid-freq words")
     // longest-match must win over a shorter prefix piece: probe with a
     // real (piece, extension-piece) pair from the learned vocab
-    val ext = BpeVocab.pieces.find(p =>
-      p.length >= 3 && pieceSet.contains(p.take(2))).get
+    val ext = BpeVocab.piecesRaw.find(p =>
+      p.length >= 3 && p.forall(_ < 0x80) && pieceSet.contains(p.take(2))).get
     assert(cnt(ext) == 1L, s"longest match must take '$ext' whole")
   }
 
-  test("multi-byte text counts one token per code point (DuckDB parity)") {
-    // é is 2 UTF-8 bytes, one code point; the walk must not count bytes
-    assert(cnt("café") == ref("café"))
-    assert(cnt("日本") == 2L)           // 3-byte sequences
-    assert(cnt("𝄞") == 1L)              // 4-byte (non-BMP) sequence
+  test("byte-level multi-byte pieces: learned fusions and byte fallback") {
+    def rawOf(s: String) = new String(s.getBytes("UTF-8"), "ISO-8859-1")
+    // learned whole-character and whole-word byte pieces count 1 token
+    Seq("é", "の", "日本", "—", "’").foreach { w =>
+      assert(pieceSet.contains(rawOf(w)), s"expected byte piece for '$w'")
+      assert(cnt(w) == 1L, s"'$w' must count as one learned piece")
+    }
+    // the walk equals the byte-level reference on mixed text
+    Seq("café au lait", "データの中国", "a—b ‘x’", "naïve café").foreach(t =>
+      assert(cnt(t) == ref(t), s"mismatch on: $t"))
+    // unseen scripts decompose to UTF-8 BYTES (the GPT-2 byte
+    // fallback): no piece covers them, so bytes are the budget
+    assert(cnt("𝄞") == 4L)              // U+1D11E, 4 bytes, unseeded
+    assert(cnt("Ж") == 2L)              // U+0416, 2 bytes, unseeded
   }
 
   test("greedy longest-match equals the reference re-implementation on corpus text") {

@@ -371,30 +371,32 @@ object MisraGriesProps extends Properties("MisraGries") {
 /** The BPE runtime's CSR-trie greedy walk vs an independent reference:
   * the trie is an optimization of greedy longest-match over the vocab
   * SET — any divergence for any input is a bug, whatever the fixtures
-  * happen to cover. Also pins the multi-byte contract (one token per
-  * non-ASCII code point) on arbitrary unicode. */
+  * happen to cover. Also pins the byte-level contract (learned
+  * byte-sequence pieces; one token per unmatched BYTE) on arbitrary
+  * unicode, seeded and unseeded scripts alike. */
 object BpeRuntimeProps extends Properties("BpeRuntime") {
   import graft.functions.{BpeRuntime, BpeVocab}
   import org.apache.spark.unsafe.types.UTF8String
 
-  private val vocabSet = BpeVocab.pieces.toSet
+  private val vocabSet = BpeVocab.piecesRaw.toSet
   private val maxLen = BpeVocab.maxLen
 
-  /** Reference greedy longest-match per code point over a lowercase
-    * string — the definition, written without the trie. */
+  /** Reference greedy longest-match per BYTE position over the text's
+    * UTF-8 bytes — the byte-level definition, written without the
+    * trie: longest matching byte-sequence piece wins, an unmatched
+    * byte costs 1 token (the GPT-2 byte fallback). ISO-8859-1 decode
+    * is the byte-per-char embedding piecesRaw uses. */
   private def refCount(s: String): Long = {
+    val bs = s.getBytes("UTF-8")
     var i = 0; var n = 0L
-    while (i < s.length) {
-      val cp = s.codePointAt(i)
-      if (cp == ' ') i += 1
-      else if (cp > 127) { i += Character.charCount(cp); n += 1 }
+    while (i < bs.length) {
+      if (bs(i) == ' ') i += 1
       else {
         var step = 1
-        var l = math.min(maxLen, s.length - i)
+        var l = math.min(maxLen, bs.length - i)
         var found = false
         while (!found && l >= 2) {
-          val cand = s.substring(i, i + l)
-          if (cand.forall(c => c >= 'a' && c <= 'z') && vocabSet(cand)) {
+          if (vocabSet(new String(bs, i, l, "ISO-8859-1"))) {
             step = l; found = true
           } else l -= 1
         }
