@@ -2497,6 +2497,188 @@ object Text {
          FROM documents, (SELECT unnest([0, 1]) AS epoch))
        ORDER BY epoch, shard, pos"""
 
+  /** `t_dataloader_resume` — EXACT mid-epoch resume cursors for a
+    * checkpointed training run reading [[corpusShuffle]]'s order: a
+    * checkpoint records how many sequences each epoch consumed (here
+    * a fixed 37 % of epoch 0 and 61 % of epoch 1, exact integer
+    * math); the operator answers, per (epoch, shard), how many docs
+    * that shard already served, the position to resume at, and the
+    * exact next doc — so a restart replays NOTHING and skips NOTHING,
+    * without re-reading the consumed prefix.
+    *
+    * The scale shape is the [[mixtureDraw]] two-level selection
+    * applied to the dataloader: because shard = the hash's leading
+    * byte, (shard, pos) IS the global hash order (the corpus_shuffle
+    * theorem), so the k-th global order statistic decomposes into
+    * whole shards + ONE boundary shard per epoch. One counting pass
+    * over the corpus (map-side combined to ≤ |epochs|×256 rows, which
+    * also carries each shard's first doc as a min-struct aggregate —
+    * no sort), a cumulative window over those bounded rows, and the
+    * only per-DOC ordering work is a row_number INSIDE the boundary
+    * shards (broadcast-pruned to ≤ 1/256 of the corpus per epoch).
+    * Never a global sort, never a corpus-wide window: at 100 TB the
+    * resume costs one aggregate scan + a 1/256 slice sort. */
+  def dataloaderResume(spark: SparkSession, sfDir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(array(lit(0), lit(1))).as("epoch"))
+      .withColumn("h", md5(encode(concat(col("epoch").cast("string"),
+        lit(":"), col("doc_id").cast("string")), "utf-8")))
+      .withColumn("shard", substring(col("h"), 1, 2))
+    // ONE corpus pass: per-shard doc count + first doc in hash order
+    // (min over a (h, doc_id) struct — an aggregate, not a sort)
+    val counts = docs.groupBy(col("epoch"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(struct(col("h"), col("doc_id"))).as("first"))
+    // the checkpoint: consumed docs per epoch, exact integers
+    val k = counts.groupBy(col("epoch"))
+      .agg(sum(col("n_docs")).as("n"))
+      .withColumn("k", when(col("epoch") === 0, expr("(n * 37) DIV 100"))
+        .otherwise(expr("(n * 61) DIV 100")))
+      .select(col("epoch"), col("k"))
+    // shard-major = global hash order: cumulate the ≤ 256 counts per
+    // epoch and clamp — whole shards before the boundary are done,
+    // the boundary shard is partially consumed, the rest untouched
+    val cw = W.partitionBy(col("epoch")).orderBy(col("shard"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val cursors = counts
+      .withColumn("cum", coalesce(sum(col("n_docs")).over(cw), lit(0L)))
+      .join(broadcast(k), Seq("epoch"))
+      .withColumn("n_consumed",
+        greatest(lit(0L), least(col("n_docs"), col("k") - col("cum"))))
+    // next doc: untouched shards read it off the aggregate (their
+    // first doc); the ≤ 1 ACTIVE shard per epoch ranks only its own
+    // docs (broadcast-pruned window — the boundary-bucket trick)
+    val active = cursors
+      .filter(col("n_consumed") > 0 && col("n_consumed") < col("n_docs"))
+      .select(col("epoch"), col("shard"), col("n_consumed"))
+    val aw = W.partitionBy(col("epoch"), col("shard"))
+      .orderBy(col("h"), col("doc_id"))
+    val activeNext = docs
+      .join(broadcast(active), Seq("epoch", "shard"))
+      .withColumn("pos", row_number().over(aw).cast("long"))
+      .filter(col("pos") === col("n_consumed") + 1L)
+      .select(col("epoch"), col("shard"), col("doc_id").as("nd"))
+    cursors.join(activeNext, Seq("epoch", "shard"), "left")
+      .withColumn("resume_pos",
+        when(col("n_consumed") < col("n_docs"), col("n_consumed") + 1L))
+      .withColumn("next_doc_id",
+        when(col("n_consumed") === 0, col("first.doc_id"))
+          .otherwise(col("nd")))
+      .withColumn("state",
+        when(col("n_consumed") === col("n_docs"), "done")
+          .when(col("n_consumed") === 0, "pending")
+          .otherwise("active"))
+      .select(col("epoch"), col("shard"), col("n_docs"), col("n_consumed"),
+        col("resume_pos"), col("next_doc_id"), col("state"))
+      .orderBy(col("epoch"), col("shard"))
+  }
+  /** Oracle: the straightforward global form — rank every doc in the
+    * epoch's (h, doc_id) order, count the first k per shard, look the
+    * next doc up at per-shard pos n_consumed+1. The engine's
+    * decomposed form must equal it exactly (the shard-major
+    * theorem). */
+  val dataloaderResumeSql: String =
+    """WITH ord AS (
+         SELECT epoch, doc_id,
+           md5(CAST(epoch AS STRING) || ':' || CAST(doc_id AS STRING)) AS h,
+           substr(md5(CAST(epoch AS STRING) || ':' ||
+             CAST(doc_id AS STRING)), 1, 2) AS shard
+         FROM documents, (SELECT unnest([0, 1]) AS epoch)),
+       g AS (
+         SELECT epoch, shard, doc_id, h,
+           row_number() OVER (PARTITION BY epoch ORDER BY h, doc_id)
+             AS grank,
+           row_number() OVER (PARTITION BY epoch, shard ORDER BY h, doc_id)
+             AS pos
+         FROM ord),
+       tot AS (SELECT epoch, count(1) AS n FROM ord GROUP BY epoch),
+       k AS (
+         SELECT epoch,
+           CASE WHEN epoch = 0 THEN (n * 37) // 100
+                ELSE (n * 61) // 100 END AS k
+         FROM tot),
+       cons AS (
+         SELECT epoch, shard,
+           CAST(count(1) AS BIGINT) AS n_docs,
+           CAST(coalesce(sum(CASE WHEN grank <= k THEN 1 END), 0) AS BIGINT)
+             AS n_consumed
+         FROM g JOIN k USING (epoch) GROUP BY epoch, shard),
+       nxt AS (
+         SELECT g.epoch AS epoch, g.shard AS shard, g.doc_id AS doc_id
+         FROM g JOIN cons ON cons.epoch = g.epoch AND cons.shard = g.shard
+         WHERE g.pos = cons.n_consumed + 1)
+     SELECT c.epoch AS epoch, c.shard AS shard, c.n_docs AS n_docs,
+       c.n_consumed AS n_consumed,
+       CASE WHEN c.n_consumed < c.n_docs
+            THEN c.n_consumed + 1 END AS resume_pos,
+       nxt.doc_id AS next_doc_id,
+       CASE WHEN c.n_consumed = c.n_docs THEN 'done'
+            WHEN c.n_consumed = 0 THEN 'pending'
+            ELSE 'active' END AS state
+     FROM cons c LEFT JOIN nxt ON nxt.epoch = c.epoch AND nxt.shard = c.shard
+     ORDER BY epoch, shard"""
+
+  /** `t_tokenizer_fertility` — per-source TOKENIZER FERTILITY, the
+    * metric tokenizer and data teams track per language/source slice:
+    * bytes per BPE token (how byte-hungry a slice is under the frozen
+    * vocab — the number that exposes under-served scripts in a
+    * byte-level vocab), characters per token, and the BPE-vs-
+    * whitespace inflation. All ratios are e4 fixed-point integer
+    * division over per-source SUMS, so the output is exact under any
+    * partitioning. One map-side projection (octet_length / length /
+    * ws-split / the codegen'd [[graft.functions.BpeExpr.bpe_count]])
+    * into a map-side-combined groupBy on |sources| keys — the
+    * t_token_bpe zero-text-shuffle shape with a bounded aggregate on
+    * top; identical plan at 100 TB. */
+  def tokenizerFertility(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.BpeVocab.ensureFixture()
+    Tables.documents(spark, sfDir)
+      .select(col("source"),
+        octet_length(col("text")).cast("long").as("nb"),
+        length(col("text")).cast("long").as("nc"),
+        size(split(lower(col("text")), " ")).cast("long").as("ws"),
+        graft.functions.BpeExpr.bpe_count(lower(col("text"))).as("bpe"))
+      .groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("nb")).as("bytes"),
+        sum(col("nc")).as("chars"),
+        sum(col("ws")).as("ws_tokens"),
+        sum(col("bpe")).as("bpe_tokens"))
+      .withColumn("bytes_per_tok_e4",
+        expr("bytes * 10000 DIV bpe_tokens"))
+      .withColumn("chars_per_tok_e4",
+        expr("chars * 10000 DIV bpe_tokens"))
+      .withColumn("bpe_per_ws_e4",
+        expr("bpe_tokens * 10000 DIV ws_tokens"))
+      .orderBy(col("source"))
+  }
+  /** Oracle: the shared docbpe CTE joined onto per-doc byte/char/ws
+    * lengths, aggregated per source with the same e4 integer
+    * division. */
+  def tokenizerFertilitySql: String =
+    s"""WITH RECURSIVE ${graft.functions.BpeVocab.sqlDocBpe},
+       m AS (
+         SELECT doc_id, source,
+           CAST(octet_length(encode(text)) AS BIGINT) AS nb,
+           CAST(length(text) AS BIGINT) AS nc,
+           CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS ws
+         FROM documents)
+       SELECT source,
+         CAST(count(1) AS BIGINT) AS n_docs,
+         CAST(sum(nb) AS BIGINT) AS bytes,
+         CAST(sum(nc) AS BIGINT) AS chars,
+         CAST(sum(ws) AS BIGINT) AS ws_tokens,
+         CAST(sum(bpe_tokens) AS BIGINT) AS bpe_tokens,
+         CAST(sum(nb) * 10000 // sum(bpe_tokens) AS BIGINT)
+           AS bytes_per_tok_e4,
+         CAST(sum(nc) * 10000 // sum(bpe_tokens) AS BIGINT)
+           AS chars_per_tok_e4,
+         CAST(sum(bpe_tokens) * 10000 // sum(ws) AS BIGINT)
+           AS bpe_per_ws_e4
+       FROM m JOIN docbpe USING (doc_id)
+       GROUP BY source ORDER BY source"""
+
   /** `corpus_build_pipeline` — the capstone composition (judge r11
     * item #4): html_extract → lang_id → quality/repetition funnel →
     * exact dedup → minhash near-dedup → decontamination → split
@@ -3349,6 +3531,61 @@ object Text {
     appendTail(spark, sfDir, appendDeltaCandidates(spark, sfDir))
   }
 
+  /** `corpus_version_diff` — the SNAPSHOT SUMMARY between two corpus
+    * versions (v1 = the frozen base, v2 = base + gated append), the
+    * record an Iceberg/Delta commit writes and a reproducibility
+    * audit reads: per (split, shard) cell, doc/token counts for both
+    * versions, what the append added, and a per-cell `frozen_ok` bit
+    * proving v2 is a strict SUPERSET laid out strictly AFTER v1's
+    * bins (min delta bin > max base bin — the immutable-shards
+    * contract; vacuously true for cells one side doesn't touch).
+    *
+    * Pure aggregation tail over [[corpusAppendPipeline]]'s manifest —
+    * the versions are not recomputed, and the output is ≤
+    * |splits|×|shards| metadata rows whatever the corpus size. The
+    * oracle shares the append oracle's CTE body verbatim
+    * ([[corpusAppendManifestCtes]]), so the diff cannot drift from
+    * the append semantics it summarizes. */
+  def corpusVersionDiff(spark: SparkSession, sfDir: String): DataFrame =
+    corpusAppendPipeline(spark, sfDir)
+      .groupBy(col("split"), col("shard")).agg(
+        sum(when(!col("is_delta"), 1L).otherwise(0L)).as("n_docs_v1"),
+        count(lit(1)).as("n_docs_v2"),
+        sum(when(!col("is_delta"), col("n_tokens")).otherwise(0L))
+          .as("tok_v1"),
+        sum(col("n_tokens")).as("tok_v2"),
+        max(when(!col("is_delta"), col("bin"))).as("max_bin_v1"),
+        max(col("bin")).as("max_bin_v2"),
+        sum(when(col("is_delta"), 1L).otherwise(0L)).as("docs_added"),
+        sum(when(col("is_delta"), col("n_tokens")).otherwise(0L))
+          .as("tokens_added"),
+        coalesce(min(when(col("is_delta"), col("bin"))) >
+          max(when(!col("is_delta"), col("bin"))), lit(true))
+          .as("frozen_ok"))
+      .orderBy(col("split"), col("shard"))
+  def corpusVersionDiffSql: String =
+    s"""WITH RECURSIVE $corpusAppendManifestCtes,
+       v AS (
+         SELECT split, shard, bin, n_tokens, false AS is_delta FROM bman
+         UNION ALL
+         SELECT split, shard, bin, n_tokens, true AS is_delta FROM dman)
+       SELECT split, shard,
+         CAST(sum(CASE WHEN NOT is_delta THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_docs_v1,
+         CAST(count(1) AS BIGINT) AS n_docs_v2,
+         CAST(sum(CASE WHEN NOT is_delta THEN n_tokens ELSE 0 END) AS BIGINT)
+           AS tok_v1,
+         CAST(sum(n_tokens) AS BIGINT) AS tok_v2,
+         max(CASE WHEN NOT is_delta THEN bin END) AS max_bin_v1,
+         max(bin) AS max_bin_v2,
+         CAST(sum(CASE WHEN is_delta THEN 1 ELSE 0 END) AS BIGINT)
+           AS docs_added,
+         CAST(sum(CASE WHEN is_delta THEN n_tokens ELSE 0 END) AS BIGINT)
+           AS tokens_added,
+         coalesce(min(CASE WHEN is_delta THEN bin END) >
+           max(CASE WHEN NOT is_delta THEN bin END), true) AS frozen_ok
+       FROM v GROUP BY split, shard ORDER BY split, shard"""
+
   /** [[filterVerdictsScored]]'s per-doc arithmetic as a plain Scala
     * function over one document — the STREAM twin's map-side funnel
     * gate, scored against the closure-shipped frozen base model
@@ -3551,8 +3788,13 @@ object Text {
     * base-frozen artifacts (g-prefixed funnel scored on bdoc's
     * vocabulary, near-dup pairs restricted to delta×base, the frozen
     * base bench shingle suite) and pack after `btot` offsets. */
-  def corpusAppendSql: String =
-    s"""WITH RECURSIVE ${graft.functions.BpeVocab.sqlDocBpe},
+  /** The append oracle's CTE body through `bman` (frozen base
+    * manifest) and `dman` (delta manifest packed after the frozen
+    * bins) — shared by [[corpusAppendSql]] and
+    * [[corpusVersionDiffSql]] so the version pair can never drift
+    * from the append semantics it summarizes. */
+  private def corpusAppendManifestCtes: String =
+    s"""${graft.functions.BpeVocab.sqlDocBpe},
        $shingleCte,
        bdoc AS (SELECT * FROM documents WHERE doc_id % 10 <> 7),
        ddoc AS (SELECT * FROM documents WHERE doc_id % 10 = 7),
@@ -3664,7 +3906,10 @@ object Text {
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)) / 2048)
              AS BIGINT) AS bin,
            n_tokens
-         FROM dsp LEFT JOIN btot bt USING (split, shard))
+         FROM dsp LEFT JOIN btot bt USING (split, shard))"""
+
+  def corpusAppendSql: String =
+    s"""WITH RECURSIVE $corpusAppendManifestCtes
        SELECT doc_id, split, shard, bin, n_tokens, false AS is_delta
        FROM bman
        UNION ALL
@@ -3862,6 +4107,9 @@ object Text {
     "rag_eval_recall" -> ragEvalRecall,
     "t_quality_classifier" -> qualityClassifier,
     "corpus_shuffle" -> corpusShuffle,
+    "t_dataloader_resume" -> dataloaderResume,
+    "t_tokenizer_fertility" -> tokenizerFertility,
+    "corpus_version_diff" -> corpusVersionDiff,
     "corpus_retract_run" -> corpusRetractRun,
     "stream_retract" -> streamRetract,
     "t_mixture_draw" -> mixtureDraw,
@@ -3916,6 +4164,9 @@ object Text {
     "rag_eval_recall" -> ragEvalRecallSql,
     "t_quality_classifier" -> qualityClassifierSql,
     "corpus_shuffle" -> corpusShuffleSql,
+    "t_dataloader_resume" -> dataloaderResumeSql,
+    "t_tokenizer_fertility" -> tokenizerFertilitySql,
+    "corpus_version_diff" -> corpusVersionDiffSql,
     "corpus_retract_run" -> corpusRetractRunSql,
     "stream_retract" -> corpusRetractRunSql,
     "t_mixture_draw" -> mixtureDrawSql,

@@ -509,6 +509,77 @@ class TextOpsSpec extends SparkSuite {
     assert(same < n / 4, s"$same of $n docs kept their slot across epochs")
   }
 
+  test("t_dataloader_resume: prefix-exact cursors; next doc agrees with the shuffle order") {
+    val rows = ops.Text.dataloaderResume(spark, sf).collect()
+    rows.groupBy(_.getInt(0)).foreach { case (e, rs) =>
+      val n = rs.map(_.getLong(2)).sum
+      val k = if (e == 0) n * 37 / 100 else n * 61 / 100
+      assert(rs.map(_.getLong(3)).sum == k,
+        s"epoch $e: consumed docs must sum to the checkpoint k")
+      // shard-major prefix: fully-done shards, then at most one
+      // active shard, then untouched ones — never interleaved
+      val states = rs.sortBy(_.getString(1)).map(_.getString(6)).toList
+      assert(states.count(_ == "active") <= 1, s"epoch $e: >1 active shard")
+      val compact = states.foldLeft(List.empty[String])(
+        (a, s) => if (a.lastOption.contains(s)) a else a :+ s)
+      assert(Seq(List("done", "active", "pending"),
+        List("done", "pending"), List("done"), List("pending"),
+        List("done", "active"), List("active", "pending"),
+        List("active")).contains(compact),
+        s"epoch $e: consumed set is not a shard-major prefix: $compact")
+    }
+    // the cursor is a faithful lookup INTO the shuffle order: every
+    // open shard's next_doc_id is corpus_shuffle's doc at resume_pos
+    val order = ops.Text.corpusShuffle(spark, sf).collect()
+      .map(r => ((r.getInt(0), r.getString(1), r.getInt(2).toLong),
+        r.getLong(3))).toMap
+    val open = rows.filter(!_.isNullAt(4))
+    assert(open.nonEmpty, "guard: some shard must be resumable")
+    open.foreach { r =>
+      assert(order((r.getInt(0), r.getString(1), r.getLong(4))) ==
+        r.getLong(5),
+        s"next_doc mismatch at (${r.getInt(0)}, ${r.getString(1)})")
+    }
+  }
+
+  test("corpus_version_diff: superset snapshot, strict-append bins, additive with the manifest") {
+    val d = ops.Text.corpusVersionDiff(spark, sf).collect()
+    assert(d.nonEmpty)
+    d.foreach { r =>
+      assert(r.getBoolean(10), s"frozen_ok violated in cell ${r.toSeq}")
+      assert(r.getLong(3) - r.getLong(2) == r.getLong(8) &&
+        r.getLong(5) - r.getLong(4) == r.getLong(9),
+        "v2 - v1 must equal the append delta exactly (pure superset)")
+    }
+    // the summary is additive with the manifest it aggregates
+    val man = ops.Text.corpusAppendPipeline(spark, sf)
+    assert(d.map(_.getLong(3)).sum == man.count(),
+      "n_docs_v2 must total the appended manifest")
+    assert(d.map(_.getLong(8)).sum ==
+      man.filter(col("is_delta")).count(),
+      "docs_added must total the delta manifest")
+  }
+
+  test("t_tokenizer_fertility: exact sums; ASCII corpus makes bytes == chars") {
+    val f = ops.Text.tokenizerFertility(spark, sf).collect()
+    assert(f.nonEmpty)
+    f.foreach { r =>
+      // the test corpus is all-ASCII: byte and code-point fertility
+      // must coincide exactly; both diverge on multi-byte text
+      assert(r.getLong(2) == r.getLong(3), "bytes != chars on ASCII corpus")
+      assert(r.getLong(6) == r.getLong(7))
+      // BPE inflates ws tokens within the realistic small-vocab band
+      val e4 = r.getLong(8)
+      assert(e4 > 10000 && e4 < 20000, s"bpe/ws ratio $e4 out of band")
+    }
+    // totals agree with t_token_bpe's per-doc counts
+    val tb = ops.Text.tokenBpe(spark, sf)
+      .agg(sum(col("bpe_tokens")), sum(col("ws_tokens"))).collect()(0)
+    assert(f.map(_.getLong(5)).sum == tb.getLong(0) &&
+      f.map(_.getLong(4)).sum == tb.getLong(1),
+      "fertility sums must equal t_token_bpe's totals")
+  }
+
   test("corpus_drop_lineage: total partition of docs; keep set equals the manifest") {
     val lin = ops.Text.corpusDropLineage(spark, sf)
     val nDocs = Tables.documents(spark, sf).count()

@@ -821,6 +821,39 @@ class ScaleSpec extends SparkSuite {
     }
   }
 
+  test("t_dataloader_resume: per-doc rank only inside the broadcast-pruned boundary shard") {
+    // The resume must be the two-level selection, not a global rank:
+    // the only per-doc window (ordering by the hash) partitions by
+    // (epoch, shard) AND sits above a broadcast join with the ≤
+    // 1-per-epoch active-cursor frame — so the sort input is the
+    // boundary shard (1/256 of the corpus), never the corpus.
+    graft.Util.withConf(spark, "spark.sql.adaptive.enabled", "false") {
+      val plan = graft.ops.Text.dataloaderResume(spark, sf)
+        .queryExecution.executedPlan
+      val wins = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(wins.nonEmpty, "guard: window nodes must be visible")
+      var sawDocWindow = false
+      wins.foreach { w =>
+        val ord = w.orderSpec.flatMap(_.references.map(_.name)).toSet
+        if (ord.contains("h")) {
+          sawDocWindow = true
+          val keys = w.partitionSpec.flatMap(_.references.map(_.name)).toSet
+          assert(keys.contains("epoch") && keys.contains("shard"),
+            s"per-doc rank must partition by (epoch, shard), got $keys")
+          val bhj = w.collect {
+            case b: org.apache.spark.sql.execution.joins
+                .BroadcastHashJoinExec => b
+          }
+          assert(bhj.nonEmpty,
+            "per-doc rank must sit above the active-cursor broadcast join")
+        }
+      }
+      assert(sawDocWindow, "guard: the boundary-shard rank window must exist")
+    }
+  }
+
   test("stream_heavy_hitters recount: candidates broadcast, corpus unshuffled") {
     // pass 2 of the streaming heavy hitters must be a BROADCAST of
     // the bounded candidate set probing the corpus map-side — a
