@@ -164,6 +164,131 @@ object Dedup {
        WHERE 1.0 * i / (ca.n + cb.n - i) >= $JaccardThreshold
        ORDER BY da, db"""
 
+  /** Analytic banded-LSH catch probability per Jaccard decile,
+    * 1 − (1 − s^r)^b at the decile midpoint, e4-floored ONCE here so
+    * the Spark plan and the DuckDB oracle embed the identical
+    * constants (cross-engine pow in the last ulp can differ; shared
+    * literals cannot). */
+  private val lshAnalyticE4: IndexedSeq[Long] = (0 to 9).map { bkt =>
+    val s = (bkt + 0.5) / 10.0
+    math.floor((1.0 - math.pow(
+      1.0 - math.pow(s, graft.functions.TextHash.BandRows.toDouble),
+      graft.functions.TextHash.NumBands.toDouble)) * 10000.0).toLong
+  }
+
+  /** `dedup_lsh_calibration` — MEASURED banding S-curve for the
+    * corpus: does the 32×4 MinHash banding actually catch what it
+    * promises on THIS data? A deterministic fixed-size doc sample
+    * (≈256 docs — [[graft.ops.Text.hashSampleFixed]], so the pair
+    * count is bounded at ~32k whatever the corpus size) gets exact
+    * all-pairs Jaccard and the real banded signatures; per Jaccard
+    * decile the output reports pairs, banding catches, the measured
+    * catch rate, and the analytic 1−(1−s⁴)³² reference. This is the
+    * eval a dedup owner reads before trusting LSH parameters on a new
+    * corpus — measured recall above the 0.7 threshold, measured
+    * candidate pollution below it — in the held-out-eval house style
+    * (langid, classifier, retrieval). All pair work runs on the
+    * broadcast 256-row sample; the only corpus-sized cost is the
+    * shared shingle artifact both sides already pay. */
+  def lshCalibration(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sample = Text.hashSampleFixed(
+      shingled(spark, sfDir).filter(size(col("shingles")) > 0),
+      "doc_id", 256L)
+    val withBands = sample.select(col("doc_id"), col("shingles"), col("hs"))
+      .as[(Long, Array[String], Array[Long])]
+      .map { case (id, sh, hs) =>
+        (id, sh, graft.functions.TextHash.minhashBands(hs).toArray) }
+      .toDF("doc_id", "shingles", "bands")
+    val l = withBands.select(col("doc_id").as("da"),
+      col("shingles").as("sa"), col("bands").as("ba"))
+    val r = withBands.select(col("doc_id").as("db"),
+      col("shingles").as("sb"), col("bands").as("bb"))
+    val analytic = (0 to 9).foldLeft(lit(0L)) { (acc, bkt) =>
+      when(col("bucket") === bkt, lit(lshAnalyticE4(bkt))).otherwise(acc)
+    }
+    l.join(broadcast(r), col("da") < col("db"))
+      .withColumn("i",
+        size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("u",
+        size(col("sa")).cast("long") + size(col("sb")).cast("long")
+          - col("i"))
+      .withColumn("bucket",
+        least(lit(9L), floor(lit(1.0) * col("i") / col("u") * lit(10.0))))
+      .withColumn("caught", arrays_overlap(col("ba"), col("bb")))
+      .groupBy(col("bucket")).agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("caught"), 1L).otherwise(0L)).as("n_caught"))
+      .withColumn("catch_e4", expr("n_caught * 10000 DIV n_pairs"))
+      .withColumn("analytic_e4", analytic)
+      .orderBy(col("bucket"))
+  }
+  /** Oracle: the sampled pairs' exact Jaccard via the shared shingle
+    * CTE, and the banding REPLAYED in SQL — h32 is the md5-prefix
+    * convention, and the 128 (a, b) universal-hash parameters embed
+    * as a VALUES table straight from [[graft.functions.TextHash]], so
+    * both engines band with literally the same constants. */
+  def lshCalibrationSql: String = {
+    val params = graft.functions.TextHash.hashParams.zipWithIndex
+      .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+    val analytic = lshAnalyticE4.zipWithIndex
+      .map { case (v, bkt) => s"WHEN $bkt THEN $v" }.mkString(" ")
+    s"""WITH ${Text.shingleCte},
+       docs3 AS (
+         SELECT doc_id FROM documents
+         WHERE len(string_split(lower(text), ' ')) >= 3),
+       nn AS (SELECT count(1) AS n FROM docs3),
+       ss AS (
+         SELECT doc_id FROM docs3 CROSS JOIN nn
+         WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+             AS BIGINT)
+           < floor(4294967296.0 * least(1.0, 256.0 / n))),
+       shs AS (SELECT sh.doc_id AS doc_id, sh.s AS s
+         FROM sh JOIN ss ON ss.doc_id = sh.doc_id),
+       scnt AS (SELECT doc_id, count(1) AS n FROM shs GROUP BY 1),
+       sinter AS (
+         SELECT a.doc_id AS da, b.doc_id AS db, count(1) AS i
+         FROM shs a JOIN shs b ON a.s = b.s AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       pairs AS (
+         SELECT a.doc_id AS da, b.doc_id AS db,
+           coalesce(i.i, 0) AS i,
+           ca.n + cb.n - coalesce(i.i, 0) AS u
+         FROM ss a JOIN ss b ON a.doc_id < b.doc_id
+         LEFT JOIN sinter i ON i.da = a.doc_id AND i.db = b.doc_id
+         JOIN scnt ca ON ca.doc_id = a.doc_id
+         JOIN scnt cb ON cb.doc_id = b.doc_id),
+       params(pi, pa, pb) AS (VALUES $params),
+       hset AS (
+         SELECT DISTINCT doc_id,
+           CAST(('0x' || substring(md5(s), 1, 8)) AS BIGINT) AS h
+         FROM shs),
+       sig AS (
+         SELECT doc_id, pi, min((pa * h + pb) % 4294967311) AS v
+         FROM hset CROSS JOIN params GROUP BY 1, 2),
+       bands AS (
+         SELECT doc_id, pi // 4 AS bd,
+           CAST(pi // 4 AS VARCHAR) || '-' ||
+             string_agg(CAST(v AS VARCHAR), '-' ORDER BY pi) AS key
+         FROM sig GROUP BY doc_id, pi // 4),
+       caughtp AS (
+         SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         FROM bands a JOIN bands b
+           ON a.bd = b.bd AND a.key = b.key AND a.doc_id < b.doc_id),
+       agg AS (
+         SELECT least(9, CAST(floor((1.0 * p.i / p.u) * 10.0) AS BIGINT))
+             AS bucket,
+           CASE WHEN c.da IS NOT NULL THEN 1 ELSE 0 END AS caught
+         FROM pairs p
+         LEFT JOIN caughtp c ON c.da = p.da AND c.db = p.db)
+       SELECT bucket,
+         CAST(count(1) AS BIGINT) AS n_pairs,
+         CAST(sum(caught) AS BIGINT) AS n_caught,
+         CAST(sum(caught) * 10000 // count(1) AS BIGINT) AS catch_e4,
+         CAST(CASE bucket $analytic END AS BIGINT) AS analytic_e4
+       FROM agg GROUP BY bucket ORDER BY bucket"""
+  }
+
   /** Incremental near-dedup: a NEW batch checked against the existing
     * INDEX — the production shape once a corpus is deduped once. The
     * batch's banded signatures join the (persisted, at scale) index
@@ -794,6 +919,7 @@ object Dedup {
     "dedup_exact" -> exactDedup,
     "dedup_exact_hash" -> exactHashDedup,
     "dedup_minhash_lsh" -> minhashLsh,
+    "dedup_lsh_calibration" -> lshCalibration,
     "dedup_incremental" -> incrementalDedup,
     "dedup_simhash" -> simhash,
     "dedup_ngram_jaccard" -> ngramJaccard,
@@ -809,6 +935,7 @@ object Dedup {
     "dedup_exact" -> exactDedupSql,
     "dedup_exact_hash" -> exactHashDedupSql,
     "dedup_minhash_lsh" -> minhashLshSql,
+    "dedup_lsh_calibration" -> lshCalibrationSql,
     "dedup_incremental" -> incrementalDedupSql,
     "dedup_simhash" -> simhashSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,

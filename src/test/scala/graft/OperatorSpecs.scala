@@ -118,6 +118,26 @@ class SourcesSpec extends SparkSuite {
 }
 
 class DedupSpec extends SparkSuite {
+  test("dedup_lsh_calibration: bounded sample, recall above threshold, no pollution below") {
+    val rows = ops.Dedup.lshCalibration(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getLong(1)).sum
+    // fixed-size sample: EXPECTED 256 docs (binomial, std ≈ 16), so
+    // the pair count is corpus-free; 1.5× expected covers ~8 sigma
+    assert(total <= 384L * 383L / 2L, s"pair volume $total not bounded")
+    rows.foreach { r =>
+      val (bkt, n, caught) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      if (bkt >= 7)
+        assert(caught == n,
+          s"banding must catch pairs at J >= ${bkt / 10.0} (bucket $bkt)")
+      if (bkt <= 2)
+        assert(10000L * caught / n <= 1000,
+          s"low-similarity bucket $bkt polluted: $caught/$n caught")
+      // the analytic column carries the shared literal S-curve
+      assert(r.getLong(4) >= 0 && r.getLong(4) <= 10000)
+    }
+  }
+
   test("TextHash.h32 matches the SQL md5 formula incl. non-ASCII") {
     import spark.implicits._
     val samples = Seq("hello", "héllo wörld", "中文 text", "a|b\"c",
