@@ -597,6 +597,100 @@ object Vector {
        FROM embeddings e WHERE e.vec_id IN (${QueryIds.mkString(", ")})
        ORDER BY qid"""
 
+  /** Retract predicate for [[annIndexRetract]] — the vector-index
+    * echo of the corpus retraction's doc_id % 89 == 3 takedown list.
+    * None of the [[QueryIds]] (0, 1, 2) satisfies it, so the probe
+    * contract queries always survive. */
+  private def isVecRetracted = pmod(col("vec_id"), lit(89L)) === 3L
+
+  /** `ann_index_retract` — the DELETE leg of the vector-index
+    * lifecycle (persist → append → RETRACT), completing the symmetry
+    * with the corpus lifecycle's `corpus_retract_run`/`stream_retract`:
+    * embeddings of retracted docs must leave the ANN index without a
+    * rebuild and without touching unaffected postings.
+    *
+    * Copy-on-write: the index artifact is the cell-PARTITIONED
+    * assignment table; the scrub locates the cells containing
+    * retracted vectors (a metadata read of the assignment, never the
+    * embedding payloads), rewrites ONLY those cells minus the
+    * retracted rows into an overlay, and the live index is
+    * (untouched base cells) ∪ overlay — base files are immutable by
+    * construction, so scrub bytes scale with the retract list's cell
+    * footprint, never the index. Gates: per-query single-cell probe
+    * recall ≥ 5 against the exact cosine top-10 OVER THE SURVIVORS
+    * (both sides exclude retracted vectors — a probe that still
+    * returns a retracted neighbor cannot pass), plus the audit
+    * columns: n_after and n_retracted are data-arithmetic
+    * (vec_id % 89), so the oracle checks the REAL counts, and cow_ok
+    * asserts per-cell before = after + retracted reconciliation. */
+  def annIndexRetract(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val k = corpusK(spark, sfDir)
+    val dir = graft.Util.sessionTmpDir(spark, "graft_ann_index") + "/" +
+      java.lang.Integer.toHexString(dataKey(sfDir).hashCode) + "_retract"
+    val assignDir = s"$dir/assign.parquet"
+    val overDir = s"$dir/overlay.parquet"
+    if (!new java.io.File(overDir).exists()) {
+      val cs = kmeansCentroids(spark, sfDir, k = k, iters = 3)
+      cs.toSeq.map { case (c, v) => (c, v.toSeq) }.toDF("cell", "centroid")
+        .write.mode("overwrite").parquet(s"$dir/centroids.parquet")
+      Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+        .map { case (id, v) => (id, nearest(cs)(v)) }.toDF("vec_id", "cell")
+        .write.partitionBy("cell").mode("overwrite").parquet(assignDir)
+      // the scrub: touched cells from the assignment METADATA (bounded
+      // by k), then a partition-pruned CoW rewrite of only those cells
+      val touched = spark.read.parquet(assignDir).filter(isVecRetracted)
+        .select(col("cell")).distinct().collect().map(_.getInt(0))
+      spark.read.parquet(assignDir)
+        .filter(col("cell").isin(touched.map(Int.box): _*))
+        .filter(!isVecRetracted)
+        .write.partitionBy("cell").mode("overwrite").parquet(overDir)
+    }
+    val base = spark.read.parquet(assignDir)
+    val over = spark.read.parquet(overDir)
+    val overCells = over.select(col("cell")).distinct()
+    val live = base.join(overCells, Seq("cell"), "left_anti")
+      .unionByName(over)
+    // audit: per-cell before = after + retracted, plus the real counts
+    val audit = base
+      .groupBy(col("cell")).agg(
+        count(lit(1)).as("n_before"),
+        sum(when(isVecRetracted, 1L).otherwise(0L)).as("n_ret"))
+      .join(live.groupBy(col("cell")).agg(count(lit(1)).as("n_live")),
+        Seq("cell"), "left")
+      .agg(
+        sum(coalesce(col("n_live"), lit(0L))).as("n_after"),
+        sum(col("n_ret")).as("n_retracted"),
+        min(coalesce(col("n_live"), lit(0L)) + col("n_ret") ===
+          col("n_before")).as("cow_ok"))
+    // probe over the scrubbed index vs exact top-10 over SURVIVORS
+    val probe = probeCells(spark, sfDir, live)
+      .select(col("qid"), col("vec_id"))
+    val brute = topk(scored(spark, sfDir, sameLabelOnly = false,
+      corpusFilter = Some(!isVecRetracted)), 10)
+      .select(col("qid"), col("vec_id"))
+    probe.join(brute, Seq("qid", "vec_id"))
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("hits"))
+      .select(col("qid"), least(col("hits"), lit(5L)).as("hits_capped"),
+        (col("hits") >= 5L).as("recall_ok"))
+      .crossJoin(broadcast(audit))
+      .orderBy(col("qid"))
+  }
+  /** Oracle: the retract list is data-arithmetic, so after/retracted
+    * are REAL numbers DuckDB recomputes; the gates assert at their
+    * contract values. */
+  val annIndexRetractSql: String =
+    s"""SELECT e.vec_id AS qid, CAST(5 AS BIGINT) AS hits_capped,
+       true AS recall_ok,
+       (SELECT count(1) FROM embeddings WHERE vec_id % 89 <> 3) AS n_after,
+       (SELECT count(1) FROM embeddings WHERE vec_id % 89 = 3)
+         AS n_retracted,
+       true AS cow_ok
+       FROM embeddings e WHERE e.vec_id IN (${QueryIds.mkString(", ")})
+       ORDER BY qid"""
+
   // -- embedding-cosine near-dup -------------------------------------------
 
   /** Cosine threshold of [[dedupEmbeddingCosine]] and the recall the
@@ -1506,6 +1600,7 @@ object Vector {
     "ann_index_persist" -> annIndexPersist,
     "ann_index_append" -> annIndexAppend,
     "stream_ann_append" -> streamAnnAppend,
+    "ann_index_retract" -> annIndexRetract,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
     "dedup_semantic" -> dedupSemantic)
 
@@ -1528,6 +1623,7 @@ object Vector {
     // the stream append's structural contract: same assignment kernel,
     // same gates tail, therefore the SAME oracle as the batch append
     "stream_ann_append" -> annIndexAppendSql,
+    "ann_index_retract" -> annIndexRetractSql,
     "dedup_embedding_cosine" -> dedupEmbeddingCosineSql,
     "dedup_semantic" -> dedupSemanticSql)
 }

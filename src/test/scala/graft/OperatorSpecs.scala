@@ -963,6 +963,37 @@ class TextOpsSpec extends SparkSuite {
 }
 
 class VectorSpec extends SparkSuite {
+  test("ann_index_retract: CoW overlay holds exactly the touched cells; no retracted vec lives") {
+    val rows = Vector.annIndexRetract(spark, sf).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("recall_ok"), s"survivor recall floor: $r")
+      assert(r.getAs[Boolean]("cow_ok"), s"per-cell reconciliation: $r")
+    }
+    val dir = graft.Util.sessionTmpDir(spark, "graft_ann_index") + "/" +
+      java.lang.Integer.toHexString(Vector.dataKey(sf).hashCode) + "_retract"
+    val base = spark.read.parquet(s"$dir/assign.parquet")
+    val over = spark.read.parquet(s"$dir/overlay.parquet")
+    // overlay cells == exactly the cells that contained a retracted vec
+    val touched = base.filter(pmod(col("vec_id"), lit(89L)) === 3L)
+      .select("cell").distinct().collect().map(_.getInt(0)).toSet
+    val overCells = over.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(overCells.subsetOf(touched),
+      "overlay rewrote a cell with no retracted vector")
+    assert(touched.filterNot(overCells).forall(c =>
+      base.filter(col("cell") === c &&
+        pmod(col("vec_id"), lit(89L)) =!= 3L).count() == 0),
+      "a touched cell with survivors is missing from the overlay")
+    // no retracted vector is reachable through the live index
+    assert(over.filter(pmod(col("vec_id"), lit(89L)) === 3L).count() == 0,
+      "overlay still carries retracted vectors")
+    // the base cell dirs the scrub didn't touch exist untouched (CoW:
+    // the overlay is a sibling, the base is immutable by construction)
+    assert(base.count() == spark.read.parquet(s"$sf/embeddings.parquet")
+      .count(), "base assignment must still cover the full corpus")
+  }
+
   test("incremental index append: gates green, delta assigned, corpus covered once") {
     val rows = Vector.annIndexAppend(spark, sf).collect()
     assert(rows.length == 3)
