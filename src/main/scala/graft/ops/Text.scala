@@ -1768,6 +1768,85 @@ object Text {
               ELSE 'tail' END AS bucket
        FROM per CROSS JOIN cuts ORDER BY doc_id"""
 
+  /** `t_curriculum_order` — a CURRICULUM-LEARNING schedule (Bengio et
+    * al. 2009, the public easy→hard training-order result): docs are
+    * phased easy → medium → hard by their self-trained unigram
+    * surprisal terciles and given a reproducible position within
+    * their phase. Composition of two sanctioned shapes:
+    * [[perplexityBuckets]]'s sample-broadcast cutoffs (order
+    * statistics over a FIXED-SIZE hash sample, never a corpus ntile
+    * sort) pick the phase, and [[corpusShuffle]]'s two-level
+    * (shard, pos) order gives positions — shard is the hash's leading
+    * byte so (phase, shard, pos) IS the global hash order within each
+    * phase while the plan stays one hash exchange + per-(phase,
+    * shard) local sorts; re-runs and re-shards never move a doc. A
+    * trainer consumes phases in order; [[dataloaderResume]]'s cursor
+    * decomposition applies per phase unchanged. */
+  def curriculumOrder(spark: SparkSession, sfDir: String): DataFrame = {
+    val per = docSurprisal(spark, sfDir)
+      .select(col("doc_id"), col("avg_surprisal_e4"))
+    val sample = hashSampleFixed(per, "doc_id", 2048L)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("avg_surprisal_e4"), col("doc_id"))
+    val cuts = sample.withColumn("tile", ntile(3).over(w))
+      .groupBy()
+      .agg(max(when(col("tile") === 1, col("avg_surprisal_e4"))).as("c1"),
+        max(when(col("tile") === 2, col("avg_surprisal_e4"))).as("c2"))
+    val phased = per.crossJoin(broadcast(cuts))
+      .withColumn("phase",
+        when(col("avg_surprisal_e4") <= col("c1"), 1)
+          .when(col("avg_surprisal_e4") <= col("c2"), 2)
+          .otherwise(3))
+      .withColumn("h", md5(encode(concat(col("phase").cast("string"),
+        lit(":"), col("doc_id").cast("string")), "utf-8")))
+      .withColumn("shard", substring(col("h"), 1, 2))
+    val pw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("phase"), col("shard"))
+      .orderBy(col("h"), col("doc_id"))
+    phased.withColumn("pos", row_number().over(pw))
+      .select(col("phase"), col("shard"), col("pos"), col("doc_id"),
+        col("avg_surprisal_e4"))
+      .orderBy(col("phase"), col("shard"), col("pos"))
+  }
+  /** Oracle: the perplexity-bucket cutoff CTEs with the shuffle
+    * oracle's (shard, pos) tail, phases as integers. */
+  val curriculumOrderSql: String =
+    """WITH toks AS (
+         SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+         FROM documents),
+       ft AS (SELECT doc_id, w FROM toks WHERE w <> ''),
+       vocab AS (SELECT w, count(1) AS n FROM ft GROUP BY w),
+       total AS (SELECT sum(n) AS t FROM vocab),
+       per AS (SELECT doc_id,
+           CAST(floor(1.0 * sum(CAST(floor(-ln(1.0 * n / t) * 10000.0)
+             AS BIGINT)) / count(1)) AS BIGINT) AS avg_surprisal_e4
+         FROM ft JOIN vocab USING (w) CROSS JOIN total GROUP BY doc_id),
+       nn AS (SELECT count(1) AS n FROM per),
+       samp AS (SELECT per.* FROM per CROSS JOIN nn
+         WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+             AS BIGINT)
+           < floor(4294967296.0 * least(1.0, 2048.0 / n))),
+       tiles AS (SELECT avg_surprisal_e4,
+           ntile(3) OVER (ORDER BY avg_surprisal_e4, doc_id) AS tile
+         FROM samp),
+       cuts AS (SELECT
+           max(CASE WHEN tile = 1 THEN avg_surprisal_e4 END) AS c1,
+           max(CASE WHEN tile = 2 THEN avg_surprisal_e4 END) AS c2
+         FROM tiles),
+       ph AS (SELECT doc_id, avg_surprisal_e4,
+           CASE WHEN avg_surprisal_e4 <= c1 THEN 1
+                WHEN avg_surprisal_e4 <= c2 THEN 2
+                ELSE 3 END AS phase
+         FROM per CROSS JOIN cuts),
+       o AS (SELECT phase, doc_id, avg_surprisal_e4,
+           md5(CAST(phase AS STRING) || ':' || CAST(doc_id AS STRING)) AS h
+         FROM ph)
+       SELECT phase, substr(h, 1, 2) AS shard,
+         CAST(row_number() OVER (PARTITION BY phase, substr(h, 1, 2)
+           ORDER BY h, doc_id) AS INT) AS pos,
+         doc_id, avg_surprisal_e4
+       FROM o ORDER BY phase, shard, pos"""
+
   // Per-source KL divergence: how far each shard's unigram distribution
   // drifts from the corpus distribution — the shard-skew / contamination
   // detector of a corpus build. Each (source, word) term
@@ -4108,6 +4187,7 @@ object Text {
     "t_quality_classifier" -> qualityClassifier,
     "corpus_shuffle" -> corpusShuffle,
     "t_dataloader_resume" -> dataloaderResume,
+    "t_curriculum_order" -> curriculumOrder,
     "t_tokenizer_fertility" -> tokenizerFertility,
     "corpus_version_diff" -> corpusVersionDiff,
     "corpus_retract_run" -> corpusRetractRun,
@@ -4165,6 +4245,7 @@ object Text {
     "t_quality_classifier" -> qualityClassifierSql,
     "corpus_shuffle" -> corpusShuffleSql,
     "t_dataloader_resume" -> dataloaderResumeSql,
+    "t_curriculum_order" -> curriculumOrderSql,
     "t_tokenizer_fertility" -> tokenizerFertilitySql,
     "corpus_version_diff" -> corpusVersionDiffSql,
     "corpus_retract_run" -> corpusRetractRunSql,

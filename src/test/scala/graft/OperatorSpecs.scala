@@ -529,6 +529,32 @@ class TextOpsSpec extends SparkSuite {
     assert(same < n / 4, s"$same of $n docs kept their slot across epochs")
   }
 
+  test("t_curriculum_order: difficulty-monotone phases; (shard,pos) is the in-phase hash order") {
+    val rows = ops.Text.curriculumOrder(spark, sf).collect()
+    assert(rows.map(_.getLong(3)).distinct.length == rows.length,
+      "every doc scheduled exactly once")
+    val byPhase = rows.groupBy(_.getInt(0))
+    assert(byPhase.keySet == Set(1, 2, 3), s"phases: ${byPhase.keySet}")
+    // curriculum invariant: every easy doc is no harder than any doc
+    // of a later phase (cutoff semantics make the boundary strict)
+    assert(byPhase(1).map(_.getLong(4)).max <=
+      byPhase(2).map(_.getLong(4)).min)
+    assert(byPhase(2).map(_.getLong(4)).max <=
+      byPhase(3).map(_.getLong(4)).min)
+    // (shard, pos) = global hash order within the phase (the
+    // corpus_shuffle theorem under the phase key)
+    def h(phase: Int, id: Long): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$phase:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    byPhase.foreach { case (p, rs) =>
+      val byCursor = rs.sortBy(r => (r.getString(1), r.getInt(2)))
+        .map(r => (h(p, r.getLong(3)), r.getLong(3)))
+      assert(byCursor.sameElements(byCursor.sortBy(identity)),
+        s"phase $p cursor order is not the global hash order")
+    }
+  }
+
   test("t_dataloader_resume: prefix-exact cursors; next doc agrees with the shuffle order") {
     val rows = ops.Text.dataloaderResume(spark, sf).collect()
     rows.groupBy(_.getInt(0)).foreach { case (e, rs) =>
