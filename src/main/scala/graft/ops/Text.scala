@@ -3050,7 +3050,7 @@ object Text {
     * with ZERO parts — schema inference on read-back would throw, so
     * every read of a maybe-empty layout probes this first (shared by
     * [[corpusBuildRun]] and the retract/stream-retract overlays). */
-  private def anyParquetPart(f: java.io.File): Boolean = {
+  private[ops] def anyParquetPart(f: java.io.File): Boolean = {
     val cs = Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
     cs.exists(c => c.isFile && c.getName.endsWith(".parquet")) ||
       cs.exists(c => c.isDirectory && anyParquetPart(c))
@@ -3622,11 +3622,18 @@ object Text {
     * Pure aggregation tail over [[corpusAppendPipeline]]'s manifest —
     * the versions are not recomputed, and the output is ≤
     * |splits|×|shards| metadata rows whatever the corpus size. The
-    * oracle shares the append oracle's CTE body verbatim
-    * ([[corpusAppendManifestCtes]]), so the diff cannot drift from
-    * the append semantics it summarizes. */
+    * manifest persists through the registry (metadata-sized: one row
+    * per doc, five narrow columns) with a marker column on top so the
+    * cache manager cannot substitute it for the append query's own
+    * plan (the retract-manifest rule). The oracle shares the append
+    * oracle's CTE body verbatim ([[corpusAppendManifestCtes]]), so
+    * the diff cannot drift from the append semantics it
+    * summarizes. */
   def corpusVersionDiff(spark: SparkSession, sfDir: String): DataFrame =
-    corpusAppendPipeline(spark, sfDir)
+    Flow.sharedScanOf(spark, s"version_diff_manifest:$sfDir",
+        graft.Util.fileFingerprint(s"$sfDir/documents.parquet")) {
+      corpusAppendPipeline(spark, sfDir).withColumn("vd", lit(true))
+    }
       .groupBy(col("split"), col("shard")).agg(
         sum(when(!col("is_delta"), 1L).otherwise(0L)).as("n_docs_v1"),
         count(lit(1)).as("n_docs_v2"),

@@ -623,35 +623,42 @@ object Vector {
     * columns: n_after and n_retracted are data-arithmetic
     * (vec_id % 89), so the oracle checks the REAL counts, and cow_ok
     * asserts per-cell before = after + retracted reconciliation. */
-  def annIndexRetract(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The cell-partitioned base assignment both retract twins scrub —
+    * built (with its centroids) once per (session, dataset). */
+  private def retractBaseAssign(spark: SparkSession, sfDir: String): String = {
     import spark.implicits._
-    val k = corpusK(spark, sfDir)
     val dir = graft.Util.sessionTmpDir(spark, "graft_ann_index") + "/" +
       java.lang.Integer.toHexString(dataKey(sfDir).hashCode) + "_retract"
     val assignDir = s"$dir/assign.parquet"
-    val overDir = s"$dir/overlay.parquet"
-    if (!new java.io.File(overDir).exists()) {
-      val cs = kmeansCentroids(spark, sfDir, k = k, iters = 3)
+    if (!new java.io.File(assignDir).exists()) {
+      val cs = kmeansCentroids(spark, sfDir, k = corpusK(spark, sfDir),
+        iters = 3)
       cs.toSeq.map { case (c, v) => (c, v.toSeq) }.toDF("cell", "centroid")
         .write.mode("overwrite").parquet(s"$dir/centroids.parquet")
       Tables.embeddings(spark, sfDir)
         .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
         .map { case (id, v) => (id, nearest(cs)(v)) }.toDF("vec_id", "cell")
         .write.partitionBy("cell").mode("overwrite").parquet(assignDir)
-      // the scrub: touched cells from the assignment METADATA (bounded
-      // by k), then a partition-pruned CoW rewrite of only those cells
-      val touched = spark.read.parquet(assignDir).filter(isVecRetracted)
-        .select(col("cell")).distinct().collect().map(_.getInt(0))
-      spark.read.parquet(assignDir)
-        .filter(col("cell").isin(touched.map(Int.box): _*))
-        .filter(!isVecRetracted)
-        .write.partitionBy("cell").mode("overwrite").parquet(overDir)
     }
+    assignDir
+  }
+
+  /** The gate tail both retract twins share: live = (base cells the
+    * overlay doesn't cover) ∪ overlay, audited per cell
+    * (before = after + retracted) and probed against the exact
+    * survivor top-10. A part-less overlay (every touched cell
+    * emptied) is an empty read-back, not a schema-inference crash
+    * (the corpus-retract r13 edge). */
+  private def retractIndexGates(spark: SparkSession, sfDir: String,
+      assignDir: String, overDir: String): DataFrame = {
     val base = spark.read.parquet(assignDir)
-    val over = spark.read.parquet(overDir)
+    val over =
+      if (!Text.anyParquetPart(new java.io.File(overDir)))
+        base.limit(0)
+      else spark.read.parquet(overDir).select(col("vec_id"), col("cell"))
     val overCells = over.select(col("cell")).distinct()
     val live = base.join(overCells, Seq("cell"), "left_anti")
-      .unionByName(over)
+      .unionByName(over.select(base.columns.map(col): _*))
     // audit: per-cell before = after + retracted, plus the real counts
     val audit = base
       .groupBy(col("cell")).agg(
@@ -677,6 +684,106 @@ object Vector {
         (col("hits") >= 5L).as("recall_ok"))
       .crossJoin(broadcast(audit))
       .orderBy(col("qid"))
+  }
+
+  def annIndexRetract(spark: SparkSession, sfDir: String): DataFrame = {
+    val assignDir = retractBaseAssign(spark, sfDir)
+    val overDir = assignDir.stripSuffix("/assign.parquet") + "/overlay.parquet"
+    if (!new java.io.File(overDir).exists()) {
+      // the scrub: touched cells from the assignment METADATA (bounded
+      // by k), then a partition-pruned CoW rewrite of only those cells
+      val touched = spark.read.parquet(assignDir).filter(isVecRetracted)
+        .select(col("cell")).distinct().collect().map(_.getInt(0))
+      spark.read.parquet(assignDir)
+        .filter(col("cell").isin(touched.map(Int.box): _*))
+        .filter(!isVecRetracted)
+        .write.partitionBy("cell").mode("overwrite").parquet(overDir)
+    }
+    retractIndexGates(spark, sfDir, assignDir, overDir)
+  }
+
+  /** `stream_ann_retract` — [[annIndexRetract]] with the retract list
+    * ARRIVING AS A STREAM, completing the stream-twin symmetry the
+    * corpus lifecycle already has (build/append/ingest/retract): the
+    * index must honor takedowns continuously, not in nightly batches.
+    * Per micro-batch of retract requests: (1) the batch's vec_ids
+    * append to a durable per-batch log (replay rewrites its own
+    * partition — the runIncremental idempotence contract); (2) the
+    * arrivals' cells are located with a metadata join against the
+    * cell-partitioned base assignment (O(|batch|), the postings
+    * payload never moves); (3) ONLY those cells rewrite copy-on-write
+    * from the frozen base minus the CUMULATIVE log under dynamic
+    * partition overwrite — batches are idempotent and the final
+    * overlay is a pure function of the flushed log, independent of
+    * micro-batch slicing (the stream_retract theorem, applied to the
+    * index); a cell whose survivors all retract has its stale overlay
+    * directory dropped explicitly. The flushed overlay flows through
+    * the SAME [[retractIndexGates]] as the batch twin, sharing
+    * [[annIndexRetractSql]] verbatim. */
+  def streamAnnRetract(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Util.withConf(spark, "spark.sql.shuffle.partitions", "8") {
+      streamAnnRetractInner(spark, sfDir)
+    }
+
+  private def streamAnnRetractInner(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val assignDir = retractBaseAssign(spark, sfDir)
+    val root = graft.Util.sessionTmpDir(spark, "graft_ann_sretract")
+    val tag = java.lang.Integer.toHexString(dataKey(sfDir).hashCode)
+    val base = s"$root/$tag"
+    // the arrival surface: the retract list staged as 3 slice files ×
+    // maxFilesPerTrigger=1 — genuine multi-batch CoW
+    if (!new java.io.File(s"$base/feed/_SUCCESS").exists()) {
+      graft.Util.vacuumSiblings(root, tag)
+      Tables.embeddings(spark, sfDir).filter(isVecRetracted)
+        .select(col("vec_id"),
+          pmod(col("vec_id"), lit(3)).cast("int").as("slice"))
+        .repartition(col("slice"))
+        .write.partitionBy("slice").mode("overwrite")
+        .parquet(s"$base/feed")
+    }
+    val over = s"$base/overlay"
+    val logDir = s"$base/log"
+    val src = spark.readStream
+      .schema(new StructType().add("vec_id", LongType))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$base/feed")
+      .select(col("vec_id"))
+    val q = src.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         id: Long) =>
+        val ss = batch.sparkSession
+        batch.write.mode("overwrite").parquet(s"$logDir/batch=$id")
+        val cum = ss.read.parquet(logDir).select(col("vec_id"))
+        val cells = ss.read.parquet(assignDir)
+          .join(batch.select(col("vec_id")).distinct(), Seq("vec_id"))
+          .select(col("cell")).distinct().collect().map(_.getInt(0))
+        if (cells.nonEmpty) {
+          val pred = col("cell").isin(cells.map(Int.box): _*)
+          graft.Util.withConf(ss,
+            "spark.sql.sources.partitionOverwriteMode", "dynamic") {
+            ss.read.parquet(assignDir).filter(pred)
+              .join(cum, Seq("vec_id"), "left_anti")
+              .write.partitionBy("cell").mode("overwrite").parquet(over)
+          }
+          val liveCells = ss.read.parquet(assignDir).filter(pred)
+            .join(cum, Seq("vec_id"), "left_anti")
+            .select(col("cell")).distinct().collect().map(_.getInt(0)).toSet
+          cells.filterNot(liveCells).foreach { c =>
+            graft.Util.deleteRecursively(
+              new java.io.File(s"$over/cell=$c"))
+          }
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    retractIndexGates(spark, sfDir, assignDir, over)
   }
   /** Oracle: the retract list is data-arithmetic, so after/retracted
     * are REAL numbers DuckDB recomputes; the gates assert at their
@@ -1601,6 +1708,7 @@ object Vector {
     "ann_index_append" -> annIndexAppend,
     "stream_ann_append" -> streamAnnAppend,
     "ann_index_retract" -> annIndexRetract,
+    "stream_ann_retract" -> streamAnnRetract,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
     "dedup_semantic" -> dedupSemantic)
 
@@ -1624,6 +1732,7 @@ object Vector {
     // same gates tail, therefore the SAME oracle as the batch append
     "stream_ann_append" -> annIndexAppendSql,
     "ann_index_retract" -> annIndexRetractSql,
+    "stream_ann_retract" -> annIndexRetractSql,
     "dedup_embedding_cosine" -> dedupEmbeddingCosineSql,
     "dedup_semantic" -> dedupSemanticSql)
 }

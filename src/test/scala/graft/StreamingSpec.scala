@@ -289,6 +289,30 @@ class StreamingSpec extends SparkSuite {
     assert(again == got, "re-trigger with no new arrivals must be a no-op")
   }
 
+  test("stream ann retract equals the batch twin; multi-batch CoW; rerun no-op") {
+    def shape(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5))).toSeq
+    val got = shape(graft.ops.Vector.streamAnnRetract(spark, sf))
+    val want = shape(graft.ops.Vector.annIndexRetract(spark, sf))
+    assert(got == want, "stream index retract must equal the batch twin")
+    assert(got.nonEmpty && got.forall(r => r._3 && r._6),
+      "recall and CoW reconciliation gates must hold")
+    // 3 feed slices at maxFilesPerTrigger=1: the scrub really ran
+    // across multiple micro-batches whenever anything was retracted
+    val tag = java.lang.Integer.toHexString(
+      graft.ops.Vector.dataKey(sf).hashCode)
+    val logDir = new java.io.File(
+      s"${graft.Util.sessionTmpDir(spark, "graft_ann_sretract")}/$tag/log")
+    val batches = Option(logDir.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+    if (got.exists(_._5 > 0))
+      assert(batches.length > 1,
+        s"expected multiple micro-batches, saw ${batches.map(_.getName)}")
+    val again = shape(graft.ops.Vector.streamAnnRetract(spark, sf))
+    assert(again == got, "re-trigger with no new arrivals must be a no-op")
+  }
+
   test("stream_mm_ingest: planted twins gate correctly, re-trigger no-op, zero-state fold") {
     def run() = ops.Multimodal.streamMmIngest(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getInt(3)))
