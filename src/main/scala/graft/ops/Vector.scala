@@ -624,7 +624,13 @@ object Vector {
     * (vec_id % 89), so the oracle checks the REAL counts, and cow_ok
     * asserts per-cell before = after + retracted reconciliation. */
   /** The cell-partitioned base assignment both retract twins scrub —
-    * built (with its centroids) once per (session, dataset). */
+    * built (with its centroids) once per (session, dataset). This is
+    * deliberately NOT [[annIndexPersist]]'s artifact: CoW needs
+    * cell-PARTITIONED directories (per-cell overwrite/delete), while
+    * the persist/append artifacts are flat files whose byte-identity
+    * contracts would be disturbed by re-layouting. The kmeans train
+    * itself is memoized per (application, dataset), so the only
+    * duplicated work is the assignment map + one partitioned write. */
   private def retractBaseAssign(spark: SparkSession, sfDir: String): String = {
     import spark.implicits._
     val dir = graft.Util.sessionTmpDir(spark, "graft_ann_index") + "/" +
@@ -649,15 +655,21 @@ object Vector {
     * survivor top-10. A part-less overlay (every touched cell
     * emptied) is an empty read-back, not a schema-inference crash
     * (the corpus-retract r13 edge). */
-  private def retractIndexGates(spark: SparkSession, sfDir: String,
+  private[graft] def retractIndexGates(spark: SparkSession, sfDir: String,
       assignDir: String, overDir: String): DataFrame = {
     val base = spark.read.parquet(assignDir)
     val over =
       if (!Text.anyParquetPart(new java.io.File(overDir)))
         base.limit(0)
       else spark.read.parquet(overDir).select(col("vec_id"), col("cell"))
-    val overCells = over.select(col("cell")).distinct()
-    val live = base.join(overCells, Seq("cell"), "left_anti")
+    // live = untouched base cells ∪ overlay. Touched cells come from
+    // the BASE's retract flags, NOT from the overlay's observed cells:
+    // a cell whose vectors are ALL retracted writes no overlay
+    // partition, and anti-joining on overlay cells would resurrect its
+    // retracted base rows into the live index (review r14 finding).
+    val touchedCells = base.filter(isVecRetracted)
+      .select(col("cell")).distinct()
+    val live = base.join(touchedCells, Seq("cell"), "left_anti")
       .unionByName(over.select(base.columns.map(col): _*))
     // audit: per-cell before = after + retracted, plus the real counts
     val audit = base
@@ -719,7 +731,14 @@ object Vector {
     * index); a cell whose survivors all retract has its stale overlay
     * directory dropped explicitly. The flushed overlay flows through
     * the SAME [[retractIndexGates]] as the batch twin, sharing
-    * [[annIndexRetractSql]] verbatim. */
+    * [[annIndexRetractSql]] verbatim.
+    *
+    * The micro-batch protocol deliberately MIRRORS
+    * [[graft.ops.Text]]'s streamRetract (key column, cell shape, and
+    * paths differ; the log/cumulative/dynamic-overwrite steps are the
+    * same theorem) — when changing either, change both; the two
+    * StreamingSpec stream==batch equality pins hold each twin to its
+    * own batch ground truth. */
   def streamAnnRetract(spark: SparkSession, sfDir: String): DataFrame =
     graft.Util.withConf(spark, "spark.sql.shuffle.partitions", "8") {
       streamAnnRetractInner(spark, sfDir)

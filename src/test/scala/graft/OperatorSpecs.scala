@@ -1020,6 +1020,37 @@ class VectorSpec extends SparkSuite {
       .count(), "base assignment must still cover the full corpus")
   }
 
+  test("retractIndexGates: a fully-retracted cell leaves no base rows in the live index") {
+    import spark.implicits._
+    // synthetic layout planting the edge the corpora can't: cell 7
+    // holds ONLY retracted ids (% 89 == 3), everything else cell 0 —
+    // the scrub of cell 7 writes a part-less overlay, and the live
+    // index must still drop cell 7's base rows (anti-join on the
+    // TOUCHED cells, not the overlay's observed cells)
+    val root = java.nio.file.Files.createTempDirectory("graft_rig").toFile
+    root.deleteOnExit()
+    val assignDir = s"$root/assign.parquet"
+    val overDir = s"$root/overlay.parquet"
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count().toInt
+    (0 until n).map(id =>
+        (id.toLong, if (id % 89 == 3) 7 else 0)).toDF("vec_id", "cell")
+      .write.partitionBy("cell").parquet(assignDir)
+    spark.read.parquet(assignDir)
+      .filter(col("cell") === 7 && pmod(col("vec_id"), lit(89L)) =!= 3L)
+      .write.partitionBy("cell").parquet(overDir) // zero part files
+    val out = Vector.retractIndexGates(spark, sf, assignDir, overDir)
+      .collect()
+    val nRet = (0 until n).count(_ % 89 == 3)
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("cow_ok"),
+        s"fully-retracted cell must reconcile: $r")
+      assert(r.getAs[Boolean]("recall_ok"), s"survivor recall: $r")
+      assert(r.getAs[Long]("n_after") == n - nRet &&
+        r.getAs[Long]("n_retracted") == nRet,
+        s"retracted base rows leaked into the live index: $r")
+    }
+  }
+
   test("incremental index append: gates green, delta assigned, corpus covered once") {
     val rows = Vector.annIndexAppend(spark, sf).collect()
     assert(rows.length == 3)
