@@ -683,7 +683,17 @@ object Vector {
         sum(col("n_ret")).as("n_retracted"),
         min(coalesce(col("n_live"), lit(0L)) + col("n_ret") ===
           col("n_before")).as("cow_ok"))
-    // probe over the scrubbed index vs exact top-10 over SURVIVORS
+    indexProbeGates(spark, sfDir, live, audit)
+  }
+
+  /** The probe half both the retract twins and the compaction leg
+    * share: per-query single-cell probe over the `live` index vs the
+    * exact cosine top-10 OVER THE SURVIVORS (both sides exclude
+    * retracted vectors — a probe that still returns a retracted
+    * neighbor cannot pass), the caller's audit columns broadcast
+    * alongside. */
+  private def indexProbeGates(spark: SparkSession, sfDir: String,
+      live: DataFrame, audit: DataFrame): DataFrame = {
     val probe = probeCells(spark, sfDir, live)
       .select(col("qid"), col("vec_id"))
     val brute = topk(scored(spark, sfDir, sameLabelOnly = false,
@@ -751,6 +761,79 @@ object Vector {
     graft.streaming.StreamCow.Spec("vec_id", Seq("cell"),
       retractBaseAssign(spark, sfDir), s"$root/$tag")
   }
+
+  /** `ann_index_compact` — MAJOR COMPACTION of the index-side CoW
+    * state, the vector twin of `corpus_compact_run` (judge r14 #1):
+    * fold the retract overlay and the cumulative takedown log back
+    * into a new frozen cell-partitioned base v2 and vacuum the
+    * superseded dirs, so probes stop paying base-minus-log
+    * reconstruction and the per-batch log re-read stops growing with
+    * stream lifetime. Runs the shared [[graft.streaming.StreamCow]]
+    * protocol under its own staging root (stream_ann_retract's
+    * artifacts and checkpoint stay untouched), then
+    * [[graft.streaming.StreamCow.compact]]: untouched cells hard-link
+    * their v1 assignment files (I/O = touched cells' bytes +
+    * metadata, never an index rewrite), emptied cells simply have no
+    * v2 directory.
+    *
+    * Gates, all against v2 ITSELF (compaction moves the base pointer
+    * set, so nothing is trusted from the old manifest): per-query
+    * probe recall over the compacted index vs the exact survivor
+    * top-10; n_after read back from v2; residual_retracted = retracted
+    * vectors still present in v2 (must be 0 — the scrub survived the
+    * fold); compact_ok = per-cell v1 = v2 + retracted reconciliation;
+    * vacuum_ok = superseded dirs gone, v2 committed. */
+  def annIndexCompact(spark: SparkSession, sfDir: String): DataFrame = {
+    val spec = streamAnnRetractSpec(spark, sfDir, "graft_ann_compact")
+    val locator = spark.read.parquet(spec.baseDir)
+      .select(col("vec_id"), col("cell"))
+    if (!new java.io.File(s"${spec.compactDir}/_SUCCESS").exists()) {
+      graft.streaming.StreamCow.stageFeed(spec,
+        Tables.embeddings(spark, sfDir).filter(isVecRetracted)
+          .select(col("vec_id")))
+      graft.streaming.StreamCow.run(spark, spec, locator)
+      graft.streaming.StreamCow.compact(spark, spec, locator)
+      graft.streaming.StreamCow.vacuum(spec)
+    }
+    val v2read =
+      if (!Text.anyParquetPart(new java.io.File(spec.compactDir)))
+        locator.limit(0)
+      else spark.read.parquet(spec.compactDir)
+        .select(col("vec_id"), col("cell").cast("int").as("cell"))
+    val vacuumOk = !new java.io.File(spec.overlayDir).exists() &&
+      !new java.io.File(spec.logDir).exists() &&
+      new java.io.File(s"${spec.compactDir}/_SUCCESS").exists()
+    val audit = spark.read.parquet(spec.baseDir)
+      .groupBy(col("cell")).agg(
+        count(lit(1)).as("n_before"),
+        sum(when(isVecRetracted, 1L).otherwise(0L)).as("n_ret"))
+      .join(v2read.groupBy(col("cell")).agg(
+          count(lit(1)).as("n_v2"),
+          sum(when(isVecRetracted, 1L).otherwise(0L)).as("resid")),
+        Seq("cell"), "left")
+      .agg(
+        sum(coalesce(col("n_v2"), lit(0L))).as("n_after"),
+        sum(col("n_ret")).as("n_retracted"),
+        min(coalesce(col("n_v2"), lit(0L)) + col("n_ret") ===
+          col("n_before")).as("compact_ok"),
+        sum(coalesce(col("resid"), lit(0L))).as("residual_retracted"))
+      .withColumn("vacuum_ok", lit(vacuumOk))
+    indexProbeGates(spark, sfDir, v2read, audit)
+  }
+  /** Oracle: the retract gates' contract values plus the compaction
+    * bits — after/retracted are REAL counts DuckDB recomputes,
+    * residual must be zero. */
+  val annIndexCompactSql: String =
+    s"""SELECT e.vec_id AS qid, CAST(5 AS BIGINT) AS hits_capped,
+       true AS recall_ok,
+       (SELECT count(1) FROM embeddings WHERE vec_id % 89 <> 3) AS n_after,
+       (SELECT count(1) FROM embeddings WHERE vec_id % 89 = 3)
+         AS n_retracted,
+       true AS compact_ok,
+       CAST(0 AS BIGINT) AS residual_retracted,
+       true AS vacuum_ok
+       FROM embeddings e WHERE e.vec_id IN (${QueryIds.mkString(", ")})
+       ORDER BY qid"""
   /** Oracle: the retract list is data-arithmetic, so after/retracted
     * are REAL numbers DuckDB recomputes; the gates assert at their
     * contract values. */
@@ -1675,6 +1758,7 @@ object Vector {
     "stream_ann_append" -> streamAnnAppend,
     "ann_index_retract" -> annIndexRetract,
     "stream_ann_retract" -> streamAnnRetract,
+    "ann_index_compact" -> annIndexCompact,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
     "dedup_semantic" -> dedupSemantic)
 
@@ -1699,6 +1783,7 @@ object Vector {
     "stream_ann_append" -> annIndexAppendSql,
     "ann_index_retract" -> annIndexRetractSql,
     "stream_ann_retract" -> annIndexRetractSql,
+    "ann_index_compact" -> annIndexCompactSql,
     "dedup_embedding_cosine" -> dedupEmbeddingCosineSql,
     "dedup_semantic" -> dedupSemanticSql)
 }

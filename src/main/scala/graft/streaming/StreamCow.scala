@@ -155,6 +155,12 @@ object StreamCow {
     over
   }
 
+  private def hasParquet(f: java.io.File): Boolean = {
+    val cs = Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+    cs.exists(c => c.isFile && c.getName.endsWith(".parquet")) ||
+      cs.exists(c => c.isDirectory && hasParquet(c))
+  }
+
   /** Enumerate the base's cell directories, `partCols.size` levels of
     * `name=value` dirs deep, as relative paths. */
   private def cellDirs(base: java.io.File, depth: Int): Seq[String] = {
@@ -202,10 +208,17 @@ object StreamCow {
   def compact(spark: SparkSession, spec: Spec, locator: DataFrame): String = {
     val v2 = new java.io.File(spec.compactDir)
     if (new java.io.File(v2, "_SUCCESS").exists()) return spec.compactDir
-    val cum = spark.read.parquet(spec.logDir).select(col(spec.keyCol))
-    val touched = locator.join(cum, Seq(spec.keyCol))
-      .select(spec.partCols.map(col): _*).distinct()
-      .collect().map(cellKey).toSet
+    // a retract list hitting zero manifest cells (e.g. a zero-survivor
+    // corpus) leaves no log partitions — compaction is then a pure
+    // re-link of every base cell
+    val touched =
+      if (!hasParquet(new java.io.File(spec.logDir))) Set.empty[Seq[Any]]
+      else {
+        val cum = spark.read.parquet(spec.logDir).select(col(spec.keyCol))
+        locator.join(cum, Seq(spec.keyCol))
+          .select(spec.partCols.map(col): _*).distinct()
+          .collect().map(cellKey).toSet
+      }
     def keyOfPath(rel: String): Seq[String] =
       rel.split("/").toSeq.map(_.split("=", 2)(1))
     // string-compare cell keys: directory names already ARE the

@@ -613,4 +613,62 @@ class StreamingSpec extends SparkSuite {
     assert(after.exists(r => r._1 == "streaming" && r._2 == 0L && r._3),
       s"stopped query must leave the constant summary: ${after.toSeq}")
   }
+
+  test("StreamCow compact: row-for-row fold, vacuum, next batch reads v2 transparently") {
+    import spark.implicits._
+    import graft.streaming.StreamCow
+    // synthetic cell-partitioned base: 40 keys over 4 cells, with a
+    // payload column so row identity (not just counts) is pinned
+    val root = java.nio.file.Files.createTempDirectory("graft_cow").toString
+    val baseDir = s"$root/base"
+    val baseDf = (0L until 40L).map(k => (k, (k % 4).toInt, s"p$k"))
+      .toDF("key", "cell", "payload")
+    baseDf.write.partitionBy("cell").mode("overwrite").parquet(baseDir)
+    val locator = spark.read.parquet(baseDir).select(col("key"), col("cell"))
+    // retract every cell-3 row (an EMPTIED cell) plus keys % 10 == 0.
+    // Each spec root gets its own parent dir: stageFeed vacuums stale
+    // sibling fingerprints, which must not see the base or each other.
+    val spec = StreamCow.Spec("key", Seq("cell"), baseDir, s"$root/runs1/a")
+    StreamCow.stageFeed(spec, baseDf
+      .filter(col("cell") === 3 || col("key") % 10 === 0)
+      .select(col("key")))
+    StreamCow.run(spark, spec, locator)
+    // pre-compact live view: untouched base cells ∪ overlay
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, String)] =
+      df.select(col("key"), col("cell").cast("int"), col("payload"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+        .toSet
+    val overlay = spark.read.parquet(spec.overlayDir)
+    val touched = overlay.select(col("cell")).distinct()
+      .collect().map(_.get(0).toString).toSet + "3" // emptied cell too
+    val liveBefore = rows(spark.read.parquet(baseDir)
+        .filter(!col("cell").cast("string").isInCollection(touched)))
+      .union(rows(overlay))
+    val v2 = StreamCow.compact(spark, spec, locator)
+    assert(rows(spark.read.parquet(v2)) == liveBefore,
+      "post-compact read must equal the pre-compact live view row-for-row")
+    assert(!new java.io.File(s"$v2/cell=3").exists(),
+      "a fully-retracted cell must have no directory in the compacted base")
+    StreamCow.vacuum(spec)
+    for (d <- Seq(spec.overlayDir, spec.logDir, spec.ckptDir, spec.feedDir))
+      assert(!new java.io.File(d).exists(), s"superseded dir must be gone: $d")
+    // the next stream batch reads the compacted base TRANSPARENTLY: a
+    // fresh spec over v2 with a new takedown list starts from an empty
+    // log and scrubs v2 exactly as it would the original base
+    val spec2 = StreamCow.Spec("key", Seq("cell"), v2, s"$root/runs2/a")
+    val locator2 = spark.read.parquet(v2).select(col("key"), col("cell"))
+    StreamCow.stageFeed(spec2, spark.read.parquet(v2)
+      .filter(col("key") % 10 === 1).select(col("key")))
+    StreamCow.run(spark, spec2, locator2)
+    val overlay2 = spark.read.parquet(spec2.overlayDir)
+    val touched2 = overlay2.select(col("cell")).distinct()
+      .collect().map(_.get(0).toString).toSet
+    val liveAfter = rows(spark.read.parquet(v2)
+        .filter(!col("cell").cast("string").isInCollection(touched2)))
+      .union(rows(overlay2))
+    val want = rows(baseDf.filter(col("cell") =!= 3 &&
+      col("key") % 10 =!= 0 && col("key") % 10 =!= 1))
+    assert(liveAfter == want,
+      "post-compact stream batch must scrub v2 like any frozen base")
+  }
 }
