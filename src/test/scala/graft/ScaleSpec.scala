@@ -854,6 +854,39 @@ class ScaleSpec extends SparkSuite {
     }
   }
 
+  test("t_curriculum_resume: per-doc rank only inside the broadcast-pruned boundary shard") {
+    // Same theorem one level up: phase-major (phase, shard, pos) is
+    // the global consumption order, so the only per-doc window
+    // (ordering by the hash) must partition by (phase, shard) AND sit
+    // above a broadcast join with the ≤ 1-boundary-shard cursor frame
+    // — the sort input is 1/768 of the corpus, never the corpus.
+    graft.Util.withConf(spark, "spark.sql.adaptive.enabled", "false") {
+      val plan = graft.ops.Text.curriculumResume(spark, sf)
+        .queryExecution.executedPlan
+      val wins = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(wins.nonEmpty, "guard: window nodes must be visible")
+      var sawDocWindow = false
+      wins.foreach { w =>
+        val ord = w.orderSpec.flatMap(_.references.map(_.name)).toSet
+        if (ord.contains("h")) {
+          sawDocWindow = true
+          val keys = w.partitionSpec.flatMap(_.references.map(_.name)).toSet
+          assert(keys.contains("phase") && keys.contains("shard"),
+            s"per-doc rank must partition by (phase, shard), got $keys")
+          val bhj = w.collect {
+            case b: org.apache.spark.sql.execution.joins
+                .BroadcastHashJoinExec => b
+          }
+          assert(bhj.nonEmpty,
+            "per-doc rank must sit above the active-cursor broadcast join")
+        }
+      }
+      assert(sawDocWindow, "guard: the boundary-shard rank window must exist")
+    }
+  }
+
   test("stream_heavy_hitters recount: candidates broadcast, corpus unshuffled") {
     // pass 2 of the streaming heavy hitters must be a BROADCAST of
     // the bounded candidate set probing the corpus map-side — a
