@@ -368,6 +368,44 @@ object MultimodalFixtures {
     AudioContourDir
   }
 
+  /** Arrival corpus for `stream_audio_ingest`: three 80 %-gain
+    * renditions of contour originals (the amplitude-invariant contour
+    * matches the frozen index while every byte, digest, and sample
+    * value differs — dup arrivals; 80 %, not the committed twins'
+    * 90 %, so the arrivals are new files, not re-sends) plus five
+    * flat-noise arrivals (no loud/quiet envelope, so no onset pattern
+    * shared with the contour corpus — novel arrivals; EVEN ids only:
+    * [[contourEnvOf]] is constant for odd ids (id+7 even makes the
+    * parity product always even), so an odd id's "original" is itself
+    * flat noise up to gain and a flat arrival would correctly key to
+    * it as a dup). Distinct `iaud` prefix: fixture basenames must be
+    * unique across the whole tree (the fs-manifest operators key on
+    * basenames). */
+  val AudioIngestDir: String = s"${graft.Tables.FixturesDir}/audio_ingest"
+  def audioIngestSpecs: Seq[(String, Int, Option[Int])] =
+    Seq(2, 5, 8).map(id => (f"iaud$id%02dd.wav", id, Some(80))) ++
+      Seq(0, 2, 4, 6, 8).map(id => (f"iaud$id%02dn.wav", id, None))
+  def ingestSampleOf(id: Int, ch: Int, i: Int, sc: Option[Int]): Int =
+    sc match {
+      case Some(s) => contourSampleOf(id, ch, i, s)
+      case None => sampleOf(id, ch, i)
+    }
+  def ensureAudioIngest(): String = synchronized {
+    val dir = new File(AudioIngestDir)
+    dir.mkdirs()
+    // the arrival dir IS the stream source: a stale file from an
+    // older spec revision would be ingested but absent from the
+    // oracle's replay — drop anything the spec doesn't name
+    val names = audioIngestSpecs.map(_._1).toSet
+    Option(dir.listFiles()).getOrElse(Array.empty[File])
+      .filter(f => f.isFile && !names(f.getName)).foreach(_.delete())
+    audioIngestSpecs.foreach { case (name, id, sc) =>
+      val f = new File(dir, name)
+      if (!f.exists()) writeWav(f, id, ingestSampleOf(id, _, _, sc))
+    }
+    AudioIngestDir
+  }
+
   private def writeWav(f: File, id: Int, sample: (Int, Int) => Int): Unit = {
     val ch = channelsOf(id)
     val n = audioFramesOf(id)
