@@ -77,6 +77,17 @@ object Util {
     f.delete(); ()
   }
 
+  /** Does a committed parquet layout actually contain part files? A
+    * write whose every input row was filtered out commits _SUCCESS
+    * with ZERO parts — schema inference on read-back would throw, so
+    * every read of a maybe-empty layout probes this first (the
+    * corpus-build run, the retract/compact overlays and logs). */
+  def anyParquetPart(f: java.io.File): Boolean = {
+    val cs = Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+    cs.exists(c => c.isFile && c.getName.endsWith(".parquet")) ||
+      cs.exists(c => c.isDirectory && anyParquetPart(c))
+  }
+
   /** Drop every sibling directory under `root` except `keep` — the
     * stale-fingerprint vacuum every fingerprint-keyed session sink
     * runs before (re)building, so in-place dataset regenerations

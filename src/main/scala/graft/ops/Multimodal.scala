@@ -1030,17 +1030,13 @@ object Multimodal {
 
   private def streamMmIngestInner(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.types._
     val dir = MultimodalFixtures.ensure()
     val baseBands = phashIndex(spark).filter(isMmBase)
       .select(col("file").as("base_file"), col("phash").as("base_phash"),
         posexplode(array((0 until 4).map(i =>
           substring(col("phash"), i * 4 + 1, 4)): _*))
           .as(Seq("band_idx", "band")))
-    val binSchema = new StructType()
-      .add("path", StringType).add("modificationTime", TimestampType)
-      .add("length", LongType).add("content", BinaryType)
-    val arrivals = spark.readStream.schema(binSchema)
+    val arrivals = spark.readStream.schema(binFileSchema)
       .format("binaryFile").load(dir)
       .select(regexp_extract(col("path"), "[^/]+$", 0).as("file"),
         col("content"))
@@ -1122,6 +1118,30 @@ object Multimodal {
         ORDER BY file"""
   }
 
+  /** binaryFile source schema both ingest streams declare. */
+  private val binFileSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    new StructType()
+      .add("path", StringType).add("modificationTime", TimestampType)
+      .add("length", LongType).add("content", BinaryType)
+  }
+
+  /** THE WAV → contour-fingerprint row map (file, sample_rate,
+    * channels, n_windows, contour): the frozen index and the arrival
+    * stream must compute IDENTICAL keys, so both go through this one
+    * map (a fingerprint change made in one place would silently turn
+    * every arrival novel). */
+  private def contourRows(
+      ds: org.apache.spark.sql.Dataset[ImgBin]): DataFrame = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions(_.map { d =>
+      val (rate, ch, samples) = wavSamples(d.file, d.content)
+      val (nw, contour) = audioContour(ch, samples)
+      (d.file, rate, ch, nw, contour)
+    }).toDF("file", "sample_rate", "channels", "n_windows", "contour")
+  }
+
   /** The frozen perceptual index of the canonical audio corpus — the
     * contour-corpus ORIGINALS' (rate, channels, n_windows, contour)
     * fingerprints as a registry artifact, built once per (session,
@@ -1131,19 +1151,13 @@ object Multimodal {
         s"mm_audio_contour_index:${MultimodalFixtures.AudioContourDir}",
         graft.Util.fileFingerprint(MultimodalFixtures.ensureAudioContour())) {
       import spark.implicits._
-      spark.read.format("binaryFile")
+      contourRows(spark.read.format("binaryFile")
         .load(MultimodalFixtures.AudioContourDir)
         .select(regexp_extract(col("path"), "[^/]+$", 0).as("file"),
           col("content"))
         .filter(col("file").rlike("^caud[0-9]+\\.wav$"))
-        .as[ImgBin]
-        .mapPartitions(_.map { d =>
-          val (rate, ch, samples) = wavSamples(d.file, d.content)
-          val (nw, contour) = audioContour(ch, samples)
-          (d.file, rate, ch, nw, contour)
-        })
-        .toDF("base_file", "sample_rate", "channels", "n_windows",
-          "contour")
+        .as[ImgBin])
+        .withColumnRenamed("file", "base_file")
     }
 
   /** `stream_audio_ingest` — CONTINUOUS AUDIO INGEST, the audio
@@ -1170,24 +1184,14 @@ object Multimodal {
 
   private def streamAudioIngestInner(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.types._
     val dir = MultimodalFixtures.ensureAudioIngest()
     val idx = audioContourIndex(spark)
-    val binSchema = new StructType()
-      .add("path", StringType).add("modificationTime", TimestampType)
-      .add("length", LongType).add("content", BinaryType)
-    val arrivals = spark.readStream.schema(binSchema)
+    val arrivals = contourRows(spark.readStream.schema(binFileSchema)
       .format("binaryFile").load(dir)
       .select(regexp_extract(col("path"), "[^/]+$", 0).as("file"),
         col("content"))
       .filter(col("file").rlike("\\.wav$"))
-      .as[ImgBin]
-      .mapPartitions(_.map { d =>
-        val (rate, ch, samples) = wavSamples(d.file, d.content)
-        val (nw, contour) = audioContour(ch, samples)
-        (d.file, rate, ch, nw, contour)
-      })
-      .toDF("file", "sample_rate", "channels", "n_windows", "contour")
+      .as[ImgBin])
     val joined = arrivals
       .join(idx, Seq("sample_rate", "channels", "n_windows", "contour"),
         "left_outer")

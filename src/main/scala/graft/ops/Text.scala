@@ -1768,20 +1768,6 @@ object Text {
               ELSE 'tail' END AS bucket
        FROM per CROSS JOIN cuts ORDER BY doc_id"""
 
-  /** `t_curriculum_order` — a CURRICULUM-LEARNING schedule (Bengio et
-    * al. 2009, the public easy→hard training-order result): docs are
-    * phased easy → medium → hard by their self-trained unigram
-    * surprisal terciles and given a reproducible position within
-    * their phase. Composition of two sanctioned shapes:
-    * [[perplexityBuckets]]'s sample-broadcast cutoffs (order
-    * statistics over a FIXED-SIZE hash sample, never a corpus ntile
-    * sort) pick the phase, and [[corpusShuffle]]'s two-level
-    * (shard, pos) order gives positions — shard is the hash's leading
-    * byte so (phase, shard, pos) IS the global hash order within each
-    * phase while the plan stays one hash exchange + per-(phase,
-    * shard) local sorts; re-runs and re-shards never move a doc. A
-    * trainer consumes phases in order; [[curriculumResume]] composes
-    * [[dataloaderResume]]'s cursor decomposition over this order. */
   /** The phase assignment + two-level hash coordinates every
     * curriculum consumer shares: (doc_id, avg_surprisal_e4, phase, h,
     * shard) — sample-broadcast surprisal terciles pick the phase, and
@@ -1808,6 +1794,20 @@ object Text {
       .withColumn("shard", substring(col("h"), 1, 2))
   }
 
+  /** `t_curriculum_order` — a CURRICULUM-LEARNING schedule (Bengio et
+    * al. 2009, the public easy→hard training-order result): docs are
+    * phased easy → medium → hard by their self-trained unigram
+    * surprisal terciles and given a reproducible position within
+    * their phase. Composition of two sanctioned shapes:
+    * [[perplexityBuckets]]'s sample-broadcast cutoffs (order
+    * statistics over a FIXED-SIZE hash sample, never a corpus ntile
+    * sort) pick the phase, and [[corpusShuffle]]'s two-level
+    * (shard, pos) order gives positions — shard is the hash's leading
+    * byte so (phase, shard, pos) IS the global hash order within each
+    * phase while the plan stays one hash exchange + per-(phase,
+    * shard) local sorts; re-runs and re-shards never move a doc. A
+    * trainer consumes phases in order; [[curriculumResume]] composes
+    * [[dataloaderResume]]'s cursor decomposition over this order. */
   def curriculumOrder(spark: SparkSession, sfDir: String): DataFrame = {
     val phased = curriculumPhased(spark, sfDir)
     val pw = org.apache.spark.sql.expressions.Window
@@ -3186,16 +3186,10 @@ object Text {
     out
   }
 
-  /** Does a committed parquet layout actually contain part files? A
-    * write whose every input row was filtered out commits _SUCCESS
-    * with ZERO parts — schema inference on read-back would throw, so
-    * every read of a maybe-empty layout probes this first (shared by
-    * [[corpusBuildRun]] and the retract/stream-retract overlays). */
-  private[ops] def anyParquetPart(f: java.io.File): Boolean = {
-    val cs = Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
-    cs.exists(c => c.isFile && c.getName.endsWith(".parquet")) ||
-      cs.exists(c => c.isDirectory && anyParquetPart(c))
-  }
+  /** Does a committed parquet layout actually contain part files?
+    * (One shared implementation — [[graft.Util.anyParquetPart]].) */
+  private[ops] def anyParquetPart(f: java.io.File): Boolean =
+    graft.Util.anyParquetPart(f)
 
   def corpusBuildRun(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.BpeVocab.ensureFixture()
@@ -3538,37 +3532,49 @@ object Text {
           .select(col("doc_id")))
       graft.streaming.StreamCow.run(spark, spec, locator)
       graft.streaming.StreamCow.compact(spark, spec, locator)
-      graft.streaming.StreamCow.vacuum(spec)
     }
+    // vacuum UNCONDITIONALLY (idempotent deletes): inside the guard, a
+    // crash between the v2 _SUCCESS commit and the vacuum would leave
+    // the superseded dirs behind forever (review r15 finding)
+    graft.streaming.StreamCow.vacuum(spec)
     val plan = retractPlanOf(spark, sfDir)
     val v2 = spec.compactDir
-    val rb =
+    val v2r =
       if (!anyParquetPart(new java.io.File(v2)))
-        plan.limit(0).select(col("split"), col("shard"), col("bin"),
-          col("n_before").as("n_rb"), col("tok_before").as("tok_rb"),
-          col("n_before").as("left_rb"))
+        man.limit(0).select(col("doc_id"), col("split"), col("shard"),
+          col("bin"), col("n_tokens"))
       else spark.read.parquet(v2)
-        .select(col("split").cast("string").as("split"),
-          col("shard").cast("long").as("shard"), col("bin"),
-          col("n_tokens"), col("doc_id"))
-        .groupBy(col("split"), col("shard"), col("bin"))
-        .agg(count(lit(1)).as("n_rb"), sum(col("n_tokens")).as("tok_rb"),
-          sum(when(isRetracted, 1L).otherwise(0L)).as("left_rb"))
-    val v2docs =
-      if (!anyParquetPart(new java.io.File(v2)))
-        man.limit(0).select(col("doc_id"))
-      else spark.read.parquet(v2).select(col("doc_id"))
-    val eq = man.filter(!col("retracted")).select(col("doc_id"))
-      .join(v2docs, Seq("doc_id"), "left_anti")
-      .agg(count(lit(1)).as("missing_docs"))
-      .crossJoin(v2docs
-        .join(man.filter(!col("retracted")).select(col("doc_id")),
-          Seq("doc_id"), "left_anti")
-        .agg(count(lit(1)).as("extra_docs")))
+        .select(col("doc_id"),
+          col("split").cast("string").as("split"),
+          col("shard").cast("long").as("shard"),
+          col("bin"), col("n_tokens"))
+    // ONE v2 pass (review r15): a full-outer doc_id join of manifest
+    // survivors vs the compacted read yields the per-bin after-counts,
+    // the residual-retracted rows, AND both doc-set anti-join counts
+    // from the same frame; the global missing/extra totals re-aggregate
+    // ≤ |bins| rows, not the corpus.
+    val surv = man.filter(!col("retracted"))
+      .select(col("doc_id"), col("split"), col("shard"), col("bin"))
+    val j = surv.as("m").join(v2r.as("v"),
+      col("m.doc_id") === col("v.doc_id"), "full_outer")
+    val perBin = j.groupBy(
+        coalesce(col("m.split"), col("v.split")).as("split"),
+        coalesce(col("m.shard"), col("v.shard")).as("shard"),
+        coalesce(col("m.bin"), col("v.bin")).as("bin"))
+      .agg(count(col("v.doc_id")).as("n_rb"),
+        sum(coalesce(col("v.n_tokens"), lit(0L))).as("tok_rb"),
+        sum(when(pmod(col("v.doc_id"), lit(89L)) === 3L, 1L)
+          .otherwise(0L)).as("left_rb"),
+        sum(when(col("v.doc_id").isNull, 1L).otherwise(0L)).as("miss_b"),
+        sum(when(col("m.doc_id").isNull, 1L).otherwise(0L)).as("extra_b"))
+    val eq = perBin.agg(sum(col("miss_b")).as("missing_docs"),
+      sum(col("extra_b")).as("extra_docs"))
     val vacuumOk = !new java.io.File(spec.overlayDir).exists() &&
       !new java.io.File(spec.logDir).exists() &&
       new java.io.File(s"$v2/_SUCCESS").exists()
-    plan.join(rb, Seq("split", "shard", "bin"), "left")
+    plan.join(perBin.select(col("split"), col("shard"), col("bin"),
+        col("n_rb"), col("tok_rb"), col("left_rb")),
+      Seq("split", "shard", "bin"), "left")
       .withColumn("n_after", coalesce(col("n_rb"), lit(0L)))
       .withColumn("tok_after", coalesce(col("tok_rb"), lit(0L)))
       .withColumn("leftover", coalesce(col("left_rb"), lit(0L)))
@@ -3813,6 +3819,19 @@ object Text {
     appendTail(spark, sfDir, appendDeltaCandidates(spark, sfDir))
   }
 
+  /** The maintained (base + append) corpus manifest as a per-dataset
+    * REGISTRY artifact — the version store `corpus_version_diff` and
+    * `corpus_read_asof` both consult; materialized once per
+    * (session, dataset), never recomputing the pipelines. Registered
+    * with a marker column on top so the cache manager cannot
+    * substitute it for the append query's own plan (the
+    * retract-manifest rule). */
+  private def versionManifest(spark: SparkSession, sfDir: String): DataFrame =
+    Flow.sharedScanOf(spark, s"version_diff_manifest:$sfDir",
+        graft.Util.fileFingerprint(s"$sfDir/documents.parquet")) {
+      corpusAppendPipeline(spark, sfDir).withColumn("vd", lit(true))
+    }
+
   /** `corpus_version_diff` — the SNAPSHOT SUMMARY between two corpus
     * versions (v1 = the frozen base, v2 = base + gated append), the
     * record an Iceberg/Delta commit writes and a reproducibility
@@ -3832,19 +3851,6 @@ object Text {
     * oracle's CTE body verbatim ([[corpusAppendManifestCtes]]), so
     * the diff cannot drift from the append semantics it
     * summarizes. */
-  /** The maintained (base + append) corpus manifest as a per-dataset
-    * REGISTRY artifact — the version store `corpus_version_diff` and
-    * `corpus_read_asof` both consult; materialized once per
-    * (session, dataset), never recomputing the pipelines. Registered
-    * with a marker column on top so the cache manager cannot
-    * substitute it for the append query's own plan (the
-    * retract-manifest rule). */
-  private def versionManifest(spark: SparkSession, sfDir: String): DataFrame =
-    Flow.sharedScanOf(spark, s"version_diff_manifest:$sfDir",
-        graft.Util.fileFingerprint(s"$sfDir/documents.parquet")) {
-      corpusAppendPipeline(spark, sfDir).withColumn("vd", lit(true))
-    }
-
   def corpusVersionDiff(spark: SparkSession, sfDir: String): DataFrame =
     versionManifest(spark, sfDir)
       .groupBy(col("split"), col("shard")).agg(

@@ -793,8 +793,10 @@ object Vector {
           .select(col("vec_id")))
       graft.streaming.StreamCow.run(spark, spec, locator)
       graft.streaming.StreamCow.compact(spark, spec, locator)
-      graft.streaming.StreamCow.vacuum(spec)
     }
+    // vacuum unconditionally (idempotent): a crash after the v2
+    // _SUCCESS commit must not strand the superseded dirs
+    graft.streaming.StreamCow.vacuum(spec)
     val v2read =
       if (!Text.anyParquetPart(new java.io.File(spec.compactDir)))
         locator.limit(0)

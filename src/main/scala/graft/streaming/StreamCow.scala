@@ -155,12 +155,6 @@ object StreamCow {
     over
   }
 
-  private def hasParquet(f: java.io.File): Boolean = {
-    val cs = Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
-    cs.exists(c => c.isFile && c.getName.endsWith(".parquet")) ||
-      cs.exists(c => c.isDirectory && hasParquet(c))
-  }
-
   /** Enumerate the base's cell directories, `partCols.size` levels of
     * `name=value` dirs deep, as relative paths. */
   private def cellDirs(base: java.io.File, depth: Int): Seq[String] = {
@@ -187,10 +181,15 @@ object StreamCow {
         if (f.isDirectory) linkTree(f, new java.io.File(to, f.getName))
         else {
           val dst = new java.io.File(to, f.getName).toPath
-          try java.nio.file.Files.createLink(dst, f.toPath)
-          catch { case _: UnsupportedOperationException |
-                       _: java.nio.file.FileSystemException =>
-            java.nio.file.Files.copy(f.toPath, dst); () }
+          // a crash between a partial link pass and the _SUCCESS commit
+          // leaves dst already linked to the SAME immutable source —
+          // skip it so the retry converges instead of aborting
+          if (!java.nio.file.Files.exists(dst))
+            try java.nio.file.Files.createLink(dst, f.toPath)
+            catch { case _: UnsupportedOperationException |
+                         _: java.nio.file.FileSystemException =>
+              java.nio.file.Files.copy(f.toPath, dst,
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING); () }
         }
     }
   }
@@ -212,7 +211,8 @@ object StreamCow {
     // corpus) leaves no log partitions — compaction is then a pure
     // re-link of every base cell
     val touched =
-      if (!hasParquet(new java.io.File(spec.logDir))) Set.empty[Seq[Any]]
+      if (!graft.Util.anyParquetPart(new java.io.File(spec.logDir)))
+        Set.empty[Seq[Any]]
       else {
         val cum = spark.read.parquet(spec.logDir).select(col(spec.keyCol))
         locator.join(cum, Seq(spec.keyCol))
