@@ -671,4 +671,57 @@ class StreamingSpec extends SparkSuite {
     assert(liveAfter == want,
       "post-compact stream batch must scrub v2 like any frozen base")
   }
+
+  test("StreamCow compact converges on retry after a crash mid-link") {
+    import spark.implicits._
+    import graft.streaming.StreamCow
+    // regression for the r15 review finding: a session killed between
+    // a partial link pass and the _SUCCESS commit must not abort every
+    // retry on FileAlreadyExistsException
+    val root = java.nio.file.Files.createTempDirectory("graft_cow_crash")
+      .toString
+    val baseDir = s"$root/base"
+    val baseDf = (0L until 20L).map(k => (k, (k % 2).toInt, s"p$k"))
+      .toDF("key", "cell", "payload")
+    baseDf.write.partitionBy("cell").mode("overwrite").parquet(baseDir)
+    val locator = spark.read.parquet(baseDir).select(col("key"), col("cell"))
+    val spec = StreamCow.Spec("key", Seq("cell"), baseDir, s"$root/runs/a")
+    StreamCow.stageFeed(spec, baseDf.filter(col("key") % 10 === 0)
+      .select(col("key")))
+    StreamCow.run(spark, spec, locator)
+    // simulate the crash: a first compact() whose _SUCCESS we remove —
+    // every data file is already linked, the commit marker is not
+    StreamCow.compact(spark, spec, locator)
+    assert(new java.io.File(s"${spec.compactDir}/_SUCCESS").delete())
+    // the retry must converge (skip the existing links) and re-commit
+    val v2 = StreamCow.compact(spark, spec, locator)
+    assert(new java.io.File(s"$v2/_SUCCESS").exists(),
+      "retry after a partial compact must re-commit")
+    val got = spark.read.parquet(v2).count()
+    assert(got == 18L, s"retried compact must hold the survivors, got $got")
+  }
+
+  test("corpus_compact_run vacuums superseded dirs even after the v2 commit") {
+    // regression for the r15 review finding: vacuum sat inside the
+    // _SUCCESS guard, so a crash after the commit stranded the
+    // overlay/log dirs forever and vacuum_ok read false on every
+    // later run. Simulate the stranded state by re-creating the dirs
+    // AFTER a completed run, then re-invoke the query.
+    val first = graft.ops.Text.corpusCompactRun(spark, sf).collect()
+    assert(first.nonEmpty && first.forall(r =>
+        r.getBoolean(8) && r.getBoolean(11)),
+      "guard: compact_ok and vacuum_ok must hold on the completed run")
+    val tag = graft.Util.fileFingerprint(s"$sf/documents.parquet")
+    val root =
+      s"${graft.Util.sessionTmpDir(spark, "graft_corpus_compact")}/$tag"
+    for (d <- Seq("overlay", "log"))
+      assert(new java.io.File(s"$root/$d").mkdirs(),
+        s"guard: could not simulate stranded $d")
+    val again = graft.ops.Text.corpusCompactRun(spark, sf).collect()
+    assert(again.forall(_.getBoolean(11)),
+      "a stranded overlay/log must be vacuumed on the next run")
+    assert(!new java.io.File(s"$root/overlay").exists() &&
+      !new java.io.File(s"$root/log").exists(),
+      "superseded dirs must be gone after the re-run")
+  }
 }
