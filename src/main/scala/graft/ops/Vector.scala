@@ -424,7 +424,15 @@ object Vector {
     * stale cells must not cost recall at this scale), and
     * assign_complete — every corpus vector is assigned exactly once
     * (no loss, no duplication across the two writes). */
-  def annIndexAppend(spark: SparkSession, sfDir: String): DataFrame = {
+  def annIndexAppend(spark: SparkSession, sfDir: String): DataFrame =
+    appendGates(spark, sfDir,
+      spark.read.parquet(s"${incrIndexDir(spark, sfDir)}/assign.parquet"))
+
+  /** Build-once accessor for the incremental index artifact
+    * (persisted centroids + base⊕delta assignment): runs
+    * [[annIndexAppend]]'s two-phase build if missing, returns the
+    * artifact dir — shared with [[annIndexVersionDiff]]. */
+  private def incrIndexDir(spark: SparkSession, sfDir: String): String = {
     import spark.implicits._
     val k = corpusK(spark, sfDir)
     val dir = graft.Util.sessionTmpDir(spark, "graft_ann_index") + "/" +
@@ -463,8 +471,61 @@ object Vector {
       require(rewritten.isEmpty,
         s"index append rewrote base files: ${rewritten.map(_._1).mkString(", ")}")
     }
-    appendGates(spark, sfDir, spark.read.parquet(assignDir))
+    dir
   }
+
+  /** `ann_index_version_diff` — the SNAPSHOT SUMMARY between index
+    * versions (v1 = the base assignment, v2 = base + appended delta):
+    * the `corpus_version_diff` twin for the vector index, completing
+    * the version-store symmetry between the two lifecycles. Because
+    * the append never rewrites base files (asserted at build time),
+    * v1 IS the v2 artifact filtered to non-delta rows — the index's
+    * time-travel guarantee — and this query RE-VERIFIES it: every
+    * vector re-scores against the PERSISTED centroids and must land
+    * in its stored cell (`stable_assign_ok` — recovering either
+    * version from the artifact yields exactly the assignment its
+    * build wrote; parquet round-trips the double centroids
+    * bit-exactly, so any drift is a real artifact corruption).
+    * Counts are vec_id arithmetic, so the oracle checks REAL
+    * numbers; `append_only_ok` collapses the per-cell growth audit
+    * (every cell's v2 ⊇ v1). One artifact scan + one rescore pass
+    * against broadcast centroids — never a retrain, never an
+    * embedding shuffle. */
+  def annIndexVersionDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = incrIndexDir(spark, sfDir)
+    val a = spark.read.parquet(s"$dir/assign.parquet")
+    val persistedCs = spark.read.parquet(s"$dir/centroids.parquet")
+      .as[(Int, Seq[Double])].collect().sortBy(_._1)
+      .map { case (c, v) => (c, v.toArray) }
+    val rescored = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .map { case (id, v) => (id, nearest(persistedCs)(v)) }
+      .toDF("vec_id", "re_cell")
+    a.withColumn("is_delta", isIncrDelta)
+      .join(rescored, Seq("vec_id"))
+      .groupBy(col("cell")).agg(
+        sum(when(!col("is_delta"), 1L).otherwise(0L)).as("n_v1"),
+        count(lit(1)).as("n_v2"),
+        min(col("cell") === col("re_cell")).as("cell_stable"))
+      .agg(
+        sum(col("n_v1")).as("n_vecs_v1"),
+        sum(col("n_v2")).as("n_vecs_v2"),
+        sum(col("n_v2") - col("n_v1")).as("vecs_added"),
+        min(col("n_v2") >= col("n_v1")).as("append_only_ok"),
+        min(col("cell_stable")).as("stable_assign_ok"))
+  }
+  /** Oracle: the version counts are vec_id arithmetic; the audit bits
+    * assert at their contract values. */
+  val annIndexVersionDiffSql: String =
+    s"""SELECT
+       (SELECT count(1) FROM embeddings WHERE vec_id % $IncrDeltaMod <> 13)
+         AS n_vecs_v1,
+       (SELECT count(1) FROM embeddings) AS n_vecs_v2,
+       (SELECT count(1) FROM embeddings WHERE vec_id % $IncrDeltaMod = 13)
+         AS vecs_added,
+       true AS append_only_ok,
+       true AS stable_assign_ok"""
 
   /** The append-index acceptance gates, shared verbatim between
     * [[annIndexAppend]] and [[streamAnnAppend]] (one gate, one oracle
@@ -1761,6 +1822,7 @@ object Vector {
     "ann_index_retract" -> annIndexRetract,
     "stream_ann_retract" -> streamAnnRetract,
     "ann_index_compact" -> annIndexCompact,
+    "ann_index_version_diff" -> annIndexVersionDiff,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
     "dedup_semantic" -> dedupSemantic)
 
@@ -1786,6 +1848,7 @@ object Vector {
     "ann_index_retract" -> annIndexRetractSql,
     "stream_ann_retract" -> annIndexRetractSql,
     "ann_index_compact" -> annIndexCompactSql,
+    "ann_index_version_diff" -> annIndexVersionDiffSql,
     "dedup_embedding_cosine" -> dedupEmbeddingCosineSql,
     "dedup_semantic" -> dedupSemanticSql)
 }
