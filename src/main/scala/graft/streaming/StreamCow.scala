@@ -231,6 +231,9 @@ object StreamCow {
           else new java.io.File(spec.baseDir, rel)
         if (src.isDirectory) linkTree(src, new java.io.File(v2, rel))
       }
+    // a zero-survivor base links nothing — the v2 dir must still
+    // exist to carry its commit marker (10× GenData rehearsal edge)
+    v2.mkdirs()
     java.nio.file.Files.createFile(new java.io.File(v2, "_SUCCESS").toPath)
     spec.compactDir
   }

@@ -699,6 +699,15 @@ class StreamingSpec extends SparkSuite {
       "retry after a partial compact must re-commit")
     val got = spark.read.parquet(v2).count()
     assert(got == 18L, s"retried compact must hold the survivors, got $got")
+    // zero-survivor edge (the 10× GenData rehearsal path): a base with
+    // no cells at all still compacts to a committed, empty v2
+    val emptyBase = s"$root/empty_base"
+    new java.io.File(emptyBase).mkdirs()
+    val spec0 = StreamCow.Spec("key", Seq("cell"), emptyBase,
+      s"$root/runs0/a")
+    val v20 = StreamCow.compact(spark, spec0, locator.limit(0))
+    assert(new java.io.File(s"$v20/_SUCCESS").exists(),
+      "an empty base must still commit an empty v2")
   }
 
   test("corpus_compact_run vacuums superseded dirs even after the v2 commit") {
