@@ -1493,8 +1493,36 @@ object Text {
         floor(lit(1.0) * col("sum_surprisal_e4") / col("n_tokens")))
   }
 
+  /** [[docSurprisal]] as a per-dataset FILE-backed artifact — the
+    * corpus-as-LM table four queries consume (t_unigram_logprob,
+    * t_perplexity_buckets, t_curriculum_order, t_curriculum_resume),
+    * trained once per (session, dataset fingerprint) and read back as
+    * a plain parquet scan by every consumer instead of re-training.
+    * FILE-backed, not a sharedScanOf persist, measured deliberately:
+    * the resume references this table in several broadcast-subtree
+    * jobs per action, and an InMemoryTableScan-backed read was 4×
+    * SLOWER than the parquet scan there (4.2 s vs 0.9 s warm —
+    * deserialized cache batches outside whole-stage codegen, paid per
+    * subtree job), while a file scan also sidesteps the
+    * cache-substitution hazard entirely (no plan to substitute).
+    * Metadata-sized: one row per doc, three integer columns. */
+  private def docSurprisalArtifact(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val root = graft.Util.sessionTmpDir(spark, "graft_doc_surprisal")
+    val tag = graft.Util.fileFingerprint(s"$sfDir/documents.parquet")
+    val dir = s"$root/$tag"
+    if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+      graft.Util.vacuumSiblings(root, tag)
+      docSurprisal(spark, sfDir).write.mode("overwrite").parquet(dir)
+    }
+    spark.read.parquet(dir)
+  }
+
   def unigramLogprob(spark: SparkSession, sfDir: String): DataFrame =
-    docSurprisal(spark, sfDir).orderBy(col("doc_id"))
+    docSurprisalArtifact(spark, sfDir)
+      .select(col("doc_id"), col("n_tokens"), col("sum_surprisal_e4"),
+        col("avg_surprisal_e4"))
+      .orderBy(col("doc_id"))
   val unigramLogprobSql: String =
     """WITH toks AS (
          SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
@@ -1724,7 +1752,8 @@ object Text {
   // avoids. Ties on a cutoff land in the lower bucket (<=),
   // deterministically.
   def perplexityBuckets(spark: SparkSession, sfDir: String): DataFrame = {
-    val per = docSurprisal(spark, sfDir)
+    val per = docSurprisalArtifact(spark, sfDir)
+      .select(col("doc_id"), col("avg_surprisal_e4"))
     val sample = hashSampleFixed(per, "doc_id", 2048L)
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("avg_surprisal_e4"), col("doc_id"))
@@ -1775,7 +1804,7 @@ object Text {
     * order within a phase IS its (shard, pos) order. */
   private def curriculumPhased(spark: SparkSession,
       sfDir: String): DataFrame = {
-    val per = docSurprisal(spark, sfDir)
+    val per = docSurprisalArtifact(spark, sfDir)
       .select(col("doc_id"), col("avg_surprisal_e4"))
     val sample = hashSampleFixed(per, "doc_id", 2048L)
     val w = org.apache.spark.sql.expressions.Window
