@@ -561,15 +561,28 @@ object Text {
     * frequency and `sum(tf)` per doc IS document length, exactly the
     * quantities the un-factored formulation computed by re-exploding
     * the corpus once per statistic per leg. */
-  private def termFreqs(spark: SparkSession, sfDir: String): DataFrame =
-    Flow.sharedScanOf(spark, s"retrieval_tf:$sfDir",
-        graft.Util.fileFingerprint(s"$sfDir/documents.parquet")) {
+  private def termFreqs(spark: SparkSession, sfDir: String): DataFrame = {
+    // FILE-backed, not a sharedScanOf persist (the docSurprisal
+    // finding, measured here too): one action of the fusion/eval/
+    // classifier queries references this table 3-8 times across
+    // aggregate and broadcast subtrees, and each InMemoryTableScan
+    // read pays deserialized cache batches outside whole-stage
+    // codegen — the parquet read-back is the faster AND
+    // substitution-safe form.
+    val root = graft.Util.sessionTmpDir(spark, "graft_retrieval_tf")
+    val tag = graft.Util.fileFingerprint(s"$sfDir/documents.parquet")
+    val dir = s"$root/$tag"
+    if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+      graft.Util.vacuumSiblings(root, tag)
       Tables.documents(spark, sfDir)
         .select(col("doc_id"), explode(tokens).as("term"))
         .filter(col("term") =!= "")
         .groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf"))
+        .write.mode("overwrite").parquet(dir)
     }
+    spark.read.parquet(dir)
+  }
 
   def bm25Topk(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
