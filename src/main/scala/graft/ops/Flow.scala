@@ -129,6 +129,36 @@ object Flow {
       }
     }
   }
+  /** The FILE-backed registry: materialize `mk` to a session-scoped
+    * parquet keyed by (prefix, contentKey) and read it back as a
+    * plain scan. Prefer this over [[sharedScanOf]] when ONE consumer
+    * action references the artifact several times (aggregate +
+    * broadcast subtrees): an InMemoryTableScan read pays deserialized
+    * cache batches outside whole-stage codegen PER subtree job —
+    * measured 4× slower than the parquet read-back on
+    * t_curriculum_resume and 2× on t_bm25_topk (r15) — while a file
+    * scan is codegen-fused, survives spark.catalog.clearCache()
+    * without the self-heal re-persist, and is immune to the
+    * cache-manager plan-substitution hazard by construction (there is
+    * no plan to substitute). Build is synchronized per slot and
+    * committed via _SUCCESS; stale contentKeys vacuum on rotation. */
+  def sharedTableOf(spark: SparkSession, prefix: String, contentKey: String)(
+      mk: => DataFrame): DataFrame = {
+    val slot = s"${System.identityHashCode(spark)}:table:$prefix"
+    val lock = sharedLocks.getOrElseUpdate(slot, new Object)
+    val root = graft.Util.sessionTmpDir(spark, "graft_shared_table") + "/" +
+      java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(prefix) & 0xffffffffL)
+    val dir = s"$root/$contentKey"
+    lock.synchronized {
+      if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+        graft.Util.vacuumSiblings(root, contentKey)
+        mk.write.mode("overwrite").parquet(dir)
+      }
+    }
+    spark.read.parquet(dir)
+  }
+
   def clearShared(): Unit = {
     shared.values.foreach { case (_, df) =>
       try df.unpersist() catch { case _: IllegalStateException => () }

@@ -1593,7 +1593,7 @@ object Relational {
     * value-deterministic. Self-loops retained here: pagerank keeps
     * them, triangles filters them — callers apply their own policy. */
   private def graphRawEdges(spark: SparkSession, sfDir: String): DataFrame =
-    Flow.sharedScanOf(spark, s"graph_edges:$sfDir",
+    Flow.sharedTableOf(spark, s"graph_edges:$sfDir",
         graft.Util.fileFingerprint(s"$sfDir/lineitem.parquet")) {
       val w = Window.partitionBy(col("l_orderkey"))
         .orderBy(col("l_linenumber"), col("src"))

@@ -3381,7 +3381,7 @@ object Text {
     * this artifact's cache entry. */
   private def retractManifestOf(spark: SparkSession,
       sfDir: String): DataFrame =
-    Flow.sharedScanOf(spark, s"retract_manifest:$sfDir",
+    Flow.sharedTableOf(spark, s"retract_manifest:$sfDir",
         graft.Util.fileFingerprint(s"$sfDir/documents.parquet")) {
       corpusBuildPipeline(spark, sfDir)
         .withColumn("retracted", isRetracted)
@@ -3869,7 +3869,7 @@ object Text {
     * substitute it for the append query's own plan (the
     * retract-manifest rule). */
   private def versionManifest(spark: SparkSession, sfDir: String): DataFrame =
-    Flow.sharedScanOf(spark, s"version_diff_manifest:$sfDir",
+    Flow.sharedTableOf(spark, s"version_diff_manifest:$sfDir",
         graft.Util.fileFingerprint(s"$sfDir/documents.parquet")) {
       corpusAppendPipeline(spark, sfDir).withColumn("vd", lit(true))
     }
