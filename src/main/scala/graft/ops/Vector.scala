@@ -456,6 +456,13 @@ object Vector {
         .map { case (id, v) => (id, nearest(cs)(v)) }.toDF("vec_id", "cell")
         .write.mode("overwrite").parquet(assignDir)
       val baseFiles = listFiles()
+      // v1 snapshot manifest: the file list the base build committed —
+      // the version pointer [[annReadAsof]] time-travels through (the
+      // append-only contract keeps these files immutable, so listing
+      // them IS the v1 snapshot, the Iceberg manifest semantics)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/manifest_v1.txt"),
+        baseFiles.map(_._1).mkString("\n").getBytes("UTF-8"))
       // phase 2 — the append job: centroids come from the ARTIFACT,
       // only delta rows are scored, the write is an append
       val persistedCs = spark.read.parquet(s"$dir/centroids.parquet")
@@ -526,6 +533,51 @@ object Vector {
          AS vecs_added,
        true AS append_only_ok,
        true AS stable_assign_ok"""
+
+  /** `ann_read_asof` — the TIME-TRAVEL read of the ANN index, the
+    * vector twin of `corpus_read_asof` (completing the version-store
+    * symmetry `ann_index_version_diff` opened): materialize the
+    * assignment table exactly as it stood at a version — v1 = the
+    * base build, v2 = base + appended delta — from the artifact's
+    * FILE MANIFEST alone, never rescoring an embedding.
+    *
+    * Correct BECAUSE of the append contract the build asserts (base
+    * files survive the append byte-identical) and
+    * `ann_index_version_diff` re-verifies: the v1 snapshot IS the
+    * file list the base build committed (`manifest_v1.txt`), so
+    * asof(v1) is a manifest-pruned parquet read — at 100 TB, time
+    * travel costs the version's own files, exactly how Iceberg/Delta
+    * serve `FOR VERSION AS OF`, with no delta-log reconstruction and
+    * no recompute. asof(v2) is the live directory. The `stable` audit
+    * bit is MEASURED, not assumed: every v1 row must appear in v2
+    * with an identical cell (one metadata-sized (vec_id, cell) join —
+    * embeddings never move). The oracle rebuilds both versions from
+    * the delta predicate's arithmetic, so the row SETS are real
+    * numbers DuckDB recomputes. */
+  def annReadAsof(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = incrIndexDir(spark, sfDir)
+    import scala.jdk.CollectionConverters._
+    val v1Files = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(s"$dir/manifest_v1.txt")).asScala.toSeq
+    val v1 = spark.read.parquet(
+      v1Files.map(n => s"$dir/assign.parquet/$n"): _*)
+    val v2 = spark.read.parquet(s"$dir/assign.parquet")
+    val stable = v1.select(col("vec_id"), col("cell").as("cell_v1"))
+      .join(v2, Seq("vec_id"), "left")
+      .agg(coalesce(min(col("cell").isNotNull &&
+        col("cell") === col("cell_v1")), lit(true)).as("stable"))
+    v1.withColumn("version", lit(1))
+      .unionByName(v2.withColumn("version", lit(2)))
+      .crossJoin(broadcast(stable))
+      .select(col("version"), col("vec_id"), col("stable"))
+      .orderBy(col("version"), col("vec_id"))
+  }
+  val annReadAsofSql: String =
+    s"""SELECT 1 AS version, vec_id, true AS stable FROM embeddings
+       WHERE vec_id % $IncrDeltaMod <> 13
+       UNION ALL
+       SELECT 2 AS version, vec_id, true AS stable FROM embeddings
+       ORDER BY version, vec_id"""
 
   /** The append-index acceptance gates, shared verbatim between
     * [[annIndexAppend]] and [[streamAnnAppend]] (one gate, one oracle
@@ -1823,6 +1875,7 @@ object Vector {
     "stream_ann_retract" -> streamAnnRetract,
     "ann_index_compact" -> annIndexCompact,
     "ann_index_version_diff" -> annIndexVersionDiff,
+    "ann_read_asof" -> annReadAsof,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
     "dedup_semantic" -> dedupSemantic)
 
@@ -1849,6 +1902,7 @@ object Vector {
     "stream_ann_retract" -> annIndexRetractSql,
     "ann_index_compact" -> annIndexCompactSql,
     "ann_index_version_diff" -> annIndexVersionDiffSql,
+    "ann_read_asof" -> annReadAsofSql,
     "dedup_embedding_cosine" -> dedupEmbeddingCosineSql,
     "dedup_semantic" -> dedupSemanticSql)
 }

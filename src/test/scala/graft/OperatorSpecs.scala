@@ -1070,6 +1070,35 @@ class VectorSpec extends SparkSuite {
       s"delta rows in assignment: $nDelta of $nExpect")
   }
 
+  test("ann_read_asof: v1 is the manifest's file set, stable in v2, no rescore") {
+    val rows = Vector.annReadAsof(spark, sf).collect()
+    val emb = Tables.embeddings(spark, sf)
+    val nAll = emb.count()
+    val nDelta = emb.filter(pmod(col("vec_id"), lit(101)) === 13).count()
+    assert(nDelta > 0, "guard: the delta predicate must select rows")
+    // v1 = the base build exactly; v2 = the live directory
+    val v1 = rows.filter(_.getAs[Int]("version") == 1)
+    val v2 = rows.filter(_.getAs[Int]("version") == 2)
+    assert(v1.length == nAll - nDelta && v2.length == nAll,
+      s"version row counts: ${v1.length} / ${v2.length}")
+    assert(!v1.map(_.getAs[Long]("vec_id"))
+      .exists(id => id % 101 == 13), "a delta vec leaked into asof(v1)")
+    // the stability audit is measured and green
+    assert(rows.forall(_.getAs[Boolean]("stable")))
+    // time travel reads the manifest's files, never the trainer: the
+    // v1 leg of the plan scans exactly the manifest's file count
+    val dir = graft.Util.sessionTmpDir(spark, "graft_ann_index") + "/" +
+      java.lang.Integer.toHexString(Vector.dataKey(sf).hashCode) + "_incr"
+    val man = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(s"$dir/manifest_v1.txt"))
+    assert(!man.isEmpty, "v1 manifest committed by the base build")
+    val v1Read = spark.read.parquet(
+      scala.jdk.CollectionConverters.ListHasAsScala(man).asScala.toSeq
+        .map(n => s"$dir/assign.parquet/$n"): _*)
+    assert(v1Read.count() == nAll - nDelta,
+      "the manifest-pruned read IS the v1 snapshot")
+  }
+
   test("brute-force top-k ranks by true cosine (spot-check qid 0 rank 1)") {
     val rows = Vector.annBruteTopk(spark, sf)
       .filter(col("qid") === 0).collect()
