@@ -1253,9 +1253,146 @@ object Multimodal {
        ORDER BY file"""
   }
 
+  // -- streaming video ingest ------------------------------------------------
+
+  /** THE GIF → scene-signature row map (file, n_frames, sig): the
+    * frozen index and the arrival stream must compute IDENTICAL keys,
+    * so both go through this one partition map (the [[contourRows]]
+    * convention). The signature is a positional polynomial fold of
+    * the per-frame 64-bit aHash — order-sensitive (a re-cut of the
+    * same frames keys differently) and invariant to uniform
+    * brightness shifts (each frame's aHash is). Frames die in the
+    * decode stage; only (file, int, long) rows ever move. */
+  def videoSigPartition(it: Iterator[ImgBin]): Iterator[(String, Int, Long)] =
+    withReaders(it) { (d, reader) =>
+      if (sniff(d.content) != "gif") Nil
+      else {
+        val r = reader("gif")
+        val iis =
+          ImageIO.createImageInputStream(new ByteArrayInputStream(d.content))
+        try {
+          r.setInput(iis, false, true)
+          val n = r.getNumImages(true)
+          var sig = 0L
+          (0 until n).foreach(f => sig = sig * 1000003L ^ aHash(r.read(f)))
+          Seq((d.file, n, sig))
+        } finally iis.close()
+      }
+    }
+
+  /** The frozen scene-signature index of the canonical video corpus
+    * (vid* + scn* animated assets) as a registry artifact — the video
+    * sibling of [[phashIndex]] / [[audioContourIndex]]. */
+  private def videoSigIndex(spark: SparkSession): DataFrame =
+    Flow.sharedScanOf(spark,
+        s"mm_video_sig_index:${MultimodalFixtures.Dir}",
+        graft.Util.fileFingerprint(MultimodalFixtures.ensure())) {
+      import spark.implicits._
+      spark.read.format("binaryFile").load(MultimodalFixtures.Dir)
+        .select(regexp_extract(col("path"), "[^/]+$", 0).as("file"),
+          col("content"))
+        .filter(col("file").rlike("^(vid|scn)[0-9]+\\.gif$"))
+        .as[ImgBin]
+        .mapPartitions(videoSigPartition)
+        .toDF("base_file", "n_frames", "sig")
+    }
+
+  /** `stream_video_ingest` — CONTINUOUS VIDEO INGEST, completing the
+    * image/audio/video modality × lifecycle grid: newly-arrived
+    * animated assets decode map-side into a per-frame perceptual-hash
+    * scene signature ([[videoSigPartition]] — pixels never shuffle,
+    * the mm_* contract), then stream-static join the FROZEN persisted
+    * signature index of the canonical corpus ([[videoSigIndex]]) on
+    * the full (n_frames, sig) key: a brightness-shifted re-encode
+    * whose every byte differs still keys to its original (dup, the
+    * per-frame aHash invariance); fresh footage shares no signature
+    * (novel). Verdicts land in the durable idempotent per-batch log,
+    * folded to one row per arrival on read-back. Cost per arrival is
+    * O(its frames) decode + a broadcast-size index probe — never
+    * O(corpus). Oracle: generator-arithmetic replay of the same
+    * per-frame hash + fold over the committed specs (GIF round-trips
+    * the ≤256-gray palette losslessly — the mm_scene_cuts
+    * invariant). */
+  def streamVideoIngest(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Util.withConf(spark, "spark.sql.shuffle.partitions", "8") {
+      streamVideoIngestInner(spark)
+    }
+
+  private def streamVideoIngestInner(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val dir = MultimodalFixtures.ensureVideoIngest()
+    val idx = videoSigIndex(spark)
+    val arrivals = spark.readStream.schema(binFileSchema)
+      .format("binaryFile").load(dir)
+      .select(regexp_extract(col("path"), "[^/]+$", 0).as("file"),
+        col("content"))
+      .filter(col("file").rlike("\\.gif$"))
+      .as[ImgBin]
+      .mapPartitions(videoSigPartition)
+      .toDF("file", "n_frames", "sig")
+    val joined = arrivals
+      .join(idx, Seq("n_frames", "sig"), "left_outer")
+      .select(col("file"), col("n_frames"), col("sig"),
+        coalesce(col("base_file"), lit("")).as("match_file"))
+    val staged = graft.streaming.EventsStream.runIncremental(
+      spark, joined, "videoingest", dir,
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    // fold to ONE row per arrival (min-of-struct, matching the
+    // oracle's sorted-first match): the decode+probe replay is
+    // deterministic per file, so any replayed rows are identical
+    staged
+      .groupBy(col("file"))
+      .agg(min(struct(col("match_file"), col("n_frames"), col("sig")))
+        .as("s"))
+      .select(col("file"),
+        when(col("s.match_file") =!= "", "dup").otherwise("novel")
+          .as("verdict"),
+        col("s.match_file").as("match_file"),
+        col("s.n_frames").as("n_frames"),
+        col("s.sig").as("sig"))
+      .orderBy(col("file"))
+  }
+  /** Dump-time twin: the identical per-frame hash + positional fold
+    * replay over the committed generator specs. */
+  def streamVideoIngestSql: String = {
+    def sigOf(id: Int, frames: Int,
+        gray: (Int, Int, Int, Int) => Int): (Int, Long) = {
+      var sig = 0L
+      (0 until frames).foreach { f =>
+        sig = sig * 1000003L ^
+          aHash(MultimodalFixtures.frameImage(id, f, gray))
+      }
+      (frames, sig)
+    }
+    val base: Seq[(String, (Int, Long))] =
+      MultimodalFixtures.gifSpecs.map { case (n, id) =>
+        n -> sigOf(id, MultimodalFixtures.framesOf(id),
+          MultimodalFixtures.gifGrayOf)
+      } ++ MultimodalFixtures.sceneSpecs.map { case (n, id) =>
+        n -> sigOf(id, MultimodalFixtures.SceneFrames,
+          MultimodalFixtures.sceneGrayOf)
+      }
+    val rows = MultimodalFixtures.videoIngestSpecs.map { case (name, kind, id) =>
+      val k = sigOf(id, MultimodalFixtures.videoIngestFrames(kind, id),
+        MultimodalFixtures.videoIngestGray(kind))
+      val m = base.filter(_._2 == k).map(_._1).sorted.headOption
+      val (v, mf) = m match {
+        case Some(bf) => ("dup", bf)
+        case None => ("novel", "")
+      }
+      s"('$name', '$v', '$mf', ${k._1}, ${k._2})"
+    }
+    s"""SELECT file, verdict, match_file, CAST(n_frames AS INT) AS n_frames,
+         CAST(sig AS BIGINT) AS sig
+       FROM (VALUES ${rows.mkString(", ")})
+         AS t(file, verdict, match_file, n_frames, sig)
+       ORDER BY file"""
+  }
+
   val queries: Map[String, QFn] = Map(
     "stream_mm_ingest" -> streamMmIngest,
     "stream_audio_ingest" -> streamAudioIngest,
+    "stream_video_ingest" -> streamVideoIngest,
     "mm_phash_dedup" -> mmPhashDedup,
     "mm_phash_near" -> mmPhashNear,
     "mm_pair_dedup" -> mmPairDedup,
@@ -1272,6 +1409,7 @@ object Multimodal {
   val oracles: Map[String, String] = Map(
     "stream_mm_ingest" -> streamMmIngestSql,
     "stream_audio_ingest" -> streamAudioIngestSql,
+    "stream_video_ingest" -> streamVideoIngestSql,
     "mm_phash_dedup" -> mmPhashDedupSql,
     "mm_phash_near" -> mmPhashNearSql,
     "mm_pair_dedup" -> mmPairDedupSql,

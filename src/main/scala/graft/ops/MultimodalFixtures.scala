@@ -406,6 +406,62 @@ object MultimodalFixtures {
     AudioIngestDir
   }
 
+  // -- video ingest fixtures (animated GIF arrivals) -------------------------
+
+  /** Arrival corpus for `stream_video_ingest`: +10-brightness
+    * renditions of canonical animated assets (per-frame aHash is
+    * invariant to a uniform shift — block averages and the global
+    * mean move together exactly in integer arithmetic — so the
+    * scene-signature matches the frozen index while every encoded
+    * byte differs: dup arrivals) plus fresh hash-noise GIFs whose ids
+    * lie OUTSIDE the canonical ranges (novel arrivals). Distinct
+    * `ivid`/`iscn` prefixes: fixture basenames must be unique across
+    * the whole tree (the fs-manifest operators key on basenames). */
+  val VideoIngestDir: String = s"${graft.Tables.FixturesDir}/video_ingest"
+
+  /** (name, kind, id): kind `vd` = +10 rendition of vid<id>, `sd` =
+    * +10 rendition of scn<id>, `nv` = novel hash-noise field. */
+  def videoIngestSpecs: Seq[(String, String, Int)] =
+    Seq(1, 3, 5).map(id => (f"ivid$id%02dd.gif", "vd", id)) ++
+      Seq((f"iscn$SceneIngestId%02dd.gif", "sd", SceneIngestId)) ++
+      Seq(6, 7, 8).map(id => (f"ivid$id%02dn.gif", "nv", id))
+  val SceneIngestId: Int = 1
+
+  def videoIngestGray(kind: String): (Int, Int, Int, Int) => Int =
+    kind match {
+      case "vd" => (i, f, x, y) => gifGrayOf(i, f, x, y) + 10
+      case "sd" => (i, f, x, y) => sceneGrayOf(i, f, x, y) + 10
+      case _ => gifGrayOf
+    }
+  def videoIngestFrames(kind: String, id: Int): Int =
+    if (kind == "sd") SceneFrames else framesOf(id)
+
+  def ensureVideoIngest(): String = synchronized {
+    val dir = new File(VideoIngestDir)
+    dir.mkdirs()
+    // the arrival dir IS the stream source: drop anything the spec
+    // doesn't name (stale files would be ingested but absent from the
+    // oracle's replay — the audio-ingest rule)
+    val names = videoIngestSpecs.map(_._1).toSet
+    Option(dir.listFiles()).getOrElse(Array.empty[File])
+      .filter(f => f.isFile && !names(f.getName)).foreach(_.delete())
+    videoIngestSpecs.foreach { case (name, kind, id) =>
+      val f = new File(dir, name)
+      if (!f.exists())
+        writeAnimatedGif(f, id, videoIngestFrames(kind, id),
+          videoIngestGray(kind))
+    }
+    VideoIngestDir
+  }
+
+  /** Generator frame as a BufferedImage — the oracle's decode-free
+    * ground truth for per-frame perceptual hashing (GIF encodes the
+    * ≤256-gray palette losslessly, so decode recovers it exactly —
+    * the mm_scene_cuts invariant). */
+  def frameImage(id: Int, f: Int,
+      gray: (Int, Int, Int, Int) => Int): BufferedImage =
+    gifFrame(id, f, gray)
+
   private def writeWav(f: File, id: Int, sample: (Int, Int) => Int): Unit = {
     val ch = channelsOf(id)
     val n = audioFramesOf(id)

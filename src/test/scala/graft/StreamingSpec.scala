@@ -349,6 +349,40 @@ class StreamingSpec extends SparkSuite {
     assert(none == Seq(("g", -1, "")), "no candidate within 3 -> novel")
   }
 
+  test("stream_video_ingest: renditions dup, fresh footage novel, re-trigger no-op") {
+    def run() = ops.Multimodal.streamVideoIngest(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getInt(3), r.getLong(4))).toSeq
+    val got = run()
+    assert(got.length == ops.MultimodalFixtures.videoIngestSpecs.length,
+      s"one verdict per arrival: $got")
+    // +10-brightness renditions: every encoded byte differs, the
+    // per-frame-aHash scene signature keys to the canonical original
+    val vd = got.filter(_._1.matches("ivid[0-9]+d\\.gif"))
+    assert(vd.nonEmpty && vd.forall(g => g._2 == "dup" &&
+      g._3 == g._1.replace("ivid", "vid").replace("d.gif", ".gif")),
+      vd.toString)
+    val sd = got.filter(_._1.matches("iscn[0-9]+d\\.gif"))
+    assert(sd.nonEmpty && sd.forall(g => g._2 == "dup" &&
+      g._3 == g._1.replace("iscn", "scn").replace("d.gif", ".gif")),
+      sd.toString)
+    // fresh hash-noise footage shares no signature with the corpus
+    val nv = got.filter(_._1.matches("ivid[0-9]+n\\.gif"))
+    assert(nv.nonEmpty && nv.forall(g => g._2 == "novel" && g._3 == ""),
+      nv.toString)
+    // the signature is order-sensitive AND frame-count-keyed: no two
+    // distinct canonical assets collide (guards the polynomial fold)
+    val sigs = ops.Multimodal.videoSigPartition(
+      new java.io.File(ops.MultimodalFixtures.ensure()).listFiles()
+        .filter(_.getName.matches("^(vid|scn)[0-9]+\\.gif$")).sortBy(_.getName)
+        .iterator.map(f => ops.ImgBin(f.getName,
+          java.nio.file.Files.readAllBytes(f.toPath)))).toSeq
+    assert(sigs.map(s => (s._2, s._3)).distinct.length == sigs.length,
+      "canonical scene signatures must be pairwise distinct")
+    // durable idempotent log: re-trigger with no new files is a no-op
+    assert(run() == got, "re-trigger with no new arrivals must be a no-op")
+  }
+
   test("LSH index bucket cap binds on a planted hot bucket") {
     // a degenerate band bucket (boilerplate collapse) must not grow
     // state past MaxBucketPostings: arrivals beyond the cap pair but
