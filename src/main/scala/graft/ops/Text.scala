@@ -436,6 +436,61 @@ object Text {
                FROM documents))
        ORDER BY doc_id"""
 
+  /** `t_pack_lossmask` — the LOSS-MASK SPANS of the packed training
+    * sequences: within each (shard, bin) context window of
+    * [[packSequences]], every document occupies the half-open token
+    * span [start_tok, end_tok) in the window's own coordinates — the
+    * boundaries at which a trainer masks cross-document attention and
+    * loss (packing without these spans leaks gradient across unrelated
+    * documents). `crosses_budget` flags docs whose span runs past the
+    * 2048 boundary — the truncation/document-splitting work-list for a
+    * strict fixed-window loader.
+    *
+    * Same two-level decomposition as the packing itself: one
+    * partitioned cumulative window per shard (16 independent window
+    * tasks, no global sort, no single-partition window) and pure
+    * map-side arithmetic after it — the plan is identical at 100 TB,
+    * where shard count scales with the cluster. The spans derive from
+    * the SAME cumulative sum the bin assignment derives from, so mask
+    * and packing cannot disagree by construction. */
+  def packLossmask(spark: SparkSession, sfDir: String): DataFrame = {
+    val budget = 2048L
+    val W = org.apache.spark.sql.expressions.Window
+    val cum = W.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), (col("doc_id") % 16).as("shard"),
+        size(tokens).cast("long").as("n_tokens"))
+      .withColumn("prev",
+        coalesce(sum(col("n_tokens")).over(cum), lit(0L)))
+      .withColumn("bin", floor(col("prev") / lit(budget)))
+      .select(col("doc_id"), col("shard"), col("bin"),
+        (col("prev") - col("bin") * budget).as("start_tok"),
+        (col("prev") - col("bin") * budget + col("n_tokens")).as("end_tok"),
+        (col("prev") - col("bin") * budget + col("n_tokens") > budget)
+          .as("crosses_budget"))
+      .orderBy(col("doc_id"))
+  }
+  val packLossmaskSql: String =
+    """SELECT doc_id, shard, bin,
+       CAST(prev - bin * 2048 AS BIGINT) AS start_tok,
+       CAST(prev - bin * 2048 + n_tokens AS BIGINT) AS end_tok,
+       (prev - bin * 2048 + n_tokens > 2048) AS crosses_budget
+       FROM (
+         SELECT doc_id, shard, n_tokens, prev,
+           CAST(floor(prev / 2048) AS BIGINT) AS bin
+         FROM (
+           SELECT doc_id, shard, n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS prev
+           FROM (SELECT doc_id, doc_id % 16 AS shard,
+                   CAST(len(string_split(lower(text), ' ')) AS BIGINT)
+                     AS n_tokens
+                 FROM documents)))
+       ORDER BY doc_id"""
+
   // Deterministic corpus sampling: keep a doc iff the md5 of its id
   // falls under a hex threshold ('0d' → 13/256 ≈ 5.1%). Reproducible
   // across engines, runs, and partitionings — the way a training
@@ -4502,6 +4557,7 @@ object Text {
     "t_mixture_draw" -> mixtureDraw,
     "t_chunk" -> chunk,
     "t_pack_sequences" -> packSequences,
+    "t_pack_lossmask" -> packLossmask,
     "t_pack_bpe" -> packBpe,
     "t_normalize" -> normalize,
     "t_token_stats" -> tokenStats,
@@ -4563,6 +4619,7 @@ object Text {
     "t_mixture_draw" -> mixtureDrawSql,
     "t_chunk" -> chunkSql,
     "t_pack_sequences" -> packSequencesSql,
+    "t_pack_lossmask" -> packLossmaskSql,
     "t_pack_bpe" -> packBpeSql,
     "t_normalize" -> normalizeSql,
     "t_token_stats" -> tokenStatsSql,

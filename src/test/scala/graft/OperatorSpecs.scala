@@ -606,6 +606,38 @@ class TextOpsSpec extends SparkSuite {
       "docs_added must total the delta manifest")
   }
 
+  test("t_pack_lossmask: contiguous within-shard spans, consistent with the packing") {
+    val rows = ops.Text.packLossmask(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    assert(rows.length == Tables.documents(spark, sf).count().toInt,
+      "one mask span per document")
+    rows.foreach { case (id, _, _, s, e, c) =>
+      assert(s >= 0 && s < 2048 && e > s, s"span [$s, $e) of doc $id")
+      assert(c == (e > 2048), s"crosses_budget flag of doc $id")
+    }
+    // the spans tile each shard's token stream exactly: in the
+    // shard's global coordinate (bin*2048 + tok), every next span
+    // starts where the previous one ends — no gap, no overlap
+    rows.groupBy(_._2).foreach { case (shard, rs) =>
+      val sorted = rs.sortBy(_._1).toSeq
+      assert(sorted.head._4 == 0L && sorted.head._3 == 0L,
+        s"shard $shard must start at bin 0, offset 0")
+      sorted.sliding(2).foreach {
+        case Seq((_, _, b1, _, e1, _), (_, _, b2, s2, _, _)) =>
+          assert(b1 * 2048 + e1 == b2 * 2048 + s2,
+            s"gap or overlap in shard $shard between bins $b1 and $b2")
+        case _ => ()
+      }
+    }
+    // mask and packing derive from one cumulative sum: bins agree
+    val packed = ops.Text.packSequences(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    rows.foreach { case (id, sh, b, _, _, _) =>
+      assert(packed(id) == (sh, b), s"doc $id bin drifted from the packing")
+    }
+  }
+
   test("t_tokenizer_fertility: exact sums; ASCII corpus makes bytes == chars") {
     val f = ops.Text.tokenizerFertility(spark, sf).collect()
     assert(f.nonEmpty)
