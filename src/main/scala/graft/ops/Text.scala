@@ -280,6 +280,94 @@ object Text {
              FROM documents)
        ORDER BY doc_id"""
 
+  /** `t_dataset_card` — the per-source GOVERNANCE DATASHEET (the
+    * "Datasheets for Datasets" record a training-data release ships):
+    * one row per source with its exact composition facts — doc/token/
+    * char volumes, language spread and the dominant language,
+    * within-source exact-duplicate mass, the too-short tail, and the
+    * token-length envelope. Everything is exact integer arithmetic
+    * (mean as integer-division e2 fixed point) so the oracle recomputes
+    * REAL numbers, and the record is reproducible across engines.
+    *
+    * Scale: three bounded-key aggregations — (source), (source, lang),
+    * (source, md5-digest) — all map-side combined; the digest is
+    * computed in the scan stage so document BODIES never cross an
+    * exchange (the dedup_exact posture), and the output is |sources|
+    * metadata rows whatever the corpus size. The two tiny side
+    * aggregates broadcast-join back onto the |sources|-row spine. */
+  def datasetCard(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("source"), col("lang"), col("n_chars"),
+        size(tokens).cast("long").as("n_tokens"),
+        md5(col("text")).as("digest"))
+    val base = docs.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tokens")).as("n_tokens"),
+      sum(col("n_chars")).as("n_chars"),
+      countDistinct(col("lang")).as("n_langs"),
+      sum(when(col("n_chars") < 100, 1L).otherwise(0L)).as("short_docs"),
+      min(col("n_tokens")).as("min_tokens"),
+      max(col("n_tokens")).as("max_tokens"))
+      .withColumn("mean_tokens_e2", expr("(100 * n_tokens) DIV n_docs"))
+    val wSrc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("ln").desc, col("lang"))
+    val topLang = docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("ln"))
+      .withColumn("rk", row_number().over(wSrc))
+      .filter(col("rk") === 1)
+      .select(col("source"), col("lang").as("top_lang"),
+        col("ln").as("top_lang_docs"))
+    val dups = docs.groupBy(col("source"), col("digest"))
+      .agg(count(lit(1)).as("dn"))
+      .groupBy(col("source"))
+      .agg(sum(when(col("dn") > 1, col("dn")).otherwise(0L)).as("dup_docs"))
+    base.join(broadcast(topLang), Seq("source"))
+      .join(broadcast(dups), Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        col("n_langs"), col("top_lang"), col("top_lang_docs"),
+        col("dup_docs"), col("short_docs"), col("mean_tokens_e2"),
+        col("min_tokens"), col("max_tokens"))
+      .orderBy(col("source"))
+  }
+  val datasetCardSql: String =
+    """WITH d AS (
+         SELECT source, lang, n_chars,
+           CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+           md5(text) AS digest
+         FROM documents),
+       base AS (
+         SELECT source, CAST(count(1) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(sum(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS BIGINT)
+             AS short_docs,
+           CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(max(n_tokens) AS BIGINT) AS max_tokens
+         FROM d GROUP BY source),
+       tl AS (
+         SELECT source, lang AS top_lang,
+           CAST(ln AS BIGINT) AS top_lang_docs
+         FROM (SELECT source, lang, count(1) AS ln,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY count(1) DESC, lang) AS rk
+               FROM d GROUP BY source, lang)
+         WHERE rk = 1),
+       du AS (
+         SELECT source,
+           CAST(sum(CASE WHEN dn > 1 THEN dn ELSE 0 END) AS BIGINT)
+             AS dup_docs
+         FROM (SELECT source, digest, count(1) AS dn
+               FROM d GROUP BY source, digest)
+         GROUP BY source)
+       SELECT b.source AS source, n_docs, n_tokens, n_chars, n_langs,
+         top_lang, top_lang_docs, dup_docs, short_docs,
+         CAST((100 * n_tokens) // n_docs AS BIGINT) AS mean_tokens_e2,
+         min_tokens, max_tokens
+       FROM base b JOIN tl USING (source) JOIN du USING (source)
+       ORDER BY source"""
+
   // Document fingerprinting: md5 of normalized text + same-fingerprint
   // group size (rolling-hash family; md5 keeps both engines bit-equal).
   def fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
@@ -4566,6 +4654,7 @@ object Text {
     "t_lang_id" -> langId,
     "t_langid_eval" -> langIdEval,
     "t_quality_score" -> qualityScore,
+    "t_dataset_card" -> datasetCard,
     "t_fingerprint" -> fingerprint)
 
   val oracles: Map[String, String] = Map(
@@ -4628,5 +4717,6 @@ object Text {
     "t_lang_id" -> langIdSql,
     "t_langid_eval" -> langIdEvalSql,
     "t_quality_score" -> qualityScoreSql,
+    "t_dataset_card" -> datasetCardSql,
     "t_fingerprint" -> fingerprintSql)
 }

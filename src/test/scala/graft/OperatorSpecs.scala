@@ -606,6 +606,38 @@ class TextOpsSpec extends SparkSuite {
       "docs_added must total the delta manifest")
   }
 
+  test("t_dataset_card: one exact datasheet row per source, internally consistent") {
+    val docs = Tables.documents(spark, sf).collect()
+    val rows = ops.Text.datasetCard(spark, sf).collect()
+    assert(rows.length == docs.map(_.getAs[String]("source")).distinct.length,
+      "one card per source")
+    val bySrc = docs.groupBy(_.getAs[String]("source"))
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val ds = bySrc(src)
+      assert(r.getAs[Long]("n_docs") == ds.length)
+      assert(r.getAs[Long]("n_chars") ==
+        ds.map(_.getAs[Long]("n_chars")).sum)
+      assert(r.getAs[Long]("n_langs") ==
+        ds.map(_.getAs[String]("lang")).distinct.length)
+      // dominant language with the deterministic (count desc, lang asc)
+      // tie-break, recomputed in plain Scala
+      val langCounts = ds.groupBy(_.getAs[String]("lang"))
+        .view.mapValues(_.length).toSeq
+      val top = langCounts.minBy { case (l, n) => (-n, l) }
+      assert(r.getAs[String]("top_lang") == top._1 &&
+        r.getAs[Long]("top_lang_docs") == top._2, s"top lang of $src")
+      // the card's mean is the exact integer-division fixed point
+      assert(r.getAs[Long]("mean_tokens_e2") ==
+        100 * r.getAs[Long]("n_tokens") / r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("min_tokens") <= r.getAs[Long]("max_tokens"))
+      // dup mass counts ALL members of multi-doc digest groups
+      val dupMass = ds.groupBy(_.getAs[String]("text"))
+        .values.filter(_.length > 1).map(_.length).sum
+      assert(r.getAs[Long]("dup_docs") == dupMass, s"dup mass of $src")
+    }
+  }
+
   test("t_pack_lossmask: contiguous within-shard spans, consistent with the packing") {
     val rows = ops.Text.packLossmask(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
