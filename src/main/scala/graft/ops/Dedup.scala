@@ -343,6 +343,26 @@ object Dedup {
        WHERE 1.0 * i / (ca.n + cb.n - i) >= 0.7
        ORDER BY new_id, index_id"""
 
+  /** [[incrementalDedupSql]] with the takedown predicate applied to
+    * the index side — the `stream_dedup_retract` ground truth: after
+    * the index forgets doc_id % 16 == 12, surviving pairs are exactly
+    * the batch pairs whose index member was not retracted. */
+  val dedupRetractSql: String =
+    s"""WITH ${Text.shingleCte},
+       cnt AS (SELECT doc_id, count(1) AS n FROM sh GROUP BY 1),
+       inter AS (
+         SELECT a.doc_id AS new_id, b.doc_id AS index_id, count(1) AS i
+         FROM sh a JOIN sh b ON a.s = b.s
+         WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+           AND b.doc_id % 16 <> 12
+         GROUP BY 1, 2)
+       SELECT new_id, index_id,
+         CAST(floor((1.0 * i / (ca.n + cb.n - i)) * 10000.0) AS BIGINT) AS j_e4
+       FROM inter
+       JOIN cnt ca ON ca.doc_id = new_id JOIN cnt cb ON cb.doc_id = index_id
+       WHERE 1.0 * i / (ca.n + cb.n - i) >= 0.7
+       ORDER BY new_id, index_id"""
+
   // -- SimHash near-dup ----------------------------------------------------
 
   /** 32-bit SimHash over shingle hashes; near-dup = Hamming ≤ 3.

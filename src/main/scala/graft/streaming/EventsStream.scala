@@ -520,7 +520,8 @@ object EventsStream {
     "stream_latest_state" -> streamLatestState,
     "stream_heavy_hitters" -> streamHeavyHitters,
     "stream_zscore_anomaly" -> streamZscoreAnomaly,
-    "stream_dedup_index" -> streamDedupIndex)
+    "stream_dedup_index" -> streamDedupIndex,
+    "stream_dedup_retract" -> streamDedupRetract)
   val oracles: Map[String, String] = Map(
     "stream_session_window" -> streamSessionWindowSql,
     "stream_static_enrich" -> streamStaticEnrichSql,
@@ -536,7 +537,10 @@ object EventsStream {
     "stream_zscore_anomaly" -> streamZscoreAnomalySql,
     // the batch incremental dedup's oracle, verbatim: one verifier,
     // one truth — the stream only changes candidate discovery
-    "stream_dedup_index" -> graft.ops.Dedup.incrementalDedupSql)
+    "stream_dedup_index" -> graft.ops.Dedup.incrementalDedupSql,
+    // the batch oracle with the takedown predicate on the index side:
+    // removing postings can only remove pairs
+    "stream_dedup_retract" -> graft.ops.Dedup.dedupRetractSql)
 
   // -- transformWithState (Spark 4 arbitrary-state API) --------------------
 
@@ -790,6 +794,144 @@ object EventsStream {
     val cand = runIncremental(spark, pairs, "ldx", sfDir, OutputMode.Update())
       .distinct() // the same pair can surface via several shared bands
     graft.ops.Dedup.verifyJaccardPairs(spark, sfDir, cand)
+  }
+
+  /** One phased arrival for [[LshRetractProcessor]]: a doc's
+    * membership in one minhash band bucket, tagged with its protocol
+    * phase — 0 = index posting, 1 = takedown, 2 = probe. */
+  case class PhasedBand(bucket: String, phase: Int, doc_id: Long)
+
+  /** The dedup index's RETRACT surgery on the arbitrary-state API:
+    * the state-store sibling of the parquet-CoW
+    * [[graft.streaming.StreamCow]] protocol — the dedup index lives
+    * in per-bucket ListState, so a takedown is a surgical list
+    * rewrite of ONLY the doc's own band buckets (cost = O(cap) per
+    * touched bucket, never an index scan), not a partition rewrite.
+    * Within one delivery, phases apply in protocol order (postings,
+    * then takedowns, then probes) so a probe sharing a micro-batch
+    * with a takedown sees the post-takedown index — the feed stages
+    * phases as separate ordered files, and the in-handler sort makes
+    * any residual co-delivery deterministic. Probes pair against the
+    * live postings and are NOT retained; postings cap at
+    * [[MaxBucketPostings]] first-come in doc_id order. */
+  class LshRetractProcessor
+      extends StatefulProcessor[String, PhasedBand, (Long, Long)] {
+    @transient private var postings: ListState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      postings = getHandle.getListState[Long]("postings",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(bucket: String, rows: Iterator[PhasedBand],
+        timers: TimerValues): Iterator[(Long, Long)] = {
+      val stored = scala.collection.mutable.ArrayBuffer.empty[Long]
+      locally { val it = postings.get(); while (it.hasNext) stored += it.next() }
+      var mutated = false
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      rows.toArray.sortBy(r => (r.phase, r.doc_id)).foreach { r =>
+        r.phase match {
+          case 0 =>
+            if (stored.size < MaxBucketPostings && !stored.contains(r.doc_id)) {
+              stored += r.doc_id; mutated = true
+            }
+          case 1 =>
+            val n = stored.size
+            stored.filterInPlace(_ != r.doc_id)
+            if (stored.size != n) mutated = true
+          case _ =>
+            stored.foreach(id => out += ((r.doc_id, id)))
+        }
+      }
+      if (mutated) { postings.clear(); stored.foreach(postings.appendValue) }
+      out.iterator
+    }
+  }
+
+  /** `stream_dedup_retract` — RIGHT-TO-BE-FORGOTTEN surgery on the
+    * LIVE dedup index, completing the takedown story across all three
+    * stateful artifacts (packed corpus: `stream_retract`; ANN index:
+    * `stream_ann_retract`; dedup index: this): a retracted document's
+    * postings leave the per-bucket LSH state, so later arrivals no
+    * longer match it — the index must forget, not merely the corpus.
+    *
+    * Three-phase feed over the SAME shingle/minhash/band kernel the
+    * batch index uses: (0) index postings for the non-new corpus,
+    * (1) takedowns (index docs with doc_id % 16 == 12 — chosen so the
+    * list removes REAL pairs at every testdata scale, unlike the
+    * corpus lifecycles' % 89 predicate which misses all paired index
+    * docs at sf0.001), routed to exactly the doc's own band buckets
+    * by recomputing its bands map-side, (2) probe arrivals (the
+    * doc_id % 10 == 0 split `dedup_incremental` defines). Phase files
+    * stage with ascending mtimes so maxFilesPerTrigger=1 delivers
+    * them as ordered micro-batches (the state really mutates between
+    * batches); candidates verify exactly batch-side
+    * ([[graft.ops.Dedup.verifyJaccardPairs]]). The oracle is the
+    * batch incremental-dedup SQL with the takedown predicate applied
+    * to the index side — removing postings can only remove pairs, so
+    * the expected set is the batch set minus retracted index docs. */
+  def streamDedupRetract(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Util.withConf(spark, "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+      withStreamingParts(spark, 8) { streamDedupRetractInner(spark, sfDir) }
+    }
+
+  private def streamDedupRetractInner(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    import spark.implicits._
+    val root = s"${graft.Util.sessionTmpDir(spark, "graft_dedup_retract")}/" +
+      graft.Util.fileFingerprint(s"$sfDir/documents.parquet")
+    val feed = s"$root/feed"
+    stageRetractFeed(spark, sfDir, feed)
+    val feedSchema = new StructType().add("phase", IntegerType)
+      .add("doc_id", LongType).add("text", StringType)
+    val src = spark.readStream.schema(feedSchema)
+      .option("maxFilesPerTrigger", "1").parquet(feed)
+      .as[(Int, Long, String)]
+      .flatMap { case (ph, id, text) =>
+        val hs = graft.functions.TextHash.shingles(text)
+          .map(graft.functions.TextHash.h32)
+        if (hs.isEmpty) Nil
+        else graft.functions.TextHash.minhashBands(hs)
+          .map(b => PhasedBand(b, ph, id))
+      }
+    val pairs = src.groupByKey(_.bucket)
+      .transformWithState(new LshRetractProcessor,
+        TimeMode.None(), OutputMode.Update())
+      .toDF("new_id", "index_id")
+    val cand = runIncremental(spark, pairs, "ldr", sfDir, OutputMode.Update())
+      .distinct()
+    graft.ops.Dedup.verifyJaccardPairs(spark, sfDir, cand)
+  }
+
+  /** Stage the 3 phase files with ascending mtimes (60 s apart, well
+    * inside the file source's maxFileAge window) — one write job per
+    * phase, its single part file moved to a stable name. Idempotent
+    * per (session, dataset fingerprint); stale sibling fingerprints
+    * vacuum first. */
+  private def stageRetractFeed(spark: SparkSession, sfDir: String,
+      feed: String): Unit = {
+    if (new java.io.File(s"$feed/p2.parquet").exists()) return
+    val rootFile = new java.io.File(feed).getParentFile
+    graft.Util.vacuumSiblings(rootFile.getParent, rootFile.getName)
+    new java.io.File(feed).mkdirs()
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val t0 = new java.io.File(sfDir, "documents.parquet").lastModified()
+    def stagePhase(i: Int, df: DataFrame): Unit = {
+      val tmp = new java.io.File(s"$feed/_stage$i")
+      df.select(lit(i).as("phase"), col("doc_id"), col("text"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+      val part = tmp.listFiles()
+        .find(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(feed, s"p$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      graft.Util.deleteRecursively(tmp)
+      dst.setLastModified(t0 + i * 60000L)
+    }
+    stagePhase(0, docs.filter(col("doc_id") % 10 =!= 0))
+    stagePhase(1, docs.filter(col("doc_id") % 10 =!= 0 &&
+      col("doc_id") % 16 === 12))
+    stagePhase(2, docs.filter(col("doc_id") % 10 === 0))
   }
 
   // def, not val: the oracles map above this section builds at object

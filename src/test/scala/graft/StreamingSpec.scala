@@ -349,6 +349,29 @@ class StreamingSpec extends SparkSuite {
     assert(none == Seq(("g", -1, "")), "no candidate within 3 -> novel")
   }
 
+  test("stream_dedup_retract: index forgets takedowns, equals batch minus retracted") {
+    def shape(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val got = shape(EventsStream.streamDedupRetract(spark, sf))
+    val batch = shape(ops.Dedup.incrementalDedup(spark, sf))
+    val want = batch.filterNot(_._2 % 16 == 12)
+    assert(got == want, s"stream must equal batch minus retracted index docs")
+    assert(batch.exists(_._2 % 16 == 12),
+      "guard: the takedown must remove at least one real pair")
+    // the feed really staged as 3 ordered phase files -> 3 micro-batches
+    val root = s"${graft.Util.sessionTmpDir(spark, "graft_dedup_retract")}/" +
+      graft.Util.fileFingerprint(s"$sf/documents.parquet")
+    val feedFiles = new java.io.File(s"$root/feed").listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    assert(feedFiles.map(_.getName).toSeq == Seq("p0.parquet", "p1.parquet",
+      "p2.parquet") &&
+      feedFiles.map(_.lastModified).sorted.sameElements(
+        feedFiles.map(_.lastModified)),
+      "phase files must stage with ascending mtimes")
+    // re-trigger with no new files is a no-op
+    assert(shape(EventsStream.streamDedupRetract(spark, sf)) == got)
+  }
+
   test("stream_video_ingest: renditions dup, fresh footage novel, re-trigger no-op") {
     def run() = ops.Multimodal.streamVideoIngest(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2),
