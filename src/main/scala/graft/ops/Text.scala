@@ -2902,6 +2902,50 @@ object Text {
          FROM documents, (SELECT unnest([0, 1]) AS epoch))
        ORDER BY epoch, shard, pos"""
 
+  /** `corpus_shard_balance` — the BALANCE AUDIT of the (epoch, shard)
+    * hash decomposition everything downstream of [[corpusShuffle]]
+    * stands on: the shuffle's scale posture (256 independent local
+    * sorts), the curriculum's per-phase orders, and the resume
+    * cursors' boundary-shard pruning all assume the md5-leading-byte
+    * shards stay near-uniform — a hot shard is a straggler task at
+    * 100 TB. Per epoch: nonempty-shard count, doc total, the
+    * occupancy envelope (min/max), and the skew ratio max/mean as an
+    * exact e4 fixed point (max · shards · 10⁴ ÷ docs, integer
+    * division). Two bounded-key aggregations — (epoch, shard) then
+    * (epoch) — map-side combined, |epochs| output rows; the audit is
+    * measured numbers, not asserted gates, so drift shows up as a
+    * changed ratio rather than a flipped boolean. */
+  def corpusShardBalance(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(array(lit(0), lit(1))).as("epoch"))
+      .select(col("epoch"),
+        substring(md5(encode(concat(col("epoch").cast("string"), lit(":"),
+          col("doc_id").cast("string")), "utf-8")), 1, 2).as("shard"))
+      .groupBy(col("epoch"), col("shard"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("epoch"))
+      .agg(count(lit(1)).as("n_shards"),
+        sum(col("n")).as("n_docs"),
+        min(col("n")).as("min_docs"),
+        max(col("n")).as("max_docs"))
+      .withColumn("skew_e4",
+        expr("(max_docs * n_shards * 10000) DIV n_docs"))
+      .orderBy(col("epoch"))
+  val corpusShardBalanceSql: String =
+    """SELECT epoch, CAST(count(1) AS BIGINT) AS n_shards,
+       CAST(sum(n) AS BIGINT) AS n_docs,
+       CAST(min(n) AS BIGINT) AS min_docs,
+       CAST(max(n) AS BIGINT) AS max_docs,
+       CAST((max(n) * count(1) * 10000) // sum(n) AS BIGINT) AS skew_e4
+       FROM (
+         SELECT epoch,
+           substr(md5(CAST(epoch AS STRING) || ':' ||
+             CAST(doc_id AS STRING)), 1, 2) AS shard,
+           count(1) AS n
+         FROM documents, (SELECT unnest([0, 1]) AS epoch)
+         GROUP BY 1, 2)
+       GROUP BY epoch ORDER BY epoch"""
+
   /** `t_dataloader_resume` — EXACT mid-epoch resume cursors for a
     * checkpointed training run reading [[corpusShuffle]]'s order: a
     * checkpoint records how many sequences each epoch consumed (here
@@ -4633,6 +4677,7 @@ object Text {
     "rag_eval_recall" -> ragEvalRecall,
     "t_quality_classifier" -> qualityClassifier,
     "corpus_shuffle" -> corpusShuffle,
+    "corpus_shard_balance" -> corpusShardBalance,
     "t_dataloader_resume" -> dataloaderResume,
     "t_curriculum_order" -> curriculumOrder,
     "t_curriculum_resume" -> curriculumResume,
@@ -4696,6 +4741,7 @@ object Text {
     "rag_eval_recall" -> ragEvalRecallSql,
     "t_quality_classifier" -> qualityClassifierSql,
     "corpus_shuffle" -> corpusShuffleSql,
+    "corpus_shard_balance" -> corpusShardBalanceSql,
     "t_dataloader_resume" -> dataloaderResumeSql,
     "t_curriculum_order" -> curriculumOrderSql,
     "t_curriculum_resume" -> curriculumResumeSql,

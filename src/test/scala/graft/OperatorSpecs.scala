@@ -606,6 +606,31 @@ class TextOpsSpec extends SparkSuite {
       "docs_added must total the delta manifest")
   }
 
+  test("corpus_shard_balance: audits the shuffle's own shard occupancy exactly") {
+    val rows = ops.Text.corpusShardBalance(spark, sf).collect()
+    assert(rows.length == 2, "one audit row per epoch")
+    // the audit totals the shuffle it audits — same shards, same docs
+    val occ = ops.Text.corpusShuffle(spark, sf).collect()
+      .groupBy(r => (r.getInt(0), r.getString(1)))
+      .view.mapValues(_.length).toMap
+    rows.foreach { r =>
+      val e = r.getAs[Int]("epoch")
+      val mine = occ.collect { case ((`e`, _), n) => n }.toSeq
+      assert(r.getAs[Long]("n_shards") == mine.length &&
+        r.getAs[Long]("n_docs") == mine.sum &&
+        r.getAs[Long]("min_docs") == mine.min &&
+        r.getAs[Long]("max_docs") == mine.max,
+        s"epoch $e audit drifted from corpus_shuffle")
+      assert(r.getAs[Long]("skew_e4") ==
+        mine.max.toLong * mine.length * 10000L / mine.sum,
+        s"epoch $e skew fixed point")
+      // the decomposition the scale story assumes: many shards, and
+      // no shard holding a constant fraction of the corpus
+      assert(mine.length > 64 && mine.max.toLong * 20 < mine.sum,
+        s"epoch $e: degenerate sharding (${mine.length} shards, max ${mine.max})")
+    }
+  }
+
   test("t_dataset_card: one exact datasheet row per source, internally consistent") {
     val docs = Tables.documents(spark, sf).collect()
     val rows = ops.Text.datasetCard(spark, sf).collect()
