@@ -767,6 +767,46 @@ class ScaleSpec extends SparkSuite {
       s"label IN-list must appear in PushedFilters:\n${plan.take(2000)}")
   }
 
+  test("t_pack_lossmask windows are sharded: no single-partition Window") {
+    // The mask spans derive from the same per-shard cumulative sum as
+    // the packing — a Window without a partitionSpec would globally
+    // sort the corpus in one task.
+    graft.Util.withConf(spark, "spark.sql.adaptive.enabled", "false") {
+      val plan = graft.ops.Text.packLossmask(spark, sf)
+        .queryExecution.executedPlan
+      val windows = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.nonEmpty, "guard: windows must be visible")
+      windows.foreach { w =>
+        assert(w.partitionSpec.nonEmpty,
+          s"unpartitioned window would globally sort:\n$w")
+      }
+    }
+  }
+
+  test("t_dataset_card and corpus_shard_balance plans carry no Window or sort-heavy shape") {
+    // Both audits are pure bounded-key aggregations: any WindowExec
+    // beyond dataset_card's |sources|-row top-lang rank would mean a
+    // corpus-sized sort crept in.
+    graft.Util.withConf(spark, "spark.sql.adaptive.enabled", "false") {
+      val cardWins = graft.ops.Text.datasetCard(spark, sf)
+        .queryExecution.executedPlan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec => w
+        }
+      // the one rank window runs over (source, lang) counts — always
+      // partitioned, never corpus-sized input
+      assert(cardWins.forall(_.partitionSpec.nonEmpty),
+        "dataset_card rank window must partition by source")
+      val balWins = graft.ops.Text.corpusShardBalance(spark, sf)
+        .queryExecution.executedPlan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec => w
+        }
+      assert(balWins.isEmpty,
+        "shard balance is two aggregations; a window is a plan bug")
+    }
+  }
+
   test("pack_sequences windows are sharded: no single-partition Window") {
     // Packing runs per (doc_id % 16) shard — every Window in the plan
     // must carry a partitionSpec, or one task would sort the corpus.
