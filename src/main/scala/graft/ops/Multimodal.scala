@@ -1297,6 +1297,71 @@ object Multimodal {
         .toDF("base_file", "n_frames", "sig")
     }
 
+  /** `mm_video_dedup` — BATCH signature dedup over every animated
+    * asset (canonical corpus + the ingest arrivals treated as one
+    * corpus): the batch twin of [[streamVideoIngest]], the
+    * mm_phash_dedup analogue for the video modality. Assets group by
+    * the full (n_frames, sig) scene signature through
+    * [[videoSigPartition]] — a brightness-shifted re-encode lands in
+    * its original's group while every hash-noise asset is a
+    * singleton; keeper = lexicographic min of the group. One decode
+    * pass (frames die map-side), one signature-keyed window —
+    * signatures are 12-byte rows, so the exchange is metadata-sized
+    * at any corpus scale. Oracle replays signature and grouping from
+    * the generator arithmetic. */
+  def mmVideoDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dirs = Seq(MultimodalFixtures.ensure(),
+      MultimodalFixtures.ensureVideoIngest())
+    val rows = spark.read.format("binaryFile").load(dirs: _*)
+      .select(regexp_extract(col("path"), "[^/]+$", 0).as("file"),
+        col("content"))
+      .filter(col("file").rlike("\\.gif$"))
+      .as[ImgBin]
+      .mapPartitions(videoSigPartition)
+      .toDF("file", "n_frames", "sig")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("n_frames"), col("sig"))
+    rows.withColumn("keeper", min(col("file")).over(w))
+      .withColumn("n_same", count(lit(1)).over(w))
+      .select(col("file"), col("n_frames"), col("sig"),
+        col("keeper"), col("n_same"))
+      .orderBy(col("file"))
+  }
+  /** Dump-time twin: signatures from the generator arithmetic for
+    * every committed animated asset, grouped in plain SQL. */
+  def mmVideoDedupSql: String = {
+    def sigOf(id: Int, frames: Int,
+        gray: (Int, Int, Int, Int) => Int): (Int, Long) = {
+      var sig = 0L
+      (0 until frames).foreach { f =>
+        sig = sig * 1000003L ^
+          aHash(MultimodalFixtures.frameImage(id, f, gray))
+      }
+      (frames, sig)
+    }
+    val rows =
+      MultimodalFixtures.gifSpecs.map { case (n, id) =>
+        val k = sigOf(id, MultimodalFixtures.framesOf(id),
+          MultimodalFixtures.gifGrayOf)
+        s"('$n', ${k._1}, ${k._2})"
+      } ++ MultimodalFixtures.sceneSpecs.map { case (n, id) =>
+        val k = sigOf(id, MultimodalFixtures.SceneFrames,
+          MultimodalFixtures.sceneGrayOf)
+        s"('$n', ${k._1}, ${k._2})"
+      } ++ MultimodalFixtures.videoIngestSpecs.map { case (n, kind, id) =>
+        val k = sigOf(id, MultimodalFixtures.videoIngestFrames(kind, id),
+          MultimodalFixtures.videoIngestGray(kind))
+        s"('$n', ${k._1}, ${k._2})"
+      }
+    s"""SELECT file, CAST(n_frames AS INT) AS n_frames,
+         CAST(sig AS BIGINT) AS sig,
+         min(file) OVER (PARTITION BY n_frames, sig) AS keeper,
+         count(1) OVER (PARTITION BY n_frames, sig) AS n_same
+       FROM (VALUES ${rows.mkString(", ")}) AS t(file, n_frames, sig)
+       ORDER BY file"""
+  }
+
   /** `stream_video_ingest` — CONTINUOUS VIDEO INGEST, completing the
     * image/audio/video modality × lifecycle grid: newly-arrived
     * animated assets decode map-side into a per-frame perceptual-hash
@@ -1393,6 +1458,7 @@ object Multimodal {
     "stream_mm_ingest" -> streamMmIngest,
     "stream_audio_ingest" -> streamAudioIngest,
     "stream_video_ingest" -> streamVideoIngest,
+    "mm_video_dedup" -> mmVideoDedup,
     "mm_phash_dedup" -> mmPhashDedup,
     "mm_phash_near" -> mmPhashNear,
     "mm_pair_dedup" -> mmPairDedup,
@@ -1410,6 +1476,7 @@ object Multimodal {
     "stream_mm_ingest" -> streamMmIngestSql,
     "stream_audio_ingest" -> streamAudioIngestSql,
     "stream_video_ingest" -> streamVideoIngestSql,
+    "mm_video_dedup" -> mmVideoDedupSql,
     "mm_phash_dedup" -> mmPhashDedupSql,
     "mm_phash_near" -> mmPhashNearSql,
     "mm_pair_dedup" -> mmPairDedupSql,

@@ -1396,6 +1396,34 @@ class VectorSpec extends SparkSuite {
 class MultimodalSpec extends SparkSuite {
   import graft.ops.MultimodalFixtures
 
+  test("mm_video_dedup: renditions group with originals, hash-noise assets are singletons") {
+    val rows = ops.Multimodal.mmVideoDedup(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(3), r.getLong(4)))
+    val byFile = rows.map(r => r._1 -> r).toMap
+    // every +10 rendition groups with exactly its canonical original
+    MultimodalFixtures.videoIngestSpecs.foreach { case (name, kind, id) =>
+      val (keeper, nSame) = (byFile(name)._2, byFile(name)._3)
+      if (kind == "nv") {
+        assert(keeper == name && nSame == 1, s"$name must be a singleton")
+      } else {
+        // the i-prefixed rendition sorts first, so it IS the keeper —
+        // and its canonical original must share the group
+        val canon = (if (kind == "vd") f"vid$id%02d.gif"
+          else f"scn$id%02d.gif")
+        assert(keeper == name && nSame == 2, s"$name: $keeper/$nSame")
+        assert(byFile(canon)._2 == name && byFile(canon)._3 == 2,
+          s"$canon must group under its rendition $name")
+      }
+    }
+    // canonical assets without a planted rendition stay singletons
+    val planted = Set("vid01.gif", "vid03.gif", "vid05.gif",
+      f"scn${MultimodalFixtures.SceneIngestId}%02d.gif")
+    rows.filter(r => r._1.matches("^(vid|scn)[0-9]+\\.gif$")).foreach { r =>
+      val want = if (planted(r._1)) 2L else 1L
+      assert(r._3 == want, s"${r._1}: n_same ${r._3}, want $want")
+    }
+  }
+
   test("decoded metadata recovers the GENERATOR's dimensions and frame counts") {
     // ground truth from the generator's arithmetic — fully independent
     // of the ImageIO decode under test
