@@ -1003,6 +1003,167 @@ object Vector {
     (bits, bands)
   }
 
+  /** Calibration geometry for [[embLshCalibration]]: the production
+    * [[lshGeometry]] evaluated at the fixed 256-vector sample size —
+    * pinned by a require so the calibration can never silently
+    * measure a different banding than the math it validates. */
+  val CalBits = 16
+  val CalBands = 61
+  require((CalBits, CalBands) == lshGeometry(256L),
+    "calibration geometry must equal lshGeometry(256)")
+
+  /** md5-derived integer hyperplane components for the calibration —
+    * NOT the production splitmix64 planes: the object under test is
+    * the banding MODEL (p = 1 − acos(s)/π, recall = 1 − (1 − p^bits)
+    * ^bands), which holds for any isotropic plane family, and md5
+    * components replay exactly in DuckDB so the measured S-curve is
+    * oracle-verified bit-for-bit (the production generator's isotropy
+    * is separately property-pinned). Component = unsigned 32-bit
+    * md5-prefix of "plane:dim" recentered to [−2³¹, 2³¹); embeddings
+    * quantize to e6 integers, so every sign is an exact integer dot
+    * both engines compute identically — no float-association risk at
+    * the sign boundary. */
+  private lazy val calPlanes: Array[Array[Long]] =
+    Array.tabulate(CalBands * CalBits, Dim) { (j, i) =>
+      java.lang.Long.parseLong(
+        graft.Util.md5Hex(s"$j:$i").substring(0, 8), 16) - 2147483648L
+    }
+
+  /** Analytic catch probability at each cosine-decile midpoint under
+    * the calibration geometry (bucket 0 pools every pair at s ≤ 0.1,
+    * including negatives — the dedup calibration's pooling rule). */
+  private val embLshAnalyticE4: Seq[Long] = (0 to 9).map { bkt =>
+    val s = bkt / 10.0 + 0.05
+    val p = 1.0 - math.acos(s) / math.Pi
+    math.floor((1.0 - math.pow(1.0 - math.pow(p, CalBits), CalBands))
+      * 10000.0).toLong
+  }
+
+  /** `emb_lsh_calibration` — the MEASURED sign-LSH banding S-curve
+    * for the semantic-dedup family, the [[graft.ops.Dedup]]
+    * `dedup_lsh_calibration` sibling (every model-ish component ships
+    * its own held-out eval): on the fixed ~256-vector hash sample,
+    * every pair's exact cosine (the dot_f32/dotDuck bitwise contract)
+    * buckets into deciles, the banding's actual catch bit computes
+    * from the replayable integer planes, and the per-bucket measured
+    * catch rate sits next to the analytic 1 − (1 − p^16)^61 the
+    * [[lshGeometry]] sizing math assumes. Pair volume is sample² —
+    * corpus-free by construction; production corpora never run
+    * all-pairs. */
+  def embLshCalibration(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sample = Text.hashSampleFixed(
+      Tables.embeddings(spark, sfDir), "vec_id", 256L)
+      .select(col("vec_id"), col("embedding"))
+    val keyed = sample.as[(Long, Array[Float])].map { case (id, v) =>
+      val ve = v.map(x => math.floor(x.toDouble * 1000000.0).toLong)
+      val keys = new Array[String](CalBands)
+      var b = 0
+      while (b < CalBands) {
+        val sb = new java.lang.StringBuilder(CalBits + 4)
+        sb.append(b).append('-')
+        var pos = 0
+        while (pos < CalBits) {
+          val p = calPlanes(b * CalBits + pos)
+          var s = 0L
+          var i = 0
+          while (i < Dim) { s += p(i) * ve(i); i += 1 }
+          sb.append(if (s >= 0L) '1' else '0')
+          pos += 1
+        }
+        keys(b) = sb.toString
+        b += 1
+      }
+      (id, v, keys)
+    }.toDF("vec_id", "embedding", "keys")
+      .withColumn("nrm2",
+        graft.functions.VectorExpr.dot_f32(col("embedding"), col("embedding")))
+    val l = keyed.select(col("vec_id").as("da"), col("embedding").as("ea"),
+      col("nrm2").as("na"), col("keys").as("ka"))
+    val r = keyed.select(col("vec_id").as("db"), col("embedding").as("eb"),
+      col("nrm2").as("nb"), col("keys").as("kb"))
+    val analytic = (0 to 9).foldLeft(lit(0L)) { (acc, bkt) =>
+      when(col("bucket") === bkt, lit(embLshAnalyticE4(bkt))).otherwise(acc)
+    }
+    l.join(broadcast(r), col("da") < col("db"))
+      .withColumn("sim",
+        graft.functions.VectorExpr.dot_f32(col("ea"), col("eb")) /
+          (sqrt(col("na")) * sqrt(col("nb"))))
+      .withColumn("bucket",
+        least(lit(9L), greatest(floor(col("sim") * 10), lit(0L))))
+      .withColumn("caught", arrays_overlap(col("ka"), col("kb")))
+      .groupBy(col("bucket")).agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("caught"), 1L).otherwise(0L)).as("n_caught"))
+      .withColumn("catch_e4", expr("n_caught * 10000 DIV n_pairs"))
+      .withColumn("analytic_e4", analytic)
+      .orderBy(col("bucket"))
+  }
+  /** Oracle: the sample, the integer planes, the sign bits, the band
+    * keys, the exact cosine, and the bucketing ALL replayed in SQL —
+    * md5 components and e6 quantization make every sign an exact
+    * integer comparison, and the cosine rides the dotDuck bitwise
+    * contract, so the measured curve is verified row-for-row. */
+  def embLshCalibrationSql: String = {
+    val analytic = embLshAnalyticE4.zipWithIndex
+      .map { case (v, bkt) => s"WHEN $bkt THEN $v" }.mkString(" ")
+    s"""WITH nn AS (SELECT count(1) AS n FROM embeddings),
+       ss AS (
+         SELECT vec_id, embedding FROM embeddings CROSS JOIN nn
+         WHERE CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+             AS BIGINT)
+           < floor(4294967296.0 * least(1.0, 256.0 / n))),
+       dims(i) AS (SELECT unnest(range(1, ${Dim + 1}))),
+       planes(j) AS (SELECT unnest(range(0, ${CalBands * CalBits}))),
+       comp AS (
+         SELECT j, i,
+           CAST(('0x' || substring(md5(CAST(j AS VARCHAR) || ':' ||
+             CAST(i - 1 AS VARCHAR)), 1, 8)) AS BIGINT) - 2147483648 AS p
+         FROM planes, dims),
+       vd AS (
+         SELECT vec_id, i,
+           CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)
+             AS ve
+         FROM ss, dims),
+       signs AS (
+         SELECT vec_id, j,
+           (sum(CAST(p AS HUGEINT) * ve) >= 0) AS bit
+         FROM vd JOIN comp USING (i) GROUP BY 1, 2),
+       keys AS (
+         SELECT vec_id,
+           CAST(j // $CalBits AS VARCHAR) || '-' ||
+             string_agg(CASE WHEN bit THEN '1' ELSE '0' END, ''
+               ORDER BY j % $CalBits) AS k
+         FROM signs GROUP BY vec_id, j // $CalBits),
+       caught AS (
+         SELECT DISTINCT a.vec_id AS da, b.vec_id AS db
+         FROM keys a JOIN keys b ON a.k = b.k AND a.vec_id < b.vec_id),
+       nrm AS (
+         SELECT vec_id,
+           ${dotDuck("embedding", "embedding")} AS nrm2
+         FROM ss),
+       pairs AS (
+         SELECT a.vec_id AS da, b.vec_id AS db,
+           (${dotDuck("a.embedding", "b.embedding")}) /
+             (sqrt(na.nrm2) * sqrt(nb.nrm2)) AS sim,
+           CASE WHEN c.da IS NOT NULL THEN 1 ELSE 0 END AS caught
+         FROM ss a JOIN ss b ON a.vec_id < b.vec_id
+         JOIN nrm na ON na.vec_id = a.vec_id
+         JOIN nrm nb ON nb.vec_id = b.vec_id
+         LEFT JOIN caught c ON c.da = a.vec_id AND c.db = b.vec_id),
+       bucketed AS (
+         SELECT least(9, greatest(CAST(floor(sim * 10) AS BIGINT), 0))
+             AS bucket, caught
+         FROM pairs)
+       SELECT bucket,
+         CAST(count(1) AS BIGINT) AS n_pairs,
+         CAST(sum(caught) AS BIGINT) AS n_caught,
+         CAST(sum(caught) * 10000 // count(1) AS BIGINT) AS catch_e4,
+         CAST(CASE bucket $analytic END AS BIGINT) AS analytic_e4
+       FROM bucketed
+       GROUP BY bucket ORDER BY bucket"""
+  }
+
   /** Deterministic random hyperplanes for sign-LSH (fixed-seed
     * splitmix64 → components in [-1, 1)), generated lazily per plane
     * count and memoized per JVM — each executor materializes them once
@@ -1876,6 +2037,7 @@ object Vector {
     "ann_index_compact" -> annIndexCompact,
     "ann_index_version_diff" -> annIndexVersionDiff,
     "ann_read_asof" -> annReadAsof,
+    "emb_lsh_calibration" -> embLshCalibration,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
     "dedup_semantic" -> dedupSemantic)
 
@@ -1903,6 +2065,7 @@ object Vector {
     "ann_index_compact" -> annIndexCompactSql,
     "ann_index_version_diff" -> annIndexVersionDiffSql,
     "ann_read_asof" -> annReadAsofSql,
+    "emb_lsh_calibration" -> embLshCalibrationSql,
     "dedup_embedding_cosine" -> dedupEmbeddingCosineSql,
     "dedup_semantic" -> dedupSemanticSql)
 }

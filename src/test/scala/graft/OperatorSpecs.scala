@@ -1159,6 +1159,34 @@ class VectorSpec extends SparkSuite {
       s"delta rows in assignment: $nDelta of $nExpect")
   }
 
+  test("emb_lsh_calibration: exact pair accounting, analytic curve pinned") {
+    val rows = Vector.embLshCalibration(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val n = ops.Text.hashSampleFixed(
+      Tables.embeddings(spark, sf), "vec_id", 256L).count()
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum == n * (n - 1) / 2,
+      "every sample pair lands in exactly one bucket")
+    rows.foreach { r =>
+      val bkt = r.getAs[Long]("bucket")
+      assert(bkt >= 0 && bkt <= 9)
+      assert(r.getAs[Long]("n_caught") <= r.getAs[Long]("n_pairs"))
+      assert(r.getAs[Long]("catch_e4") ==
+        r.getAs[Long]("n_caught") * 10000 / r.getAs[Long]("n_pairs"))
+      // the analytic column replays the geometry math exactly
+      val s = bkt / 10.0 + 0.05
+      val p = 1.0 - math.acos(s) / math.Pi
+      val want = math.floor((1.0 - math.pow(1.0 -
+        math.pow(p, Vector.CalBits), Vector.CalBands)) * 10000.0).toLong
+      assert(r.getAs[Long]("analytic_e4") == want, s"analytic at $bkt")
+      // random embeddings live far below the 0.9 design threshold:
+      // the banding must catch almost nothing there (the S-curve's
+      // low tail — a high measured rate here means correlated bits)
+      if (bkt <= 3)
+        assert(r.getAs[Long]("catch_e4") < 2000,
+          s"bucket $bkt catch ${r.getAs[Long]("catch_e4")} out of band")
+    }
+  }
+
   test("ann_read_asof: v1 is the manifest's file set, stable in v2, no rescore") {
     val rows = Vector.annReadAsof(spark, sf).collect()
     val emb = Tables.embeddings(spark, sf)
