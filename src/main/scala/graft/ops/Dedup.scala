@@ -328,13 +328,17 @@ object Dedup {
         e4(lit(1.0) * col("i") / col("u")).as("j_e4"))
       .orderBy(col("new_id"), col("index_id"))
   }
-  val incrementalDedupSql: String =
+  /** The incremental (new-vs-index) exact-Jaccard oracle body; the
+    * optional extra index-side predicate generates the retract twin
+    * from the SAME template — one shingle CTE, one threshold, one
+    * rounding, so the two oracles cannot drift (review r15). */
+  private def incrementalSqlWith(indexPred: String): String =
     s"""WITH ${Text.shingleCte},
        cnt AS (SELECT doc_id, count(1) AS n FROM sh GROUP BY 1),
        inter AS (
          SELECT a.doc_id AS new_id, b.doc_id AS index_id, count(1) AS i
          FROM sh a JOIN sh b ON a.s = b.s
-         WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+         WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0$indexPred
          GROUP BY 1, 2)
        SELECT new_id, index_id,
          CAST(floor((1.0 * i / (ca.n + cb.n - i)) * 10000.0) AS BIGINT) AS j_e4
@@ -342,26 +346,14 @@ object Dedup {
        JOIN cnt ca ON ca.doc_id = new_id JOIN cnt cb ON cb.doc_id = index_id
        WHERE 1.0 * i / (ca.n + cb.n - i) >= 0.7
        ORDER BY new_id, index_id"""
+  val incrementalDedupSql: String = incrementalSqlWith("")
 
   /** [[incrementalDedupSql]] with the takedown predicate applied to
     * the index side — the `stream_dedup_retract` ground truth: after
     * the index forgets doc_id % 16 == 12, surviving pairs are exactly
     * the batch pairs whose index member was not retracted. */
   val dedupRetractSql: String =
-    s"""WITH ${Text.shingleCte},
-       cnt AS (SELECT doc_id, count(1) AS n FROM sh GROUP BY 1),
-       inter AS (
-         SELECT a.doc_id AS new_id, b.doc_id AS index_id, count(1) AS i
-         FROM sh a JOIN sh b ON a.s = b.s
-         WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
-           AND b.doc_id % 16 <> 12
-         GROUP BY 1, 2)
-       SELECT new_id, index_id,
-         CAST(floor((1.0 * i / (ca.n + cb.n - i)) * 10000.0) AS BIGINT) AS j_e4
-       FROM inter
-       JOIN cnt ca ON ca.doc_id = new_id JOIN cnt cb ON cb.doc_id = index_id
-       WHERE 1.0 * i / (ca.n + cb.n - i) >= 0.7
-       ORDER BY new_id, index_id"""
+    incrementalSqlWith("\n           AND b.doc_id % 16 <> 12")
 
   // -- SimHash near-dup ----------------------------------------------------
 

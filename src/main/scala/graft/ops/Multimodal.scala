@@ -1311,15 +1311,23 @@ object Multimodal {
     * the generator arithmetic. */
   def mmVideoDedup(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val dirs = Seq(MultimodalFixtures.ensure(),
-      MultimodalFixtures.ensureVideoIngest())
-    val rows = spark.read.format("binaryFile").load(dirs: _*)
+    // canonical signatures come from the SAME registry artifact the
+    // ingest stream probes (one decode, one truth); only the arrival
+    // dir decodes here. Both sides use STRICT spec-shaped name
+    // filters — the oracle enumerates the specs, so a stray file
+    // matching a loose \.gif$ would decode into a row the oracle
+    // doesn't know (review r15 finding).
+    val arrivals = spark.read.format("binaryFile")
+      .load(MultimodalFixtures.ensureVideoIngest())
       .select(regexp_extract(col("path"), "[^/]+$", 0).as("file"),
         col("content"))
-      .filter(col("file").rlike("\\.gif$"))
+      .filter(col("file").rlike("^i(vid|scn)[0-9]+[dn]\\.gif$"))
       .as[ImgBin]
       .mapPartitions(videoSigPartition)
       .toDF("file", "n_frames", "sig")
+    val rows = videoSigIndex(spark)
+      .select(col("base_file").as("file"), col("n_frames"), col("sig"))
+      .unionByName(arrivals)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("n_frames"), col("sig"))
     rows.withColumn("keeper", min(col("file")).over(w))

@@ -896,7 +896,12 @@ object EventsStream {
       .transformWithState(new LshRetractProcessor,
         TimeMode.None(), OutputMode.Update())
       .toDF("new_id", "index_id")
-    val cand = runIncremental(spark, pairs, "ldr", sfDir, OutputMode.Update())
+    // checkpoint/state/output key = the FINGERPRINTED root, not the
+    // sfDir path: an in-place dataset regeneration must rotate the
+    // streaming state with the feed, or ghost postings from the old
+    // corpus would survive in the ListState (review r15 finding; the
+    // Util.fileFingerprint artifact rule applied to checkpoints)
+    val cand = runIncremental(spark, pairs, "ldr", root, OutputMode.Update())
       .distinct()
     graft.ops.Dedup.verifyJaccardPairs(spark, sfDir, cand)
   }

@@ -795,7 +795,10 @@ class ScaleSpec extends SparkSuite {
           case w: org.apache.spark.sql.execution.window.WindowExec => w
         }
       // the one rank window runs over (source, lang) counts — always
-      // partitioned, never corpus-sized input
+      // partitioned, never corpus-sized input (nonEmpty guard: a
+      // vacuous forall over zero windows would stop pinning anything)
+      assert(cardWins.nonEmpty,
+        "guard: dataset_card's top-lang rank window must be visible")
       assert(cardWins.forall(_.partitionSpec.nonEmpty),
         "dataset_card rank window must partition by source")
       val balWins = graft.ops.Text.corpusShardBalance(spark, sf)
