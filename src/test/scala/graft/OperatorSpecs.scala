@@ -695,6 +695,29 @@ class TextOpsSpec extends SparkSuite {
     }
   }
 
+  test("corpus_card_diff: additive with the version manifest, shares reconcile") {
+    val rows = ops.Text.corpusCardDiff(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("docs_added") ==
+        r.getAs[Long]("n_docs_v2") - r.getAs[Long]("n_docs_v1"))
+      assert(r.getAs[Long]("tokens_added") ==
+        r.getAs[Long]("tok_v2") - r.getAs[Long]("tok_v1"))
+      assert(r.getAs[Long]("n_docs_v2") >= r.getAs[Long]("n_docs_v1"),
+        "append-only: no source shrinks")
+    }
+    // the per-source diff totals the cell-level version diff exactly
+    val cells = ops.Text.corpusVersionDiff(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_docs_v2")).sum ==
+      cells.map(_.getAs[Long]("n_docs_v2")).sum)
+    assert(rows.map(_.getAs[Long]("docs_added")).sum ==
+      cells.map(_.getAs[Long]("docs_added")).sum)
+    // share shifts are zero-sum up to integer-division remainders
+    val shift = rows.map(_.getAs[Long]("share_shift_e4")).sum
+    assert(math.abs(shift) <= rows.length.toLong,
+      s"share shifts must be ~zero-sum, got $shift")
+  }
+
   test("t_tokenizer_fertility: exact sums; ASCII corpus makes bytes == chars") {
     val f = ops.Text.tokenizerFertility(spark, sf).collect()
     assert(f.nonEmpty)
