@@ -1462,8 +1462,144 @@ object Multimodal {
        ORDER BY file"""
   }
 
+  // -- streaming cross-modal pair ingest -------------------------------------
+
+  /** The frozen PAIR index of the canonical corpus: the base ('a')
+    * renditions' (caption-fingerprint, phash-band) keys — the
+    * cross-modal sibling of [[phashIndex]]/[[audioContourIndex]],
+    * built on the SAME phash registry artifact and the caption
+    * table. */
+  private def pairIndex(spark: SparkSession): DataFrame =
+    Flow.sharedScanOf(spark,
+        s"mm_pair_index:${MultimodalFixtures.Dir}",
+        graft.Util.fileFingerprint(MultimodalFixtures.ensure())) {
+      phashIndex(spark).filter(isMmBase)
+        .join(captions(spark), "file")
+        .select(col("file").as("base_file"),
+          col("phash").as("base_phash"),
+          captionFp(col("caption")).as("fp"))
+        .select(col("base_file"), col("base_phash"), col("fp"),
+          posexplode(array((0 until 4).map(i =>
+            substring(col("base_phash"), i * 4 + 1, 4)): _*))
+            .as(Seq("band_idx", "band")))
+    }
+
+  /** `stream_pair_ingest` — CONTINUOUS CROSS-MODAL PAIR INGEST, the
+    * LAION-shaped arrival gate for (image, caption) training pairs:
+    * newly-arrived captioned renditions decode map-side to their
+    * phash, pick up their caption through a stream-static join, and
+    * gate against the FROZEN pair index of the canonical corpus under
+    * the `mm_pair_dedup` both-modalities rule — a pair duplicates a
+    * base pair iff the caption FINGERPRINTS match exactly AND the
+    * image phashes sit within banded Hamming ≤ 3. Neither modality
+    * alone suffices: pixel-identical arrivals with genuinely new
+    * captions are NOVEL pairs (new supervision for known pixels), and
+    * caption-sharing arrivals must still match perceptually. The join
+    * key is (fp, band_idx, band) — the viral-image guard: shared
+    * pixels never form candidates across different captions.
+    * Verdicts fold per arrival with the zero-state
+    * [[ArrivalFoldProcessor]] and land in the durable idempotent
+    * per-batch log. Cost per arrival is O(its bytes) decode + its
+    * band postings. With image, audio, and video ingest this closes
+    * the cross-modal row of the modality × lifecycle grid. Oracle:
+    * dump-time replay of decode + caption normalization + band +
+    * Hamming over committed bytes and the generator captions. */
+  def streamPairIngest(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Util.withConf(spark,
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+      graft.Util.withConf(spark, "spark.sql.shuffle.partitions", "8") {
+        streamPairIngestInner(spark)
+      }
+    }
+
+  private def streamPairIngestInner(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val dir = MultimodalFixtures.ensure()
+    val idx = pairIndex(spark)
+    val arrivals = spark.readStream.schema(binFileSchema)
+      .format("binaryFile").load(dir)
+      .select(regexp_extract(col("path"), "[^/]+$", 0).as("file"),
+        col("content"))
+      .filter(col("file").rlike("^img[0-9]+[bnv]\\.png$"))
+      .as[ImgBin]
+      .mapPartitions(it => decodePartition(it).map(m => (m.file, m.phash)))
+      .toDF("file", "phash")
+      .join(captions(spark), "file")
+      .select(col("file"), col("phash"), captionFp(col("caption")).as("fp"))
+    val hamming = (0 until 4).map { i =>
+      bit_count(
+        conv(substring(col("phash"), i * 4 + 1, 4), 16, 10).cast("int")
+          .bitwiseXOR(
+            conv(substring(col("base_phash"), i * 4 + 1, 4), 16, 10)
+              .cast("int")))
+    }.reduce(_ + _)
+    val scoredRows = arrivals
+      .select(col("file"), col("phash"), col("fp"),
+        posexplode(array((0 until 4).map(i =>
+          substring(col("phash"), i * 4 + 1, 4)): _*))
+          .as(Seq("band_idx", "band")))
+      .join(idx, Seq("fp", "band_idx", "band"), "left_outer")
+      .select(col("file"),
+        when(col("base_phash").isNull, lit(-1))
+          .otherwise(hamming.cast("int")).as("hamming"),
+        coalesce(col("base_file"), lit("")).as("base_file"))
+      .as[(String, Int, String)]
+    val folded = scoredRows.groupByKey(_._1)
+      .transformWithState(new ArrivalFoldProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      .toDF("file", "hamming", "match_file")
+    val stagedRaw = graft.streaming.EventsStream.runIncremental(
+      spark, folded, "pairingest", dir,
+      org.apache.spark.sql.streaming.OutputMode.Update())
+    val staged = stagedRaw
+      .groupBy(col("file"))
+      .agg(max(struct(col("hamming"), col("match_file"))).as("s"))
+      .select(col("file"), col("s.hamming").as("hamming"),
+        col("s.match_file").as("match_file"))
+    staged.select(col("file"),
+      when(col("hamming") >= 0, "pair_dup").otherwise("novel").as("verdict"),
+      col("match_file"), col("hamming"))
+      .orderBy(col("file"))
+  }
+  /** Dump-time twin: decode + caption-normalization + band + Hamming
+    * replay over committed bytes and the generator captions,
+    * restricted to arrival-vs-base under the both-modalities rule. */
+  def streamPairIngestSql: String = {
+    def norm(c: String): String =
+      c.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+    val caps = MultimodalFixtures.captionSpecs.toMap
+    def isBase(n: String) = n.matches("^(img|jpg)[0-9]+a\\.(png|jpg)$")
+    val ph = MultimodalFixtures.captionSpecs.map(_._1).distinct.map { n =>
+      n -> aHash(ImageIO.read(new ByteArrayInputStream(fileBytes(n))))
+    }.toMap
+    def bands(h: Long): Seq[Int] =
+      (0 until 4).map(i => ((h >>> (48 - 16 * i)) & 0xffff).toInt)
+    val base = caps.keys.filter(isBase).toSeq
+    val rows = caps.keys.toSeq.filter(_.matches("^img[0-9]+[bnv]\\.png$"))
+      .map { f =>
+        val cands = base
+          .filter(b => norm(caps(b)) == norm(caps(f)))
+          .filter(b => bands(ph(f)).zip(bands(ph(b)))
+            .exists { case (x, y) => x == y })
+          .map(b => (java.lang.Long.bitCount(ph(f) ^ ph(b)), b))
+        val best = cands.sorted.headOption.filter(_._1 <= 3)
+        val (v, mf, d) = best match {
+          case Some((d0, bf)) => ("pair_dup", bf, d0)
+          case None => ("novel", "", -1)
+        }
+        s"('$f', '$v', '$mf', $d)"
+      }
+    s"""SELECT file, verdict, match_file, CAST(hamming AS INT) AS hamming
+        FROM (VALUES ${rows.mkString(", ")}) AS t(file, verdict,
+          match_file, hamming)
+        ORDER BY file"""
+  }
+
   val queries: Map[String, QFn] = Map(
     "stream_mm_ingest" -> streamMmIngest,
+    "stream_pair_ingest" -> streamPairIngest,
     "stream_audio_ingest" -> streamAudioIngest,
     "stream_video_ingest" -> streamVideoIngest,
     "mm_video_dedup" -> mmVideoDedup,
@@ -1482,6 +1618,7 @@ object Multimodal {
 
   val oracles: Map[String, String] = Map(
     "stream_mm_ingest" -> streamMmIngestSql,
+    "stream_pair_ingest" -> streamPairIngestSql,
     "stream_audio_ingest" -> streamAudioIngestSql,
     "stream_video_ingest" -> streamVideoIngestSql,
     "mm_video_dedup" -> mmVideoDedupSql,

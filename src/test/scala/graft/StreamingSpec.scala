@@ -372,6 +372,35 @@ class StreamingSpec extends SparkSuite {
     assert(shape(EventsStream.streamDedupRetract(spark, sf)) == got)
   }
 
+  test("stream_pair_ingest: both-modalities rule gates arrivals, re-trigger no-op") {
+    def run() = ops.Multimodal.streamPairIngest(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getInt(3))).toSeq
+    val got = run()
+    assert(got.nonEmpty)
+    val byFile = got.map(g => g._1 -> g).toMap
+    // caption-sharing pixel twins are pair dups of their base
+    ops.MultimodalFixtures.CaptionDupPair.foreach { id =>
+      val g = byFile(f"img$id%02db.png")
+      assert(g._2 == "pair_dup" && g._3 == f"img$id%02da.png" && g._4 == 0,
+        g.toString)
+    }
+    // identical pixels with a genuinely different caption = NOVEL pair
+    // (new supervision for known pixels — the cross-modal rule)
+    (ops.MultimodalFixtures.PairIds.toSet --
+      ops.MultimodalFixtures.CaptionDupPair.toSet).foreach { id =>
+      val g = byFile(f"img$id%02db.png")
+      assert(g._2 == "novel" && g._3 == "", g.toString)
+    }
+    // corner-perturbed caption-sharers: dup at Hamming 1..3
+    ops.MultimodalFixtures.CaptionDupVar.foreach { id =>
+      val g = byFile(f"img$id%02dv.png")
+      assert(g._2 == "pair_dup" && g._3 == f"img$id%02da.png" &&
+        g._4 >= 0 && g._4 <= 3, g.toString)
+    }
+    assert(run() == got, "re-trigger with no new arrivals must be a no-op")
+  }
+
   test("stream_video_ingest: renditions dup, fresh footage novel, re-trigger no-op") {
     def run() = ops.Multimodal.streamVideoIngest(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2),
