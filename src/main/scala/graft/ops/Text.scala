@@ -989,6 +989,61 @@ object Text {
        SELECT query_id, rk, doc_id, rrf_e6 FROM fusedrank
        WHERE rk <= 10 ORDER BY query_id, rk"""
 
+  /** `rag_context_pack` — the PROMPT-ASSEMBLY stage of a RAG stack:
+    * the fused top-10 packs greedily in rank order into a fixed
+    * 512-token context budget per query — each retrieved doc takes
+    * its whitespace-token length, docs that fit land at exact token
+    * offsets, the first doc that would overflow is cut and everything
+    * after it drops (rank-order greedy fill, the standard
+    * stuff-the-context builder). Output per kept doc: rank, offset,
+    * n_tokens, and a `truncated` bit on the cut doc (its span runs to
+    * the budget edge).
+    *
+    * Scale: the fusion output is ≤ |Q|×10 rows; the only join brings
+    * each retrieved doc's token COUNT (never its text) onto those
+    * rows, and the pack window partitions by query over ≤ 10-row
+    * groups — metadata-sized at any corpus scale, whatever the legs
+    * cost. Oracle: the fusion CTE chain verbatim + the same
+    * cumulative-sum arithmetic. */
+  def ragContextPack(spark: SparkSession, sfDir: String): DataFrame = {
+    val budget = 512L
+    val docLen = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(tokens).cast("long").as("n_tokens"))
+    val W = org.apache.spark.sql.expressions.Window
+    val cum = W.partitionBy(col("query_id")).orderBy(col("rk"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    ragFusionRrf(spark, sfDir)
+      .join(docLen, Seq("doc_id"))
+      .withColumn("offset",
+        coalesce(sum(col("n_tokens")).over(cum), lit(0L)))
+      .filter(col("offset") < budget)
+      .select(col("query_id"), col("rk"), col("doc_id"),
+        col("offset"),
+        least(col("n_tokens"), lit(budget) - col("offset"))
+          .as("n_packed"),
+        (col("offset") + col("n_tokens") > budget).as("truncated"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+  val ragContextPackSql: String =
+    s"""WITH $ragFusionCtes,
+       dl2 AS (SELECT doc_id,
+           CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+         FROM documents),
+       packed AS (
+         SELECT f.query_id AS query_id, f.rk AS rk, f.doc_id AS doc_id,
+           d.n_tokens AS n_tokens,
+           CAST(coalesce(sum(d.n_tokens) OVER (PARTITION BY f.query_id
+             ORDER BY f.rk
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS "offset"
+         FROM fusedrank f JOIN dl2 d ON d.doc_id = f.doc_id
+         WHERE f.rk <= 10)
+       SELECT query_id, rk, doc_id, "offset",
+         CAST(least(n_tokens, 512 - "offset") AS BIGINT) AS n_packed,
+         ("offset" + n_tokens > 512) AS truncated
+       FROM packed WHERE "offset" < 512
+       ORDER BY query_id, rk"""
+
   /** `rag_eval_recall` — the retrieval stack's QA metric (the
     * t_langid_eval / t_quality_classifier convention: every model-ish
     * component ships with its held-out eval): recall@10 of each leg
@@ -4737,6 +4792,7 @@ object Text {
     "t_tfidf_topk" -> tfidfTopk,
     "t_bm25_topk" -> bm25Topk,
     "rag_fusion_rrf" -> ragFusionRrf,
+    "rag_context_pack" -> ragContextPack,
     "rag_eval_recall" -> ragEvalRecall,
     "t_quality_classifier" -> qualityClassifier,
     "corpus_shuffle" -> corpusShuffle,
@@ -4802,6 +4858,7 @@ object Text {
     "t_tfidf_topk" -> tfidfTopkSql,
     "t_bm25_topk" -> bm25TopkSql,
     "rag_fusion_rrf" -> ragFusionRrfSql,
+    "rag_context_pack" -> ragContextPackSql,
     "rag_eval_recall" -> ragEvalRecallSql,
     "t_quality_classifier" -> qualityClassifierSql,
     "corpus_shuffle" -> corpusShuffleSql,

@@ -695,6 +695,37 @@ class TextOpsSpec extends SparkSuite {
     }
   }
 
+  test("rag_context_pack: greedy rank-order fill, exact offsets, budget respected") {
+    val rows = ops.Text.ragContextPack(spark, sf).collect()
+      .map(r => (r.getAs[String]("query_id"), r.getAs[Int]("rk"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("offset"),
+        r.getAs[Long]("n_packed"), r.getAs[Boolean]("truncated")))
+    assert(rows.nonEmpty)
+    val fused = ops.Text.ragFusionRrf(spark, sf).collect()
+      .map(r => (r.getAs[String]("query_id"), r.getAs[Int]("rk")) ->
+        r.getAs[Long]("doc_id")).toMap
+    val nTok = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(ops.Text.tokens).cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_._2)
+      // ranks form a prefix of the fusion order — greedy never skips
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length).toSeq,
+        s"$q: packed ranks must be a prefix")
+      var off = 0L
+      sorted.foreach { case (_, rk, doc, o, np, trunc) =>
+        assert(fused((q, rk)) == doc, s"$q rank $rk doc drifted from fusion")
+        assert(o == off, s"$q rank $rk offset")
+        assert(np == math.min(nTok(doc), 512L - o), s"$q rank $rk n_packed")
+        assert(trunc == (o + nTok(doc) > 512L), s"$q rank $rk truncated")
+        off += nTok(doc)
+      }
+      // everything within budget; at most the LAST doc truncates
+      assert(sorted.init.forall(!_._6), s"$q: only the cut doc truncates")
+      assert(sorted.map(r => r._4 + r._5).max <= 512L, s"$q: budget")
+    }
+  }
+
   test("corpus_card_diff: additive with the version manifest, shares reconcile") {
     val rows = ops.Text.corpusCardDiff(spark, sf).collect()
     assert(rows.nonEmpty)
