@@ -3640,10 +3640,11 @@ object Text {
         sum(when(col("retracted"), col("n_tokens")).otherwise(0L))
           .as("tok_retracted"))
 
-  /** Cells containing ≥ 1 retracted doc — ≤ |splits|×|shards| rows,
-    * bounded by the layout grid. */
-  private def touchedCellsOf(plan: DataFrame): Seq[(String, Long)] =
-    plan.filter(col("n_retracted") > 0)
+  /** Cells containing ≥ 1 doc matching the marker column — ≤
+    * |splits|×|shards| rows, bounded by the layout grid. */
+  private def touchedCellsOf(plan: DataFrame,
+      marker: String = "n_retracted"): Seq[(String, Long)] =
+    plan.filter(col(marker) > 0)
       .select(col("split"), col("shard")).distinct()
       .collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
 
@@ -3725,6 +3726,132 @@ object Text {
       }
     retractAudit(spark, plan, touched, over)
   }
+
+  /** Cleared subset of the takedown list for [[corpusReinstateRun]] —
+    * the wrongful-takedown reversal cohort (the even half of the
+    * retracted set; nonempty at every testdata scale). */
+  private[ops] val isCleared: Column = isRetracted && col("doc_id") % 2 === 0
+
+  /** `corpus_reinstate_run` — the UNDO leg of the takedown lifecycle
+    * (retract → compact → REINSTATE): a cleared subset of the
+    * takedown list (a wrongful DMCA, a withdrawn opt-out) is restored
+    * into the live corpus at its ORIGINAL frozen (split, shard, bin)
+    * coordinates. Possible precisely BECAUSE the retraction was
+    * copy-on-write: the immutable base layout still holds the cleared
+    * docs' rows, so reinstatement is one partition-pruned rewrite of
+    * only the cleared docs' cells from the base (keeping the
+    * still-retracted docs out) — never a rebuild, never a re-pack,
+    * and the restored docs provably sit where they always did.
+    *
+    * Audit per bin: before/retracted/cleared counts, the measured
+    * after (overlay read-back on reinstate-touched cells, the retract
+    * view elsewhere), and `reinstate_ok` folding three checks — count
+    * reconciliation (after = before − retracted + cleared), every
+    * cleared doc present at its original coordinates, and zero
+    * still-retracted leftovers in the rewritten cells. Scale: the
+    * same CoW posture as the retraction — rewrite and audit bytes
+    * track the CLEARED list's cell footprint, never the corpus. */
+  def corpusReinstateRun(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.BpeVocab.ensureFixture()
+    val plan = retractManifestOf(spark, sfDir)
+      .withColumn("cleared", col("retracted") && col("doc_id") % 2 === 0)
+      .groupBy(col("split"), col("shard"), col("bin")).agg(
+        count(lit(1)).as("n_before"),
+        sum(col("n_tokens")).as("tok_before"),
+        sum(when(col("retracted"), 1L).otherwise(0L)).as("n_retracted"),
+        sum(when(col("retracted"), col("n_tokens")).otherwise(0L))
+          .as("tok_retracted"),
+        sum(when(col("cleared"), 1L).otherwise(0L)).as("n_cleared"),
+        sum(when(col("cleared"), col("n_tokens")).otherwise(0L))
+          .as("tok_cleared"))
+    val touched = touchedCellsOf(plan, "n_cleared")
+    val withAfter =
+      if (touched.isEmpty) {
+        plan
+          .withColumn("n_after", col("n_before") - col("n_retracted"))
+          .withColumn("tok_after", col("tok_before") - col("tok_retracted"))
+          .withColumn("cleared_rb", lit(0L))
+          .withColumn("still_rb", lit(0L))
+      } else {
+        val baseOut = corpusRunLayout(spark, sfDir)
+        val root = graft.Util.sessionTmpDir(spark, "graft_corpus_reinstate")
+        val tag = graft.Util.fileFingerprint(s"$sfDir/documents.parquet")
+        val o = s"$root/$tag"
+        if (!new java.io.File(s"$o/_SUCCESS").exists()) {
+          graft.Util.vacuumSiblings(root, tag)
+          spark.read.parquet(baseOut)
+            .filter(cellPred(touched)) // partition-pruned: touched only
+            .filter(!isRetracted || isCleared)
+            .write.partitionBy("split", "shard").mode("overwrite")
+            .parquet(o)
+        }
+        val rb = spark.read.parquet(o)
+          .select(col("split").cast("string").as("split"),
+            col("shard").cast("long").as("shard"), col("bin"),
+            col("n_tokens"), col("doc_id"))
+          .groupBy(col("split"), col("shard"), col("bin"))
+          .agg(count(lit(1)).as("n_rb"), sum(col("n_tokens")).as("tok_rb"),
+            sum(when(isCleared, 1L).otherwise(0L)).as("cleared_rb0"),
+            sum(when(isRetracted && !isCleared, 1L).otherwise(0L))
+              .as("still_rb0"))
+        plan
+          .join(rb, Seq("split", "shard", "bin"), "left")
+          .withColumn("in_touched", cellPred(touched))
+          .withColumn("n_after", when(col("in_touched"),
+            coalesce(col("n_rb"), lit(0L)))
+            .otherwise(col("n_before") - col("n_retracted")))
+          .withColumn("tok_after", when(col("in_touched"),
+            coalesce(col("tok_rb"), lit(0L)))
+            .otherwise(col("tok_before") - col("tok_retracted")))
+          .withColumn("cleared_rb", coalesce(col("cleared_rb0"), lit(0L)))
+          .withColumn("still_rb", coalesce(col("still_rb0"), lit(0L)))
+      }
+    withAfter
+      .select(col("split"), col("shard"), col("bin"),
+        col("n_before"), col("n_retracted"), col("n_cleared"),
+        col("n_after"), col("tok_after"),
+        when(col("n_retracted") === 0, "intact")
+          .when(col("n_cleared") > 0, "restored")
+          .when(col("n_retracted") === col("n_before"), "emptied")
+          .otherwise("scrubbed").as("verdict"),
+        (col("n_after") ===
+          col("n_before") - col("n_retracted") + col("n_cleared") &&
+          col("tok_after") ===
+            col("tok_before") - col("tok_retracted") + col("tok_cleared") &&
+          col("cleared_rb") === col("n_cleared") &&
+          col("still_rb") === 0L).as("reinstate_ok"))
+      .orderBy(col("split"), col("shard"), col("bin"))
+  }
+  /** Oracle: the shared `man` CTE with both predicates; the
+    * reconciliation bit is constant-true — a lost, duplicated, or
+    * mis-located reinstated doc breaks the hash. */
+  def corpusReinstateRunSql: String =
+    s"""$corpusBuildManifestCtes,
+       ragg AS (
+         SELECT split, shard, bin,
+           count(1) AS n_before,
+           sum(n_tokens) AS tok_before,
+           sum(CASE WHEN doc_id % 89 = 3 THEN 1 ELSE 0 END) AS n_retracted,
+           sum(CASE WHEN doc_id % 89 = 3 THEN n_tokens ELSE 0 END)
+             AS tok_retracted,
+           sum(CASE WHEN doc_id % 89 = 3 AND doc_id % 2 = 0
+             THEN 1 ELSE 0 END) AS n_cleared,
+           sum(CASE WHEN doc_id % 89 = 3 AND doc_id % 2 = 0
+             THEN n_tokens ELSE 0 END) AS tok_cleared
+         FROM man GROUP BY 1, 2, 3)
+       SELECT split, shard, bin,
+         CAST(n_before AS BIGINT) AS n_before,
+         CAST(n_retracted AS BIGINT) AS n_retracted,
+         CAST(n_cleared AS BIGINT) AS n_cleared,
+         CAST(n_before - n_retracted + n_cleared AS BIGINT) AS n_after,
+         CAST(tok_before - tok_retracted + tok_cleared AS BIGINT)
+           AS tok_after,
+         CASE WHEN n_retracted = 0 THEN 'intact'
+              WHEN n_cleared > 0 THEN 'restored'
+              WHEN n_retracted = n_before THEN 'emptied'
+              ELSE 'scrubbed' END AS verdict,
+         true AS reinstate_ok
+       FROM ragg ORDER BY split, shard, bin"""
 
   /** `stream_retract` — [[corpusRetractRun]] with the takedown list
     * ARRIVING AS A STREAM (judge r13 #4, completing the lifecycle's
@@ -4804,6 +4931,7 @@ object Text {
     "corpus_version_diff" -> corpusVersionDiff,
     "corpus_card_diff" -> corpusCardDiff,
     "corpus_retract_run" -> corpusRetractRun,
+    "corpus_reinstate_run" -> corpusReinstateRun,
     "stream_retract" -> streamRetract,
     "corpus_compact_run" -> corpusCompactRun,
     "corpus_read_asof" -> corpusReadAsof,
@@ -4870,6 +4998,7 @@ object Text {
     "corpus_version_diff" -> corpusVersionDiffSql,
     "corpus_card_diff" -> corpusCardDiffSql,
     "corpus_retract_run" -> corpusRetractRunSql,
+    "corpus_reinstate_run" -> corpusReinstateRunSql,
     "stream_retract" -> corpusRetractRunSql,
     "corpus_compact_run" -> corpusCompactRunSql,
     "corpus_read_asof" -> corpusReadAsofSql,

@@ -695,6 +695,38 @@ class TextOpsSpec extends SparkSuite {
     }
   }
 
+  test("corpus_reinstate_run: cleared docs restored at original coordinates") {
+    val rows = ops.Text.corpusReinstateRun(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.exists(_.getAs[String]("verdict") == "restored"),
+      "guard: at least one bin must restore a cleared doc")
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("reinstate_ok"), s"reconciliation: $r")
+      assert(r.getAs[Long]("n_cleared") <= r.getAs[Long]("n_retracted"))
+      assert(r.getAs[Long]("n_after") ==
+        r.getAs[Long]("n_before") - r.getAs[Long]("n_retracted") +
+          r.getAs[Long]("n_cleared"))
+    }
+    // the reinstate overlay holds EXACTLY the touched cells' live set:
+    // cleared docs present, still-retracted docs absent
+    val root = graft.Util.sessionTmpDir(spark, "graft_corpus_reinstate")
+    val tag = graft.Util.fileFingerprint(s"$sf/documents.parquet")
+    val over = spark.read.parquet(s"$root/$tag")
+    assert(over.filter(col("doc_id") % 89 === 3 && col("doc_id") % 2 =!= 0)
+      .count() == 0, "still-retracted docs must not be reinstated")
+    val clearedInOverlay = over
+      .filter(col("doc_id") % 89 === 3 && col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("split").cast("string"),
+        col("shard").cast("long"), col("bin"))
+    // coordinates are the manifest's own frozen coordinates
+    val man = ops.Text.corpusBuildPipeline(spark, sf)
+      .filter(col("doc_id") % 89 === 3 && col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("split"), col("shard"), col("bin"))
+    assert(clearedInOverlay.exceptAll(man).count() == 0 &&
+      man.exceptAll(clearedInOverlay).count() == 0,
+      "every cleared doc restored at exactly its frozen coordinates")
+  }
+
   test("rag_context_pack: greedy rank-order fill, exact offsets, budget respected") {
     val rows = ops.Text.ragContextPack(spark, sf).collect()
       .map(r => (r.getAs[String]("query_id"), r.getAs[Int]("rk"),
