@@ -806,11 +806,20 @@ object Vector {
     * neighbor cannot pass), the caller's audit columns broadcast
     * alongside. */
   private def indexProbeGates(spark: SparkSession, sfDir: String,
-      live: DataFrame, audit: DataFrame): DataFrame = {
+      live: DataFrame, audit: DataFrame): DataFrame =
+    indexProbeGatesOver(spark, sfDir, live, audit,
+      corpusFilter = !isVecRetracted)
+
+  /** [[indexProbeGates]] with an explicit survivor predicate — the
+    * reinstate leg's exact top-10 must range over retracted-minus-
+    * cleared survivors, the retract legs' over all survivors. */
+  private def indexProbeGatesOver(spark: SparkSession, sfDir: String,
+      live: DataFrame, audit: DataFrame,
+      corpusFilter: org.apache.spark.sql.Column): DataFrame = {
     val probe = probeCells(spark, sfDir, live)
       .select(col("qid"), col("vec_id"))
     val brute = topk(scored(spark, sfDir, sameLabelOnly = false,
-      corpusFilter = Some(!isVecRetracted)), 10)
+      corpusFilter = Some(corpusFilter)), 10)
       .select(col("qid"), col("vec_id"))
     probe.join(brute, Seq("qid", "vec_id"))
       .groupBy(col("qid"))
@@ -836,6 +845,78 @@ object Vector {
     }
     retractIndexGates(spark, sfDir, assignDir, overDir)
   }
+
+  /** Cleared subset of the vector takedown list for
+    * [[annIndexReinstate]] — the even half, mirroring the corpus
+    * lifecycle's wrongful-takedown reversal cohort. */
+  private def isVecCleared = isVecRetracted && pmod(col("vec_id"), lit(2L)) === 0L
+
+  /** `ann_index_reinstate` — the UNDO leg of the vector-index
+    * lifecycle, the `corpus_reinstate_run` twin: cleared vectors
+    * return to the live index at their ORIGINAL cell assignments,
+    * possible precisely because the retraction was copy-on-write (the
+    * immutable cell-partitioned base still holds their rows). One
+    * partition-pruned rewrite of only the cleared vectors' cells from
+    * the base, keeping the still-retracted vectors out — never a
+    * retrain, never a reassignment. Gates: per-query single-cell
+    * probe recall against the exact cosine top-10 over the
+    * POST-REINSTATE live set (retracted minus cleared excluded —
+    * both sides), plus audit columns the oracle recomputes:
+    * n_after/n_cleared are vec_id arithmetic, reinstate_ok folds
+    * per-cell reconciliation (after = before − retracted + cleared)
+    * with zero still-retracted leftovers in the rewritten cells. */
+  def annIndexReinstate(spark: SparkSession, sfDir: String): DataFrame = {
+    val assignDir = retractBaseAssign(spark, sfDir)
+    val overDir = assignDir.stripSuffix("/assign.parquet") +
+      "/reinstate_overlay.parquet"
+    if (!new java.io.File(overDir).exists()) {
+      val touched = spark.read.parquet(assignDir).filter(isVecCleared)
+        .select(col("cell")).distinct().collect().map(_.getInt(0))
+      spark.read.parquet(assignDir)
+        .filter(col("cell").isin(touched.map(Int.box): _*))
+        .filter(!isVecRetracted || isVecCleared)
+        .write.partitionBy("cell").mode("overwrite").parquet(overDir)
+    }
+    val base = spark.read.parquet(assignDir)
+    val over =
+      if (!Text.anyParquetPart(new java.io.File(overDir))) base.limit(0)
+      else spark.read.parquet(overDir).select(col("vec_id"), col("cell"))
+    val touchedCells = base.filter(isVecCleared)
+      .select(col("cell")).distinct()
+    val live = base.join(touchedCells, Seq("cell"), "left_anti")
+      .filter(!isVecRetracted)
+      .unionByName(over.select(base.columns.map(col): _*))
+    val audit = base
+      .groupBy(col("cell")).agg(
+        count(lit(1)).as("n_before"),
+        sum(when(isVecRetracted, 1L).otherwise(0L)).as("n_ret"),
+        sum(when(isVecCleared, 1L).otherwise(0L)).as("n_clr"))
+      .join(live.groupBy(col("cell")).agg(
+          count(lit(1)).as("n_live"),
+          sum(when(isVecRetracted && !isVecCleared, 1L).otherwise(0L))
+            .as("still")),
+        Seq("cell"), "left")
+      .agg(
+        sum(coalesce(col("n_live"), lit(0L))).as("n_after"),
+        sum(col("n_clr")).as("n_cleared"),
+        min(coalesce(col("n_live"), lit(0L)) ===
+          col("n_before") - col("n_ret") + col("n_clr") &&
+          coalesce(col("still"), lit(0L)) === 0L).as("reinstate_ok"))
+    indexProbeGatesOver(spark, sfDir, live, audit,
+      corpusFilter = !isVecRetracted || isVecCleared)
+  }
+  /** Oracle: counts are vec_id arithmetic; the gates assert at their
+    * contract values. */
+  val annIndexReinstateSql: String =
+    s"""SELECT e.vec_id AS qid, CAST(5 AS BIGINT) AS hits_capped,
+       true AS recall_ok,
+       (SELECT count(1) FROM embeddings
+        WHERE vec_id % 89 <> 3 OR vec_id % 2 = 0) AS n_after,
+       (SELECT count(1) FROM embeddings
+        WHERE vec_id % 89 = 3 AND vec_id % 2 = 0) AS n_cleared,
+       true AS reinstate_ok
+       FROM embeddings e WHERE e.vec_id IN (${QueryIds.mkString(", ")})
+       ORDER BY qid"""
 
   /** `stream_ann_retract` — [[annIndexRetract]] with the retract list
     * ARRIVING AS A STREAM, completing the stream-twin symmetry the
@@ -2033,6 +2114,7 @@ object Vector {
     "ann_index_append" -> annIndexAppend,
     "stream_ann_append" -> streamAnnAppend,
     "ann_index_retract" -> annIndexRetract,
+    "ann_index_reinstate" -> annIndexReinstate,
     "stream_ann_retract" -> streamAnnRetract,
     "ann_index_compact" -> annIndexCompact,
     "ann_index_version_diff" -> annIndexVersionDiff,
@@ -2061,6 +2143,7 @@ object Vector {
     // same gates tail, therefore the SAME oracle as the batch append
     "stream_ann_append" -> annIndexAppendSql,
     "ann_index_retract" -> annIndexRetractSql,
+    "ann_index_reinstate" -> annIndexReinstateSql,
     "stream_ann_retract" -> annIndexRetractSql,
     "ann_index_compact" -> annIndexCompactSql,
     "ann_index_version_diff" -> annIndexVersionDiffSql,

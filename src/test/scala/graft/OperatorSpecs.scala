@@ -1273,6 +1273,36 @@ class VectorSpec extends SparkSuite {
     }
   }
 
+  test("ann_index_reinstate: cleared vectors return at their original cells") {
+    val rows = Vector.annIndexReinstate(spark, sf).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("recall_ok"), s"recall floor: $r")
+      assert(r.getAs[Boolean]("reinstate_ok"), s"reconciliation: $r")
+    }
+    val emb = Tables.embeddings(spark, sf)
+    val nCleared = emb.filter(pmod(col("vec_id"), lit(89)) === 3 &&
+      pmod(col("vec_id"), lit(2)) === 0).count()
+    assert(nCleared > 0, "guard: the cleared cohort must be nonempty")
+    assert(rows.head.getAs[Long]("n_cleared") == nCleared)
+    assert(rows.head.getAs[Long]("n_after") ==
+      emb.count() - emb.filter(pmod(col("vec_id"), lit(89)) === 3).count()
+        + nCleared)
+    // the overlay restores cleared vectors at EXACTLY their base cells
+    val dir = graft.Util.sessionTmpDir(spark, "graft_ann_index") + "/" +
+      java.lang.Integer.toHexString(Vector.dataKey(sf).hashCode) + "_retract"
+    val base = spark.read.parquet(s"$dir/assign.parquet")
+      .filter(pmod(col("vec_id"), lit(89)) === 3 &&
+        pmod(col("vec_id"), lit(2)) === 0)
+      .select(col("vec_id"), col("cell").cast("int"))
+    val over = spark.read.parquet(s"$dir/reinstate_overlay.parquet")
+      .filter(pmod(col("vec_id"), lit(89)) === 3)
+      .select(col("vec_id"), col("cell").cast("int"))
+    assert(over.exceptAll(base).count() == 0 &&
+      base.exceptAll(over).count() == 0,
+      "cleared vectors restored at exactly their base cells, no others")
+  }
+
   test("ann_read_asof: v1 is the manifest's file set, stable in v2, no rescore") {
     val rows = Vector.annReadAsof(spark, sf).collect()
     val emb = Tables.embeddings(spark, sf)
