@@ -409,6 +409,26 @@ object Multimodal {
     * streaming ingest's frozen base index — reads this one artifact;
     * the decode stage must never re-run per consumer (at scale that
     * is re-decoding the corpus). */
+  /** 4×16-bit band explode of a hex phash column → (band_idx, band) —
+    * ONE definition for every banded consumer (near-dup, pair dedup,
+    * the ingest gates, the pair index): the band layout changes in
+    * one place or nowhere (review r15 #4). */
+  private def phashBandCols(ph: org.apache.spark.sql.Column) =
+    posexplode(array((0 until 4).map(i =>
+      substring(ph, i * 4 + 1, 4)): _*))
+
+  /** Exact Hamming distance between two hex phash columns (band-wise
+    * conv/XOR/bit_count) — the one verify expression those same
+    * consumers share. */
+  private def phashHammingCol(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column) =
+    (0 until 4).map { i =>
+      bit_count(
+        conv(substring(a, i * 4 + 1, 4), 16, 10).cast("int")
+          .bitwiseXOR(conv(substring(b, i * 4 + 1, 4), 16, 10)
+            .cast("int")))
+    }.reduce(_ + _)
+
   private def phashIndex(spark: SparkSession): DataFrame =
     Flow.sharedScanOf(spark, s"mm_phash:${MultimodalFixtures.Dir}",
       graft.Util.fileFingerprint(MultimodalFixtures.Dir))(
@@ -417,8 +437,7 @@ object Multimodal {
   def mmPhashNear(spark: SparkSession, sfDir: String): DataFrame = {
     val ph = phashIndex(spark)
     val bands = ph.select(col("file"), col("phash"),
-      posexplode(array((0 until 4).map(i =>
-        substring(col("phash"), i * 4 + 1, 4)): _*))
+      phashBandCols(col("phash"))
         .as(Seq("band_idx", "band")))
     val cand = bands.alias("a")
       .join(bands.alias("b"),
@@ -428,12 +447,7 @@ object Multimodal {
       .select(col("a.file").as("fa"), col("b.file").as("fb"),
         col("a.phash").as("pa"), col("b.phash").as("pb"))
       .distinct()
-    val hamming = (0 until 4).map { i =>
-      bit_count(
-        conv(substring(col("pa"), i * 4 + 1, 4), 16, 10).cast("int")
-          .bitwiseXOR(
-            conv(substring(col("pb"), i * 4 + 1, 4), 16, 10).cast("int")))
-    }.reduce(_ + _)
+    val hamming = phashHammingCol(col("pa"), col("pb"))
     cand
       .withColumn("hamming", hamming.cast("int"))
       .filter(col("hamming") <= 3)
@@ -499,8 +513,7 @@ object Multimodal {
     val paired = ph.join(captions(spark), "file")
       .select(col("file"), col("phash"), captionFp(col("caption")).as("fp"))
     val bands = paired.select(col("file"), col("phash"), col("fp"),
-      posexplode(array((0 until 4).map(i =>
-        substring(col("phash"), i * 4 + 1, 4)): _*))
+      phashBandCols(col("phash"))
         .as(Seq("band_idx", "band")))
     val cand = bands.alias("a")
       .join(bands.alias("b"),
@@ -511,12 +524,7 @@ object Multimodal {
       .select(col("a.file").as("fa"), col("b.file").as("fb"),
         col("a.phash").as("pa"), col("b.phash").as("pb"))
       .distinct()
-    val hamming = (0 until 4).map { i =>
-      bit_count(
-        conv(substring(col("pa"), i * 4 + 1, 4), 16, 10).cast("int")
-          .bitwiseXOR(
-            conv(substring(col("pb"), i * 4 + 1, 4), 16, 10).cast("int")))
-    }.reduce(_ + _)
+    val hamming = phashHammingCol(col("pa"), col("pb"))
     cand
       .withColumn("hamming", hamming.cast("int"))
       .filter(col("hamming") <= 3)
@@ -1033,8 +1041,7 @@ object Multimodal {
     val dir = MultimodalFixtures.ensure()
     val baseBands = phashIndex(spark).filter(isMmBase)
       .select(col("file").as("base_file"), col("phash").as("base_phash"),
-        posexplode(array((0 until 4).map(i =>
-          substring(col("phash"), i * 4 + 1, 4)): _*))
+        phashBandCols(col("phash"))
           .as(Seq("band_idx", "band")))
     val arrivals = spark.readStream.schema(binFileSchema)
       .format("binaryFile").load(dir)
@@ -1044,17 +1051,10 @@ object Multimodal {
       .as[ImgBin]
       .mapPartitions(it => decodePartition(it).map(m => (m.file, m.phash)))
       .toDF("file", "phash")
-    val hamming = (0 until 4).map { i =>
-      bit_count(
-        conv(substring(col("phash"), i * 4 + 1, 4), 16, 10).cast("int")
-          .bitwiseXOR(
-            conv(substring(col("base_phash"), i * 4 + 1, 4), 16, 10)
-              .cast("int")))
-    }.reduce(_ + _)
+    val hamming = phashHammingCol(col("phash"), col("base_phash"))
     val scoredRows = arrivals
       .select(col("file"), col("phash"),
-        posexplode(array((0 until 4).map(i =>
-          substring(col("phash"), i * 4 + 1, 4)): _*))
+        phashBandCols(col("phash"))
           .as(Seq("band_idx", "band")))
       .join(baseBands, Seq("band_idx", "band"), "left_outer")
       .select(col("file"),
@@ -1479,8 +1479,7 @@ object Multimodal {
           col("phash").as("base_phash"),
           captionFp(col("caption")).as("fp"))
         .select(col("base_file"), col("base_phash"), col("fp"),
-          posexplode(array((0 until 4).map(i =>
-            substring(col("base_phash"), i * 4 + 1, 4)): _*))
+          phashBandCols(col("base_phash"))
             .as(Seq("band_idx", "band")))
     }
 
@@ -1527,17 +1526,10 @@ object Multimodal {
       .toDF("file", "phash")
       .join(captions(spark), "file")
       .select(col("file"), col("phash"), captionFp(col("caption")).as("fp"))
-    val hamming = (0 until 4).map { i =>
-      bit_count(
-        conv(substring(col("phash"), i * 4 + 1, 4), 16, 10).cast("int")
-          .bitwiseXOR(
-            conv(substring(col("base_phash"), i * 4 + 1, 4), 16, 10)
-              .cast("int")))
-    }.reduce(_ + _)
+    val hamming = phashHammingCol(col("phash"), col("base_phash"))
     val scoredRows = arrivals
       .select(col("file"), col("phash"), col("fp"),
-        posexplode(array((0 until 4).map(i =>
-          substring(col("phash"), i * 4 + 1, 4)): _*))
+        phashBandCols(col("phash"))
           .as(Seq("band_idx", "band")))
       .join(idx, Seq("fp", "band_idx", "band"), "left_outer")
       .select(col("file"),

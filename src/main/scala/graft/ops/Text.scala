@@ -1012,8 +1012,14 @@ object Text {
     val W = org.apache.spark.sql.expressions.Window
     val cum = W.partitionBy(col("query_id")).orderBy(col("rk"))
       .rowsBetween(W.unboundedPreceding, -1)
+    // LEFT join + coalesce-to-0, not an inner join: the dense leg can
+    // in principle surface a vec_id with no documents row, and an
+    // inner join would silently drop that rank mid-sequence — the
+    // packed ranks must stay a PREFIX of the fusion order (review r15
+    // #2); an unresolvable doc packs zero tokens at its offset
     ragFusionRrf(spark, sfDir)
-      .join(docLen, Seq("doc_id"))
+      .join(docLen, Seq("doc_id"), "left")
+      .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
       .withColumn("offset",
         coalesce(sum(col("n_tokens")).over(cum), lit(0L)))
       .filter(col("offset") < budget)
@@ -1031,12 +1037,13 @@ object Text {
          FROM documents),
        packed AS (
          SELECT f.query_id AS query_id, f.rk AS rk, f.doc_id AS doc_id,
-           d.n_tokens AS n_tokens,
-           CAST(coalesce(sum(d.n_tokens) OVER (PARTITION BY f.query_id
+           coalesce(d.n_tokens, 0) AS n_tokens,
+           CAST(coalesce(sum(coalesce(d.n_tokens, 0))
+             OVER (PARTITION BY f.query_id
              ORDER BY f.rk
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
              AS BIGINT) AS "offset"
-         FROM fusedrank f JOIN dl2 d ON d.doc_id = f.doc_id
+         FROM fusedrank f LEFT JOIN dl2 d ON d.doc_id = f.doc_id
          WHERE f.rk <= 10)
        SELECT query_id, rk, doc_id, "offset",
          CAST(least(n_tokens, 512 - "offset") AS BIGINT) AS n_packed,
@@ -3742,6 +3749,10 @@ object Text {
     * only the cleared docs' cells from the base (keeping the
     * still-retracted docs out) — never a rebuild, never a re-pack,
     * and the restored docs provably sit where they always did.
+    * [[retractAudit]]'s part-less-overlay guard is unreachable here:
+    * every touched cell holds ≥ 1 cleared doc, which survives into
+    * the overlay — that structural difference (plus the extra cleared
+    * columns) is why this leg carries its own audit assembly.
     *
     * Audit per bin: before/retracted/cleared counts, the measured
     * after (overlay read-back on reinstate-touched cells, the retract

@@ -833,7 +833,7 @@ object Vector {
   def annIndexRetract(spark: SparkSession, sfDir: String): DataFrame = {
     val assignDir = retractBaseAssign(spark, sfDir)
     val overDir = assignDir.stripSuffix("/assign.parquet") + "/overlay.parquet"
-    if (!new java.io.File(overDir).exists()) {
+    if (!new java.io.File(s"$overDir/_SUCCESS").exists()) {
       // the scrub: touched cells from the assignment METADATA (bounded
       // by k), then a partition-pruned CoW rewrite of only those cells
       val touched = spark.read.parquet(assignDir).filter(isVecRetracted)
@@ -864,12 +864,24 @@ object Vector {
     * both sides), plus audit columns the oracle recomputes:
     * n_after/n_cleared are vec_id arithmetic, reinstate_ok folds
     * per-cell reconciliation (after = before − retracted + cleared)
-    * with zero still-retracted leftovers in the rewritten cells. */
+    * with zero still-retracted leftovers in the rewritten cells.
+    *
+    * Unlike the retract twins, the part-less-overlay and
+    * fully-retracted-cell edges ([[retractIndexGates]]' r13/r14
+    * guards) are UNREACHABLE here by construction: every touched cell
+    * contains ≥ 1 cleared vector, which survives into the overlay —
+    * so the overlay always has parts and every touched cell always
+    * writes its partition. That structural difference is why this leg
+    * assembles its own live/audit tail instead of parameterizing the
+    * retract one. */
   def annIndexReinstate(spark: SparkSession, sfDir: String): DataFrame = {
     val assignDir = retractBaseAssign(spark, sfDir)
     val overDir = assignDir.stripSuffix("/assign.parquet") +
       "/reinstate_overlay.parquet"
-    if (!new java.io.File(overDir).exists()) {
+    // commit-marker gating, not bare dir existence: an interrupted
+    // overlay write must re-run, never be read as complete (review
+    // r15 #2; the corpus twin's _SUCCESS rule)
+    if (!new java.io.File(s"$overDir/_SUCCESS").exists()) {
       val touched = spark.read.parquet(assignDir).filter(isVecCleared)
         .select(col("cell")).distinct().collect().map(_.getInt(0))
       spark.read.parquet(assignDir)
