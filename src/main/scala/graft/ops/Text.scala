@@ -3762,9 +3762,10 @@ object Text {
     * still-retracted leftovers in the rewritten cells. Scale: the
     * same CoW posture as the retraction — rewrite and audit bytes
     * track the CLEARED list's cell footprint, never the corpus. */
-  def corpusReinstateRun(spark: SparkSession, sfDir: String): DataFrame = {
-    graft.functions.BpeVocab.ensureFixture()
-    val plan = retractManifestOf(spark, sfDir)
+  /** Per-bin plan aggregate for the reinstate twins — the retract
+    * plan extended with the cleared columns. */
+  private def reinstatePlanOf(spark: SparkSession, sfDir: String): DataFrame =
+    retractManifestOf(spark, sfDir)
       .withColumn("cleared", col("retracted") && col("doc_id") % 2 === 0)
       .groupBy(col("split"), col("shard"), col("bin")).agg(
         count(lit(1)).as("n_before"),
@@ -3775,7 +3776,12 @@ object Text {
         sum(when(col("cleared"), 1L).otherwise(0L)).as("n_cleared"),
         sum(when(col("cleared"), col("n_tokens")).otherwise(0L))
           .as("tok_cleared"))
-    val touched = touchedCellsOf(plan, "n_cleared")
+
+  /** The audit tail both reinstate twins share (the [[retractAudit]]
+    * convention): read the overlay's touched cells back, reconcile
+    * per bin, emit the verdicts. */
+  private def reinstateAudit(spark: SparkSession, plan: DataFrame,
+      touched: Seq[(String, Long)], over: String): DataFrame = {
     val withAfter =
       if (touched.isEmpty) {
         plan
@@ -3784,19 +3790,7 @@ object Text {
           .withColumn("cleared_rb", lit(0L))
           .withColumn("still_rb", lit(0L))
       } else {
-        val baseOut = corpusRunLayout(spark, sfDir)
-        val root = graft.Util.sessionTmpDir(spark, "graft_corpus_reinstate")
-        val tag = graft.Util.fileFingerprint(s"$sfDir/documents.parquet")
-        val o = s"$root/$tag"
-        if (!new java.io.File(s"$o/_SUCCESS").exists()) {
-          graft.Util.vacuumSiblings(root, tag)
-          spark.read.parquet(baseOut)
-            .filter(cellPred(touched)) // partition-pruned: touched only
-            .filter(!isRetracted || isCleared)
-            .write.partitionBy("split", "shard").mode("overwrite")
-            .parquet(o)
-        }
-        val rb = spark.read.parquet(o)
+        val rb = spark.read.parquet(over)
           .select(col("split").cast("string").as("split"),
             col("shard").cast("long").as("shard"), col("bin"),
             col("n_tokens"), col("doc_id"))
@@ -3833,6 +3827,59 @@ object Text {
           col("still_rb") === 0L).as("reinstate_ok"))
       .orderBy(col("split"), col("shard"), col("bin"))
   }
+
+  def corpusReinstateRun(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.BpeVocab.ensureFixture()
+    val plan = reinstatePlanOf(spark, sfDir)
+    val touched = touchedCellsOf(plan, "n_cleared")
+    val over =
+      if (touched.isEmpty) "" else {
+        val baseOut = corpusRunLayout(spark, sfDir)
+        val root = graft.Util.sessionTmpDir(spark, "graft_corpus_reinstate")
+        val tag = graft.Util.fileFingerprint(s"$sfDir/documents.parquet")
+        val o = s"$root/$tag"
+        if (!new java.io.File(s"$o/_SUCCESS").exists()) {
+          graft.Util.vacuumSiblings(root, tag)
+          spark.read.parquet(baseOut)
+            .filter(cellPred(touched)) // partition-pruned: touched only
+            .filter(!isRetracted || isCleared)
+            .write.partitionBy("split", "shard").mode("overwrite")
+            .parquet(o)
+        }
+        o
+      }
+    reinstateAudit(spark, plan, touched, over)
+  }
+
+  /** `stream_reinstate` — [[corpusReinstateRun]] with the CLEARED
+    * list ARRIVING AS A STREAM: reinstatement requests (appeal
+    * rulings, withdrawn opt-outs) trickle in exactly like the
+    * takedowns they reverse, so the UNDO leg needs its stream twin
+    * too. The shared [[graft.streaming.StreamCow]] protocol runs in
+    * its REINSTATE mode (`staticRetract = Some(isRetracted)` — the
+    * takedown list is the static predicate, the durable log holds
+    * the arriving cleared keys, and touched cells rewrite as
+    * survivors ∪ cleared-so-far: still a pure function of the
+    * flushed log, idempotent and slicing-independent). The flushed
+    * overlay flows through the SAME [[reinstateAudit]] as the batch
+    * twin, sharing [[corpusReinstateRunSql]] verbatim; StreamingSpec
+    * pins stream == batch row-for-row over the 3-slice feed. */
+  def streamReinstate(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.BpeVocab.ensureFixture()
+    val root = graft.Util.sessionTmpDir(spark, "graft_stream_reinstate")
+    val tag = graft.Util.fileFingerprint(s"$sfDir/documents.parquet")
+    val spec = graft.streaming.StreamCow.Spec("doc_id",
+      Seq("split", "shard"), corpusRunLayout(spark, sfDir), s"$root/$tag",
+      staticRetract = Some(isRetracted))
+    graft.streaming.StreamCow.stageFeed(spec,
+      Tables.documents(spark, sfDir).filter(isCleared).select(col("doc_id")))
+    val over = graft.streaming.StreamCow.run(spark, spec,
+      retractManifestOf(spark, sfDir)
+        .select(col("doc_id"), col("split"), col("shard")))
+    val plan = reinstatePlanOf(spark, sfDir)
+    reinstateAudit(spark, plan, touchedCellsOf(plan, "n_cleared"), over)
+  }
+
   /** Oracle: the shared `man` CTE with both predicates; the
     * reconciliation bit is constant-true — a lost, duplicated, or
     * mis-located reinstated doc breaks the hash. */
@@ -4943,6 +4990,7 @@ object Text {
     "corpus_card_diff" -> corpusCardDiff,
     "corpus_retract_run" -> corpusRetractRun,
     "corpus_reinstate_run" -> corpusReinstateRun,
+    "stream_reinstate" -> streamReinstate,
     "stream_retract" -> streamRetract,
     "corpus_compact_run" -> corpusCompactRun,
     "corpus_read_asof" -> corpusReadAsof,
@@ -5010,6 +5058,7 @@ object Text {
     "corpus_card_diff" -> corpusCardDiffSql,
     "corpus_retract_run" -> corpusRetractRunSql,
     "corpus_reinstate_run" -> corpusReinstateRunSql,
+    "stream_reinstate" -> corpusReinstateRunSql,
     "stream_retract" -> corpusRetractRunSql,
     "corpus_compact_run" -> corpusCompactRunSql,
     "corpus_read_asof" -> corpusReadAsofSql,

@@ -889,6 +889,17 @@ object Vector {
         .filter(!isVecRetracted || isVecCleared)
         .write.partitionBy("cell").mode("overwrite").parquet(overDir)
     }
+    reinstateIndexGates(spark, sfDir, assignDir, overDir)
+  }
+
+  /** The gate tail both reinstate twins share (the
+    * [[retractIndexGates]] convention): live = (untouched base cells
+    * minus retracted) ∪ overlay, audited per cell
+    * (after = before − retracted + cleared, zero still-retracted
+    * leftovers) and probed against the exact post-reinstate survivor
+    * top-10. */
+  private[graft] def reinstateIndexGates(spark: SparkSession, sfDir: String,
+      assignDir: String, overDir: String): DataFrame = {
     val base = spark.read.parquet(assignDir)
     val over =
       if (!Text.anyParquetPart(new java.io.File(overDir))) base.limit(0)
@@ -916,6 +927,29 @@ object Vector {
           coalesce(col("still"), lit(0L)) === 0L).as("reinstate_ok"))
     indexProbeGatesOver(spark, sfDir, live, audit,
       corpusFilter = !isVecRetracted || isVecCleared)
+  }
+
+  /** `stream_ann_reinstate` — [[annIndexReinstate]] with the cleared
+    * list ARRIVING AS A STREAM, completing the stream-twin symmetry
+    * for the UNDO legs: the shared [[graft.streaming.StreamCow]]
+    * protocol in its REINSTATE mode (static takedown predicate,
+    * cleared keys in the durable log, touched cells rewritten as
+    * survivors ∪ cleared-so-far). The flushed overlay flows through
+    * the SAME [[reinstateIndexGates]] as the batch twin, sharing
+    * [[annIndexReinstateSql]] verbatim; StreamingSpec pins stream ==
+    * batch row-for-row over the 3-slice feed. */
+  def streamAnnReinstate(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = graft.Util.sessionTmpDir(spark, "graft_ann_sreinstate")
+    val tag = java.lang.Integer.toHexString(dataKey(sfDir).hashCode)
+    val spec = graft.streaming.StreamCow.Spec("vec_id", Seq("cell"),
+      retractBaseAssign(spark, sfDir), s"$root/$tag",
+      staticRetract = Some(isVecRetracted))
+    graft.streaming.StreamCow.stageFeed(spec,
+      Tables.embeddings(spark, sfDir).filter(isVecCleared)
+        .select(col("vec_id")))
+    val over = graft.streaming.StreamCow.run(spark, spec,
+      spark.read.parquet(spec.baseDir).select(col("vec_id"), col("cell")))
+    reinstateIndexGates(spark, sfDir, spec.baseDir, over)
   }
   /** Oracle: counts are vec_id arithmetic; the gates assert at their
     * contract values. */
@@ -2127,6 +2161,7 @@ object Vector {
     "stream_ann_append" -> streamAnnAppend,
     "ann_index_retract" -> annIndexRetract,
     "ann_index_reinstate" -> annIndexReinstate,
+    "stream_ann_reinstate" -> streamAnnReinstate,
     "stream_ann_retract" -> streamAnnRetract,
     "ann_index_compact" -> annIndexCompact,
     "ann_index_version_diff" -> annIndexVersionDiff,
@@ -2156,6 +2191,7 @@ object Vector {
     "stream_ann_append" -> annIndexAppendSql,
     "ann_index_retract" -> annIndexRetractSql,
     "ann_index_reinstate" -> annIndexReinstateSql,
+    "stream_ann_reinstate" -> annIndexReinstateSql,
     "stream_ann_retract" -> annIndexRetractSql,
     "ann_index_compact" -> annIndexCompactSql,
     "ann_index_version_diff" -> annIndexVersionDiffSql,

@@ -53,8 +53,22 @@ object StreamCow {
     * under `root`, which callers derive per (session, dataset
     * fingerprint) so in-place dataset regeneration rebuilds rather
     * than serving stale state. */
+  /** `staticRetract = None` (the takedown mode): the LOG is the
+    * takedown list and touched cells rewrite as base ∖ cumulative-log.
+    * `staticRetract = Some(pred)` (the REINSTATE mode, r15): the
+    * takedown list is the static predicate over base rows and the log
+    * is the CLEARED list arriving as a stream — touched cells rewrite
+    * as (base where ¬pred) ∪ (base where pred ∧ key ∈ cumulative-log),
+    * i.e. survivors plus cleared-so-far. Both modes are pure
+    * functions of the flushed log (idempotent, slicing-independent).
+    * [[compact]] supports only the takedown mode: under reinstate
+    * semantics the UNTOUCHED cells' live view is base-minus-pred, so
+    * v1 base files cannot be hard-linked verbatim — folding a
+    * reinstate root belongs to the next retract compaction
+    * (v_next = base where ¬pred ∨ cleared). */
   final case class Spec(keyCol: String, partCols: Seq[String],
-      baseDir: String, root: String) {
+      baseDir: String, root: String,
+      staticRetract: Option[Column] = None) {
     def feedDir: String = s"$root/feed"
     def overlayDir: String = s"$root/overlay"
     def logDir: String = s"$root/log"
@@ -126,10 +140,20 @@ object StreamCow {
           .select(spec.partCols.map(col): _*).distinct().collect().toSeq
         if (cells.nonEmpty) {
           val pred = cellsPred(spec.partCols, cells)
+          val touchedBase = ss.read.parquet(spec.baseDir).filter(pred)
+          val rewrite = spec.staticRetract match {
+            case None =>
+              // takedown mode: base ∖ cumulative log
+              touchedBase.join(cum, Seq(spec.keyCol), "left_anti")
+            case Some(sr) =>
+              // reinstate mode: survivors ∪ cleared-so-far
+              touchedBase.filter(!sr).unionByName(
+                touchedBase.filter(sr)
+                  .join(cum, Seq(spec.keyCol), "left_semi"))
+          }
           graft.Util.withConf(ss,
             "spark.sql.sources.partitionOverwriteMode", "dynamic") {
-            ss.read.parquet(spec.baseDir).filter(pred)
-              .join(cum, Seq(spec.keyCol), "left_anti")
+            rewrite
               .write.partitionBy(spec.partCols: _*).mode("overwrite")
               .parquet(over)
           }
@@ -139,8 +163,19 @@ object StreamCow {
           // NOT the overlay's observed dirs: a cell whose vectors are
           // ALL retracted has no overlay partition to observe (the
           // r14 fully-retracted-cell finding, now fixed in ONE place).
-          val live = locator.filter(pred)
-            .join(cum, Seq(spec.keyCol), "left_anti")
+          // In reinstate mode every touched cell retains at least its
+          // arriving cleared key, so this cleanup no-ops by
+          // construction — kept unconditional so the invariant is
+          // enforced, not assumed.
+          val liveRows = spec.staticRetract match {
+            case None =>
+              locator.filter(pred).join(cum, Seq(spec.keyCol), "left_anti")
+            case Some(sr) =>
+              locator.filter(pred).filter(!sr).unionByName(
+                locator.filter(pred).filter(sr)
+                  .join(cum, Seq(spec.keyCol), "left_semi"))
+          }
+          val live = liveRows
             .select(spec.partCols.map(col): _*).distinct()
             .collect().map(cellKey).toSet
           cells.filterNot(r => live(cellKey(r))).foreach { r =>
@@ -205,6 +240,11 @@ object StreamCow {
     * only, bounded by the cell grid. Returns the v2 dir; idempotent
     * per root (the _SUCCESS probe). */
   def compact(spark: SparkSession, spec: Spec, locator: DataFrame): String = {
+    require(spec.staticRetract.isEmpty,
+      "compact supports the takedown mode only: under reinstate " +
+        "semantics untouched base cells still hold retracted rows, so " +
+        "v1 files cannot be linked verbatim (fold into the next " +
+        "retract compaction instead)")
     val v2 = new java.io.File(spec.compactDir)
     if (new java.io.File(v2, "_SUCCESS").exists()) return spec.compactDir
     // a retract list hitting zero manifest cells (e.g. a zero-survivor

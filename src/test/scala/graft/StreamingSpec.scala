@@ -349,6 +349,30 @@ class StreamingSpec extends SparkSuite {
     assert(none == Seq(("g", -1, "")), "no candidate within 3 -> novel")
   }
 
+  test("stream reinstate twins equal their batch twins; multi-batch; rerun no-op") {
+    // corpus side
+    def cShape(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.toSeq).toSeq
+    val cGot = cShape(ops.Text.streamReinstate(spark, sf))
+    val cWant = cShape(ops.Text.corpusReinstateRun(spark, sf))
+    assert(cGot == cWant, "stream corpus reinstate must equal the batch twin")
+    // index side
+    val iGot = cShape(graft.ops.Vector.streamAnnReinstate(spark, sf))
+    val iWant = cShape(graft.ops.Vector.annIndexReinstate(spark, sf))
+    assert(iGot == iWant, "stream index reinstate must equal the batch twin")
+    // the cleared feed really staged as 3 slices -> multi-batch CoW
+    val tag = graft.Util.fileFingerprint(s"$sf/documents.parquet")
+    val logDir = new java.io.File(
+      s"${graft.Util.sessionTmpDir(spark, "graft_stream_reinstate")}/$tag/log")
+    val batches = Option(logDir.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+    assert(batches.length > 1,
+      s"expected multiple micro-batches, saw ${batches.map(_.getName)}")
+    // re-trigger with no new arrivals is a no-op on both sides
+    assert(cShape(ops.Text.streamReinstate(spark, sf)) == cGot)
+    assert(cShape(graft.ops.Vector.streamAnnReinstate(spark, sf)) == iGot)
+  }
+
   test("stream_dedup_retract: index forgets takedowns, equals batch minus retracted") {
     def shape(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
