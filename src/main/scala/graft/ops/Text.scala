@@ -3739,29 +3739,6 @@ object Text {
     * retracted set; nonempty at every testdata scale). */
   private[ops] val isCleared: Column = isRetracted && col("doc_id") % 2 === 0
 
-  /** `corpus_reinstate_run` — the UNDO leg of the takedown lifecycle
-    * (retract → compact → REINSTATE): a cleared subset of the
-    * takedown list (a wrongful DMCA, a withdrawn opt-out) is restored
-    * into the live corpus at its ORIGINAL frozen (split, shard, bin)
-    * coordinates. Possible precisely BECAUSE the retraction was
-    * copy-on-write: the immutable base layout still holds the cleared
-    * docs' rows, so reinstatement is one partition-pruned rewrite of
-    * only the cleared docs' cells from the base (keeping the
-    * still-retracted docs out) — never a rebuild, never a re-pack,
-    * and the restored docs provably sit where they always did.
-    * [[retractAudit]]'s part-less-overlay guard is unreachable here:
-    * every touched cell holds ≥ 1 cleared doc, which survives into
-    * the overlay — that structural difference (plus the extra cleared
-    * columns) is why this leg carries its own audit assembly.
-    *
-    * Audit per bin: before/retracted/cleared counts, the measured
-    * after (overlay read-back on reinstate-touched cells, the retract
-    * view elsewhere), and `reinstate_ok` folding three checks — count
-    * reconciliation (after = before − retracted + cleared), every
-    * cleared doc present at its original coordinates, and zero
-    * still-retracted leftovers in the rewritten cells. Scale: the
-    * same CoW posture as the retraction — rewrite and audit bytes
-    * track the CLEARED list's cell footprint, never the corpus. */
   /** Per-bin plan aggregate for the reinstate twins — the retract
     * plan extended with the cleared columns. */
   private def reinstatePlanOf(spark: SparkSession, sfDir: String): DataFrame =
@@ -3828,6 +3805,29 @@ object Text {
       .orderBy(col("split"), col("shard"), col("bin"))
   }
 
+  /** `corpus_reinstate_run` — the UNDO leg of the takedown lifecycle
+    * (retract → compact → REINSTATE): a cleared subset of the
+    * takedown list (a wrongful DMCA, a withdrawn opt-out) is restored
+    * into the live corpus at its ORIGINAL frozen (split, shard, bin)
+    * coordinates. Possible precisely BECAUSE the retraction was
+    * copy-on-write: the immutable base layout still holds the cleared
+    * docs' rows, so reinstatement is one partition-pruned rewrite of
+    * only the cleared docs' cells from the base (keeping the
+    * still-retracted docs out) — never a rebuild, never a re-pack,
+    * and the restored docs provably sit where they always did.
+    * [[retractAudit]]'s part-less-overlay guard is unreachable here:
+    * every touched cell holds ≥ 1 cleared doc, which survives into
+    * the overlay — that structural difference (plus the extra cleared
+    * columns) is why this leg carries its own audit assembly.
+    *
+    * Audit per bin: before/retracted/cleared counts, the measured
+    * after (overlay read-back on reinstate-touched cells, the retract
+    * view elsewhere), and `reinstate_ok` folding three checks — count
+    * reconciliation (after = before − retracted + cleared), every
+    * cleared doc present at its original coordinates, and zero
+    * still-retracted leftovers in the rewritten cells. Scale: the
+    * same CoW posture as the retraction — rewrite and audit bytes
+    * track the CLEARED list's cell footprint, never the corpus. */
   def corpusReinstateRun(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.BpeVocab.ensureFixture()
     val plan = reinstatePlanOf(spark, sfDir)
@@ -3866,10 +3866,7 @@ object Text {
     * pins stream == batch row-for-row over the 3-slice feed. */
   def streamReinstate(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.BpeVocab.ensureFixture()
-    val root = graft.Util.sessionTmpDir(spark, "graft_stream_reinstate")
-    val tag = graft.Util.fileFingerprint(s"$sfDir/documents.parquet")
-    val spec = graft.streaming.StreamCow.Spec("doc_id",
-      Seq("split", "shard"), corpusRunLayout(spark, sfDir), s"$root/$tag",
+    val spec = streamRetractSpec(spark, sfDir, "graft_stream_reinstate",
       staticRetract = Some(isRetracted))
     graft.streaming.StreamCow.stageFeed(spec,
       Tables.documents(spark, sfDir).filter(isCleared).select(col("doc_id")))
@@ -3947,12 +3944,13 @@ object Text {
     * only in SHAPE — each query stages under its own root so their
     * artifacts can't interfere across bench re-runs. */
   private def streamRetractSpec(spark: SparkSession, sfDir: String,
-      prefix: String = "graft_stream_retract")
+      prefix: String = "graft_stream_retract",
+      staticRetract: Option[Column] = None)
       : graft.streaming.StreamCow.Spec = {
     val root = graft.Util.sessionTmpDir(spark, prefix)
     val tag = graft.Util.fileFingerprint(s"$sfDir/documents.parquet")
     graft.streaming.StreamCow.Spec("doc_id", Seq("split", "shard"),
-      corpusRunLayout(spark, sfDir), s"$root/$tag")
+      corpusRunLayout(spark, sfDir), s"$root/$tag", staticRetract)
   }
 
   /** `corpus_compact_run` — MAJOR COMPACTION of the retract

@@ -939,10 +939,7 @@ object Vector {
     * [[annIndexReinstateSql]] verbatim; StreamingSpec pins stream ==
     * batch row-for-row over the 3-slice feed. */
   def streamAnnReinstate(spark: SparkSession, sfDir: String): DataFrame = {
-    val root = graft.Util.sessionTmpDir(spark, "graft_ann_sreinstate")
-    val tag = java.lang.Integer.toHexString(dataKey(sfDir).hashCode)
-    val spec = graft.streaming.StreamCow.Spec("vec_id", Seq("cell"),
-      retractBaseAssign(spark, sfDir), s"$root/$tag",
+    val spec = streamAnnRetractSpec(spark, sfDir, "graft_ann_sreinstate",
       staticRetract = Some(isVecRetracted))
     graft.streaming.StreamCow.stageFeed(spec,
       Tables.embeddings(spark, sfDir).filter(isVecCleared)
@@ -994,12 +991,13 @@ object Vector {
     * single `cell` partition column, vec_id keys, staging root keyed
     * by the dataset fingerprint. */
   private def streamAnnRetractSpec(spark: SparkSession, sfDir: String,
-      prefix: String = "graft_ann_sretract")
+      prefix: String = "graft_ann_sretract",
+      staticRetract: Option[org.apache.spark.sql.Column] = None)
       : graft.streaming.StreamCow.Spec = {
     val root = graft.Util.sessionTmpDir(spark, prefix)
     val tag = java.lang.Integer.toHexString(dataKey(sfDir).hashCode)
     graft.streaming.StreamCow.Spec("vec_id", Seq("cell"),
-      retractBaseAssign(spark, sfDir), s"$root/$tag")
+      retractBaseAssign(spark, sfDir), s"$root/$tag", staticRetract)
   }
 
   /** `ann_index_compact` — MAJOR COMPACTION of the index-side CoW

@@ -52,8 +52,9 @@ object StreamCow {
     * directory order. All staging paths (feed/log/overlay/ckpt) live
     * under `root`, which callers derive per (session, dataset
     * fingerprint) so in-place dataset regeneration rebuilds rather
-    * than serving stale state. */
-  /** `staticRetract = None` (the takedown mode): the LOG is the
+    * than serving stale state.
+    *
+    * `staticRetract = None` (the takedown mode): the LOG is the
     * takedown list and touched cells rewrite as base ∖ cumulative-log.
     * `staticRetract = Some(pred)` (the REINSTATE mode, r15): the
     * takedown list is the static predicate over base rows and the log
@@ -141,19 +142,27 @@ object StreamCow {
         if (cells.nonEmpty) {
           val pred = cellsPred(spec.partCols, cells)
           val touchedBase = ss.read.parquet(spec.baseDir).filter(pred)
-          val rewrite = spec.staticRetract match {
+          // one pass over the touched cells in either mode (review
+          // r15: the union-of-filters form scanned them twice)
+          def liveOf(rows: org.apache.spark.sql.DataFrame)
+              : org.apache.spark.sql.DataFrame = spec.staticRetract match {
             case None =>
               // takedown mode: base ∖ cumulative log
-              touchedBase.join(cum, Seq(spec.keyCol), "left_anti")
+              rows.join(cum, Seq(spec.keyCol), "left_anti")
             case Some(sr) =>
-              // reinstate mode: survivors ∪ cleared-so-far
-              touchedBase.filter(!sr).unionByName(
-                touchedBase.filter(sr)
-                  .join(cum, Seq(spec.keyCol), "left_semi"))
+              // reinstate mode: survivors ∪ cleared-so-far, as one
+              // left-join membership test (distinct keys: a left join
+              // against a duplicated log key would duplicate base
+              // rows, where the anti/semi forms were dup-safe)
+              rows.join(cum.select(col(spec.keyCol)).distinct()
+                  .withColumn("_hit", lit(true)),
+                  Seq(spec.keyCol), "left")
+                .filter(!sr || col("_hit"))
+                .drop("_hit")
           }
           graft.Util.withConf(ss,
             "spark.sql.sources.partitionOverwriteMode", "dynamic") {
-            rewrite
+            liveOf(touchedBase)
               .write.partitionBy(spec.partCols: _*).mode("overwrite")
               .parquet(over)
           }
@@ -167,15 +176,7 @@ object StreamCow {
           // arriving cleared key, so this cleanup no-ops by
           // construction — kept unconditional so the invariant is
           // enforced, not assumed.
-          val liveRows = spec.staticRetract match {
-            case None =>
-              locator.filter(pred).join(cum, Seq(spec.keyCol), "left_anti")
-            case Some(sr) =>
-              locator.filter(pred).filter(!sr).unionByName(
-                locator.filter(pred).filter(sr)
-                  .join(cum, Seq(spec.keyCol), "left_semi"))
-          }
-          val live = liveRows
+          val live = liveOf(locator.filter(pred))
             .select(spec.partCols.map(col): _*).distinct()
             .collect().map(cellKey).toSet
           cells.filterNot(r => live(cellKey(r))).foreach { r =>

@@ -353,21 +353,38 @@ class StreamingSpec extends SparkSuite {
     // corpus side
     def cShape(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => r.toSeq).toSeq
-    val cGot = cShape(ops.Text.streamReinstate(spark, sf))
+    val cRows = ops.Text.streamReinstate(spark, sf).collect()
+    val cGot = cRows.map(_.toSeq).toSeq
     val cWant = cShape(ops.Text.corpusReinstateRun(spark, sf))
     assert(cGot == cWant, "stream corpus reinstate must equal the batch twin")
+    // the gates themselves must HOLD, not merely match (a regression
+    // in the shared tail would break both twins identically)
+    assert(cRows.nonEmpty && cRows.forall(_.getAs[Boolean]("reinstate_ok")),
+      "corpus reinstate reconciliation gates must hold")
     // index side
-    val iGot = cShape(graft.ops.Vector.streamAnnReinstate(spark, sf))
+    val iRows = graft.ops.Vector.streamAnnReinstate(spark, sf).collect()
+    val iGot = iRows.map(_.toSeq).toSeq
     val iWant = cShape(graft.ops.Vector.annIndexReinstate(spark, sf))
     assert(iGot == iWant, "stream index reinstate must equal the batch twin")
-    // the cleared feed really staged as 3 slices -> multi-batch CoW
-    val tag = graft.Util.fileFingerprint(s"$sf/documents.parquet")
-    val logDir = new java.io.File(
-      s"${graft.Util.sessionTmpDir(spark, "graft_stream_reinstate")}/$tag/log")
-    val batches = Option(logDir.listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
-    assert(batches.length > 1,
-      s"expected multiple micro-batches, saw ${batches.map(_.getName)}")
+    assert(iRows.nonEmpty && iRows.forall(r =>
+      r.getAs[Boolean]("recall_ok") && r.getAs[Boolean]("reinstate_ok")),
+      "index reinstate recall + reconciliation gates must hold")
+    // the cleared feeds really staged as 3 slices -> multi-batch CoW
+    // on BOTH sides
+    def batchesUnder(prefix: String, tag: String) = {
+      val logDir = new java.io.File(
+        s"${graft.Util.sessionTmpDir(spark, prefix)}/$tag/log")
+      Option(logDir.listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+    }
+    val cBatches = batchesUnder("graft_stream_reinstate",
+      graft.Util.fileFingerprint(s"$sf/documents.parquet"))
+    assert(cBatches.length > 1,
+      s"corpus side: expected multiple micro-batches, saw ${cBatches.length}")
+    val iBatches = batchesUnder("graft_ann_sreinstate",
+      java.lang.Integer.toHexString(graft.ops.Vector.dataKey(sf).hashCode))
+    assert(iBatches.length > 1,
+      s"index side: expected multiple micro-batches, saw ${iBatches.length}")
     // re-trigger with no new arrivals is a no-op on both sides
     assert(cShape(ops.Text.streamReinstate(spark, sf)) == cGot)
     assert(cShape(graft.ops.Vector.streamAnnReinstate(spark, sf)) == iGot)
