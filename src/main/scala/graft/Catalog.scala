@@ -18,13 +18,23 @@ object Catalog {
     }
 
   /** Register dot_f32 + the geomean_e2 UDAF for SQL call sites.
-    * Idempotent. */
+    * Idempotent, and registers at most once per session: the
+    * re-replacement was harmless but spammed a
+    * `SimpleFunctionRegistry: The function dot_f32 replaced...`
+    * warning into every bench query's tail. The probe goes through
+    * the registry itself (not a session-keyed set) so a fresh
+    * session — or one whose registry was reset — still registers. */
   def registerFunctions(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_f32",
-      exprs => graft.functions.DotF32(exprs.head, exprs(1)),
-      "scala_udf")
-    spark.udf.register("geomean_e2",
-      org.apache.spark.sql.functions.udaf(graft.functions.GeoMeanE2))
+    val reg = spark.sessionState.functionRegistry
+    val already = reg.functionExists(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("dot_f32"))
+    if (!already) {
+      reg.createOrReplaceTempFunction(
+        "dot_f32",
+        exprs => graft.functions.DotF32(exprs.head, exprs(1)),
+        "scala_udf")
+      spark.udf.register("geomean_e2",
+        org.apache.spark.sql.functions.udaf(graft.functions.GeoMeanE2))
+    }
   }
 }

@@ -1399,7 +1399,10 @@ object Multimodal {
       .format("binaryFile").load(dir)
       .select(regexp_extract(col("path"), "[^/]+$", 0).as("file"),
         col("content"))
-      .filter(col("file").rlike("\\.gif$"))
+      // strict spec-shaped name filter, same as mmVideoDedup's (r15):
+      // a stray file matching a loose \.gif$ would decode into a row
+      // the generator-arithmetic oracle doesn't know
+      .filter(col("file").rlike("^i(vid|scn)[0-9]+[dn]\\.gif$"))
       .as[ImgBin]
       .mapPartitions(videoSigPartition)
       .toDF("file", "n_frames", "sig")

@@ -442,7 +442,22 @@ object Vector {
       .getOrElse(Array.empty[java.io.File])
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))
       .map(f => (f.getName, f.length, f.lastModified)).sortBy(_._1).toSeq
-    if (!new java.io.File(assignDir).exists()) {
+    // Two-phase commit marker: the bare assignDir probe is NOT a safe
+    // build gate — an interrupted build leaves assign.parquet present
+    // but the manifest or delta append unwritten, and the build would
+    // never re-run (the same class of bug the retract/reinstate
+    // overlays fixed via _SUCCESS probes). The marker is written LAST,
+    // after manifest + append + the append-only assertion; a dir
+    // without it is a torn build and is wiped before rebuilding.
+    val commitMarker = new java.io.File(s"$dir/_SUCCESS")
+    if (new java.io.File(assignDir).exists() && !commitMarker.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+    if (!commitMarker.exists()) {
       // Deterministic shared kernel over the base slice (same
       // executor-merged, ascending-partition-fold association as the
       // full-corpus trainer).
@@ -477,6 +492,8 @@ object Vector {
       val rewritten = baseFiles.filterNot(after.contains)
       require(rewritten.isEmpty,
         s"index append rewrote base files: ${rewritten.map(_._1).mkString(", ")}")
+      // commit: everything above is durable and verified
+      java.nio.file.Files.write(commitMarker.toPath, Array.empty[Byte])
     }
     dir
   }

@@ -866,7 +866,20 @@ object EventsStream {
     * ([[graft.ops.Dedup.verifyJaccardPairs]]). The oracle is the
     * batch incremental-dedup SQL with the takedown predicate applied
     * to the index side — removing postings can only remove pairs, so
-    * the expected set is the batch set minus retracted index docs. */
+    * the expected set is the batch set minus retracted index docs.
+    *
+    * CAP INTERACTION (documented deviation, same as the plain index
+    * leg's cap note): a takedown removes only postings that are IN
+    * the bucket list — it cannot readmit a posting previously dropped
+    * at the [[MaxBucketPostings]] cap, and within one delivery the
+    * cap is evaluated in protocol order (phase-0 postings before
+    * phase-1 takedowns), so takedowns do not free space for postings
+    * sharing their micro-batch. On a corpus with hot buckets
+    * (> [[MaxBucketPostings]] postings per band bucket) the stream's
+    * surviving-pair set is therefore the CAPPED batch set minus
+    * retracted docs, not the uncapped one — the identical deviation
+    * the plain `stream_dedup_index` leg documents; no test-corpus
+    * bucket reaches the cap, so the oracle equality is exact here. */
   def streamDedupRetract(spark: SparkSession, sfDir: String): DataFrame =
     graft.Util.withConf(spark, "spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
@@ -931,7 +944,16 @@ object EventsStream {
       java.nio.file.Files.move(part.toPath, dst.toPath,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       graft.Util.deleteRecursively(tmp)
-      dst.setLastModified(t0 + i * 60000L)
+      // Phase ordering is CARRIED by these mtimes (maxFilesPerTrigger=1
+      // delivers oldest-first; ties have unspecified order, and a probe
+      // delivered before its postings silently loses pairs — the
+      // in-handler phase sort only fixes co-delivery within one
+      // micro-batch). Files.setLastModifiedTime throws on failure where
+      // File.setLastModified returns false silently, so a filesystem
+      // that can't set mtimes fails the stage loudly instead of
+      // staging a misordered feed.
+      java.nio.file.Files.setLastModifiedTime(dst.toPath,
+        java.nio.file.attribute.FileTime.fromMillis(t0 + i * 60000L))
     }
     stagePhase(0, docs.filter(col("doc_id") % 10 =!= 0))
     stagePhase(1, docs.filter(col("doc_id") % 10 =!= 0 &&
