@@ -872,7 +872,7 @@ object Text {
     * the final ranking window sorts ≤ partitions × |Q| × 10
     * survivors — the brute-force baseline shape; at 100 TB the IVF
     * leg (`ann_ivf_topk`) swaps in without changing the fusion. */
-  private def denseTopk(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def denseTopk(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     def dot(a: String, b: String) =
       graft.functions.VectorExpr.dot_f32(col(a), col(b))
@@ -1050,6 +1050,170 @@ object Text {
          ("offset" + n_tokens > 512) AS truncated
        FROM packed WHERE "offset" < 512
        ORDER BY query_id, rk"""
+
+  /** The IVF-INDEXED dense retrieval leg — the 100 TB swap the
+    * [[denseTopk]] scaladoc promises: dense candidates come from the
+    * persisted [[Vector.persistIndexDir]] IVF artifact's pruned
+    * cells instead of a corpus sweep. Per query: rank the persisted
+    * centroids by L2 distance to the query vector (k rows, broadcast-
+    * sized — the standard coarse-quantizer probe), take the `nprobe`
+    * nearest cells, candidates = the persisted assignment filtered to
+    * those cells, exact cosine re-rank over candidates only with the
+    * SAME bitwise float contract as [[denseTopk]] (dot_f32, sqrt·sqrt
+    * denominator, (sim desc, vec_id) ties) — on shared candidates the
+    * two legs rank identically, so the only divergence is cell-prune
+    * recall, which [[ragFusionIvf]] gates. Cost per query is
+    * nprobe × mean-cell ≈ nprobe × [[Vector.QuantizerCellTarget]]
+    * vectors — CONSTANT in corpus size (k grows ∝ n), vs the brute
+    * leg's full sweep. Driver state: k centroids + the fixed query
+    * vectors (bounded by construction). */
+  private[graft] def denseIvfTopk(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    import spark.implicits._
+    def dot(a: String, b: String) =
+      graft.functions.VectorExpr.dot_f32(col(a), col(b))
+    val dir = Vector.persistIndexDir(spark, sfDir)
+    val cents = spark.read.parquet(s"$dir/centroids.parquet")
+      .as[(Int, Seq[Double])].collect().sortBy(_._1)
+      .map { case (c, v) => (c, v.toArray) }
+    val nprobe = math.min(3, cents.length)
+    val qmap = broadcast(DenseQueryVecs.toDF("qid", "vec_id"))
+    val emb = Tables.embeddings(spark, sfDir)
+      .withColumn("nrm2", dot("embedding", "embedding"))
+    val qs = emb.join(qmap, "vec_id")
+      .select(col("qid"), col("embedding").as("qv"), col("nrm2").as("na"))
+    // coarse probe: nprobe nearest cells per query, ranked by the same
+    // L2-to-centroid metric the assignment used ([[Vector.nearest]]),
+    // ties by cell id — |Q| × k work on the driver's collected copies
+    val qvecs = qs.select(col("qid"), col("qv"))
+      .as[(String, Array[Float])].collect()
+    val probe = qvecs.toSeq.flatMap { case (qid, v) =>
+      cents.map { case (cid, c) =>
+        var d = 0.0; var i = 0
+        while (i < c.length) { val t = c(i) - v(i); d += t * t; i += 1 }
+        (qid, cid, d)
+      }.sortBy(p => (p._3, p._2)).take(nprobe).map(p => (qid, p._2))
+    }.toDF("qid", "cell")
+    val cand = spark.read.parquet(s"$dir/assign.parquet")
+      .join(broadcast(probe), Seq("cell"))
+      .select(col("qid"), col("vec_id"))
+    val pairs = emb.join(cand, Seq("vec_id"))
+      .join(broadcast(qs), Seq("qid"))
+      .withColumn("sim",
+        dot("qv", "embedding") / (sqrt(col("na")) * sqrt(col("nrm2"))))
+    val pruned = Vector.topkLocal(pairs, "sim", 10, asc = false)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    pruned.withColumn("rk", row_number().over(w).cast("int"))
+      .filter(col("rk") <= 10)
+      .select(col("qid").as("query_id"), col("rk"),
+        col("vec_id").as("doc_id"))
+  }
+
+  /** The IVF-backed fusion: [[fuseLegs]] over the exact BM25/QL legs
+    * plus [[denseIvfTopk]] — the production fusion shape at 100 TB
+    * (the dense leg reads the index artifact, never sweeps the
+    * corpus). Shared by [[ragFusionIvf]]'s gate and
+    * [[ragContextPackIvf]]'s pack. */
+  private def fusedIvf(spark: SparkSession, sfDir: String): DataFrame =
+    fuseLegs(bm25Topk(spark, sfDir), qlTopk(spark, sfDir),
+      denseIvfTopk(spark, sfDir))
+
+  /** Fused-overlap floor for [[ragFusionIvf]]: the IVF fusion's
+    * top-10 must share ≥ 8 of 10 docs with the exact fusion's per
+    * query (measured 9–10 at sf0.001, 10/10 at sf0.01 — two of three
+    * legs are shared exactly, so only dense cell-prune misses can
+    * move the fused set; the floor leaves margin for boundary
+    * flips). */
+  val IvfFusionOverlapFloor = 8L
+
+  /** `rag_fusion_ivf` — the RECALL GATE for the IVF-backed fusion
+    * (the ann_ivf_kmeans_recall_gate convention: an approximate
+    * retrieval path ships with its own held-out gate vs the exact
+    * path): per query, the overlap between [[fusedIvf]]'s top-10 and
+    * the exact [[ragFusionRrf]] top-10, capped at
+    * [[IvfFusionOverlapFloor]] so a healthy run is constant and a
+    * future breach names its magnitude. This query deliberately runs
+    * BOTH fusions (it is the eval; the production serving path is
+    * [[ragContextPackIvf]], which never touches the brute leg). */
+  def ragFusionIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val ivf = fusedIvf(spark, sfDir).select(col("query_id"), col("doc_id"))
+    val exact = ragFusionRrf(spark, sfDir)
+      .select(col("query_id"), col("doc_id"))
+    ivf.join(exact, Seq("query_id", "doc_id"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("hits"))
+      .select(col("query_id"),
+        least(col("hits"), lit(IvfFusionOverlapFloor)).as("hits_capped"),
+        (col("hits") >= IvfFusionOverlapFloor).as("recall_ok"))
+      .orderBy(col("query_id"))
+  }
+  val ragFusionIvfSql: String =
+    s"""SELECT query_id, CAST($IvfFusionOverlapFloor AS BIGINT)
+         AS hits_capped, true AS recall_ok
+       FROM (SELECT DISTINCT query_id FROM (VALUES
+         ${RetrievalQueries.map(p => s"('${p._1}')").distinct
+           .mkString(", ")}) AS t(query_id))
+       ORDER BY query_id"""
+
+  /** `rag_context_pack_ivf` — the PRODUCTION prompt-assembly path:
+    * [[ragContextPack]]'s greedy 512-token budget fill, but over the
+    * IVF-backed fusion ([[fusedIvf]]), so NO stage scales with corpus
+    * size — the dense leg reads nprobe pruned index cells, the
+    * lexical legs are bounded aggregates over the persisted tf
+    * artifact, and the pack window is ≤ |Q|×10 rows. The brute
+    * [[ragContextPack]] stays as the exact-oracled baseline; this is
+    * the serving twin. Output per query: STRUCTURAL gates the pack
+    * arithmetic must satisfy whatever the (index-dependent) fused
+    * ranks are — packed docs form a rank PREFIX of the fusion
+    * (`prefix_ok`: max rk == doc count), every packed span sits
+    * inside the budget (`budget_ok`: max(offset + n_packed) ≤ 512),
+    * offsets are the exact running token sums (`offsets_ok`, checked
+    * by reconstruction), and the pack is non-empty
+    * (`n_docs_capped` ≥ 1, capped). The fused ranks themselves are
+    * recall-gated by [[ragFusionIvf]]. */
+  def ragContextPackIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val budget = 512L
+    val docLen = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(tokens).cast("long").as("n_tokens"))
+    val W = org.apache.spark.sql.expressions.Window
+    val cum = W.partitionBy(col("query_id")).orderBy(col("rk"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val packed = fusedIvf(spark, sfDir)
+      .join(docLen, Seq("doc_id"), "left")
+      .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
+      .withColumn("offset",
+        coalesce(sum(col("n_tokens")).over(cum), lit(0L)))
+      .filter(col("offset") < budget)
+      .select(col("query_id"), col("rk"), col("offset"),
+        least(col("n_tokens"), lit(budget) - col("offset"))
+          .as("n_packed"))
+      // offsets reconstruct from the packed spans themselves: each
+      // row's offset equals the previous row's offset + n_packed
+      // (untruncated spans pack their full token count, and only
+      // the LAST row can be truncated since it exhausts the budget)
+      .withColumn("off_ok", col("offset") ===
+        coalesce(lag(col("offset") + col("n_packed"), 1).over(
+          W.partitionBy(col("query_id")).orderBy(col("rk"))), lit(0L)))
+    packed.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("rk")).cast("long").as("max_rk"),
+        max(col("offset") + col("n_packed")).as("max_end"),
+        min(col("off_ok")).as("offsets_ok"))
+      .select(col("query_id"),
+        least(col("n_docs"), lit(1L)).as("n_docs_capped"),
+        (col("max_rk") === col("n_docs")).as("prefix_ok"),
+        (col("max_end") <= budget).as("budget_ok"),
+        col("offsets_ok"))
+      .orderBy(col("query_id"))
+  }
+  val ragContextPackIvfSql: String =
+    s"""SELECT query_id, CAST(1 AS BIGINT) AS n_docs_capped,
+         true AS prefix_ok, true AS budget_ok, true AS offsets_ok
+       FROM (SELECT DISTINCT query_id FROM (VALUES
+         ${RetrievalQueries.map(p => s"('${p._1}')").distinct
+           .mkString(", ")}) AS t(query_id))
+       ORDER BY query_id"""
 
   /** `rag_eval_recall` — the retrieval stack's QA metric (the
     * t_langid_eval / t_quality_classifier convention: every model-ish
@@ -4975,7 +5139,9 @@ object Text {
     "t_tfidf_topk" -> tfidfTopk,
     "t_bm25_topk" -> bm25Topk,
     "rag_fusion_rrf" -> ragFusionRrf,
+    "rag_fusion_ivf" -> ragFusionIvf,
     "rag_context_pack" -> ragContextPack,
+    "rag_context_pack_ivf" -> ragContextPackIvf,
     "rag_eval_recall" -> ragEvalRecall,
     "t_quality_classifier" -> qualityClassifier,
     "corpus_shuffle" -> corpusShuffle,
@@ -5043,7 +5209,9 @@ object Text {
     "t_tfidf_topk" -> tfidfTopkSql,
     "t_bm25_topk" -> bm25TopkSql,
     "rag_fusion_rrf" -> ragFusionRrfSql,
+    "rag_fusion_ivf" -> ragFusionIvfSql,
     "rag_context_pack" -> ragContextPackSql,
+    "rag_context_pack_ivf" -> ragContextPackIvfSql,
     "rag_eval_recall" -> ragEvalRecallSql,
     "t_quality_classifier" -> qualityClassifierSql,
     "corpus_shuffle" -> corpusShuffleSql,

@@ -360,22 +360,7 @@ object Vector {
     * roundtrip) breaks `same_as_live`. */
   def annIndexPersist(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    // session-scoped root (shutdown-hook cleaned, r7 advice); one
-    // subdirectory per dataset fingerprint
-    val dir = graft.Util.sessionTmpDir(spark, "graft_ann_index") + "/" +
-      java.lang.Integer.toHexString(dataKey(sfDir).hashCode)
-    if (!new java.io.File(s"$dir/assign.parquet").exists()) {
-      // centroids.parquet is not read back by THIS probe (the contract
-      // queries are corpus members, so the persisted assignment covers
-      // them) but is part of the artifact on purpose: an out-of-corpus
-      // query vector needs the centroids to pick its probe cell.
-      kmeansCentroids(spark, sfDir, k = corpusK(spark, sfDir), iters = 3).toSeq
-        .map { case (c, v) => (c, v.toSeq) }
-        .toDF("cell", "centroid")
-        .write.mode("overwrite").parquet(s"$dir/centroids.parquet")
-      kmeansAssign(spark, sfDir, k = corpusK(spark, sfDir), iters = 3)
-        .write.mode("overwrite").parquet(s"$dir/assign.parquet")
-    }
+    val dir = persistIndexDir(spark, sfDir)
     val persisted =
       probeCells(spark, sfDir, spark.read.parquet(s"$dir/assign.parquet"))
     val live = annIvfKmeans(spark, sfDir)
@@ -400,6 +385,38 @@ object Vector {
        CAST(10 AS BIGINT) AS n_agree_capped,
        true AS same_as_live FROM embeddings
        WHERE vec_id IN (${QueryIds.mkString(", ")}) ORDER BY qid"""
+
+  /** Build-once accessor for the [[annIndexPersist]] artifact
+    * (centroids.parquet + assign.parquet): returns the artifact dir,
+    * building it if missing. Session-scoped root (shutdown-hook
+    * cleaned, r7 advice), one subdirectory per dataset fingerprint.
+    * Shared by the persist gate and the IVF-backed RAG dense leg
+    * ([[graft.ops.Text.denseIvfTopk]]) — the build-once/probe-many
+    * contract: every consumer reads the SAME artifact, never
+    * retrains. The gate is assign.parquet, written LAST (a torn
+    * build can only leave centroids, which the next build
+    * overwrites). */
+  private[graft] def persistIndexDir(spark: SparkSession,
+      sfDir: String): String = {
+    import spark.implicits._
+    val dir = graft.Util.sessionTmpDir(spark, "graft_ann_index") + "/" +
+      java.lang.Integer.toHexString(dataKey(sfDir).hashCode)
+    if (!new java.io.File(s"$dir/assign.parquet").exists()) {
+      // centroids.parquet is not read back by the persist gate's probe
+      // (its contract queries are corpus members, so the persisted
+      // assignment covers them) but is part of the artifact on
+      // purpose: an out-of-corpus query vector needs the centroids to
+      // pick its probe cell — and the IVF dense leg probes through
+      // them for multi-cell candidate pruning.
+      kmeansCentroids(spark, sfDir, k = corpusK(spark, sfDir), iters = 3).toSeq
+        .map { case (c, v) => (c, v.toSeq) }
+        .toDF("cell", "centroid")
+        .write.mode("overwrite").parquet(s"$dir/centroids.parquet")
+      kmeansAssign(spark, sfDir, k = corpusK(spark, sfDir), iters = 3)
+        .write.mode("overwrite").parquet(s"$dir/assign.parquet")
+    }
+    dir
+  }
 
   /** Late-batch predicate for [[annIndexAppend]] (~1 % of the corpus
     * stands in for a freshly ingested delta). Chosen so no quantizer

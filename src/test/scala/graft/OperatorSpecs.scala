@@ -758,6 +758,44 @@ class TextOpsSpec extends SparkSuite {
     }
   }
 
+  test("rag_fusion_ivf: gate clears; IVF leg order-consistent with exact leg") {
+    val gate = ops.Text.ragFusionIvf(spark, sf).collect()
+    assert(gate.length == 4, "one gate row per retrieval query")
+    gate.foreach { r =>
+      assert(r.getAs[Boolean]("recall_ok"), s"${r.getString(0)} gate breach")
+      assert(r.getAs[Long]("hits_capped") == ops.Text.IvfFusionOverlapFloor)
+    }
+    // re-rank exactness: the IVF leg scores candidates with the exact
+    // leg's bitwise formula, so docs present in BOTH legs' top-10 must
+    // appear in the same relative order (the IVF leg can only MISS
+    // docs via cell pruning, never re-order survivors)
+    val ivf = ops.Text.denseIvfTopk(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val exact = ops.Text.denseTopk(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    ivf.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1 to rs.length).toSeq,
+        s"$q: IVF leg ranks must be contiguous")
+      assert(rs.map(_._3).distinct.length == rs.length, s"$q: dup docs")
+      // shared docs keep their relative order across the two legs
+      val exOrder = exact.filter(_._1 == q).sortBy(_._2).map(_._3)
+      val shared = rs.sortBy(_._2).map(_._3).filter(exOrder.contains)
+      assert(shared.toSeq == exOrder.filter(shared.contains).toSeq,
+        s"$q: IVF re-rank re-ordered docs shared with the exact leg")
+    }
+  }
+
+  test("rag_context_pack_ivf: structural pack gates clear for every query") {
+    val rows = ops.Text.ragContextPackIvf(spark, sf).collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs_capped") == 1L, s"${r.getString(0)} empty")
+      assert(r.getAs[Boolean]("prefix_ok"), s"${r.getString(0)} prefix")
+      assert(r.getAs[Boolean]("budget_ok"), s"${r.getString(0)} budget")
+      assert(r.getAs[Boolean]("offsets_ok"), s"${r.getString(0)} offsets")
+    }
+  }
+
   test("corpus_card_diff: additive with the version manifest, shares reconcile") {
     val rows = ops.Text.corpusCardDiff(spark, sf).collect()
     assert(rows.nonEmpty)
