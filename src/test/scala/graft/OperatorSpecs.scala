@@ -606,6 +606,37 @@ class TextOpsSpec extends SparkSuite {
       "docs_added must total the delta manifest")
   }
 
+  test("corpus_version_log: linear 5-version chain, compact boundary read-equal") {
+    val log = ops.Text.corpusVersionLog(spark, sf).collect()
+      .map(r => (r.getInt(0),
+        if (r.isNullAt(1)) None else Some(r.getInt(1)),
+        r.getString(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(log.map(_._1).toSeq == (1 to 5).toSeq, "five versions")
+    assert(log.map(_._2).toSeq ==
+      Seq(None, Some(1), Some(2), Some(3), Some(4)), "linear parent chain")
+    assert(log.map(_._3).toSeq ==
+      Seq("base", "append", "retract", "reinstate", "compact"))
+    val n = log.map(t => t._1 -> t._4).toMap
+    assert(n(2) > n(1), "append grows the corpus")
+    assert(n(3) < n(2), "retract shrinks it")
+    assert(n(4) > n(3) && n(4) <= n(2), "reinstate restores a strict subset")
+    assert(n(5) == n(4) && log(4)._5 == log(3)._5,
+      "compact is volume-preserving")
+    // the asof read agrees with the log, and the compact boundary is
+    // row-for-row read-equal: asof(5) — physical artifact — equals
+    // asof(4) — manifest arithmetic — as SETS of full rows
+    val asof = ops.Text.corpusReadAsof(spark, sf).collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))))
+    val byV = asof.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    (1 to 5).foreach(v =>
+      assert(byV(v).size.toLong == n(v), s"asof(v$v) count vs log"))
+    assert(byV(5) == byV(4), "compaction: physical read == pre-compact view")
+    assert(byV(3).subsetOf(byV(2)) && byV(3).subsetOf(byV(4)) &&
+      byV(4).subsetOf(byV(2)), "chain set containments")
+  }
+
   test("corpus_shard_balance: audits the shuffle's own shard occupancy exactly") {
     val rows = ops.Text.corpusShardBalance(spark, sf).collect()
     assert(rows.length == 2, "one audit row per epoch")
