@@ -588,6 +588,118 @@ object Vector {
     * embeddings never move). The oracle rebuilds both versions from
     * the delta predicate's arithmetic, so the row SETS are real
     * numbers DuckDB recomputes. */
+  /** The five-version index chain (r15 verdict #2, the
+    * `corpus_version_log` twin): per-version live-set predicates
+    * over the incremental artifact's assignment rows — v1 base
+    * (non-delta), v2 append (all), v3 retract (minus the vec
+    * takedown list), v4 reinstate (plus the cleared subset), v5
+    * compact (physical rewrite of v4, read-equal). ONE definition
+    * feeds the log, the asof reads, and the compact write. */
+  private def annChainPred(version: Int): org.apache.spark.sql.Column = version match {
+    case 1 => !isIncrDelta
+    case 2 => lit(true)
+    case 3 => !isVecRetracted
+    case 4 => !isVecRetracted || isVecCleared
+    case v => throw new IllegalArgumentException(s"no predicate for v$v")
+  }
+
+  /** The index chain's MAJOR COMPACTION artifact: v4's live
+    * assignment folded into a fresh cell-partitioned base, committed
+    * under _SUCCESS — asof(v5) reads these files back, so the
+    * compaction boundary is checked physically. Metadata-sized write
+    * (assignment rows, never embeddings). */
+  private def annChainCompactDir(spark: SparkSession,
+      sfDir: String): String = {
+    val dir = incrIndexDir(spark, sfDir) + "_chain"
+    if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+      spark.read.parquet(s"${incrIndexDir(spark, sfDir)}/assign.parquet")
+        .filter(annChainPred(4))
+        .write.partitionBy("cell").mode("overwrite").parquet(dir)
+    }
+    dir
+  }
+
+  /** `ann_version_log` — the registry VERSION LOG for the vector
+    * index (one row per committed version: parent, kind, live vector
+    * count, delta vs parent), completing the version-store symmetry
+    * with `corpus_version_log`. v1–v4 aggregate the artifact's
+    * assignment under [[annChainPred]]; v5 counts the PHYSICAL
+    * compact artifact's rows, so the log row itself proves the
+    * compaction preserved the live set (vecs_delta vs v4 must be 0 —
+    * hash-checked). All counts are vec_id arithmetic, so the oracle
+    * recomputes REAL numbers. ≤ 5 rows, assignment-metadata reads
+    * only. */
+  def annVersionLog(spark: SparkSession, sfDir: String): DataFrame = {
+    val assign =
+      spark.read.parquet(s"${incrIndexDir(spark, sfDir)}/assign.parquet")
+    def agg(df: DataFrame, v: Int): DataFrame =
+      df.agg(count(lit(1)).as("n_vecs"))
+        .select(lit(v).as("version"), col("n_vecs"))
+    val vols = (1 to 4).map(v => agg(assign.filter(annChainPred(v)), v))
+      .reduce(_ unionByName _)
+      .unionByName(
+        agg(spark.read.parquet(annChainCompactDir(spark, sfDir)), 5))
+    val meta = Seq((1, null.asInstanceOf[Integer], "base"),
+      (2, Integer.valueOf(1), "append"), (3, Integer.valueOf(2), "retract"),
+      (4, Integer.valueOf(3), "reinstate"), (5, Integer.valueOf(4), "compact"))
+    val metaDf = {
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(meta.map {
+          case (v, p, k) => org.apache.spark.sql.Row(v, p, k) }, 1),
+        StructType(Seq(StructField("version", IntegerType, false),
+          StructField("parent", IntegerType, true),
+          StructField("kind", StringType, false))))
+    }
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("version"))
+    vols.join(broadcast(metaDf), Seq("version"))
+      .withColumn("vecs_delta", col("n_vecs") - lag(col("n_vecs"), 1).over(w))
+      .select(col("version"), col("parent"), col("kind"),
+        col("n_vecs"), col("vecs_delta"))
+      .orderBy(col("version"))
+  }
+  val annVersionLogSql: String =
+    s"""WITH vv AS (
+         SELECT 1 AS version, vec_id FROM embeddings
+         WHERE vec_id % $IncrDeltaMod <> 13
+         UNION ALL
+         SELECT 2, vec_id FROM embeddings
+         UNION ALL
+         SELECT 3, vec_id FROM embeddings WHERE vec_id % 89 <> 3
+         UNION ALL
+         SELECT 4, vec_id FROM embeddings
+         WHERE vec_id % 89 <> 3 OR vec_id % 2 = 0
+         UNION ALL
+         SELECT 5, vec_id FROM embeddings
+         WHERE vec_id % 89 <> 3 OR vec_id % 2 = 0),
+       meta(version, parent, kind) AS (VALUES
+         (1, CAST(NULL AS INTEGER), 'base'), (2, 1, 'append'),
+         (3, 2, 'retract'), (4, 3, 'reinstate'), (5, 4, 'compact')),
+       vols AS (
+         SELECT version, CAST(count(1) AS BIGINT) AS n_vecs
+         FROM vv GROUP BY version)
+       SELECT version, parent, kind, n_vecs,
+         CAST(n_vecs - lag(n_vecs) OVER (ORDER BY version) AS BIGINT)
+           AS vecs_delta
+       FROM vols JOIN meta USING (version)
+       ORDER BY version"""
+
+  /** `ann_read_asof` generalized across the full five-version chain
+    * (r15 verdict #2): materialize the assignment table exactly as
+    * it stood at ANY chain version from the artifact's manifests and
+    * predicates alone, never rescoring an embedding. v1 is the
+    * manifest-pruned parquet read of the base build's committed file
+    * list (`manifest_v1.txt` — at 100 TB, time travel costs the
+    * version's own files, the Iceberg semantics); v2 is the live
+    * directory; v3/v4 are takedown-predicate filters (the retract
+    * family's own keys); v5 reads the COMMITTED chain-compact
+    * artifact back, so the asof read crosses the compaction boundary
+    * through the physical files. The `stable` audit bit is MEASURED
+    * across the whole chain: every row of every version must carry
+    * the same cell v2 assigns that vector (base files are immutable
+    * and the compact is a fold — any drift is artifact corruption).
+    * The oracle rebuilds all five row sets from the predicates'
+    * arithmetic. */
   def annReadAsof(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = incrIndexDir(spark, sfDir)
     import scala.jdk.CollectionConverters._
@@ -596,12 +708,19 @@ object Vector {
     val v1 = spark.read.parquet(
       v1Files.map(n => s"$dir/assign.parquet/$n"): _*)
     val v2 = spark.read.parquet(s"$dir/assign.parquet")
-    val stable = v1.select(col("vec_id"), col("cell").as("cell_v1"))
-      .join(v2, Seq("vec_id"), "left")
-      .agg(coalesce(min(col("cell").isNotNull &&
-        col("cell") === col("cell_v1")), lit(true)).as("stable"))
-    v1.withColumn("version", lit(1))
+    val v5 = spark.read.parquet(annChainCompactDir(spark, sfDir))
+      .select(col("vec_id"), col("cell"))
+    val versioned = v1.withColumn("version", lit(1))
       .unionByName(v2.withColumn("version", lit(2)))
+      .unionByName(v2.filter(annChainPred(3)).withColumn("version", lit(3)))
+      .unionByName(v2.filter(annChainPred(4)).withColumn("version", lit(4)))
+      .unionByName(v5.withColumn("version", lit(5)))
+    val stable = versioned
+      .join(v2.select(col("vec_id"), col("cell").as("cell_v2")),
+        Seq("vec_id"), "left")
+      .agg(coalesce(min(col("cell_v2").isNotNull &&
+        col("cell") === col("cell_v2")), lit(true)).as("stable"))
+    versioned
       .crossJoin(broadcast(stable))
       .select(col("version"), col("vec_id"), col("stable"))
       .orderBy(col("version"), col("vec_id"))
@@ -611,6 +730,15 @@ object Vector {
        WHERE vec_id % $IncrDeltaMod <> 13
        UNION ALL
        SELECT 2 AS version, vec_id, true AS stable FROM embeddings
+       UNION ALL
+       SELECT 3 AS version, vec_id, true AS stable FROM embeddings
+       WHERE vec_id % 89 <> 3
+       UNION ALL
+       SELECT 4 AS version, vec_id, true AS stable FROM embeddings
+       WHERE vec_id % 89 <> 3 OR vec_id % 2 = 0
+       UNION ALL
+       SELECT 5 AS version, vec_id, true AS stable FROM embeddings
+       WHERE vec_id % 89 <> 3 OR vec_id % 2 = 0
        ORDER BY version, vec_id"""
 
   /** The append-index acceptance gates, shared verbatim between
@@ -2197,6 +2325,7 @@ object Vector {
     "stream_ann_retract" -> streamAnnRetract,
     "ann_index_compact" -> annIndexCompact,
     "ann_index_version_diff" -> annIndexVersionDiff,
+    "ann_version_log" -> annVersionLog,
     "ann_read_asof" -> annReadAsof,
     "emb_lsh_calibration" -> embLshCalibration,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
@@ -2227,6 +2356,7 @@ object Vector {
     "stream_ann_retract" -> annIndexRetractSql,
     "ann_index_compact" -> annIndexCompactSql,
     "ann_index_version_diff" -> annIndexVersionDiffSql,
+    "ann_version_log" -> annVersionLogSql,
     "ann_read_asof" -> annReadAsofSql,
     "emb_lsh_calibration" -> embLshCalibrationSql,
     "dedup_embedding_cosine" -> dedupEmbeddingCosineSql,

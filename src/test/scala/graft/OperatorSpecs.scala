@@ -1399,6 +1399,33 @@ class VectorSpec extends SparkSuite {
         .map(n => s"$dir/assign.parquet/$n"): _*)
     assert(v1Read.count() == nAll - nDelta,
       "the manifest-pruned read IS the v1 snapshot")
+    // the generalized chain: five versions, retract ⊂ append,
+    // reinstate between retract and append, compact read-equal to
+    // reinstate as a SET of vec_ids (v5 is the physical artifact)
+    val byV = rows.groupBy(_.getAs[Int]("version"))
+      .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+    assert(byV.keySet == Set(1, 2, 3, 4, 5))
+    assert(byV(3).subsetOf(byV(2)) && byV(3).subsetOf(byV(4)) &&
+      byV(4).subsetOf(byV(2)), "chain containments")
+    assert(byV(5) == byV(4), "compaction: physical read == pre-compact view")
+  }
+
+  test("ann_version_log: linear chain, volumes agree with the asof reads") {
+    val log = Vector.annVersionLog(spark, sf).collect()
+      .map(r => (r.getInt(0),
+        if (r.isNullAt(1)) None else Some(r.getInt(1)),
+        r.getString(2), r.getLong(3))).sortBy(_._1)
+    assert(log.map(_._1).toSeq == (1 to 5).toSeq)
+    assert(log.map(_._2).toSeq ==
+      Seq(None, Some(1), Some(2), Some(3), Some(4)))
+    assert(log.map(_._3).toSeq ==
+      Seq("base", "append", "retract", "reinstate", "compact"))
+    val n = log.map(t => t._1 -> t._4).toMap
+    assert(n(2) > n(1) && n(3) < n(2) && n(4) > n(3) && n(4) <= n(2) &&
+      n(5) == n(4), s"chain volume shape: $n")
+    val asofN = Vector.annReadAsof(spark, sf).collect()
+      .groupBy(_.getAs[Int]("version")).view.mapValues(_.length.toLong).toMap
+    (1 to 5).foreach(v => assert(asofN(v) == n(v), s"v$v log vs asof"))
   }
 
   test("brute-force top-k ranks by true cosine (spot-check qid 0 rank 1)") {
