@@ -2394,6 +2394,127 @@ object Relational {
          ON l_partkey = ap_key
        WHERE qty * 5 * n_li < sum_qty"""
 
+  /** TPC-H Q21-shaped waiting suppliers — the EXISTS + NOT EXISTS
+    * against the SAME fact that breaks naive planners (each
+    * correlated subquery would re-scan and re-shuffle lineitem): for
+    * finalized orders, suppliers whose line shipped late (> 60 days
+    * after the order date — this dataset's lag predicate; it has no
+    * commit/receipt dates) on a multi-supplier order where they were
+    * the ONLY late supplier. Both existentials DECORRELATE into
+    * per-order statistics over one collapsed grain: group the
+    * orders⋈lineitem join to (orderkey, suppkey) — n_late line
+    * counts — then window over orderkey for n_supp (the EXISTS: some
+    * other supplier on the order) and n_late_supp (the NOT EXISTS:
+    * nobody else late). ONE fact scan, and at scale ONE fact
+    * exchange: when orders is too big to broadcast, the SMJ shuffles
+    * lineitem once on orderkey and BOTH the (orderkey, suppkey)
+    * groupBy and the orderkey window are satisfied by that
+    * partitioning (ScaleSpec pins this); when orders broadcasts, the
+    * raw lines never shuffle at all — partial aggregation collapses
+    * them to the pair grain first. numwait sums the qualifying
+    * pairs' late-line counts — exactly the per-line count the
+    * correlated form produces. */
+  def q21Waiting(spark: SparkSession, sfDir: String): DataFrame = {
+    val byOrder = Window.partitionBy(col("l_orderkey"))
+    val fOrders = Tables.orders(spark, sfDir)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val g = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(fOrders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(sum(when(datediff(to_date(col("l_shipdate")),
+          to_date(col("o_orderdate"))) > 60, 1L).otherwise(0L))
+        .as("n_late"))
+    val supNation = broadcast(Tables.supplier(spark, sfDir)
+      .join(Tables.nation(spark, sfDir)
+          .filter(col("n_name") === "NATION_3"),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name")))
+    g.withColumn("n_supp", count(lit(1)).over(byOrder))
+      .withColumn("n_late_supp",
+        sum(when(col("n_late") > 0, 1L).otherwise(0L)).over(byOrder))
+      .filter(col("n_late") > 0 && col("n_supp") > 1 &&
+        col("n_late_supp") === 1)
+      .join(supNation, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(sum(col("n_late")).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+  }
+  val q21WaitingSql: String =
+    """WITH g AS (
+         SELECT l_orderkey, l_suppkey,
+           CAST(sum(CASE WHEN datediff('day', o_orderdate, l_shipdate) > 60
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderstatus = 'F'
+         GROUP BY 1, 2),
+       w AS (
+         SELECT *, count(1) OVER (PARTITION BY l_orderkey) AS n_supp,
+           sum(CASE WHEN n_late > 0 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY l_orderkey) AS n_late_supp
+         FROM g)
+       SELECT s_name, CAST(sum(n_late) AS BIGINT) AS numwait
+       FROM w JOIN supplier ON l_suppkey = s_suppkey
+       JOIN nation ON s_nationkey = n_nationkey
+       WHERE n_late > 0 AND n_supp > 1 AND n_late_supp = 1
+         AND n_name = 'NATION_3'
+       GROUP BY 1 ORDER BY numwait DESC, s_name"""
+
+  /** TPC-H Q20-shaped surplus suppliers — the nested semi-join chain
+    * with a correlated aggregate threshold: suppliers in one region
+    * who DOMINATE the supply of some 'hot'-named part over a two-year
+    * ship window (their shipped quantity exceeds a third of the
+    * part's total across all suppliers — this dataset's stand-in for
+    * Q20's availqty-vs-half-of-shipped threshold; it has no
+    * partsupp). The correlated per-part total DECORRELATES into a
+    * window over partkey at the (part, supplier) grain — ONE fact
+    * scan, pre-pruned by the broadcast part-name dim join and the
+    * ship-window predicate pushed to the scan; the raw lines never
+    * shuffle (map-side partial aggregation collapses them before the
+    * (partkey, suppkey) exchange), so every exchange below the window
+    * carries the collapsed pair grain. The qualifying supplier set
+    * then SEMI-joins (left_semi — never a fact-side multiplication)
+    * into the supplier⋈nation chain. */
+  def q20Surplus(spark: SparkSession, sfDir: String): DataFrame = {
+    val hotParts = Tables.part(spark, sfDir)
+      .filter(col("p_name").startsWith("hot")).select(col("p_partkey"))
+    val byPart = Window.partitionBy(col("l_partkey"))
+    val g = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(broadcast(hotParts), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("qty"))
+    val surplus = g
+      .withColumn("part_qty", sum(col("qty")).over(byPart))
+      .filter(col("qty") * 3L > col("part_qty"))
+      .select(col("l_suppkey"))
+    Tables.supplier(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)
+          .filter(col("n_regionkey") === 1)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(surplus, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy(col("s_suppkey"))
+  }
+  val q20SurplusSql: String =
+    """WITH g AS (
+         SELECT l_partkey, l_suppkey,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_name LIKE 'hot%'
+           AND l_shipdate >= TIMESTAMP '1995-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+         GROUP BY 1, 2),
+       w AS (SELECT *, sum(qty) OVER (PARTITION BY l_partkey) AS part_qty
+             FROM g)
+       SELECT s_suppkey, s_name
+       FROM supplier JOIN nation ON s_nationkey = n_nationkey
+       WHERE n_regionkey = 1
+         AND s_suppkey IN (SELECT l_suppkey FROM w WHERE 3*qty > part_qty)
+       ORDER BY s_suppkey"""
+
   /** Rolling 7-day distinct users — the dedup-aware rolling metric a
     * naive sliding window can't give (distinct does not decompose over
     * overlapping windows). Exact two-stage shape: collapse events to
@@ -3281,6 +3402,8 @@ object Relational {
     "q10_returned" -> q10Returned,
     "q13_cust_dist" -> q13CustDist,
     "q17_small_qty" -> q17SmallQty,
+    "q21_waiting" -> q21Waiting,
+    "q20_surplus" -> q20Surplus,
     "q18_big_orders" -> q18BigOrders,
     "rolling_distinct_users" -> rollingDistinctUsers,
     "resample_interp" -> resampleInterp,
@@ -3372,6 +3495,8 @@ object Relational {
     "q10_returned" -> q10ReturnedSql,
     "q13_cust_dist" -> q13CustDistSql,
     "q17_small_qty" -> q17SmallQtySql,
+    "q21_waiting" -> q21WaitingSql,
+    "q20_surplus" -> q20SurplusSql,
     "q18_big_orders" -> q18BigOrdersSql,
     "rolling_distinct_users" -> rollingDistinctUsersSql,
     "resample_interp" -> resampleInterpSql,

@@ -2267,6 +2267,57 @@ class Round5OpsSpec extends SparkSuite {
     assert(prices.sameElements(prices.sorted.reverse))
   }
 
+  test("q21_waiting: decorrelated plan equals the literal EXISTS/NOT EXISTS") {
+    // brute-force the correlated form over collected rows: for each
+    // late line of an F order, check the two existentials directly
+    val lines = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf).filter(col("o_orderstatus") === "F"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+          > 60).as("late"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val byOrder = lines.groupBy(_._1)
+    val sup = Tables.supplier(spark, sf)
+      .join(Tables.nation(spark, sf).filter(col("n_name") === "NATION_3"),
+        col("s_nationkey") === col("n_nationkey"))
+      .collect().map(r => r.getAs[Long]("s_suppkey") ->
+        r.getAs[String]("s_name")).toMap
+    val want = lines.filter { case (o, s, late) =>
+      late &&
+        byOrder(o).exists(l2 => l2._2 != s) &&                 // EXISTS
+        !byOrder(o).exists(l3 => l3._2 != s && l3._3)          // NOT EXISTS
+    }.flatMap { case (_, s, _) => sup.get(s) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = ops.Relational.q21Waiting(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("numwait")).toMap
+    assert(got == want, s"got $got want $want")
+  }
+
+  test("q20_surplus: every survivor dominates some hot part in the window") {
+    val rows = ops.Relational.q20Surplus(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // recompute the correlated threshold literally
+    val g = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(Tables.part(spark, sf).filter(col("p_name").startsWith("hot")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("qty"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val partTot = g.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val dominant = g.filter { case (p, _, q) => q * 3 > partTot(p) }
+      .map(_._2).toSet
+    val region1 = Tables.supplier(spark, sf)
+      .join(Tables.nation(spark, sf).filter(col("n_regionkey") === 1),
+        col("s_nationkey") === col("n_nationkey"))
+      .collect().map(_.getAs[Long]("s_suppkey")).toSet
+    val want = (dominant intersect region1)
+    assert(rows.map(_.getAs[Long]("s_suppkey")).toSet == want)
+  }
+
   test("rolling_distinct_users matches brute force over collected events") {
     val out = ops.Relational.rollingDistinctUsers(spark, sf).collect()
       .map(r => r.getAs[String]("win_day") -> r.getAs[Long]("users_7d")).toMap

@@ -211,6 +211,61 @@ class ScaleSpec extends SparkSuite {
     assert(df.count() > 0)
   }
 
+  test("q21/q20: one fact scan; decorrelated existentials reuse the fact exchange") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def liScans(p: org.apache.spark.sql.execution.SparkPlan) = p.collect {
+      case s: FileSourceScanExec if s.relation.location.rootPaths
+        .exists(_.toString.contains("lineitem")) => s }
+    graft.Util.withConf(spark, "spark.sql.adaptive.enabled", "false") {
+      // the 100 TB shape: orders too big to broadcast → the SMJ
+      // shuffles lineitem ONCE on orderkey, and both the
+      // (orderkey, suppkey) groupBy and the orderkey window are
+      // satisfied by that partitioning — no second fact exchange
+      graft.Util.withConf(spark,
+          "spark.sql.autoBroadcastJoinThreshold", "-1") {
+        val p21 = graft.ops.Relational.q21Waiting(spark, sf)
+          .queryExecution.executedPlan
+        assert(liScans(p21).size == 1,
+          s"q21 must scan the fact once:\n${p21.toString.take(1200)}")
+        // the topmost Window (n_late_supp) sits above the n_supp
+        // window, the (orderkey, suppkey) aggregate, AND the SMJ —
+        // its subtree may contain only the join's two exchanges
+        // (lineitem on l_orderkey, orders on o_orderkey): zero
+        // re-shuffles for the decorrelated existentials
+        val topWin = p21.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec
+            if liScans(w).nonEmpty => w }.head
+        val winExchanges = topWin.collect {
+          case e: ShuffleExchangeExec => e }
+        assert(winExchanges.size == 2 &&
+          winExchanges.count(e => liScans(e).nonEmpty) == 1,
+          s"q21: agg + both windows must reuse the join's fact " +
+            s"exchange:\n${topWin.toString.take(1500)}")
+      }
+      // q20: the raw lines never shuffle — partial aggregation
+      // collapses them to the (part, supplier) grain below the first
+      // exchange, and the part dim + ship window prune the scan
+      val p20 = graft.ops.Relational.q20Surplus(spark, sf)
+        .queryExecution.executedPlan
+      assert(liScans(p20).size == 1, "q20 must scan the fact once")
+      val s20 = p20.toString
+      assert(s20.contains("GreaterThanOrEqual(l_shipdate") &&
+        s20.contains("LessThan(l_shipdate"),
+        s"ship window must reach the scan as pushed filters:\n" +
+          s20.take(1200))
+      val firstFactExchange = p20.collect {
+        case e: ShuffleExchangeExec if liScans(e).nonEmpty => e }
+      firstFactExchange.foreach { e =>
+        assert(e.toString.contains("HashAggregate") ||
+          e.child.collectFirst {
+            case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+          }.nonEmpty,
+          s"raw lines must partial-aggregate before shuffling:\n$e")
+      }
+    }
+  }
+
   test("ngram-jaccard stop-shingle cap bounds hot-key candidate volume") {
     import spark.implicits._
     // Adversarial corpus: 200 docs share one boilerplate sentence (its
