@@ -45,17 +45,42 @@ object GenData {
     ("a agg batch big column customer data dup fast filter group hash " +
       "join key line merge order part query row scan slow small sort " +
       "spark stream table the value vector window").split(" ")
+
+  /** Corpus-scaled vocabulary (r15 verdict #5): with the 30-word base
+    * vocab fixed, the 3-shingle space is 27 000 — at mult=10 the
+    * benchmark doc set (~515 docs × ~54 shingles) covers most of it
+    * and decontamination saturates to ZERO survivors, so the 10×
+    * corpus-lifecycle rehearsals measured a degenerate manifest.
+    * Real corpora obey Heaps' law (vocabulary grows with corpus), so
+    * the generator now scales the vocab with n: each base word gains
+    * f = ⌈(n/5000)^(1/3)⌉ suffixed variants (shingle space ∝ f³ ∝ n,
+    * keeping the benchmark's shingle-space coverage — and hence the
+    * survivor fraction — roughly scale-invariant). The two stopwords
+    * ("a", "the") get f verbatim COPIES instead, preserving both
+    * their surface forms and their per-token draw probability, so
+    * the quality funnel's stopword-ratio gate sees the same
+    * distribution at every mult. f = 1 (mult ≤ 1) reproduces the
+    * original vocab bit-for-bit, so historical mult=1 rehearsal
+    * numbers stay comparable. */
+  private[graft] def vocabFor(nDocs: Long): Array[String] = {
+    val f = math.ceil(math.cbrt(nDocs / 5000.0)).toInt.max(1)
+    if (f == 1) Vocab
+    else Vocab.flatMap { w =>
+      if (w == "a" || w == "the") Array.fill(f)(w)
+      else w +: Array.tabulate(f - 1)(k => w + ('b' + k % 25).toChar)
+    }
+  }
   private val Langs = Array("en", "zh", "es", "fr", "de")
   private val EventTypes = Array("signup", "click", "error", "purchase", "view")
 
-  private def docText(i: Long): String = {
+  private def docText(i: Long, vocab: Array[String]): String = {
     val u = us(1L, i)
     val n = 10 + (u.next() * 91).toInt
     val sb = new StringBuilder
     var j = 0
     while (j < n) {
       if (j > 0) sb.append(' ')
-      sb.append(Vocab((u.next() * Vocab.length).toInt))
+      sb.append(vocab((u.next() * vocab.length).toInt))
       j += 1
     }
     sb.toString
@@ -63,10 +88,11 @@ object GenData {
 
   def documents(spark: SparkSession, n: Long): DataFrame = {
     import spark.implicits._
+    val vocab = vocabFor(n)
     spark.range(n).map { i =>
       // ~1/625 docs clones its predecessor's text: the sf0.1 dup rate
       // (8 exact dups / 5000 docs) the dedup family's timings see.
-      val text = docText(if (i % 625 == 624) i - 1 else i)
+      val text = docText(if (i % 625 == 624) i - 1 else i, vocab)
       val u = us(2L, i)
       val lang =
         if (u.next() < 0.41) "en" else Langs(1 + (u.next() * 4).toInt)
@@ -141,6 +167,10 @@ object GenData {
   def main(args: Array[String]): Unit = {
     val out = args(0)
     val mult = if (args.length > 1) args(1).toLong else 10L
+    // optional third arg: comma-list restricting which tables to
+    // generate (e.g. "embeddings" for the RagScaleProbe corpora)
+    val tables = if (args.length > 2) args(2).split(",").map(_.trim).toSet
+      else Set("documents", "embeddings", "events", "lineitem")
     val spark = SparkSession.builder()
       .appName("graft-gendata")
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
@@ -148,15 +178,19 @@ object GenData {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     try {
-      documents(spark, 5000L * mult)
-        .repartition(8).write.mode("overwrite").parquet(s"$out/documents.parquet")
-      embeddings(spark, 2000L * mult)
-        .repartition(8).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
-      events(spark, 100000L * mult, 1500L * mult)
-        .repartition(16).write.mode("overwrite").parquet(s"$out/events.parquet")
-      lineitem(spark, 147236L * mult, 20000L * mult, 10000L * mult)
-        .repartition(32).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
-      println(s"GENDATA done: $out at ${mult}x sf0.1")
+      if (tables("documents"))
+        documents(spark, 5000L * mult)
+          .repartition(8).write.mode("overwrite").parquet(s"$out/documents.parquet")
+      if (tables("embeddings"))
+        embeddings(spark, 2000L * mult)
+          .repartition(8).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+      if (tables("events"))
+        events(spark, 100000L * mult, 1500L * mult)
+          .repartition(16).write.mode("overwrite").parquet(s"$out/events.parquet")
+      if (tables("lineitem"))
+        lineitem(spark, 147236L * mult, 20000L * mult, 10000L * mult)
+          .repartition(32).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+      println(s"GENDATA done: $out at ${mult}x sf0.1 (${tables.mkString(",")})")
     } finally spark.stop()
   }
 }

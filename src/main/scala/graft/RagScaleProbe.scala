@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dense-retrieval-leg scaling probe (r15 verdict #1's rehearsal
+  * half): times the brute-force dense leg ([[ops.Text.denseTopk]],
+  * corpus×queries cosine) against the IVF-indexed leg
+  * ([[ops.Text.denseIvfTopk]], nprobe pruned cells from the persisted
+  * quantizer artifact) on GenData embedding corpora of increasing
+  * size, isolating the legs from the (shared, lexical) BM25/QL cost
+  * that dominates the fused queries at bench scale. Index BUILD time
+  * is reported separately from PROBE time — the build-once/probe-many
+  * contract is the whole point of the index.
+  *
+  * NOT part of the query surface — a measurement utility main, like
+  * [[Probe]] and [[GenData]].
+  *
+  * Usage: sbt "runMain graft.RagScaleProbe <dir1> [dir2 ...]"
+  *   (each dir needs documents.parquet + embeddings.parquet — GenData
+  *    output or driver testdata). Prints one JSON line per dir.
+  */
+object RagScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def time[T](body: => T): (Double, T) = {
+      val t0 = System.nanoTime()
+      val r = body
+      ((System.nanoTime() - t0) / 1e9, r)
+    }
+    args.foreach { dir =>
+      val n = Tables.embeddings(spark, dir).count()
+      // build the index artifact first so probe timings are pure reads
+      val (tBuild, idx) = time(ops.Vector.persistIndexDir(spark, dir))
+      def best(body: => Long): Double =
+        (1 to 3).map(_ => time(body)._1).min
+      val tBrute = best(ops.Text.denseTopk(spark, dir).count())
+      val tIvf = best(ops.Text.denseIvfTopk(spark, dir).count())
+      // scale evidence independent of the local scan floor: rows each
+      // leg actually scores. Brute = |Q| × n by construction; IVF =
+      // the pruned candidate volume (assignment rows in the probed
+      // cells), bounded by |Q| × nprobe × cell-target at ANY n.
+      val nQ = ops.Text.DenseQueryVecs.size.toLong
+      val ivfRows = ops.Text.denseIvfCandidateRows(spark, dir)
+      println(f"""{"n_vecs":$n,"build_s":$tBuild%.3f,""" +
+        f""""brute_leg_s":$tBrute%.3f,"ivf_leg_s":$tIvf%.3f,""" +
+        f""""brute_scored_rows":${nQ * n},"ivf_scored_rows":$ivfRows,""" +
+        f""""dir":"$dir"}""")
+    }
+    spark.stop()
+  }
+}

@@ -1067,25 +1067,24 @@ object Text {
     * vectors — CONSTANT in corpus size (k grows ∝ n), vs the brute
     * leg's full sweep. Driver state: k centroids + the fixed query
     * vectors (bounded by construction). */
-  private[graft] def denseIvfTopk(spark: SparkSession,
+  /** The IVF leg's pruned candidate set — (qid, vec_id) pairs from
+    * the nprobe nearest cells' persisted assignments. Volume is
+    * bounded by |Q| × nprobe × mean-cell at ANY corpus size (the
+    * RagScaleProbe's scale evidence). */
+  private[graft] def denseIvfCandidates(spark: SparkSession,
       sfDir: String): DataFrame = {
     import spark.implicits._
-    def dot(a: String, b: String) =
-      graft.functions.VectorExpr.dot_f32(col(a), col(b))
     val dir = Vector.persistIndexDir(spark, sfDir)
     val cents = spark.read.parquet(s"$dir/centroids.parquet")
       .as[(Int, Seq[Double])].collect().sortBy(_._1)
       .map { case (c, v) => (c, v.toArray) }
     val nprobe = math.min(3, cents.length)
     val qmap = broadcast(DenseQueryVecs.toDF("qid", "vec_id"))
-    val emb = Tables.embeddings(spark, sfDir)
-      .withColumn("nrm2", dot("embedding", "embedding"))
-    val qs = emb.join(qmap, "vec_id")
-      .select(col("qid"), col("embedding").as("qv"), col("nrm2").as("na"))
     // coarse probe: nprobe nearest cells per query, ranked by the same
     // L2-to-centroid metric the assignment used ([[Vector.nearest]]),
     // ties by cell id — |Q| × k work on the driver's collected copies
-    val qvecs = qs.select(col("qid"), col("qv"))
+    val qvecs = Tables.embeddings(spark, sfDir).join(qmap, "vec_id")
+      .select(col("qid"), col("embedding"))
       .as[(String, Array[Float])].collect()
     val probe = qvecs.toSeq.flatMap { case (qid, v) =>
       cents.map { case (cid, c) =>
@@ -1094,9 +1093,26 @@ object Text {
         (qid, cid, d)
       }.sortBy(p => (p._3, p._2)).take(nprobe).map(p => (qid, p._2))
     }.toDF("qid", "cell")
-    val cand = spark.read.parquet(s"$dir/assign.parquet")
+    spark.read.parquet(s"$dir/assign.parquet")
       .join(broadcast(probe), Seq("cell"))
       .select(col("qid"), col("vec_id"))
+  }
+
+  /** Candidate volume of the IVF leg (RagScaleProbe evidence). */
+  private[graft] def denseIvfCandidateRows(spark: SparkSession,
+      sfDir: String): Long = denseIvfCandidates(spark, sfDir).count()
+
+  private[graft] def denseIvfTopk(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    import spark.implicits._
+    def dot(a: String, b: String) =
+      graft.functions.VectorExpr.dot_f32(col(a), col(b))
+    val qmap = broadcast(DenseQueryVecs.toDF("qid", "vec_id"))
+    val emb = Tables.embeddings(spark, sfDir)
+      .withColumn("nrm2", dot("embedding", "embedding"))
+    val qs = emb.join(qmap, "vec_id")
+      .select(col("qid"), col("embedding").as("qv"), col("nrm2").as("na"))
+    val cand = denseIvfCandidates(spark, sfDir)
     val pairs = emb.join(cand, Seq("vec_id"))
       .join(broadcast(qs), Seq("qid"))
       .withColumn("sim",
