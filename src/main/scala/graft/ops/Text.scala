@@ -4118,6 +4118,95 @@ object Text {
     retractAudit(spark, plan, touchedCellsOf(plan), over)
   }
 
+  /** `stream_retract_autocompact` — the takedown stream under the
+    * AUTO-COMPACTION policy (r15 verdict #7): the durable log
+    * crossing a size threshold makes the NEXT micro-batch fold the
+    * live view into a fresh frozen generation before applying itself
+    * ([[graft.streaming.StreamCow.Spec.autoCompactLogRows]]) — the
+    * production trigger for the maintenance `corpus_compact_run`
+    * performs on demand. The threshold is 1 log row, so the 3-slice
+    * feed provably compacts mid-stream at every testdata scale
+    * (`compactions_capped` is MEASURED from the committed generation
+    * dirs and must be ≥ 1).
+    *
+    * The audit is deliberately STRONGER than `stream_retract`'s
+    * (whose untouched cells are manifest-trusted): because the base
+    * pointer set moved, EVERY bin's after-counts read back from the
+    * final live view itself — (current generation's cells the
+    * post-compact overlay doesn't cover) ∪ overlay — and must equal
+    * the batch retract semantics bin for bin. The oracle is the
+    * retract oracle verbatim plus the constant compaction gate:
+    * auto-compaction must be INVISIBLE to readers. */
+  def streamRetractAutocompact(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    graft.functions.BpeVocab.ensureFixture()
+    val spec = streamRetractSpec(spark, sfDir, "graft_stream_autocompact")
+      .copy(autoCompactLogRows = Some(1L))
+    graft.streaming.StreamCow.stageFeed(spec,
+      Tables.documents(spark, sfDir).filter(isRetracted)
+        .select(col("doc_id")))
+    val over = graft.streaming.StreamCow.run(spark, spec,
+      retractManifestOf(spark, sfDir)
+        .select(col("doc_id"), col("split"), col("shard")))
+    val base = graft.streaming.StreamCow.currentBase(spec)
+    val nGens = Option(new java.io.File(spec.root).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .count(f => f.isDirectory && f.getName.startsWith("gen") &&
+        new java.io.File(f, "_SUCCESS").exists())
+    def layout(dir: String): DataFrame =
+      spark.read.parquet(dir)
+        .select(col("doc_id"),
+          col("split").cast("string").as("split"),
+          col("shard").cast("long").as("shard"),
+          col("bin"), col("n_tokens"))
+    val overDf =
+      if (!anyParquetPart(new java.io.File(over)))
+        layout(base).limit(0)
+      else layout(over)
+    // the overlay MASK is the post-roll log's touched cells (locator ∩
+    // log), NOT the overlay's observed directories: a cell fully
+    // emptied after the generation roll writes no overlay partition,
+    // and a directory-based mask would fall back to the generation's
+    // stale rows for it (the r14 fully-retracted-cell finding,
+    // recurring at the auto-compact read)
+    val touchedNow =
+      if (!anyParquetPart(new java.io.File(spec.logDir)))
+        overDf.select(col("split"), col("shard")).limit(0)
+      else retractManifestOf(spark, sfDir)
+        .join(spark.read.parquet(spec.logDir).select(col("doc_id")),
+          Seq("doc_id"))
+        .select(col("split"), col("shard")).distinct()
+    val live = layout(base)
+      .join(touchedNow, Seq("split", "shard"), "left_anti")
+      .unionByName(overDf)
+    val perBin = live.groupBy(col("split"), col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_rb"), sum(col("n_tokens")).as("tok_rb"),
+        sum(when(isRetracted, 1L).otherwise(0L)).as("left_rb"))
+    retractPlanOf(spark, sfDir)
+      .join(perBin, Seq("split", "shard", "bin"), "left")
+      .select(col("split"), col("shard"), col("bin"),
+        col("n_before"), col("n_retracted"),
+        coalesce(col("n_rb"), lit(0L)).as("n_after"),
+        coalesce(col("tok_rb"), lit(0L)).as("tok_after"),
+        when(col("n_retracted") === 0, "intact")
+          .when(col("n_retracted") === col("n_before"), "emptied")
+          .otherwise("scrubbed").as("verdict"),
+        (coalesce(col("n_rb"), lit(0L)) ===
+            col("n_before") - col("n_retracted") &&
+          coalesce(col("tok_rb"), lit(0L)) ===
+            col("tok_before") - col("tok_retracted") &&
+          coalesce(col("left_rb"), lit(0L)) === 0L).as("retract_ok"),
+        lit(math.min(nGens, 1).toLong).as("compactions_capped"))
+      .orderBy(col("split"), col("shard"), col("bin"))
+  }
+  /** The retract oracle verbatim + the constant compaction gate. */
+  def streamRetractAutocompactSql: String = {
+    val marker = "true AS retract_ok"
+    require(corpusRetractRunSql.contains(marker))
+    corpusRetractRunSql.replace(marker,
+      marker + ",\n         CAST(1 AS BIGINT) AS compactions_capped")
+  }
+
   /** The corpus-side CoW spec: packed-corpus base layout, (split,
     * shard) cells, doc_id keys, staging root keyed by the dataset
     * fingerprint. Shared by `stream_retract` and `corpus_compact_run`
@@ -5344,6 +5433,7 @@ object Text {
     "corpus_reinstate_run" -> corpusReinstateRun,
     "stream_reinstate" -> streamReinstate,
     "stream_retract" -> streamRetract,
+    "stream_retract_autocompact" -> streamRetractAutocompact,
     "corpus_compact_run" -> corpusCompactRun,
     "corpus_read_asof" -> corpusReadAsof,
     "t_mixture_draw" -> mixtureDraw,
@@ -5415,6 +5505,7 @@ object Text {
     "corpus_reinstate_run" -> corpusReinstateRunSql,
     "stream_reinstate" -> corpusReinstateRunSql,
     "stream_retract" -> corpusRetractRunSql,
+    "stream_retract_autocompact" -> streamRetractAutocompactSql,
     "corpus_compact_run" -> corpusCompactRunSql,
     "corpus_read_asof" -> corpusReadAsofSql,
     "t_mixture_draw" -> mixtureDrawSql,

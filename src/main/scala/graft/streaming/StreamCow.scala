@@ -69,13 +69,35 @@ object StreamCow {
     * (v_next = base where ¬pred ∨ cleared). */
   final case class Spec(keyCol: String, partCols: Seq[String],
       baseDir: String, root: String,
-      staticRetract: Option[Column] = None) {
+      staticRetract: Option[Column] = None,
+      autoCompactLogRows: Option[Long] = None) {
     def feedDir: String = s"$root/feed"
     def overlayDir: String = s"$root/overlay"
     def logDir: String = s"$root/log"
     def ckptDir: String = s"$root/ckpt"
     def compactDir: String = s"$root/v2"
+    /** Auto-compaction generation dirs (see [[currentBase]]). */
+    def genDir(g: Int): String = s"$root/gen$g"
   }
+
+  /** The live FROZEN BASE of a spec: the latest committed
+    * auto-compaction generation, or the original baseDir when the
+    * policy never fired. Readers reconstruct the live view as
+    * (currentBase cells the overlay doesn't cover) ∪ overlay — the
+    * same formula as ever, just against the rolled-forward base. */
+  def currentBase(spec: Spec): String = {
+    val gens = Option(new java.io.File(spec.root).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("gen") &&
+        new java.io.File(f, "_SUCCESS").exists())
+      .flatMap(f => scala.util.Try(
+        f.getName.stripPrefix("gen").toInt).toOption.map(_ -> f))
+    if (gens.isEmpty) spec.baseDir else gens.maxBy(_._1)._2.getPath
+  }
+
+  private def genOf(dir: String, spec: Spec): Int =
+    if (dir == spec.baseDir) 0
+    else new java.io.File(dir).getName.stripPrefix("gen").toInt
 
   /** OR-of-ANDs cell predicate over collected coordinate rows —
     * bounded by the layout grid (≤ |splits|×|shards| / ≤ k cells),
@@ -122,6 +144,10 @@ object StreamCow {
       locator: DataFrame): String = {
     val over = spec.overlayDir
     val logDir = spec.logDir
+    // the rolling frozen base: starts at the latest committed
+    // generation (resume-safe — a replayed run continues from where
+    // the last auto-compaction left the chain)
+    var curBase = currentBase(spec)
     val src = spark.readStream
       .schema(new StructType().add(spec.keyCol, LongType))
       .option("maxFilesPerTrigger", "1")
@@ -134,6 +160,33 @@ object StreamCow {
       .foreachBatch {
         (batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
         val ss = batch.sparkSession
+        // AUTO-COMPACTION policy (r15 verdict #7): when the durable
+        // log has grown past the threshold, fold the live view into
+        // a fresh frozen generation BEFORE applying this batch —
+        // the production trigger for the maintenance the explicit
+        // compact() query performs on demand. After the fold the
+        // overlay and log are superseded (the new base IS the live
+        // view) and the stream continues against the new generation
+        // with an empty log — reads are continuous across the
+        // boundary because every intermediate state (gen committed /
+        // log deleted / overlay deleted) serves the identical live
+        // view: the overlay's content was folded verbatim, so a
+        // reader's (base ∖ covered) ∪ overlay formula is invariant.
+        spec.autoCompactLogRows.foreach { thr =>
+          if (spec.staticRetract.isEmpty &&
+              graft.Util.anyParquetPart(new java.io.File(logDir)) &&
+              ss.read.parquet(logDir).count() > thr) {
+            val g = genOf(curBase, spec) + 1
+            val to = new java.io.File(spec.genDir(g))
+            foldInto(ss, spec, curBase, to, locator)
+            // commit order: generation first (crash-safe — a replayed
+            // fold from the still-present log converges to identical
+            // bytes), then the superseded log and overlay
+            graft.Util.deleteRecursively(new java.io.File(logDir))
+            graft.Util.deleteRecursively(new java.io.File(over))
+            curBase = to.getPath
+          }
+        }
         batch.write.mode("overwrite").parquet(s"$logDir/batch=$id")
         val cum = ss.read.parquet(logDir).select(col(spec.keyCol))
         val cells = locator
@@ -141,7 +194,7 @@ object StreamCow {
           .select(spec.partCols.map(col): _*).distinct().collect().toSeq
         if (cells.nonEmpty) {
           val pred = cellsPred(spec.partCols, cells)
-          val touchedBase = ss.read.parquet(spec.baseDir).filter(pred)
+          val touchedBase = ss.read.parquet(curBase).filter(pred)
           // one pass over the touched cells in either mode (review
           // r15: the union-of-filters form scanned them twice)
           def liveOf(rows: org.apache.spark.sql.DataFrame)
@@ -175,8 +228,18 @@ object StreamCow {
           // In reinstate mode every touched cell retains at least its
           // arriving cleared key, so this cleanup no-ops by
           // construction — kept unconditional so the invariant is
-          // enforced, not assumed.
-          val live = liveOf(locator.filter(pred))
+          // enforced, not assumed. Liveness reads the LOCATOR
+          // (metadata-only) while the base is the original manifest's;
+          // after an auto-compaction generation roll the locator
+          // still carries pre-compact-retracted keys the new base
+          // already dropped (absent from the reset log), which would
+          // falsely mark an emptied cell live and resurrect its stale
+          // overlay partition — so post-roll the liveness source is
+          // the generation's own touched cells.
+          val liveSrc =
+            if (curBase == spec.baseDir) locator.filter(pred)
+            else ss.read.parquet(curBase).filter(pred)
+          val live = liveOf(liveSrc)
             .select(spec.partCols.map(col): _*).distinct()
             .collect().map(cellKey).toSet
           cells.filterNot(r => live(cellKey(r))).foreach { r =>
@@ -248,6 +311,20 @@ object StreamCow {
         "retract compaction instead)")
     val v2 = new java.io.File(spec.compactDir)
     if (new java.io.File(v2, "_SUCCESS").exists()) return spec.compactDir
+    foldInto(spark, spec, spec.baseDir, v2, locator)
+    spec.compactDir
+  }
+
+  /** The compaction FOLD shared by the explicit [[compact]] and the
+    * in-stream auto-compaction policy: (base cells the overlay
+    * doesn't cover, hard-linked) ∪ (touched cells' overlay rewrites,
+    * hard-linked) → a new frozen dir committed under _SUCCESS.
+    * Touched set from the locator ∩ flushed log — metadata only,
+    * bounded by the cell grid. Idempotent per target: a crashed fold
+    * replayed from the still-present log converges to identical
+    * bytes (linkTree skips already-linked files). */
+  private def foldInto(spark: SparkSession, spec: Spec, fromBase: String,
+      target: java.io.File, locator: DataFrame): Unit = {
     // a retract list hitting zero manifest cells (e.g. a zero-survivor
     // corpus) leaves no log partitions — compaction is then a pure
     // re-link of every base cell
@@ -265,18 +342,20 @@ object StreamCow {
     // string-compare cell keys: directory names already ARE the
     // partition values' canonical string forms
     val touchedStr = touched.map(_.map(_.toString))
-    cellDirs(new java.io.File(spec.baseDir), spec.partCols.size)
+    cellDirs(new java.io.File(fromBase), spec.partCols.size)
       .foreach { rel =>
         val src =
           if (touchedStr(keyOfPath(rel))) new java.io.File(spec.overlayDir, rel)
-          else new java.io.File(spec.baseDir, rel)
-        if (src.isDirectory) linkTree(src, new java.io.File(v2, rel))
+          else new java.io.File(fromBase, rel)
+        if (src.isDirectory) linkTree(src, new java.io.File(target, rel))
       }
-    // a zero-survivor base links nothing — the v2 dir must still
+    // a zero-survivor base links nothing — the target dir must still
     // exist to carry its commit marker (10× GenData rehearsal edge)
-    v2.mkdirs()
-    java.nio.file.Files.createFile(new java.io.File(v2, "_SUCCESS").toPath)
-    spec.compactDir
+    target.mkdirs()
+    val marker = new java.io.File(target, "_SUCCESS").toPath
+    if (!java.nio.file.Files.exists(marker))
+      java.nio.file.Files.createFile(marker)
+    ()
   }
 
   /** Vacuum the superseded CoW state after [[compact]]: the overlay,

@@ -799,6 +799,86 @@ class StreamingSpec extends SparkSuite {
       "post-compact stream batch must scrub v2 like any frozen base")
   }
 
+  test("StreamCow auto-compaction: mid-stream generation roll invisible to readers") {
+    import spark.implicits._
+    import graft.streaming.StreamCow
+    val root = java.nio.file.Files.createTempDirectory("graft_cow_auto")
+      .toString
+    val baseDir = s"$root/base"
+    val baseDf = (0L until 40L).map(k => (k, (k % 4).toInt, s"p$k"))
+      .toDF("key", "cell", "payload")
+    baseDf.write.partitionBy("cell").mode("overwrite").parquet(baseDir)
+    val locator = spark.read.parquet(baseDir).select(col("key"), col("cell"))
+    // retract ALL of cell 3 (keys ≡ 3 mod 4, spread across the three
+    // pmod-3 feed slices — the cell empties only AFTER a generation
+    // roll, exercising the post-roll emptied-cell cleanup) plus
+    // keys % 10 == 0; threshold 1 → the policy fires mid-stream
+    val spec = StreamCow.Spec("key", Seq("cell"), baseDir, s"$root/runs/a",
+      autoCompactLogRows = Some(1L))
+    val retractKeys = baseDf
+      .filter(col("cell") === 3 || col("key") % 10 === 0)
+      .select(col("key"))
+    StreamCow.stageFeed(spec, retractKeys)
+    val over = StreamCow.run(spark, spec, locator)
+    // the policy FIRED: the live base is a committed generation, the
+    // original v1 base is untouched, and the log holds only the
+    // post-roll batches (strictly fewer rows than the takedown list)
+    val curBase = StreamCow.currentBase(spec)
+    assert(curBase != baseDir, "auto-compaction must have rolled a generation")
+    assert(new java.io.File(s"$curBase/_SUCCESS").exists())
+    assert(spark.read.parquet(baseDir).count() == 40L,
+      "v1 base files must survive the roll untouched")
+    val nRetract = retractKeys.count()
+    val logRows = spark.read.parquet(spec.logDir).count()
+    assert(logRows < nRetract,
+      s"post-roll log must hold only post-roll batches ($logRows/$nRetract)")
+    // reads are CONTINUOUS across the boundary: the standard
+    // (base ∖ covered) ∪ overlay formula against currentBase yields
+    // exactly the batch retract semantics, row-for-row
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, String)] =
+      df.select(col("key"), col("cell").cast("int"), col("payload"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+        .toSet
+    val overDf =
+      if (!graft.Util.anyParquetPart(new java.io.File(over)))
+        spark.read.parquet(curBase).limit(0)
+      else spark.read.parquet(over)
+    // mask = the post-roll LOG's touched cells (locator ∩ log), not
+    // the overlay's directories: a cell fully emptied after the roll
+    // has no overlay partition and must not fall back to the base
+    val covered = locator
+      .join(spark.read.parquet(spec.logDir).select(col("key")), Seq("key"))
+      .select(col("cell")).distinct()
+      .collect().map(_.get(0).toString).toSet
+    val live = rows(spark.read.parquet(curBase)
+        .filter(!col("cell").cast("string").isInCollection(covered + "-")))
+      .union(rows(overDf))
+    val want = rows(baseDf.filter(col("cell") =!= 3 && col("key") % 10 =!= 0))
+    assert(live == want,
+      "live view across the auto-compact boundary must equal batch semantics")
+    // the emptied cell: no overlay partition (the cleanup path), and
+    // its generation rows are masked by the log's touched set — the
+    // post-roll resurrection hazard this test exists to pin
+    assert(!new java.io.File(s"$over/cell=3").exists(),
+      "an emptied cell must have no overlay partition")
+    assert(covered("3"),
+      "the emptied cell must sit in the post-roll touched mask")
+    // replay idempotence: a second run over the same checkpoint plans
+    // zero micro-batches and leaves generations + live view unchanged
+    val gensBefore = Option(new java.io.File(spec.root).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .count(_.getName.startsWith("gen"))
+    StreamCow.run(spark, spec, locator)
+    val gensAfter = Option(new java.io.File(spec.root).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .count(_.getName.startsWith("gen"))
+    assert(gensAfter == gensBefore, "replay must not roll new generations")
+    val live2 = rows(spark.read.parquet(StreamCow.currentBase(spec))
+        .filter(!col("cell").cast("string").isInCollection(covered + "-")))
+      .union(rows(overDf))
+    assert(live2 == want, "replay must leave the live view unchanged")
+  }
+
   test("StreamCow compact converges on retry after a crash mid-link") {
     import spark.implicits._
     import graft.streaming.StreamCow
