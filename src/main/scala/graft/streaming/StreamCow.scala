@@ -66,7 +66,15 @@ object StreamCow {
     * semantics the UNTOUCHED cells' live view is base-minus-pred, so
     * v1 base files cannot be hard-linked verbatim — folding a
     * reinstate root belongs to the next retract compaction
-    * (v_next = base where ¬pred ∨ cleared). */
+    * (v_next = base where ¬pred ∨ cleared).
+    *
+    * `autoCompactLogRows = Some(n)` (r16): the AUTO-COMPACTION
+    * policy — when the durable log exceeds n rows, the next
+    * micro-batch folds the live view into a fresh frozen generation
+    * (`genDir`) before applying itself and continues against it with
+    * an empty log; [[currentBase]] resolves the live base. Takedown
+    * mode only (the [[compact]] restriction above applies batch-wise
+    * too); the policy is a no-op under reinstate semantics. */
   final case class Spec(keyCol: String, partCols: Seq[String],
       baseDir: String, root: String,
       staticRetract: Option[Column] = None,
