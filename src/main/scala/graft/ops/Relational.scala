@@ -2515,6 +2515,61 @@ object Relational {
          AND s_suppkey IN (SELECT l_suppkey FROM w WHERE 3*qty > part_qty)
        ORDER BY s_suppkey"""
 
+  /** TPC-H Q9-shaped product-type profit — the multi-dimension STAR
+    * join over the fact (lineitem ⋈ part ⋈ supplier ⋈ nation plus the
+    * orders date spine), rolled up to (nation, order year): the last
+    * of the classic hard plan shapes (this dataset has no
+    * partsupp/supplycost, so cost = the part's retail price × qty —
+    * the same star topology, shape-faithful). Profit is EXACT e4
+    * integer arithmetic: price_cents × (100 − disc_pct) −
+    * retail_cents × qty × 100 — prices/discounts are 2-decimal, so
+    * both engines compute identical integers (the q17 convention: a
+    * float product differs in the last ulp between engines).
+    *
+    * Plan shape: the part-name dim filter broadcasts and prunes the
+    * fact FIRST (the selective dim), supplier⋈nation broadcasts, and
+    * the only fact-grain shuffle is the orders join on orderkey (or
+    * none when orders broadcasts at test scale); the rollup groups
+    * ≤ |nations|×|years| keys with map-side partial aggregation. */
+  def q9ProductProfit(spark: SparkSession, sfDir: String): DataFrame = {
+    val parts = broadcast(Tables.part(spark, sfDir)
+      .filter(col("p_name").contains("plat"))
+      .select(col("p_partkey"),
+        cents(col("p_retailprice")).cast("long").as("retail_cents")))
+    val supNation = broadcast(Tables.supplier(spark, sfDir)
+      .join(Tables.nation(spark, sfDir),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation")))
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity").cast("long").as("qty"),
+        cents(col("l_extendedprice")).cast("long").as("price_cents"),
+        round(col("l_discount") * lit(100.0)).cast("long").as("d2"))
+      .join(parts, col("l_partkey") === col("p_partkey"))
+      .join(supNation, col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, sfDir)
+          .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("nation"), col("o_year"))
+      .agg(sum(col("price_cents") * (lit(100L) - col("d2")) -
+          col("retail_cents") * col("qty") * lit(100L)).as("profit_e4"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+  val q9ProductProfitSql: String =
+    """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+         CAST(sum(CAST(floor(l_extendedprice * 100.0) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100.0) AS BIGINT))
+           - CAST(floor(p_retailprice * 100.0) AS BIGINT)
+             * CAST(l_quantity AS BIGINT) * 100) AS BIGINT) AS profit_e4,
+         count(1) AS n_lines
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       JOIN part ON l_partkey = p_partkey
+       JOIN supplier ON l_suppkey = s_suppkey
+       JOIN nation ON s_nationkey = n_nationkey
+       WHERE p_name LIKE '%plat%'
+       GROUP BY 1, 2 ORDER BY nation, o_year DESC"""
+
   /** Rolling 7-day distinct users — the dedup-aware rolling metric a
     * naive sliding window can't give (distinct does not decompose over
     * overlapping windows). Exact two-stage shape: collapse events to
@@ -3403,6 +3458,7 @@ object Relational {
     "q13_cust_dist" -> q13CustDist,
     "q17_small_qty" -> q17SmallQty,
     "q21_waiting" -> q21Waiting,
+    "q9_product_profit" -> q9ProductProfit,
     "q20_surplus" -> q20Surplus,
     "q18_big_orders" -> q18BigOrders,
     "rolling_distinct_users" -> rollingDistinctUsers,
@@ -3496,6 +3552,7 @@ object Relational {
     "q13_cust_dist" -> q13CustDistSql,
     "q17_small_qty" -> q17SmallQtySql,
     "q21_waiting" -> q21WaitingSql,
+    "q9_product_profit" -> q9ProductProfitSql,
     "q20_surplus" -> q20SurplusSql,
     "q18_big_orders" -> q18BigOrdersSql,
     "rolling_distinct_users" -> rollingDistinctUsersSql,

@@ -2318,6 +2318,43 @@ class Round5OpsSpec extends SparkSuite {
     assert(rows.map(_.getAs[Long]("s_suppkey")).toSet == want)
   }
 
+  test("q9_product_profit: star-join rollup matches brute force; dims broadcast") {
+    val rows = ops.Relational.q9ProductProfit(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // brute-force the star join over collected rows
+    val parts = Tables.part(spark, sf).filter(col("p_name").contains("plat"))
+      .collect().map(r => r.getAs[Long]("p_partkey") ->
+        math.floor(r.getAs[Double]("p_retailprice") * 100.0).toLong).toMap
+    val supN = Tables.supplier(spark, sf)
+      .join(Tables.nation(spark, sf),
+        col("s_nationkey") === col("n_nationkey"))
+      .collect().map(r => r.getAs[Long]("s_suppkey") ->
+        r.getAs[String]("n_name")).toMap
+    val oYear = Tables.orders(spark, sf).collect()
+      .map(r => r.getAs[Long]("o_orderkey") ->
+        r.getAs[java.time.LocalDateTime]("o_orderdate").getYear)
+      .toMap
+    val want = Tables.lineitem(spark, sf).collect().flatMap { r =>
+      parts.get(r.getAs[Long]("l_partkey")).map { retail =>
+        val price = math.floor(r.getAs[Double]("l_extendedprice") * 100.0).toLong
+        val d2 = math.round(r.getAs[Double]("l_discount") * 100.0)
+        val qty = r.getAs[Double]("l_quantity").toLong
+        ((supN(r.getAs[Long]("l_suppkey")),
+          oYear(r.getAs[Long]("l_orderkey"))),
+          price * (100L - d2) - retail * qty * 100L)
+      }
+    }.groupBy(_._1).view
+      .mapValues(vs => (vs.map(_._2).sum, vs.length.toLong)).toMap
+    val got = rows.map(r => (r.getString(0), r.getInt(1)) ->
+      (r.getAs[Long]("profit_e4"), r.getAs[Long]("n_lines"))).toMap
+    assert(got == want, "star-join rollup must match brute force exactly")
+    // both dims broadcast: no SMJ below the rollup for part/supplier
+    val plan = ops.Relational.q9ProductProfit(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2,
+      s"part + supplier/nation dims must broadcast:\n${plan.take(1200)}")
+  }
+
   test("rolling_distinct_users matches brute force over collected events") {
     val out = ops.Relational.rollingDistinctUsers(spark, sf).collect()
       .map(r => r.getAs[String]("win_day") -> r.getAs[Long]("users_7d")).toMap
