@@ -1149,6 +1149,62 @@ object Vector {
     retractIndexGates(spark, sfDir, spec.baseDir, over)
   }
 
+  /** `stream_ann_autocompact` — the index takedown stream under the
+    * AUTO-COMPACTION policy (`stream_retract_autocompact`'s vector
+    * twin, completing the policy's lifecycle symmetry): the durable
+    * log crossing the threshold folds the live assignment into a
+    * fresh frozen generation mid-stream; the final live view is
+    * (generation cells not flagged by the post-roll takedowns) ∪
+    * overlay — curBase's own retract flags ARE the post-roll mask,
+    * because the fold already removed every earlier takedown. Gates:
+    * the retract twins' survivor-exact probe recall, total
+    * reconciliation n_after + n_retracted = corpus (per-cell befores
+    * are not recoverable once the base pointer moved — the total
+    * plus zero leftovers plus probe recall is the post-roll
+    * contract), and the measured compactions ≥ 1 bit. Shares the
+    * retract oracle plus the constant compaction gate: the policy
+    * must be INVISIBLE to index readers. */
+  def streamAnnAutocompact(spark: SparkSession, sfDir: String): DataFrame = {
+    val spec = streamAnnRetractSpec(spark, sfDir, "graft_ann_autocompact")
+      .copy(autoCompactLogRows = Some(1L))
+    graft.streaming.StreamCow.stageFeed(spec,
+      Tables.embeddings(spark, sfDir).filter(isVecRetracted)
+        .select(col("vec_id")))
+    val over = graft.streaming.StreamCow.run(spark, spec,
+      spark.read.parquet(spec.baseDir).select(col("vec_id"), col("cell")))
+    val curBase = graft.streaming.StreamCow.currentBase(spec)
+    val nGens = Option(new java.io.File(spec.root).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .count(f => f.isDirectory && f.getName.startsWith("gen") &&
+        new java.io.File(f, "_SUCCESS").exists())
+    val base = spark.read.parquet(curBase)
+    val overDf =
+      if (!Text.anyParquetPart(new java.io.File(over))) base.limit(0)
+      else spark.read.parquet(over).select(base.columns.map(col): _*)
+    val touched = base.filter(isVecRetracted).select(col("cell")).distinct()
+    val live = base.join(touched, Seq("cell"), "left_anti")
+      .unionByName(overDf)
+    val nCorpus = corpusN(spark, sfDir)
+    val audit = live
+      .agg(count(lit(1)).as("n_after"),
+        sum(when(isVecRetracted, 1L).otherwise(0L)).as("leftover"))
+      .crossJoin(broadcast(Tables.embeddings(spark, sfDir)
+        .agg(sum(when(isVecRetracted, 1L).otherwise(0L)).as("n_retracted"))))
+      .select(col("n_after"), col("n_retracted"),
+        (col("n_after") + col("n_retracted") === nCorpus &&
+          col("leftover") === 0L).as("cow_ok"),
+        lit(math.min(nGens, 1).toLong).as("compactions_capped"))
+    indexProbeGates(spark, sfDir, live, audit)
+  }
+  /** The index retract oracle verbatim + the constant compaction
+    * gate. */
+  def streamAnnAutocompactSql: String = {
+    val marker = "true AS cow_ok"
+    require(annIndexRetractSql.contains(marker))
+    annIndexRetractSql.replace(marker,
+      marker + ",\n       CAST(1 AS BIGINT) AS compactions_capped")
+  }
+
   /** The index-side CoW spec: cell-partitioned assignment base,
     * single `cell` partition column, vec_id keys, staging root keyed
     * by the dataset fingerprint. */
@@ -2323,6 +2379,7 @@ object Vector {
     "ann_index_reinstate" -> annIndexReinstate,
     "stream_ann_reinstate" -> streamAnnReinstate,
     "stream_ann_retract" -> streamAnnRetract,
+    "stream_ann_autocompact" -> streamAnnAutocompact,
     "ann_index_compact" -> annIndexCompact,
     "ann_index_version_diff" -> annIndexVersionDiff,
     "ann_version_log" -> annVersionLog,
@@ -2354,6 +2411,7 @@ object Vector {
     "ann_index_reinstate" -> annIndexReinstateSql,
     "stream_ann_reinstate" -> annIndexReinstateSql,
     "stream_ann_retract" -> annIndexRetractSql,
+    "stream_ann_autocompact" -> streamAnnAutocompactSql,
     "ann_index_compact" -> annIndexCompactSql,
     "ann_index_version_diff" -> annIndexVersionDiffSql,
     "ann_version_log" -> annVersionLogSql,

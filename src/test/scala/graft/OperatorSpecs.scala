@@ -1410,6 +1410,26 @@ class VectorSpec extends SparkSuite {
     assert(byV(5) == byV(4), "compaction: physical read == pre-compact view")
   }
 
+  test("stream_ann_autocompact: policy fires, gates equal the plain stream twin") {
+    val auto = Vector.streamAnnAutocompact(spark, sf).collect()
+    assert(auto.nonEmpty)
+    auto.foreach { r =>
+      assert(r.getAs[Boolean]("recall_ok") && r.getAs[Boolean]("cow_ok"))
+      assert(r.getAs[Long]("compactions_capped") == 1L,
+        "the threshold-1 policy must roll at least one generation")
+    }
+    // auto-compaction is invisible: probe gates + audit equal the
+    // plain (never-compacted) stream twin row-for-row
+    val plain = Vector.streamAnnRetract(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("hits_capped"),
+        r.getAs[Boolean]("recall_ok"), r.getAs[Long]("n_after"),
+        r.getAs[Long]("n_retracted"))).toSet
+    val got = auto.map(r => (r.getAs[Long]("qid"),
+      r.getAs[Long]("hits_capped"), r.getAs[Boolean]("recall_ok"),
+      r.getAs[Long]("n_after"), r.getAs[Long]("n_retracted"))).toSet
+    assert(got == plain, "post-auto-compact gates must equal the plain twin")
+  }
+
   test("ann_version_log: linear chain, volumes agree with the asof reads") {
     val log = Vector.annVersionLog(spark, sf).collect()
       .map(r => (r.getInt(0),
