@@ -4159,23 +4159,29 @@ object Text {
           col("split").cast("string").as("split"),
           col("shard").cast("long").as("shard"),
           col("bin"), col("n_tokens"))
-    val overDf =
-      if (!anyParquetPart(new java.io.File(over)))
-        layout(base).limit(0)
-      else layout(over)
-    // the overlay MASK is the post-roll log's touched cells (locator ∩
-    // log), NOT the overlay's observed directories: a cell fully
+    // the overlay MASK is the post-roll log's touched cells (manifest
+    // ∩ log), NOT the overlay's observed directories: a cell fully
     // emptied after the generation roll writes no overlay partition,
     // and a directory-based mask would fall back to the generation's
     // stale rows for it (the r14 fully-retracted-cell finding,
-    // recurring at the auto-compact read)
+    // recurring at the auto-compact read). The overlay read is
+    // RESTRICTED to the same mask: between a roll's log deletion and
+    // its overlay deletion a stale (already-folded) overlay partition
+    // may exist, and an unrestricted union would double-count it.
+    // With the end-of-batch policy the final state typically has no
+    // log at all (the last batch's roll folded everything): the mask
+    // is then empty and the live view IS the newest generation.
     val touchedNow =
       if (!anyParquetPart(new java.io.File(spec.logDir)))
-        overDf.select(col("split"), col("shard")).limit(0)
+        layout(base).select(col("split"), col("shard")).limit(0)
       else retractManifestOf(spark, sfDir)
         .join(spark.read.parquet(spec.logDir).select(col("doc_id")),
           Seq("doc_id"))
         .select(col("split"), col("shard")).distinct()
+    val overDf =
+      (if (!anyParquetPart(new java.io.File(over))) layout(base).limit(0)
+       else layout(over))
+        .join(touchedNow, Seq("split", "shard"), "left_semi")
     val live = layout(base)
       .join(touchedNow, Seq("split", "shard"), "left_anti")
       .unionByName(overDf)

@@ -1178,10 +1178,16 @@ object Vector {
       .count(f => f.isDirectory && f.getName.startsWith("gen") &&
         new java.io.File(f, "_SUCCESS").exists())
     val base = spark.read.parquet(curBase)
-    val overDf =
-      if (!Text.anyParquetPart(new java.io.File(over))) base.limit(0)
-      else spark.read.parquet(over).select(base.columns.map(col): _*)
+    // mask = the generation's own retract flags (the fold already
+    // removed every earlier takedown, so curBase's flagged vecs ARE
+    // the post-roll log); the overlay read is restricted to the same
+    // mask so a stale already-folded overlay partition can never
+    // double-count (the corpus twin's rule)
     val touched = base.filter(isVecRetracted).select(col("cell")).distinct()
+    val overDf =
+      (if (!Text.anyParquetPart(new java.io.File(over))) base.limit(0)
+       else spark.read.parquet(over).select(base.columns.map(col): _*))
+        .join(touched, Seq("cell"), "left_semi")
     val live = base.join(touched, Seq("cell"), "left_anti")
       .unionByName(overDf)
     val nCorpus = corpusN(spark, sfDir)

@@ -168,33 +168,6 @@ object StreamCow {
       .foreachBatch {
         (batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
         val ss = batch.sparkSession
-        // AUTO-COMPACTION policy (r15 verdict #7): when the durable
-        // log has grown past the threshold, fold the live view into
-        // a fresh frozen generation BEFORE applying this batch —
-        // the production trigger for the maintenance the explicit
-        // compact() query performs on demand. After the fold the
-        // overlay and log are superseded (the new base IS the live
-        // view) and the stream continues against the new generation
-        // with an empty log — reads are continuous across the
-        // boundary because every intermediate state (gen committed /
-        // log deleted / overlay deleted) serves the identical live
-        // view: the overlay's content was folded verbatim, so a
-        // reader's (base ∖ covered) ∪ overlay formula is invariant.
-        spec.autoCompactLogRows.foreach { thr =>
-          if (spec.staticRetract.isEmpty &&
-              graft.Util.anyParquetPart(new java.io.File(logDir)) &&
-              ss.read.parquet(logDir).count() > thr) {
-            val g = genOf(curBase, spec) + 1
-            val to = new java.io.File(spec.genDir(g))
-            foldInto(ss, spec, curBase, to, locator)
-            // commit order: generation first (crash-safe — a replayed
-            // fold from the still-present log converges to identical
-            // bytes), then the superseded log and overlay
-            graft.Util.deleteRecursively(new java.io.File(logDir))
-            graft.Util.deleteRecursively(new java.io.File(over))
-            curBase = to.getPath
-          }
-        }
         batch.write.mode("overwrite").parquet(s"$logDir/batch=$id")
         val cum = ss.read.parquet(logDir).select(col(spec.keyCol))
         val cells = locator
@@ -253,6 +226,36 @@ object StreamCow {
           cells.filterNot(r => live(cellKey(r))).foreach { r =>
             graft.Util.deleteRecursively(new java.io.File(
               s"$over/${cellPath(spec.partCols, r)}"))
+          }
+        }
+        // AUTO-COMPACTION policy (r15 verdict #7): when the durable
+        // log has grown past the threshold, fold the live view into a
+        // fresh frozen generation — the production trigger for the
+        // maintenance the explicit compact() query performs on
+        // demand. The check runs at batch END, after this batch's
+        // overlay commit, so the fold always sees a FULLY-overlaid
+        // log (a start-of-batch check replayed after a crash between
+        // a log write and its overlay write would fold a cell whose
+        // rewrite never happened). Crash convergence: a replayed fold
+        // re-links identical bytes (linkTree skips existing files;
+        // the touched set derives from the FOLD BASE itself, so a
+        // base that already folded the log re-links verbatim), and
+        // every intermediate state serves the identical live view to
+        // readers masking the overlay with the log's touched cells.
+        spec.autoCompactLogRows.foreach { thr =>
+          if (spec.staticRetract.isEmpty &&
+              graft.Util.anyParquetPart(new java.io.File(logDir)) &&
+              ss.read.parquet(logDir).count() > thr) {
+            val g = genOf(curBase, spec) + 1
+            val to = new java.io.File(spec.genDir(g))
+            foldInto(ss, spec, curBase, to)
+            // cleanup order: generation commit happened inside
+            // foldInto; then the superseded log, then the overlay —
+            // readers mask stale overlay cells by the (now absent)
+            // log, so neither partial state double-counts
+            graft.Util.deleteRecursively(new java.io.File(logDir))
+            graft.Util.deleteRecursively(new java.io.File(over))
+            curBase = to.getPath
           }
         }
         ()
@@ -317,9 +320,13 @@ object StreamCow {
         "semantics untouched base cells still hold retracted rows, so " +
         "v1 files cannot be linked verbatim (fold into the next " +
         "retract compaction instead)")
+    // locator retained for API stability; the touched set now derives
+    // from the fold base itself (identical here — the locator IS the
+    // base manifest — and required for the auto-compaction path,
+    // where the base pointer has moved past the manifest)
     val v2 = new java.io.File(spec.compactDir)
     if (new java.io.File(v2, "_SUCCESS").exists()) return spec.compactDir
-    foldInto(spark, spec, spec.baseDir, v2, locator)
+    foldInto(spark, spec, spec.baseDir, v2)
     spec.compactDir
   }
 
@@ -327,21 +334,30 @@ object StreamCow {
     * in-stream auto-compaction policy: (base cells the overlay
     * doesn't cover, hard-linked) ∪ (touched cells' overlay rewrites,
     * hard-linked) → a new frozen dir committed under _SUCCESS.
-    * Touched set from the locator ∩ flushed log — metadata only,
-    * bounded by the cell grid. Idempotent per target: a crashed fold
-    * replayed from the still-present log converges to identical
-    * bytes (linkTree skips already-linked files). */
+    * Touched set = cells of FROM-BASE rows whose key is in the
+    * flushed log: deriving it from the fold base (not the caller's
+    * manifest locator) makes a REPLAYED fold convergent — a base
+    * that already folded this log holds none of its keys, so the
+    * re-fold is a pure re-link; and a cell the log emptied still
+    * holds its keys in the pre-fold base, so it is correctly touched
+    * (and correctly absent from the target when the overlay has no
+    * rewrite for it). Cost: one key+partition projection scan of the
+    * base — columnar and small next to the fold's own link I/O.
+    * Idempotent per target: linkTree skips already-linked files. */
   private def foldInto(spark: SparkSession, spec: Spec, fromBase: String,
-      target: java.io.File, locator: DataFrame): Unit = {
+      target: java.io.File): Unit = {
     // a retract list hitting zero manifest cells (e.g. a zero-survivor
     // corpus) leaves no log partitions — compaction is then a pure
     // re-link of every base cell
     val touched =
-      if (!graft.Util.anyParquetPart(new java.io.File(spec.logDir)))
+      if (!graft.Util.anyParquetPart(new java.io.File(spec.logDir)) ||
+          !graft.Util.anyParquetPart(new java.io.File(fromBase)))
         Set.empty[Seq[Any]]
       else {
         val cum = spark.read.parquet(spec.logDir).select(col(spec.keyCol))
-        locator.join(cum, Seq(spec.keyCol))
+        spark.read.parquet(fromBase)
+          .select((spec.keyCol +: spec.partCols).map(col): _*)
+          .join(cum, Seq(spec.keyCol))
           .select(spec.partCols.map(col): _*).distinct()
           .collect().map(cellKey).toSet
       }

@@ -829,40 +829,49 @@ class StreamingSpec extends SparkSuite {
     assert(spark.read.parquet(baseDir).count() == 40L,
       "v1 base files must survive the roll untouched")
     val nRetract = retractKeys.count()
-    val logRows = spark.read.parquet(spec.logDir).count()
+    def logRows: Long =
+      if (!graft.Util.anyParquetPart(new java.io.File(spec.logDir))) 0L
+      else spark.read.parquet(spec.logDir).count()
     assert(logRows < nRetract,
       s"post-roll log must hold only post-roll batches ($logRows/$nRetract)")
     // reads are CONTINUOUS across the boundary: the standard
-    // (base ∖ covered) ∪ overlay formula against currentBase yields
-    // exactly the batch retract semantics, row-for-row
+    // (base ∖ mask) ∪ (overlay ∩ mask) formula against currentBase —
+    // mask = the log's touched cells — yields exactly the batch
+    // retract semantics, row-for-row
     def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, String)] =
       df.select(col("key"), col("cell").cast("int"), col("payload"))
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
         .toSet
-    val overDf =
-      if (!graft.Util.anyParquetPart(new java.io.File(over)))
-        spark.read.parquet(curBase).limit(0)
-      else spark.read.parquet(over)
-    // mask = the post-roll LOG's touched cells (locator ∩ log), not
-    // the overlay's directories: a cell fully emptied after the roll
-    // has no overlay partition and must not fall back to the base
-    val covered = locator
-      .join(spark.read.parquet(spec.logDir).select(col("key")), Seq("key"))
-      .select(col("cell")).distinct()
-      .collect().map(_.get(0).toString).toSet
-    val live = rows(spark.read.parquet(curBase)
+    def liveView(): Set[(Long, Int, String)] = {
+      val cb = StreamCow.currentBase(spec)
+      val covered =
+        if (!graft.Util.anyParquetPart(new java.io.File(spec.logDir)))
+          Set.empty[String]
+        else locator
+          .join(spark.read.parquet(spec.logDir).select(col("key")),
+            Seq("key"))
+          .select(col("cell")).distinct()
+          .collect().map(_.get(0).toString).toSet
+      val overRows =
+        if (!graft.Util.anyParquetPart(new java.io.File(over)))
+          Set.empty[(Long, Int, String)]
+        else rows(spark.read.parquet(over)
+          .filter(col("cell").cast("string")
+            .isInCollection(covered + "-")))
+      rows(spark.read.parquet(cb)
         .filter(!col("cell").cast("string").isInCollection(covered + "-")))
-      .union(rows(overDf))
+        .union(overRows)
+    }
     val want = rows(baseDf.filter(col("cell") =!= 3 && col("key") % 10 =!= 0))
-    assert(live == want,
+    assert(liveView() == want,
       "live view across the auto-compact boundary must equal batch semantics")
-    // the emptied cell: no overlay partition (the cleanup path), and
-    // its generation rows are masked by the log's touched set — the
-    // post-roll resurrection hazard this test exists to pin
+    // the emptied cell is GONE from every surface: the end-of-batch
+    // roll folds it away (touched in the pre-fold base, no overlay
+    // rewrite) — the post-roll resurrection hazard this test pins
     assert(!new java.io.File(s"$over/cell=3").exists(),
       "an emptied cell must have no overlay partition")
-    assert(covered("3"),
-      "the emptied cell must sit in the post-roll touched mask")
+    assert(!new java.io.File(s"$curBase/cell=3").exists(),
+      "an emptied cell must be folded out of the generation")
     // replay idempotence: a second run over the same checkpoint plans
     // zero micro-batches and leaves generations + live view unchanged
     val gensBefore = Option(new java.io.File(spec.root).listFiles())
@@ -873,10 +882,7 @@ class StreamingSpec extends SparkSuite {
       .getOrElse(Array.empty[java.io.File])
       .count(_.getName.startsWith("gen"))
     assert(gensAfter == gensBefore, "replay must not roll new generations")
-    val live2 = rows(spark.read.parquet(StreamCow.currentBase(spec))
-        .filter(!col("cell").cast("string").isInCollection(covered + "-")))
-      .union(rows(overDf))
-    assert(live2 == want, "replay must leave the live view unchanged")
+    assert(liveView() == want, "replay must leave the live view unchanged")
   }
 
   test("StreamCow compact converges on retry after a crash mid-link") {
