@@ -1153,8 +1153,15 @@ object Text {
     * BOTH fusions (it is the eval; the production serving path is
     * [[ragContextPackIvf]], which never touches the brute leg). */
   def ragFusionIvf(spark: SparkSession, sfDir: String): DataFrame = {
-    val ivf = fusedIvf(spark, sfDir).select(col("query_id"), col("doc_id"))
-    val exact = ragFusionRrf(spark, sfDir)
+    // ONE lazy frame per shared lexical leg, referenced by BOTH
+    // fusions (the ragEvalRecall convention): identical subtrees
+    // dedup via ReusedExchange, so the gate pays the BM25/QL
+    // aggregates once, not twice
+    val bm25 = bm25Topk(spark, sfDir)
+    val ql = qlTopk(spark, sfDir)
+    val ivf = fuseLegs(bm25, ql, denseIvfTopk(spark, sfDir))
+      .select(col("query_id"), col("doc_id"))
+    val exact = fuseLegs(bm25, ql, denseTopk(spark, sfDir))
       .select(col("query_id"), col("doc_id"))
     ivf.join(exact, Seq("query_id", "doc_id"))
       .groupBy(col("query_id"))
