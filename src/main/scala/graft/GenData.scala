@@ -164,13 +164,88 @@ object GenData {
       "l_returnflag", "l_linestatus", "l_shipdate")
   }
 
+  /** The TPC-H-ish star dimensions (schemas + distribution shapes
+    * from the driver testdata), so the q-family join shapes rehearse
+    * above sf0.1 too. Nation/region are fixed-size reference tables
+    * reproduced verbatim-shaped. */
+  def orders(spark: SparkSession, n: Long, customers: Long): DataFrame = {
+    import spark.implicits._
+    val d0 = java.sql.Timestamp.valueOf("1995-01-01 00:00:00").getTime
+    val day = 86400L * 1000
+    val prios = Array("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+      "5-LOW")
+    spark.range(n).map { i =>
+      val u = us(7L, i)
+      (i, (u.next() * customers).toLong,
+        Array("P", "O", "F").apply((u.next() * 3).toInt),
+        math.floor((1000 + u.next() * 499000) * 100) / 100,
+        new java.sql.Timestamp(d0 + (u.next() * 2404).toLong * day),
+        prios((u.next() * 5).toInt))
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+  }
+
+  def part(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    val adjs = Array("blue", "old", "new", "large", "hot", "red", "small",
+      "cold")
+    val nouns = Array("widget", "ring", "gear", "anvil", "bolt", "plate",
+      "rod", "gizmo")
+    val types = Array("ECONOMY", "LARGE", "STANDARD", "MEDIUM", "SMALL",
+      "PROMO")
+    spark.range(n).map { i =>
+      val u = us(8L, i)
+      (i, s"${adjs((u.next() * 8).toInt)} ${nouns((u.next() * 8).toInt)}",
+        s"Brand#${1 + (u.next() * 25).toInt}",
+        types((u.next() * 6).toInt),
+        1 + (u.next() * 50).toInt,
+        math.floor((900 + u.next() * 99.9) * 100) / 100)
+    }.toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+      "p_retailprice")
+  }
+
+  def supplier(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(n).map { i =>
+      val u = us(9L, i)
+      (i, f"Supplier#$i%09d", (u.next() * 25).toInt,
+        math.floor((-1000 + u.next() * 11000) * 100) / 100)
+    }.toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+  }
+
+  def customer(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    val segs = Array("MACHINERY", "HOUSEHOLD", "BUILDING", "FURNITURE",
+      "AUTOMOBILE")
+    spark.range(n).map { i =>
+      val u = us(10L, i)
+      (i, f"Customer#$i%09d", (u.next() * 25).toInt,
+        math.floor(u.next() * 10000 * 100) / 100,
+        segs((u.next() * 5).toInt))
+    }.toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+      "c_mktsegment")
+  }
+
+  def nation(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    (0 until 25).map(i => (i, s"NATION_$i", i % 5))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+  }
+
+  def region(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq((0, "AFRICA"), (1, "AMERICA"), (2, "ASIA"), (3, "EUROPE"),
+      (4, "MIDDLE EAST")).toDF("r_regionkey", "r_name")
+  }
+
   def main(args: Array[String]): Unit = {
     val out = args(0)
     val mult = if (args.length > 1) args(1).toLong else 10L
     // optional third arg: comma-list restricting which tables to
     // generate (e.g. "embeddings" for the RagScaleProbe corpora)
     val tables = if (args.length > 2) args(2).split(",").map(_.trim).toSet
-      else Set("documents", "embeddings", "events", "lineitem")
+      else Set("documents", "embeddings", "events", "lineitem",
+        "orders", "part", "supplier", "customer", "nation", "region")
     val spark = SparkSession.builder()
       .appName("graft-gendata")
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
@@ -190,6 +265,29 @@ object GenData {
       if (tables("lineitem"))
         lineitem(spark, 147236L * mult, 20000L * mult, 10000L * mult)
           .repartition(32).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+      // star dimensions: the q-family join shapes rehearse above
+      // sf0.1. lineitem's synthetic l_orderkey/l_partkey/l_suppkey
+      // domains are [0, 147236m)/[0, 20000m)/[0, 10000m) — orders
+      // covers the orderkey domain exactly; part/supplier are sized
+      // to the fact's key domains so the joins land.
+      if (tables("orders"))
+        orders(spark, 147236L * mult, 15000L * mult)
+          .repartition(8).write.mode("overwrite").parquet(s"$out/orders.parquet")
+      if (tables("part"))
+        part(spark, 20000L * mult)
+          .repartition(4).write.mode("overwrite").parquet(s"$out/part.parquet")
+      if (tables("supplier"))
+        supplier(spark, 10000L * mult)
+          .repartition(2).write.mode("overwrite").parquet(s"$out/supplier.parquet")
+      if (tables("customer"))
+        customer(spark, 15000L * mult)
+          .repartition(2).write.mode("overwrite").parquet(s"$out/customer.parquet")
+      if (tables("nation"))
+        nation(spark)
+          .coalesce(1).write.mode("overwrite").parquet(s"$out/nation.parquet")
+      if (tables("region"))
+        region(spark)
+          .coalesce(1).write.mode("overwrite").parquet(s"$out/region.parquet")
       println(s"GENDATA done: $out at ${mult}x sf0.1 (${tables.mkString(",")})")
     } finally spark.stop()
   }
