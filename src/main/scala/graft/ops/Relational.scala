@@ -2515,6 +2515,80 @@ object Relational {
          AND s_suppkey IN (SELECT l_suppkey FROM w WHERE 3*qty > part_qty)
        ORDER BY s_suppkey"""
 
+  /** TPC-H Q4-shaped priority check — EXISTS with a CORRELATED
+    * non-equi predicate: orders in one quarter counted per priority
+    * iff SOME line shipped late relative to THAT order's date (> 60
+    * days — the dataset's lag predicate). The existential plans as a
+    * LEFT SEMI join on orderkey carrying the correlated datediff as
+    * the join's extra condition — never a per-order subquery, never a
+    * fact-side multiplication; the quarter filter prunes the orders
+    * scan, and the final aggregate is ≤ 5 keys with map-side
+    * combine. */
+  def q4PriorityCheck(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    o.join(li,
+        col("o_orderkey") === col("l_orderkey") &&
+          datediff(to_date(col("l_shipdate")),
+            to_date(col("o_orderdate"))) > 60,
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+  val q4PriorityCheckSql: String =
+    """SELECT o_orderpriority, count(1) AS order_count
+       FROM orders
+       WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+         AND o_orderdate < TIMESTAMP '1997-04-01'
+         AND EXISTS (SELECT 1 FROM lineitem
+           WHERE l_orderkey = o_orderkey
+             AND datediff('day', o_orderdate, l_shipdate) > 60)
+       GROUP BY 1 ORDER BY 1"""
+
+  /** TPC-H Q16-shaped supplier-diversity count — the NOT IN
+    * anti-join + multi-attribute dim filter + COUNT DISTINCT shape:
+    * per (brand, type, size) over a size IN-list (excluding one brand
+    * and one type), how many DISTINCT suppliers ship the part,
+    * excluding flagged suppliers (account balance < 2500 stands in
+    * for Q16's complaint list — non-empty at every testdata scale). The NOT IN plans as a broadcast
+    * LEFT ANTI against the flagged-supplier set (key is non-null, so
+    * anti ≡ NOT IN); the part dim broadcasts with all three attribute
+    * predicates pushed to its scan; the distinct-count aggregates the
+    * collapsed (attrs, suppkey) grain — two bounded exchanges, never
+    * a fact re-scan. */
+  def q16SupplierDiversity(spark: SparkSession, sfDir: String): DataFrame = {
+    val parts = broadcast(Tables.part(spark, sfDir)
+      .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 5, 9, 13))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"),
+        col("p_size")))
+    val flagged = broadcast(Tables.supplier(spark, sfDir)
+      .filter(col("s_acctbal") < 2500).select(col("s_suppkey")))
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_suppkey"))
+      .join(parts, col("l_partkey") === col("p_partkey"))
+      .join(flagged, col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+  val q16SupplierDiversitySql: String =
+    """SELECT p_brand, p_type, p_size,
+         count(DISTINCT l_suppkey) AS supplier_cnt
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+         AND p_size IN (1, 5, 9, 13)
+         AND l_suppkey NOT IN
+           (SELECT s_suppkey FROM supplier WHERE s_acctbal < 2500)
+       GROUP BY 1, 2, 3
+       ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""
+
   /** TPC-H Q9-shaped product-type profit — the multi-dimension STAR
     * join over the fact (lineitem ⋈ part ⋈ supplier ⋈ nation plus the
     * orders date spine), rolled up to (nation, order year): the last
@@ -3459,6 +3533,8 @@ object Relational {
     "q17_small_qty" -> q17SmallQty,
     "q21_waiting" -> q21Waiting,
     "q9_product_profit" -> q9ProductProfit,
+    "q4_priority_check" -> q4PriorityCheck,
+    "q16_supplier_diversity" -> q16SupplierDiversity,
     "q20_surplus" -> q20Surplus,
     "q18_big_orders" -> q18BigOrders,
     "rolling_distinct_users" -> rollingDistinctUsers,
@@ -3553,6 +3629,8 @@ object Relational {
     "q17_small_qty" -> q17SmallQtySql,
     "q21_waiting" -> q21WaitingSql,
     "q9_product_profit" -> q9ProductProfitSql,
+    "q4_priority_check" -> q4PriorityCheckSql,
+    "q16_supplier_diversity" -> q16SupplierDiversitySql,
     "q20_surplus" -> q20SurplusSql,
     "q18_big_orders" -> q18BigOrdersSql,
     "rolling_distinct_users" -> rollingDistinctUsersSql,

@@ -2375,6 +2375,58 @@ class Round5OpsSpec extends SparkSuite {
       s"part + supplier/nation dims must broadcast:\n${plan.take(1200)}")
   }
 
+  test("q4_priority_check: correlated EXISTS semi equals brute force") {
+    val got = ops.Relational.q4PriorityCheck(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("order_count")).toMap
+    val lateByOrder = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), to_date(col("l_shipdate")).as("sd"))
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getAs[java.sql.Date]("sd").toLocalDate).toSeq)
+      .toMap
+    val want = Tables.orders(spark, sf).collect()
+      .map(r => (r.getAs[Long]("o_orderkey"),
+        r.getAs[java.time.LocalDateTime]("o_orderdate").toLocalDate,
+        r.getAs[String]("o_orderpriority")))
+      .filter { case (_, d, _) =>
+        !d.isBefore(java.time.LocalDate.of(1997, 1, 1)) &&
+          d.isBefore(java.time.LocalDate.of(1997, 4, 1)) }
+      .filter { case (ok, d, _) =>
+        lateByOrder.getOrElse(ok, Seq.empty[java.time.LocalDate])
+          .exists(sd => java.time.temporal.ChronoUnit.DAYS.between(d, sd) > 60) }
+      .groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    assert(got == want, s"got $got want $want")
+  }
+
+  test("q16_supplier_diversity: NOT IN anti + distinct count equals brute force") {
+    val rows = ops.Relational.q16SupplierDiversity(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val parts = Tables.part(spark, sf).collect()
+      .filter(r => r.getAs[String]("p_brand") != "Brand#1" &&
+        r.getAs[String]("p_type") != "PROMO" &&
+        Set(1, 5, 9, 13)(r.getAs[Int]("p_size")))
+      .map(r => r.getAs[Long]("p_partkey") ->
+        (r.getAs[String]("p_brand"), r.getAs[String]("p_type"),
+          r.getAs[Int]("p_size"))).toMap
+    val flagged = Tables.supplier(spark, sf)
+      .filter(col("s_acctbal") < 2500).collect()
+      .map(_.getAs[Long]("s_suppkey")).toSet
+    assert(flagged.nonEmpty, "guard: the exclusion list must be non-empty")
+    val want = Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_suppkey")).collect()
+      .flatMap { r =>
+        val s = r.getLong(1)
+        if (flagged(s)) None else parts.get(r.getLong(0)).map(_ -> s) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.length.toLong).toMap
+    val got = rows.map(r => (r.getString(0), r.getString(1), r.getInt(2)) ->
+      r.getAs[Long]("supplier_cnt")).toMap
+    assert(got == want)
+    // the exclusion is a broadcast anti join, never a shuffled NOT IN
+    val plan = ops.Relational.q16SupplierDiversity(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"flagged suppliers must broadcast-anti:\n${plan.take(1000)}")
+  }
+
   test("rolling_distinct_users matches brute force over collected events") {
     val out = ops.Relational.rollingDistinctUsers(spark, sf).collect()
       .map(r => r.getAs[String]("win_day") -> r.getAs[Long]("users_7d")).toMap
