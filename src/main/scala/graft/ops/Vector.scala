@@ -418,6 +418,57 @@ object Vector {
     dir
   }
 
+  /** `emb_decontam_nearest` — the EMBEDDING-distance decontamination
+    * audit, `t_decontam`'s semantic sibling: for every corpus vector,
+    * its nearest held-out benchmark vector (vec_id % 97 = 0 stands in
+    * for the eval suite, the t_decontam split) and the exact cosine
+    * in e4 — the per-doc report a curation team ranks to review the
+    * most-benchmark-like tail (a thresholded contamination flag is a
+    * filter on this output; on this corpus no pair clears the 0.9
+    * near-dup bar, so the REPORT is the non-degenerate contract).
+    *
+    * Scale shape: eval suites are small, so the benchmark side
+    * BROADCASTS (norms precomputed once) and the corpus is scanned
+    * exactly once map-side; the per-vector argmax collapses in the
+    * partial aggregate (each vector's candidates are co-located by
+    * the broadcast join), so the one exchange carries one row per
+    * corpus vector — the output's own grain. The argmax is a
+    * max-of-struct over (cos_e4, −bench_id): EXACT integer compare,
+    * ties to the smallest benchmark id — deterministic in both
+    * engines (the dot_f32/dotDuck bitwise contract). */
+  def embDecontamNearest(spark: SparkSession, sfDir: String): DataFrame = {
+    val isBench = pmod(col("vec_id"), lit(97L)) === 0
+    val emb = withNorm2(spark, sfDir)
+    val bench = broadcast(emb.filter(isBench)
+      .select(col("vec_id").as("bid"), col("embedding").as("bv"),
+        col("nrm2").as("bn")))
+    emb.filter(!isBench)
+      .crossJoin(bench)
+      .withColumn("cos_e4", graft.Util.e4(
+        dot("embedding", "bv") / (sqrt(col("nrm2")) * sqrt(col("bn"))))
+        .cast("long"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cos_e4"), (-col("bid")).as("nbid"))).as("m"))
+      .select(col("vec_id"), (-col("m.nbid")).as("bench_id"),
+        col("m.cos_e4").as("cos_e4"))
+      .orderBy(col("vec_id"))
+  }
+  val embDecontamNearestSql: String =
+    s"""WITH b AS (SELECT vec_id, embedding FROM embeddings
+         WHERE vec_id % 97 = 0),
+       c AS (SELECT vec_id, embedding FROM embeddings
+         WHERE vec_id % 97 <> 0),
+       p AS (SELECT c.vec_id AS vec_id, b.vec_id AS bench_id,
+           CAST(floor((${dotDuck("c.embedding", "b.embedding")}) /
+             (sqrt(${dotDuck("c.embedding", "c.embedding")}) *
+              sqrt(${dotDuck("b.embedding", "b.embedding")})) * 10000.0)
+             AS BIGINT) AS cos_e4
+         FROM c, b),
+       r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+           ORDER BY cos_e4 DESC, bench_id) AS rn FROM p)
+       SELECT vec_id, bench_id, cos_e4 FROM r WHERE rn = 1
+       ORDER BY vec_id"""
+
   /** Late-batch predicate for [[annIndexAppend]] (~1 % of the corpus
     * stands in for a freshly ingested delta). Chosen so no quantizer
     * seed (vec_id < k) lands in the delta at any testdata scale. */
@@ -2392,6 +2443,7 @@ object Vector {
     "ann_read_asof" -> annReadAsof,
     "emb_lsh_calibration" -> embLshCalibration,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
+    "emb_decontam_nearest" -> embDecontamNearest,
     "dedup_semantic" -> dedupSemantic)
 
   val oracles: Map[String, String] = Map(
@@ -2424,5 +2476,6 @@ object Vector {
     "ann_read_asof" -> annReadAsofSql,
     "emb_lsh_calibration" -> embLshCalibrationSql,
     "dedup_embedding_cosine" -> dedupEmbeddingCosineSql,
+    "emb_decontam_nearest" -> embDecontamNearestSql,
     "dedup_semantic" -> dedupSemanticSql)
 }

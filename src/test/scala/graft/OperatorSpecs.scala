@@ -1410,6 +1410,36 @@ class VectorSpec extends SparkSuite {
     assert(byV(5) == byV(4), "compaction: physical read == pre-compact view")
   }
 
+  test("emb_decontam_nearest: per-vector argmax equals brute force, bench broadcasts") {
+    val rows = Vector.embDecontamNearest(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Seq[Float]](1).toArray)
+    val (bench, corpus) = emb.partition(_._1 % 97 == 0)
+    assert(bench.nonEmpty && rows.size == corpus.length)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble; i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    corpus.take(50).foreach { case (cid, cv) =>
+      val want = bench.map { case (bid, bv) =>
+        (math.floor(cos(cv, bv) * 10000.0).toLong, bid) }
+        .maxBy { case (c, b) => (c, -b) }
+      assert(rows(cid) == (want._2, want._1), s"vec $cid nearest drifted")
+    }
+    // the benchmark side broadcasts; the corpus never shuffles raw
+    val plan = Vector.embDecontamNearest(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), s"bench must broadcast:\n" +
+        plan.take(800))
+  }
+
   test("stream_ann_autocompact: policy fires, gates equal the plain stream twin") {
     val auto = Vector.streamAnnAutocompact(spark, sf).collect()
     assert(auto.nonEmpty)
