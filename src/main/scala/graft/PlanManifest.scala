@@ -111,15 +111,68 @@ object PlanManifest {
   }
 
   def parseJson(s: String): Map[String, Map[String, String]] = {
-    // minimal parser for the exact shape toJson emits
-    val obj = """"((?:[^"\\]|\\.)*)"\s*:\s*\{([^}]*)\}""".r
-    val kv = """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
-    def unq(x: String) = x.replace("\\\"", "\"").replace("\\\\", "\\")
-    obj.findAllMatchIn(s).map { m =>
-      unq(m.group(1)) ->
-        kv.findAllMatchIn(m.group(2))
-          .map(i => unq(i.group(1)) -> unq(i.group(2))).toMap
-    }.toMap
+    // String-aware scanner for the exact two-level shape toJson
+    // emits. The r16 regex stopped an object body at the FIRST '}',
+    // but fingerprint values can legally contain braces (pushed
+    // filters, join strings), and it only unescaped \" and \\ while
+    // toJson also emits \n and \uXXXX — such a value would truncate
+    // the entry and read back as spurious plan drift. Here strings
+    // are lexed as units (a '}' inside one can't close the object)
+    // and the unescape inverts toJson's full escape set; malformed
+    // input throws instead of silently dropping entries.
+    var i = 0
+    def ws(): Unit = while (i < s.length && s(i).isWhitespace) i += 1
+    def expect(c: Char): Unit = {
+      ws()
+      require(i < s.length && s(i) == c, s"expected '$c' at offset $i")
+      i += 1
+    }
+    def str(): String = {
+      ws()
+      require(i < s.length && s(i) == '"', s"expected string at offset $i")
+      i += 1
+      val b = new StringBuilder
+      while (s(i) != '"') {
+        if (s(i) == '\\') s(i + 1) match {
+          case '"' => b += '"'; i += 2
+          case '\\' => b += '\\'; i += 2
+          case 'n' => b += '\n'; i += 2
+          case 'u' =>
+            b += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar
+            i += 6
+          case c =>
+            throw new IllegalArgumentException(s"bad escape \\$c at $i")
+        } else { b += s(i); i += 1 }
+      }
+      i += 1
+      b.result()
+    }
+    def inner(): Map[String, String] = {
+      expect('{')
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, String]
+      ws()
+      if (s(i) == '}') { i += 1; return m.toMap }
+      var done = false
+      while (!done) {
+        val k = str(); expect(':'); m(k) = str()
+        ws()
+        if (s(i) == ',') i += 1 else { expect('}'); done = true }
+      }
+      m.toMap
+    }
+    val out =
+      scala.collection.mutable.LinkedHashMap.empty[String, Map[String, String]]
+    expect('{')
+    ws()
+    if (i < s.length && s(i) == '}') return out.toMap
+    var done = false
+    while (!done) {
+      val k = str(); expect(':'); out(k) = inner()
+      ws()
+      if (i < s.length && s(i) == ',') i += 1
+      else { expect('}'); done = true }
+    }
+    out.toMap
   }
 }
 

@@ -1163,14 +1163,27 @@ object Text {
       .select(col("query_id"), col("doc_id"))
     val exact = fuseLegs(bm25, ql, denseTopk(spark, sfDir))
       .select(col("query_id"), col("doc_id"))
-    ivf.join(exact, Seq("query_id", "doc_id"))
+    fusionOverlap(ivf, exact)
+  }
+
+  /** Per-query overlap between two (query_id, doc_id) top-k sets,
+    * gated at [[IvfFusionOverlapFloor]]. LEFT join from the ivf side
+    * (always 10 rows per query), not an inner join: a query whose
+    * two fusions share ZERO docs must still emit its row with
+    * hits=0 / recall_ok=false — the r16 advice finding was that an
+    * inner join + groupBy made a total miss surface as a MISSING row
+    * (hash mismatch) instead of the scaladoc's promised
+    * named-magnitude breach. */
+  private[graft] def fusionOverlap(ivf: DataFrame,
+      exact: DataFrame): DataFrame =
+    ivf.join(exact.withColumn("_hit", lit(true)),
+        Seq("query_id", "doc_id"), "left")
       .groupBy(col("query_id"))
-      .agg(count(lit(1)).as("hits"))
+      .agg(coalesce(sum(col("_hit").cast("long")), lit(0L)).as("hits"))
       .select(col("query_id"),
         least(col("hits"), lit(IvfFusionOverlapFloor)).as("hits_capped"),
         (col("hits") >= IvfFusionOverlapFloor).as("recall_ok"))
       .orderBy(col("query_id"))
-  }
   val ragFusionIvfSql: String =
     s"""SELECT query_id, CAST($IvfFusionOverlapFloor AS BIGINT)
          AS hits_capped, true AS recall_ok

@@ -173,9 +173,22 @@ object StreamCow {
         val cells = locator
           .join(batch.select(col(spec.keyCol)).distinct(), Seq(spec.keyCol))
           .select(spec.partCols.map(col): _*).distinct().collect().toSeq
+        // A committed generation with ZERO survivors holds only its
+        // _SUCCESS marker (foldInto links nothing for a fully-
+        // retracted base), so schema inference over it throws. A
+        // later batch can still resolve cells against the LOCATOR
+        // (duplicate retraction of already-dropped keys, a re-staged
+        // feed) and must no-op — read an empty frame with the
+        // original base's schema instead (the original base always
+        // has data files; a generation exists only after folding a
+        // non-empty one). r16 advice.
+        def baseFrame(path: String): DataFrame =
+          if (graft.Util.anyParquetPart(new java.io.File(path)))
+            ss.read.parquet(path)
+          else ss.read.parquet(spec.baseDir).filter(lit(false))
         if (cells.nonEmpty) {
           val pred = cellsPred(spec.partCols, cells)
-          val touchedBase = ss.read.parquet(curBase).filter(pred)
+          val touchedBase = baseFrame(curBase).filter(pred)
           // one pass over the touched cells in either mode (review
           // r15: the union-of-filters form scanned them twice)
           def liveOf(rows: org.apache.spark.sql.DataFrame)
@@ -219,7 +232,7 @@ object StreamCow {
           // the generation's own touched cells.
           val liveSrc =
             if (curBase == spec.baseDir) locator.filter(pred)
-            else ss.read.parquet(curBase).filter(pred)
+            else baseFrame(curBase).filter(pred)
           val live = liveOf(liveSrc)
             .select(spec.partCols.map(col): _*).distinct()
             .collect().map(cellKey).toSet
@@ -343,9 +356,20 @@ object StreamCow {
     * (and correctly absent from the target when the overlay has no
     * rewrite for it). Cost: one key+partition projection scan of the
     * base — columnar and small next to the fold's own link I/O.
-    * Idempotent per target: linkTree skips already-linked files. */
+    * Crash convergence (r16 advice): a target dir WITHOUT _SUCCESS is
+    * a torn earlier attempt — and on the auto-compaction path the
+    * replayed micro-batch rewrites the overlay's touched partitions
+    * with fresh part-file UUIDs before the fold retries, so
+    * converging by file name (linkTree's skip) would commit the stale
+    * first-attempt links NEXT TO the retry's, duplicating rows. The
+    * torn dir is deleted and rebuilt; only the _SUCCESS rename-free
+    * marker makes a generation visible ([[currentBase]] requires it),
+    * so readers never observe the rebuild. */
   private def foldInto(spark: SparkSession, spec: Spec, fromBase: String,
       target: java.io.File): Unit = {
+    if (target.isDirectory &&
+        !new java.io.File(target, "_SUCCESS").exists())
+      graft.Util.deleteRecursively(target)
     // a retract list hitting zero manifest cells (e.g. a zero-survivor
     // corpus) leaves no log partitions — compaction is then a pure
     // re-link of every base cell

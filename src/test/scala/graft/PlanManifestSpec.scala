@@ -12,6 +12,27 @@ package graft
   * commit the new manifest with the change that explains it. */
 class PlanManifestSpec extends SparkSuite {
 
+  test("toJson/parseJson round-trip values with braces, newlines, " +
+      "quotes and control chars") {
+    // r16 advice: the old regex parser stopped an object at the first
+    // '}' and unescaped only \" and \\ — a pushed-filter value with a
+    // brace or newline truncated the entry and read back as spurious
+    // drift. The scanner must invert toJson's full escape set.
+    val m = Seq(
+      "q_brace" -> Map(
+        "pushed" -> "In(flag, [a}b, {c])",
+        "joins" -> "line1\nline2",
+        "scans" -> "quote \" backslash \\ tab \t end"),
+      "q_empty" -> Map.empty[String, String],
+      "q_plain" -> Map("exchanges" -> "2"))
+    val parsed = PlanManifest.parseJson(PlanManifest.toJson(m))
+    assert(parsed == m.toMap,
+      s"round-trip must be lossless: $parsed")
+    intercept[Exception] {
+      PlanManifest.parseJson("""{"a": {"k": "v" """)
+    }
+  }
+
   test("every registry query's plan fingerprint matches PLANS.json") {
     val path = java.nio.file.Paths.get("PLANS.json")
     assert(java.nio.file.Files.exists(path),

@@ -741,6 +741,75 @@ class StreamingSpec extends SparkSuite {
       s"stopped query must leave the constant summary: ${after.toSeq}")
   }
 
+  test("StreamCow foldInto: a torn target (no _SUCCESS) is rebuilt, " +
+      "not converged by file name") {
+    import spark.implicits._
+    import graft.streaming.StreamCow
+    // r16 advice (medium): a crash mid-fold leaves a target dir with
+    // some links and no _SUCCESS; on the auto-compaction path the
+    // replayed micro-batch rewrites the overlay with fresh part-file
+    // UUIDs, so name-keyed convergence would commit BOTH attempts'
+    // files — duplicated rows. The fold must delete a torn target.
+    val root = java.nio.file.Files.createTempDirectory("graft_torn").toString
+    val baseDir = s"$root/base"
+    val baseDf = (0L until 20L).map(k => (k, (k % 2).toInt, s"p$k"))
+      .toDF("key", "cell", "payload")
+    baseDf.write.partitionBy("cell").mode("overwrite").parquet(baseDir)
+    val locator = spark.read.parquet(baseDir).select(col("key"), col("cell"))
+    val spec = StreamCow.Spec("key", Seq("cell"), baseDir, s"$root/runs/a")
+    StreamCow.stageFeed(spec, baseDf.filter(col("key") % 5 === 0)
+      .select(col("key")))
+    StreamCow.run(spark, spec, locator)
+    // simulate the torn first attempt: a stale old-UUID link in a
+    // touched cell of an UNcommitted v2
+    val stale = new java.io.File(
+      s"${spec.compactDir}/cell=0/part-stale-uuid.parquet")
+    stale.getParentFile.mkdirs()
+    java.nio.file.Files.copy(
+      new java.io.File(s"${spec.overlayDir}/cell=0").listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath, stale.toPath)
+    val v2 = StreamCow.compact(spark, spec, locator)
+    assert(!stale.exists(),
+      "torn-attempt file must be deleted, not committed alongside")
+    val got = spark.read.parquet(v2).count()
+    assert(got == 16L, s"fold must not double-count rows: $got")
+  }
+
+  test("StreamCow: a zero-survivor committed generation no-ops later " +
+      "batches instead of throwing schema inference") {
+    import spark.implicits._
+    import graft.streaming.StreamCow
+    // r16 advice: a generation holding only _SUCCESS (every row
+    // retracted) made ss.read.parquet(curBase) throw
+    // 'unable to infer schema' when a later batch still resolved
+    // cells from the locator (duplicate retraction / re-staged feed).
+    val root = java.nio.file.Files.createTempDirectory("graft_zsg").toString
+    val baseDir = s"$root/base"
+    val baseDf = (0L until 12L).map(k => (k, (k % 2).toInt, s"p$k"))
+      .toDF("key", "cell", "payload")
+    baseDf.write.partitionBy("cell").mode("overwrite").parquet(baseDir)
+    val locator = spark.read.parquet(baseDir).select(col("key"), col("cell"))
+    val spec = StreamCow.Spec("key", Seq("cell"), baseDir, s"$root/runs/a")
+    // pre-commit an empty generation: the state a fully-retracted
+    // fold leaves behind (foldInto links nothing, marker only)
+    val gen = new java.io.File(spec.genDir(1))
+    gen.mkdirs()
+    java.nio.file.Files.createFile(
+      new java.io.File(gen, "_SUCCESS").toPath)
+    assert(StreamCow.currentBase(spec) == gen.getPath)
+    // the feed retracts keys the locator still resolves — the
+    // duplicate-retraction shape; this threw before the guard
+    StreamCow.stageFeed(spec, baseDf.filter(col("key") % 2 === 0)
+      .select(col("key")))
+    StreamCow.run(spark, spec, locator)
+    // live view stays empty: nothing to rewrite from an empty base
+    val overlayHasRows =
+      graft.Util.anyParquetPart(new java.io.File(spec.overlayDir)) &&
+        spark.read.parquet(spec.overlayDir).count() > 0
+    assert(!overlayHasRows,
+      "no overlay rows may materialize from an empty generation")
+  }
+
   test("StreamCow compact: row-for-row fold, vacuum, next batch reads v2 transparently") {
     import spark.implicits._
     import graft.streaming.StreamCow
