@@ -789,6 +789,24 @@ class TextOpsSpec extends SparkSuite {
     }
   }
 
+  test("fusionOverlap: a zero-overlap query still emits its row with " +
+      "recall_ok=false (r16 advice)") {
+    import spark.implicits._
+    // q1 overlaps fully, q2 shares NOTHING — the old inner-join shape
+    // dropped q2 from the output entirely, so a total recall miss
+    // surfaced as a missing row instead of a named breach
+    val ivf = Seq.tabulate(10)(i => ("q1", i.toLong)) ++
+      Seq.tabulate(10)(i => ("q2", i.toLong))
+    val exact = Seq.tabulate(10)(i => ("q1", i.toLong)) ++
+      Seq.tabulate(10)(i => ("q2", 100L + i))
+    val got = ops.Text.fusionOverlap(
+        ivf.toDF("query_id", "doc_id"), exact.toDF("query_id", "doc_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.toSeq == Seq(
+      ("q1", ops.Text.IvfFusionOverlapFloor, true), ("q2", 0L, false)),
+      s"breach must be named, not dropped: ${got.toSeq}")
+  }
+
   test("rag_fusion_ivf: gate clears; IVF leg order-consistent with exact leg") {
     val gate = ops.Text.ragFusionIvf(spark, sf).collect()
     assert(gate.length == 4, "one gate row per retrieval query")
@@ -1416,8 +1434,18 @@ class VectorSpec extends SparkSuite {
     val emb = Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => r.getLong(0) -> r.getAs[Seq[Float]](1).toArray)
-    val (bench, corpus) = emb.partition(_._1 % 97 == 0)
-    assert(bench.nonEmpty && rows.size == corpus.length)
+    val (stratum, corpus) = emb.partition(_._1 % 97 == 0)
+    // the FIXED-SIZE hash sample of the held-out stratum (r17: the
+    // r16 whole-stratum bench side grew with the corpus — quadratic)
+    val thr = math.floor(4294967296.0 *
+      math.min(1.0, Vector.EvalSuiteTarget.toDouble / stratum.length)).toLong
+    def h8(id: Long): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString, 16)
+    val bench = stratum.filter(p => h8(p._1) < thr)
+    assert(bench.nonEmpty && bench.length <= stratum.length &&
+      rows.size == corpus.length)
     def cos(a: Array[Float], b: Array[Float]): Double = {
       var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < a.length) {
