@@ -23,6 +23,50 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+
+  /** FABRICATED `partsupp` dimension (r17): the driver testdata ships
+    * no partsupp table (TESTDATA.md), so the TPC-H Q2/Q11 shapes
+    * derive it deterministically — 4 supplier links per part, keys,
+    * quantities and costs all INTEGER arithmetic over `p_partkey`
+    * that DuckDB replays exactly ([[PartsuppSqlCte]]). Shape at any
+    * scale: 4·|part| rows from ONE part-dim scan crossJoined with a
+    * broadcast 4-row literal — never a shuffle; the two scalars
+    * (|supplier|, its quarter-step) are dimension-table counts,
+    * bounded. The suppkey stride (|S|/4 + 1) gives each part 4
+    * DISTINCT suppliers, and the 997-stride cost term gives each part
+    * 4 DISTINCT costs, so Q2's per-part min-cost supplier is unique
+    * and both engines agree without tie rules. Costs are integer
+    * CENTS (the cents/e4 oracle-parity rule in [[Util]]). */
+  def partsupp(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, lit}
+    val nSup = supplier(s, d).count()
+    val step = nSup / 4 + 1
+    val quad = s.range(0, 4).select(col("id").as("i"))
+    part(s, d).select(col("p_partkey"))
+      .crossJoin(broadcast(quad))
+      .select(col("p_partkey").as("ps_partkey"),
+        ((col("p_partkey") * lit(13L) + col("i") * lit(step)) % lit(nSup))
+          .as("ps_suppkey"),
+        ((col("p_partkey") * lit(7L) + col("i") * lit(13L)) % lit(9999L) +
+          lit(1L)).as("ps_availqty"),
+        ((col("p_partkey") * lit(7919L) + col("i") * lit(997L)) %
+          lit(99001L) + lit(100L)).as("ps_cost_cents"))
+  }
+
+  /** DuckDB twin of [[partsupp]], as a WITH-clause member body —
+    * oracles prepend it as `WITH $PartsuppSqlCte, ...`. The supplier
+    * count is a scalar subquery where the Spark side embeds the
+    * counted literal; `//` is DuckDB integer division matching the
+    * Scala `/` on Long. */
+  val PartsuppSqlCte: String =
+    """partsupp AS (
+         SELECT p_partkey AS ps_partkey,
+           (p_partkey * 13 + i.i *
+             ((SELECT count(1) FROM supplier) // 4 + 1))
+             % (SELECT count(1) FROM supplier) AS ps_suppkey,
+           (p_partkey * 7 + i.i * 13) % 9999 + 1 AS ps_availqty,
+           (p_partkey * 7919 + i.i * 997) % 99001 + 100 AS ps_cost_cents
+         FROM part CROSS JOIN (VALUES (0), (1), (2), (3)) AS i(i))"""
   /** events.ts arrives as parquet INT64 timestamps whose precision has
     * varied across driver testdata generations: TIMESTAMP(NANOS)
     * (which Spark 4 refuses to read as TimestampType) and

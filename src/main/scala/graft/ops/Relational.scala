@@ -2589,6 +2589,115 @@ object Relational {
        GROUP BY 1, 2, 3
        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""
 
+  /** TPC-H Q2-shaped minimum-cost supplier — the correlated
+    * min-per-group subquery over the [[Tables.partsupp]] fabricated
+    * dimension (the last TPC-H shape this dataset could not express
+    * before r17): for every sizable LARGE part, the EUROPE supplier
+    * offering it at the region's minimum cost. The correlated
+    * `ps_supplycost = (SELECT min ...)` DECORRELATES into a window
+    * over `ps_partkey` (the q17_small_qty convention): ONE partsupp
+    * scan, pre-pruned by the broadcast part-dim filter BEFORE the
+    * window (per-part min is invariant to dropping other parts), the
+    * supplier⋈nation⋈region chain broadcasts, and the only exchange
+    * is the window's part-grain shuffle of already-dim-pruned rows.
+    * Costs are integer cents and per-part distinct by construction,
+    * so the min row is unique — the ORDER BY + LIMIT 100 is total
+    * (p_partkey appears once per output row). */
+  def q2MinCostSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val parts = broadcast(Tables.part(spark, sfDir)
+      .filter(col("p_type") === "LARGE" && col("p_size") >= 25)
+      .select(col("p_partkey"), col("p_brand")))
+    val eur = broadcast(Tables.supplier(spark, sfDir)
+      .join(Tables.nation(spark, sfDir),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, sfDir).filter(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        cents(col("s_acctbal")).cast("long").as("acctbal_cents"),
+        col("n_name")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ps_partkey"))
+    Tables.partsupp(spark, sfDir)
+      .join(parts, col("ps_partkey") === col("p_partkey"))
+      .join(eur, col("ps_suppkey") === col("s_suppkey"))
+      .withColumn("min_cost", min(col("ps_cost_cents")).over(w))
+      .filter(col("ps_cost_cents") === col("min_cost"))
+      .select(col("acctbal_cents"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_brand"),
+        col("ps_cost_cents").as("cost_cents"))
+      .orderBy(col("acctbal_cents").desc, col("n_name"), col("s_name"),
+        col("p_partkey"))
+      .limit(100)
+  }
+  val q2MinCostSupplierSql: String =
+    s"""WITH ${Tables.PartsuppSqlCte},
+       eur AS (SELECT s_suppkey, s_name,
+           CAST(floor(s_acctbal * 100.0) AS BIGINT) AS acctbal_cents, n_name
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'EUROPE')
+       SELECT e.acctbal_cents AS acctbal_cents, e.s_name AS s_name,
+         e.n_name AS n_name, p.p_partkey AS p_partkey,
+         p.p_brand AS p_brand, ps.ps_cost_cents AS cost_cents
+       FROM partsupp ps
+       JOIN part p ON ps.ps_partkey = p.p_partkey
+       JOIN eur e ON ps.ps_suppkey = e.s_suppkey
+       WHERE p.p_type = 'LARGE' AND p.p_size >= 25
+         AND ps.ps_cost_cents =
+           (SELECT min(ps2.ps_cost_cents) FROM partsupp ps2
+              JOIN eur e2 ON ps2.ps_suppkey = e2.s_suppkey
+              WHERE ps2.ps_partkey = ps.ps_partkey)
+       ORDER BY acctbal_cents DESC, n_name, s_name, p_partkey
+       LIMIT 100"""
+
+  /** TPC-H Q11-shaped important stock — group-HAVING against a global
+    * scalar over the [[Tables.partsupp]] fabricated dimension: per
+    * part, the total EUROPE-supplied stock value, keeping parts whose
+    * value exceeds a threshold derived from the WHOLE filtered set.
+    * TPC-H's own threshold is a scale-dependent constant
+    * (0.0001/SF); this uses a SCALE-FREE one — value > 2× the mean
+    * per-part value — so the query is non-degenerate at every SF
+    * (the fixed fraction empties the output as |part| grows). Shape:
+    * the supplier chain broadcasts, ONE partsupp aggregation to part
+    * grain, then the global (total, n_parts) scalar broadcasts back
+    * over the part-grain aggregate (the q15_top_supplier convention
+    * — never a second fact pass, never a single-partition window);
+    * the value comparison is exact integer cents cross-multiplied. */
+  def q11ImportantStock(spark: SparkSession, sfDir: String): DataFrame = {
+    val eur = broadcast(Tables.supplier(spark, sfDir)
+      .join(Tables.nation(spark, sfDir),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, sfDir).filter(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey")))
+    val byPart = Tables.partsupp(spark, sfDir)
+      .join(eur, col("ps_suppkey") === col("s_suppkey"))
+      .groupBy(col("ps_partkey"))
+      .agg(sum(col("ps_cost_cents") * col("ps_availqty")).as("value_cents"))
+    val tot = byPart.agg(sum(col("value_cents")).as("total_cents"),
+      count(lit(1)).as("n_parts"))
+    byPart.crossJoin(broadcast(tot))
+      .filter(col("value_cents") * col("n_parts") >
+        col("total_cents") * lit(2L))
+      .select(col("ps_partkey"), col("value_cents"))
+      .orderBy(col("value_cents").desc, col("ps_partkey"))
+  }
+  val q11ImportantStockSql: String =
+    s"""WITH ${Tables.PartsuppSqlCte},
+       eur AS (SELECT s_suppkey FROM supplier
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'EUROPE'),
+       bypart AS (SELECT ps_partkey,
+           CAST(sum(ps_cost_cents * ps_availqty) AS BIGINT) AS value_cents
+         FROM partsupp JOIN eur ON ps_suppkey = s_suppkey
+         GROUP BY 1),
+       tot AS (SELECT CAST(sum(value_cents) AS BIGINT) AS total_cents,
+           count(1) AS n_parts FROM bypart)
+       SELECT ps_partkey, value_cents FROM bypart, tot
+       WHERE value_cents * n_parts > total_cents * 2
+       ORDER BY value_cents DESC, ps_partkey"""
+
   /** TPC-H Q9-shaped product-type profit — the multi-dimension STAR
     * join over the fact (lineitem ⋈ part ⋈ supplier ⋈ nation plus the
     * orders date spine), rolled up to (nation, order year): the last
@@ -3535,6 +3644,8 @@ object Relational {
     "q9_product_profit" -> q9ProductProfit,
     "q4_priority_check" -> q4PriorityCheck,
     "q16_supplier_diversity" -> q16SupplierDiversity,
+    "q2_min_cost_supplier" -> q2MinCostSupplier,
+    "q11_important_stock" -> q11ImportantStock,
     "q20_surplus" -> q20Surplus,
     "q18_big_orders" -> q18BigOrders,
     "rolling_distinct_users" -> rollingDistinctUsers,
@@ -3631,6 +3742,8 @@ object Relational {
     "q9_product_profit" -> q9ProductProfitSql,
     "q4_priority_check" -> q4PriorityCheckSql,
     "q16_supplier_diversity" -> q16SupplierDiversitySql,
+    "q2_min_cost_supplier" -> q2MinCostSupplierSql,
+    "q11_important_stock" -> q11ImportantStockSql,
     "q20_surplus" -> q20SurplusSql,
     "q18_big_orders" -> q18BigOrdersSql,
     "rolling_distinct_users" -> rollingDistinctUsersSql,

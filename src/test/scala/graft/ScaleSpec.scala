@@ -211,6 +211,44 @@ class ScaleSpec extends SparkSuite {
     assert(df.count() > 0)
   }
 
+  test("q2/q11: one partsupp materialization, dims broadcast, scalar " +
+      "branch reuses the part-grain exchange") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec,
+      ShuffleExchangeExec}
+    def partScans(p: org.apache.spark.sql.execution.SparkPlan) = p.collect {
+      case s: FileSourceScanExec if s.relation.location.rootPaths
+        .exists(_.toString.contains("part.parquet")) => s }
+    graft.Util.withConf(spark, "spark.sql.adaptive.enabled", "false") {
+      // Q2: the fabricated partsupp fact materializes ONCE (one
+      // narrow part scan feeding the ×4 crossJoin) next to the
+      // broadcast part-dim scan with both attribute predicates
+      // pushed; the decorrelated min lands on ONE window exchange
+      val p2 = graft.ops.Relational.q2MinCostSupplier(spark, sf)
+        .queryExecution.executedPlan
+      assert(partScans(p2).size == 2,
+        s"q2: fact feed + dim scan only:\n${p2.toString.take(1200)}")
+      val s2 = p2.toString
+      assert(s2.contains("EqualTo(p_type,LARGE)") &&
+        s2.contains("GreaterThanOrEqual(p_size,25)"),
+        "q2: dim predicates must reach the part scan")
+      assert(p2.collect { case e: ShuffleExchangeExec => e }.size == 1,
+        s"q2: the window's part-grain exchange must be the only " +
+          s"shuffle:\n${s2.take(1200)}")
+      assert(!s2.contains("SortMergeJoin"),
+        "q2: supplier chain and part dim must broadcast")
+      // Q11: the global-scalar HAVING branch must REUSE the part-
+      // grain aggregate exchange, never re-derive the fact
+      val p11 = graft.ops.Relational.q11ImportantStock(spark, sf)
+        .queryExecution.executedPlan
+      assert(partScans(p11).size == 1,
+        s"q11: one partsupp materialization:\n${p11.toString.take(1200)}")
+      assert(p11.collect { case r: ReusedExchangeExec => r }.nonEmpty,
+        s"q11: scalar branch must reuse the part-grain exchange:\n" +
+          p11.toString.take(1200))
+    }
+  }
+
   test("q21/q20: one fact scan; decorrelated existentials reuse the fact exchange") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
