@@ -73,7 +73,7 @@ object BpeVocab {
     * backslash), so distinctness carries over; escaped pieces can
     * never equal a substring of the all-ASCII corpus text the oracle
     * probes (corpus words contain no backslash). */
-  private def escapePiece(p: String): String = p.flatMap { c =>
+  private[graft] def escapePiece(p: String): String = p.flatMap { c =>
     if (c >= 0x21 && c <= 0x7e && c != '\\') c.toString
     else f"\\x${c.toInt}%02x"
   }
@@ -94,9 +94,17 @@ object BpeVocab {
     * MultimodalFixtures convention): the committed artifact always
     * equals the learned [[pieces]], so oracle joins and the trie walk
     * can never disagree. Idempotent, cheap (compares content first). */
-  def ensureFixture(): Unit = synchronized {
-    val want = pieces.sorted.mkString("", "\n", "\n")
-    val f = new java.io.File(fixturePath)
+  def ensureFixture(): Unit = ensureFixtureAt(fixturePath, pieces)
+
+  /** [[ensureFixture]] for an arbitrary (already-escaped) piece list
+    * and path — the corpus-LEARNED vocab writes through this to a
+    * DERIVED path outside the fixtures tree (the fs-manifest
+    * operators walk `fixtures/` and their oracles re-list it at dump
+    * time, so a file appearing there mid-verify would shift their
+    * counts). */
+  def ensureFixtureAt(path: String, ps: Seq[String]): Unit = synchronized {
+    val want = ps.sorted.mkString("", "\n", "\n")
+    val f = new java.io.File(path)
     val have =
       if (f.isFile)
         new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
@@ -125,41 +133,47 @@ object BpeVocab {
     * fixture — a hash join, so oracle cost scales with
     * |distinct words| x |positions| x |piece lengths|, independent of
     * vocab size (the IN-list form was O(vocab) PER position). */
-  def sqlWordTok: String =
-    s"""vocab AS (
+  def sqlWordTok: String = sqlWordTokAt(fixturePath, "")
+
+  /** [[sqlWordTok]] parameterized by vocab file and CTE-name suffix,
+    * so one oracle can tokenize under TWO vocabs (the committed
+    * fixture and a corpus-learned one, `t_bpe_fertility_gain`)
+    * without CTE-name collisions. */
+  def sqlWordTokAt(path: String, sfx: String): String =
+    s"""vocab$sfx AS (
           -- multi-byte pieces are committed \\xNN-escaped; the corpus
           -- is all-ASCII lowercase (no backslashes), so they can never
           -- match a candidate substring — drop them here to keep the
           -- candidate length list tight (byte == code-point positions
           -- for the ASCII pieces that remain)
           SELECT piece, length(piece) AS plen
-          FROM read_csv('$fixturePath', header=false,
+          FROM read_csv('$path', header=false,
                         columns={'piece': 'VARCHAR'})
           WHERE NOT contains(piece, chr(92))),
-        words AS (
+        words$sfx AS (
           SELECT DISTINCT w FROM (
             SELECT unnest(string_split(lower(text), ' ')) AS w
             FROM documents) t
           WHERE w <> ''),
-        cand AS (
+        cand$sfx AS (
           SELECT w, pos, substr(w, CAST(pos AS INT), CAST(l AS INT)) AS c
           FROM (SELECT w, unnest(range(1, length(w) + 1)) AS pos
-                FROM words) wp,
-               (SELECT DISTINCT plen AS l FROM vocab) ls),
-        steps AS (
+                FROM words$sfx) wp,
+               (SELECT DISTINCT plen AS l FROM vocab$sfx) ls),
+        steps$sfx AS (
           SELECT c.w AS w, c.pos AS pos,
                  coalesce(max(v.plen), 1) AS step
-          FROM cand c LEFT JOIN vocab v ON v.piece = c.c
+          FROM cand$sfx c LEFT JOIN vocab$sfx v ON v.piece = c.c
           GROUP BY c.w, c.pos),
-        tok AS (
+        tok$sfx AS (
           SELECT w, CAST(1 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS n
-          FROM words
+          FROM words$sfx
           UNION ALL
           SELECT t.w, t.pos + s.step, t.n + 1
-          FROM tok t JOIN steps s ON s.w = t.w AND s.pos = t.pos
+          FROM tok$sfx t JOIN steps$sfx s ON s.w = t.w AND s.pos = t.pos
           WHERE t.pos <= length(t.w)),
-        wordtok AS (
-          SELECT w, max(n) AS n FROM tok
+        wordtok$sfx AS (
+          SELECT w, max(n) AS n FROM tok$sfx
           WHERE pos > length(w) GROUP BY w)"""
 
   /** `docbpe(doc_id, bpe_tokens)` on top of [[sqlWordTok]]: per-doc
@@ -196,15 +210,29 @@ object BpeVocab {
   * (whole characters, CJK particles, accented words) match as single
   * tokens; unseen scripts decompose to bytes. */
 object BpeRuntime {
+  private val trie = new BpeTrie(BpeVocab.piecesRaw)
+  def trieBytes: Long = trie.trieBytes
+  def count(text: UTF8String): Long = trie.count(text)
+}
+
+/** The CSR byte-trie runtime for an ARBITRARY piece list — the
+  * [[BpeRuntime]] machinery parameterized so a CORPUS-LEARNED vocab
+  * (`t_bpe_fertility_gain`) gets the same zero-allocation greedy walk
+  * as the committed fixture vocab. Serializable with a @transient
+  * lazy compiled form: the expression ships only the piece list to
+  * executors and each JVM compiles its own arrays once — no static
+  * driver-side registry that a real cluster's executors would never
+  * see. */
+final class BpeTrie(pieces: Seq[String]) extends Serializable {
   // CSR trie: node i's edges live in [edgeStart(i), edgeStart(i+1)),
   // sorted by byte for binary search. Root is node 0.
-  private val (edgeStart, edgeByteArr, edgeTo, acceptArr) = {
+  @transient private lazy val compiled = {
     final class T {
       val kids = new java.util.TreeMap[java.lang.Byte, T]()
       var accept = false
     }
     val root = new T
-    BpeVocab.piecesRaw.foreach { p =>
+    pieces.foreach { p =>
       var n = root
       p.foreach { ch =>
         val b = java.lang.Byte.valueOf(ch.toByte)
@@ -247,11 +275,16 @@ object BpeRuntime {
   }
   /** Trie memory footprint in bytes (BpeSpec pins it): O(edges), the
     * size-robust property the dense r11 layout lacked. */
-  def trieBytes: Long =
+  def trieBytes: Long = {
+    val (edgeStart, edgeByteArr, edgeTo, acceptArr) = compiled
     4L * edgeStart.length + edgeByteArr.length + 4L * edgeTo.length +
       acceptArr.length
+  }
 
-  @inline private def child(node: Int, c: Byte): Int = {
+  // array-typed so the hot loop binds them once per count() call —
+  // no lazy-val accessor in the per-byte path
+  @inline private def child(edgeStart: Array[Int], edgeByteArr: Array[Byte],
+      edgeTo: Array[Int], node: Int, c: Byte): Int = {
     var lo = edgeStart(node)
     var hi = edgeStart(node + 1) - 1
     while (lo <= hi) {
@@ -274,6 +307,7 @@ object BpeRuntime {
     * one position are nested, so the byte-longest accept is also the
     * longest piece outright. */
   def count(text: UTF8String): Long = {
+    val (edgeStart, edgeByteArr, edgeTo, acceptArr) = compiled
     val nb = text.numBytes()
     var i = 0
     var n = 0L
@@ -285,7 +319,7 @@ object BpeRuntime {
         var lastAccept = -1
         var walking = true
         while (walking && j < nb) {
-          val nx = child(node, text.getByte(j))
+          val nx = child(edgeStart, edgeByteArr, edgeTo, node, text.getByte(j))
           if (nx < 0) walking = false
           else {
             node = nx
@@ -321,8 +355,36 @@ case class BpeCount(child: Expression) extends UnaryExpression {
       newChild: Expression): BpeCount = copy(child = newChild)
 }
 
+/** `bpe_count_in(trie, text)`: [[BpeCount]] for an ARBITRARY
+  * [[BpeTrie]] (a corpus-LEARNED vocab, not the committed fixture).
+  * The trie instance rides the expression as a reference object —
+  * serialized to executors as its piece list, compiled per JVM —
+  * so the count stays inside whole-stage codegen with no UDF and no
+  * driver-only static state. */
+case class BpeCountIn(trie: BpeTrie, child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Long.valueOf(trie.count(v.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeTrie", trie,
+      classOf[BpeTrie].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.count($c);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BpeCountIn = copy(child = newChild)
+}
+
 object BpeExpr {
   def bpe_count(text: Column): Column =
     org.apache.spark.sql.graftbridge.ColumnBridge.column(
       BpeCount(org.apache.spark.sql.graftbridge.ColumnBridge.expression(text)))
+  def bpe_count_in(trie: BpeTrie, text: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      BpeCountIn(trie,
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text)))
 }

@@ -242,12 +242,21 @@ object BpeLexicon {
     * order. Incremental: only words containing the merged pair are
     * re-counted, and the running max lives in a TreeSet so each merge
     * is O(changed pairs * log n). */
-  def learnMerges(maxMerges: Int, minPairWeight: Long): Vector[String] = {
+  def learnMerges(maxMerges: Int, minPairWeight: Long): Vector[String] =
+    learnMergesFrom(weightedForms, maxMerges, minPairWeight)
+
+  /** [[learnMerges]] over an ARBITRARY weighted form list — the
+    * corpus-trained path (`t_bpe_fertility_gain`): the caller feeds
+    * the DISTRIBUTED word-count aggregate's (word, count) rows and
+    * the learner runs its vocabulary-bounded state here, exactly as
+    * sentencepiece trains from pre-aggregated counts. */
+  def learnMergesFrom(forms: Seq[(String, Long)], maxMerges: Int,
+      minPairWeight: Long): Vector[String] = {
     val words: Array[mutable.ArrayBuffer[String]] =
-      weightedForms.map(wf =>
+      forms.map(wf =>
         mutable.ArrayBuffer.from(wf._1.getBytes("UTF-8")
           .map(b => (b & 0xff).toChar.toString))).toArray
-    val freq: Array[Long] = weightedForms.map(_._2).toArray
+    val freq: Array[Long] = forms.map(_._2).toArray
     val counts = mutable.HashMap.empty[(String, String), Long]
     val where = mutable.HashMap.empty[(String, String), mutable.BitSet]
     // (weight desc, left asc, right asc) — head is the next merge

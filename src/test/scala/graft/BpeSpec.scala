@@ -175,4 +175,51 @@ class BpeSpec extends SparkSuite {
     assert(mean > 11000 && mean < 20000,
       s"mean bpe/ws ratio $mean outside the realistic 1.1-2.0x band")
   }
+
+  test("t_bpe_train: merge table is a valid BPE trajectory") {
+    val rows = graft.ops.Text.tBpeTrain(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq == (1 to graft.ops.Text.BpeTrainMerges),
+      "ranks must be contiguous from 1")
+    assert(rows.map(_._4).distinct.length == rows.length,
+      "merged pieces must be distinct")
+    // every merge's sides come from the current symbol alphabet:
+    // single chars or earlier merge products
+    rows.zipWithIndex.foreach { case ((_, a, b, m, w), i) =>
+      val earlier = rows.take(i).map(_._4).toSet
+      assert(m == a + b, s"merged must be lhs+rhs at rank ${i + 1}")
+      assert(a.length == 1 || earlier(a),
+        s"lhs '$a' at rank ${i + 1} is neither a char nor an earlier merge")
+      assert(b.length == 1 || earlier(b),
+        s"rhs '$b' at rank ${i + 1} is neither a char nor an earlier merge")
+      assert(w > 0)
+    }
+  }
+
+  test("t_bpe_fertility_gain: corpus-trained vocab beats the fixture " +
+      "on every source") {
+    val rows = graft.ops.Text.tBpeFertilityGain(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("improved"),
+        s"${r.getString(0)}: learned vocab must not be worse")
+      assert(r.getAs[Long]("gain_e4") > 0L,
+        s"${r.getString(0)}: expected a strictly positive gain")
+    }
+  }
+
+  test("BpeCountIn with the fixture pieces equals the static BpeCount " +
+      "(trie parameterization is faithful)") {
+    import org.apache.spark.sql.functions._
+    val trie = new graft.functions.BpeTrie(graft.functions.BpeVocab.piecesRaw)
+    val diff = graft.Tables.documents(spark, sf)
+      .select(
+        graft.functions.BpeExpr.bpe_count(lower(col("text"))).as("a"),
+        graft.functions.BpeExpr.bpe_count_in(trie, lower(col("text")))
+          .as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff == 0L, s"$diff rows disagree between static and " +
+      "instance tries")
+  }
 }
