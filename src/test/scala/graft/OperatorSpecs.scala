@@ -662,6 +662,46 @@ class TextOpsSpec extends SparkSuite {
     }
   }
 
+  test("t_fix_encoding: plants repair exactly; clean text is a no-op; " +
+      "eval == codegen") {
+    import graft.functions.EncodingRepair
+    // direct kernel checks: the ftfy shapes
+    assert(EncodingRepair.repair("cafÃ©")._1 == "café",
+      "double-encoded é must un-wind")
+    assert(EncodingRepair.repair("cafÃ©") ==
+      (("café", 1)))
+    val nfd = java.text.Normalizer.normalize("café",
+      java.text.Normalizer.Form.NFD)
+    assert(nfd.length == 5 && EncodingRepair.repair(nfd) == (("café", 0)),
+      "NFD folds to NFC with zero decode passes")
+    assert(EncodingRepair.repair("café") == (("café", 0)),
+      "proper UTF-8 must be untouched")
+    assert(EncodingRepair.repair("plain ascii") == (("plain ascii", 0)))
+    // cp1252 smart-quote mojibake: ’ mis-decoded as â€™
+    assert(EncodingRepair.repair("itâ€™s")._1 == "it’s")
+    val rows = ops.Text.tFixEncoding(spark, sf).collect()
+    assert(rows.length == 240)
+    rows.foreach { r =>
+      val kind = r.getInt(1)
+      assert(r.getInt(3) == (kind match {
+        case 3 => 1; case 4 => 2; case _ => 0 }),
+        s"doc ${r.getLong(0)} kind $kind pass count")
+      assert(r.getBoolean(4) == (kind >= 2), "changed iff corrupted")
+    }
+    // interpreted vs codegen agreement on the fixture column
+    import org.apache.spark.sql.functions.col
+    val fixedDf = spark.read.parquet(ops.Text.mojibakePath)
+      .select(col("doc_id"),
+        graft.functions.EncodingExpr.fix_encoding(col("corrupted"))
+          .as("f"), col("clean"))
+    val interp = graft.Util.withConf(spark,
+        "spark.sql.codegen.wholeStage", "false") {
+      fixedDf.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    }
+    val gen = fixedDf.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(interp == gen, "interpreted and codegen paths must agree")
+  }
+
   test("t_dataset_card: one exact datasheet row per source, internally consistent") {
     val docs = Tables.documents(spark, sf).collect()
     val rows = ops.Text.datasetCard(spark, sf).collect()
