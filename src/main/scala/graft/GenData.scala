@@ -260,8 +260,18 @@ object GenData {
         embeddings(spark, 2000L * mult)
           .repartition(8).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
       if (tables("events"))
-        events(spark, 100000L * mult, 1500L * mult)
-          .repartition(16).write.mode("overwrite").parquet(s"$out/events.parquet")
+        // TIMESTAMP_MICROS, not Spark's INT96 default: Tables.events
+        // reads ts through an explicit INT64 schema (the TESTDATA
+        // NANOS workaround), and INT96 is not INT64 — an INT96
+        // rehearsal dir fails every events-family query with
+        // PARQUET_COLUMN_DATA_TYPE_MISMATCH (r17 finding, surfaced by
+        // the 10x plan-manifest diff: k4/k7 recorded error entries)
+        graft.Util.withConf(spark,
+          "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS") {
+          events(spark, 100000L * mult, 1500L * mult)
+            .repartition(16).write.mode("overwrite")
+            .parquet(s"$out/events.parquet")
+        }
       if (tables("lineitem"))
         lineitem(spark, 147236L * mult, 20000L * mult, 10000L * mult)
           .repartition(32).write.mode("overwrite").parquet(s"$out/lineitem.parquet")

@@ -516,10 +516,8 @@ object Flow {
       .withColumn("hi", lead(col("tick"), 1).over(w))
       .filter(col("hi").isNotNull)
       .select(col("tick").as("lo"), col("hi"))
-    val src = spark.readStream
-      .schema(graft.streaming.EventsStream.rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+    val src = graft.streaming.EventsStream.tableStream(
+      spark, graft.streaming.EventsStream.rawSchema, sfDir, "events")
       .withColumn("ts", expr(s"timestamp_micros(${Tables.tsToMicrosSql(sfDir)})"))
     val counts = src.select(col("ts"))
       .join(runs, col("ts") >= col("lo") && col("ts") < col("hi"))

@@ -5361,8 +5361,8 @@ object Text {
       .add("doc_id", LongType).add("text", StringType)
       .add("lang", StringType).add("source", StringType)
       .add("n_chars", LongType)
-    val src = spark.readStream.schema(docSchema)
-      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+    val src = graft.streaming.EventsStream.tableStream(
+      spark, docSchema, sfDir, "documents")
       .filter(isAppendDelta)
     val gated = withLangPred(src.withColumn("ws", tokens))
       .withColumn("page", pageWrap)

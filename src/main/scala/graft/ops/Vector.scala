@@ -919,8 +919,8 @@ object Vector {
     // map work against the closure-shipped centroid array
     val embSchema = new StructType().add("vec_id", LongType)
       .add("embedding", ArrayType(FloatType)).add("label", IntegerType)
-    val src = spark.readStream.schema(embSchema)
-      .option("pathGlobFilter", "embeddings.parquet").parquet(sfDir)
+    val src = graft.streaming.EventsStream.tableStream(
+      spark, embSchema, sfDir, "embeddings")
       .filter(isIncrDelta)
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
       .map { case (id, v) => (nearest(cs)(v), id) }

@@ -82,6 +82,25 @@ object EventsStream {
     * batch to its batchId-keyed partition with overwrite, so a replay
     * rewrites the same partition instead of double-appending rows
     * (the classic foreachBatch dedup-by-batchId contract). */
+
+  /** Streaming parquet source over `<dir>/<table>.parquet`, correct
+    * for BOTH dataset layouts: testdata ships each table as a single
+    * FILE (the source wants a directory, so glob-filter the parent
+    * listing by the file name), GenData ships a DIRECTORY of part
+    * files (point the source at it — the filename glob matches no
+    * part file there, which silently planned ZERO micro-batches on
+    * every rehearsal dir until the r17 10x plan-manifest diff caught
+    * it). */
+  def tableStream(spark: SparkSession, schema: StructType, dir: String,
+      table: String): DataFrame = {
+    val p = new java.io.File(s"$dir/$table.parquet")
+    if (p.isDirectory)
+      spark.readStream.schema(schema).parquet(p.getPath)
+    else
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", s"$table.parquet").parquet(dir)
+  }
+
   def runIncremental(spark: SparkSession, df: DataFrame, name: String,
       srcDir: String, mode: OutputMode = OutputMode.Complete()): DataFrame = {
     val key = java.lang.Integer.toHexString(
@@ -133,11 +152,12 @@ object EventsStream {
     * runs incrementally per micro-batch with watermarked state.  */
   def streamWindowedCounts(spark: SparkSession, sfDir: String): DataFrame =
     withStreamingParts(spark, 8) {
-      // The file-stream source wants a directory; scope it to the events
-      // table with a glob (works for both a file and a directory layout).
-      val src = spark.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sfDir)
+      // Source path = the table path itself: its own glob for the
+      // single-file testdata layout, a listed directory for GenData's
+      // directory-of-parts layout (the filename-glob form matched
+      // nothing under the latter — r17 10x-manifest finding).
+      val src = graft.streaming.EventsStream.tableStream(
+      spark, rawSchema, sfDir, "events")
         .withColumn("ts", expr(s"timestamp_micros(${graft.Tables.tsToMicrosSql(sfDir)})"))
       val counts = windowedCounts(src)
       val out = runIncremental(spark, counts, "wc", sfDir)
@@ -166,9 +186,8 @@ object EventsStream {
   def streamHistRollup(spark: SparkSession, sfDir: String): DataFrame =
     withStreamingParts(spark, 8) {
       val binW = 50L // 50-cent bins over the bounded event value
-      val src = spark.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sfDir)
+      val src = graft.streaming.EventsStream.tableStream(
+      spark, rawSchema, sfDir, "events")
         .withColumn("ts", expr(s"timestamp_micros(${graft.Tables.tsToMicrosSql(sfDir)})"))
       val dayHist = src
         .select(to_date(col("ts")).as("day"),
@@ -210,9 +229,8 @@ object EventsStream {
   def streamSessionize(spark: SparkSession, sfDir: String): DataFrame =
     withStreamingParts(spark, 8) {
       import spark.implicits._
-      val src = spark.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sfDir)
+      val src = graft.streaming.EventsStream.tableStream(
+      spark, rawSchema, sfDir, "events")
         .select(col("user_id"), expr(graft.Tables.tsToMicrosSql(sfDir)).as("tsMicros"))
         .as[Ev]
       val out = runIncremental(spark, sessionize(src).toDF(), "sess", sfDir,
@@ -268,8 +286,8 @@ object EventsStream {
     * and cross-batch merge are both just max again). */
   def streamLatestState(spark: SparkSession, sfDir: String): DataFrame =
     withStreamingParts(spark, 8) {
-      val src = spark.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      val src = graft.streaming.EventsStream.tableStream(
+      spark, rawSchema, sfDir, "events")
         .withColumn("ts", expr(s"timestamp_micros(${graft.Tables.tsToMicrosSql(sfDir)})"))
       val st = src.select(col("user_id"),
           struct(unix_micros(col("ts")).as("us"),
@@ -309,8 +327,8 @@ object EventsStream {
   private def streamIntervalJoinInner(spark: SparkSession,
       sfDir: String): DataFrame = {
     def side(t: String, pfx: String) =
-      spark.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      graft.streaming.EventsStream.tableStream(
+      spark, rawSchema, sfDir, "events")
         .withColumn("ts", expr(s"timestamp_micros(${graft.Tables.tsToMicrosSql(sfDir)})"))
         .filter(col("event_type") === t)
         .select(col("event_id").as(s"${pfx}_id"),
@@ -363,8 +381,8 @@ object EventsStream {
   def streamLeftJoin(spark: SparkSession, sfDir: String): DataFrame =
     withStreamingParts(spark, 8) {
       def side(t: String, pfx: String) =
-        spark.readStream.schema(rawSchema)
-          .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+        graft.streaming.EventsStream.tableStream(
+      spark, rawSchema, sfDir, "events")
           .withColumn("ts", expr(s"timestamp_micros(${graft.Tables.tsToMicrosSql(sfDir)})"))
           .filter(col("event_type") === t)
           .select(col("event_id").as(s"${pfx}_id"),
@@ -420,8 +438,8 @@ object EventsStream {
     * the at-least-once ingestion front door of a streaming pipeline. */
   def streamDedup(spark: SparkSession, sfDir: String): DataFrame =
     withStreamingParts(spark, 8) {
-      def src = spark.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      def src = graft.streaming.EventsStream.tableStream(
+      spark, rawSchema, sfDir, "events")
         .withColumn("ts", expr(s"timestamp_micros(${graft.Tables.tsToMicrosSql(sfDir)})"))
       val deduped = src.unionByName(src)
         .withWatermark("ts", "1 hour")
@@ -447,8 +465,8 @@ object EventsStream {
     * dim stays O(|nation|) per executor. */
   def streamStaticEnrich(spark: SparkSession, sfDir: String): DataFrame =
     withStreamingParts(spark, 8) {
-      val src = spark.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      val src = graft.streaming.EventsStream.tableStream(
+      spark, rawSchema, sfDir, "events")
         .withColumn("ts", expr(s"timestamp_micros(${graft.Tables.tsToMicrosSql(sfDir)})"))
       val dim = graft.Tables.nation(spark, sfDir)
         .select(col("n_nationkey").cast("long").as("nk"), col("n_name"))
@@ -489,8 +507,8 @@ object EventsStream {
     * is the gate's replay mode, not the production mode. */
   def streamSessionWindow(spark: SparkSession, sfDir: String): DataFrame =
     withStreamingParts(spark, 8) {
-      val src = spark.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      val src = graft.streaming.EventsStream.tableStream(
+      spark, rawSchema, sfDir, "events")
         .withColumn("ts", expr(s"timestamp_micros(${graft.Tables.tsToMicrosSql(sfDir)})"))
       val agg = src
         .withWatermark("ts", "1 hour")
@@ -578,12 +596,15 @@ object EventsStream {
   private def runningCountsInner(spark: SparkSession,
       srcPath: String): DataFrame = {
     import spark.implicits._
-    // pathGlobFilter scopes the file stream to the events table: srcPath
-    // is the whole sf dir, and reading sibling tables under the events
-    // schema yields null user_id rows that fail the Ev deserializer.
-    val src = spark.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(srcPath)
+    // Point the source AT the events table path (srcPath is the whole
+    // sf dir): a concrete path is its own glob for the single-file
+    // layout, and a directory layout lists its part files — the
+    // pathGlobFilter-by-FILENAME form matched nothing under GenData's
+    // directory layout, silently planning zero batches on rehearsal
+    // dirs (r17 10x-manifest finding; also keeps sibling tables out
+    // of the Ev deserializer).
+    val src = graft.streaming.EventsStream.tableStream(
+      spark, rawSchema, srcPath, "events")
       .select(col("user_id"),
         // sniff the EVENTS file, not the dataset dir: partFile on a
         // multi-table dir picks the alphabetically-first parquet
@@ -659,8 +680,8 @@ object EventsStream {
   private def streamHeavyHittersInner(spark: SparkSession,
       sfDir: String): DataFrame = {
     import spark.implicits._
-    val src = spark.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+    val src = graft.streaming.EventsStream.tableStream(
+      spark, rawSchema, sfDir, "events")
       .select(expr(HHFoldSql).as("k"))
       .select((col("k") % HHShards).as("shard"), col("k"))
       .as[(Long, Long)]
@@ -777,8 +798,8 @@ object EventsStream {
     import spark.implicits._
     val docSchema = new StructType()
       .add("doc_id", LongType).add("text", StringType)
-    val src = spark.readStream.schema(docSchema)
-      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+    val src = graft.streaming.EventsStream.tableStream(
+      spark, docSchema, sfDir, "documents")
       .as[(Long, String)]
       .flatMap { case (id, text) =>
         val hs = graft.functions.TextHash.shingles(text)
@@ -1087,8 +1108,8 @@ object EventsStream {
   private def streamZscoreAnomalyInner(spark: SparkSession,
       sfDir: String): DataFrame = {
     import spark.implicits._
-    val src = spark.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+    val src = graft.streaming.EventsStream.tableStream(
+      spark, rawSchema, sfDir, "events")
       .select(col("event_type"),
         // identical integer path to the batch query's unix_seconds
         // over Tables.events' µs timestamps — bit-exact secs; sniff
