@@ -23,6 +23,7 @@ object SparkEntry {
     ops.Relational.queries ++
     ops.Semi.queries ++
     ops.Config.queries ++
+    ops.Acl.queries ++
     ops.Text.queries ++
     ops.Dedup.queries ++
     ops.Vector.queries ++
@@ -39,6 +40,7 @@ object SparkEntry {
     ops.Relational.oracles ++
     ops.Semi.oracles ++
     ops.Config.oracles ++
+    ops.Acl.oracleSql ++
     ops.Text.oracles ++
     ops.Dedup.oracles ++
     ops.Vector.oracles ++

@@ -101,4 +101,36 @@ class ConfigSpec extends SparkSuite {
       .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     assert(rows.forall(r => v1(r.getLong(0)) == r.getBoolean(3)))
   }
+
+  test("ACL layer: role resolution matches the reference map; masked " +
+      "view is schema-stable and unreadable; audit reconciles") {
+    import graft.ops.Acl
+    // the reference's map_roles semantics verbatim
+    // (webserver_config.py:59-63 + the no-groups Public default)
+    assert(Acl.roleOf(Seq("authentik Admins")) == "Admin")
+    assert(Acl.roleOf(Seq("engineering", "authentik Admins")) == "Admin",
+      "privileged group wins over other memberships")
+    assert(Acl.roleOf(Seq("sales")) == "Viewer")
+    assert(Acl.roleOf(Seq.empty) == "Public")
+    // masked view: same five columns as the base table, text replaced
+    // by a digest that matches no raw text
+    val mv = Acl.aclMaskedView(spark, sf)
+    assert(mv.columns.toSeq ==
+      Seq("doc_id", "text_masked", "lang", "source", "n_chars"))
+    val raw = graft.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("text"))
+      .limit(50).collect().map(_.getString(0)).toSet
+    assert(mv.limit(50).collect()
+      .forall(r => !raw.contains(r.getString(1))),
+      "masked column must never leak raw text")
+    // audit: visible_rows reconcile — Admin sees everything, the
+    // Viewers' tenants partition the corpus, Public sees nothing
+    val audit = Acl.aclAudit(spark, sf).collect()
+      .map(r => r.getString(1) -> r.getLong(4))
+    val all = graft.Tables.documents(spark, sf).count()
+    assert(audit.collect { case ("Admin", n) => n }.forall(_ == all))
+    assert(audit.collect { case ("Public", n) => n }.forall(_ == 0L))
+    assert(audit.collect { case ("Viewer", n) => n }.forall(n =>
+      n > 0 && n < all), "a tenant Viewer sees a proper subset")
+  }
 }

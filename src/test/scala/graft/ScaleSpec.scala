@@ -211,6 +211,30 @@ class ScaleSpec extends SparkSuite {
     assert(df.count() > 0)
   }
 
+  test("acl_row_filter: the tenant row policy reaches the parquet scan " +
+      "as a pushed filter") {
+    graft.Util.withConf(spark, "spark.sql.adaptive.enabled", "false") {
+      val p = graft.ops.Acl.aclRowFilter(spark, sf)
+        .queryExecution.executedPlan
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      val scans = p.collect { case s: FileSourceScanExec
+        if s.relation.location.rootPaths
+          .exists(_.toString.contains("documents")) => s }
+      assert(scans.nonEmpty, "the view must scan documents")
+      // the policy IN-list lands in PushedFilters — an ACL read
+      // touches only admissible data at the scan, never post-filter
+      assert(scans.forall(_.metadata.get("PushedFilters")
+          .exists(f => f.contains("In(source") ||
+            f.contains("EqualTo(source"))),
+        s"row policy must be pushed:\n${p.toString.take(1200)}")
+    }
+    // the policy is real: only tenant-1 sources survive
+    val srcs = graft.ops.Acl.aclRowFilter(spark, sf).collect()
+      .map(_.getString(0))
+    assert(srcs.nonEmpty && srcs.forall(s =>
+      s.replaceAll("[^0-9]", "").toLong % 3 == 1))
+  }
+
   test("q2/q11: one partsupp materialization, dims broadcast, scalar " +
       "branch reuses the part-grain exchange") {
     import org.apache.spark.sql.execution.FileSourceScanExec
