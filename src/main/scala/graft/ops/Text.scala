@@ -3473,9 +3473,14 @@ object Text {
         require(best.nonEmpty, s"pair pool exhausted at merge $r")
         val (a, b, w) =
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        // the learned symbols embed literally into a SQL expression
+        // below — enforce the corpus alphabet contract (GenData/
+        // TESTDATA: lowercase a-z words) instead of assuming it, so a
+        // corpus with quotes or metacharacters fails loudly here, not
+        // as expression injection
+        require((a + b).forall(c => c >= 'a' && c <= 'z'),
+          s"merge symbols outside the a-z corpus contract: '$a'+'$b'")
         merges += ((r, a, b, a + b, w))
-        // corpus alphabet is a-z (GenData/TESTDATA contract), so the
-        // learned symbols embed literally into the replace expression
         words = words.withColumn("s",
           expr(s"replace(s, ' $a $b ', ' ${a + b} ')"))
       }

@@ -93,9 +93,16 @@ object EventsStream {
     * it). */
   def tableStream(spark: SparkSession, schema: StructType, dir: String,
       table: String): DataFrame = {
-    val p = new java.io.File(s"$dir/$table.parquet")
-    if (p.isDirectory)
-      spark.readStream.schema(schema).parquet(p.getPath)
+    // Hadoop FS, not java.io.File: the layout probe must work where
+    // the data lives — on a cluster that is an object store whose
+    // URIs java.io.File answers false for, which would silently
+    // re-select the filename-glob branch and re-introduce the
+    // zero-batch bug on exactly the at-scale path (the runIncremental
+    // existence probe already follows this rule).
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) && fs.getFileStatus(p).isDirectory)
+      spark.readStream.schema(schema).parquet(p.toString)
     else
       spark.readStream.schema(schema)
         .option("pathGlobFilter", s"$table.parquet").parquet(dir)
