@@ -3447,16 +3447,22 @@ object Text {
 
   private def tBpeTrainInner(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val words0 = Tables.documents(spark, sfDir)
+    val agg = Tables.documents(spark, sfDir)
       .select(explode(tokens).as("w"))
       .filter(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .select(concat(lit(" "), concat_ws(" ",
           expr("regexp_extract_all(w, '(?s).', 0)")), lit(" ")).as("s"),
         col("cnt"))
-      .persist()
+    val words0 = agg.persist()
     try {
       words0.count() // materialize: the rounds iterate the AGGREGATE
+      // NOTE an r17 A/B: wrapping the cached table in coalesce(k by
+      // vocab size) to cut per-round task counts measured 4× SLOWER
+      // (1.7 → 6-8 s at sf0.1) — the Repartition node over the
+      // InMemoryRelation breaks the rounds' codegen pipelining and
+      // costs far more than the task scheduling it saves. Plain
+      // cached reads win; don't re-try.
       var words = words0.select(col("s"), col("cnt"))
       val merges = Seq.newBuilder[(Int, String, String, String, Long)]
       for (r <- 1 to BpeTrainMerges) {
