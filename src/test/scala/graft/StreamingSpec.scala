@@ -750,8 +750,8 @@ class StreamingSpec extends SparkSuite {
   test("query registry has no cross-module name collisions") {
     import graft.ops._
     val perModule = Seq(Validate.queries, Relational.queries, Semi.queries,
-      Config.queries, Text.queries, Dedup.queries, Vector.queries,
-      Multimodal.queries, Sinks.queries, Flow.queries,
+      Config.queries, Acl.queries, Text.queries, Dedup.queries,
+      Vector.queries, Multimodal.queries, Sinks.queries, Flow.queries,
       graft.streaming.EventsStream.queries, graft.plans.Plans.queries)
     assert(SparkEntry.queries.size == perModule.map(_.size).sum,
       "a module query name shadows another module's")
