@@ -432,3 +432,43 @@ object BpeRuntimeProps extends Properties("BpeRuntime") {
       n >= (w.length + maxLen - 1) / maxLen && n <= w.length
     }
 }
+
+/** Properties of the mojibake-repair kernel (r17): invariants over
+  * arbitrary text, not just the planted fixture kinds. */
+object EncodingRepairProps extends Properties("EncodingRepair") {
+  import graft.functions.EncodingRepair
+
+  private val asciiText = Gen.listOf(Gen.oneOf(
+    Gen.alphaLowerChar, Gen.const(' '), Gen.numChar)).map(_.mkString)
+  // accented NFC words whose UTF-8 bytes round-trip through cp1252
+  private val accented = Gen.oneOf("café", "naïve", "jalapeño", "über",
+    "crème", "señor", "déjà", "touché", "résumé")
+  private val mixedText = for {
+    pre <- asciiText; w <- accented; post <- asciiText
+  } yield java.text.Normalizer.normalize(s"$pre $w $post",
+    java.text.Normalizer.Form.NFC)
+  private def corrupt(s: String): String = new String(
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8), "windows-1252")
+
+  property("ASCII text is a fixed point with zero passes") =
+    forAll(asciiText) { t => EncodingRepair.repair(t) == ((t, 0)) }
+
+  property("repair inverts one corruption (passes == 1)") =
+    forAll(mixedText) { t =>
+      EncodingRepair.repair(corrupt(t)) == ((t, 1))
+    }
+
+  property("repair inverts double corruption (passes == 2)") =
+    forAll(mixedText) { t =>
+      EncodingRepair.repair(corrupt(corrupt(t))) == ((t, 2))
+    }
+
+  property("repair is idempotent") = forAll(mixedText) { t =>
+    val once = EncodingRepair.repair(corrupt(t))._1
+    EncodingRepair.repair(once) == ((once, 0))
+  }
+
+  property("clean accented text is untouched") = forAll(mixedText) { t =>
+    EncodingRepair.repair(t) == ((t, 0))
+  }
+}
