@@ -1078,8 +1078,13 @@ object Text {
     * vectors — CONSTANT in corpus size (k grows ∝ n), vs the brute
     * leg's full sweep. Driver state: k centroids + the fixed query
     * vectors (bounded by construction). */
-  /** The IVF leg's pruned candidate set — (qid, vec_id) pairs from
-    * the nprobe nearest cells' persisted assignments. Volume is
+  /** The IVF leg's pruned candidate set — (qid, vec_id, cv, cn) rows
+    * from the nprobe nearest cells' persisted assignments. The fetch
+    * is a PARTITION-PRUNED read of exactly the probed cells (the cell
+    * ids are a bounded driver list, so the scan plans literal cell
+    * PartitionFilters — ScaleSpec-pinned) and DELIVERS the candidate
+    * vectors and norms from the artifact itself (r17 verdict #1), so
+    * the re-rank never joins back to the embeddings table. Volume is
     * bounded by |Q| × nprobe × mean-cell at ANY corpus size (the
     * RagScaleProbe's scale evidence). */
   private[graft] def denseIvfCandidates(spark: SparkSession,
@@ -1097,16 +1102,20 @@ object Text {
     val qvecs = Tables.embeddings(spark, sfDir).join(qmap, "vec_id")
       .select(col("qid"), col("embedding"))
       .as[(String, Array[Float])].collect()
-    val probe = qvecs.toSeq.flatMap { case (qid, v) =>
+    val probePairs = qvecs.toSeq.flatMap { case (qid, v) =>
       cents.map { case (cid, c) =>
         var d = 0.0; var i = 0
         while (i < c.length) { val t = c(i) - v(i); d += t * t; i += 1 }
         (qid, cid, d)
       }.sortBy(p => (p._3, p._2)).take(nprobe).map(p => (qid, p._2))
-    }.toDF("qid", "cell")
+    }
+    val probedCells = probePairs.map(_._2).distinct.sorted
+    val probe = probePairs.toDF("qid", "cell")
     spark.read.parquet(s"$dir/assign.parquet")
+      .filter(col("cell").isin(probedCells.map(Int.box): _*))
       .join(broadcast(probe), Seq("cell"))
-      .select(col("qid"), col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        col("embedding").as("cv"), col("nrm2").as("cn"))
   }
 
   /** Candidate volume of the IVF leg (RagScaleProbe evidence). */
@@ -1123,11 +1132,13 @@ object Text {
       .withColumn("nrm2", dot("embedding", "embedding"))
     val qs = emb.join(qmap, "vec_id")
       .select(col("qid"), col("embedding").as("qv"), col("nrm2").as("na"))
+    // candidates arrive WITH their vectors from the pruned artifact
+    // read — the corpus is never re-joined on the candidate side
     val cand = denseIvfCandidates(spark, sfDir)
-    val pairs = emb.join(cand, Seq("vec_id"))
+    val pairs = cand
       .join(broadcast(qs), Seq("qid"))
       .withColumn("sim",
-        dot("qv", "embedding") / (sqrt(col("na")) * sqrt(col("nrm2"))))
+        dot("qv", "cv") / (sqrt(col("na")) * sqrt(col("cn"))))
     val pruned = Vector.topkLocal(pairs, "sim", 10, asc = false)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))

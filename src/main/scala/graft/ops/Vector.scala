@@ -353,16 +353,14 @@ object Vector {
     * PERSISTED assignment, never retraining. This is the 100 TB
     * contract: the index build is a batch job producing tables
     * (centroids a k-row dim-wide table, assignments one row per
-    * vector, partitionable by cell), and every later probe is a read —
-    * search cost decouples from training cost. The gate re-runs the
-    * in-memory probe ([[annIvfKmeans]]) and asserts row-for-row
-    * agreement: a drifting artifact (stale assignment, lossy
-    * roundtrip) breaks `same_as_live`. */
+    * vector, PARTITIONED by cell and carrying the vector payloads),
+    * and every later probe is a partition-pruned read — search cost
+    * decouples from both training cost and corpus size. The gate
+    * re-runs the in-memory probe ([[annIvfKmeans]]) and asserts
+    * row-for-row agreement: a drifting artifact (stale assignment,
+    * lossy roundtrip) breaks `same_as_live`. */
   def annIndexPersist(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val dir = persistIndexDir(spark, sfDir)
-    val persisted =
-      probeCells(spark, sfDir, spark.read.parquet(s"$dir/assign.parquet"))
+    val persisted = probePersisted(spark, sfDir)
     val live = annIvfKmeans(spark, sfDir)
       .select(col("qid"), col("rank"), col("vec_id").as("live_vec_id"),
         col("sim_e4").as("live_sim_e4"))
@@ -390,32 +388,82 @@ object Vector {
     * (centroids.parquet + assign.parquet): returns the artifact dir,
     * building it if missing. Session-scoped root (shutdown-hook
     * cleaned, r7 advice), one subdirectory per dataset fingerprint.
-    * Shared by the persist gate and the IVF-backed RAG dense leg
-    * ([[graft.ops.Text.denseIvfTopk]]) — the build-once/probe-many
-    * contract: every consumer reads the SAME artifact, never
-    * retrains. The gate is assign.parquet, written LAST (a torn
-    * build can only leave centroids, which the next build
-    * overwrites). */
+    * Shared by the persist gate, the serving stream and the
+    * IVF-backed RAG dense leg ([[graft.ops.Text.denseIvfTopk]]) — the
+    * build-once/probe-many contract: every consumer reads the SAME
+    * artifact, never retrains.
+    *
+    * Layout (r17 verdict #1): assign.parquet is PARTITIONED BY cell
+    * and carries `(vec_id, embedding, nrm2)` — a probe of nprobe
+    * cells is a partition-pruned read that DELIVERS the candidate
+    * vectors and their norms, so no consumer ever joins back to the
+    * corpus for payloads. The flat r16 layout (unpartitioned,
+    * `(vec_id, cell)` only) forced every probe through a full
+    * assignment sweep plus a full-corpus vec_id join — at 100 TB and
+    * a serving cadence, the scale-killer this layout removes. The
+    * vectors are stored exactly once per index (the assignment IS the
+    * index's posting payload, the standard IVF flat layout), and the
+    * completion gate is the partitioned write's own _SUCCESS, written
+    * last — a torn build has no marker and rebuilds. */
   private[graft] def persistIndexDir(spark: SparkSession,
       sfDir: String): String = {
     import spark.implicits._
     val dir = graft.Util.sessionTmpDir(spark, "graft_ann_index") + "/" +
       java.lang.Integer.toHexString(dataKey(sfDir).hashCode)
-    if (!new java.io.File(s"$dir/assign.parquet").exists()) {
-      // centroids.parquet is not read back by the persist gate's probe
-      // (its contract queries are corpus members, so the persisted
-      // assignment covers them) but is part of the artifact on
-      // purpose: an out-of-corpus query vector needs the centroids to
-      // pick its probe cell — and the IVF dense leg probes through
-      // them for multi-cell candidate pruning.
+    if (!new java.io.File(s"$dir/assign.parquet/_SUCCESS").exists()) {
+      // centroids.parquet is part of the artifact on purpose: an
+      // out-of-corpus query vector needs the centroids to pick its
+      // probe cells — the serving stream and the IVF dense leg both
+      // coarse-probe through them.
       kmeansCentroids(spark, sfDir, k = corpusK(spark, sfDir), iters = 3).toSeq
         .map { case (c, v) => (c, v.toSeq) }
         .toDF("cell", "centroid")
         .write.mode("overwrite").parquet(s"$dir/centroids.parquet")
       kmeansAssign(spark, sfDir, k = corpusK(spark, sfDir), iters = 3)
-        .write.mode("overwrite").parquet(s"$dir/assign.parquet")
+        .join(withNorm2(spark, sfDir)
+          .select(col("vec_id"), col("embedding"), col("nrm2")), "vec_id")
+        .write.partitionBy("cell").mode("overwrite")
+        .parquet(s"$dir/assign.parquet")
     }
     dir
+  }
+
+  /** Partition-pruned probe of the PERSISTED artifact — the consumer
+    * shape the cell-partitioned layout exists for: the contract
+    * queries' vectors resolve through one pushed `vec_id IN` read
+    * (|[[QueryIds]]| rows — the fixture stand-in for requests that
+    * arrive CARRYING their vectors), the coarse probe runs
+    * driver-side against the k persisted centroids (bit-identical to
+    * the assignment's own [[nearest]], so the probed cell IS the
+    * stored cell), and the candidate fetch is ONE read of exactly the
+    * probed cell partitions — the scan plans cell PartitionFilters
+    * (ScaleSpec-pinned) and delivers the candidate vectors and norms
+    * from the artifact itself, never re-joining the corpus. Ranking
+    * matches [[probeCells]] bit for bit: same dot_f32 doubles, same
+    * (sim desc, vec_id) window — [[annIndexPersist]]'s same_as_live
+    * gate holds by construction, not luck. */
+  private[graft] def probePersisted(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = persistIndexDir(spark, sfDir)
+    val cents = spark.read.parquet(s"$dir/centroids.parquet")
+      .as[(Int, Seq[Double])].collect().sortBy(_._1)
+      .map { case (c, v) => (c, v.toArray) }
+    // bounded: |QueryIds| rows collected, vectors included by contract
+    val q = withNorm2(spark, sfDir)
+      .filter(col("vec_id").isin(QueryIds.map(Int.box): _*))
+      .select(col("vec_id"), col("embedding"), col("nrm2"))
+      .as[(Long, Array[Float], Double)].collect()
+    val qrows = q.map { case (id, v, n) => (id, nearest(cents)(v), v, n) }
+    val cells = qrows.map(_._2).distinct.sorted
+    val qs = broadcast(qrows.toSeq.toDF("qid", "qcell", "qv", "na"))
+    val pairs = spark.read.parquet(s"$dir/assign.parquet")
+      .filter(col("cell").isin(cells.map(Int.box): _*))
+      .crossJoin(qs)
+      .filter(col("vec_id") =!= col("qid") && col("cell") === col("qcell"))
+      .withColumn("sim",
+        dot("qv", "embedding") / (sqrt(col("na")) * sqrt(col("nrm2"))))
+    topk(pairs, 10)
   }
 
   /** Size bound of the decontamination benchmark suite: the audit's
@@ -950,36 +998,27 @@ object Vector {
     * retract, % 101 append delta, % 97 decontam bench). */
   private[graft] def isServeQuery = pmod(col("vec_id"), lit(41L)) === 7L
 
-  /** Per-query bounded top-k state for the serving stream: the key is
-    * the query id, state is its current top-k (≤ k (sim_e4, cand)
-    * pairs — O(k) per query, never a candidate list), and each batch
-    * re-emits the query's ranked top-k after folding the batch's
-    * candidates in. Ordering (sim_e4 DESC, cand ASC) is exact integer
-    * compare — deterministic in both engines. */
-  class ServeTopKProcessor(k: Int)
-      extends org.apache.spark.sql.streaming.StatefulProcessor[
-        Long, (Long, Long, Long), (Long, Int, Long, Long)] {
-    @transient private var best:
-      org.apache.spark.sql.streaming.ListState[(Long, Long)] = _
-    override def init(
-        outputMode: org.apache.spark.sql.streaming.OutputMode,
-        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
-      best = getHandle.getListState[(Long, Long)]("best",
-        org.apache.spark.sql.Encoders.product[(Long, Long)],
-        org.apache.spark.sql.streaming.TTLConfig.NONE)
-    override def handleInputRows(qid: Long,
-        rows: Iterator[(Long, Long, Long)],
-        timers: org.apache.spark.sql.streaming.TimerValues)
-        : Iterator[(Long, Int, Long, Long)] = {
-      val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-      locally { val it = best.get(); while (it.hasNext) acc += it.next() }
-      rows.foreach { case (_, cand, simE4) => acc += ((simE4, cand)) }
-      val top = acc.sortBy { case (s, c) => (-s, c) }.take(k)
-      best.clear(); top.foreach(best.appendValue)
-      top.iterator.zipWithIndex.map { case ((s, c), i) =>
-        (qid, i + 1, c, s)
-      }
+  /** The staged serving feed: 3 slices of `(vec_id, embedding, nrm2)`
+    * arrivals — a serving request CARRIES its query vector (r17
+    * verdict #1: resolving vectors through a corpus join was fixture
+    * convenience that planned a full embeddings scan per micro-batch;
+    * the vec_id key stays only to label the fixture's oracle rows).
+    * Shared by the serving stream and its batch comparator
+    * [[serveBatchTopk]] so both answer the same request set. */
+  private[graft] def serveFeedDir(spark: SparkSession,
+      sfDir: String): String = {
+    val feed = graft.Util.sessionTmpDir(spark, "graft_ann_serve") + "/" +
+      java.lang.Integer.toHexString(dataKey(sfDir).hashCode) + "/feed"
+    if (!new java.io.File(s"$feed/_SUCCESS").exists()) {
+      val rootFile = new java.io.File(feed).getParentFile
+      graft.Util.vacuumSiblings(rootFile.getParent, rootFile.getName)
+      withNorm2(spark, sfDir).filter(isServeQuery)
+        .select(col("vec_id"), col("embedding"), col("nrm2"),
+          pmod(col("vec_id"), lit(3)).cast("int").as("slice"))
+        .repartition(col("slice"))
+        .write.partitionBy("slice").mode("overwrite").parquet(feed)
     }
+    feed
   }
 
   /** `stream_ann_query` — the SERVING leg of the index lifecycle
@@ -992,22 +1031,29 @@ object Vector {
     *
     * Per micro-batch (maxFilesPerTrigger=1 over a 3-slice staged
     * feed, so the stream genuinely serves across batches):
-    *  1. arrivals are metadata keys; the query VECTOR resolves by a
-    *     stream-static join against the embeddings table;
+    *  1. arrivals CARRY their query vector + norm (a serving request
+    *     ships its vector; the r16 shape resolved it by a full-corpus
+    *     stream-static join per batch — r17 verdict #1);
     *  2. coarse probe MAP-SIDE: the k-row persisted centroid table
     *     ships in the task closure (the [[streamAnnAppend]] pattern)
     *     and each query fans out to its `nprobe` nearest cells — no
     *     shuffle to route;
-    *  3. candidates come from a stream-static join against the
-    *     persisted cell assignment on the CELL key — at 100 TB the
-    *     assignment is partitioned by cell, so this is a partition-
-    *     pruned read of nprobe cells per query, never an index sweep
-    *     (volume |batch| × nprobe × cell-target, the
-    *     denseIvfCandidates bound);
+    *  3. candidates are a POINT READ of exactly the batch's probed
+    *     cells from the cell-partitioned artifact, planned inside
+    *     foreachBatch where the data-dependent partition IN-filter is
+    *     expressible (a stream-static join cannot prune the static
+    *     side by values arriving ON the stream) — the scan shows cell
+    *     PartitionFilters (ScaleSpec pins the shared kernel) and
+    *     DELIVERS the candidate vectors from the artifact, so no
+    *     embeddings-table join exists anywhere in the serve path;
+    *     volume |batch| × nprobe × cell-target, the
+    *     denseIvfCandidates bound;
     *  4. exact cosine re-rank map-side (dot_f32 bitwise contract) and
-    *     a per-query BOUNDED top-k via [[ServeTopKProcessor]] — state
-    *     O(k) per live query, the only stateful exchange carries
-    *     (qid, cand, sim) rows already pruned to nprobe cells.
+    *     a bounded-heap per-query top-k ([[topkLocal]], the GroupTopK
+    *     physical operator) before the exact integer rank — each
+    *     request is answered within its own batch, so the serve loop
+    *     keeps NO cross-batch state: exactly-once delivery rides the
+    *     checkpoint's batch-id tracking, not a state store.
     *
     * Gates (batch-side, over the staged per-batch output):
     *  - `same_as_batch` — the BINDING stream-twin gate: the served
@@ -1028,12 +1074,8 @@ object Vector {
     * Re-triggering with no new arrivals is a checkpoint read
     * (StreamingSpec pins no-op re-trigger + mid-stream restart). */
   def streamAnnQuery(spark: SparkSession, sfDir: String): DataFrame =
-    graft.Util.withConf(spark,
-      "spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
-      graft.Util.withConf(spark, "spark.sql.shuffle.partitions", "8") {
-        streamAnnQueryInner(spark, sfDir)
-      }
+    graft.Util.withConf(spark, "spark.sql.shuffle.partitions", "8") {
+      streamAnnQueryInner(spark, sfDir)
     }
 
   val ServeRecallFloor = 4L
@@ -1049,6 +1091,47 @@ object Vector {
       (cid, d)
     }.sortBy(p => (p._2, p._1)).take(nprobe).map(_._1).toSeq
 
+  /** One serving micro-batch: probed cell ids collect to a bounded
+    * driver list (≤ |batch| × nprobe ints — never vectors), the
+    * candidate fetch is a partition-pruned read of exactly those
+    * cells delivering `(vec_id, embedding, nrm2)` from the artifact,
+    * and the re-rank broadcasts the batch's queries over it. Shared
+    * ranking contract with [[serveBatchTopk]]: the SAME integer key
+    * (sim_e4 DESC, vec_id ASC) — agreement is deterministic. */
+  private[graft] def serveBatch(dir: String,
+      cents: Array[(Int, Array[Double])], nprobe: Int,
+      batch: DataFrame): DataFrame = {
+    // the micro-batch frame rides foreachBatch's CLONED session — every
+    // read this kernel plans must come from the same session or the
+    // join would mix sessions
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val probed = batch
+      .select(col("vec_id"), col("embedding"), col("nrm2"))
+      .as[(Long, Array[Float], Double)]
+      .flatMap { case (qid, qv, qnrm) =>
+        nearestCells(cents, nprobe)(qv).map(cid => (qid, cid, qv, qnrm))
+      }.toDF("qid", "cell", "qv", "qn")
+    val cells = probed.select(col("cell")).distinct()
+      .as[Int].collect().sorted
+    val cand = spark.read.parquet(s"$dir/assign.parquet")
+      .filter(col("cell").isin(cells.map(Int.box): _*))
+      .select(col("cell"), col("vec_id"),
+        col("embedding").as("cv"), col("nrm2").as("cn"))
+      .join(broadcast(probed), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("sim_e4", graft.Util.e4(
+        dot("qv", "cv") / (sqrt(col("qn")) * sqrt(col("cn"))))
+        .cast("long"))
+      .select(col("qid"), col("vec_id"), col("sim_e4"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim_e4").desc, col("vec_id"))
+    topkLocal(cand, "sim_e4", 10, asc = false)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("qid"), col("rank"), col("vec_id"), col("sim_e4"))
+  }
+
   private def streamAnnQueryInner(spark: SparkSession,
       sfDir: String): DataFrame = {
     import spark.implicits._
@@ -1058,54 +1141,20 @@ object Vector {
       .as[(Int, Seq[Double])].collect().sortBy(_._1)
       .map { case (c, v) => (c, v.toArray) }
     val nprobe = math.min(4, cents.length)
-    // stage the query feed: 3 metadata-only slice files (vec_id keys)
-    val feed = graft.Util.sessionTmpDir(spark, "graft_ann_serve") + "/" +
-      java.lang.Integer.toHexString(dataKey(sfDir).hashCode) + "/feed"
-    if (!new java.io.File(s"$feed/_SUCCESS").exists()) {
-      val rootFile = new java.io.File(feed).getParentFile
-      graft.Util.vacuumSiblings(rootFile.getParent, rootFile.getName)
-      Tables.embeddings(spark, sfDir).filter(isServeQuery)
-        .select(col("vec_id"),
-          pmod(col("vec_id"), lit(3)).cast("int").as("slice"))
-        .repartition(col("slice"))
-        .write.partitionBy("slice").mode("overwrite").parquet(feed)
-    }
+    val feed = serveFeedDir(spark, sfDir)
     val src = spark.readStream
-      .schema(new StructType().add("vec_id", LongType))
+      .schema(new StructType().add("vec_id", LongType)
+        .add("embedding", ArrayType(FloatType))
+        .add("nrm2", DoubleType))
       .option("maxFilesPerTrigger", "1").parquet(feed)
-      .select(col("vec_id"))
-    // stream-static: resolve the query vector + its norm
-    val qn = withNorm2(spark, sfDir)
       .select(col("vec_id"), col("embedding"), col("nrm2"))
-    val arrivals = src.join(qn, Seq("vec_id"))
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
-        col("nrm2").as("qn"))
-      .as[(Long, Array[Float], Double)]
-    // coarse probe map-side: closure-shipped centroids, nprobe fan-out
-    val probed = arrivals.flatMap { case (qid, qv, qnrm) =>
-      nearestCells(cents, nprobe)(qv).map(cid => (qid, cid, qv, qnrm))
-    }.toDF("qid", "cell", "qv", "qn")
-    // candidates: stream-static join on the CELL key of the persisted
-    // assignment (partition-pruned at scale), then the candidate
-    // vectors, then the exact re-rank — all map-side from here
-    val cand = probed
-      .join(spark.read.parquet(s"$dir/assign.parquet"), Seq("cell"))
-      .filter(col("vec_id") =!= col("qid"))
-      .join(qn.select(col("vec_id"), col("embedding").as("cv"),
-        col("nrm2").as("cn")), Seq("vec_id"))
-      .withColumn("sim_e4", graft.Util.e4(
-        dot("qv", "cv") / (sqrt(col("qn")) * sqrt(col("cn"))))
-        .cast("long"))
-      .select(col("qid"), col("vec_id"), col("sim_e4"))
-      .as[(Long, Long, Long)]
-    val ranked = cand.groupByKey(_._1)
-      .transformWithState(new ServeTopKProcessor(10),
-        org.apache.spark.sql.streaming.TimeMode.None(),
-        org.apache.spark.sql.streaming.OutputMode.Update())
-      .toDF("qid", "rank", "vec_id", "sim_e4")
-    val staged = graft.streaming.EventsStream.runIncremental(
-      spark, ranked, "annserve", feed,
-      org.apache.spark.sql.streaming.OutputMode.Update())
+    val outSchema = new StructType().add("qid", LongType)
+      .add("rank", IntegerType).add("vec_id", LongType)
+      .add("sim_e4", LongType)
+    val staged = graft.streaming.EventsStream.runIncrementalMapped(
+      spark, src, "annserve", feed, outSchema,
+      org.apache.spark.sql.streaming.OutputMode.Update())(
+      serveBatch(dir, cents, nprobe, _))
     // ---- gates (batch side, over the staged per-batch output) ----
     val agree = staged.join(serveBatchTopk(spark, sfDir)
         .select(col("qid"), col("rank"), col("vec_id").as("b_vec_id"),
@@ -1139,11 +1188,16 @@ object Vector {
        true AS recall_ok
        FROM embeddings WHERE vec_id % 41 = 7 ORDER BY qid"""
 
-  /** The serving stream's BATCH comparator: the same persisted
-    * artifact, nprobe and exact integer (sim_e4 DESC, vec_id ASC)
-    * ordering, computed the batch way — what the stream must
-    * reproduce row-for-row at every rank. Shared with StreamingSpec's
-    * aggregate-recall audit. */
+  /** The serving stream's BATCH comparator: the same staged request
+    * feed (vectors ride the request, never a corpus join), the same
+    * persisted artifact, nprobe and exact integer (sim_e4 DESC,
+    * vec_id ASC) ordering, computed the batch way — what the stream
+    * must reproduce row-for-row at every rank. The candidate fetch is
+    * the same partition-pruned vector-delivering read as the serve
+    * loop's ([[serveBatch]]): the probed cell ids are a bounded
+    * driver list, the artifact scan plans cell PartitionFilters
+    * (ScaleSpec-pinned) and NO embeddings-table scan appears in the
+    * plan. Shared with StreamingSpec's aggregate-recall audit. */
   private[graft] def serveBatchTopk(spark: SparkSession,
       sfDir: String): DataFrame = {
     import spark.implicits._
@@ -1152,23 +1206,26 @@ object Vector {
       .as[(Int, Seq[Double])].collect().sortBy(_._1)
       .map { case (c, v) => (c, v.toArray) }
     val nprobe = math.min(4, cents.length)
-    val emb = withNorm2(spark, sfDir)
-    val qs = broadcast(emb.filter(isServeQuery)
+    val feedDf = spark.read.parquet(serveFeedDir(spark, sfDir))
+    val qs = broadcast(feedDf
       .select(col("vec_id").as("qid"), col("embedding").as("qv"),
         col("nrm2").as("na")))
-    val qvecs = Tables.embeddings(spark, sfDir).filter(isServeQuery)
-      .select(col("vec_id"), col("embedding"))
+    // bounded: the request set (a feed, not a corpus) drives the probe
+    val qvecs = feedDf.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])].collect()
-    val probeMap = broadcast(qvecs.toSeq.flatMap { case (qid, qv) =>
+    val probePairs = qvecs.toSeq.flatMap { case (qid, qv) =>
       nearestCells(cents, nprobe)(qv).map(c => (qid, c))
-    }.toDF("qid", "cell"))
+    }
+    val probedCells = probePairs.map(_._2).distinct.sorted
+    val probeMap = broadcast(probePairs.toDF("qid", "cell"))
     val wB = Window.partitionBy(col("qid"))
       .orderBy(col("sim_e4").desc, col("vec_id"))
     spark.read.parquet(s"$dir/assign.parquet")
+      .filter(col("cell").isin(probedCells.map(Int.box): _*))
+      .select(col("cell"), col("vec_id"),
+        col("embedding").as("cv"), col("nrm2").as("cn"))
       .join(probeMap, Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
-      .join(emb.select(col("vec_id"), col("embedding").as("cv"),
-        col("nrm2").as("cn")), Seq("vec_id"))
       .join(qs, Seq("qid"))
       .withColumn("sim_e4", graft.Util.e4(
         dot("qv", "cv") / (sqrt(col("na")) * sqrt(col("cn"))))
@@ -1221,12 +1278,15 @@ object Vector {
     * asserts per-cell before = after + retracted reconciliation. */
   /** The cell-partitioned base assignment both retract twins scrub —
     * built (with its centroids) once per (session, dataset). This is
-    * deliberately NOT [[annIndexPersist]]'s artifact: CoW needs
-    * cell-PARTITIONED directories (per-cell overwrite/delete), while
-    * the persist/append artifacts are flat files whose byte-identity
-    * contracts would be disturbed by re-layouting. The kmeans train
-    * itself is memoized per (application, dataset), so the only
-    * duplicated work is the assignment map + one partitioned write. */
+    * deliberately NOT [[annIndexPersist]]'s artifact: that one is
+    * FROZEN by the build-once/probe-many contract (the serve stream,
+    * the persist gate and the RAG dense leg all assume it immutable),
+    * while the retract twins' whole point is scrubbing cell
+    * directories in place — they get their own copy to mutate. The
+    * kmeans train itself is memoized per (application, dataset), so
+    * the only duplicated work is the assignment map + one partitioned
+    * write (metadata-only — this copy stays vector-free because the
+    * retract gates audit membership, never similarity payloads). */
   private def retractBaseAssign(spark: SparkSession, sfDir: String): String = {
     import spark.implicits._
     val dir = graft.Util.sessionTmpDir(spark, "graft_ann_index") + "/" +

@@ -109,7 +109,25 @@ object EventsStream {
   }
 
   def runIncremental(spark: SparkSession, df: DataFrame, name: String,
-      srcDir: String, mode: OutputMode = OutputMode.Complete()): DataFrame = {
+      srcDir: String, mode: OutputMode = OutputMode.Complete()): DataFrame =
+    runIncrementalMapped(spark, df, name, srcDir, df.schema, mode)(identity)
+
+  /** [[runIncremental]] with a per-batch TRANSFORM applied inside
+    * foreachBatch — the SERVING-LOOP shape (stream_ann_query): the
+    * streaming plan carries only the arrivals, and each micro-batch's
+    * point reads / joins / ranking are planned batch-side, where a
+    * data-dependent partition IN-filter is expressible (a
+    * stream-static join cannot prune the static side by values that
+    * arrive ON the stream). Same checkpoint / AvailableNow /
+    * per-batch-output contract as [[runIncremental]]: exactly-once
+    * delivery rides the checkpoint's batch-id tracking, a re-trigger
+    * with no new arrivals plans zero batches and the staged read-back
+    * is unchanged. `outSchema` declares the transform's output shape
+    * so the empty-output branch returns the same columns as the
+    * populated one. */
+  def runIncrementalMapped(spark: SparkSession, df: DataFrame, name: String,
+      srcDir: String, outSchema: StructType, mode: OutputMode)(
+      f: DataFrame => DataFrame): DataFrame = {
     val key = java.lang.Integer.toHexString(
       scala.util.hashing.MurmurHash3.stringHash(srcDir))
     val base = s"${graft.Util.sessionTmpDir(spark, "graft_stream")}/${name}_$key"
@@ -120,8 +138,9 @@ object EventsStream {
       .option("checkpointLocation", s"$base/ckpt")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        if (isComplete) batch.write.mode("overwrite").parquet(outDir)
-        else batch.write.mode("overwrite").parquet(s"$outDir/batch=$id")
+        val out = f(batch)
+        if (isComplete) out.write.mode("overwrite").parquet(outDir)
+        else out.write.mode("overwrite").parquet(s"$outDir/batch=$id")
         ()
       }
       .start()
@@ -134,12 +153,13 @@ object EventsStream {
     // project to the DECLARED schema: in Append/Update modes the
     // read-back discovers the batch=<id> directories as a surprise
     // 'batch' partition column, which the empty-output branch below
-    // (df.schema) would not carry — both branches and all modes must
+    // (outSchema) would not carry — both branches and all modes must
     // return the same shape (r8 advice)
     if (fs.exists(outPath))
-      spark.read.parquet(outDir).select(df.columns.map(col).toSeq: _*)
+      spark.read.parquet(outDir)
+        .select(outSchema.fieldNames.map(col).toSeq: _*)
     else spark.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](), df.schema)
+      new java.util.ArrayList[org.apache.spark.sql.Row](), outSchema)
   }
 
   /** Stateful-operator cost in a one-shot AvailableNow run is per

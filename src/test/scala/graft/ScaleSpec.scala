@@ -1204,6 +1204,61 @@ class ScaleSpec extends SparkSuite {
     }
   }
 
+  test("IVF artifact probes are partition-pruned, vector-delivering reads") {
+    // r17 verdict #1: the persisted artifact is cell-partitioned and
+    // carries (vec_id, embedding, nrm2), so EVERY probe consumer —
+    // the persist gate's probe, the serving stream's per-batch kernel
+    // and batch comparator, and the RAG dense IVF leg — must plan (a)
+    // a scan of assign.parquet whose PartitionFilters prune on cell,
+    // and (b) NO embeddings-table scan: the candidate vectors come
+    // from the artifact, never a second corpus join.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def scans(df: org.apache.spark.sql.DataFrame) =
+      graft.Util.withConf(spark, "spark.sql.adaptive.enabled", "false") {
+        val plan = df.queryExecution.executedPlan
+        (plan +: plan.subqueries).flatMap(_.collect {
+          case f: FileSourceScanExec => f
+        })
+      }
+    def pinned(df: org.apache.spark.sql.DataFrame, what: String): Unit = {
+      val ss = scans(df)
+      val assignScans = ss.filter(_.relation.location.rootPaths
+        .exists(_.toString.contains("assign.parquet")))
+      assert(assignScans.nonEmpty, s"$what must scan the artifact")
+      assert(assignScans.forall(_.partitionFilters
+          .exists(_.references.exists(_.name == "cell"))),
+        s"$what: artifact scan must prune on cell, got PartitionFilters " +
+          assignScans.map(_.partitionFilters).mkString("; "))
+      assert(assignScans.forall(_.output.exists(_.name == "embedding")),
+        s"$what: the pruned read must DELIVER the candidate vectors")
+      assert(!ss.exists(_.relation.location.rootPaths
+          .exists(_.toString.contains("embeddings.parquet"))),
+        s"$what: candidate payloads must come from the artifact, not a " +
+          "corpus re-join")
+    }
+    graft.ops.Vector.annIndexPersist(spark, sf).collect() // artifact built
+    pinned(graft.ops.Vector.probePersisted(spark, sf), "probePersisted")
+    pinned(graft.ops.Vector.serveBatchTopk(spark, sf), "serveBatchTopk")
+    // the RAG leg's candidate read (count probe prunes the payload
+    // columns, so pin the vector-carrying frame itself)
+    pinned(graft.ops.Text.denseIvfCandidates(spark, sf),
+      "denseIvfCandidates")
+    // the serve loop's per-batch kernel: one staged batch through the
+    // SAME kernel foreachBatch runs
+    val dir = graft.ops.Vector.persistIndexDir(spark, sf)
+    val cents = {
+      import spark.implicits._
+      spark.read.parquet(s"$dir/centroids.parquet")
+        .as[(Int, Seq[Double])].collect().sortBy(_._1)
+        .map { case (c, v) => (c, v.toArray) }
+    }
+    val batch = spark.read
+      .parquet(graft.ops.Vector.serveFeedDir(spark, sf))
+      .select(col("vec_id"), col("embedding"), col("nrm2"))
+    pinned(graft.ops.Vector.serveBatch(dir, cents,
+      math.min(4, cents.length), batch), "serveBatch")
+  }
+
   test("ann_index_persist probes from the parquet artifact, not a retrain") {
     // build-once/probe-many: after the artifact exists, the persisted
     // probe's plan must SCAN assign.parquet — a plan that re-derives
