@@ -136,8 +136,12 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_SETTLE_WAIT_SEC", "20").toLong * 1000L
     val cur = scala.collection.mutable.LinkedHashMap(
       results.map(r => r._1 -> r): _*)
-    val resettled =
-      scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double, Int)]
+    // provenance per re-settled query: (contended median, settled
+    // median, settle round, contended min, contended max) — the
+    // replaced row's min/max ride along so the artifact still SHOWS
+    // the contended spread it adjudicated away (r17 advice)
+    val resettled = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Double, Double, Int, Double, Double)]
     def contended: Boolean = cur.values.count { r =>
       baseMedians.get(r._1).exists(_ <= 1.0) && r._3 > 0 &&
         r._4 / r._3 >= 5.0
@@ -164,9 +168,10 @@ object Bench {
           val med = walls.sorted.apply(walls.size / 2)
           val old = cur(name)
           if (med < old._2) {
-            resettled(name) =
-              (resettled.get(name).map(_._1).getOrElse(old._2), med,
-                settleRound)
+            val first = resettled.get(name)
+            resettled(name) = (first.map(_._1).getOrElse(old._2), med,
+              settleRound, first.map(_._4).getOrElse(old._3),
+              first.map(_._5).getOrElse(old._4))
             cur(name) = (name, med, walls.min, walls.max, old._5)
           }
         }
@@ -177,8 +182,7 @@ object Bench {
       if (sys.env.contains("SPARK_GRAFT_NORECHECK")) Nil
       else settled
         .filter { r =>
-          r._2 >= 0 && baseMedians.get(r._1)
-            .exists(b => r._2 > math.max(2 * b, b + 0.5))
+          r._2 >= 0 && baseMedians.get(r._1).exists(b => r._2 > envLimit(b))
         }
         .map { case (name, _, _, _, _) =>
           spark.catalog.clearCache()
@@ -207,8 +211,9 @@ object Bench {
     val sh = jmap(_._5.toString)
     val qre = recheck.map(r => "\"" + r._1 + "\":" + r._2).mkString("{", ",", "}")
     val qreMed = recheck.map(r => "\"" + r._1 + "\":" + r._3).mkString("{", ",", "}")
-    val qset = resettled.map { case (n, (o, v, rd)) =>
-      "\"" + n + "\":[" + o + "," + v + "," + rd + "]"
+    val qset = resettled.map { case (n, (o, v, rd, omin, omax)) =>
+      "\"" + n + "\":[" + o + "," + v + "," + rd + "," + omin + "," +
+        omax + "]"
     }.mkString("{", ",", "}")
     val ok = settled.filter(_._2 >= 0)
     val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0

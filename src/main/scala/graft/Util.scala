@@ -82,11 +82,31 @@ object Util {
     * with ZERO parts — schema inference on read-back would throw, so
     * every read of a maybe-empty layout probes this first (the
     * corpus-build run, the retract/compact overlays and logs). */
-  def anyParquetPart(f: java.io.File): Boolean = {
-    val cs = Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
-    cs.exists(c => c.isFile && c.getName.endsWith(".parquet")) ||
-      cs.exists(c => c.isDirectory && anyParquetPart(c))
+  def anyParquetPart(f: java.io.File): Boolean = anyParquetPart(f.getPath)
+
+  /** Hadoop-FS form of the part probe (r17 advice): the paths these
+    * probes see are local here but object-store URIs on a cluster,
+    * where `java.io.File` answers false for everything — which would
+    * silently misread a populated generation as empty (the same blind
+    * spot tableStream/runIncremental already route around). */
+  def anyParquetPart(path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(hadoopConf)
+    def any(st: org.apache.hadoop.fs.FileStatus): Boolean = {
+      if (st.isFile) st.getPath.getName.endsWith(".parquet")
+      else fs.listStatus(st.getPath).exists(any)
+    }
+    fs.exists(p) && any(fs.getFileStatus(p))
   }
+
+  /** The active session's Hadoop conf when there is one (credentials,
+    * object-store bindings); a bare Configuration (classpath
+    * core-site) otherwise — these helpers are also called from
+    * non-Spark paths like fixture generators. */
+  private def hadoopConf: org.apache.hadoop.conf.Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
 
   /** Drop every sibling directory under `root` except `keep` — the
     * stale-fingerprint vacuum every fingerprint-keyed session sink
@@ -107,13 +127,21 @@ object Util {
     * stale copy (the Tables.tsToMicrosSqlAt / Vector.dataKey pattern,
     * shared here so new artifacts can't forget it). */
   def fileFingerprint(path: String): String = {
-    def walk(f: java.io.File): Seq[java.io.File] = {
-      if (f.isFile) Seq(f)
-      else Option(f.listFiles()).map(_.toSeq).getOrElse(Nil)
-        .sortBy(_.getName).flatMap(walk)
-    }
-    val joined = walk(new java.io.File(path))
-      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+    // Hadoop FS, not java.io.File (r17 advice): fingerprint-keyed
+    // caches must invalidate where the data lives — on a cluster that
+    // is an object store whose URIs java.io.File walks as empty,
+    // which would pin the FIRST fingerprint forever and serve stale
+    // artifacts across in-place dataset regenerations.
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(hadoopConf)
+    def walk(st: org.apache.hadoop.fs.FileStatus)
+        : Seq[org.apache.hadoop.fs.FileStatus] =
+      if (st.isFile) Seq(st)
+      else fs.listStatus(st.getPath).sortBy(_.getPath.getName)
+        .flatMap(walk).toSeq
+    val joined = (if (fs.exists(p)) walk(fs.getFileStatus(p)) else Nil)
+      .map(f =>
+        s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
       .mkString("|")
     // 128-bit digest, not String.hashCode: a 32-bit fingerprint makes
     // accidental collisions (→ silently served stale artifacts)

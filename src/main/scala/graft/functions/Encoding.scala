@@ -97,6 +97,22 @@ object EncodingRepair {
     while (ascii && i < nb) { if (s.getByte(i) < 0) ascii = false; i += 1 }
     if (ascii) 0 else repair(s.toString)._2
   }
+
+  /** NFC normalization ALONE (no mojibake unwind) — the leg of the
+    * repair both engines can express natively, so oracle twins that
+    * only need "is this doc canonically composed?" compare THE SAME
+    * function on both sides (DuckDB: nfc_normalize) instead of
+    * gating on the corpus being mojibake-free (r17 advice). Same
+    * ASCII byte-scan short-circuit as [[fix]]. */
+  def nfc(s: UTF8String): UTF8String = {
+    val nb = s.numBytes()
+    var i = 0
+    var ascii = true
+    while (ascii && i < nb) { if (s.getByte(i) < 0) ascii = false; i += 1 }
+    if (ascii) s
+    else UTF8String.fromString(java.text.Normalizer.normalize(
+      s.toString, java.text.Normalizer.Form.NFC))
+  }
 }
 
 /** `fix_encoding(text)`: [[EncodingRepair]] as a codegen'd native
@@ -127,6 +143,20 @@ case class EncRepairPasses(child: Expression) extends UnaryExpression {
       newChild: Expression): EncRepairPasses = copy(child = newChild)
 }
 
+/** `nfc_normalize(text)`: [[EncodingRepair.nfc]] as a codegen'd
+  * Expression — the DuckDB-twin-safe normalization leg. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any =
+    EncodingRepair.nfc(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.EncodingRepair.nfc($c);")
+  override protected def withNewChildInternal(
+      newChild: Expression): NfcNormalize = copy(child = newChild)
+}
+
 object EncodingExpr {
   def fix_encoding(text: Column): Column =
     org.apache.spark.sql.graftbridge.ColumnBridge.column(
@@ -134,4 +164,7 @@ object EncodingExpr {
   def enc_repair_passes(text: Column): Column =
     org.apache.spark.sql.graftbridge.ColumnBridge.column(
       EncRepairPasses(org.apache.spark.sql.graftbridge.ColumnBridge.expression(text)))
+  def nfc_normalize(text: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      NfcNormalize(org.apache.spark.sql.graftbridge.ColumnBridge.expression(text)))
 }

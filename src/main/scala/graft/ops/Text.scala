@@ -300,13 +300,16 @@ object Text {
       .select(col("source"), col("lang"), col("n_chars"),
         size(tokens).cast("long").as("n_tokens"),
         md5(col("text")).as("digest"),
-        // per-source encoding-repair rate (r17, the t_fix_encoding
-        // pass as a card column): docs the ftfy-shaped repair would
-        // change. This corpus is clean ASCII so the count is 0 on
-        // both sides; the DOUBLE-ENCODE leg's semantics are
-        // fixture-gated in t_fix_encoding (DuckDB pins the NFC leg
-        // via nfc_normalize)
-        (graft.functions.EncodingExpr.fix_encoding(col("text")) =!=
+        // per-source encoding-anomaly rate: docs not canonically
+        // NFC-composed — the repair leg BOTH engines express natively
+        // (Spark NfcNormalize vs DuckDB nfc_normalize), so the twin
+        // is semantic on ANY corpus. The full ftfy-shaped pass (the
+        // mojibake unwind DuckDB cannot replay) is t_fix_encoding's
+        // proven-fixture domain, not a card column (r17 advice: the
+        // old fix_encoding != text column held only because the
+        // corpus was mojibake-free — a data property, not a
+        // contract).
+        (graft.functions.EncodingExpr.nfc_normalize(col("text")) =!=
           col("text")).cast("long").as("enc_bad"))
     val base = docs.groupBy(col("source")).agg(
       count(lit(1)).as("n_docs"),
@@ -314,7 +317,7 @@ object Text {
       sum(col("n_chars")).as("n_chars"),
       countDistinct(col("lang")).as("n_langs"),
       sum(when(col("n_chars") < 100, 1L).otherwise(0L)).as("short_docs"),
-      sum(col("enc_bad")).as("enc_repaired"),
+      sum(col("enc_bad")).as("nfc_anomalies"),
       min(col("n_tokens")).as("min_tokens"),
       max(col("n_tokens")).as("max_tokens"))
       .withColumn("mean_tokens_e2", expr("(100 * n_tokens) DIV n_docs"))
@@ -335,7 +338,7 @@ object Text {
       .join(broadcast(dups), Seq("source"))
       .select(col("source"), col("n_docs"), col("n_tokens"), col("n_chars"),
         col("n_langs"), col("top_lang"), col("top_lang_docs"),
-        col("dup_docs"), col("short_docs"), col("enc_repaired"),
+        col("dup_docs"), col("short_docs"), col("nfc_anomalies"),
         col("mean_tokens_e2"), col("min_tokens"), col("max_tokens"))
       .orderBy(col("source"))
   }
@@ -353,7 +356,7 @@ object Text {
            CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
            CAST(sum(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS BIGINT)
              AS short_docs,
-           CAST(sum(enc_bad) AS BIGINT) AS enc_repaired,
+           CAST(sum(enc_bad) AS BIGINT) AS nfc_anomalies,
            CAST(min(n_tokens) AS BIGINT) AS min_tokens,
            CAST(max(n_tokens) AS BIGINT) AS max_tokens
          FROM d GROUP BY source),
@@ -373,7 +376,7 @@ object Text {
                FROM d GROUP BY source, digest)
          GROUP BY source)
        SELECT b.source AS source, n_docs, n_tokens, n_chars, n_langs,
-         top_lang, top_lang_docs, dup_docs, short_docs, enc_repaired,
+         top_lang, top_lang_docs, dup_docs, short_docs, nfc_anomalies,
          CAST((100 * n_tokens) // n_docs AS BIGINT) AS mean_tokens_e2,
          min_tokens, max_tokens
        FROM base b JOIN tl USING (source) JOIN du USING (source)
@@ -3691,9 +3694,10 @@ object Text {
     * the PLANTED fixture: the generator proves repair(corrupted) ==
     * clean at build time, so the oracle selects the planted truth and
     * the expected pass count from the kind arithmetic — every row's
-    * repaired TEXT is hash-compared, not just flags. The corpus-wide
-    * deployment of the same expression is `t_dataset_card`'s
-    * per-source `enc_repaired` column. */
+    * repaired TEXT is hash-compared, not just flags. (The dataset
+    * card deploys only the NFC leg corpus-wide — `nfc_anomalies` —
+    * because that is the leg DuckDB can replay semantically; the
+    * mojibake unwind is gated HERE, on planted proven fixtures.) */
   def tFixEncoding(spark: SparkSession, sfDir: String): DataFrame = {
     ensureMojibake(spark)
     val fixed = graft.functions.EncodingExpr.fix_encoding(col("corrupted"))
