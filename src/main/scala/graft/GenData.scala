@@ -63,13 +63,25 @@ object GenData {
     * original vocab bit-for-bit, so historical mult=1 rehearsal
     * numbers stay comparable. */
   private[graft] def vocabFor(nDocs: Long): Array[String] = {
+    val base =
+      if (!sys.env.contains("SPARK_GRAFT_GENDATA_ML")) Vocab
+      else Vocab ++ MlVocab
     val f = math.ceil(math.cbrt(nDocs / 5000.0)).toInt.max(1)
-    if (f == 1) Vocab
-    else Vocab.flatMap { w =>
+    if (f == 1) base
+    else base.flatMap { w =>
       if (w == "a" || w == "the") Array.fill(f)(w)
       else w +: Array.tabulate(f - 1)(k => w + ('b' + k % 25).toChar)
     }
   }
+
+  /** Opt-in multilingual seeds (SPARK_GRAFT_GENDATA_ML=1): accented
+    * latin + CJK word forms for the byte-level trainer rehearsal
+    * (judge r17 #2's done-criterion) — OFF by default so every
+    * historical rehearsal corpus and the committed 10× plan manifest
+    * stay bit-comparable. */
+  private val MlVocab: Array[String] =
+    ("café naïve über résumé señor crème déjà 中文 分词 数据 查询 " +
+      "管理 モデル データ 結果").split(" ")
   private val Langs = Array("en", "zh", "es", "fr", "de")
   private val EventTypes = Array("signup", "click", "error", "purchase", "view")
 

@@ -185,16 +185,84 @@ class BpeSpec extends SparkSuite {
     assert(rows.map(_._4).distinct.length == rows.length,
       "merged pieces must be distinct")
     // every merge's sides come from the current symbol alphabet:
-    // single chars or earlier merge products
+    // single BYTES (two hex digits) or earlier merge products
     rows.zipWithIndex.foreach { case ((_, a, b, m, w), i) =>
       val earlier = rows.take(i).map(_._4).toSet
       assert(m == a + b, s"merged must be lhs+rhs at rank ${i + 1}")
-      assert(a.length == 1 || earlier(a),
-        s"lhs '$a' at rank ${i + 1} is neither a char nor an earlier merge")
-      assert(b.length == 1 || earlier(b),
-        s"rhs '$b' at rank ${i + 1} is neither a char nor an earlier merge")
+      assert((a + b).forall(c => c.isDigit || (c >= 'a' && c <= 'f')),
+        s"symbols must stay in the closed hex alphabet: '$a'+'$b'")
+      assert(a.length == 2 || earlier(a),
+        s"lhs '$a' at rank ${i + 1} is neither a byte nor an earlier merge")
+      assert(b.length == 2 || earlier(b),
+        s"rhs '$b' at rank ${i + 1} is neither a byte nor an earlier merge")
       assert(w > 0)
     }
+  }
+
+  test("t_bpe_train is byte-level: accented/CJK corpus trains green and " +
+      "the merge table round-trips through the oracle-replay semantics") {
+    import spark.implicits._
+    // a corpus the r17 a-z trainer REJECTED outright: accented latin,
+    // CJK, quotes and backslashes, with enough repetition for 16 merges
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe_ml")
+      .toString
+    val phrases = Seq(
+      "café au lait café au lait 中文分词 中文分词 naïve café",
+      "über señor café 中文分词 naïve über señor 中文分词",
+      "the \"quoted\" word and back\\slash the \"quoted\" café",
+      "中文分词 café au lait über naïve señor the 中文分词",
+      "café café café 中文分词 中文分词 naïve naïve über über")
+    (0 until 40).map(i => (i.toLong, phrases(i % phrases.length),
+        "xx", s"src${i % 3}"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val merges = graft.ops.Text.tBpeTrain(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(merges.length == graft.ops.Text.BpeTrainMerges)
+    // ---- reference replay of the oracle's per-round semantics ----
+    def prep(w: String): String = " " + w.getBytes("UTF-8")
+      .map(b => f"${b & 0xff}%02x").mkString(" ") + " "
+    def hexToBytes(h: String): Seq[Int] =
+      h.grouped(2).map(Integer.parseInt(_, 16)).toSeq
+    val counts = phrases.flatMap(_.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, ws) =>
+        (w, ws.size.toLong * (40 / phrases.length))
+      }.toSeq
+    var table = counts.map { case (w, c) => (w, prep(w), c) }
+    merges.foreach { case (rank, a, b, m, w) =>
+      // (1) the learned pair IS the round's argmax by (weight DESC,
+      //     lhs ASC, rhs ASC) over positional adjacent pairs — what
+      //     the oracle's b<k> stage computes
+      val pairW = scala.collection.mutable.Map.empty[(String, String), Long]
+      table.foreach { case (_, s, c) =>
+        s.trim.split(" ").toSeq.sliding(2).foreach {
+          case Seq(x, y) => pairW((x, y)) = pairW.getOrElse((x, y), 0L) + c
+          case _ =>
+        }
+      }
+      val best = pairW.toSeq.minBy { case ((x, y), pw) => (-pw, x, y) }
+      assert(best._1 == ((a, b)) && best._2 == w,
+        s"rank $rank: learned ($a,$b,$w) != replayed $best")
+      // (2) apply the merge exactly as both engines do: single-pass
+      //     leftmost non-overlapping delimited replace
+      table = table.map { case (word, s, c) =>
+        (word, s.replace(s" $a $b ", s" $m "), c)
+      }
+      // (3) LOSSLESS at every round: each state's symbols decode back
+      //     to the word's exact UTF-8 bytes
+      table.foreach { case (word, s, _) =>
+        val decoded = s.trim.split(" ").toSeq.flatMap(hexToBytes)
+        assert(decoded == word.getBytes("UTF-8").toSeq.map(_ & 0xff),
+          s"round $rank corrupted '$word': $s")
+      }
+    }
+    // the trainer really fused multi-byte text: some merge spans a
+    // multi-byte UTF-8 sequence (a non-ASCII lead byte 0xc0-0xf4)
+    assert(merges.exists { case (_, _, _, m, _) =>
+      hexToBytes(m).exists(b => b >= 0xc0) },
+      s"no merge crossed a multi-byte char: ${merges.map(_._4).toSeq}")
   }
 
   test("t_bpe_fertility_gain: corpus-trained vocab beats the fixture " +
