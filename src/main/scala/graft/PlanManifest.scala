@@ -43,6 +43,22 @@ object PlanManifest {
     else base.lastOption.getOrElse(p).stripSuffix(".parquet")
   }
 
+  /** Collapse long pushed `In(col, [v1,v2,…])` value lists to their
+    * COUNT: a data-dependent point-read list (the PQ serve shortlist
+    * ships |batch|×C vec_ids as a pushed IN filter) is plan SHAPE
+    * worth fingerprinting, but its literal values are row data — at
+    * 10× they made a single manifest line ~100 KB and every data
+    * regeneration would churn it. `In(col, [8 values])` keeps the
+    * shape (a pushed IN on that column, how many values) and drops
+    * the noise. Lists of ≤ 20 values (the label IN-lists, fixture
+    * query ids) stay verbatim — their values ARE the contract. */
+  private[graft] def normalizeInLists(pushed: String): String =
+    "In\\(([^,()]+), \\[([^\\]]*)\\]\\)".r.replaceAllIn(pushed, m => {
+      val vals = m.group(2).split(",")
+      if (vals.length <= 20) m.matched.replace("$", "\\$")
+      else s"In(${m.group(1)}, [${vals.length} values])"
+    })
+
   /** One query's fingerprint as a sorted-key map of scalar/loggable
     * values. */
   def fingerprint(df: DataFrame): Map[String, String] = {
@@ -64,7 +80,7 @@ object PlanManifest {
     }.flatten.distinct.sorted
     val pushed = nodes.collect {
       case s: FileSourceScanExec => s.metadata.get("PushedFilters").toSeq
-    }.flatten.filter(_ != "[]").distinct.sorted
+    }.flatten.filter(_ != "[]").map(normalizeInLists).distinct.sorted
     val custom = nodes.map(_.getClass.getSimpleName)
       .filter(n => n.startsWith("TopKPerGroup") || n.startsWith("BinnedRange")
         || n.contains("Graft"))

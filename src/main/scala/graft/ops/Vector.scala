@@ -1155,8 +1155,20 @@ object Vector {
       spark, src, "annserve", feed, outSchema,
       org.apache.spark.sql.streaming.OutputMode.Update())(
       serveBatch(dir, cents, nprobe, _))
-    // ---- gates (batch side, over the staged per-batch output) ----
-    val agree = staged.join(serveBatchTopk(spark, sfDir)
+    serveGates(spark, sfDir, staged, serveBatchTopk(spark, sfDir),
+      ServeRecallFloor)
+  }
+
+  /** The serving gates, shared by the full-vector leg
+    * ([[streamAnnQuery]]) and the PQ-coded leg ([[streamAnnQueryPq]]):
+    * the BINDING same-as-batch gate (served top-10 equals the batch
+    * twin row-for-row at every rank — both sides rank by the exact
+    * integer (sim_e4 DESC, vec_id ASC), so agreement is deterministic)
+    * and the measured-recall column vs the exact brute top-10, floored
+    * at `floor`. */
+  private def serveGates(spark: SparkSession, sfDir: String,
+      staged: DataFrame, twin: DataFrame, floor: Long): DataFrame = {
+    val agree = staged.join(twin
         .select(col("qid"), col("rank"), col("vec_id").as("b_vec_id"),
           col("sim_e4").as("b_sim_e4")),
         Seq("qid", "rank"), "full_outer")
@@ -1177,8 +1189,8 @@ object Vector {
         least(col("n_topk"), lit(10L)).as("n_topk_capped"),
         least(col("n_agree"), lit(10L)).as("n_agree_capped"),
         (col("n_agree") === col("n_topk")).as("same_as_batch"),
-        least(col("hits"), lit(ServeRecallFloor)).as("hits_capped"),
-        (col("hits") >= ServeRecallFloor).as("recall_ok"))
+        least(col("hits"), lit(floor)).as("hits_capped"),
+        (col("hits") >= floor).as("recall_ok"))
       .orderBy(col("qid"))
   }
   val streamAnnQuerySql: String =
@@ -1248,6 +1260,249 @@ object Vector {
       .withColumn("sim",
         dot("qv", "embedding") / (sqrt(col("na")) * sqrt(col("nrm2"))))
     topk(pairs, 10)
+  }
+
+  // -- PQ-coded serving leg (r17 verdict next-round #4) ----------------------
+
+  /** Shortlist size of the PQ serving leg's exact re-rank: the ADC
+    * scan keeps the top-C per query, and only those C vectors are
+    * fetched at full f32 width. Sized by measurement on the
+    * clusterless synthetic corpus: at C = 64 the ADC ordering left
+    * ~10% of the full-vector leg's aggregate recall outside the
+    * shortlist (91 vs 101 exact-brute hits at sf0.001); C = 192
+    * recovers parity while keeping the point-read list |batch| × 192
+    * ids — bounded, and still ~5× narrower than re-ranking every
+    * probed-cell candidate at full width. */
+  val PqServeCandC = 192
+
+  /** ADC lookup table for one query: lut(m·K+c) = ‖q_m − c_{m,c}‖² —
+    * M·K doubles, computed once per query, turning the code scan into
+    * [[PqM]] lookups + adds per candidate. */
+  private def pqLut(books: Array[Array[Array[Double]]],
+      qv: Array[Float]): Array[Double] = {
+    val lut = new Array[Double](PqM * PqK)
+    var m = 0
+    while (m < PqM) {
+      var c = 0
+      while (c < PqK) {
+        val cent = books(m)(c); var d = 0.0; var i = 0
+        while (i < PqSub) {
+          val t = cent(i) - qv(m * PqSub + i); d += t * t; i += 1
+        }
+        lut(m * PqK + c) = d
+        c += 1
+      }
+      m += 1
+    }
+    lut
+  }
+
+  /** Encode a vector as its [[PqM]] one-byte subspace codes — the
+    * 16 B/row (8 B id + 8 B code) scan unit of the PQ serving leg. */
+  private def pqCodeBytes(books: Array[Array[Array[Double]]],
+      v: Array[Float]): Array[Byte] =
+    Array.tabulate(PqM)(m => pqNearest(books(m), v, m * PqSub).toByte)
+
+  /** Extends the persisted IVF artifact with its PQ coding:
+    * `books.parquet` (the M×K trained codebooks, a 128-row dim table)
+    * and `codes.parquet` — PARTITIONED BY cell, one row per vector
+    * carrying only `(vec_id, code binary(8))`. At 100 TB this is the
+    * serving read's bandwidth contract: a probe ADC-scans ~16 B/vec
+    * over its nprobe cells (32× narrower than the f32 vectors) and
+    * touches full vectors only for the shortlist's point reads.
+    * Codes derive from the SAME persisted assignment (one pruned-free
+    * read of assign.parquet at build time), so code cells and vector
+    * cells can never drift. Build-once: completion marker is the
+    * partitioned write's own _SUCCESS, written last. */
+  private[graft] def persistPqDir(spark: SparkSession,
+      sfDir: String): String = {
+    import spark.implicits._
+    val dir = persistIndexDir(spark, sfDir)
+    if (!new java.io.File(s"$dir/codes.parquet/_SUCCESS").exists()) {
+      val books = pqTrain(spark, sfDir, iters = 3)
+      books.zipWithIndex.flatMap { case (bk, m) =>
+        bk.zipWithIndex.map { case (cent, c) => (m, c, cent.toSeq) }
+      }.toSeq.toDF("m", "code", "centroid")
+        .write.mode("overwrite").parquet(s"$dir/books.parquet")
+      spark.read.parquet(s"$dir/assign.parquet")
+        .select(col("cell"), col("vec_id"), col("embedding"))
+        .as[(Int, Long, Array[Float])]
+        .map { case (cell, id, v) => (cell, id, pqCodeBytes(books, v)) }
+        .toDF("cell", "vec_id", "code")
+        .repartition(col("cell"))
+        .write.partitionBy("cell").mode("overwrite")
+        .parquet(s"$dir/codes.parquet")
+    }
+    dir
+  }
+
+  /** The probed-cell set of one serving micro-batch: each arrival's
+    * nprobe nearest cells, distinct — the bounded int list (≤
+    * |batch|·nprobe values, never vectors) both the ADC scan and the
+    * shortlist point read prune on. */
+  private[graft] def servePqCells(cents: Array[(Int, Array[Double])],
+      nprobe: Int, batch: DataFrame): Array[Int] = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    batch.select(col("embedding")).as[Array[Float]]
+      .flatMap(qv => nearestCells(cents, nprobe)(qv))
+      .distinct().collect().sorted
+  }
+
+  /** Stages 1–3 of the PQ serving kernel as ONE inspectable frame
+    * `(qid, vec_id)`: per-arrival LUT fan-out, the cell-pruned ADC
+    * scan of `codes.parquet`, and the per-query ADC
+    * top-[[PqServeCandC]]. Kept separate from [[servePqBatch]] so the
+    * plan that actually SCANS the codes artifact is assertable
+    * (ScaleSpec pins cell PartitionFilters here) — the batch kernel
+    * executes this frame into its bounded point-read list, which
+    * erases the codes scan from the final re-rank plan. */
+  private[graft] def servePqShortlist(dir: String,
+      cents: Array[(Int, Array[Double])],
+      books: Array[Array[Array[Double]]], nprobe: Int,
+      cells: Array[Int], batch: DataFrame): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val probed = batch
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (qid, qv) =>
+        val lut = pqLut(books, qv)
+        nearestCells(cents, nprobe)(qv).map(c => (qid, c, lut))
+      }.toDF("qid", "cell", "lut")
+    val adc = spark.read.parquet(s"$dir/codes.parquet")
+      .filter(col("cell").isin(cells.map(Int.box): _*))
+      .join(broadcast(probed), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("lut"), col("code"))
+      .as[(Long, Long, Array[Double], Array[Byte])]
+      .map { case (qid, id, lut, code) =>
+        var d = 0.0; var m = 0
+        while (m < PqM) { d += lut(m * PqK + (code(m) & 0xFF)); m += 1 }
+        (qid, id, d)
+      }.toDF("qid", "vec_id", "adc")
+    val wC = Window.partitionBy(col("qid"))
+      .orderBy(col("adc"), col("vec_id"))
+    topkLocal(adc, "adc", PqServeCandC, asc = true)
+      .withColumn("crank", row_number().over(wC))
+      .filter(col("crank") <= PqServeCandC)
+      .select(col("qid"), col("vec_id"))
+  }
+
+  /** One PQ-serving micro-batch — the asymmetric-distance (ADC) twin
+    * of [[serveBatch]], and the 100 TB bandwidth shape (r17 verdict
+    * next-round #4: re-ranking over full f32 vectors makes the
+    * candidate fetch the serving bandwidth bill):
+    *  1. each arrival computes its M·K ADC LUT once and fans out to
+    *     its nprobe cells map-side (closure-shipped centroids);
+    *  2. the CANDIDATE scan reads `codes.parquet` pruned to the
+    *     batch's probed cells — ~16 B/vec instead of the 264 B f32
+    *     row — and scores each code with [[PqM]] LUT adds;
+    *  3. only the per-query ADC top-[[PqServeCandC]] shortlist is
+    *     re-ranked exactly: the full vectors arrive through a POINT
+    *     READ (cell PartitionFilters + a pushed `vec_id IN` list of
+    *     |batch|·C ids) of the artifact, never an embeddings join;
+    *  4. exact cosine (dot_f32 bitwise contract) and the bounded-heap
+    *     top-10 under the shared integer key (sim_e4 DESC, vec_id
+    *     ASC) — deterministic agreement with the batch twin.
+    * Both bounded driver lists (probed cells, shortlist ids) are ints
+    * — never vectors. Stages 1–3 live in [[servePqShortlist]] (a
+    * separately-inspectable frame, because executing it to the
+    * point-read list erases the codes scan from the final re-rank
+    * plan); this method executes the shortlist and re-ranks. */
+  private[graft] def servePqBatch(dir: String,
+      cents: Array[(Int, Array[Double])],
+      books: Array[Array[Array[Double]]], nprobe: Int,
+      batch: DataFrame): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val cells = servePqCells(cents, nprobe, batch)
+    val short = servePqShortlist(dir, cents, books, nprobe, cells, batch)
+    // bounded: |batch| × C (qid, vec_id) pairs — the point-read list
+    val shortPairs = short.as[(Long, Long)].collect().toSeq
+    val ids = shortPairs.map(_._2).distinct.sorted
+    val qs = broadcast(batch
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("nrm2").as("qn")).distinct())
+    val exact = spark.read.parquet(s"$dir/assign.parquet")
+      .filter(col("cell").isin(cells.map(Int.box): _*) &&
+        col("vec_id").isin(ids.map(Long.box): _*))
+      .select(col("vec_id"), col("embedding").as("cv"),
+        col("nrm2").as("cn"))
+      .join(broadcast(shortPairs.toDF("qid", "vec_id")), Seq("vec_id"))
+      .join(qs, Seq("qid"))
+      .withColumn("sim_e4", graft.Util.e4(
+        dot("qv", "cv") / (sqrt(col("qn")) * sqrt(col("cn"))))
+        .cast("long"))
+      .select(col("qid"), col("vec_id"), col("sim_e4"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim_e4").desc, col("vec_id"))
+    topkLocal(exact, "sim_e4", 10, asc = false)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("qid"), col("rank"), col("vec_id"), col("sim_e4"))
+  }
+
+  /** `stream_ann_query_pq` — the PQ-coded serving leg: the same
+    * staged request feed, persisted artifact, nprobe and gate tail as
+    * [[streamAnnQuery]], but each micro-batch answers through the
+    * ADC-shortlist-rerank kernel ([[servePqBatch]]) over the
+    * cell-partitioned `codes.parquet`. Gates: the BINDING
+    * same-as-batch equality vs the PQ batch twin (same kernel, whole
+    * feed as one batch — per-query independence makes slice-batched
+    * and whole-feed answers identical by construction, so the gate
+    * catches checkpoint/staging drift), and measured recall vs the
+    * exact brute top-10 under the same [[ServeRecallFloor]] as the
+    * full-vector leg: the shortlist is wide enough ([[PqServeCandC]])
+    * that PQ coding costs no measured recall vs full-vector serving
+    * on this corpus — StreamingSpec pins the aggregate. */
+  def streamAnnQueryPq(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Util.withConf(spark, "spark.sql.shuffle.partitions", "8") {
+      streamAnnQueryPqInner(spark, sfDir)
+    }
+
+  private def streamAnnQueryPqInner(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = persistPqDir(spark, sfDir)
+    val cents = spark.read.parquet(s"$dir/centroids.parquet")
+      .as[(Int, Seq[Double])].collect().sortBy(_._1)
+      .map { case (c, v) => (c, v.toArray) }
+    val books = pqTrain(spark, sfDir, iters = 3)
+    val nprobe = math.min(4, cents.length)
+    val feed = serveFeedDir(spark, sfDir)
+    val src = spark.readStream
+      .schema(new StructType().add("vec_id", LongType)
+        .add("embedding", ArrayType(FloatType))
+        .add("nrm2", DoubleType))
+      .option("maxFilesPerTrigger", "1").parquet(feed)
+      .select(col("vec_id"), col("embedding"), col("nrm2"))
+    val outSchema = new StructType().add("qid", LongType)
+      .add("rank", IntegerType).add("vec_id", LongType)
+      .add("sim_e4", LongType)
+    val staged = graft.streaming.EventsStream.runIncrementalMapped(
+      spark, src, "annservepq", feed, outSchema,
+      org.apache.spark.sql.streaming.OutputMode.Update())(
+      servePqBatch(dir, cents, books, nprobe, _))
+    serveGates(spark, sfDir, staged, servePqBatchTopk(spark, sfDir),
+      ServeRecallFloor)
+  }
+  val streamAnnQueryPqSql: String = streamAnnQuerySql
+
+  /** The PQ serving stream's BATCH comparator: the whole request feed
+    * through the SAME kernel as one batch. */
+  private[graft] def servePqBatchTopk(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = persistPqDir(spark, sfDir)
+    val cents = spark.read.parquet(s"$dir/centroids.parquet")
+      .as[(Int, Seq[Double])].collect().sortBy(_._1)
+      .map { case (c, v) => (c, v.toArray) }
+    val books = pqTrain(spark, sfDir, iters = 3)
+    servePqBatch(dir, cents, books, math.min(4, cents.length),
+      spark.read.parquet(serveFeedDir(spark, sfDir))
+        .select(col("vec_id"), col("embedding"), col("nrm2")))
   }
 
   /** Retract predicate for [[annIndexRetract]] — the vector-index
@@ -2768,6 +3023,7 @@ object Vector {
     "stream_ann_retract" -> streamAnnRetract,
     "stream_ann_autocompact" -> streamAnnAutocompact,
     "stream_ann_query" -> streamAnnQuery,
+    "stream_ann_query_pq" -> streamAnnQueryPq,
     "ann_index_compact" -> annIndexCompact,
     "ann_index_version_diff" -> annIndexVersionDiff,
     "ann_version_log" -> annVersionLog,
@@ -2802,6 +3058,9 @@ object Vector {
     "stream_ann_retract" -> annIndexRetractSql,
     "stream_ann_autocompact" -> streamAnnAutocompactSql,
     "stream_ann_query" -> streamAnnQuerySql,
+    // the PQ leg's gate tail is shape-identical to the full-vector
+    // leg's — same request set, same floors — so the SAME oracle
+    "stream_ann_query_pq" -> streamAnnQueryPqSql,
     "ann_index_compact" -> annIndexCompactSql,
     "ann_index_version_diff" -> annIndexVersionDiffSql,
     "ann_version_log" -> annVersionLogSql,

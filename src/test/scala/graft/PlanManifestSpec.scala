@@ -33,6 +33,25 @@ class PlanManifestSpec extends SparkSuite {
     }
   }
 
+  test("long pushed IN-lists collapse to their count; short ones stay " +
+      "verbatim") {
+    // r18: the PQ serve shortlist pushes |batch|×C vec_ids as an IN
+    // filter — plan shape worth fingerprinting, but the literal ids
+    // are row data (a ~100 KB manifest line that churns on every
+    // dataset regeneration). ≤ 20 values (label lists, fixture query
+    // ids) are the contract and stay.
+    val short = "[In(label, [1,3,5]), IsNotNull(label)]"
+    assert(PlanManifest.normalizeInLists(short) == short)
+    val long = "[In(vec_id, [" + (1 to 500).mkString(",") +
+      "]), IsNotNull(vec_id)]"
+    assert(PlanManifest.normalizeInLists(long) ==
+      "[In(vec_id, [500 values]), IsNotNull(vec_id)]")
+    // two lists in one pushed string normalize independently
+    val mixed = "[In(a, [" + (1 to 30).mkString(",") + "]), In(b, [7,9])]"
+    assert(PlanManifest.normalizeInLists(mixed) ==
+      "[In(a, [30 values]), In(b, [7,9])]")
+  }
+
   /** The 10×-scale manifest gate (judge r16 next-round #6):
     * fingerprints recorded at sf0.001 only can hide scale-conditional
     * plan shapes — broadcast↔SMJ flips appear when a side outgrows
@@ -64,9 +83,17 @@ class PlanManifestSpec extends SparkSuite {
     // 2000-12-01 00:00:00.0) though the predicate is identical
     val tsLit = "pushed-filter timestamp literal rendering: NANOS " +
       "(testdata) vs MICROS (GenData) annotation"
+    // data-dependent point-read lists: the PQ serve shortlist pushes
+    // |batch|×C vec_ids as an IN filter whose COUNT (normalized by
+    // PlanManifest.normalizeInLists) grows with the request feed —
+    // same plan shape, corpus-sized value count
+    val pointRead = "point-read IN-list size: the pushed shortlist id " +
+      "count grows with the serve feed (shape identical)"
     val flips = Set("broadcasts", "exchanges", "joins")
     Map(
       "corpus_drop_lineage" -> (flips, flip),
+      "resample_interp" -> (flips, flip),
+      "stream_ann_query_pq" -> (Set("pushed"), pointRead),
       "d4_backfill_plan" -> (flips, flip),
       "dedup_incremental" -> (flips, flip),
       "dedup_minhash_lsh" -> (flips, flip),

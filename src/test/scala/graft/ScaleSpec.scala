@@ -1257,6 +1257,39 @@ class ScaleSpec extends SparkSuite {
       .select(col("vec_id"), col("embedding"), col("nrm2"))
     pinned(graft.ops.Vector.serveBatch(dir, cents,
       math.min(4, cents.length), batch), "serveBatch")
+    // the PQ serving kernel (r17 next-round #4): the CANDIDATE scan is
+    // the 16 B/vec codes artifact pruned on cell; full vectors appear
+    // only through the shortlist point read — cell PartitionFilters
+    // plus a pushed vec_id IN list — and never an embeddings join
+    val pqDir = graft.ops.Vector.persistPqDir(spark, sf)
+    val books = graft.ops.Vector.pqTrain(spark, sf, iters = 3)
+    val pqNprobe = math.min(4, cents.length)
+    // the candidate stage's own plan (servePqBatch executes it into
+    // the bounded point-read list, erasing the codes scan from the
+    // final re-rank plan — so pin the stage frame directly)
+    val pqCells = graft.ops.Vector.servePqCells(cents, pqNprobe, batch)
+    val shortFrame = graft.ops.Vector.servePqShortlist(pqDir, cents,
+      books, pqNprobe, pqCells, batch)
+    val codeScans = scans(shortFrame).filter(_.relation.location.rootPaths
+      .exists(_.toString.contains("codes.parquet")))
+    assert(codeScans.nonEmpty, "the PQ kernel must ADC-scan the codes")
+    assert(codeScans.forall(_.partitionFilters
+        .exists(_.references.exists(_.name == "cell"))),
+      "codes scan must prune on cell")
+    assert(!scans(shortFrame).exists(_.relation.location.rootPaths
+        .exists(p => p.toString.contains("assign.parquet") ||
+          p.toString.contains("embeddings.parquet"))),
+      "the ADC stage must touch only the 16 B/vec codes")
+    val pq = graft.ops.Vector.servePqBatch(pqDir, cents, books,
+      pqNprobe, batch)
+    pinned(pq, "servePqBatch")
+    val assignScans = scans(pq).filter(_.relation.location.rootPaths
+      .exists(_.toString.contains("assign.parquet")))
+    assert(assignScans.nonEmpty, "the re-rank must point-read the artifact")
+    assert(assignScans.forall(_.dataFilters.exists(
+        _.references.exists(_.name == "vec_id"))),
+      "the full-width read must be the shortlist point read " +
+        s"(vec_id filter), got ${assignScans.map(_.dataFilters)}")
   }
 
   test("ann_index_persist probes from the parquet artifact, not a retrain") {

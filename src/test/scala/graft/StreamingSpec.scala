@@ -356,6 +356,47 @@ class StreamingSpec extends SparkSuite {
     assert(again == got, "re-trigger with no new arrivals must be a no-op")
   }
 
+  test("stream_ann_query_pq: ADC serve == batch twin, recall matches the " +
+      "full-vector leg, codes artifact is ~16 B/vec, re-trigger no-op") {
+    def shape(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getLong(4), r.getBoolean(5))).toSeq
+    val got = shape(graft.ops.Vector.streamAnnQueryPq(spark, sf))
+    assert(got.nonEmpty)
+    assert(got.forall(r => r._4 && r._6),
+      s"same_as_batch + recall floor must hold: ${got.filterNot(_._4)}")
+    // the PQ shortlist (C = PqServeCandC) must cost no MEASURED recall
+    // vs the full-vector serving leg on this corpus: aggregate hits vs
+    // exact brute are equal between the two legs' batch twins
+    import org.apache.spark.sql.functions.col
+    val brute = graft.ops.Vector.serveBruteTopk(spark, sf)
+      .select(col("qid"), col("vec_id"))
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("qid"), col("vec_id"))
+        .join(brute, Seq("qid", "vec_id")).count()
+    val pqHits = hits(graft.ops.Vector.servePqBatchTopk(spark, sf))
+    val fullHits = hits(graft.ops.Vector.serveBatchTopk(spark, sf))
+    assert(pqHits >= fullHits,
+      s"PQ serving must not cost measured recall: $pqHits < $fullHits")
+    // the candidate-scan unit is ~16 B/vec: codes.parquet stores one
+    // 8-byte code + an 8-byte id per vector; parquet framing keeps the
+    // on-disk figure within 4x of that (vs ~264 B for the f32 row)
+    val dir = graft.ops.Vector.persistPqDir(spark, sf)
+    val codesDir = new java.io.File(s"$dir/codes.parquet")
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+      else Seq(f)
+    val bytes = walk(codesDir).filter(_.getName.endsWith(".parquet"))
+      .map(_.length()).sum
+    val n = spark.read.parquet(s"$dir/codes.parquet").count()
+    assert(n > 0 && bytes > 0)
+    assert(bytes <= n * 64,
+      s"codes artifact must stay near 16 B/vec: $bytes bytes / $n vecs")
+    // durable checkpoint: re-trigger plans zero batches, same answer
+    val again = shape(graft.ops.Vector.streamAnnQueryPq(spark, sf))
+    assert(again == got, "re-trigger with no new arrivals must be a no-op")
+  }
+
   test("stream_mm_ingest: planted twins gate correctly, re-trigger no-op, zero-state fold") {
     def run() = ops.Multimodal.streamMmIngest(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getInt(3)))
