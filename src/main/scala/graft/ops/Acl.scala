@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -29,65 +29,101 @@ import graft.Tables
   *    queryable, oracle-checked table (who can see what, and why),
   *    because governance reviews read the MAPPING, not the code.
   *
-  * Principals and group memberships are a fixed fixture mirroring the
-  * reference's shape (an idp group list per user); policies are static
-  * per role. Everything below is metadata-sized except the documents
-  * scan each view prunes. */
+  * POLICY IS DATA (r17 verdict next-round #5): principals, group
+  * memberships, the privileged-group name, the tenant arithmetic
+  * modulus, the viewing tenant, and the masked-column list all live
+  * in the config store (`fixtures/graft_config.jsonl`, `ACL_*` keys —
+  * the `config_driven_freshness` convention), so a governance change
+  * is a config edit, not a recompile, and every query carries the
+  * store's `ACL_POLICY_VERSION` so an audit row names the policy
+  * generation it was resolved under. The DuckDB oracles replay the
+  * SAME store (read_json_auto at dump time), so an edited policy
+  * re-verifies end to end. Everything below is metadata-sized except
+  * the documents scan each view prunes. */
 object Acl {
 
   /** The reference's `map_roles`, lifted verbatim: the privileged idp
     * group wins, any other group demotes to Viewer, no groups at all
     * means Public (webserver_config.py:59-63 and the `if not groups`
-    * default at :121-122). */
+    * default at :121-122). This is the semantic KERNEL (unit-pinned in
+    * ConfigSpec); the queries resolve the same rule in-plan via
+    * [[roleExpr]] with the privileged-group NAME coming from the
+    * store, so the rule's one compiled-in part is its shape, not its
+    * data. */
   val AdminGroup = "authentik Admins"
   def roleOf(groups: Seq[String]): String =
     if (groups.contains(AdminGroup)) "Admin"
     else if (groups.nonEmpty) "Viewer"
     else "Public"
 
-  /** Principal → idp groups fixture (the OIDC callback's `me["groups"]`
-    * payload). Covers all three resolution outcomes plus the
-    * multi-group case the reference's set-dedup handles. */
-  val Principals: Seq[(String, Seq[String])] = Seq(
-    ("ada", Seq(AdminGroup)),
-    ("bo", Seq("engineering")),
-    ("cy", Seq("engineering", AdminGroup)),
-    ("dee", Seq("sales", "support")),
-    ("ev", Seq.empty))
+  /** [[roleOf]] as a plan expression over a groups ARRAY column with
+    * the privileged group as a COLUMN (policy data riding a broadcast
+    * one-row lookup, never a literal). */
+  private def roleExpr(groups: Column, admin: Column): Column =
+    when(array_contains(groups, admin), lit("Admin"))
+      .when(size(groups) > 0, lit("Viewer"))
+      .otherwise(lit("Public"))
 
   /** Row policy: a Viewer is scoped to its TENANT's sources. Tenant
-    * assignment is arithmetic on the source id (src<N> → N % 3), so
-    * the DuckDB oracle replays membership exactly and every tenant is
-    * non-empty at every SF. */
-  def tenantOfSource: org.apache.spark.sql.Column =
-    pmod(regexp_extract(col("source"), "[0-9]+", 0).cast("long"), lit(3L))
+    * assignment is arithmetic on the source id (src<N> → N mod tmod,
+    * tmod = `ACL_TENANT_MOD` from the store), so the DuckDB oracle
+    * replays membership exactly and every tenant is non-empty at
+    * every SF. */
+  def tenantOfSource(tmod: Column): Column =
+    pmod(regexp_extract(col("source"), "[0-9]+", 0).cast("long"), tmod)
+
+  /** One-row broadcast policy lookups (the [[Config.valueRow]]
+    * convention): the store value rides the plan as data, so a policy
+    * edit needs no recompilation and the plan is scan + broadcast at
+    * any data scale. */
+  private def policyRow(spark: SparkSession, key: String, default: String,
+      as: String, typ: String = "string"): DataFrame =
+    Config.valueRow(spark, key, default)
+      .select(col("value").cast(typ).as(as))
 
   /** `acl_audit` — the RESOLUTION table a governance review reads:
-    * one row per principal with its resolved role and the effective
+    * one row per STORE principal (`ACL_GROUPS_<name>` keys, values a
+    * |-separated idp group list — the OIDC callback's `me["groups"]`
+    * payload as config rows) with its resolved role, the effective
     * visibility that role grants on `documents` (row count under the
-    * row policy, visible column count, whether raw text is readable).
-    * Row counts are real aggregates of the corpus under each
-    * principal's own predicate — the oracle recomputes them from the
-    * same fixture arithmetic. Viewers scope to tenant
-    * (md5-of-principal mod 3: deterministic, oracle-replayable);
-    * Admin sees everything; Public sees no rows. */
+    * row policy, visible column count, whether raw text is readable),
+    * and the `policy_version` it was resolved under. Row counts are
+    * real aggregates of the corpus under each principal's own
+    * predicate — the oracle recomputes them from the same store.
+    * Viewers scope to tenant (md5-of-principal mod ACL_TENANT_MOD:
+    * deterministic, oracle-replayable); Admin sees everything; Public
+    * sees no rows. All policy inputs are broadcast one-row lookups;
+    * the one corpus scan feeds the 3-row tenant aggregate. */
   def aclAudit(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val prin = Principals.map { case (p, gs) =>
-      (p, roleOf(gs), gs.size)
-    }.toDF("principal", "role", "n_groups")
-      .withColumn("tenant",
+    val admin = broadcast(policyRow(spark, "ACL_ADMIN_GROUP", AdminGroup,
+      "admin_group"))
+    val tmod = broadcast(policyRow(spark, "ACL_TENANT_MOD", "3",
+      "tmod", "long"))
+    val pv = broadcast(policyRow(spark, "ACL_POLICY_VERSION", "0",
+      "policy_version", "long"))
+    val prin = Config.store(spark)
+      .filter(col("key").startsWith("ACL_GROUPS_"))
+      .select(expr("substring(key, 12)").as("principal"),
+        filter(split(coalesce(col("value"), lit("")), "\\|"),
+          g => g =!= "").as("groups"))
+      .crossJoin(admin).crossJoin(tmod)
+      .select(col("principal"),
+        roleExpr(col("groups"), col("admin_group")).as("role"),
+        size(col("groups")).as("n_groups"),
         pmod(conv(substring(md5(col("principal")), 1, 8), 16, 10)
-          .cast("long"), lit(3L)))
+          .cast("long"), col("tmod")).as("tenant"),
+        col("tmod"))
     val docs = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), tenantOfSource.as("tenant"))
+      .crossJoin(tmod)
+      .select(col("doc_id"), tenantOfSource(col("tmod")).as("tenant"))
     val perTenant = docs.groupBy(col("tenant"))
       .agg(count(lit(1)).as("tenant_rows"))
-    // grand total from the 3-row tenant aggregate, not a second
+    // grand total from the tmod-row tenant aggregate, not a second
     // corpus scan
     val total = perTenant.agg(sum(col("tenant_rows")).as("all_rows"))
     prin.join(broadcast(perTenant), Seq("tenant"), "left")
       .crossJoin(broadcast(total))
+      .crossJoin(pv)
       .select(col("principal"), col("role"), col("n_groups"),
         when(col("role") === "Viewer", col("tenant")).as("tenant"),
         when(col("role") === "Admin", col("all_rows"))
@@ -96,55 +132,93 @@ object Acl {
         when(col("role") === "Admin", lit(5))
           .when(col("role") === "Viewer", lit(5))
           .otherwise(lit(0)).as("visible_cols"),
-        (col("role") === "Admin").as("raw_text"))
+        (col("role") === "Admin").as("raw_text"),
+        col("policy_version"))
       .orderBy(col("principal"))
   }
-  val aclAuditSql: String = {
-    val prinRows = Principals.map { case (p, gs) =>
-      s"('$p', '${roleOf(gs)}', ${gs.size})"
-    }.mkString(", ")
-    s"""WITH prin AS (
-         SELECT principal, role, n_groups,
-           CAST(('0x' || substring(md5(principal), 1, 8)) AS BIGINT) % 3
-             AS tenant
-         FROM (VALUES $prinRows) AS t(principal, role, n_groups)),
-       d AS (SELECT CAST(regexp_extract(source, '[0-9]+', 0) AS BIGINT) % 3
-               AS tenant FROM documents),
+  private def storeSql: String =
+    s"""SELECT key, value FROM read_json_auto(
+       '${Tables.FixturesDir}/graft_config.jsonl',
+       format='newline_delimited')"""
+  private def policySql(key: String, default: String): String =
+    s"""coalesce(max(CASE WHEN key = '$key' THEN value END), '$default')"""
+  val aclAuditSql: String =
+    s"""WITH store AS ($storeSql),
+       pol AS (SELECT
+         ${policySql("ACL_ADMIN_GROUP", AdminGroup)} AS admin_group,
+         CAST(${policySql("ACL_TENANT_MOD", "3")} AS BIGINT) AS tmod,
+         CAST(${policySql("ACL_POLICY_VERSION", "0")} AS BIGINT)
+           AS policy_version
+         FROM store),
+       prin AS (
+         SELECT substring(key, 12) AS principal,
+           list_filter(string_split(coalesce(value, ''), '|'),
+             g -> g <> '') AS groups
+         FROM store WHERE starts_with(key, 'ACL_GROUPS_')),
+       resolved AS (
+         SELECT principal,
+           CASE WHEN list_contains(groups, pol.admin_group) THEN 'Admin'
+                WHEN len(groups) > 0 THEN 'Viewer'
+                ELSE 'Public' END AS role,
+           CAST(len(groups) AS INT) AS n_groups,
+           CAST(('0x' || substring(md5(principal), 1, 8)) AS BIGINT)
+             % pol.tmod AS tenant
+         FROM prin CROSS JOIN pol),
+       d AS (SELECT CAST(regexp_extract(source, '[0-9]+', 0) AS BIGINT)
+               % (SELECT tmod FROM pol) AS tenant FROM documents),
        pt AS (SELECT tenant, CAST(count(1) AS BIGINT) AS tenant_rows
               FROM d GROUP BY tenant),
        tot AS (SELECT CAST(count(1) AS BIGINT) AS all_rows FROM d)
        SELECT principal, role, n_groups,
-         CASE WHEN role = 'Viewer' THEN prin.tenant END AS tenant,
+         CASE WHEN role = 'Viewer' THEN resolved.tenant END AS tenant,
          CASE role WHEN 'Admin' THEN all_rows
                    WHEN 'Viewer' THEN coalesce(tenant_rows, 0)
                    ELSE 0 END AS visible_rows,
          CAST(CASE role WHEN 'Admin' THEN 5 WHEN 'Viewer' THEN 5
                    ELSE 0 END AS INT) AS visible_cols,
-         role = 'Admin' AS raw_text
-       FROM prin LEFT JOIN pt ON pt.tenant = prin.tenant
+         role = 'Admin' AS raw_text,
+         (SELECT policy_version FROM pol) AS policy_version
+       FROM resolved LEFT JOIN pt ON pt.tenant = resolved.tenant
        CROSS JOIN tot
        ORDER BY principal"""
-  }
 
   /** `acl_masked_view` — the Viewer's dynamic view of `documents`:
-    * the schema is STABLE (all five columns present) but `text` is
-    * replaced by its md5 digest — joinable and countable, unreadable
-    * (the dynamic-data-masking contract; dropping the column instead
-    * silently breaks every downstream consumer). Pure map-side
-    * projection: masking is per-row codegen'd work, zero shuffle
-    * beyond the presentation sort, identical plan at 100 TB. Every
-    * masked row is hash-compared against the oracle. */
-  def aclMaskedView(spark: SparkSession, sfDir: String): DataFrame =
+    * the schema is STABLE (all five columns present) but every column
+    * named by the store's `ACL_MASK_documents` list is replaced by
+    * its md5 digest — joinable and countable, unreadable (the
+    * dynamic-data-masking contract; dropping the column instead
+    * silently breaks every downstream consumer). The mask list is a
+    * POLICY COMPILE: a bounded driver read of one store row (the
+    * `Variable.get` surface) decides the projection, because a
+    * projection is plan structure, not row data. Pure map-side after
+    * that: masking is per-row codegen'd work, zero shuffle beyond the
+    * presentation sort, identical plan at 100 TB. Every masked row is
+    * hash-compared against the oracle, which replays the same store
+    * row through `list_contains`. */
+  def aclMaskedView(spark: SparkSession, sfDir: String): DataFrame = {
+    val masked = Config.getString(spark, "ACL_MASK_documents", "text")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    def proj(c: String, as: String): Column =
+      (if (masked(c)) md5(col(c)) else col(c)).as(as)
     Tables.documents(spark, sfDir)
-      .select(col("doc_id"), md5(col("text")).as("text_masked"),
+      .select(col("doc_id"), proj("text", "text_masked"),
         col("lang"), col("source"), col("n_chars"))
       .orderBy(col("doc_id"))
+  }
   val aclMaskedViewSql: String =
-    """SELECT doc_id, md5(text) AS text_masked, lang, source, n_chars
-       FROM documents ORDER BY doc_id"""
+    s"""WITH store AS ($storeSql),
+       pol AS (SELECT list_filter(string_split(
+           ${policySql("ACL_MASK_documents", "text")}, ','), c -> c <> '')
+         AS mask_cols FROM store)
+       SELECT doc_id,
+         CASE WHEN list_contains(pol.mask_cols, 'text')
+              THEN md5(text) ELSE text END AS text_masked,
+         lang, source, n_chars
+       FROM documents CROSS JOIN pol ORDER BY doc_id"""
 
   /** `acl_row_filter` — one tenant Viewer's effective view, aggregated
-    * to its per-source volumes. The ROW policy (tenant 1's sources)
+    * to its per-source volumes. The ROW policy (the store's
+    * `ACL_VIEW_TENANT` tenant under `ACL_TENANT_MOD` arithmetic)
     * applies at the scan: the source IN-list derived from the tenant
     * arithmetic reaches the parquet reader as a pushed filter
     * (ScaleSpec-asserted via the equivalent disjunction), so an ACL
@@ -153,23 +227,30 @@ object Acl {
     * built from the DIMENSION-sized distinct source set (bounded
     * collect, the FilteredLabels convention), not a join, because a
     * pushed filter must be a literal predicate. */
-  /** The compiled tenant-1 source IN-list, memoized per (application,
-    * dataset content) like the quantizer artifacts: a policy
-    * compiler resolves tenant → source list ONCE per dataset (it is
-    * dimension-sized policy metadata, |sources| values), and every
-    * ACL read after that pays only the pruned scan. The fingerprint
-    * key makes in-place dataset regeneration recompile instead of
-    * serving a stale list. */
+  /** The compiled tenant source IN-list, memoized per (application,
+    * dataset content, policy values) like the quantizer artifacts: a
+    * policy compiler resolves tenant → source list ONCE per
+    * (dataset, policy) (it is dimension-sized policy metadata,
+    * |sources| values), and every ACL read after that pays only the
+    * pruned scan. The fingerprint key makes in-place dataset
+    * regeneration recompile instead of serving a stale list; the
+    * policy values in the key make a config edit recompile too. */
   private val tenantSrcCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), Seq[String]]
+    scala.collection.concurrent.TrieMap
+      .empty[(String, String, Long, Long), Seq[String]]
 
   def aclRowFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    // policy compile: two bounded store-row reads (the Variable.get
+    // surface) — the values parameterize a pushed literal predicate
+    val tmod = Config.getLong(spark, "ACL_TENANT_MOD", 3L)
+    val tenant = Config.getLong(spark, "ACL_VIEW_TENANT", 1L)
     val key = (spark.sparkContext.applicationId,
-      s"$sfDir#${graft.Util.fileFingerprint(s"$sfDir/documents.parquet")}")
+      s"$sfDir#${graft.Util.fileFingerprint(s"$sfDir/documents.parquet")}",
+      tmod, tenant)
     val tenantSources = tenantSrcCache.getOrElseUpdate(key,
       Tables.documents(spark, sfDir)
         .select(col("source")).distinct()
-        .filter(tenantOfSource === 1L)
+        .filter(tenantOfSource(lit(tmod)) === tenant)
         .collect().map(_.getString(0)).sorted.toSeq)
     Tables.documents(spark, sfDir)
       .filter(col("source").isin(tenantSources: _*))
@@ -178,10 +259,16 @@ object Acl {
       .orderBy(col("source"))
   }
   val aclRowFilterSql: String =
-    """SELECT source, CAST(count(1) AS BIGINT) AS n_docs,
+    s"""WITH store AS ($storeSql),
+       pol AS (SELECT
+         CAST(${policySql("ACL_TENANT_MOD", "3")} AS BIGINT) AS tmod,
+         CAST(${policySql("ACL_VIEW_TENANT", "1")} AS BIGINT) AS tenant
+         FROM store)
+       SELECT source, CAST(count(1) AS BIGINT) AS n_docs,
          CAST(sum(n_chars) AS BIGINT) AS n_chars
        FROM documents
-       WHERE CAST(regexp_extract(source, '[0-9]+', 0) AS BIGINT) % 3 = 1
+       WHERE CAST(regexp_extract(source, '[0-9]+', 0) AS BIGINT)
+         % (SELECT tmod FROM pol) = (SELECT tenant FROM pol)
        GROUP BY source ORDER BY source"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -125,12 +125,24 @@ class ConfigSpec extends SparkSuite {
       "masked column must never leak raw text")
     // audit: visible_rows reconcile — Admin sees everything, the
     // Viewers' tenants partition the corpus, Public sees nothing
-    val audit = Acl.aclAudit(spark, sf).collect()
-      .map(r => r.getString(1) -> r.getLong(4))
+    val auditRows = Acl.aclAudit(spark, sf).collect()
+    val audit = auditRows.map(r => r.getString(1) -> r.getLong(4))
     val all = graft.Tables.documents(spark, sf).count()
     assert(audit.collect { case ("Admin", n) => n }.forall(_ == all))
     assert(audit.collect { case ("Public", n) => n }.forall(_ == 0L))
     assert(audit.collect { case ("Viewer", n) => n }.forall(n =>
       n > 0 && n < all), "a tenant Viewer sees a proper subset")
+    // policy is DATA (r17 next-round #5): the audit resolves the
+    // store's ACL_GROUPS_* principals under the store's
+    // ACL_POLICY_VERSION — a governance change is a config edit
+    val principals = auditRows.map(_.getString(0)).toSeq
+    assert(principals == Seq("ada", "bo", "cy", "dee", "ev"),
+      "principals come from the ACL_GROUPS_* store rows")
+    assert(auditRows.forall(_.getLong(7) == 2L),
+      "every audit row carries the store's ACL_POLICY_VERSION")
+    // the empty-group principal (store value '') resolves Public —
+    // the OIDC callback's no-groups default, through the store path
+    assert(auditRows.find(_.getString(0) == "ev")
+      .exists(_.getString(1) == "Public"))
   }
 }
