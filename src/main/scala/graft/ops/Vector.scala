@@ -75,12 +75,16 @@ object Vector {
     * `asc` = smaller score is better (distances); descending =
     * similarities. */
   private[graft] def topkLocal(df: DataFrame, scoreCol: String, k: Int,
-      asc: Boolean): DataFrame = {
+      asc: Boolean, carry: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
     graft.plans.Plans.install(df.sparkSession)
-    val proj = df.select(col("qid"), col("vec_id"), col(scoreCol))
+    val proj = df.select(
+      (Seq("qid", "vec_id", scoreCol) ++ carry).map(col): _*)
     val lp = proj.queryExecution.analyzed
-    val Seq(qid, vid, score) = lp.output
+    // carried columns (e.g. the shortlist's source cell) ride the
+    // copied rows through the heap untouched — TopKPerGroupExec's
+    // output is child.output
+    val Seq(qid, vid, score) = lp.output.take(3)
     val dir = if (asc) Ascending else Descending
     org.apache.spark.sql.graftbridge.ColumnBridge.ofRows(df.sparkSession,
       graft.plans.GroupTopK(Seq(qid),
@@ -1374,19 +1378,20 @@ object Vector {
       .filter(col("cell").isin(cells.map(Int.box): _*))
       .join(broadcast(probed), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"), col("lut"), col("code"))
-      .as[(Long, Long, Array[Double], Array[Byte])]
-      .map { case (qid, id, lut, code) =>
+      .select(col("cell"), col("qid"), col("vec_id"), col("lut"),
+        col("code"))
+      .as[(Int, Long, Long, Array[Double], Array[Byte])]
+      .map { case (cell, qid, id, lut, code) =>
         var d = 0.0; var m = 0
         while (m < PqM) { d += lut(m * PqK + (code(m) & 0xFF)); m += 1 }
-        (qid, id, d)
-      }.toDF("qid", "vec_id", "adc")
+        (cell, qid, id, d)
+      }.toDF("cell", "qid", "vec_id", "adc")
     val wC = Window.partitionBy(col("qid"))
       .orderBy(col("adc"), col("vec_id"))
-    topkLocal(adc, "adc", PqServeCandC, asc = true)
+    topkLocal(adc, "adc", PqServeCandC, asc = true, carry = Seq("cell"))
       .withColumn("crank", row_number().over(wC))
       .filter(col("crank") <= PqServeCandC)
-      .select(col("qid"), col("vec_id"))
+      .select(col("cell"), col("qid"), col("vec_id"))
   }
 
   /** One PQ-serving micro-batch — the asymmetric-distance (ADC) twin
@@ -1400,8 +1405,11 @@ object Vector {
     *     row — and scores each code with [[PqM]] LUT adds;
     *  3. only the per-query ADC top-[[PqServeCandC]] shortlist is
     *     re-ranked exactly: the full vectors arrive through a POINT
-    *     READ (cell PartitionFilters + a pushed `vec_id IN` list of
-    *     |batch|·C ids) of the artifact, never an embeddings join;
+    *     READ (cell PartitionFilters pruned to the cells the shortlist
+    *     LANDED in — a subset of the probed cells, since ADC
+    *     concentrates each query's top-C in its nearest cells — plus a
+    *     pushed `vec_id IN` list of |batch|·C ids) of the artifact,
+    *     never an embeddings join;
     *  4. exact cosine (dot_f32 bitwise contract) and the bounded-heap
     *     top-10 under the shared integer key (sim_e4 DESC, vec_id
     *     ASC) — deterministic agreement with the batch twin.
@@ -1418,14 +1426,22 @@ object Vector {
     import spark.implicits._
     val cells = servePqCells(cents, nprobe, batch)
     val short = servePqShortlist(dir, cents, books, nprobe, cells, batch)
-    // bounded: |batch| × C (qid, vec_id) pairs — the point-read list
-    val shortPairs = short.as[(Long, Long)].collect().toSeq
+    // bounded: |batch| × C (cell, qid, vec_id) triples — the
+    // point-read list
+    val shortTriples = short.as[(Int, Long, Long)].collect().toSeq
+    val shortPairs = shortTriples.map { case (_, q, v) => (q, v) }
     val ids = shortPairs.map(_._2).distinct.sorted
+    // the full-width fetch prunes to the cells the shortlist actually
+    // LANDED in — a subset of the probed cells (ADC concentrates the
+    // top-C in each query's nearest cells), so the re-rank read is
+    // narrower than the candidate scan whenever the tail cells
+    // contributed no shortlist member
+    val shortCells = shortTriples.map(_._1).distinct.sorted
     val qs = broadcast(batch
       .select(col("vec_id").as("qid"), col("embedding").as("qv"),
         col("nrm2").as("qn")).distinct())
     val exact = spark.read.parquet(s"$dir/assign.parquet")
-      .filter(col("cell").isin(cells.map(Int.box): _*) &&
+      .filter(col("cell").isin(shortCells.map(Int.box): _*) &&
         col("vec_id").isin(ids.map(Long.box): _*))
       .select(col("vec_id"), col("embedding").as("cv"),
         col("nrm2").as("cn"))
