@@ -85,6 +85,35 @@ object GenData {
   private val Langs = Array("en", "zh", "es", "fr", "de")
   private val EventTypes = Array("signup", "click", "error", "purchase", "view")
 
+  /** Opt-in zipfian fact keys (SPARK_GRAFT_GENDATA_ZIPF=<s>, judge r17
+    * next-round #3): every committed rehearsal so far draws join keys
+    * UNIFORMLY, so the skew machinery (skew_plan, skew_salted_join,
+    * AQE skew splits) had never met actually-skewed data. With the
+    * flag set, the fact-side foreign keys (events.user_id,
+    * lineitem.l_partkey/l_suppkey, orders.o_custkey) draw from a
+    * power-law over their domain instead: s=1 is the log-uniform
+    * inverse CDF (p(k) ∝ 1/(k+1), the classic Zipf head — key 0 takes
+    * ~ln2/ln n of ALL rows at any n), s≠1 the bounded-Pareto inverse
+    * CDF. OFF by default so every historical rehearsal corpus and the
+    * committed 10× plan manifest stay bit-comparable. Resolved on the
+    * DRIVER at table-build time and captured by value, so executors
+    * never read the env. */
+  private[graft] def zipfKey(u: Double, n: Long, s: Double): Long =
+    if (s == 1.0)
+      math.min(n - 1, (math.exp(u * math.log(n.toDouble + 1)) - 1).toLong)
+    else {
+      val t = math.pow(
+        1 + u * (math.pow(n.toDouble, 1 - s) - 1), 1 / (1 - s))
+      math.min(n - 1, (t - 1).toLong)
+    }
+  private def zipfS: Option[Double] =
+    sys.env.get("SPARK_GRAFT_GENDATA_ZIPF").map(_.toDouble)
+  private[graft] def drawKey(u: Double, n: Long,
+      s: Option[Double]): Long = s match {
+    case Some(exp) => zipfKey(u, n, exp)
+    case None => (u * n).toLong
+  }
+
   private def docText(i: Long, vocab: Array[String]): String = {
     val u = us(1L, i)
     val n = 10 + (u.next() * 91).toInt
@@ -137,11 +166,12 @@ object GenData {
     import spark.implicits._
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
     val spanMs = 30L * 86400 * 1000
+    val skew = zipfS
     spark.range(n).map { i =>
       val u = us(5L, i)
       val ts = new java.sql.Timestamp(t0 + (u.next() * spanMs).toLong)
       val value = math.floor(-50.0 * math.log1p(-u.next()) * 100) / 100
-      (i, ts, (u.next() * users).toLong,
+      (i, ts, drawKey(u.next(), users, skew),
         EventTypes((u.next() * 5).toInt), value,
         s"""{"k": ${(u.next() * 100).toInt}}""")
     }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
@@ -152,6 +182,7 @@ object GenData {
     import spark.implicits._
     val day = 86400L * 1000
     val d0 = java.sql.Timestamp.valueOf("1995-01-01 00:00:00").getTime
+    val skew = zipfS
     spark.range(orders).flatMap { o =>
       val u = us(6L, o)
       // zero-truncated Poisson(~3.1)+1 ≈ the testdata's order-size
@@ -162,7 +193,8 @@ object GenData {
       while (cdf < r && k < 30) { k += 1; p *= lam / k; cdf += p }
       val sz = k + 1
       (1 to sz).map { ln =>
-        (o, (u.next() * parts).toLong, (u.next() * supps).toLong, ln,
+        (o, drawKey(u.next(), parts, skew),
+          drawKey(u.next(), supps, skew), ln,
           (1 + (u.next() * 50).toInt).toDouble,
           math.floor((900 + u.next() * 104100) * 100) / 100,
           math.floor(u.next() * 0.11 * 100) / 100,
@@ -186,9 +218,10 @@ object GenData {
     val day = 86400L * 1000
     val prios = Array("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
       "5-LOW")
+    val skew = zipfS
     spark.range(n).map { i =>
       val u = us(7L, i)
-      (i, (u.next() * customers).toLong,
+      (i, drawKey(u.next(), customers, skew),
         Array("P", "O", "F").apply((u.next() * 3).toInt),
         math.floor((1000 + u.next() * 499000) * 100) / 100,
         new java.sql.Timestamp(d0 + (u.next() * 2404).toLong * day),
