@@ -127,13 +127,33 @@ object GenData {
     sb.toString
   }
 
+  /** Opt-in probe-visible duplicate planting
+    * (SPARK_GRAFT_GENDATA_DUPES=<stride>): doc i clones i−1 whenever
+    * i % stride == 0. The DEFAULT plant (i % 625 == 624) never lands
+    * either pair member on the dedup family's probe side (probes are
+    * id % 10 == 0; 624-mod-625 ids cycle 4,9 mod 10 and their
+    * predecessors 3,8), so every committed dedup rehearsal measured
+    * the index-maintenance path with ZERO emitted pairs — honest for
+    * state/wall, but the match path was structurally unexercised at
+    * scale. A stride divisible by 10 puts half the clones on the
+    * probe side (i mod 10 cycles 0,5). Off by default so historical
+    * rehearsal corpora stay bit-comparable; driver-resolved, captured
+    * by value like [[zipfKey]]'s flag. */
+  private def dupStride: Option[Long] =
+    sys.env.get("SPARK_GRAFT_GENDATA_DUPES").map(_.toLong)
+
   def documents(spark: SparkSession, n: Long): DataFrame = {
     import spark.implicits._
     val vocab = vocabFor(n)
+    val dupes = dupStride
     spark.range(n).map { i =>
       // ~1/625 docs clones its predecessor's text: the sf0.1 dup rate
       // (8 exact dups / 5000 docs) the dedup family's timings see.
-      val text = docText(if (i % 625 == 624) i - 1 else i, vocab)
+      val clone = dupes match {
+        case Some(st) => i > 0 && i % st == 0
+        case None => i % 625 == 624
+      }
+      val text = docText(if (clone) i - 1 else i, vocab)
       val u = us(2L, i)
       val lang =
         if (u.next() < 0.41) "en" else Langs(1 + (u.next() * 4).toInt)
