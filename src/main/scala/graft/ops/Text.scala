@@ -718,7 +718,7 @@ object Text {
     * frequency and `sum(tf)` per doc IS document length, exactly the
     * quantities the un-factored formulation computed by re-exploding
     * the corpus once per statistic per leg. */
-  private def termFreqs(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def termFreqs(spark: SparkSession, sfDir: String): DataFrame =
     // FILE-backed, not a sharedScanOf persist (the docSurprisal
     // finding, measured here too): one action of the fusion/eval/
     // classifier queries references this table 3-8 times across
@@ -726,28 +726,118 @@ object Text {
     // read pays deserialized cache batches outside whole-stage
     // codegen — the parquet read-back is the faster AND
     // substitution-safe form.
+    lexRead(spark, s"${lexIndexDir(spark, sfDir)}/tf")
+
+  /** Per-TERM statistics of the lexical index — (term, df, cf):
+    * document frequency (`count(1)` over the distinct (doc, term) tf
+    * rows) and collection frequency (`sum(tf)`). A retrieval query
+    * reads this with its query terms PUSHED into the parquet scan
+    * (`PushedFilters: In(term, ...)`) — at 100 TB the pre-r18
+    * alternative re-aggregated the full billion-term vocabulary per
+    * invocation to use |query-terms| of the values. */
+  private[graft] def termStats(spark: SparkSession, sfDir: String): DataFrame =
+    lexRead(spark, s"${lexIndexDir(spark, sfDir)}/term_stats")
+
+  /** Per-DOC statistics of the lexical index — (doc_id, dl): document
+    * length in token occurrences (`sum(tf)` per doc — Lucene's norms
+    * file). Corpus-sized, so consumers JOIN it (never broadcast). */
+  private[graft] def docStats(spark: SparkSession, sfDir: String): DataFrame =
+    lexRead(spark, s"${lexIndexDir(spark, sfDir)}/doc_stats")
+
+  /** Collection totals of the lexical index — ONE row
+    * (n_docs, dl_total): doc count and total token occurrences
+    * (query-likelihood's c_total ≡ dl_total — both are `sum(tf)` over
+    * the whole tf table). Broadcast-sized by construction. */
+  private[graft] def lexTotals(spark: SparkSession, sfDir: String): DataFrame =
+    lexRead(spark, s"${lexIndexDir(spark, sfDir)}/totals")
+
+  /** Build-once root of the lexical index artifact: `tf/` plus the
+    * statistics tables every production inverted index persists next
+    * to its postings (df/cf per term, dl per doc, collection totals —
+    * Lucene's term/collection statistics and norms). The stats derive
+    * from the tf READ-BACK (not a re-explode), so they are exactly the
+    * aggregates the legs previously recomputed per invocation — same
+    * rows, same integers, one build (r18 optimization: the
+    * full-vocabulary df/cf aggregation and the full-corpus dl/totals
+    * passes leave the per-query path; a leg now scans its query
+    * terms' postings instead of the vocabulary). `totals/` is written
+    * LAST and is the existence guard, so a build torn between writes
+    * rebuilds instead of serving a partial artifact. */
+  private def lexIndexDir(spark: SparkSession, sfDir: String): String = {
     val root = graft.Util.sessionTmpDir(spark, "graft_retrieval_tf")
     val tag = graft.Util.fileFingerprint(s"$sfDir/documents.parquet")
     val dir = s"$root/$tag"
-    if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+    if (!new java.io.File(s"$dir/totals/_SUCCESS").exists()) {
       graft.Util.vacuumSiblings(root, tag)
       Tables.documents(spark, sfDir)
         .select(col("doc_id"), explode(tokens).as("term"))
         .filter(col("term") =!= "")
         .groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf"))
-        .write.mode("overwrite").parquet(dir)
+        .write.mode("overwrite").parquet(s"$dir/tf")
+      val tf = spark.read.parquet(s"$dir/tf")
+      tf.groupBy(col("term"))
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+        .write.mode("overwrite").parquet(s"$dir/term_stats")
+      tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+        .write.mode("overwrite").parquet(s"$dir/doc_stats")
+      // raw whitespace-token length per doc (INCLUDING empty tokens —
+      // the context-pack budget unit, len(string_split(...)) in the
+      // oracle), from the documents scan: a doc of only separators has
+      // no tf rows but a nonzero raw length, so this cannot derive
+      // from doc_stats
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), size(tokens).cast("long").as("n_tokens"))
+        .write.mode("overwrite").parquet(s"$dir/doc_len")
+      spark.read.parquet(s"$dir/doc_stats")
+        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("dl_total"))
+        .write.mode("overwrite").parquet(s"$dir/totals")
     }
-    spark.read.parquet(dir)
+    dir
   }
+
+  /** Raw whitespace-token length per doc — (doc_id, n_tokens), the
+    * context-pack budget unit persisted with the index (r18: the pack
+    * stage joined a fresh corpus scan+tokenize to fetch ≤ |Q|×10 doc
+    * lengths — at 100 TB a full corpus pass per prompt-assembly run). */
+  private[graft] def docLen(spark: SparkSession, sfDir: String): DataFrame =
+    lexRead(spark, s"${lexIndexDir(spark, sfDir)}/doc_len")
+
+  /** Memoized read of an immutable lexical-index table: a retrieval
+    * query references 4–8 of these per construction, and each fresh
+    * `spark.read.parquet` pays driver-side listing + footer schema
+    * inference (~tens of ms — measured as the whole regression when
+    * the stats split first landed). The resolved DIR NAME embeds the
+    * source fingerprint tag, so the invalidation contract is byte-for
+    * byte the old one: regenerated data → new tag → new key; stale
+    * entries are simply never hit again. Keyed per session instance
+    * (the sharedTableOf slot convention). */
+  private val lexReadCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+  private def lexRead(spark: SparkSession, path: String): DataFrame =
+    lexReadCache.getOrElseUpdate(
+      (System.identityHashCode(spark), path), spark.read.parquet(path))
+
+  /** The tf postings of just the retrieval query terms — the pushed
+    * `In(term, ...)` scan every leg starts from. */
+  private def queryTermFreqs(spark: SparkSession, sfDir: String): DataFrame =
+    termFreqs(spark, sfDir)
+      .filter(col("term").isin(RetrievalQueries.map(_._2).distinct: _*))
 
   def bm25Topk(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val qdf = broadcast(RetrievalQueries.toDF("query_id", "term"))
-    val tf = termFreqs(spark, sfDir)
-    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("dl_total"))
+    // r18: df/dl/totals come from the index's persisted statistics
+    // tables instead of per-invocation full-vocabulary / full-corpus
+    // re-aggregation; the tf and term_stats scans carry the query
+    // terms as PushedFilters (plans/r18/rag_*_{before,after}.txt).
+    // Same integers — the stats ARE the former aggregates, persisted.
+    val tf = queryTermFreqs(spark, sfDir)
+    val dft = broadcast(termStats(spark, sfDir)
+      .filter(col("term").isin(RetrievalQueries.map(_._2).distinct: _*))
+      .select(col("term"), col("df")))
+    val dl = docStats(spark, sfDir)
+    val stats = lexTotals(spark, sfDir)
     val contrib = tf.join(qdf, Seq("term"))
       .join(dft, Seq("term"))
       .join(dl, Seq("doc_id"))
@@ -759,6 +849,12 @@ object Text {
           (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75) +
             lit(0.75) * col("dl") * col("n_docs") / col("dl_total"))))
           .cast("long"))
+    // (r18 note: repartition(query_id) before this aggregate would fuse
+    // the agg + window exchanges, but partitioning by query_id alone
+    // sends each query's WHOLE candidate set to one task — a skew
+    // cliff at corpus scale. Measured locally: no win. Keep the
+    // (query, doc) aggregate exchange; the window input is already
+    // score-aggregated pairs.)
     val scored = contrib.groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("score_e4")).as("score_e4"))
     val w = org.apache.spark.sql.expressions.Window
@@ -833,15 +929,24 @@ object Text {
   /** The Dirichlet query-likelihood leg: per-query top-10
     * (query_id, rk, doc_id). Shared by [[ragFusionRrf]] and
     * [[ragEvalRecall]]. */
-  private def qlTopk(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def qlTopk(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val qdf = broadcast(RetrievalQueries.toDF("query_id", "term"))
-    val tf = termFreqs(spark, sfDir)
-    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    val cf = tf.groupBy(col("term")).agg(sum(col("tf")).as("cf"))
-    val ctot = tf.agg(sum(col("tf")).as("c_total"))
-    // query terms with their collection stats (zero-cf terms drop)
-    val qcf = qdf.join(cf, Seq("term"))
+    // r18: dl/cf/c_total come from the index's persisted statistics
+    // tables (same integers as the former per-invocation aggregates);
+    // the left join resolving each (candidate, query-term) tf can see
+    // only query-term postings by construction, so it joins the
+    // term-pushed tf scan, not the full table.
+    val tf = queryTermFreqs(spark, sfDir)
+    val dl = docStats(spark, sfDir)
+    val ctot = lexTotals(spark, sfDir)
+      .select(col("dl_total").as("c_total"))
+    // query terms with their collection stats (zero-cf terms drop:
+    // term_stats only holds terms with cf ≥ 1, so the inner join is
+    // the same filter)
+    val qcf = qdf.join(termStats(spark, sfDir)
+      .filter(col("term").isin(RetrievalQueries.map(_._2).distinct: _*))
+      .select(col("term"), col("cf")), Seq("term"))
     val cand = tf.join(qdf, Seq("term"))
       .select(col("query_id"), col("doc_id")).distinct()
     val contrib = cand
@@ -893,7 +998,12 @@ object Text {
     val emb = Tables.embeddings(spark, sfDir)
       .withColumn("nrm2", dot("embedding", "embedding"))
     val qmap = broadcast(DenseQueryVecs.toDF("qid", "vec_id"))
-    val qs = emb.join(qmap, "vec_id")
+    // the query ids are driver literals — push them into the scan so
+    // resolving |Q| query vectors is a pruned point read, not a full
+    // embeddings pass (r18; PushedFilters: In(vec_id, ...))
+    val qs = emb.filter(col("vec_id")
+        .isin(DenseQueryVecs.map(p => Long.box(p._2)): _*))
+      .join(qmap, "vec_id")
       .select(col("qid"), col("embedding").as("qv"), col("nrm2").as("na"))
     val pairs = emb.crossJoin(broadcast(qs))
       .withColumn("sim",
@@ -1021,8 +1131,7 @@ object Text {
     * cumulative-sum arithmetic. */
   def ragContextPack(spark: SparkSession, sfDir: String): DataFrame = {
     val budget = 512L
-    val docLen = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), size(tokens).cast("long").as("n_tokens"))
+    val docLen = this.docLen(spark, sfDir)
     val W = org.apache.spark.sql.expressions.Window
     val cum = W.partitionBy(col("query_id")).orderBy(col("rk"))
       .rowsBetween(W.unboundedPreceding, -1)
@@ -1102,7 +1211,10 @@ object Text {
     // coarse probe: nprobe nearest cells per query, ranked by the same
     // L2-to-centroid metric the assignment used ([[Vector.nearest]]),
     // ties by cell id — |Q| × k work on the driver's collected copies
-    val qvecs = Tables.embeddings(spark, sfDir).join(qmap, "vec_id")
+    val qvecs = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id")
+        .isin(DenseQueryVecs.map(p => Long.box(p._2)): _*))
+      .join(qmap, "vec_id")
       .select(col("qid"), col("embedding"))
       .as[(String, Array[Float])].collect()
     val probePairs = qvecs.toSeq.flatMap { case (qid, v) =>
@@ -1133,7 +1245,9 @@ object Text {
     val qmap = broadcast(DenseQueryVecs.toDF("qid", "vec_id"))
     val emb = Tables.embeddings(spark, sfDir)
       .withColumn("nrm2", dot("embedding", "embedding"))
-    val qs = emb.join(qmap, "vec_id")
+    val qs = emb.filter(col("vec_id")
+        .isin(DenseQueryVecs.map(p => Long.box(p._2)): _*))
+      .join(qmap, "vec_id")
       .select(col("qid"), col("embedding").as("qv"), col("nrm2").as("na"))
     // candidates arrive WITH their vectors from the pruned artifact
     // read — the corpus is never re-joined on the candidate side
@@ -1156,7 +1270,7 @@ object Text {
     * (the dense leg reads the index artifact, never sweeps the
     * corpus). Shared by [[ragFusionIvf]]'s gate and
     * [[ragContextPackIvf]]'s pack. */
-  private def fusedIvf(spark: SparkSession, sfDir: String): DataFrame =
+  private[graft] def fusedIvf(spark: SparkSession, sfDir: String): DataFrame =
     fuseLegs(bm25Topk(spark, sfDir), qlTopk(spark, sfDir),
       denseIvfTopk(spark, sfDir))
 
@@ -1235,8 +1349,7 @@ object Text {
     * recall-gated by [[ragFusionIvf]]. */
   def ragContextPackIvf(spark: SparkSession, sfDir: String): DataFrame = {
     val budget = 512L
-    val docLen = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), size(tokens).cast("long").as("n_tokens"))
+    val docLen = this.docLen(spark, sfDir)
     val W = org.apache.spark.sql.expressions.Window
     val cum = W.partitionBy(col("query_id")).orderBy(col("rk"))
       .rowsBetween(W.unboundedPreceding, -1)
@@ -1292,7 +1405,9 @@ object Text {
     import spark.implicits._
     val qdf = broadcast(RetrievalQueries.toDF("query_id", "term"))
     val qsz = qdf.groupBy(col("query_id")).agg(count(lit(1)).as("n_terms"))
-    val tf = termFreqs(spark, sfDir)
+    // relevance = docs containing ALL the query's terms — only
+    // query-term postings can match, so the scan is term-pushed (r18)
+    val tf = queryTermFreqs(spark, sfDir)
     // tf rows are distinct (doc, term), so count(1) counts matched terms
     val rel = tf.join(qdf, Seq("term"))
       .groupBy(col("query_id"), col("doc_id"))
@@ -2985,7 +3100,7 @@ object Text {
     * [[qualityClassifier]]'s training labels): the verdict derivation
     * re-aggregates the corpus vocabulary, which no consumer should
     * pay twice. */
-  private def verdictArtifact(spark: SparkSession, sfDir: String): DataFrame =
+  private[graft] def verdictArtifact(spark: SparkSession, sfDir: String): DataFrame =
     Flow.sharedScanOf(spark, s"funnel_verdicts:$sfDir",
         graft.Util.fileFingerprint(s"$sfDir/documents.parquet")) {
       filterVerdictsFrom(docbaseOf(spark, sfDir))
@@ -3791,7 +3906,7 @@ object Text {
   /** The ONE persisted (doc_id, text) corpus scan every corpus-build
     * stage branches from (the D3 registry artifact ScaleSpec pins the
     * pipeline against). */
-  private def docbaseOf(spark: SparkSession, sfDir: String): DataFrame =
+  private[graft] def docbaseOf(spark: SparkSession, sfDir: String): DataFrame =
     Flow.sharedScanOf(spark, s"docbase:$sfDir",
         graft.Util.fileFingerprint(s"$sfDir/documents.parquet")) {
       Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
