@@ -77,6 +77,66 @@ object OptProbe {
         ops.Relational.graphTriangles(spark, sfDir).count())
     }
 
+    // the graph queries return COLLECTED top-20 local frames (their
+    // scaladoc'd persist-leak contract), so `graft.Explain` shows a
+    // LocalTableScan — this prints the INNER iteration/counting plans
+    // the optimization actually changed, for plans/r18/.
+    if (fams("graphplan")) {
+      import org.apache.spark.sql.functions.{col, lit, count}
+      val edges = ops.Relational.graphRawEdges(spark, sfDir)
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val edgesDeg = edges.join(deg, "src")
+      val nodes = edgesDeg.select(col("src").as("node"))
+        .union(edgesDeg.select(col("dst").as("node"))).distinct()
+      val ranks = nodes.withColumn("r", lit(50000L))
+      println("===== pagerank one iteration (contribs + teleport) =====")
+      ops.Relational.pagerankContribs(nodes, edgesDeg, ranks,
+        n = 20000L, bcastMax = 4000000L)
+        .select(col("node"), (lit(7500L) + col("in_r")).as("r"))
+        .explain("formatted")
+      val und = edges.filter(col("dst") =!= col("src"))
+        .select(org.apache.spark.sql.functions.least(col("src"), col("dst"))
+          .as("u"),
+          org.apache.spark.sql.functions.greatest(col("src"), col("dst"))
+            .as("v")).distinct()
+      println("===== triangles counting kernel (broadcast path) =====")
+      ops.Relational.triangleCounts(und, nEdges = 5L, bcastMax = 4000000L)
+        .explain("formatted")
+
+      // the r17 shapes, replayed verbatim for the before-plans
+      // (Relational.scala @ r17: contribs + nodes LEFT JOIN broadcast;
+      // two differently-projected adjacency broadcasts)
+      import org.apache.spark.sql.functions.{broadcast, expr, sum, coalesce,
+        sort_array, collect_list, array_intersect, typedLit, explode, concat,
+        array_repeat, size => asize}
+      println("===== r17 pagerank one iteration (before) =====")
+      val contribs17 = edgesDeg
+        .join(broadcast(ranks.withColumnRenamed("node", "src")), "src")
+        .select(col("dst").as("node"),
+          expr("(r * 85) div (100 * deg)").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("in_r"))
+      nodes.join(broadcast(contribs17), Seq("node"), "left")
+        .select(col("node"),
+          (lit(7500L) + coalesce(col("in_r"), lit(0L))).as("r"))
+        .explain("formatted")
+      println("===== r17 triangles counting kernel (before) =====")
+      val adj17 = und.groupBy(col("u"))
+        .agg(sort_array(collect_list(col("v"))).as("nb"))
+      val emptyNb = typedLit(Array.empty[Long])
+      und
+        .join(broadcast(adj17.select(col("u"), col("nb").as("nu"))), Seq("u"))
+        .join(broadcast(adj17.select(col("u").as("v"), col("nb").as("nv"))),
+          Seq("v"), "left")
+        .select(col("u"), col("v"),
+          array_intersect(col("nu"), coalesce(col("nv"), emptyNb)).as("ws"))
+        .select(explode(concat(
+          array_repeat(col("u"), asize(col("ws"))),
+          array_repeat(col("v"), asize(col("ws"))),
+          col("ws"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+        .explain("formatted")
+    }
+
     if (fams("ann")) {
       println("== ann serve ==")
       t("persistIndexDir (build)") {

@@ -153,11 +153,19 @@ object Flow {
     lock.synchronized {
       if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
         graft.Util.vacuumSiblings(root, contentKey)
+        sharedReads.remove(s"$slot:$contentKey")
         mk.write.mode("overwrite").parquet(dir)
       }
     }
-    spark.read.parquet(dir)
+    // memoized lazy read (r18): re-reading the immutable artifact per
+    // call pays driver-side listing + footer schema inference each
+    // time; the key carries the content fingerprint so a rebuilt
+    // artifact gets a fresh read (and the rebuild above evicts first).
+    sharedReads.getOrElseUpdate(s"$slot:$contentKey",
+      spark.read.parquet(dir))
   }
+  private val sharedReads =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
   def clearShared(): Unit = {
     shared.values.foreach { case (_, df) =>

@@ -1573,14 +1573,21 @@ object Relational {
 
   /** One PageRank iteration's contribution aggregation — the rank-side
     * join is broadcast iff the node count is within `bcastMax`.
-    * Factored out so PlansSpec can assert both physical shapes. */
-  private[graft] def pagerankContribs(edgesDeg: DataFrame, ranks: DataFrame,
-      n: Long, bcastMax: Long): DataFrame = {
+    * Factored out so PlansSpec can assert both physical shapes.
+    * r18: the node list rides INTO the aggregate as zero-contribution
+    * rows, so every node comes out with its `in_r` (0 for sinks'
+    * targetless peers) and the caller's former
+    * `nodes LEFT JOIN contribs` — one extra broadcast build + join per
+    * iteration, 6 per query — disappears; `sum(c ∪ {0})` is the same
+    * exact integer as `coalesce(sum(c), 0)`. */
+  private[graft] def pagerankContribs(nodes: DataFrame, edgesDeg: DataFrame,
+      ranks: DataFrame, n: Long, bcastMax: Long): DataFrame = {
     val rankSide = ranks.withColumnRenamed("node", "src")
     edgesDeg
       .join(if (n <= bcastMax) broadcast(rankSide) else rankSide, "src")
       .select(col("dst").as("node"),
         expr("(r * 85) div (100 * deg)").as("c"))
+      .unionByName(nodes.select(col("node"), lit(0L).as("c")))
       .groupBy(col("node")).agg(sum(col("c")).as("in_r"))
   }
 
@@ -1592,7 +1599,7 @@ object Relational {
     * testdata — the sort adds l_partkey so the edge sequence is
     * value-deterministic. Self-loops retained here: pagerank keeps
     * them, triangles filters them — callers apply their own policy. */
-  private def graphRawEdges(spark: SparkSession, sfDir: String): DataFrame =
+  private[graft] def graphRawEdges(spark: SparkSession, sfDir: String): DataFrame =
     Flow.sharedTableOf(spark, s"graph_edges:$sfDir",
         graft.Util.fileFingerprint(s"$sfDir/lineitem.parquet")) {
       val w = Window.partitionBy(col("l_orderkey"))
@@ -1644,24 +1651,24 @@ object Relational {
     // Dataset.unpersist() cannot free them (graft.Util.checkpointRdd)
     var prevCk: Option[org.apache.spark.rdd.RDD[_]] = None
     for (i <- 1 to iters) {
-      val contribs = pagerankContribs(edgesDeg, ranks, n, bcastMax)
       // localCheckpoint TRUNCATES the logical plan (persist alone does
       // not): without it each iteration re-analyzes the whole unrolled
       // lineage and driver-side planning time grows superlinearly —
       // measured 10 iterations at 90 s vs 6 s with the checkpoint. Every
-      // SECOND iteration is the sweet spot: two unrolled rounds plan in
-      // milliseconds and each eager checkpoint is one extra job, so
-      // halving the checkpoints saves ~1 s of job overhead at sf0.1 (on
-      // a cluster this becomes checkpoint() to reliable storage every
-      // few iterations, same shape). The final iteration always
-      // checkpoints so the returned plan stays truncated.
-      val step = nodes
-        .join(if (n <= bcastMax) broadcast(contribs) else contribs,
-          Seq("node"), "left")
-        .select(col("node"),
-          (lit(teleport) + coalesce(col("in_r"), lit(0L))).as("r"))
+      // THIRD iteration is the sweet spot since the r18 union-aggregate
+      // slimmed the per-iteration plan (7-run mins at sf0.1: every-2
+      // 1.83 s, every-3 1.71 s, final-only 2.59 s — the planning
+      // blowup returns past 3 unrolled rounds; on a cluster this
+      // becomes checkpoint() to reliable storage every few iterations,
+      // same shape). The final iteration always checkpoints so the
+      // returned plan stays truncated.
+      // r18: the teleport add rides directly on the union-aggregate's
+      // per-node in_r (see pagerankContribs) — no per-iteration
+      // nodes-side join remains.
+      val step = pagerankContribs(nodes, edgesDeg, ranks, n, bcastMax)
+        .select(col("node"), (lit(teleport) + col("in_r")).as("r"))
       val next =
-        if (i % 2 == 0 || i == iters) {
+        if (i % 3 == 0 || i == iters) {
           val ck = step.localCheckpoint(true)
           ranks0.unpersist()
           prevCk.foreach(_.unpersist(false)) // ck materialized; free prior
@@ -1796,11 +1803,17 @@ object Relational {
       val adj = o.groupBy(col("u"))
         .agg(sort_array(collect_list(col("v"))).as("nb"))
       val emptyNb = typedLit(Array.empty[Long])
-      o.join(broadcast(adj.select(col("u"), col("nb").as("nu"))), Seq("u"))
-        .join(broadcast(adj.select(col("u").as("v"), col("nb").as("nv"))),
-          Seq("v"), "left") // a sink node has no out-edges -> no list
-        .select(col("u"), col("v"),
-          array_intersect(col("nu"), coalesce(col("nv"), emptyNb)).as("ws"))
+      // r18: both probes broadcast the SAME adjacency subtree (column
+      // disambiguation via dataset alias, not differing projections)
+      // so the exchanges canonicalize identically and the second
+      // broadcast is a ReusedExchange — the adjacency aggregation and
+      // its broadcast build run once per query, not twice.
+      o.as("e").join(broadcast(adj.as("nu")), col("e.u") === col("nu.u"))
+        .join(broadcast(adj.as("nv")), col("e.v") === col("nv.u"),
+          "left") // a sink node has no out-edges -> no list
+        .select(col("e.u").as("u"), col("e.v").as("v"),
+          array_intersect(col("nu.nb"), coalesce(col("nv.nb"), emptyNb))
+            .as("ws"))
         // one emitted row per (triangle, corner): u and v once per
         // closing w, each w once — empty intersections emit nothing
         .select(explode(concat(

@@ -198,6 +198,7 @@ class PlansSpec extends SparkSuite {
     val edgesDeg = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 1L, 2L),
       (3L, 2L, 2L)).toDF("src", "dst", "deg")
     val ranks = Seq((1L, 100L), (2L, 100L), (3L, 100L)).toDF("node", "r")
+    val nodes = Seq(1L, 2L, 3L).toDF("node")
     // AQE off so executedPlan is inspectable (see verify-skill gotcha);
     // auto-broadcast off so the observed broadcast can only come from
     // the size-conditional hint under test.
@@ -209,9 +210,9 @@ class PlansSpec extends SparkSuite {
             case j: ShuffledHashJoinExec => "shuffle"
             case j: SortMergeJoinExec => "shuffle"
           }
-        val below = ops.Relational.pagerankContribs(edgesDeg, ranks,
+        val below = ops.Relational.pagerankContribs(nodes, edgesDeg, ranks,
           n = 3L, bcastMax = 4000000L)
-        val above = ops.Relational.pagerankContribs(edgesDeg, ranks,
+        val above = ops.Relational.pagerankContribs(nodes, edgesDeg, ranks,
           n = 3L, bcastMax = 2L)
         assert(joins(below) == Seq("broadcast"), s"below: ${joins(below)}")
         assert(joins(above) == Seq("shuffle"), s"above: ${joins(above)}")
@@ -247,6 +248,18 @@ class PlansSpec extends SparkSuite {
           s"below: ${joins(below)}")
         assert(joins(above).nonEmpty && joins(above).forall(_ == "shuffle"),
           s"above: ${joins(above)}")
+        // r18: both adjacency probes broadcast the SAME subtree, so the
+        // planner must BUILD the adjacency broadcast once and reuse it
+        // (one BroadcastExchangeExec + one ReusedExchangeExec), not
+        // aggregate + broadcast twice
+        import org.apache.spark.sql.execution.exchange.{
+          BroadcastExchangeExec, ReusedExchangeExec}
+        val bx = below.queryExecution.executedPlan.collect {
+          case b: BroadcastExchangeExec => b }
+        val rx = below.queryExecution.executedPlan.collect {
+          case r: ReusedExchangeExec => r }
+        assert(bx.size == 1 && rx.size == 1,
+          s"adjacency broadcast not reused: ${bx.size} builds, ${rx.size} reuses")
         // both physical shapes emit identical per-node participation
         def vals(df: org.apache.spark.sql.DataFrame) =
           df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
