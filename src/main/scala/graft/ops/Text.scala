@@ -765,10 +765,23 @@ object Text {
     * rebuilds instead of serving a partial artifact. */
   private def lexIndexDir(spark: SparkSession, sfDir: String): String = {
     val root = graft.Util.sessionTmpDir(spark, "graft_retrieval_tf")
-    val tag = graft.Util.fileFingerprint(s"$sfDir/documents.parquet")
+    // tag = <dataset-path hash>_<content fingerprint>: the vacuum must
+    // scope to THIS dataset's stale generations only — with the BPE
+    // trainer now reading the index, one session legitimately builds
+    // indexes for several corpora (the multi-corpus BpeSpec), and the
+    // old vacuum-everything-but-me deleted another dataset's LIVE
+    // artifact out from under its memoized readers (FAILED_READ_FILE).
+    val pathTag = java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(sfDir))
+    val tag = pathTag + "_" +
+      graft.Util.fileFingerprint(s"$sfDir/documents.parquet")
     val dir = s"$root/$tag"
     if (!new java.io.File(s"$dir/totals/_SUCCESS").exists()) {
-      graft.Util.vacuumSiblings(root, tag)
+      Option(new java.io.File(root).listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isDirectory && f.getName.startsWith(pathTag + "_") &&
+          f.getName != tag)
+        .foreach(graft.Util.deleteRecursively)
       Tables.documents(spark, sfDir)
         .select(col("doc_id"), explode(tokens).as("term"))
         .filter(col("term") =!= "")
@@ -2804,6 +2817,14 @@ object Text {
   // shingle mass that dedup_ngram_jaccard's exact join processes.
   def docOverlapPairs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // r18 OPT (guide §5 — materialize a many-consumer intermediate):
+    // `sel` feeds FOUR subtrees (the stop-fingerprint df aggregate,
+    // both sides of the pair self-join, the per-doc sizes), and only
+    // the identical-subtree b side could reuse an exchange — the
+    // corpus was re-shingled and re-hashed once per remaining
+    // consumer. The eager localCheckpoint runs the flatMap ONCE and
+    // every consumer reads the pinned 1-in-8 sampled (doc_id, h)
+    // rows (~12 B/row — sample-scale, never corpus-scale).
     val sel = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text"))
       .repartition(spark.sparkContext.defaultParallelism)
@@ -2813,6 +2834,7 @@ object Text {
           .map(s => (id, graft.functions.TextHash.h32(s))) }
       .toDF("doc_id", "h")
       .filter(col("h") % 8 === 0)
+      .localCheckpoint(true)
     val rare = sel.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= 50).select(col("h"))
     val s2 = sel.join(rare, "h")
@@ -3591,16 +3613,25 @@ object Text {
 
   private def tBpeTrainInner(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val agg = Tables.documents(spark, sfDir)
-      .select(explode(tokens).as("w"))
-      .filter(col("w") =!= "")
-      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    // r18 OPT (guide §2.4 — remove the corpus pass outright): the
+    // (word, count) table IS the lexical index's per-term collection
+    // frequency — term_stats.cf sums the tf rows whose tokenization
+    // (split(lower(text), ' '), empties dropped) matches this
+    // trainer's word aggregate token for token, so reading the
+    // persisted statistic replaces the per-invocation explode +
+    // full-corpus groupBy with a vocabulary-sized artifact scan (the
+    // sentencepiece train-from-counts shape: the index build already
+    // paid the corpus pass). Exact integer equality, oracle-checked.
+    val agg = termStats(spark, sfDir)
       // byte-level symbol prep: UTF-8 bytes as space-separated
       // lowercase hex pairs, ' '-padded — "café" → " 63 61 66 c3 a9 "
       .select(concat(lit(" "), regexp_replace(
-          lower(hex(encode(col("w"), "UTF-8"))), "(..)", "$1 ")).as("s"),
-        col("cnt"))
+          lower(hex(encode(col("term"), "UTF-8"))), "(..)", "$1 ")).as("s"),
+        col("cf").as("cnt"))
     val words0 = agg.persist()
+    // every per-round generation that is still persisted at the end
+    // (the live one, plus the base) — unpersisted in finally
+    val live = scala.collection.mutable.ArrayBuffer[DataFrame](words0)
     try {
       words0.count() // materialize: the rounds iterate the AGGREGATE
       // NOTE an r17 A/B: wrapping the cached table in coalesce(k by
@@ -3635,13 +3666,34 @@ object Text {
             a.length % 2 == 0 && b.length % 2 == 0,
           s"non-hex merge symbol — byte prep broken: '$a'+'$b'")
         merges += ((r, a, b, a + b, w))
-        words = words.withColumn("s",
-          expr(s"replace(s, ' $a $b ', ' ${a + b} ')"))
+        // r18 OPT (guide §1.2 per-task work / §3.3 plan size): BOUND
+        // the lazy replace chain by materializing every 4th
+        // generation. The unbounded chain re-executed all r-1 earlier
+        // replaces inside every later round's aggregation (O(rounds²)
+        // replace work — at a production merge budget the chain, not
+        // the vocab scan, becomes the round cost) and grew the plan a
+        // node per round, compiling fresh codegen every round. A
+        // persist per round reverses the trade (one extra
+        // materialization job × 16 — measured SLOWER at sf0.1:
+        // 2.57 s vs 1.72 s chained); every-4 keeps re-execution ≤ 3
+        // replaces and adds only 3 materialization jobs.
+        if (r < BpeTrainMerges) {
+          words = words
+            .select(expr(s"replace(s, ' $a $b ', ' ${a + b} ')").as("s"),
+              col("cnt"))
+          if (r % 4 == 0) {
+            val next = words.persist()
+            next.count() // materialize before dropping the parent
+            live += next
+            if (live.length > 2) { live.remove(1).unpersist(); () }
+            words = next
+          }
+        }
       }
       merges.result()
         .toDF("rank", "lhs", "rhs", "merged", "pair_count")
         .orderBy(col("rank"))
-    } finally { words0.unpersist(); () }
+    } finally { live.foreach(_.unpersist()); () }
   }
   def tBpeTrainSql: String = {
     def stage(k: Int): String = {
@@ -3715,10 +3767,12 @@ object Text {
   def tBpeFertilityGain(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     graft.functions.BpeVocab.ensureFixture()
-    val counts = Tables.documents(spark, sfDir)
-      .select(explode(tokens).as("w"))
-      .filter(col("w") =!= "")
-      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    // r18 OPT: the capped word-count feed is the lexical index's
+    // term_stats.cf (identical tokenization — see tBpeTrainInner),
+    // so the train side reads the vocabulary-sized persisted
+    // statistic instead of re-exploding the corpus per invocation.
+    val counts = termStats(spark, sfDir)
+      .select(col("term").as("w"), col("cf").as("cnt"))
       .orderBy(col("cnt").desc, col("w"))
       .limit(65536)
       .as[(String, Long)].collect().toSeq

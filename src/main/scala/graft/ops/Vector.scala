@@ -1252,18 +1252,31 @@ object Vector {
   }
 
   /** Exact brute-force cosine top-10 over the serve query set — the
-    * recall ground truth. */
+    * recall ground truth. Memoized per (application, dataset) like
+    * [[l2BruteTopk]] and the IVF gate's [[cosineBruteCache]]: the
+    * collected result is 10 rows per serve query (feed-bounded, never
+    * corpus-bounded), and BOTH serving legs' gates consult it — one
+    * corpus sweep per session instead of one per gate invocation
+    * (r18, guide §1.2: don't recompute ground truth you already
+    * have). */
+  private val serveBruteCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), Seq[(Long, Long)]]
   private[graft] def serveBruteTopk(spark: SparkSession,
       sfDir: String): DataFrame = {
-    val emb = withNorm2(spark, sfDir)
-    val qs = broadcast(emb.filter(isServeQuery)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
-        col("nrm2").as("na")))
-    val pairs = emb.crossJoin(qs)
-      .filter(col("vec_id") =!= col("qid"))
-      .withColumn("sim",
-        dot("qv", "embedding") / (sqrt(col("na")) * sqrt(col("nrm2"))))
-    topk(pairs, 10)
+    import spark.implicits._
+    serveBruteCache.getOrElseUpdate(
+      (spark.sparkContext.applicationId, dataKey(sfDir)), {
+        val emb = withNorm2(spark, sfDir)
+        val qs = broadcast(emb.filter(isServeQuery)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+            col("nrm2").as("na")))
+        val pairs = emb.crossJoin(qs)
+          .filter(col("vec_id") =!= col("qid"))
+          .withColumn("sim",
+            dot("qv", "embedding") / (sqrt(col("na")) * sqrt(col("nrm2"))))
+        topk(pairs, 10).select(col("qid"), col("vec_id"))
+          .as[(Long, Long)].collect().toSeq
+      }).toDF("qid", "vec_id")
   }
 
   // -- PQ-coded serving leg (r17 verdict next-round #4) ----------------------
