@@ -114,7 +114,14 @@ object Dedup {
     * verified), so it hash-matches the all-pairs oracle as long as LSH
     * recall holds (≥ 1 − 1e-15 at J ≥ 0.7 with 32×4).
     */
-  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame =
+    minhashPairsCompute(spark, sfDir).orderBy(col("da"), col("db"))
+
+  /** The LSH candidate + verify kernel (unordered) — the registered
+    * query adds the deterministic ORDER BY; [[minhashPairs]] persists
+    * this frame as the registry artifact downstream consumers read. */
+  private def minhashPairsCompute(spark: SparkSession,
+      sfDir: String): DataFrame = {
     val base = shingled(spark, sfDir)
 
     // Signature + banding in one tight typed-stage JVM loop per doc,
@@ -136,8 +143,24 @@ object Dedup {
       .filter(lit(1.0) * col("i") / col("u") >= 0.7)
       .select(col("da"), col("db"),
         e4(lit(1.0) * col("i") / col("u")).as("j_e4"))
-      .orderBy(col("da"), col("db"))
   }
+
+  /** The verified near-dup PAIR SET as a registry artifact (r18,
+    * guide §1.2 — don't recompute a stage output you already have):
+    * it is the near-dedup stage's OUTPUT, bounded by true duplicate
+    * volume (never corpus-sized), and the corpus pipelines, the
+    * drop-lineage audit and the clustering tail each consumed it by
+    * re-running the bucket self-join + exact verification per
+    * invocation. File-backed (the sharedTableOf rationale: several
+    * consumer actions, codegen-fused read-back). The registered
+    * `dedup_minhash_lsh` query stays un-memoized so its bench row
+    * keeps measuring the real LSH sweep — the ann_brute_topk
+    * convention. */
+  private[ops] def minhashPairs(spark: SparkSession, sfDir: String): DataFrame =
+    Flow.sharedTableOf(spark, s"minhash_pairs:$sfDir",
+        graft.Util.fileFingerprint(s"$sfDir/documents.parquet")) {
+      minhashPairsCompute(spark, sfDir)
+    }
   /** The near-dup acceptance threshold (3-word-shingle Jaccard) —
     * one constant for the Spark verify, the LSH oracle, and the
     * pipeline oracle's drop set. */
@@ -538,7 +561,9 @@ object Dedup {
     * oracle computes the same fixpoint with a recursive CTE. */
   def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val pairs = minhashLsh(spark, sfDir).select(col("da"), col("db"))
+    // r18: read the persisted pair artifact — clustering is a TAIL
+    // over the near-dedup stage's output, not a reason to re-run it
+    val pairs = minhashPairs(spark, sfDir).select(col("da"), col("db"))
 
     // Near-dup pair graphs are tiny relative to the corpus (they are
     // the OUTPUT of dedup, bounded by true duplicate volume). Up to a
