@@ -648,15 +648,16 @@ object Text {
   // (identical per-row arithmetic in both engines) with a term
   // tiebreak, so the top-k set is engine-independent.
   def tfidfTopk(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-    val terms = docs
-      .select(col("doc_id"), explode(tokens).as("term"))
-      .filter(col("term") =!= "")
-    val tf = terms.groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    val df = terms.select(col("doc_id"), col("term")).distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val n = docs.agg(count(lit(1)).as("n_docs"))
+    // r18 OPT: tf/df/N all come from the persisted lexical index —
+    // tf IS the artifact's postings table, df its per-term statistic
+    // (count of distinct-(doc,term) tf rows ≡ the former
+    // distinct+groupBy), and N the doc_len row count (one row per
+    // document, token-less docs included, exactly the former
+    // count(1) over documents). The per-invocation corpus explode —
+    // paid twice, once per aggregate — leaves the query path.
+    val tf = termFreqs(spark, sfDir)
+    val df = termStats(spark, sfDir).select(col("term"), col("df"))
+    val n = docLen(spark, sfDir).agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(df, "term").crossJoin(broadcast(n))
       .withColumn("tfidf_e4",
         e4(col("tf") * log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))))
@@ -1647,8 +1648,13 @@ object Text {
     val docs = Tables.documents(spark, sfDir)
     val toks = docs.withColumn("ws", expr(
       "filter(split(lower(text), ' '), w -> w <> '')"))
-    val uni = toks.select(explode(col("ws")).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    // r18 OPT: the unigram counts ARE the lexical index's per-term
+    // collection frequency (identical tokenization, see
+    // tBpeTrainInner) and their total is the persisted dl_total —
+    // only the BIGRAM aggregate still needs a corpus pass, so the
+    // query scans the corpus once instead of twice.
+    val uni = termStats(spark, sfDir)
+      .select(col("term").as("w"), col("cf").as("n"))
     val bi = toks.select(explode(expr(
         """transform(slice(ws, 1, greatest(size(ws) - 1, 0)),
            (w, i) -> struct(w AS w1, element_at(ws, i + 2) AS w2))"""))
@@ -1658,7 +1664,7 @@ object Text {
     // explicit broadcast on the 1-row aggregate (the v7Ratio /
     // histPercentiles convention): never rely on AQE to keep a
     // cross join of singletons out of a full nested loop
-    val totals = uni.agg(sum(col("n")).as("t"))
+    val totals = lexTotals(spark, sfDir).select(col("dl_total").as("t"))
       .crossJoin(broadcast(bi.agg(sum(col("n12")).as("b"))))
     val scored = bi
       .join(uni.select(col("w").as("w1"), col("n").as("n1")), "w1")
@@ -5914,8 +5920,13 @@ object Text {
         explode(expr("regexp_extract_all(text, '(?s).', 0)")).as("ch"))
       .filter(col("ch") =!= "")
       .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("nc"))
-    val totals = counts.groupBy(col("doc_id")).agg(sum(col("nc")).as("n"))
-    counts.join(totals, "doc_id")
+    // r18 OPT (guide §2.4 — share one exchange): per-doc totals as a
+    // window over the (doc, ch) aggregate instead of a groupBy +
+    // join-back (the keptPostings shape) — the doc_id exchange is
+    // established once and the final aggregate reuses it, dropping
+    // the totals join's extra aggregate + join. Same integers.
+    val wD = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    counts.withColumn("n", sum(col("nc")).over(wD))
       .withColumn("term_e8", floor((lit(1.0) * col("nc") / col("n")) *
         log(lit(1.0) * col("n") / col("nc")) * lit(1e8)).cast("long"))
       .groupBy(col("doc_id"))
