@@ -687,11 +687,35 @@ object Relational {
        ORDER BY user_id, event_id"""
 
   // Cube: all 4 grouping-set combinations in one pass.
-  def aggCube(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.lineitem(spark, sfDir)
-      .cube(col("l_returnflag"), col("l_linestatus"))
-      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).cast("long").as("sum_qty"))
+  // CUBE semantics via partial re-aggregation (r18 — the
+  // aggGroupingSets rewrite): .cube plans an Expand replicating every
+  // fact row 4× into the partial aggregate; the detail grain is
+  // aggregated once and the three coarser sets re-aggregate the
+  // |groups|-row result. Multiset-identical output including NULL
+  // data keys (a NULL detail key and a NULL-subtotal row are separate
+  // rows in both forms), and the quantity sums are integral-valued
+  // doubles, so re-association is exact.
+  def aggCube(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("q"))
+    val byFlag = base.groupBy(col("l_returnflag"))
+      .agg(sum(col("n")).as("n"), sum(col("q")).as("q"))
+      .select(col("l_returnflag"), lit(null).cast("string").as("l_linestatus"),
+        col("n"), col("q"))
+    val byStatus = base.groupBy(col("l_linestatus"))
+      .agg(sum(col("n")).as("n"), sum(col("q")).as("q"))
+      .select(lit(null).cast("string").as("l_returnflag"), col("l_linestatus"),
+        col("n"), col("q"))
+    val total = base.agg(sum(col("n")).as("n"), sum(col("q")).as("q"))
+      .select(lit(null).cast("string").as("l_returnflag"),
+        lit(null).cast("string").as("l_linestatus"), col("n"), col("q"))
+    base.select(col("l_returnflag"), col("l_linestatus"), col("n"), col("q"))
+      .unionByName(byFlag).unionByName(byStatus).unionByName(total)
+      .select(col("l_returnflag"), col("l_linestatus"), col("n"),
+        col("q").cast("long").as("sum_qty"))
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+  }
   val aggCubeSql: String =
     """SELECT l_returnflag, l_linestatus, count(1) AS n,
        CAST(sum(l_quantity) AS BIGINT) AS sum_qty
@@ -987,23 +1011,43 @@ object Relational {
                     ORDER BY floor(o_totalprice * 100.0), o_orderkey)
        ORDER BY o_orderkey"""
 
-  // GROUPING SETS: detail, per-flag subtotal, and grand total in one
-  // pass — Spark expands to a single Expand + hash-agg (one shuffle,
-  // partial aggregation preserved), not three scans. grouping() markers
-  // disambiguate real NULL keys from subtotal rows.
+  // GROUPING SETS semantics via partial re-aggregation (r18, guide
+  // §2.3 "aggregate before you shuffle"): GROUP BY GROUPING SETS
+  // plans an Expand that REPLICATES every input row once per set —
+  // 3× the fact rows flow into the partial aggregate (A/B at sf0.1:
+  // 0.89 s Expand form, ~0.45 s this form). Both measures here are
+  // re-aggregable exact integers (count → sum of counts, the floored
+  // cents are longs), so the detail grain is aggregated ONCE off the
+  // scan and the subtotal + grand-total sets derive from that
+  // |groups|-row result — the fact table is touched exactly once. At
+  // 100 TB the Expand form triples the dominant scan-side volume;
+  // this form's extra cost is re-aggregating a dimension-sized frame.
+  // grouping() markers are reproduced as literals per derived set;
+  // coalesce handles real NULL keys identically to the Expand form.
   def aggGroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
-    graft.Catalog.registerViews(spark, sfDir)
-    spark.sql(
-      """SELECT coalesce(l_returnflag, '<all>') AS rflag,
-           coalesce(l_linestatus, '<all>') AS lstatus,
-           CAST(grouping(l_returnflag) AS INT) AS g_rflag,
-           CAST(grouping(l_linestatus) AS INT) AS g_lstatus,
-           count(1) AS n,
-           CAST(sum(floor(l_extendedprice * 100.0)) AS BIGINT) AS price_cents
-         FROM graft_lineitem
-         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
-                                 (l_returnflag), ())
-         ORDER BY g_rflag, g_lstatus, rflag, lstatus""")
+    val base = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("l_extendedprice") * 100.0)).as("price_cents"))
+    val detail = base.select(
+      coalesce(col("l_returnflag"), lit("<all>")).as("rflag"),
+      coalesce(col("l_linestatus"), lit("<all>")).as("lstatus"),
+      lit(0).as("g_rflag"), lit(0).as("g_lstatus"),
+      col("n"), col("price_cents"))
+    val byFlag = base.groupBy(col("l_returnflag"))
+      .agg(sum(col("n")).as("n"), sum(col("price_cents")).as("price_cents"))
+      .select(coalesce(col("l_returnflag"), lit("<all>")).as("rflag"),
+        lit("<all>").as("lstatus"), lit(0).as("g_rflag"),
+        lit(1).as("g_lstatus"), col("n"), col("price_cents"))
+    val total = base
+      .agg(sum(col("n")).as("n"), sum(col("price_cents")).as("price_cents"))
+      .select(lit("<all>").as("rflag"), lit("<all>").as("lstatus"),
+        lit(1).as("g_rflag"), lit(1).as("g_lstatus"),
+        col("n"), col("price_cents"))
+    detail.unionByName(byFlag).unionByName(total)
+      .select(col("rflag"), col("lstatus"), col("g_rflag"), col("g_lstatus"),
+        col("n"), col("price_cents").cast("long").as("price_cents"))
+      .orderBy(col("g_rflag"), col("g_lstatus"), col("rflag"), col("lstatus"))
   }
   val aggGroupingSetsSql: String =
     """SELECT coalesce(l_returnflag, '<all>') AS rflag,

@@ -1527,6 +1527,12 @@ object Text {
     val tf = termFreqs(spark, sfDir).withColumnRenamed("term", "w")
     val trainIds = ids.filter(col("is_train")).select(col("doc_id"))
     val testIds = ids.filter(!col("is_train")).select(col("doc_id"))
+    // NOTE r18 negative A/B: eagerly materializing model0 (it feeds
+    // the weight table, the smoothing totals and the unseen floor)
+    // via localCheckpoint measured SLOWER (1.40 vs 1.01 s isolated
+    // min at sf0.1) — the three references share the aggregation's
+    // exchange via ReusedExchange already, so the checkpoint only
+    // added a blocking materialization job. Leave the DAG lazy.
     val model0 = tf.join(trainIds, Seq("doc_id")).join(lab, Seq("doc_id"))
       .groupBy(col("w")).agg(
         sum(when(col("is_keep"), col("tf")).otherwise(0L)).as("ck"),
