@@ -2075,17 +2075,23 @@ object Text {
   // bounded shuffles (vocab count, per-doc sum); the corpus total joins
   // as a broadcast scalar.
   private def docSurprisal(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), explode(tokens).as("w"))
-      .filter(col("w") =!= "")
-    val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("n"))
-    val total = vocab.agg(sum(col("n")).as("t"))
-    toks.join(vocab, "w").crossJoin(broadcast(total))
+    // r18 OPT: the LM's vocabulary counts and token total ARE the
+    // lexical index's cf / dl_total (identical tokenization, see
+    // tBpeTrainInner), and per-occurrence sums fold to tf-weighted
+    // sums over the postings table — exact integers (surprisal_e4 is
+    // floored per TERM before the weighting). The artifact build no
+    // longer scans the corpus at all: one postings join instead of
+    // two corpus explodes.
+    val tf = termFreqs(spark, sfDir).withColumnRenamed("term", "w")
+    val vocab = termStats(spark, sfDir)
+      .select(col("term").as("w"), col("cf").as("n"))
+    val total = lexTotals(spark, sfDir).select(col("dl_total").as("t"))
+    tf.join(vocab, "w").crossJoin(broadcast(total))
       .withColumn("surprisal_e4",
         floor(-log(lit(1.0) * col("n") / col("t")) * lit(10000.0)))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(col("surprisal_e4")).as("sum_surprisal_e4"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * col("surprisal_e4")).as("sum_surprisal_e4"))
       .withColumn("avg_surprisal_e4",
         floor(lit(1.0) * col("sum_surprisal_e4") / col("n_tokens")))
   }
@@ -2106,10 +2112,20 @@ object Text {
   private def docSurprisalArtifact(spark: SparkSession,
       sfDir: String): DataFrame = {
     val root = graft.Util.sessionTmpDir(spark, "graft_doc_surprisal")
-    val tag = graft.Util.fileFingerprint(s"$sfDir/documents.parquet")
+    // dataset-path-scoped vacuum (the lexIndexDir r18 fix): a session
+    // training LMs for several corpora must not delete another
+    // dataset's live artifact when it builds its own
+    val pathTag = java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(sfDir))
+    val tag = pathTag + "_" +
+      graft.Util.fileFingerprint(s"$sfDir/documents.parquet")
     val dir = s"$root/$tag"
     if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
-      graft.Util.vacuumSiblings(root, tag)
+      Option(new java.io.File(root).listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isDirectory && f.getName.startsWith(pathTag + "_") &&
+          f.getName != tag)
+        .foreach(graft.Util.deleteRecursively)
       docSurprisal(spark, sfDir).write.mode("overwrite").parquet(dir)
     }
     spark.read.parquet(dir)
