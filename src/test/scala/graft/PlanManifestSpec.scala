@@ -91,7 +91,11 @@ class PlanManifestSpec extends SparkSuite {
       "count grows with the serve feed (shape identical)"
     val flips = Set("broadcasts", "exchanges", "joins")
     Map(
-      "corpus_drop_lineage" -> (flips, flip),
+      // corpus_drop_lineage un-enrolled r18: its near-dup and contam
+      // inputs are now file-backed registry artifacts, so the join
+      // sides that used to flip broadcast<->SMJ at 10x read
+      // fingerprint-stable artifact scans — base and 10x plans are
+      // identical again
       "resample_interp" -> (flips, flip),
       "stream_ann_query_pq" -> (Set("pushed"), pointRead),
       "d4_backfill_plan" -> (flips, flip),
